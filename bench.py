@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from guidewire_spark.plans.session import get_spark
+from guidewire_spark.registry import all_queries
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_inner_fact_dim",
+    "join_left_semi",
+    "agg_count_distinct",
+    "agg_rollup",
+    "window_topk_per_group",
+    "window_running_sum",
+    "stream_tumbling_window",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_fingerprint",
+    "cda_index_roundtrip",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="guidewire-spark-bench")
+    specs = all_queries()
+
+    # Warm the JVM + parquet footers once with a trivial action.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        start = time.perf_counter()
+        n = spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

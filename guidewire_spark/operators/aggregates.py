@@ -1,0 +1,273 @@
+"""Aggregation operators (SURVEY.md §2.4 "Aggregation").
+
+All hash aggregations: Spark plans these as partial (map-side) +
+final aggregate, so the shuffle carries one row per (partition, key),
+not per input row — the property that makes them viable at 100 TB.
+Floating-point aggregates are rounded identically on both the Spark
+and oracle side so the value hash is stable across summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.registry import query
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style pricing summary (filter → hash agg).
+
+    Mirrors the reference's promise of full SQL analytics over the
+    connector output (/root/reference README.md:74-84); the group-by
+    cardinality is 6, so the final aggregate is trivially small no
+    matter the input scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(STDDEV_SAMP(o_totalprice), 2) AS std_price,
+           ROUND(VAR_SAMP(o_totalprice), 1) AS var_price,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev / variance / min / max."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("std_price"),
+        F.round(F.var_samp("o_totalprice"), 1).alias("var_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           ROUND(COVAR_POP(l_discount, l_tax), 8) AS covar_disc_tax
+    FROM lineitem
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-key) aggregate with corr / covar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.covar_pop("l_discount", "l_tax"), 8).alias("covar_disc_tax"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS distinct_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — Spark expands to a two-phase aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("distinct_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query("agg_approx_count_distinct")  # approximate → rows-only check
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct count (the 100 TB-scale
+    substitute for exact COUNT DISTINCT). Approximate → no value
+    oracle; the driver records a rows-only check."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_quantity), 4) AS median_qty,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.90), 4) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p90) — interpolated, matching
+    DuckDB's quantile_cont."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", 0.90), 4).alias("p90_price"),
+    )
+
+
+@query(
+    "agg_collect_list_set",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           array_to_string(list_sort(list(DISTINCT n_nationkey % 5)), ',') AS key_mods
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set, sorted then serialized so the value
+    hash is order-independent."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        F.array_join(
+            F.sort_array(F.collect_set(F.col("n_nationkey") % 5)), ","
+        ).alias("key_mods"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (flag → flag+status → grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("gw_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM gw_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order status columns per priority."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregate without grouping keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )

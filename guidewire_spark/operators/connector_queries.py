@@ -1,0 +1,195 @@
+"""End-to-end connector queries: CDA tree → Delta log → Spark scan.
+
+These exercise the full reference pipeline (SURVEY.md §2.1 P1-P16) as
+driver-verifiable queries: each stages a CDA-layout directory tree
+from the driver's own parquet tables, runs ``index()``, and returns
+the snapshot read back through the generated Delta log — so the
+oracle is simply the equivalent filter on the source table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.registry import query
+from guidewire_spark.sources.indexer import index
+from guidewire_spark.sources.snapshot import read_delta
+
+
+def _write_manifest(root: str, tables: dict[str, dict]) -> str:
+    manifest_path = os.path.join(root, "manifest.json")
+    with open(manifest_path, "w", encoding="utf-8") as f:
+        json.dump(tables, f)
+    return manifest_path
+
+
+def _stage_commit(df: DataFrame, folder: str) -> None:
+    """Stage one CDA commit folder: data files under
+    <dataFilesPath>/<fingerprint>/<timestamp>/."""
+    df.coalesce(1).write.mode("overwrite").parquet(folder)
+    # Spark writes _SUCCESS markers; the connector must ignore non-parquet
+    # and dot-files anyway (S3Access.scala:39-41), so leave them in place.
+
+
+@query(
+    "cda_index_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, ROUND(value, 4) AS value_r
+    FROM events
+    """,
+)
+def cda_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline: stage events as a single-commit CDA table, index
+    it into a Delta log, replay the snapshot, scan with Spark."""
+    root = tempfile.mkdtemp(prefix="gw_cda_rt_")
+    data_root = os.path.join(root, "source", "events_cda")
+    e = load_table(spark, sf_dir, "events")
+    _stage_commit(e, os.path.join(data_root, "fp001", "1700000000000"))
+    _write_manifest(
+        root,
+        {
+            "events_cda": {
+                "lastSuccessfulWriteTimestamp": "1700000000000",
+                "totalProcessedRecordsCount": e.count(),
+                "dataFilesPath": data_root,
+                "schemaHistory": {"fp001": "1700000000000"},
+            }
+        },
+    )
+    db = os.path.join(root, "db")
+    index(os.path.join(root, "manifest.json"), db, save_mode="overwrite")
+    out = read_delta(spark, os.path.join(db, "events_cda"))
+    return out.select(
+        "event_id", "event_type", F.round("value", 4).alias("value_r")
+    )
+
+
+@query(
+    "cda_time_travel",
+    oracle="""
+    SELECT event_id, user_id FROM events WHERE event_id % 2 = 0
+    """,
+)
+def cda_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (VERSION AS OF 0): two commit folders become Delta
+    v0 and v1; reading version 0 yields only the first commit's rows
+    (reference contract: README.md:79-84)."""
+    root = tempfile.mkdtemp(prefix="gw_cda_tt_")
+    data_root = os.path.join(root, "source", "events_tt")
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    _stage_commit(
+        e.where(F.col("event_id") % 2 == 0),
+        os.path.join(data_root, "fp001", "1700000000000"),
+    )
+    _stage_commit(
+        e.where(F.col("event_id") % 2 == 1),
+        os.path.join(data_root, "fp001", "1700000001000"),
+    )
+    _write_manifest(
+        root,
+        {
+            "events_tt": {
+                "lastSuccessfulWriteTimestamp": "1700000001000",
+                "totalProcessedRecordsCount": 0,
+                "dataFilesPath": data_root,
+                "schemaHistory": {"fp001": "1700000001000"},
+            }
+        },
+    )
+    db = os.path.join(root, "db")
+    index(os.path.join(root, "manifest.json"), db, save_mode="overwrite")
+    return read_delta(spark, os.path.join(db, "events_tt"), version=0)
+
+
+@query(
+    "cda_schema_evolution",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents WHERE doc_id >= 250
+    """,
+)
+def cda_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: a second fingerprint adds the n_chars column;
+    the UPGRADE_SCHEMA commit logically overwrites the table, so the
+    latest snapshot contains only the new fingerprint's rows with the
+    new schema (Guidewire.scala:221-237 semantics)."""
+    root = tempfile.mkdtemp(prefix="gw_cda_ev_")
+    data_root = os.path.join(root, "source", "docs_ev")
+    d = load_table(spark, sf_dir, "documents")
+    _stage_commit(
+        d.where(F.col("doc_id") < 250).select("doc_id", "lang", "source"),
+        os.path.join(data_root, "fpA", "1700000000000"),
+    )
+    _stage_commit(
+        d.where(F.col("doc_id") >= 250).select("doc_id", "lang", "source", "n_chars"),
+        os.path.join(data_root, "fpB", "1700000005000"),
+    )
+    _write_manifest(
+        root,
+        {
+            "docs_ev": {
+                "lastSuccessfulWriteTimestamp": "1700000005000",
+                "totalProcessedRecordsCount": 0,
+                "dataFilesPath": data_root,
+                "schemaHistory": {
+                    "fpA": "1700000000000",
+                    "fpB": "1700000005000",
+                },
+            }
+        },
+    )
+    db = os.path.join(root, "db")
+    index(os.path.join(root, "manifest.json"), db, save_mode="overwrite")
+    return read_delta(spark, os.path.join(db, "docs_ev"))
+
+
+@query(
+    "cda_incremental_checkpoints",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('docs_inc', 'fp001', CAST(1700000000000 AS BIGINT), 1),
+      ('docs_inc', 'fp001', CAST(1700000009000 AS BIGINT), 1)
+    ) AS t(tableName, processedSchema, processedTimestamp, processedFiles)
+    """,
+)
+def cda_incremental_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental indexing: run index() twice with a commit folder
+    appearing in between; the second run processes only the new folder
+    (checkpoint high-water-mark filter, Guidewire.scala:134-138).
+    Returns the _checkpoints Delta table, which records exactly one
+    BatchResult per processed folder."""
+    root = tempfile.mkdtemp(prefix="gw_cda_inc_")
+    data_root = os.path.join(root, "source", "docs_inc")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    manifest_v1 = {
+        "docs_inc": {
+            "lastSuccessfulWriteTimestamp": "1700000000000",
+            "totalProcessedRecordsCount": 0,
+            "dataFilesPath": data_root,
+            "schemaHistory": {"fp001": "1700000000000"},
+        }
+    }
+    _stage_commit(
+        d.where(F.col("doc_id") < 250),
+        os.path.join(data_root, "fp001", "1700000000000"),
+    )
+    _write_manifest(root, manifest_v1)
+    db = os.path.join(root, "db")
+    index(os.path.join(root, "manifest.json"), db, save_mode="overwrite")
+
+    # A new commit folder lands; the manifest's high-water mark advances.
+    _stage_commit(
+        d.where(F.col("doc_id") >= 250),
+        os.path.join(data_root, "fp001", "1700000009000"),
+    )
+    manifest_v1["docs_inc"]["lastSuccessfulWriteTimestamp"] = "1700000009000"
+    _write_manifest(root, manifest_v1)
+    index(os.path.join(root, "manifest.json"), db, save_mode="append")
+
+    return read_delta(spark, os.path.join(db, "_checkpoints"))

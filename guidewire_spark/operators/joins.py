@@ -1,0 +1,274 @@
+"""Join operators (SURVEY.md §2.4 "Joins").
+
+Scale posture: dimension tables (region/nation/supplier/part/customer)
+are broadcast explicitly with ``F.broadcast`` so the 100 TB fact side
+(lineitem/orders) never shuffles for dimension joins; fact-to-fact
+joins (lineitem ⋈ orders) shuffle on the join key and rely on AQE for
+skew splitting. Semi/anti joins are expressed natively (left_semi /
+left_anti) so Spark never materializes the probe side's payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.registry import query
+
+
+@query(
+    "join_inner_fact_dim",
+    oracle="""
+    SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_inner_fact_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain fact→dim→dim with aggregation.
+
+    customer and nation are broadcast; orders never shuffles for the
+    join (only for the final tiny groupBy on n_name).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n_nationkey, n_name, s_suppkey
+    FROM supplier
+    RIGHT JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every nation row survives, suppliers optional."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        "n_nationkey", "n_name", "s_suppkey"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT k AS key, a.cnt AS cust_cnt, b.cnt AS supp_cnt
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS cnt FROM customer GROUP BY 1) a
+    FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS cnt FROM supplier GROUP BY 1) b
+    USING (k)
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates on the same key."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("cust_cnt"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count("*").alias("supp_cnt"))
+    )
+    return c.join(s, "k", "full").select(
+        F.col("k").alias("key"), "cust_cnt", "supp_cnt"
+    )
+
+
+@query(
+    "join_broadcast_hint",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash-join hint (plan shows BroadcastHashJoin)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one large order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny dimensions (125 rows)."""
+    r = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("region_name"))
+    n = load_table(spark, sf_dir, "nation").select(F.col("n_name").alias("nation_name"))
+    return r.crossJoin(n)
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT p_partkey, p_size, b.bucket_name
+    FROM part,
+         (SELECT * FROM (VALUES ('small', 1, 15), ('medium', 16, 35), ('large', 36, 50))
+            AS t(bucket_name, lo, hi)) b
+    WHERE p_size BETWEEN b.lo AND b.hi
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/interval) join: bucket parts by size range.
+
+    The bucket table is tiny → Spark picks BroadcastNestedLoopJoin,
+    which is the right physical plan for a non-equi join against a
+    broadcastable side even at 100 TB of parts.
+    """
+    p = load_table(spark, sf_dir, "part")
+    buckets = spark.createDataFrame(
+        [("small", 1, 15), ("medium", 16, 35), ("large", 36, 50)],
+        "bucket_name string, lo int, hi int",
+    )
+    return p.join(
+        F.broadcast(buckets),
+        (p.p_size >= buckets.lo) & (p.p_size <= buckets.hi),
+    ).select("p_partkey", "p_size", "bucket_name")
+
+
+@query(
+    "join_self",
+    oracle="""
+    SELECT a.n_nationkey AS nation_a, b.n_nationkey AS nation_b
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join via aliases: unordered nation pairs within a region."""
+    n = load_table(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("nation_a"),
+        F.col("b.n_nationkey").alias("nation_b"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT o.o_orderkey, e.event_id AS asof_event_id
+    FROM (SELECT o_orderkey,
+                 TIMESTAMP '2024-01-01'
+                   + to_seconds(CAST(o_orderkey % 2592000 AS BIGINT)) AS o_ts
+          FROM orders WHERE o_orderkey % 97 = 0) o
+    ASOF JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase') e
+      ON e.ts <= o.o_ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest purchase event at-or-before each probe time.
+
+    Spark lacks a native ASOF JOIN; the scalable composition is a
+    union-and-window merge: tag both streams, union on the time axis,
+    and carry the last event id forward with a window ``last(...,
+    ignorenulls)`` partitioned only by the (bounded) sort — here we use
+    the range-join + row_number formulation, which AQE handles well
+    when one side is broadcastable.
+    """
+    base_epoch = 1704067200  # 2024-01-01T00:00:00Z
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.timestamp_seconds(
+                F.lit(base_epoch) + (F.col("o_orderkey") % 2592000)
+            ).alias("o_ts"),
+        )
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "ts")
+    )
+    joined = o.join(F.broadcast(e), e.ts <= o.o_ts, "inner")
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderkey", F.col("event_id").alias("asof_event_id"))
+    )

@@ -1,0 +1,604 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.5): deduplication,
+similarity search, text analysis, multimodal column plumbing.
+
+Scale design notes (100 TB posture):
+
+* exact dedup — hash-groupBy on ``sha2(text)``: shuffles 32-byte
+  digests + doc ids, never the text payload.
+* minhash LSH — shingle → minhash signature → band buckets →
+  self-join on (band, bucket): candidate pairs only, never the O(n²)
+  cross join.
+* brute-force cosine top-k — broadcast the (small) query set against
+  the full corpus; the corpus side streams, nothing shuffles.
+* IVF-style ANN — assign each vector to its nearest of K centroid
+  buckets, then search only within the probe's bucket: turns top-k
+  from O(N) per query into O(N/K).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from guidewire_spark.functions import text as T
+from guidewire_spark.functions import vectors as V
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.registry import query
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT sha256(text) AS text_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the lowest doc_id.
+
+    Only (digest, doc_id) pairs cross the shuffle — the text column is
+    pruned before the exchange, which is what makes this viable when
+    documents average megabytes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2("text", 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+@query(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, survivor-selection form (row_number == 1)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH shingles AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               array_to_string(words[i : i + 2], ' ') AS shingle
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words
+          FROM documents WHERE doc_id < 100
+        ), UNNEST(range(1, len(words) - 1)) AS t(i)
+        WHERE len(words) >= 3
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_n
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(both_n / (sa.n + sb.n - both_n), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE both_n / (sa.n + sb.n - both_n) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection via exact 3-word-shingle Jaccard similarity.
+
+    Explode distinct shingles, self-join on shingle to count the
+    intersection, then Jaccard = |A∩B| / (|A|+|B|-|A∩B|). The
+    shingle join only pairs documents that share at least one shingle
+    — the sparse version of the O(n²) similarity matrix.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    shingles = (
+        d.where(F.size(T.words(F.col("text"))) >= 3)
+        .select("doc_id", F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"))
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("both_n"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = F.col("both_n") / (F.col("sa.n") + F.col("sb.n") - F.col("both_n"))
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jacc >= 0.2)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+@query("dedup_minhash_lsh")  # engine-hash-dependent → rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates.
+
+    shingle → 32 minhash permutations h_i(x) = (a_i*x + b_i) mod p over
+    xxhash64 shingle ids → 8 bands × 4 rows → candidate pairs sharing
+    any band bucket. Depends on Spark's xxhash64 → no SQL oracle
+    (rows-only); the verified Jaccard twin is dedup_ngram_jaccard.
+    """
+    import random
+
+    rng = random.Random(42)
+    p = 2_147_483_647
+    n_hashes, n_bands = 32, 8
+    rows_per_band = n_hashes // n_bands
+    coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(n_hashes)]
+
+    d = load_table(spark, sf_dir, "documents")
+    shingles = d.select(
+        "doc_id",
+        F.explode_outer(T.word_shingles(F.col("text"), 3)).alias("shingle"),
+    ).distinct()
+    sid = (F.xxhash64("shingle") % p + p) % p
+    minhashes = shingles.groupBy("doc_id").agg(
+        *[
+            F.min((sid * F.lit(a) + F.lit(b)) % p).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    banded = minhashes.select(
+        "doc_id",
+        *[
+            F.hash(
+                *[F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias(f"band_{band}")
+            for band in range(n_bands)
+        ],
+    )
+    bands_long = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"band_{i}").alias("bucket")
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    x = bands_long.alias("x")
+    y = bands_long.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@query("dedup_simhash")  # engine-hash-dependent → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from word-level xxhash64.
+
+    For each of 64 bit positions, sum ±1 across token hashes and take
+    the sign. Entirely JVM-side: explode → bitwise ops → groupBy.
+    Hamming-close signatures ⇒ near-dups. xxhash64-dependent →
+    rows-only check.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.array_distinct(T.words(F.col("text")))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bits = tokens.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{i}")
+            for i in range(64)
+        ],
+    )
+    sums = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(64)]
+    )
+    simhash = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{i}") > 0, F.lit(1).cast("bigint")).otherwise(0)
+                * F.lit(2 ** i if i < 63 else -(2 ** 63)).cast("bigint")
+                for i in range(64)
+            ],
+            F.lit(0).cast("bigint"),
+        ).alias("simhash"),
+    )
+    return simhash.orderBy("doc_id")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH unit AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+      FROM embeddings WHERE vec_id < 100
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(range(1, 65),
+                 i -> a.u[i] * b.u[i])), 4) AS cos_sim
+    FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, 65), i -> a.u[i] * b.u[i])) >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.95 on unit vectors.
+
+    Normalization happens once per vector before the pair join, so the
+    pair computation is a single fused zip_with/aggregate dot product.
+    """
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 100)
+        .select("vec_id", V.normalize(F.col("embedding")).alias("u"))
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = V.dot(F.col("a.u"), F.col("b.u"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(sim >= 0.95)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 4).alias("cos_sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "similarity_topk_bruteforce",
+    oracle="""
+    WITH unit AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, 65),
+                   i -> q.u[i] * c.u[i])), 4) AS cos_sim
+      FROM unit q JOIN unit c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for 10 query vectors.
+
+    The query set is broadcast; the corpus streams through one fused
+    dot-product projection + per-query top-k window. Ranking uses the
+    ROUNDED similarity with neighbor_id tiebreak so the result set is
+    float-order independent.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.normalize(F.col("embedding")).alias("u")
+    )
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.dot(F.col("qu"), F.col("u")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+@query("similarity_ann_ivf")  # centroid assignment is iterative → rows-only
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor.
+
+    Coarse quantizer: 8 centroids seeded deterministically from the
+    corpus (vec_id % 8 == 0 seeds, one k-means-like refinement pass via
+    applyInPandas-free DataFrame math). Each vector is assigned to its
+    nearest centroid (the inverted list); queries probe only their own
+    cell, cutting the scan by ~8× (at 100 TB: by n_cells×).
+    Rows-only: the cell boundaries are approximation details.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.normalize(F.col("embedding")).alias("u")
+    )
+    cents = (
+        e.where(F.col("vec_id") % 64 == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("u").alias("cu"))
+        .limit(8)
+    )
+    assigned = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "u", "cent_id", V.dot(F.col("u"), F.col("cu")).alias("sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id"))
+    cells = (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "u", F.col("cent_id").alias("cell"))
+    )
+    queries = cells.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu"), F.col("cell")
+    )
+    scored = (
+        cells.join(F.broadcast(queries), on="cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.dot(F.col("qu"), F.col("u")), 4).alias("cos_sim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_quality_stats",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_actual,
+           len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS n_words,
+           LENGTH(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS n_punct,
+           ROUND(LENGTH(text) / GREATEST(len(list_filter(string_split_regex(text, '\\s+'),
+                 w -> w <> '')), 1), 4) AS avg_word_len
+    FROM documents
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: char/word/punct counts, average
+    word length — the filter features of a pretraining pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = T.word_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        wc.cast("long").alias("n_words"),
+        F.length(F.regexp_replace("text", r"[^.,;:!?'\"()\-]", "")).cast("long").alias("n_punct"),
+        F.round(F.length("text") / F.greatest(wc, F.lit(1)), 4).alias("avg_word_len"),
+    )
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))
+             AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+             AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.word_count(F.col("text")).cast("long").alias("ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(ws, x -> x IN ('the','and','of','to','a'))) AS en_hits,
+        len(list_filter(ws, x -> x IN ('el','la','de','que','y'))) AS es_hits,
+        len(list_filter(ws, x -> x IN ('le','la','et','les','des'))) AS fr_hits,
+        len(list_filter(ws, x -> x IN ('der','die','und','das','ist'))) AS de_hits,
+        len(list_filter(ws, x -> x IN ('的','是','了','在','我'))) AS zh_hits
+      FROM w
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE GREATEST(en_hits, es_hits, fr_hits, de_hits, zh_hits)
+             WHEN 0 THEN 'unknown'
+             WHEN en_hits THEN 'en'
+             WHEN es_hits THEN 'es'
+             WHEN fr_hits THEN 'fr'
+             WHEN de_hits THEN 'de'
+             ELSE 'zh' END AS predicted_lang
+    FROM hits
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language identification (argmax with fixed
+    precedence en>es>fr>de>zh on ties, mirrored exactly in the oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = T.words(F.lower(F.col("text")))
+    hits = {lang: T.stopword_hits(ws, lang) for lang in ["en", "es", "fr", "de", "zh"]}
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(best == 0, "unknown")
+        .when(hits["en"] == best, "en")
+        .when(hits["es"] == best, "es")
+        .when(hits["fr"] == best, "fr")
+        .when(hits["de"] == best, "de")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id", F.col("lang").alias("actual_lang"), pred.alias("predicted_lang")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+               list_transform(list_filter(string_split_regex(text, '\\s+'),
+                              w -> w <> ''),
+                 w -> CAST(ascii(w) + length(w) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint (polynomial mod prime),
+    exactly reproducible in ANSI SQL — unlike engine hash builtins."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.polynomial_fingerprint(T.words(F.col("text"))).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal column plumbing
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           'application/octet-stream' AS mime,
+           octet_length(encode(text)) // 4 AS est_frames
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns: treat payloads as opaque binary + typed
+    metadata. The documents' text stands in as the payload (the
+    container has no media libs); the schema/partitioning/UDF plumbing
+    is the real thing — see multimodal_decode_stub for the mapInPandas
+    decode path."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("payload_bytes"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.octet_length(payload) / F.lit(4)).cast("bigint").alias("est_frames"),
+    )
+
+
+@query("multimodal_decode_stub")  # python-side pipeline → rows-only
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched multimodal decode/feature-extract pipeline.
+
+    mapInPandas over (doc_id, payload binary) producing fixed-shape
+    feature vectors. The decode itself is a deterministic fake
+    (byte-histogram "features") because no image/audio codecs ship in
+    this container — the Spark-side contract (schema, Arrow batching,
+    iterator-of-DataFrames signature, partition sizing) is real.
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def decode_batch(batches):
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                buf = bytes(payload)
+                # Deterministic fake decode: 8-bin byte histogram as the
+                # stand-in for image/audio feature extraction.
+                hist = [0] * 8
+                for byte in buf[:4096]:
+                    hist[byte >> 5] += 1
+                feats.append(hist)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return d.mapInPandas(
+        decode_batch, "doc_id long, n_bytes long, features array<int>"
+    )

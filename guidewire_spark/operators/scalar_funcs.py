@@ -1,0 +1,274 @@
+"""Scalar-function family coverage (SURVEY.md §2.4 "Scalar functions").
+
+One representative query per family (string / date-time / math /
+array / map / JSON / conditional), each kept entirely inside
+whole-stage codegen — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.registry import query
+
+
+@query(
+    "func_string_family",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           LENGTH(c_name) AS name_len,
+           CONCAT(c_name, ':', c_mktsegment) AS name_seg,
+           TRIM(LPAD(CAST(c_custkey AS VARCHAR), 10, '0')) AS padded_key,
+           INSTR(c_name, '0') AS zero_pos,
+           REGEXP_REPLACE(c_name, '[0-9]+', '#') AS name_masked,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits
+    FROM customer
+    """,
+)
+def func_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: case, substring, length, concat, pad, trim,
+    instr, regexp_replace/extract."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws(":", "c_name", "c_mktsegment").alias("name_seg"),
+        F.trim(F.lpad(F.col("c_custkey").cast("string"), 10, "0")).alias("padded_key"),
+        F.instr(F.col("c_name"), "0").cast("long").alias("zero_pos"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+    )
+
+
+@query(
+    "func_split_words",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           string_split(text, ' ')[1] AS first_word
+    FROM documents
+    """,
+)
+def func_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + element access + size."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        words.getItem(0).alias("first_word"),
+    )
+
+
+@query(
+    "func_datetime_family",
+    oracle="""
+    SELECT o_orderkey,
+           YEAR(o_orderdate) AS order_year,
+           MONTH(o_orderdate) AS order_month,
+           DAY(o_orderdate) AS order_day,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+)
+def func_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions: year/month/day, date_trunc, interval add,
+    datediff, formatting. Timestamps serialized as strings so the
+    value-hash is representation-independent."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    ts = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(ts).cast("long").alias("order_year"),
+        F.month(ts).cast("long").alias("order_month"),
+        F.dayofmonth(ts).cast("long").alias("order_day"),
+        F.date_format(F.date_trunc("month", ts), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(ts.cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(ts.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_format(ts, "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+@query(
+    "func_math_family",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+           ABS(l_quantity - 25) AS qty_dev,
+           ROUND(SQRT(l_extendedprice), 4) AS price_sqrt,
+           ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+           ROUND(POW(1 + l_tax, 2), 6) AS tax_sq,
+           ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS key_mod7,
+           SIGN(l_quantity - 25.0) AS qty_side
+    FROM lineitem
+    WHERE l_orderkey % 15 = 0
+    """,
+)
+def func_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions: round/floor/ceil/abs/sqrt/log/pow/pmod/sign."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 15 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
+        F.signum(F.col("l_quantity") - 25.0).alias("qty_side"),
+    )
+
+
+@query(
+    "func_array_family",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm,
+           ROUND(CAST(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[1]
+                 AS DOUBLE), 6) AS min_val,
+           ROUND(CAST(list_transform(embedding, x -> CAST(x AS DOUBLE))[1] AS DOUBLE), 6)
+             AS first_val,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           len(list_distinct(list_transform(embedding, x -> CAST(FLOOR(x * 10) AS INT))))
+             AS n_distinct_buckets
+    FROM embeddings
+    """,
+)
+def func_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions + higher-order functions (transform / filter /
+    aggregate) over the embedding column — all JVM-side, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("sq_norm"),
+        F.round(F.sort_array(dbl).getItem(0), 6).alias("min_val"),
+        F.round(dbl.getItem(0), 6).alias("first_val"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.size(
+            F.array_distinct(
+                F.transform(F.col("embedding"), lambda x: F.floor(x * 10).cast("int"))
+            )
+        ).cast("long").alias("n_distinct_buckets"),
+    )
+
+
+@query(
+    "func_explode_posexplode",
+    oracle="""
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS pos,
+           words[i] AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE doc_id % 25 = 0),
+         UNNEST(range(1, len(words) + 1)) AS t(i)
+    """,
+)
+def func_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (UDTF-style lateral view) of tokenized text."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+@query(
+    "func_map_family",
+    oracle="""
+    SELECT o_orderkey,
+           'priority,status' AS map_keys_sorted,
+           o_orderstatus AS status_val,
+           o_orderpriority AS priority_val,
+           2 AS map_size
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def func_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + key/value access (create_map, map_keys,
+    element_at, size). The oracle computes the same values without map
+    types since the map content is deterministic."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("map_keys_sorted"),
+        F.element_at(m, "status").alias("status_val"),
+        F.element_at(m, "priority").alias("priority_val"),
+        F.size(m).alias("map_size"),
+    )
+
+
+@query(
+    "func_json_family",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS INT) AS k_value,
+           CAST(props->>'$.k' AS INT) > 50 AS k_large,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid
+    FROM events WHERE event_id % 20 = 0
+    """,
+)
+def func_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions on events.props: get_json_object + from_json
+    schema projection."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 20 == 0)
+    parsed = F.from_json("props", "k int")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        (parsed.getField("k") > 50).alias("k_large"),
+        F.get_json_object("props", "$.k").isNotNull().alias("is_valid"),
+    )
+
+
+@query(
+    "func_conditional_family",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           GREATEST(l_quantity, l_extendedprice / 1000) AS big,
+           LEAST(l_discount, l_tax) AS small,
+           IF(l_returnflag = 'R', 'returned', 'kept') AS flag_desc,
+           NULLIF(l_linestatus, 'O') AS status_or_null
+    FROM lineitem WHERE l_orderkey % 25 = 0
+    """,
+)
+def func_conditional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """greatest / least / if / nullif conditional expressions."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 25 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest(F.col("l_quantity"), F.col("l_extendedprice") / 1000).alias("big"),
+        F.least(F.col("l_discount"), F.col("l_tax")).alias("small"),
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .otherwise("kept")
+        .alias("flag_desc"),
+        F.nullif(F.col("l_linestatus"), F.lit("O")).alias("status_or_null"),
+    )

@@ -1,0 +1,163 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.4 "UDF / UDAF / UDTF").
+
+Policy: the engine's hot paths never use row-at-a-time Python UDFs —
+these queries exist to cover the API surface, and each one's oracle
+re-expresses the logic in SQL. The vectorized (Arrow) variants are
+the ones recommended for real pipelines.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.registry import query
+
+
+@query(
+    "udf_scalar_python",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 200000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS price_band
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the slow path, covered for parity)."""
+
+    def band(price: float) -> str:
+        if price >= 200000:
+            return "high"
+        if price >= 100000:
+            return "mid"
+        return "low"
+
+    band_udf = F.udf(band, "string")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
+    return o.select("o_orderkey", band_udf("o_totalprice").alias("price_band"))
+
+
+@query(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS total_charge
+    FROM lineitem WHERE l_orderkey % 40 = 0
+    """,
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized @pandas_udf scalar (Arrow batches, ~10-100× the
+    row-at-a-time path)."""
+
+    import numpy as np
+
+    @pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        raw = price * (1 - disc) * (1 + tax)
+        # round-half-up to match SQL ROUND (pandas .round is half-even)
+        return np.floor(raw * 100 + 0.5) / 100
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 40 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("total_charge"),
+    )
+
+
+@query(
+    "udaf_grouped_agg_pandas",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(o_totalprice * o_totalprice) / SUM(o_totalprice), 4)
+             AS self_weighted_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def udaf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF: price-weighted mean price per priority."""
+
+    @pandas_udf("double")
+    def wmean(price: pd.Series) -> float:
+        return float((price * price).sum() / price.sum())
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(wmean("o_totalprice"), 4).alias("self_weighted_price")
+    )
+
+
+@query(
+    "udaf_apply_in_pandas",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           ROUND(MAX(o_totalprice) - MIN(o_totalprice), 2) AS price_range
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def udaf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: one pandas frame per customer group.
+
+    The group key (o_custkey) has bounded fan-in, so per-group frames
+    stay small no matter the total scale — the correct applyInPandas
+    safety argument at 100 TB.
+    """
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        price = pdf["o_totalprice"]
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "avg_price": [round(price.mean(), 4)],
+                "price_range": [round(price.max() - price.min(), 2)],
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").applyInPandas(
+        summarize,
+        "o_custkey long, n_orders long, avg_price double, price_range double",
+    )
+
+
+@query(
+    "udtf_map_in_pandas",
+    oracle="""
+    SELECT doc_id, 'char' AS unit, CAST(LENGTH(text) AS BIGINT) AS n
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id, 'word' AS unit,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))
+                AS BIGINT) AS n
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas as a table function: each input row yields multiple
+    metric rows (char count + word count)."""
+
+    def expand(batches):
+        for pdf in batches:
+            n_words = pdf["text"].str.split().str.len()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.concat([pdf["doc_id"], pdf["doc_id"]]),
+                    "unit": ["char"] * len(pdf) + ["word"] * len(pdf),
+                    "n": pd.concat([pdf["text"].str.len(), n_words]).astype("int64"),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return d.select("doc_id", "text").mapInPandas(
+        expand, "doc_id long, unit string, n long"
+    )

@@ -1,0 +1,48 @@
+"""Catalog of the driver-provided test tables (TESTDATA.md).
+
+``load_table`` is the single scan entry point used by every operator:
+a plain declarative ``spark.read.parquet`` so Catalyst gets predicate
+pushdown, column pruning and partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): read as long (see
+        # nanosAsLong in plans/session.py) and convert to a microsecond
+        # timestamp with exact integer division (the data is µs-grained,
+        # so this is lossless).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,66 @@
+"""Manifest parsing (reference parity: P1/P15).
+
+The CDA ``manifest.json`` is the catalog: a JSON object mapping table
+name → entry. Mirrors the reference data model
+(``/root/reference/.../package.scala:10-19`` and manifest decoding at
+``GuidewireUtils.scala:23-31``), re-expressed as a plain dataclass —
+the manifest is tiny driver-side metadata, never a DataFrame.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from guidewire_spark.sources.fs import read_text
+
+
+@dataclass(frozen=True)
+class ManifestEntry:
+    """One table's manifest record.
+
+    Fields mirror ``package.scala:10-15``:
+    lastSuccessfulWriteTimestamp, totalProcessedRecordsCount,
+    dataFilesPath, schemaHistory (fingerprint → epoch-millis of that
+    fingerprint's last commit).
+    """
+
+    last_successful_write_timestamp: int
+    total_processed_records_count: int
+    data_files_path: str
+    schema_history: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def normalized_data_files_path(self) -> str:
+        """Trailing-slash normalization (``package.scala:16-18``)."""
+        return self.data_files_path.rstrip("/")
+
+    def fingerprints_in_order(self) -> list[str]:
+        """Schema fingerprints ordered by their history timestamp
+        (``Guidewire.scala:125``)."""
+        return [
+            fp
+            for fp, _ in sorted(self.schema_history.items(), key=lambda kv: kv[1])
+        ]
+
+
+def parse_manifest(text: str) -> dict[str, ManifestEntry]:
+    raw = json.loads(text)
+    out: dict[str, ManifestEntry] = {}
+    for table_name, entry in raw.items():
+        out[table_name] = ManifestEntry(
+            last_successful_write_timestamp=int(entry["lastSuccessfulWriteTimestamp"]),
+            total_processed_records_count=int(
+                entry.get("totalProcessedRecordsCount", 0)
+            ),
+            data_files_path=entry["dataFilesPath"],
+            schema_history={
+                fp: int(ts) for fp, ts in entry.get("schemaHistory", {}).items()
+            },
+        )
+    return out
+
+
+def read_manifest(uri: str) -> dict[str, ManifestEntry]:
+    """GET + decode the manifest (``Guidewire.scala:54-61``)."""
+    return parse_manifest(read_text(uri))

@@ -1,0 +1,118 @@
+"""Delta log writer/reader unit tests: action JSON shapes match the
+reference goldens' structure, replay math, single-writer exclusivity,
+and property-based invariants over random commit-folder sets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from guidewire_spark.sources.deltalog import (
+    add_action,
+    commit_info_action,
+    last_version,
+    metadata_action,
+    protocol_action,
+    remove_action,
+    write_commit,
+)
+from guidewire_spark.sources.snapshot import load_snapshot
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("firstName", T.StringType(), True),
+        T.StructField("age", T.IntegerType(), True),
+    ]
+)
+
+
+def _create_v0(table, files=("f0.parquet",)):
+    actions = [protocol_action(), metadata_action(SCHEMA, created_time=1)]
+    actions += [add_action(f, 100, 1000) for f in files]
+    actions.append(commit_info_action("WRITE", "Overwrite", False, len(files), 100, 1))
+    write_commit(table, 0, actions)
+
+
+def test_action_shapes(tmp_path):
+    """Commit JSON lines carry the golden-log fields
+    (/root/reference/src/test/resources/delta/*.json structure)."""
+    table = str(tmp_path / "t")
+    _create_v0(table)
+    lines = [
+        json.loads(line)
+        for line in open(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    ]
+    assert lines[0] == {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    meta = lines[1]["metaData"]
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert json.loads(meta["schemaString"])["type"] == "struct"
+    assert meta["partitionColumns"] == []
+    add = lines[2]["add"]
+    assert add["partitionValues"] == {} and add["dataChange"] is True
+    ci = lines[3]["commitInfo"]
+    assert ci["operation"] == "WRITE"
+    assert ci["operationParameters"]["mode"] == "Overwrite"
+    assert ci["isBlindAppend"] is False
+
+
+def test_replay_add_remove(tmp_path):
+    table = str(tmp_path / "t")
+    _create_v0(table, files=("a.parquet", "b.parquet"))
+    write_commit(
+        table,
+        1,
+        [
+            add_action("c.parquet", 50, 2000),
+            commit_info_action("WRITE", "Append", True, 1, 50, 2),
+        ],
+    )
+    write_commit(
+        table,
+        2,
+        [
+            remove_action("a.parquet", 3),
+            commit_info_action("WRITE", "Overwrite", False, 0, 0, 3),
+        ],
+    )
+    assert load_snapshot(table, version=0).files == ["a.parquet", "b.parquet"]
+    assert load_snapshot(table, version=1).files == ["a.parquet", "b.parquet", "c.parquet"]
+    assert load_snapshot(table, version=2).files == ["b.parquet", "c.parquet"]
+    assert last_version(table) == 2
+
+
+def test_single_writer_exclusive(tmp_path):
+    table = str(tmp_path / "t")
+    _create_v0(table)
+    with pytest.raises(FileExistsError):
+        write_commit(table, 0, [protocol_action()])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_appends=st.integers(min_value=0, max_value=6),
+    files_per=st.lists(st.integers(min_value=1, max_value=4), min_size=6, max_size=6),
+)
+def test_version_monotonic_and_file_accounting(tmp_path_factory, n_appends, files_per):
+    """Invariants: versions are contiguous; every added-and-not-removed
+    file appears in exactly the snapshots from its version on."""
+    table = str(tmp_path_factory.mktemp("prop") / "t")
+    _create_v0(table)
+    expected = {"f0.parquet"}
+    for v in range(1, n_appends + 1):
+        new_files = [f"v{v}_{i}.parquet" for i in range(files_per[v - 1])]
+        write_commit(
+            table,
+            v,
+            [add_action(f, 10, v) for f in new_files]
+            + [commit_info_action("WRITE", "Append", True, len(new_files), 10, v)],
+        )
+        expected |= set(new_files)
+    snap = load_snapshot(table)
+    assert snap.version == n_appends
+    assert set(snap.files) == expected
