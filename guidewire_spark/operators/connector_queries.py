@@ -20,6 +20,7 @@ from guidewire_spark.plans.catalog import load_table
 from guidewire_spark.registry import query
 from guidewire_spark.sources.indexer import index
 from guidewire_spark.sources.snapshot import read_delta
+from guidewire_spark.sources.writer import optimize_table, write_delta
 
 
 def _write_manifest(root: str, tables: dict[str, dict]) -> str:
@@ -193,3 +194,41 @@ def cda_incremental_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     index(os.path.join(root, "manifest.json"), db, save_mode="append")
 
     return read_delta(spark, os.path.join(db, "_checkpoints"))
+
+
+@query(
+    "delta_sink_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    UNION ALL
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_nationkey % 2 = 0
+    """,
+)
+def delta_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical Delta sink: write v0, append v1, read the merged
+    snapshot back through log replay (SURVEY §2.4 'delta sink')."""
+    table = tempfile.mkdtemp(prefix="gw_dsink_") + "/supplier_delta"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    write_delta(s, table, mode="append")
+    write_delta(s.where(F.col("s_nationkey") % 2 == 0), table, mode="append")
+    return read_delta(spark, table).select("s_suppkey", "s_name", "s_acctbal")
+
+
+@query(
+    "delta_optimize_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    """,
+)
+def delta_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE compaction: three fragmented commits → one compacted
+    file; rows must be identical after (dataChange=false semantics,
+    reference README.md:50-51)."""
+    table = tempfile.mkdtemp(prefix="gw_dopt_") + "/nation_delta"
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    for i in range(3):
+        write_delta(n.where(F.col("n_nationkey") % 3 == i), table, mode="append")
+    optimize_table(spark, table, target_files=1)
+    return read_delta(spark, table)

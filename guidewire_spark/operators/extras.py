@@ -1,0 +1,187 @@
+"""Additional operator coverage: set-op multiset variants, datetime
+extras, JSON emission, id generation, and the two scale-critical join
+strategies (salted skew join, bucketed co-located join).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.registry import query
+
+
+@query(
+    "intersect_all_multiset",
+    oracle="""
+    SELECT o_orderstatus FROM orders WHERE o_totalprice > 150000
+    INTERSECT ALL
+    SELECT o_orderstatus FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+    """,
+)
+def intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiplicity-preserving intersection)."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.where(F.col("o_totalprice") > 150000).select("o_orderstatus")
+    right = o.where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderstatus")
+    return left.intersectAll(right)
+
+
+@query(
+    "func_datetime_extras",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+           strftime(to_timestamp(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS roundtrip,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3_months,
+           CAST(date_part('quarter', o_orderdate) AS BIGINT) AS qtr,
+           CAST(date_part('dow', o_orderdate) AS BIGINT) + 1 AS dow,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders WHERE o_orderkey % 30 = 0
+    """,
+)
+def func_datetime_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unix_timestamp / from_unixtime / add_months / quarter /
+    dayofweek / last_day."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 30 == 0)
+    ts = F.col("o_orderdate")
+    epoch_s = F.unix_timestamp(ts)
+    return o.select(
+        "o_orderkey",
+        epoch_s.alias("epoch_s"),
+        F.from_unixtime(epoch_s, "yyyy-MM-dd HH:mm:ss").alias("roundtrip"),
+        F.date_format(F.add_months(ts.cast("date"), 3), "yyyy-MM-dd").alias(
+            "plus_3_months"
+        ),
+        F.quarter(ts).cast("long").alias("qtr"),
+        F.dayofweek(ts).cast("long").alias("dow"),
+        F.last_day(ts.cast("date")).alias("month_end"),
+    )
+
+
+@query(
+    "func_to_json",
+    oracle="""
+    SELECT event_id,
+           concat('{"id":', CAST(event_id AS VARCHAR),
+                  ',"type":"', event_type, '"}') AS as_json,
+           CAST(props->>'$.k' AS INT) AS k
+    FROM events WHERE event_id % 100 = 0
+    """,
+)
+def func_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json emission (struct → JSON string) + parse-back check."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 100 == 0)
+    return e.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"), F.col("event_type").alias("type")
+            )
+        ).alias("as_json"),
+        F.from_json("props", "k int").getField("k").alias("k"),
+    )
+
+
+@query("func_monotonic_id")  # nondeterministic ids → rows-only
+def func_monotonic_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """monotonically_increasing_id: partition-prefixed unique int64s —
+    the scalable id generator (no coordination, unlike row_number
+    without partitioning which funnels through one task)."""
+    r = load_table(spark, sf_dir, "customer")
+    return r.select("c_custkey", F.monotonically_increasing_id().alias("row_id"))
+
+
+@query("agg_approx_percentile")  # approximate → rows-only
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest style sketch): the 100 TB
+    substitute for exact percentiles — single pass, bounded memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "price_quantiles"
+        )
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: the fact side's join key is salted 8 ways and
+    the dimension side exploded across the same salts, spreading any
+    hot key over 8 reducers. Result is provably identical to the plain
+    join (the oracle), only the physical distribution changes. (AQE
+    skew-join handles moderate skew automatically; salting is the
+    explicit engine-level tool for pathological keys.)"""
+    n_salts = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salts)))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    joined = li.join(
+        o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt), "inner"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides bucketed 8 ways on the join
+    key at write time → the join is shuffle-free (SortMergeJoin with no
+    Exchange). This is the canonical pre-partitioning strategy for a
+    repeatedly-joined 100 TB fact table."""
+    warehouse = tempfile.mkdtemp(prefix="gw_buckets_")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spark.sql("DROP TABLE IF EXISTS gw_orders_b")
+    spark.sql("DROP TABLE IF EXISTS gw_customer_b")
+    (
+        o.write.mode("overwrite")
+        .option("path", f"{warehouse}/orders_b")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("gw_orders_b")
+    )
+    (
+        c.write.mode("overwrite")
+        .option("path", f"{warehouse}/customer_b")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("gw_customer_b")
+    )
+    ob = spark.table("gw_orders_b")
+    cb = spark.table("gw_customer_b")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -167,40 +167,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_per_band = n_hashes // n_bands
     coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(n_hashes)]
 
-    d = load_table(spark, sf_dir, "documents")
-    shingles = d.select(
-        "doc_id",
-        F.explode_outer(T.word_shingles(F.col("text"), 3)).alias("shingle"),
-    ).distinct()
-    sid = (F.xxhash64("shingle") % p + p) % p
-    minhashes = shingles.groupBy("doc_id").agg(
+    # The documents table arrives as one small parquet file = one scan
+    # partition; fan out before the (CPU-heavy) shingling projection so
+    # it uses every core. At real scale the scan has many partitions
+    # and this repartition collapses to a no-op-sized shuffle of text.
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # Shingle ids are computed once per document as an array column and
+    # the whole 32-permutation signature is built in a SINGLE pass over
+    # that array (aggregate with an array accumulator) — versus the
+    # classic explode+groupBy formulation, which shuffles
+    # |docs|×|shingles| rows. Nothing shuffles here until the
+    # band-bucket self-join of tiny (doc_id, band, bucket) rows.
+    sids = F.array_distinct(
+        F.transform(
+            T.word_shingles(F.col("text"), 3),
+            lambda s: (F.xxhash64(s) % p + p) % p,
+        )
+    )
+    sid_rows = d.select("doc_id", F.explode(sids).alias("sid"))
+    # 32 permutation minima as codegen'd aggregates with map-side
+    # partial aggregation: the shuffle carries one 33-column row per
+    # (partition, doc), never the exploded shingles.
+    minhashes = sid_rows.groupBy("doc_id").agg(
         *[
-            F.min((sid * F.lit(a) + F.lit(b)) % p).alias(f"mh_{i}")
+            F.min((F.col("sid") * F.lit(a) + F.lit(b)) % p).alias(f"mh_{i}")
             for i, (a, b) in enumerate(coeffs)
         ]
     )
-    banded = minhashes.select(
+    bands_long = minhashes.select(
         "doc_id",
-        *[
-            F.hash(
-                *[F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias(f"band_{band}")
-            for band in range(n_bands)
-        ],
-    )
-    bands_long = banded.select(
-        "doc_id",
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"), F.col(f"band_{i}").alias("bucket")
+                    F.hash(
+                        *[
+                            F.col(f"mh_{band * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
                     )
-                    for i in range(n_bands)
+                    for band in range(n_bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        ).alias("band", "bucket"),
+    )
     x = bands_long.alias("x")
     y = bands_long.alias("y")
     return (

@@ -45,6 +45,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.udfs",
     "guidewire_spark.operators.llm",
     "guidewire_spark.operators.connector_queries",
+    "guidewire_spark.operators.extras",
     "guidewire_spark.streaming.windowed",
 ]
 

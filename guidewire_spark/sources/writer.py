@@ -1,0 +1,136 @@
+"""Delta table sink + maintenance (reference parity: the consumer-side
+operations the reference documents — ``README.md:39-51``).
+
+* ``write_delta`` — a physical Delta sink (append/overwrite) for
+  DataFrames: Spark writes the parquet, we commit the transaction log.
+  This is the engine's equivalent of the reference's checkpoint-table
+  write (``Guidewire.scala:261``, the one place it physically writes).
+* ``optimize_table`` — OPTIMIZE: compact the current snapshot's many
+  small files into few large ones in a ``dataChange=false`` commit
+  (readers see identical rows; README.md:50-51 "materializes the
+  latest snapshot", which for shallow-cloned tables also localizes
+  remote data).
+* ``vacuum_table`` — VACUUM with the shallow-clone guard: only files
+  *inside* the table directory are ever deleted; external (cloned)
+  data files are untouchable, mirroring the reference's warning that
+  vacuuming a shallow clone would destroy source data
+  (``README.md:45-49``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from guidewire_spark.sources.deltalog import (
+    add_action,
+    commit_info_action,
+    last_version,
+    metadata_action,
+    protocol_action,
+    remove_action,
+    write_commit,
+)
+from guidewire_spark.sources.fs import list_parquet_files
+from guidewire_spark.sources.snapshot import load_snapshot
+
+
+def _stage_files(df: DataFrame, table_path: str) -> list:
+    """Physically write df as parquet into a per-commit subdirectory of
+    the table (unique name → concurrent commits never collide)."""
+    commit_dir = os.path.join(table_path, f"data-{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(commit_dir)
+    return list_parquet_files(commit_dir)
+
+
+def write_delta(df: DataFrame, table_path: str, mode: str = "append") -> int:
+    """Write a DataFrame as a new Delta version; returns the version."""
+    mode = mode.lower()
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode {mode!r} not supported (append|overwrite)")
+    files = _stage_files(df, table_path)
+    now = int(time.time() * 1000)
+    prev = last_version(table_path)
+    actions: list[dict] = []
+    if prev is None:
+        actions.append(protocol_action())
+        actions.append(metadata_action(df.schema, created_time=now))
+        version, op_mode, blind = 0, "Overwrite" if mode == "overwrite" else "Append", False
+    elif mode == "overwrite":
+        snap = load_snapshot(table_path)
+        actions.append(metadata_action(df.schema, created_time=now))
+        actions.extend(remove_action(p, now) for p in snap.files)
+        version, op_mode, blind = prev + 1, "Overwrite", False
+    else:
+        version, op_mode, blind = prev + 1, "Append", True
+    actions.extend(add_action(f.path, f.size, f.modification_time) for f in files)
+    actions.append(
+        commit_info_action(
+            "WRITE", op_mode, blind, len(files), sum(f.size for f in files), now
+        )
+    )
+    write_commit(table_path, version, actions)
+    return version
+
+
+def optimize_table(
+    spark: SparkSession, table_path: str, target_files: int = 1
+) -> int:
+    """Compact the current snapshot into ``target_files`` files.
+
+    The commit removes every current file and adds the compacted ones
+    with ``dataChange=false`` semantics (same rows before and after) —
+    streaming readers are not re-triggered. Returns the new version.
+    """
+    snap = load_snapshot(table_path)
+    if not snap.files:
+        raise ValueError(f"nothing to optimize at {table_path}")
+    reader = spark.read
+    if snap.schema is not None:
+        reader = reader.schema(snap.schema)
+    df = reader.parquet(*snap.files).coalesce(target_files)
+    files = _stage_files(df, table_path)
+    now = int(time.time() * 1000)
+    actions = [remove_action(p, now) for p in snap.files]
+    actions += [add_action(f.path, f.size, f.modification_time) for f in files]
+    for a in actions:
+        key = "add" if "add" in a else "remove"
+        a[key]["dataChange"] = False
+    actions.append(
+        commit_info_action(
+            "OPTIMIZE", "Compaction", False, len(files), sum(f.size for f in files), now
+        )
+    )
+    version = last_version(table_path) + 1
+    write_commit(table_path, version, actions)
+    return version
+
+
+def vacuum_table(table_path: str, dry_run: bool = False) -> list[str]:
+    """Delete data files under the table directory that no longer
+    appear in the latest snapshot. Files OUTSIDE the table directory
+    (shallow-cloned source data) are never touched — the guard the
+    reference documents at README.md:45-49. Returns deleted paths."""
+    snap = load_snapshot(table_path)
+    live = set(os.path.realpath(p) for p in snap.files)
+    table_real = os.path.realpath(table_path)
+    doomed: list[str] = []
+    for root, dirs, names in os.walk(table_real):
+        if "_delta_log" in root:
+            continue
+        for name in names:
+            full = os.path.join(root, name)
+            if name.endswith(".parquet") and os.path.realpath(full) not in live:
+                doomed.append(full)
+    if not dry_run:
+        for path in doomed:
+            os.remove(path)
+        # sweep now-empty per-commit staging dirs
+        for root, dirs, names in list(os.walk(table_real, topdown=False)):
+            if root != table_real and "_delta_log" not in root and not os.listdir(root):
+                shutil.rmtree(root, ignore_errors=True)
+    return doomed

@@ -1,0 +1,127 @@
+"""Structured Streaming jobs (SURVEY.md §2.4 "Streaming-only").
+
+The transformations are the *same logical plans* as the batch-verified
+queries in ``streaming/windowed.py`` — Spark guarantees the semantics
+carry over; these helpers bind them to readStream sources and
+writeStream sinks with watermarks and checkpointing.
+
+The stream source is a parquet *directory* (files arriving = events
+arriving), matching how downstream consumers subscribe to the
+connector's output incrementally (reference ``README.md:39-43``:
+auto-loader/DLT over the produced table; our engine's equivalent is a
+file stream over snapshot data + the checkpointLocation mirroring the
+connector's own `_checkpoints` high-water-mark design, P12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession, src_dir: str, schema: T.StructType = EVENTS_SCHEMA
+) -> DataFrame:
+    """File-arrival stream over a parquet directory (explicit schema —
+    streaming sources cannot infer)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src_dir)
+    )
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling 10-minute windows per event type with late-data drop —
+    the streaming twin of windowed.stream_tumbling_window."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("long").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user on a stream (state cleanup driven by
+    the watermark)."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").cast("long").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup: duplicates of (user_id, event_type,
+    ts) arriving within the watermark horizon are dropped; state for
+    keys older than the watermark is evicted (bounded memory — the
+    property that makes streaming dedup viable indefinitely)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "ts"]
+    )
+
+
+def run_to_memory(
+    result: DataFrame, name: str, checkpoint_dir: str, mode: str = "append"
+) -> None:
+    """Drain all available input through a memory sink (test/dev
+    harness). ``checkpointLocation`` gives exactly-once across
+    restarts — the consumer-side mirror of the connector's
+    _checkpoints table (P12)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def run_to_parquet(
+    result: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """File sink with checkpointing; the output directory can then be
+    indexed into a Delta table by the connector (sources.indexer) —
+    completing the stream → table → SQL loop the reference promises
+    its consumers."""
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,117 @@
+"""Structured Streaming tests: the streaming plans must produce the
+same results as their batch-verified twins once all input is drained,
+plus watermark/dedup state semantics and the stream→parquet→Delta
+round trip."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.streaming import jobs
+
+
+@pytest.fixture(scope="module")
+def staged_events(tmp_path_factory, request):
+    """Stage the events table as several parquet files in a directory
+    (simulating file-by-file arrival) plus the batch frame to compare
+    against."""
+    spark = request.getfixturevalue("spark")
+    src = str(tmp_path_factory.mktemp("events_src"))
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    e.repartition(8).write.mode("overwrite").parquet(src)
+    return spark, src, e
+
+
+def test_tumbling_stream_equals_batch(staged_events, tmp_path):
+    spark, src, batch = staged_events
+    stream = jobs.events_stream(spark, src)
+    assert stream.isStreaming
+    result = jobs.tumbling_counts(stream)
+    jobs.run_to_memory(result, "tumbling_t", str(tmp_path / "ckpt"))
+    got = {
+        tuple(r) for r in spark.table("tumbling_t").collect()
+    }
+    expected = {
+        tuple(r)
+        for r in (
+            batch.groupBy(F.window("ts", "10 minutes"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(
+                F.col("window.start").cast("long").alias("win_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+            .collect()
+        )
+    }
+    # With watermarking, only windows the watermark has passed are
+    # emitted in append mode; drained-and-stopped → all but the tail.
+    assert got <= expected
+    assert len(got) >= len(expected) - 40  # tail windows withheld at stop
+
+
+def test_streaming_dedup_drops_dupes(staged_events, tmp_path):
+    spark, src, batch = staged_events
+    # Duplicate every file's rows by staging the directory twice over.
+    dup_src = str(tmp_path / "dup_src")
+    batch.repartition(4).write.mode("overwrite").parquet(dup_src)
+    batch.repartition(4).write.mode("append").parquet(dup_src)
+    stream = jobs.events_stream(spark, dup_src)
+    deduped = jobs.dedup_within_watermark(stream)
+    jobs.run_to_memory(deduped, "dedup_t", str(tmp_path / "ckpt2"))
+    n = spark.table("dedup_t").count()
+    assert n == batch.count()  # every duplicate dropped
+
+
+def test_stream_to_parquet_to_delta(staged_events, tmp_path):
+    """Close the loop: stream → parquet sink → CDA index → Delta scan."""
+    import json
+
+    from guidewire_spark.sources.indexer import index
+    from guidewire_spark.sources.snapshot import read_delta
+
+    spark, src, batch = staged_events
+    out = str(tmp_path / "stream_out" / "fp001" / "1700000000000")
+    stream = jobs.events_stream(spark, src)
+    filtered = stream.where(F.col("event_type") == "purchase")
+    jobs.run_to_parquet(filtered, out, str(tmp_path / "ckpt3"))
+
+    manifest = {
+        "events_streamed": {
+            "lastSuccessfulWriteTimestamp": "1700000000000",
+            "totalProcessedRecordsCount": 0,
+            "dataFilesPath": str(tmp_path / "stream_out"),
+            "schemaHistory": {"fp001": "1700000000000"},
+        }
+    }
+    mpath = str(tmp_path / "manifest.json")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    db = str(tmp_path / "db")
+    index(mpath, db, save_mode="overwrite")
+    got = read_delta(spark, os.path.join(db, "events_streamed"))
+    expected = batch.where(F.col("event_type") == "purchase")
+    assert got.count() == expected.count()
+    assert {r.event_id for r in got.select("event_id").collect()} == {
+        r.event_id for r in expected.select("event_id").collect()
+    }
+
+
+def test_session_stream_runs(staged_events, tmp_path):
+    spark, src, _ = staged_events
+    stream = jobs.events_stream(spark, src)
+    result = jobs.sessionized(stream)
+    jobs.run_to_memory(result, "sessions_t", str(tmp_path / "ckpt4"))
+    # Append-mode session output only includes watermark-closed
+    # sessions; the harness just asserts the pipeline runs and emits
+    # a sane subset.
+    rows = spark.table("sessions_t").collect()
+    assert all(r.n_events >= 1 for r in rows)

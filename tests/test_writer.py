@@ -1,0 +1,110 @@
+"""Delta sink / OPTIMIZE / VACUUM tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.sources.deltalog import list_versions
+from guidewire_spark.sources.snapshot import load_snapshot, read_delta
+from guidewire_spark.sources.writer import optimize_table, vacuum_table, write_delta
+
+
+def test_write_append_overwrite(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "supp")
+    s = load_table(spark, sf_dir, "supplier")
+    assert write_delta(s, table, mode="append") == 0
+    assert read_delta(spark, table).count() == s.count()
+
+    extra = s.where(F.col("s_suppkey") <= 3)
+    n_extra = extra.count()
+    assert write_delta(extra, table, mode="append") == 1
+    assert read_delta(spark, table).count() == s.count() + n_extra
+    # time travel back to v0
+    assert read_delta(spark, table, version=0).count() == s.count()
+
+    assert write_delta(extra, table, mode="overwrite") == 2
+    assert read_delta(spark, table).count() == n_extra
+
+
+def test_write_bad_mode(spark, sf_dir, tmp_path):
+    with pytest.raises(ValueError):
+        write_delta(load_table(spark, sf_dir, "region"), str(tmp_path / "r"), "ignore")
+
+
+def test_optimize_compacts_preserving_rows(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "opt")
+    n = load_table(spark, sf_dir, "nation")
+    # three small commits → three+ files
+    for i in range(3):
+        write_delta(n.where(F.col("n_nationkey") % 3 == i), table, mode="append")
+    before = load_snapshot(table)
+    assert before.num_files >= 3
+    total = read_delta(spark, table).count()
+
+    version = optimize_table(spark, table, target_files=1)
+    after = load_snapshot(table)
+    assert after.version == version
+    assert after.num_files == 1
+    assert read_delta(spark, table).count() == total
+    # dataChange=false on every action of the OPTIMIZE commit
+    import json
+
+    log = os.path.join(table, "_delta_log", f"{version:020d}.json")
+    for line in open(log):
+        a = json.loads(line)
+        for key in ("add", "remove"):
+            if key in a:
+                assert a[key]["dataChange"] is False
+
+
+def test_vacuum_deletes_only_internal_orphans(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "vac")
+    r = load_table(spark, sf_dir, "region")
+    write_delta(r, table, mode="append")
+    write_delta(r, table, mode="overwrite")  # v0 files become orphans
+    optimize_table(spark, table, target_files=1)  # v1 files become orphans
+
+    doomed = vacuum_table(table, dry_run=True)
+    assert doomed  # orphans exist
+    live_before = load_snapshot(table).files
+    deleted = vacuum_table(table)
+    assert sorted(deleted) == sorted(doomed)
+    # table still reads fine afterwards
+    assert read_delta(spark, table).count() == r.count()
+    assert load_snapshot(table).files == live_before
+    # the external source parquet (shallow-clone side) was never touched
+    assert os.path.exists(f"{sf_dir}/region.parquet")
+
+
+def test_vacuum_never_touches_external_files(spark, sf_dir, tmp_path):
+    """A shallow-cloned table (log points at external files) must
+    survive vacuum with zero deletions."""
+    import json
+
+    from guidewire_spark.sources.indexer import index
+
+    # Build a shallow-clone table over staged external data.
+    ext = str(tmp_path / "external" / "t" / "fp1" / "1700000000000")
+    load_table(spark, sf_dir, "region").write.parquet(ext)
+    manifest = {
+        "t": {
+            "lastSuccessfulWriteTimestamp": "1700000000000",
+            "totalProcessedRecordsCount": 0,
+            "dataFilesPath": str(tmp_path / "external" / "t"),
+            "schemaHistory": {"fp1": "1700000000000"},
+        }
+    }
+    mpath = str(tmp_path / "m.json")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    db = str(tmp_path / "db")
+    index(mpath, db, save_mode="overwrite")
+    table = os.path.join(db, "t")
+    assert vacuum_table(table) == []
+    assert read_delta(spark, table).count() == 5
+
+    assert list_versions(table) == [0]
