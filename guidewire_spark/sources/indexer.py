@@ -104,7 +104,9 @@ def discover_batches(
     return batches
 
 
-def commit_batches(table_path: str, batches: list[Batch]) -> list[BatchResult]:
+def commit_batches(
+    table_path: str, batches: list[Batch], collect_stats: bool = False
+) -> list[BatchResult]:
     """Generate one Delta version per batch (``Guidewire.scala:211-246``).
 
     Schema-bearing batch ⇒ remove-all + add + metaData, operation
@@ -118,8 +120,16 @@ def commit_batches(table_path: str, batches: list[Batch]) -> list[BatchResult]:
         version = 0 if prev is None else prev + 1
         now = int(time.time() * 1000)
         actions: list[dict] = []
+        # Optional data-skipping stats (SURVEY §4: the reference writes
+        # stats=null; footer-only reads keep this metadata-only).
+        stats = {}
+        if collect_stats:
+            from guidewire_spark.sources.stats import stats_for_files
+
+            stats = stats_for_files(batch.files)
         adds = [
-            add_action(f.path, f.size, f.modification_time) for f in batch.files
+            add_action(f.path, f.size, f.modification_time, stats=stats.get(f.path))
+            for f in batch.files
         ]
         num_bytes = sum(f.size for f in batch.files)
         if batch.schema is not None:
@@ -163,6 +173,7 @@ def process_table(
     database_path: str,
     last_processed_timestamp: int,
     enforce_guidewire_timestamp: bool,
+    collect_stats: bool = False,
 ) -> tuple[str, list[BatchResult]]:
     """One table's end-to-end unit of work (executor body,
     ``Guidewire.scala:96-194``)."""
@@ -171,13 +182,14 @@ def process_table(
     )
     table_path = os.path.join(database_path, table_name)
     if last_processed_timestamp > 0:
-        results = commit_batches(table_path, batches)  # append (:183-186)
+        # Checkpoint exists: append (Guidewire.scala:183-186).
+        results = commit_batches(table_path, batches, collect_stats)
     else:
         # No checkpoint (or overwrite): rebuild the log from scratch
         # (saveDeltaLogOverwrite, Guidewire.scala:198-209).
         if os.path.exists(table_path):
             shutil.rmtree(table_path)
-        results = commit_batches(table_path, batches)
+        results = commit_batches(table_path, batches, collect_stats)
     return table_name, results
 
 
@@ -187,6 +199,7 @@ def index(
     save_mode: str = "append",
     enforce_guidewire_timestamp: bool = True,
     max_workers: int | None = None,
+    collect_stats: bool = False,
 ) -> dict[str, list[BatchResult]]:
     """Top-level pipeline (``Guidewire.scala:28-52``): checkpoints →
     manifest → per-table fan-out → Delta logs → save checkpoints.
@@ -218,6 +231,7 @@ def index(
                 database_path,
                 checkpoints.get(name, -1),
                 enforce_guidewire_timestamp,
+                collect_stats,
             )
             for name, entry in manifest.items()
         ]

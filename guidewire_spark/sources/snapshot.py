@@ -27,10 +27,19 @@ class DeltaSnapshot:
     schema: T.StructType | None
     files: list[str] = field(default_factory=list)
     commit_timestamps: dict[int, int] = field(default_factory=dict)
+    file_stats: dict[str, str | None] = field(default_factory=dict)
 
     @property
     def num_files(self) -> int:
         return len(self.files)
+
+    def pruned_files(self, column: str, lo=None, hi=None) -> list[str]:
+        """Data skipping: files that may contain rows with
+        ``lo <= column <= hi`` per their ``add.stats`` (files without
+        stats are always kept — skipping is sound, never lossy)."""
+        from guidewire_spark.sources.stats import prune_files
+
+        return prune_files(self.file_stats, self.files, column, lo, hi)
 
 
 def _read_commit(table_path: str, version: int) -> list[dict]:
@@ -70,7 +79,7 @@ def load_snapshot(
     if version not in versions:
         raise ValueError(f"version {version} not in {table_path} (have {versions})")
 
-    active: dict[str, None] = {}
+    active: dict[str, str | None] = {}
     schema: T.StructType | None = None
     commit_ts: dict[int, int] = {}
     for v in versions:
@@ -78,7 +87,7 @@ def load_snapshot(
             break
         for action in _read_commit(table_path, v):
             if "add" in action:
-                active[action["add"]["path"]] = None
+                active[action["add"]["path"]] = action["add"].get("stats")
             elif "remove" in action:
                 active.pop(action["remove"]["path"], None)
             elif "metaData" in action:
@@ -93,6 +102,7 @@ def load_snapshot(
         schema=schema,
         files=sorted(active.keys()),
         commit_timestamps=commit_ts,
+        file_stats=dict(active),
     )
 
 

@@ -67,7 +67,12 @@ def write_delta(df: DataFrame, table_path: str, mode: str = "append") -> int:
         version, op_mode, blind = prev + 1, "Overwrite", False
     else:
         version, op_mode, blind = prev + 1, "Append", True
-    actions.extend(add_action(f.path, f.size, f.modification_time) for f in files)
+    from guidewire_spark.sources.stats import footer_stats
+
+    actions.extend(
+        add_action(f.path, f.size, f.modification_time, stats=footer_stats(f.path))
+        for f in files
+    )
     actions.append(
         commit_info_action(
             "WRITE", op_mode, blind, len(files), sum(f.size for f in files), now
