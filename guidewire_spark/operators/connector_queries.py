@@ -217,6 +217,32 @@ def delta_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_log_checkpoint_replay",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    """,
+)
+def delta_log_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-checkpoint scale path: 12 append commits → checkpoint
+    parquet + _last_checkpoint → delete every JSON commit the
+    checkpoint covers → the snapshot must reconstruct from the
+    checkpoint alone (O(1) replay instead of O(versions) JSON reads;
+    see sources/log_checkpoint.py)."""
+    from guidewire_spark.sources.deltalog import delta_log_dir, list_versions
+    from guidewire_spark.sources.log_checkpoint import write_log_checkpoint
+
+    table = tempfile.mkdtemp(prefix="gw_dckpt_") + "/nation_delta"
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    for i in range(12):
+        write_delta(n.where(F.col("n_nationkey") % 12 == i), table, mode="append")
+    write_log_checkpoint(table)
+    log = delta_log_dir(table)
+    for v in list_versions(table):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    return read_delta(spark, table)
+
+
+@query(
     "delta_optimize_roundtrip",
     oracle="""
     SELECT n_nationkey, n_name FROM nation

@@ -1,0 +1,470 @@
+"""Training-data-pipeline operators (SURVEY.md §2.5 extensions).
+
+The operations a 100 TB pretraining-corpus pipeline runs after
+dedup/quality scoring: deterministic train/val/test splitting,
+stratified sampling and mixture accounting, vocabulary building,
+TF-IDF term weighting, benchmark-contamination checks, sequence
+packing, rule-based quality filtering, and connected-component
+clustering of near-duplicate pairs.
+
+Determinism contract: anything that "samples" does so via the
+SQL-reproducible polynomial fingerprint from functions/text.py —
+never ``rand()`` and never engine hash builtins — so every query here
+has an exact DuckDB oracle twin.
+
+Scale notes are per-operator; the common theme is that shuffles carry
+ids + small numbers (never text payloads), window partitions are
+bounded (per-source, never global), and the only iterative operator
+(connected components) propagates labels over an edge list that is
+already the sparse LSH-candidate output, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from guidewire_spark.functions import text as T
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.registry import query
+
+# DuckDB twins of functions/text.py::words / polynomial_fingerprint —
+# kept verbatim in sync with the verified text_fingerprint oracle.
+WORDS_SQL = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+FP_SQL = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+    f"list_transform({WORDS_SQL}, w -> CAST(ascii(w) + length(w) AS BIGINT))), "
+    "(acc, x) -> (acc * 31 + x) % 2147483647)"
+)
+
+
+def _fingerprint() -> F.Column:
+    return T.polynomial_fingerprint(T.words(F.col("text")))
+
+
+# --------------------------------------------------------------------------
+# Splitting / sampling / mixture
+# --------------------------------------------------------------------------
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, lang, {FP_SQL} AS f FROM documents)
+    SELECT doc_id, lang,
+           CASE f % 10 WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train' END
+             AS split
+    FROM fp
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (80/10/10).
+
+    Splitting on a content fingerprint (not doc_id, not rand()) keeps
+    assignment stable under re-ingestion and reshuffling — the
+    property a 100 TB pipeline needs so eval sets never bleed into
+    train across runs. Pure projection: no shuffle at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    f = _fingerprint() % 10
+    split = (
+        F.when(f == 0, "val").when(f == 1, "test").otherwise("train")
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, lang, {FP_SQL} AS f FROM documents)
+    SELECT doc_id, lang FROM fp
+    WHERE f % 10 < CASE WHEN lang = 'en' THEN 2 ELSE 5 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling: keep 20% of English, 50% of every
+    other language — the rebalancing step of corpus mixing. The keep
+    decision is a per-row fingerprint predicate: embarrassingly
+    parallel, no shuffle, and reproducible across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 2).otherwise(5)
+    return d.where(_fingerprint() % 10 < rate).select("doc_id", "lang")
+
+
+@query(
+    "mix_rebalance_counts",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, lang, {FP_SQL} AS f FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(count_if(f % 10 < CASE WHEN lang = 'en' THEN 2 ELSE 5 END)
+                AS BIGINT) AS n_sampled
+    FROM fp GROUP BY lang
+    """,
+)
+def mix_rebalance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture accounting: per-language corpus size before and after
+    the stratified sample — one partial+final hash aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 2).otherwise(5)
+    kept = (_fingerprint() % 10 < rate).cast("long")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(kept).alias("n_sampled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary / term weighting
+# --------------------------------------------------------------------------
+
+
+@query(
+    "vocab_top_tokens",
+    oracle=f"""
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                        w -> w <> '')) AS tok
+          FROM documents)
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 100
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary building: top-100 tokens by frequency.
+
+    explode → partial-agg count → TakeOrderedAndProject: the shuffle
+    carries (token, partial count), and top-k never materializes the
+    full sorted vocabulary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.words(F.lower(F.col("text")))).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(100)
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                    w -> w <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tok,
+             ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, tok) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    tf is a (doc, token) aggregation; df a token aggregation whose
+    output is dimension-sized, so it broadcasts back onto tf. Ranking
+    uses the ROUNDED score with token tiebreak — float-order
+    independent, so the top-3 set is deterministic across engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf")
+    )
+
+
+# --------------------------------------------------------------------------
+# Contamination / packing / filtering
+# --------------------------------------------------------------------------
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {WORDS_SQL} AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i : i + 2], ' ') AS shingle
+      FROM d, UNNEST(range(1, len(words) - 1)) AS t(i)
+      WHERE len(words) >= 3
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+    overlap AS (
+      SELECT t.doc_id, COUNT(*) AS n_overlap
+      FROM train t JOIN bench b USING (shingle)
+      GROUP BY t.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(ANY_VALUE(o.n_overlap), 0) AS BIGINT) AS n_overlap,
+           COALESCE(ANY_VALUE(o.n_overlap), 0) > 0 AS contaminated
+    FROM train t LEFT JOIN overlap o ON o.doc_id = t.doc_id
+    GROUP BY t.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: count 3-gram shingles of each
+    training document that also occur in the held-out set
+    (doc_id % 97 == 0 stands in for the benchmark).
+
+    The benchmark shingle set is dimension-sized → broadcast; the
+    training side streams through it. At 100 TB the same plan holds:
+    eval suites are MBs, corpora are TBs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.where(F.size(T.words(F.col("text"))) >= 3)
+        .select(
+            "doc_id",
+            F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"),
+        )
+        .distinct()
+    )
+    bench = sh.where(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    train = sh.where(F.col("doc_id") % 97 != 0)
+    overlap = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        train.groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"))
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({WORDS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 512.0) AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-budget (512-token)
+    packs by running token count, packed per source shard.
+
+    Partitioning the window by source keeps state bounded and
+    parallel — a global orderBy window would serialize the corpus
+    through one task, exactly the anti-pattern at scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = T.word_count(F.col("text")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(512.0))
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+@query(
+    "quality_filter_pipeline",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             len({WORDS_SQL}) AS wc,
+             LENGTH(text) AS nc,
+             LENGTH(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS np
+      FROM documents
+    )
+    SELECT doc_id,
+           wc >= 5 AS long_enough,
+           np / GREATEST(nc, 1) <= 0.2 AS punct_ok,
+           (nc / GREATEST(wc, 1)) BETWEEN 3 AND 12 AS word_len_ok,
+           (wc >= 5 AND np / GREATEST(nc, 1) <= 0.2
+            AND (nc / GREATEST(wc, 1)) BETWEEN 3 AND 12) AS kept
+    FROM m
+    """,
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality filter with per-rule flags (the audit form a
+    data-curation pipeline keeps: which rule killed each doc). One
+    projection, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = T.word_count(F.col("text"))
+    nc = F.length("text")
+    np_ = F.length(F.regexp_replace("text", r"[^.,;:!?'\"()\-]", ""))
+    long_enough = wc >= 5
+    punct_ok = np_ / F.greatest(nc, F.lit(1)) <= 0.2
+    word_len_ok = (nc / F.greatest(wc, F.lit(1))).between(3, 12)
+    return d.select(
+        "doc_id",
+        long_enough.alias("long_enough"),
+        punct_ok.alias("punct_ok"),
+        word_len_ok.alias("word_len_ok"),
+        (long_enough & punct_ok & word_len_ok).alias("kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering (iterative)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, {WORDS_SQL} AS words FROM documents WHERE doc_id < 100),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i : i + 2], ' ') AS shingle
+      FROM d, UNNEST(range(1, len(words) - 1)) AS t(i)
+      WHERE len(words) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS bn
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT da, db FROM inter
+      JOIN sizes sa ON sa.doc_id = da
+      JOIN sizes sb ON sb.doc_id = db
+      WHERE bn / (sa.n + sb.n - bn) >= 0.2
+    ),
+    und AS (SELECT da AS a, db AS b FROM edges
+            UNION SELECT db AS a, da AS b FROM edges),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT doc.doc_id,
+           CAST(LEAST(doc.doc_id, COALESCE(MIN(r.b), doc.doc_id)) AS BIGINT)
+             AS component_id
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 100) doc
+    LEFT JOIN reach r ON r.a = doc.doc_id
+    GROUP BY doc.doc_id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph (Jaccard ≥
+    0.2 on 3-word shingles, docs 0..99): every document labeled with
+    the smallest doc_id in its duplicate cluster — the final "pick one
+    survivor per cluster" step of corpus dedup.
+
+    Iterative min-label propagation: each round joins current labels
+    onto the edge list and takes the per-node min, localCheckpoint()
+    truncating the lineage, until a fixed point (≤ graph diameter
+    rounds; O(log n) with the doubling effect of propagating already-
+    merged labels). The shuffled data is (node, label) longs — the
+    edge list is the sparse LSH-candidate output, never corpus-sized.
+    The DuckDB oracle computes the same labels via a recursive-CTE
+    transitive closure.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    shingles = (
+        d.where(F.size(T.words(F.col("text"))) >= 3)
+        .select(
+            "doc_id",
+            F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("bn"))
+    )
+    jacc = F.col("bn") / (F.col("sa.n") + F.col("sb.n") - F.col("bn"))
+    edges = (
+        inter.join(F.broadcast(sizes.alias("sa")), F.col("da") == F.col("sa.doc_id"))
+        .join(F.broadcast(sizes.alias("sb")), F.col("db") == F.col("sb.doc_id"))
+        .where(jacc >= 0.2)
+        .select("da", "db")
+    )
+    und = edges.union(edges.select(F.col("db"), F.col("da"))).toDF("src", "dst")
+
+    labels = d.select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    ).localCheckpoint(eager=True)
+    und = und.localCheckpoint(eager=True)
+    for _ in range(20):
+        propagated = (
+            und.join(labels, und.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "component_id")
+        )
+        new_labels = (
+            labels.unionByName(propagated)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component_id") < F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

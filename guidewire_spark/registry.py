@@ -44,6 +44,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.scalar_funcs",
     "guidewire_spark.operators.udfs",
     "guidewire_spark.operators.llm",
+    "guidewire_spark.operators.training",
     "guidewire_spark.operators.connector_queries",
     "guidewire_spark.operators.extras",
     "guidewire_spark.streaming.windowed",

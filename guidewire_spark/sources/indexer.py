@@ -105,7 +105,10 @@ def discover_batches(
 
 
 def commit_batches(
-    table_path: str, batches: list[Batch], collect_stats: bool = False
+    table_path: str,
+    batches: list[Batch],
+    collect_stats: bool = False,
+    checkpoint_interval: int = 10,
 ) -> list[BatchResult]:
     """Generate one Delta version per batch (``Guidewire.scala:211-246``).
 
@@ -113,6 +116,12 @@ def commit_batches(
     CREATE_TABLE (fresh log) or UPGRADE_SCHEMA; otherwise a blind
     append WRITE. Commit shapes match the reference goldens
     (``/root/reference/src/test/resources/delta/*.json``).
+
+    Every ``checkpoint_interval``-th version also writes a
+    ``<v>.checkpoint.parquet`` + ``_last_checkpoint`` (Delta's own
+    cadence), keeping log replay O(1) parquet + a short JSON tail as
+    versions accumulate — CDA syncs commit per table per run, so a
+    year-old table otherwise replays hundreds of JSON files.
     """
     results: list[BatchResult] = []
     for batch in batches:
@@ -163,6 +172,10 @@ def commit_batches(
                 )
             )
         write_commit(table_path, version, actions)
+        if checkpoint_interval and (version + 1) % checkpoint_interval == 0:
+            from guidewire_spark.sources.log_checkpoint import write_log_checkpoint
+
+            write_log_checkpoint(table_path, version)
         results.append(BatchResult(batch.schema_id, batch.commit_timestamp, len(batch.files)))
     return results
 

@@ -28,6 +28,8 @@ class DeltaSnapshot:
     files: list[str] = field(default_factory=list)
     commit_timestamps: dict[int, int] = field(default_factory=dict)
     file_stats: dict[str, str | None] = field(default_factory=dict)
+    file_sizes: dict[str, int] = field(default_factory=dict)
+    metadata_id: str | None = None
 
     @property
     def num_files(self) -> int:
@@ -60,8 +62,19 @@ def load_snapshot(
 ) -> DeltaSnapshot:
     """Replay the log up to ``version`` (or the last commit whose
     commitInfo timestamp is <= ``timestamp``; default: latest)."""
+    from guidewire_spark.sources.log_checkpoint import (
+        checkpoint_path,
+        load_checkpoint_state,
+        read_last_checkpoint,
+    )
+
     versions = list_versions(table_path)
-    if not versions:
+    ckpt_version = read_last_checkpoint(table_path)
+    if ckpt_version is not None and not os.path.isfile(
+        checkpoint_path(table_path, ckpt_version)
+    ):
+        ckpt_version = None  # stale marker; fall back to full replay
+    if not versions and ckpt_version is None:
         raise FileNotFoundError(f"no Delta log at {table_path}")
 
     if timestamp is not None and version is None:
@@ -75,25 +88,41 @@ def load_snapshot(
             raise ValueError(f"no version at or before timestamp {timestamp}")
         version = chosen
     if version is None:
-        version = versions[-1]
-    if version not in versions:
+        version = max(versions[-1] if versions else -1,
+                      ckpt_version if ckpt_version is not None else -1)
+    if version not in versions and version != ckpt_version:
         raise ValueError(f"version {version} not in {table_path} (have {versions})")
 
     active: dict[str, str | None] = {}
+    sizes: dict[str, int] = {}
     schema: T.StructType | None = None
+    meta_id: str | None = None
     commit_ts: dict[int, int] = {}
+    replay_after = -1
+    if ckpt_version is not None and ckpt_version <= version:
+        # O(1) replay: seed from the checkpoint parquet, then apply
+        # only the JSON tail — instead of O(versions) JSON reads.
+        active, sizes, schema, meta_id = load_checkpoint_state(
+            table_path, ckpt_version
+        )
+        replay_after = ckpt_version
     for v in versions:
+        if v <= replay_after:
+            continue
         if v > version:
             break
         for action in _read_commit(table_path, v):
             if "add" in action:
                 active[action["add"]["path"]] = action["add"].get("stats")
+                sizes[action["add"]["path"]] = action["add"].get("size", 0)
             elif "remove" in action:
                 active.pop(action["remove"]["path"], None)
+                sizes.pop(action["remove"]["path"], None)
             elif "metaData" in action:
                 schema = T.StructType.fromJson(
                     json.loads(action["metaData"]["schemaString"])
                 )
+                meta_id = action["metaData"].get("id")
             elif "commitInfo" in action:
                 commit_ts[v] = action["commitInfo"].get("timestamp", 0)
     return DeltaSnapshot(
@@ -103,6 +132,8 @@ def load_snapshot(
         files=sorted(active.keys()),
         commit_timestamps=commit_ts,
         file_stats=dict(active),
+        file_sizes=sizes,
+        metadata_id=meta_id,
     )
 
 

@@ -87,6 +87,49 @@ def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value total), re-emitted on every update.
+
+    The operator Spark's built-ins can't express: arbitrary per-key
+    state with user-controlled emission. State is two numbers per
+    user_id — bounded by key cardinality, not stream length — and the
+    Arrow batches keep the Python boundary vectorized.
+
+    State eviction: a production deployment with churning keys would
+    set ``GroupStateTimeout.ProcessingTimeTimeout`` +
+    ``state.setTimeoutDuration(...)`` to drop idle keys. That is
+    deliberately NOT done here: a pending processing-time timeout
+    keeps the query permanently "busy", so the drain-the-source test
+    harness (``processAllAvailable``) never returns.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     result: DataFrame, name: str, checkpoint_dir: str, mode: str = "append"
 ) -> None:

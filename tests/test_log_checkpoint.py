@@ -1,0 +1,140 @@
+"""Delta log checkpoint tests: checkpoint parquet + _last_checkpoint
+round trip, auto-checkpoint cadence, and replay-from-checkpoint when
+the JSON prefix is gone (log truncation)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from guidewire_spark.sources.deltalog import (
+    add_action,
+    commit_info_action,
+    delta_log_dir,
+    metadata_action,
+    protocol_action,
+    write_commit,
+)
+from guidewire_spark.sources.indexer import Batch, commit_batches
+from guidewire_spark.sources.fs import FileMeta
+from guidewire_spark.sources.log_checkpoint import (
+    checkpoint_path,
+    read_last_checkpoint,
+    write_log_checkpoint,
+)
+from guidewire_spark.sources.snapshot import load_snapshot
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("name", T.StringType(), True),
+    ]
+)
+
+
+def _write_table(table_path: str, n_appends: int = 12) -> None:
+    """v0 = CREATE_TABLE, then n_appends-1 blind appends of one fake
+    file each (log replay never reads data bytes)."""
+    write_commit(
+        table_path,
+        0,
+        [
+            protocol_action(),
+            metadata_action(SCHEMA, created_time=1000),
+            add_action("/data/f0.parquet", 100, 1000),
+            commit_info_action("WRITE", "Overwrite", False, 1, 100, 1000),
+        ],
+    )
+    for v in range(1, n_appends):
+        write_commit(
+            table_path,
+            v,
+            [
+                add_action(f"/data/f{v}.parquet", 100, 1000 + v),
+                commit_info_action("WRITE", "Append", True, 1, 100, 1000 + v),
+            ],
+        )
+
+
+def test_checkpoint_roundtrip_matches_full_replay(tmp_path):
+    table = str(tmp_path / "t1")
+    _write_table(table, 12)
+    full = load_snapshot(table)
+    write_log_checkpoint(table)
+    assert read_last_checkpoint(table) == 11
+    assert os.path.isfile(checkpoint_path(table, 11))
+    seeded = load_snapshot(table)
+    assert seeded.version == full.version
+    assert seeded.files == full.files
+    assert seeded.schema == full.schema
+    assert seeded.file_sizes == full.file_sizes
+
+
+def test_replay_from_checkpoint_survives_json_truncation(tmp_path):
+    """The checkpoint must be sufficient on its own: delete every JSON
+    commit it covers and the snapshot still reconstructs, plus new
+    commits replay on top of it."""
+    table = str(tmp_path / "t2")
+    _write_table(table, 12)
+    expected_files = load_snapshot(table).files
+    write_log_checkpoint(table)  # at v11
+    log = delta_log_dir(table)
+    for v in range(12):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    snap = load_snapshot(table)
+    assert snap.version == 11
+    assert snap.files == expected_files
+    assert snap.schema == SCHEMA
+    # A fresh commit after truncation lands on top of the checkpoint.
+    write_commit(
+        table,
+        12,
+        [
+            add_action("/data/f12.parquet", 100, 2000),
+            commit_info_action("WRITE", "Append", True, 1, 100, 2000),
+        ],
+    )
+    snap2 = load_snapshot(table)
+    assert snap2.version == 12
+    assert snap2.files == sorted(expected_files + ["/data/f12.parquet"])
+
+
+def test_time_travel_before_checkpoint_still_works(tmp_path):
+    table = str(tmp_path / "t3")
+    _write_table(table, 12)
+    write_log_checkpoint(table)  # at v11
+    snap5 = load_snapshot(table, version=5)
+    assert snap5.num_files == 6  # v0..v5, one file each
+
+
+def test_auto_checkpoint_every_10_commits(tmp_path):
+    table = str(tmp_path / "t4")
+    batches = [
+        Batch("fp1", 1000, [FileMeta("/data/b0.parquet", 10, 1000)], SCHEMA)
+    ] + [
+        Batch("fp1", 1000 + v, [FileMeta(f"/data/b{v}.parquet", 10, 1000 + v)], None)
+        for v in range(1, 12)
+    ]
+    commit_batches(table, batches)
+    assert read_last_checkpoint(table) == 9
+    assert os.path.isfile(checkpoint_path(table, 9))
+    snap = load_snapshot(table)
+    assert snap.version == 11
+    assert snap.num_files == 12
+
+
+def test_stale_marker_falls_back_to_full_replay(tmp_path):
+    table = str(tmp_path / "t5")
+    _write_table(table, 4)
+    write_log_checkpoint(table)
+    os.remove(checkpoint_path(table, 3))  # marker now points at nothing
+    snap = load_snapshot(table)
+    assert snap.version == 3
+    assert snap.num_files == 4
+
+
+def test_missing_table_still_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_snapshot(str(tmp_path / "nope"))

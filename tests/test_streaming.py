@@ -105,6 +105,32 @@ def test_stream_to_parquet_to_delta(staged_events, tmp_path):
     }
 
 
+def test_stateful_running_totals(staged_events, tmp_path):
+    """applyInPandasWithState: after draining the stream, the latest
+    emission per user must equal the batch per-user aggregate."""
+    spark, src, batch = staged_events
+    stream = jobs.events_stream(spark, src)
+    result = jobs.running_user_totals(stream)
+    jobs.run_to_memory(
+        result, "running_totals_t", str(tmp_path / "ckpt5"), mode="update"
+    )
+    # n_events is monotone per user; struct-max picks the latest
+    # emission (value sums may be negative, so max(total_value) won't).
+    final = (
+        spark.table("running_totals_t")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("last"))
+        .select("user_id", "last.n_events", "last.total_value")
+    )
+    expected = batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    got = {tuple(r) for r in final.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want
+
+
 def test_session_stream_runs(staged_events, tmp_path):
     spark, src, _ = staged_events
     stream = jobs.events_stream(spark, src)
