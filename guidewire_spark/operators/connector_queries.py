@@ -20,7 +20,13 @@ from guidewire_spark.plans.catalog import load_table
 from guidewire_spark.registry import query
 from guidewire_spark.sources.indexer import index
 from guidewire_spark.sources.snapshot import read_delta
-from guidewire_spark.sources.writer import optimize_table, write_delta
+from guidewire_spark.sources.writer import (
+    merge_into,
+    optimize_table,
+    restore_table,
+    table_history,
+    write_delta,
+)
 
 
 def _write_manifest(root: str, tables: dict[str, dict]) -> str:
@@ -240,6 +246,85 @@ def delta_log_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     for v in list_versions(table):
         os.remove(os.path.join(log, f"{v:020d}.json"))
     return read_delta(spark, table)
+
+
+@query(
+    "delta_merge_upsert",
+    oracle="""
+    SELECT s_suppkey, s_name, ROUND(s_acctbal + 100, 2) AS acctbal
+    FROM supplier WHERE s_suppkey % 10 = 0
+    UNION ALL
+    SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier WHERE s_suppkey % 10 <> 0
+    UNION ALL
+    SELECT s_suppkey + 1000000, 'NEW-' || CAST(s_suppkey AS VARCHAR), 0.0
+    FROM supplier WHERE s_suppkey % 7 = 0
+    """,
+)
+def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert): +100 to every 10th supplier's balance, insert a
+    NEW- row for every 7th key; the file-pruned copy-on-write merge in
+    sources/writer.py rewrites only key-range-overlapping files."""
+    table = tempfile.mkdtemp(prefix="gw_dmrg_") + "/supplier_delta"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    write_delta(s, table, mode="append")
+    updates = s.where(F.col("s_suppkey") % 10 == 0).select(
+        "s_suppkey", "s_name", F.round(F.col("acctbal") + 100, 2).alias("acctbal")
+    )
+    inserts = s.where(F.col("s_suppkey") % 7 == 0).select(
+        (F.col("s_suppkey") + 1000000).alias("s_suppkey"),
+        F.concat(F.lit("NEW-"), F.col("s_suppkey").cast("string")).alias("s_name"),
+        F.lit(0.0).alias("acctbal"),
+    )
+    merge_into(spark, table, updates.unionByName(inserts), on="s_suppkey")
+    return read_delta(spark, table)
+
+
+@query(
+    "delta_restore_version",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10
+    """,
+)
+def delta_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION AS OF 0: create (keys < 10), append the
+    rest, restore v0 — the snapshot must equal the original slice
+    while history keeps all three versions."""
+    table = tempfile.mkdtemp(prefix="gw_drst_") + "/nation_delta"
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n.where(F.col("n_nationkey") < 10), table, mode="append")
+    write_delta(n.where(F.col("n_nationkey") >= 10), table, mode="append")
+    restore_table(table, 0)
+    return read_delta(spark, table)
+
+
+@query(
+    "delta_describe_history",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 'WRITE', 'Append', FALSE),
+      (CAST(1 AS BIGINT), 'WRITE', 'Append', TRUE),
+      (CAST(2 AS BIGINT), 'OPTIMIZE', 'Compaction', FALSE)
+    ) AS t(version, operation, mode, blind)
+    """,
+)
+def delta_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY over the commitInfo trail: create, append,
+    optimize → three versions with their operations."""
+    table = tempfile.mkdtemp(prefix="gw_dhist_") + "/region_delta"
+    r = load_table(spark, sf_dir, "region")
+    write_delta(r.where(F.col("r_regionkey") < 3), table, mode="append")
+    write_delta(r.where(F.col("r_regionkey") >= 3), table, mode="append")
+    optimize_table(spark, table, target_files=1)
+    rows = [
+        (h["version"], h["operation"], h["operationParameters"]["mode"], h["isBlindAppend"])
+        for h in table_history(table)
+    ]
+    return spark.createDataFrame(
+        rows, "version long, operation string, mode string, blind boolean"
+    )
 
 
 @query(

@@ -1,0 +1,147 @@
+"""SQL-text query surface: multi-join analytical queries submitted as
+``spark.sql(...)`` strings over registered views (SURVEY.md §2.2
+"register output as external table, full SQL over it" — reference
+``README.md:74-77``).
+
+These are TPC-H-shaped (Q3/Q5/Q10 analogues adapted to the driver's
+schema) and deliberately go through the SQL parser rather than the
+DataFrame API: the engine's contract is that both front ends hit the
+same Catalyst plans. The DuckDB oracles are near-verbatim twins,
+which is the point — this is the portable surface.
+
+Scale notes: all three are fact-to-fact joins on orders/lineitem with
+dimension joins (region/nation/customer/supplier) that AQE broadcasts;
+aggregation is partial+final; top-k uses ORDER BY + LIMIT which Spark
+executes as TakeOrderedAndProject (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from guidewire_spark.plans.catalog import register_views
+from guidewire_spark.registry import query
+
+
+@query(
+    "sql_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analogue (shipping priority): unshipped revenue of
+    BUILDING-segment orders, top-10. Tiebreak on l_orderkey keeps the
+    LIMIT boundary deterministic across engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@query(
+    "sql_q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def sql_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analogue (local supplier volume): revenue where
+    customer and supplier share a nation, per ASIA nation."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        """
+    )
+
+
+@query(
+    "sql_q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(c_acctbal, 2) AS acctbal,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def sql_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analogue (returned items): top-20 customers by lost
+    revenue on returned lineitems in a half-year window."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               ROUND(c_acctbal, 2) AS acctbal,
+               n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """
+    )

@@ -43,6 +43,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.windows",
     "guidewire_spark.operators.scalar_funcs",
     "guidewire_spark.operators.udfs",
+    "guidewire_spark.operators.sql_suite",
     "guidewire_spark.operators.llm",
     "guidewire_spark.operators.training",
     "guidewire_spark.operators.connector_queries",

@@ -115,6 +115,123 @@ def optimize_table(
     return version
 
 
+def merge_into(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: str | list[str],
+) -> int:
+    """MERGE (upsert): update target rows matching ``source`` on the
+    key column(s), insert source rows with no match. Source must be
+    unique on the key. Returns the new version.
+
+    Scale design — rewrite only touched files: the source's key bounds
+    prune the target file list via ``add.stats`` (data skipping), so a
+    merge of a day's updates into a years-deep table rewrites the few
+    files whose [min,max] key range overlaps the update set, never the
+    whole table. Files without stats are conservatively rewritten
+    (pruning must be sound). Matching itself is a left-anti join on
+    the candidate subset — the classic copy-on-write MERGE.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    snap = load_snapshot(table_path)
+    if not snap.files:
+        raise ValueError(f"nothing to merge into at {table_path}")
+
+    from pyspark.sql import functions as F
+
+    bounds = source.agg(
+        F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+    ).collect()[0]
+    candidates = snap.pruned_files(keys[0], bounds["lo"], bounds["hi"])
+
+    reader = spark.read
+    if snap.schema is not None:
+        reader = reader.schema(snap.schema)
+    if candidates:
+        target = reader.parquet(*candidates)
+        kept = target.join(source.select(*keys), keys, "left_anti")
+        merged = kept.unionByName(source.select(*target.columns))
+    else:
+        merged = source
+    files = _stage_files(merged, table_path)
+
+    from guidewire_spark.sources.stats import footer_stats
+
+    now = int(time.time() * 1000)
+    actions = [remove_action(p, now) for p in candidates]
+    actions += [
+        add_action(f.path, f.size, f.modification_time, stats=footer_stats(f.path))
+        for f in files
+    ]
+    actions.append(
+        commit_info_action(
+            "MERGE", "Upsert", False, len(files), sum(f.size for f in files), now
+        )
+    )
+    version = last_version(table_path) + 1
+    write_commit(table_path, version, actions)
+    return version
+
+
+def restore_table(table_path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF ``version``: a new commit
+    whose net effect is the old snapshot's file set + schema (history
+    is preserved — restore is itself a version, per Delta semantics)."""
+    old = load_snapshot(table_path, version=version)
+    cur = load_snapshot(table_path)
+    now = int(time.time() * 1000)
+    actions: list[dict] = []
+    if old.schema is not None:
+        actions.append(metadata_action(old.schema, created_time=now))
+    actions.extend(
+        remove_action(p, now) for p in cur.files if p not in set(old.files)
+    )
+    actions.extend(
+        add_action(p, old.file_sizes.get(p, 0), now, stats=old.file_stats.get(p))
+        for p in old.files
+        if p not in set(cur.files)
+    )
+    actions.append(
+        commit_info_action(
+            "RESTORE", f"versionAsOf={version}", False, len(old.files), 0, now
+        )
+    )
+    new_version = cur.version + 1
+    write_commit(table_path, new_version, actions)
+    return new_version
+
+
+def table_history(table_path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one row per commit still present as JSON
+    (commits compacted away by log checkpointing have no commitInfo —
+    mirrored from Delta, where expired log files drop out of HISTORY).
+    Newest first."""
+    import json as _json
+
+    from guidewire_spark.sources.deltalog import delta_log_dir, list_versions
+
+    rows: list[dict] = []
+    for v in list_versions(table_path):
+        path = os.path.join(delta_log_dir(table_path), f"{v:020d}.json")
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                action = _json.loads(line)
+                if "commitInfo" in action:
+                    info = action["commitInfo"]
+                    rows.append(
+                        {
+                            "version": v,
+                            "timestamp": info.get("timestamp"),
+                            "operation": info.get("operation"),
+                            "operationParameters": info.get("operationParameters"),
+                            "operationMetrics": info.get("operationMetrics"),
+                            "isBlindAppend": info.get("isBlindAppend"),
+                        }
+                    )
+    return sorted(rows, key=lambda r: -r["version"])
+
+
 def vacuum_table(table_path: str, dry_run: bool = False) -> list[str]:
     """Delete data files under the table directory that no longer
     appear in the latest snapshot. Files OUTSIDE the table directory

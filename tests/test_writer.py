@@ -108,3 +108,76 @@ def test_vacuum_never_touches_external_files(spark, sf_dir, tmp_path):
     assert read_delta(spark, table).count() == 5
 
     assert list_versions(table) == [0]
+
+
+def test_merge_rewrites_only_overlapping_files(spark, sf_dir, tmp_path):
+    """MERGE must prune by key range: three key-disjoint files, an
+    update touching only the middle range → the other files' paths
+    survive untouched in the new snapshot."""
+    from guidewire_spark.sources.writer import merge_into
+
+    table = str(tmp_path / "mrg")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    keys = sorted(r.s_suppkey for r in s.select("s_suppkey").collect())
+    t1, t2 = keys[len(keys) // 3], keys[2 * len(keys) // 3]
+    lo = s.where(F.col("s_suppkey") < t1)
+    mid = s.where((F.col("s_suppkey") >= t1) & (F.col("s_suppkey") < t2))
+    hi = s.where(F.col("s_suppkey") >= t2)
+    for part in (lo, mid, hi):
+        write_delta(part.coalesce(1), table, mode="append")
+    before = load_snapshot(table).files
+    assert len(before) == 3
+
+    source = mid.limit(5).select(
+        "s_suppkey", "s_name", (F.col("acctbal") + 1).alias("acctbal")
+    )
+    merge_into(spark, table, source, on="s_suppkey")
+    after = load_snapshot(table).files
+    # lo + hi files untouched; the mid file replaced.
+    untouched = set(before) & set(after)
+    assert len(untouched) == 2
+    # row count unchanged (pure update), values updated
+    got = read_delta(spark, table)
+    assert got.count() == s.count()
+    updated_keys = [r.s_suppkey for r in source.select("s_suppkey").collect()]
+    expect = {
+        (r.s_suppkey, round(r.acctbal + 1, 2))
+        for r in mid.limit(5).collect()
+    }
+    assert {
+        (r.s_suppkey, r.acctbal)
+        for r in got.where(F.col("s_suppkey").isin(updated_keys)).collect()
+    } == expect
+
+
+def test_merge_inserts_unmatched_rows(spark, sf_dir, tmp_path):
+    from guidewire_spark.sources.writer import merge_into
+
+    table = str(tmp_path / "mrg_ins")
+    r = load_table(spark, sf_dir, "region")
+    write_delta(r, table, mode="append")
+    source = r.select(
+        (F.col("r_regionkey") + 100).alias("r_regionkey"), "r_name"
+    )
+    merge_into(spark, table, source, on="r_regionkey")
+    assert read_delta(spark, table).count() == r.count() * 2
+
+
+def test_restore_and_history(spark, sf_dir, tmp_path):
+    from guidewire_spark.sources.writer import restore_table, table_history
+
+    table = str(tmp_path / "rst")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n.where(F.col("n_nationkey") < 10), table, mode="append")
+    write_delta(n.where(F.col("n_nationkey") >= 10), table, mode="append")
+    assert read_delta(spark, table).count() == n.count()
+    v = restore_table(table, 0)
+    assert v == 2
+    restored = read_delta(spark, table)
+    assert restored.count() == n.where(F.col("n_nationkey") < 10).count()
+    # restore preserves history: v1 still time-travelable
+    assert read_delta(spark, table, version=1).count() == n.count()
+    ops = [h["operation"] for h in table_history(table)]
+    assert ops == ["RESTORE", "WRITE", "WRITE"]
