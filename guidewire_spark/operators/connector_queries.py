@@ -249,6 +249,24 @@ def delta_log_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_partitioned_scan",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+    """,
+)
+def delta_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned Delta sink + metadata-only partition pruning: write
+    documents partitioned by lang (hive layout, partitionValues in the
+    add actions), then read back only lang=en — the non-matching
+    partitions' files are pruned from the log before Spark sees a
+    single path."""
+    table = tempfile.mkdtemp(prefix="gw_dpart_") + "/docs_part"
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    write_delta(d, table, mode="append", partition_by=["lang"])
+    return read_delta(spark, table, partition_filter={"lang": "en"})
+
+
+@query(
     "delta_merge_upsert",
     oracle="""
     SELECT s_suppkey, s_name, ROUND(s_acctbal + 100, 2) AS acctbal

@@ -63,6 +63,9 @@ _CHECKPOINT_SCHEMA = pa.schema(
                     pa.field("modificationTime", pa.int64()),
                     pa.field("dataChange", pa.bool_()),
                     pa.field("stats", pa.string()),
+                    pa.field(
+                        "partitionValues", pa.map_(pa.string(), pa.string())
+                    ),
                 ]
             ),
         ),
@@ -102,7 +105,7 @@ def write_log_checkpoint(table_path: str, version: int | None = None) -> str:
                     "id": snap.metadata_id or "",
                     "format": {"provider": "parquet"},
                     "schemaString": snap.schema.json(),
-                    "partitionColumns": [],
+                    "partitionColumns": snap.partition_columns,
                     "createdTime": None,
                 }
             }
@@ -116,6 +119,10 @@ def write_log_checkpoint(table_path: str, version: int | None = None) -> str:
                     "modificationTime": 0,
                     "dataChange": True,
                     "stats": snap.file_stats.get(path),
+                    "partitionValues": [
+                        (k, v)
+                        for k, v in (snap.file_partitions.get(path) or {}).items()
+                    ],
                 }
             }
         )
@@ -130,21 +137,33 @@ def write_log_checkpoint(table_path: str, version: int | None = None) -> str:
 
 def load_checkpoint_state(
     table_path: str, version: int
-) -> tuple[dict[str, str | None], dict[str, int], T.StructType | None, str | None]:
+) -> tuple[
+    dict[str, str | None],
+    dict[str, int],
+    dict[str, dict],
+    T.StructType | None,
+    str | None,
+    list[str],
+]:
     """Read ``<version>.checkpoint.parquet`` → (active file → stats,
-    file → size, schema, metadata id) to seed log replay."""
+    file → size, file → partitionValues, schema, metadata id,
+    partition columns) to seed log replay."""
     table = pq.read_table(checkpoint_path(table_path, version))
     active: dict[str, str | None] = {}
     sizes: dict[str, int] = {}
+    partitions: dict[str, dict] = {}
     schema: T.StructType | None = None
     meta_id: str | None = None
+    part_cols: list[str] = []
     for row in table.to_pylist():
         add = row.get("add")
         if add and add.get("path"):
             active[add["path"]] = add.get("stats")
             sizes[add["path"]] = add.get("size") or 0
+            partitions[add["path"]] = dict(add.get("partitionValues") or [])
         meta = row.get("metaData")
         if meta and meta.get("schemaString"):
             schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
             meta_id = meta.get("id") or None
-    return active, sizes, schema, meta_id
+            part_cols = list(meta.get("partitionColumns") or [])
+    return active, sizes, partitions, schema, meta_id, part_cols

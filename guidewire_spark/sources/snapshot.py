@@ -30,6 +30,8 @@ class DeltaSnapshot:
     file_stats: dict[str, str | None] = field(default_factory=dict)
     file_sizes: dict[str, int] = field(default_factory=dict)
     metadata_id: str | None = None
+    partition_columns: list[str] = field(default_factory=list)
+    file_partitions: dict[str, dict] = field(default_factory=dict)
 
     @property
     def num_files(self) -> int:
@@ -95,15 +97,17 @@ def load_snapshot(
 
     active: dict[str, str | None] = {}
     sizes: dict[str, int] = {}
+    partitions: dict[str, dict] = {}
     schema: T.StructType | None = None
     meta_id: str | None = None
+    part_cols: list[str] = []
     commit_ts: dict[int, int] = {}
     replay_after = -1
     if ckpt_version is not None and ckpt_version <= version:
         # O(1) replay: seed from the checkpoint parquet, then apply
         # only the JSON tail — instead of O(versions) JSON reads.
-        active, sizes, schema, meta_id = load_checkpoint_state(
-            table_path, ckpt_version
+        active, sizes, partitions, schema, meta_id, part_cols = (
+            load_checkpoint_state(table_path, ckpt_version)
         )
         replay_after = ckpt_version
     for v in versions:
@@ -113,16 +117,20 @@ def load_snapshot(
             break
         for action in _read_commit(table_path, v):
             if "add" in action:
-                active[action["add"]["path"]] = action["add"].get("stats")
-                sizes[action["add"]["path"]] = action["add"].get("size", 0)
+                path = action["add"]["path"]
+                active[path] = action["add"].get("stats")
+                sizes[path] = action["add"].get("size", 0)
+                partitions[path] = action["add"].get("partitionValues") or {}
             elif "remove" in action:
                 active.pop(action["remove"]["path"], None)
                 sizes.pop(action["remove"]["path"], None)
+                partitions.pop(action["remove"]["path"], None)
             elif "metaData" in action:
                 schema = T.StructType.fromJson(
                     json.loads(action["metaData"]["schemaString"])
                 )
                 meta_id = action["metaData"].get("id")
+                part_cols = action["metaData"].get("partitionColumns") or []
             elif "commitInfo" in action:
                 commit_ts[v] = action["commitInfo"].get("timestamp", 0)
     return DeltaSnapshot(
@@ -134,6 +142,8 @@ def load_snapshot(
         file_stats=dict(active),
         file_sizes=sizes,
         metadata_id=meta_id,
+        partition_columns=part_cols,
+        file_partitions=partitions,
     )
 
 
@@ -142,13 +152,52 @@ def read_delta(
     table_path: str,
     version: int | None = None,
     timestamp: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Snapshot → DataFrame. The explicit schema makes the scan skip
-    footer inference, and empty snapshots yield a typed empty frame."""
+    footer inference, and empty snapshots yield a typed empty frame.
+
+    Partitioned tables: partition columns are not stored in the data
+    files (hive layout); they are reconstructed as literals per
+    partition group from ``add.partitionValues``. ``partition_filter``
+    (e.g. ``{"lang": "en"}``) prunes whole file groups from the log
+    BEFORE Spark ever sees a path — metadata-only partition pruning,
+    the same mechanism Delta uses.
+    """
     snap = load_snapshot(table_path, version=version, timestamp=timestamp)
-    if not snap.files:
-        return spark.createDataFrame([], snap.schema or T.StructType([]))
-    reader = spark.read
-    if snap.schema is not None:
-        reader = reader.schema(snap.schema)
-    return reader.parquet(*snap.files)
+    if not snap.partition_columns:
+        if not snap.files:
+            return spark.createDataFrame([], snap.schema or T.StructType([]))
+        reader = spark.read
+        if snap.schema is not None:
+            reader = reader.schema(snap.schema)
+        return reader.parquet(*snap.files)
+
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    pcols = snap.partition_columns
+    groups: dict[tuple, list[str]] = {}
+    for path in snap.files:
+        pv = snap.file_partitions.get(path, {})
+        if partition_filter and any(
+            pv.get(k) != (None if v is None else str(v))
+            for k, v in partition_filter.items()
+        ):
+            continue
+        groups.setdefault(tuple(pv.get(c) for c in pcols), []).append(path)
+
+    schema = snap.schema or T.StructType([])
+    data_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
+    if not groups:
+        return spark.createDataFrame([], schema)
+    parts = []
+    for pv, files in sorted(groups.items()):
+        df = spark.read.schema(data_schema).parquet(*files)
+        for col, val in zip(pcols, pv):
+            dtype = schema[col].dataType if col in schema.fieldNames() else T.StringType()
+            df = df.withColumn(col, F.lit(val).cast(dtype))
+        parts.append(df)
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    return out.select(*schema.fieldNames()) if schema.fields else out

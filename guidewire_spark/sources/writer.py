@@ -39,30 +39,97 @@ from guidewire_spark.sources.fs import list_parquet_files
 from guidewire_spark.sources.snapshot import load_snapshot
 
 
-def _stage_files(df: DataFrame, table_path: str) -> list:
+def _stage_files(
+    df: DataFrame, table_path: str, partition_by: list[str] | None = None
+) -> tuple[list, str]:
     """Physically write df as parquet into a per-commit subdirectory of
-    the table (unique name → concurrent commits never collide)."""
+    the table (unique name → concurrent commits never collide).
+    Returns (files, commit_dir); partitioned writes walk the hive-style
+    ``col=value`` tree."""
     commit_dir = os.path.join(table_path, f"data-{uuid.uuid4().hex[:12]}")
-    df.write.mode("overwrite").parquet(commit_dir)
-    return list_parquet_files(commit_dir)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(commit_dir)
+    if not partition_by:
+        return list_parquet_files(commit_dir), commit_dir
+    from guidewire_spark.sources.fs import FileMeta
+
+    out = []
+    for root, _dirs, names in os.walk(commit_dir):
+        for name in names:
+            if name.endswith(".parquet") and not name.startswith("."):
+                full = os.path.join(root, name)
+                st = os.stat(full)
+                if st.st_size > 0:
+                    out.append(
+                        FileMeta(
+                            path=os.path.abspath(full),
+                            size=st.st_size,
+                            modification_time=int(st.st_mtime * 1000),
+                        )
+                    )
+    return out, commit_dir
 
 
-def write_delta(df: DataFrame, table_path: str, mode: str = "append") -> int:
-    """Write a DataFrame as a new Delta version; returns the version."""
+def _partition_values(
+    path: str, commit_dir: str, partition_by: list[str]
+) -> dict[str, str | None]:
+    """Recover hive-style partition values from a staged file path."""
+    from urllib.parse import unquote
+
+    values: dict[str, str | None] = {}
+    rel = os.path.relpath(path, commit_dir)
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            values[k] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            )
+    return {c: values.get(c) for c in partition_by}
+
+
+def write_delta(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write a DataFrame as a new Delta version; returns the version.
+
+    ``partition_by`` writes hive-layout files and records each file's
+    ``partitionValues`` in its add action (standard Delta), enabling
+    metadata-only partition pruning at read time — at 100 TB the
+    difference between listing a day and scanning a year.
+    """
     mode = mode.lower()
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r} not supported (append|overwrite)")
-    files = _stage_files(df, table_path)
-    now = int(time.time() * 1000)
     prev = last_version(table_path)
+    if prev is not None and partition_by:
+        existing = load_snapshot(table_path).partition_columns
+        if existing != partition_by:
+            raise ValueError(
+                f"partition_by {partition_by} != table's {existing}"
+            )
+    files, commit_dir = _stage_files(df, table_path, partition_by)
+    now = int(time.time() * 1000)
     actions: list[dict] = []
     if prev is None:
         actions.append(protocol_action())
-        actions.append(metadata_action(df.schema, created_time=now))
+        actions.append(
+            metadata_action(
+                df.schema, partition_columns=partition_by, created_time=now
+            )
+        )
         version, op_mode, blind = 0, "Overwrite" if mode == "overwrite" else "Append", False
     elif mode == "overwrite":
         snap = load_snapshot(table_path)
-        actions.append(metadata_action(df.schema, created_time=now))
+        actions.append(
+            metadata_action(
+                df.schema, partition_columns=partition_by, created_time=now
+            )
+        )
         actions.extend(remove_action(p, now) for p in snap.files)
         version, op_mode, blind = prev + 1, "Overwrite", False
     else:
@@ -70,7 +137,17 @@ def write_delta(df: DataFrame, table_path: str, mode: str = "append") -> int:
     from guidewire_spark.sources.stats import footer_stats
 
     actions.extend(
-        add_action(f.path, f.size, f.modification_time, stats=footer_stats(f.path))
+        add_action(
+            f.path,
+            f.size,
+            f.modification_time,
+            stats=footer_stats(f.path),
+            partition_values=(
+                _partition_values(f.path, commit_dir, partition_by)
+                if partition_by
+                else None
+            ),
+        )
         for f in files
     )
     actions.append(
@@ -94,11 +171,16 @@ def optimize_table(
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to optimize at {table_path}")
+    if snap.partition_columns:
+        raise NotImplementedError(
+            "per-partition OPTIMIZE not implemented; compact each "
+            "partition's files separately"
+        )
     reader = spark.read
     if snap.schema is not None:
         reader = reader.schema(snap.schema)
     df = reader.parquet(*snap.files).coalesce(target_files)
-    files = _stage_files(df, table_path)
+    files, _ = _stage_files(df, table_path)
     now = int(time.time() * 1000)
     actions = [remove_action(p, now) for p in snap.files]
     actions += [add_action(f.path, f.size, f.modification_time) for f in files]
@@ -137,6 +219,11 @@ def merge_into(
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to merge into at {table_path}")
+    if snap.partition_columns:
+        raise NotImplementedError(
+            "MERGE into a partitioned table not implemented; partition "
+            "columns are not materialized in the data files"
+        )
 
     from pyspark.sql import functions as F
 
@@ -154,7 +241,7 @@ def merge_into(
         merged = kept.unionByName(source.select(*target.columns))
     else:
         merged = source
-    files = _stage_files(merged, table_path)
+    files, _ = _stage_files(merged, table_path)
 
     from guidewire_spark.sources.stats import footer_stats
 
@@ -183,12 +270,24 @@ def restore_table(table_path: str, version: int) -> int:
     now = int(time.time() * 1000)
     actions: list[dict] = []
     if old.schema is not None:
-        actions.append(metadata_action(old.schema, created_time=now))
+        actions.append(
+            metadata_action(
+                old.schema,
+                partition_columns=old.partition_columns,
+                created_time=now,
+            )
+        )
     actions.extend(
         remove_action(p, now) for p in cur.files if p not in set(old.files)
     )
     actions.extend(
-        add_action(p, old.file_sizes.get(p, 0), now, stats=old.file_stats.get(p))
+        add_action(
+            p,
+            old.file_sizes.get(p, 0),
+            now,
+            stats=old.file_stats.get(p),
+            partition_values=old.file_partitions.get(p),
+        )
         for p in old.files
         if p not in set(cur.files)
     )

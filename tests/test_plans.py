@@ -122,3 +122,72 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 
     plan = plan_of(topk_global(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # no global sort for a bounded k
+
+
+def test_sql_q3_broadcasts_dims_and_pushes_filters(spark, sf_dir):
+    """The SQL front end must land on the same physical shapes as the
+    DataFrame API: customer (dim-sized after filter) broadcast, date
+    filters pushed into the scans, top-k as TakeOrderedAndProject."""
+    from guidewire_spark.operators.sql_suite import sql_q3_shipping_priority
+
+    df = sql_q3_shipping_priority(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan
+    assert "TakeOrderedAndProject" in plan
+    # the mktsegment filter reaches the customer scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_tfidf_broadcasts_token_dimension(spark, sf_dir):
+    """df (token dimension) and the N-scalar must broadcast onto tf —
+    no sort-merge join in the TF-IDF plan."""
+    from guidewire_spark.operators.training import text_tfidf_topk
+
+    plan = plan_of(text_tfidf_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_contamination_broadcasts_benchmark_set(spark, sf_dir):
+    from guidewire_spark.operators.training import contamination_ngram_overlap
+
+    plan = plan_of(contamination_ngram_overlap(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    """The packing window partitions by source — a global (empty
+    partition spec) window would serialize the corpus through one
+    task."""
+    from guidewire_spark.operators.training import pack_sequences
+
+    plan = plan_of(pack_sequences(spark, sf_dir))
+    assert "Window" in plan
+    win_line = next(l for l in plan.splitlines() if "windowspecdefinition" in l)
+    assert "source" in win_line
+
+
+def test_split_and_filter_are_shuffle_free(spark, sf_dir):
+    """Pure-projection operators must not introduce an Exchange."""
+    from guidewire_spark.operators.training import (
+        quality_filter_pipeline,
+        split_train_val_test,
+    )
+
+    for fn in (split_train_val_test, quality_filter_pipeline):
+        plan = plan_of(fn(spark, sf_dir))
+        tree = plan.split("== Physical Plan ==")[1]
+        assert "Exchange" not in tree, fn.__name__
+
+
+def test_minhash_single_corpus_pass(spark, sf_dir):
+    """The MinHash pipeline must scan documents exactly once (the
+    bucketed pair generation replaced a self-join that scanned — and
+    shingled — the corpus twice)."""
+    from guidewire_spark.operators.llm import dedup_minhash_lsh
+
+    plan = plan_of(dedup_minhash_lsh(spark, sf_dir))
+    # formatted explain names each node twice (tree + details section):
+    # one scan node ⇒ exactly 2 mentions; the old self-join had 4.
+    assert plan.count("Scan parquet") == 2

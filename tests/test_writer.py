@@ -181,3 +181,56 @@ def test_restore_and_history(spark, sf_dir, tmp_path):
     assert read_delta(spark, table, version=1).count() == n.count()
     ops = [h["operation"] for h in table_history(table)]
     assert ops == ["RESTORE", "WRITE", "WRITE"]
+
+
+def test_partitioned_write_read_prune(spark, sf_dir, tmp_path):
+    """Partitioned Delta: hive-layout staging, partitionValues in the
+    log, partition-column reconstruction on read, metadata-only
+    pruning via partition_filter."""
+    from guidewire_spark.sources.writer import write_delta
+
+    table = str(tmp_path / "part_docs")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_delta(d, table, mode="append", partition_by=["lang"])
+    snap = load_snapshot(table)
+    assert snap.partition_columns == ["lang"]
+    langs = {r.lang for r in d.select("lang").distinct().collect()}
+    assert {pv["lang"] for pv in snap.file_partitions.values()} == langs
+
+    # full read reconstructs the partition column with correct values
+    got = read_delta(spark, table)
+    assert set(got.columns) == {"doc_id", "lang", "n_chars"}
+    assert got.count() == d.count()
+    assert {
+        (r.doc_id, r.lang) for r in got.collect()
+    } == {(r.doc_id, r.lang) for r in d.collect()}
+
+    # partition_filter prunes files before Spark sees them
+    en = read_delta(spark, table, partition_filter={"lang": "en"})
+    assert en.count() == d.where(F.col("lang") == "en").count()
+    en_files = [
+        p for p, pv in snap.file_partitions.items() if pv["lang"] == "en"
+    ]
+    scanned = en.inputFiles()
+    assert set(scanned) <= {f"file://{p}" for p in en_files} | set(en_files)
+
+    # appends must keep the same partitioning
+    with pytest.raises(ValueError):
+        write_delta(d, table, mode="append", partition_by=["source"])
+
+
+def test_partitioned_checkpoint_roundtrip(spark, sf_dir, tmp_path):
+    from guidewire_spark.sources.log_checkpoint import write_log_checkpoint
+    from guidewire_spark.sources.writer import write_delta
+
+    table = str(tmp_path / "part_ckpt")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    write_delta(d, table, mode="append", partition_by=["lang"])
+    full = load_snapshot(table)
+    write_log_checkpoint(table)
+    seeded = load_snapshot(table)
+    assert seeded.partition_columns == full.partition_columns
+    assert seeded.file_partitions == full.file_partitions
+    assert read_delta(spark, table).count() == d.count()
