@@ -31,6 +31,9 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "text_fingerprint",
     "cda_index_roundtrip",
+    "sql_q3_shipping_priority",
+    "text_tfidf_topk",
+    "delta_partitioned_scan",
 ]
 
 

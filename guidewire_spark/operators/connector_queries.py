@@ -346,6 +346,27 @@ def delta_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_optimize_zorder",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice FROM orders
+    """,
+)
+def delta_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE with zorder_by clustering: rows identical after the
+    rewrite, and each compacted file covers a disjoint o_orderkey
+    range so add.stats-based skipping prunes range queries (asserted
+    in test_zorder_optimize_tightens_skipping)."""
+    table = tempfile.mkdtemp(prefix="gw_dzord_") + "/orders_delta"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("totalprice")
+    )
+    for i in range(4):
+        write_delta(o.where(F.col("o_orderkey") % 4 == i), table, mode="append")
+    optimize_table(spark, table, target_files=4, zorder_by=["o_orderkey"])
+    return read_delta(spark, table)
+
+
+@query(
     "delta_optimize_roundtrip",
     oracle="""
     SELECT n_nationkey, n_name FROM nation

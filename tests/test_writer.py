@@ -234,3 +234,26 @@ def test_partitioned_checkpoint_roundtrip(spark, sf_dir, tmp_path):
     assert seeded.partition_columns == full.partition_columns
     assert seeded.file_partitions == full.file_partitions
     assert read_delta(spark, table).count() == d.count()
+
+
+def test_zorder_optimize_tightens_skipping(spark, sf_dir, tmp_path):
+    """OPTIMIZE zorder_by: after range-clustering on the key, each file
+    covers a disjoint key range, so a narrow range predicate prunes to
+    one file; pre-clustering, every file spans the full range and
+    nothing prunes."""
+    table = str(tmp_path / "zord")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # 4 hash-distributed commits: every file spans the whole key range.
+    for i in range(4):
+        write_delta(o.where(F.col("o_orderkey") % 4 == i), table, mode="append")
+    before = load_snapshot(table)
+    keys = [r.o_orderkey for r in o.select("o_orderkey").collect()]
+    lo, hi = min(keys), min(keys) + (max(keys) - min(keys)) // 20
+    assert len(before.pruned_files("o_orderkey", lo, hi)) == before.num_files
+
+    optimize_table(spark, table, target_files=4, zorder_by=["o_orderkey"])
+    after = load_snapshot(table)
+    assert after.num_files == 4
+    assert read_delta(spark, table).count() == o.count()
+    pruned = after.pruned_files("o_orderkey", lo, hi)
+    assert len(pruned) == 1  # the narrow range hits exactly one file
