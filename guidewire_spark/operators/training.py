@@ -173,11 +173,16 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document.
+    """Top-3 TF-IDF terms per document — ONE corpus pass.
 
-    tf is a (doc, token) aggregation; df a token aggregation whose
-    output is dimension-sized, so it broadcasts back onto tf. Ranking
-    uses the ROUNDED score with token tiebreak — float-order
+    tf is the (doc, token) aggregation; df comes from a count window
+    over tf partitioned by token (tf has exactly one row per
+    (doc, token), so the window count IS the document frequency).
+    That replaces a second scan+tokenize of the corpus with a shuffle
+    of the already-aggregated tf rows — at 100 TB the corpus read is
+    the expensive part, the tf table is orders of magnitude smaller.
+    N (total docs) is a parquet-metadata count, broadcast as a scalar.
+    Ranking uses the ROUNDED score with token tiebreak — float-order
     independent, so the top-3 set is deterministic across engines.
     """
     d = load_table(spark, sf_dir, "documents")
@@ -185,10 +190,10 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    df_w = Window.partitionBy("tok")
     n = d.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "tok")
+        tf.withColumn("df", F.count("*").over(df_w))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -130,6 +130,64 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def distinct_types_transform_with_state(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator on the Spark 4 ``transformWithState``
+    API: per-user running (distinct event-type count, event count) —
+    incremental distinct tracking a built-in streaming agg can't do
+    without re-shuffling history.
+
+    State: a MapState keyed by event_type (presence set) + a ValueState
+    event counter, both in the RocksDB state store; TTL-able per state
+    for churning keys. Emits one row per user per micro-batch.
+
+    Runtime requirement: the transformWithState state-server protocol
+    needs ``google.protobuf`` on the Python workers (absent in this
+    container, so the covering test import-skips there); on a normal
+    Spark 4 deployment protobuf ships with pyspark[connect]. The
+    applyInPandasWithState twin (``running_user_totals``) has no such
+    dependency and is fully tested here.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DistinctTypes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.seen = handle.getMapState(
+                "seen", "event_type string", "one integer"
+            )
+            self.count = handle.getValueState("count", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = self.count.get()[0] if self.count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                for et in pdf["event_type"].unique():
+                    self.seen.updateValue((str(et),), (1,))
+            self.count.update((n,))
+            n_types = sum(1 for _ in self.seen.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_event_types": [n_types],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        DistinctTypes(),
+        outputStructType="user_id long, n_event_types long, n_events long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_to_memory(
     result: DataFrame, name: str, checkpoint_dir: str, mode: str = "append"
 ) -> None:

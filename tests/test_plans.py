@@ -139,14 +139,21 @@ def test_sql_q3_broadcasts_dims_and_pushes_filters(spark, sf_dir):
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
 
 
-def test_tfidf_broadcasts_token_dimension(spark, sf_dir):
-    """df (token dimension) and the N-scalar must broadcast onto tf —
-    no sort-merge join in the TF-IDF plan."""
+def test_tfidf_single_corpus_pass(spark, sf_dir):
+    """TF-IDF must scan/tokenize the corpus exactly once: df comes
+    from a window over the tf aggregate, not a second corpus
+    aggregation. The only join is the broadcast N-scalar; never a
+    sort-merge join. (documents is scanned twice in total: once for
+    tokens, once for the metadata-only N count.)"""
     from guidewire_spark.operators.training import text_tfidf_topk
 
     plan = plan_of(text_tfidf_topk(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # exactly one explode (Generate) node — tree + details mention each
+    # node twice; the old two-aggregation shape tokenized twice.
+    assert plan.count("Generate") == 2
+    # two scans total: tokens + the metadata-only N count
+    assert plan.count("Scan parquet") == 4
 
 
 def test_contamination_broadcasts_benchmark_set(spark, sf_dir):

@@ -141,3 +141,37 @@ def test_session_stream_runs(staged_events, tmp_path):
     # a sane subset.
     rows = spark.table("sessions_t").collect()
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_transform_with_state_distinct_types(staged_events, tmp_path):
+    """transformWithState (Spark 4 API): after draining, the latest
+    per-user emission equals the batch distinct-type/event counts.
+    Skipped where google.protobuf is unavailable (the state-server
+    protocol requires it on Python workers)."""
+    pytest.importorskip("google.protobuf")
+    spark, src, batch = staged_events
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = jobs.events_stream(spark, src)
+        result = jobs.distinct_types_transform_with_state(stream)
+        jobs.run_to_memory(
+            result, "tws_t", str(tmp_path / "ckpt6"), mode="update"
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    final = (
+        spark.table("tws_t")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_event_types")).alias("last"))
+        .select("user_id", "last.n_event_types", "last.n_events")
+    )
+    expected = batch.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.count("*").alias("n_events"),
+    )
+    got = {tuple(r) for r in final.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want
