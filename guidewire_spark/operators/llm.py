@@ -6,8 +6,8 @@ Scale design notes (100 TB posture):
 * exact dedup — hash-groupBy on ``sha2(text)``: shuffles 32-byte
   digests + doc ids, never the text payload.
 * minhash LSH — shingle → minhash signature → band buckets →
-  self-join on (band, bucket): candidate pairs only, never the O(n²)
-  cross join.
+  in-bucket pair expansion: candidate pairs only, never the O(n²)
+  cross join, and one single pass over the corpus.
 * brute-force cosine top-k — broadcast the (small) query set against
   the full corpus; the corpus side streams, nothing shuffles.
 * IVF-style ANN — assign each vector to its nearest of K centroid
@@ -159,15 +159,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     any band bucket. Depends on Spark's xxhash64 → no SQL oracle
     (rows-only); the verified Jaccard twin is dedup_ngram_jaccard.
 
-    Scale shape: ONE pass over the corpus. Shingle ids are an array
-    column; each permutation minimum is an array-local
-    ``array_min(transform(...))`` — no explode, no signature shuffle
-    (measured ~1.7× faster than the explode+groupBy formulation, which
-    shuffles partial minima per (partition, doc)). Pairs come from
-    groupBy (band, bucket) + in-bucket combination expansion instead of
-    a self-join, which would re-execute the whole signature pipeline
-    for both join sides; the only shuffle carries tiny
-    (band, bucket, doc_id) rows.
+    Scale shape: ONE pass over the corpus. Each word is hashed ONCE
+    (xxhash64, mod-reduced into 31 bits); a 3-word shingle id is then
+    the arithmetic combination of three word hashes — ~3× cheaper than
+    materializing shingle strings and hashing each (no concat, no
+    per-shingle string hash). Shingle ids are an array column; each
+    permutation minimum is an array-local ``array_min(transform(...))``
+    — no explode, no signature shuffle (measured ~1.7× faster than the
+    explode+groupBy formulation, which shuffles partial minima per
+    (partition, doc)). Pairs come from groupBy (band, bucket) +
+    in-bucket combination expansion instead of a self-join, which
+    would re-execute the whole signature pipeline for both join sides;
+    the only shuffle carries tiny (band, bucket, doc_id) rows.
     """
     import random
 
@@ -184,17 +187,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sids = F.array_distinct(
-        F.transform(
-            T.word_shingles(F.col("text"), 3),
-            lambda s: (F.xxhash64(s) % p + p) % p,
+    hw = F.transform(T.words(F.col("text")), lambda w: (F.xxhash64(w) % p + p) % p)
+
+    def shingle_ids(col):
+        n = F.size(col)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+                lambda i: (
+                    (F.element_at(col, i) * 31 + F.element_at(col, i + 1)) % p * 31
+                    + F.element_at(col, i + 2)
+                )
+                % p,
+            )
         )
-    )
 
     def perm_min(col, a, b):
         return F.array_min(F.transform(col, lambda s: (s * a + b) % p))
 
-    minhashes = d.select("doc_id", sids.alias("sids")).select(
+    minhashes = d.select("doc_id", hw.alias("hw")).select(
+        "doc_id", shingle_ids(F.col("hw")).alias("sids")
+    ).select(
         "doc_id",
         *[
             perm_min(F.col("sids"), a, b).alias(f"mh_{i}")
@@ -385,11 +398,15 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbor.
 
     Coarse quantizer: 8 centroids seeded deterministically from the
-    corpus (vec_id % 8 == 0 seeds, one k-means-like refinement pass via
-    applyInPandas-free DataFrame math). Each vector is assigned to its
-    nearest centroid (the inverted list); queries probe only their own
-    cell, cutting the scan by ~8× (at 100 TB: by n_cells×).
-    Rows-only: the cell boundaries are approximation details.
+    corpus (vec_id % 64 == 0 seeds) and refined with ONE Lloyd
+    iteration in pure DataFrame math — assign, then element-wise mean
+    per cell via posexplode → (cell, dim) average → re-assembled and
+    re-normalized centroid arrays. Each vector joins its nearest
+    centroid (the inverted list); queries probe only their own cell,
+    cutting the scan by ~8× (at 100 TB: by n_cells×; the Lloyd step's
+    final shuffle is (cells × dims) rows — centroid-sized, not
+    corpus-sized, after partial aggregation). Rows-only: the cell
+    boundaries are approximation details.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.normalize(F.col("embedding")).alias("u")
@@ -399,16 +416,39 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cent_id"), F.col("u").alias("cu"))
         .limit(8)
     )
-    assigned = (
-        e.join(F.broadcast(cents))
-        .select("vec_id", "u", "cent_id", V.dot(F.col("u"), F.col("cu")).alias("sim"))
+
+    def assign(points, centroids):
+        scored = points.join(F.broadcast(centroids)).select(
+            "vec_id", "u", "cent_id", V.dot(F.col("u"), F.col("cu")).alias("sim")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("sim").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "u", F.col("cent_id").alias("cell"))
+        )
+
+    # One Lloyd refinement: per-cell element-wise mean -> new centroids.
+    first = assign(e, cents)
+    dims = first.select("cell", F.posexplode(F.col("u")).alias("dim", "val"))
+    refined = (
+        dims.groupBy("cell", "dim")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("mean_vec")
+        )
+        .select(
+            F.col("cell").alias("cent_id"),
+            V.normalize(F.col("mean_vec")).alias("cu"),
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id"))
-    cells = (
-        assigned.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "u", F.col("cent_id").alias("cell"))
-    )
+    cells = assign(e, refined)
     queries = cells.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("qu"), F.col("cell")
     )

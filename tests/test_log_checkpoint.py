@@ -15,6 +15,7 @@ from guidewire_spark.sources.deltalog import (
     delta_log_dir,
     metadata_action,
     protocol_action,
+    remove_action,
     write_commit,
 )
 from guidewire_spark.sources.indexer import Batch, commit_batches
@@ -138,3 +139,70 @@ def test_stale_marker_falls_back_to_full_replay(tmp_path):
 def test_missing_table_still_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         load_snapshot(str(tmp_path / "nope"))
+
+
+# ---------------------------------------------------------------------------
+# Property-based: random commit histories with checkpoints interleaved
+# must replay to exactly the reference model's file set.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# op per step: ("append", [files]) | ("overwrite", [files]) | ("ckpt",)
+_step = st.one_of(
+    st.tuples(
+        st.just("append"),
+        st.lists(st.integers(0, 30), min_size=1, max_size=3, unique=True),
+    ),
+    st.tuples(
+        st.just("overwrite"),
+        st.lists(st.integers(0, 30), min_size=1, max_size=3, unique=True),
+    ),
+    st.tuples(st.just("ckpt")),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_step, min_size=1, max_size=12))
+def test_random_histories_replay_to_model(tmp_path_factory, steps):
+    tmp = tmp_path_factory.mktemp("prop")
+    table = str(tmp / "t")
+    model: set[str] = set()
+    version = -1
+    fileno = 0
+    wrote_meta = False
+    for step in steps:
+        if step[0] == "ckpt":
+            if version >= 0:
+                write_log_checkpoint(table)
+            continue
+        op, ids = step
+        # unique physical names per commit (a real writer never reuses)
+        paths = [f"/data/s{fileno}_{i}.parquet" for i in ids]
+        fileno += 1
+        version += 1
+        actions = []
+        if not wrote_meta:
+            actions += [protocol_action(), metadata_action(SCHEMA, created_time=1)]
+            wrote_meta = True
+        if op == "overwrite":
+            actions += [remove_action(p, 1) for p in sorted(model)]
+            actions += [add_action(p, 10, 1) for p in paths]
+            actions.append(
+                commit_info_action("WRITE", "Overwrite", False, len(paths), 10, 1)
+            )
+            model = set(paths)
+        else:
+            actions += [add_action(p, 10, 1) for p in paths]
+            actions.append(
+                commit_info_action("WRITE", "Append", True, len(paths), 10, 1)
+            )
+            model |= set(paths)
+        write_commit(table, version, actions)
+    if version < 0:
+        return  # only checkpoints drawn; nothing to verify
+    snap = load_snapshot(table)
+    assert snap.version == version
+    assert set(snap.files) == model
+    assert snap.schema == SCHEMA
