@@ -105,6 +105,58 @@ def sql_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_correlated_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    """,
+)
+def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries — Catalyst rewrites
+    them to left-semi and left-anti joins (the decorrelation path)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        """
+    )
+
+
+@query(
+    "sql_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a predicate — executed once,
+    broadcast as a literal into the scan filter."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
     "sql_q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,

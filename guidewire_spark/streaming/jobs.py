@@ -208,6 +208,49 @@ def run_to_memory(
         q.stop()
 
 
+def run_merge_stream(
+    updates: DataFrame, table_path: str, on: str, checkpoint_dir: str
+) -> None:
+    """CDC-apply: stream of upserts merged into a Delta table per
+    micro-batch via foreachBatch + the file-pruned MERGE.
+
+    Each micro-batch is deduplicated to the latest row per key (a CDC
+    feed can carry several updates for one key in a batch — MERGE
+    requires unique keys), then merge_into rewrites only the files
+    whose stats-range overlaps the batch's keys. checkpointLocation
+    makes the sink effectively exactly-once: a replayed batch merges
+    idempotently (same keys → same rewrite).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from guidewire_spark.sources.writer import merge_into
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        w = Window.partitionBy(on).orderBy(
+            F.monotonically_increasing_id().desc()
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        merge_into(batch_df.sparkSession, table_path, latest, on=on)
+
+    q = (
+        updates.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_to_parquet(
     result: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:

@@ -175,3 +175,47 @@ def test_transform_with_state_distinct_types(staged_events, tmp_path):
     got = {tuple(r) for r in final.collect()}
     want = {tuple(r) for r in expected.collect()}
     assert got == want
+
+
+def test_merge_stream_cdc_apply(staged_events, tmp_path):
+    """foreachBatch CDC-apply: a stream of per-user updates merged into
+    a Delta base table; the final table equals base upserted with the
+    latest update per key."""
+    from guidewire_spark.sources.snapshot import read_delta
+    from guidewire_spark.sources.writer import write_delta
+
+    spark, src, batch = staged_events
+    table = str(tmp_path / "cdc_base")
+    base = batch.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.lit("base").alias("origin")
+    )
+    write_delta(base, table, mode="append")
+
+    # Updates: half the users get a new row (plus some brand-new keys).
+    updates = base.where(F.col("user_id") % 2 == 0).select(
+        "user_id", (F.col("n") * 10).alias("n"), F.lit("upd").alias("origin")
+    ).unionByName(
+        base.select(
+            (F.col("user_id") + 100000).alias("user_id"),
+            F.lit(1).alias("n"),
+            F.lit("new").alias("origin"),
+        ).limit(3)
+    )
+    upd_src = str(tmp_path / "upd_src")
+    updates.repartition(2).write.parquet(upd_src)
+    stream = (
+        spark.readStream.schema("user_id long, n long, origin string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(upd_src)
+    )
+    jobs.run_merge_stream(stream, table, on="user_id", checkpoint_dir=str(tmp_path / "ckpt7"))
+
+    got = read_delta(spark, table)
+    n_base = base.count()
+    assert got.count() == n_base + 3
+    # every even user got the update, odd users kept base rows
+    assert got.where((F.col("user_id") % 2 == 0) & (F.col("user_id") < 100000)
+                     & (F.col("origin") != "upd")).count() == 0
+    assert got.where((F.col("user_id") % 2 == 1) & (F.col("user_id") < 100000)
+                     & (F.col("origin") != "base")).count() == 0
+    assert got.where(F.col("origin") == "new").count() == 3
