@@ -625,6 +625,51 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_frame_sample")  # python-side pipeline → rows-only
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video-like payloads: one input row fans out
+    to N frame rows (uniform stride over the byte stream), each with a
+    fixed-shape feature vector — the one-to-many mapInPandas shape a
+    video pipeline needs (decode is a deterministic fake; no codecs in
+    this container — the Spark contract is real: Arrow batches in,
+    exploded typed rows out, partition-parallel).
+
+    At 100 TB: payloads stay in executor-local Arrow batches; the fan-
+    out multiplies rows, not bytes (features only), so the shuffle
+    after sampling carries frames' features, never the source media.
+    """
+    import pandas as pd
+
+    n_frames = 4
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def sample_frames(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "feature": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                stride = max(len(buf) // n_frames, 1)
+                for i in range(n_frames):
+                    off = min(i * stride, max(len(buf) - 1, 0))
+                    window = buf[off : off + 64]
+                    # fake per-frame feature: 4-bin histogram of the window
+                    hist = [0, 0, 0, 0]
+                    for b in window:
+                        hist[b >> 6] += 1
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["feature"].append(hist)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        sample_frames,
+        "doc_id long, frame_idx int, frame_offset long, feature array<int>",
+    )
+
+
 @query("multimodal_decode_stub")  # python-side pipeline → rows-only
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched multimodal decode/feature-extract pipeline.

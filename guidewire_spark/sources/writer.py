@@ -172,13 +172,12 @@ def optimize_table(
     streaming readers are not re-triggered. Returns the new version.
 
     ``zorder_by`` clusters rows by the given column(s) while
-    compacting (range-partition + sort-within-partition): each output
-    file then covers a narrow, disjoint range of the clustering key,
-    so its ``add.stats`` min/max become tight and point/range
-    predicates skip most files — the effect OPTIMIZE ZORDER BY has in
-    Delta. (True multi-column Z-ordering interleaves key bits; for the
-    single-key and prefix-dominant cases this range-cluster gives the
-    same skipping behavior with no custom codec.)
+    compacting: one column → exact range clustering; several → a true
+    Morton (bit-interleaved) Z-order over quantile-bucketed dimensions
+    (``sources/zorder.py``), so each output file covers a compact
+    hyper-rectangle and ``add.stats`` min/max are tight on EVERY
+    clustered column — range predicates on any of them skip most
+    files, the effect OPTIMIZE ZORDER BY has in Delta.
     """
     snap = load_snapshot(table_path)
     if not snap.files:
@@ -193,9 +192,9 @@ def optimize_table(
         reader = reader.schema(snap.schema)
     df = reader.parquet(*snap.files)
     if zorder_by:
-        df = df.repartitionByRange(target_files, *zorder_by).sortWithinPartitions(
-            *zorder_by
-        )
+        from guidewire_spark.sources.zorder import cluster_by_zorder
+
+        df = cluster_by_zorder(df, zorder_by, target_files)
     else:
         df = df.coalesce(target_files)
     files, _ = _stage_files(df, table_path)

@@ -257,3 +257,32 @@ def test_zorder_optimize_tightens_skipping(spark, sf_dir, tmp_path):
     assert read_delta(spark, table).count() == o.count()
     pruned = after.pruned_files("o_orderkey", lo, hi)
     assert len(pruned) == 1  # the narrow range hits exactly one file
+
+
+def test_zorder_multicolumn_prunes_both_dims(spark, sf_dir, tmp_path):
+    """Morton Z-order over two columns: after clustering, a narrow
+    range on EITHER column prunes well below the full file count
+    (single-column range clustering only helps the leading column)."""
+    table = str(tmp_path / "zord2")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    for i in range(4):
+        write_delta(o.where(F.col("o_orderkey") % 4 == i), table, mode="append")
+    optimize_table(
+        spark, table, target_files=16, zorder_by=["o_orderkey", "o_totalprice"]
+    )
+    snap = load_snapshot(table)
+    assert snap.num_files == 16
+    assert read_delta(spark, table).count() == o.count()
+
+    stats = o.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).collect()[0]
+    k_lo, k_hi = stats[0], stats[0] + (stats[1] - stats[0]) // 16
+    p_lo, p_hi = stats[2], stats[2] + (stats[3] - stats[2]) / 16
+    kept_key = snap.pruned_files("o_orderkey", k_lo, k_hi)
+    kept_price = snap.pruned_files("o_totalprice", p_lo, p_hi)
+    assert len(kept_key) <= 8, f"key-range kept {len(kept_key)}/16"
+    assert len(kept_price) <= 8, f"price-range kept {len(kept_price)}/16"
