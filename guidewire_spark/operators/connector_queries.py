@@ -346,6 +346,51 @@ def delta_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_schema_merge_append",
+    oracle="""
+    SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS r_population
+    FROM region
+    UNION ALL
+    SELECT r_regionkey, r_name, r_regionkey * 1000 AS r_population
+    FROM region
+    """,
+)
+def delta_schema_merge_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution (mergeSchema): append a new column
+    without rewriting old files; the pre-evolution rows read the new
+    column as null."""
+    table = tempfile.mkdtemp(prefix="gw_dsm_") + "/region_delta"
+    r = load_table(spark, sf_dir, "region")
+    write_delta(r, table, mode="append")
+    write_delta(
+        r.withColumn("r_population", F.col("r_regionkey").cast("long") * 1000),
+        table,
+        mode="append",
+        merge_schema=True,
+    )
+    return read_delta(spark, table)
+
+
+@query(
+    "delta_metadata_count",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier
+    """,
+)
+def delta_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) answered purely from add.stats numRecords — no data
+    file opened (snapshot.metadata_count); the oracle scans."""
+    table = tempfile.mkdtemp(prefix="gw_dmc_") + "/supplier_delta"
+    s = load_table(spark, sf_dir, "supplier")
+    write_delta(s, table, mode="append")
+    from guidewire_spark.sources.snapshot import load_snapshot
+
+    n = load_snapshot(table).metadata_count()
+    assert n is not None
+    return spark.createDataFrame([(n,)], "n long")
+
+
+@query(
     "delta_optimize_zorder",
     oracle="""
     SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice FROM orders

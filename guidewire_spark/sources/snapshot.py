@@ -37,6 +37,25 @@ class DeltaSnapshot:
     def num_files(self) -> int:
         return len(self.files)
 
+    def metadata_count(self) -> int | None:
+        """COUNT(*) answered from add.stats alone — no file is opened.
+        Returns None when any live file lacks numRecords (the count
+        must then fall back to a scan; never guess). At 100 TB this is
+        the difference between instant and a full-table scan — the
+        same metadata-only count optimization Delta performs."""
+        total = 0
+        import json as _json
+
+        for path in self.files:
+            raw = self.file_stats.get(path)
+            if not raw:
+                return None
+            n = _json.loads(raw).get("numRecords")
+            if n is None:
+                return None
+            total += n
+        return total
+
     def pruned_files(self, column: str, lo=None, hi=None) -> list[str]:
         """Data skipping: files that may contain rows with
         ``lo <= column <= hi`` per their ``add.stats`` (files without

@@ -89,11 +89,32 @@ def _partition_values(
     return {c: values.get(c) for c in partition_by}
 
 
+def _merged_schema(old, new):
+    """Additive schema merge (Delta mergeSchema semantics): new fields
+    append after existing ones; shared fields must agree on type."""
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f for f in old.fields}
+    for f in new.fields:
+        if f.name in by_name:
+            if by_name[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"column {f.name!r}: {by_name[f.name].dataType} != {f.dataType}"
+                )
+        else:
+            by_name[f.name] = f
+    ordered = [f.name for f in old.fields] + [
+        f.name for f in new.fields if f.name not in {g.name for g in old.fields}
+    ]
+    return T.StructType([by_name[n] for n in ordered])
+
+
 def write_delta(
     df: DataFrame,
     table_path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Write a DataFrame as a new Delta version; returns the version.
 
@@ -101,6 +122,13 @@ def write_delta(
     ``partitionValues`` in its add action (standard Delta), enabling
     metadata-only partition pruning at read time — at 100 TB the
     difference between listing a day and scanning a year.
+
+    ``merge_schema`` (append only): additive schema evolution — new
+    columns join the table schema via a metaData action; old files are
+    NOT rewritten (the explicit-schema read fills their missing
+    columns with null), exactly Delta's mergeSchema behavior and the
+    additive complement of the connector's fingerprint-overwrite
+    evolution (P10).
     """
     mode = mode.lower()
     if mode not in ("append", "overwrite"):
@@ -133,7 +161,37 @@ def write_delta(
         actions.extend(remove_action(p, now) for p in snap.files)
         version, op_mode, blind = prev + 1, "Overwrite", False
     else:
-        version, op_mode, blind = prev + 1, "Append", True
+        snap = load_snapshot(table_path)
+        if snap.schema is not None and snap.schema != df.schema:
+            if not merge_schema:
+                missing = {f.name for f in snap.schema.fields} - {
+                    f.name for f in df.schema.fields
+                }
+                extra = {f.name for f in df.schema.fields} - {
+                    f.name for f in snap.schema.fields
+                }
+                if extra or any(
+                    f.name not in missing
+                    and snap.schema[f.name].dataType != f.dataType
+                    for f in df.schema.fields
+                    if f.name in {g.name for g in snap.schema.fields}
+                ):
+                    raise ValueError(
+                        f"schema mismatch on append (extra={sorted(extra)}); "
+                        "pass merge_schema=True for additive evolution"
+                    )
+            else:
+                merged = _merged_schema(snap.schema, df.schema)
+                if merged != snap.schema:
+                    actions.append(
+                        metadata_action(
+                            merged,
+                            partition_columns=snap.partition_columns or None,
+                            created_time=now,
+                        )
+                    )
+        # a schema-evolving commit is not a blind append
+        version, op_mode, blind = prev + 1, "Append", not actions
     from guidewire_spark.sources.stats import footer_stats
 
     actions.extend(

@@ -286,3 +286,39 @@ def test_zorder_multicolumn_prunes_both_dims(spark, sf_dir, tmp_path):
     kept_price = snap.pruned_files("o_totalprice", p_lo, p_hi)
     assert len(kept_key) <= 8, f"key-range kept {len(kept_key)}/16"
     assert len(kept_price) <= 8, f"price-range kept {len(kept_price)}/16"
+
+
+def test_merge_schema_additive_append(spark, sf_dir, tmp_path):
+    """mergeSchema append: a new column joins the table schema via
+    metaData; old files are never rewritten — their missing column
+    reads as null."""
+    table = str(tmp_path / "evolve")
+    r = load_table(spark, sf_dir, "region")
+    write_delta(r, table, mode="append")
+    files_before = set(load_snapshot(table).files)
+
+    extended = r.withColumn("r_population", F.col("r_regionkey") * 1000)
+    # without the flag: refuse
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_delta(extended, table, mode="append")
+    write_delta(extended, table, mode="append", merge_schema=True)
+
+    snap = load_snapshot(table)
+    assert files_before <= set(snap.files)  # old files untouched
+    assert [f.name for f in snap.schema.fields] == [
+        "r_regionkey", "r_name", "r_population",
+    ]
+    got = read_delta(spark, table)
+    assert got.count() == r.count() * 2
+    # old files' rows read with null population, new files' with values
+    assert got.where(F.col("r_population").isNull()).count() == r.count()
+    assert got.where(F.col("r_population") == 0).count() == 1  # key 0 * 1000
+
+
+def test_metadata_only_count(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "metacount")
+    s = load_table(spark, sf_dir, "supplier")
+    write_delta(s, table, mode="append")
+    write_delta(s.limit(3), table, mode="append")
+    snap = load_snapshot(table)
+    assert snap.metadata_count() == s.count() + 3
