@@ -346,6 +346,46 @@ def delta_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_delete_rows",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 10 <> 3
+    """,
+)
+def delta_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE FROM ... WHERE: copy-on-write removal of matching rows;
+    only files containing matches are rewritten (three-way handling
+    asserted in test_delete_from_three_way_file_handling)."""
+    from guidewire_spark.sources.writer import delete_from
+
+    table = tempfile.mkdtemp(prefix="gw_ddel_") + "/supplier_delta"
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    write_delta(s, table, mode="append")
+    delete_from(spark, table, "s_suppkey % 10 = 3")
+    return read_delta(spark, table)
+
+
+@query(
+    "delta_change_feed",
+    oracle="""
+    SELECT n_nationkey, n_name, 'insert' AS _change_type,
+           CAST(CASE WHEN n_nationkey < 10 THEN 0 ELSE 1 END AS BIGINT)
+             AS _commit_version
+    FROM nation
+    """,
+)
+def delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed: two append commits read back as per-version
+    insert events with _change_type/_commit_version columns."""
+    from guidewire_spark.sources.snapshot import read_delta_changes
+
+    table = tempfile.mkdtemp(prefix="gw_dcdf_") + "/nation_delta"
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n.where(F.col("n_nationkey") < 10), table, mode="append")
+    write_delta(n.where(F.col("n_nationkey") >= 10), table, mode="append")
+    return read_delta_changes(spark, table, from_version=-1)
+
+
+@query(
     "delta_schema_merge_append",
     oracle="""
     SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS r_population

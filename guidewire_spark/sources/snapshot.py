@@ -166,6 +166,71 @@ def load_snapshot(
     )
 
 
+def read_delta_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed, file-granularity: every row added or removed
+    in versions (from_version, to_version], tagged ``_change_type``
+    ('insert' / 'delete') and ``_commit_version`` — what Delta's CDF
+    materializes when no fine-grained change files exist. A rewritten
+    row (OPTIMIZE/MERGE) appears as delete+insert; ``dataChange=false``
+    actions (pure compaction) are excluded, so OPTIMIZE emits no
+    changes — matching Delta, which doesn't re-trigger CDF consumers
+    on compaction.
+
+    This is the incremental-subscribe story (reference README.md:39-43)
+    without an always-on stream: consumers poll the log's version
+    counter and read exactly the delta.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    versions = [v for v in list_versions(table_path) if v > from_version]
+    if to_version is not None:
+        versions = [v for v in versions if v <= to_version]
+    snap = load_snapshot(table_path, version=from_version) if from_version >= 0 else None
+    schema = snap.schema if snap else None
+
+    frames = []
+    for v in versions:
+        for action in _read_commit(table_path, v):
+            if "add" in action and action["add"].get("dataChange", True):
+                frames.append((v, "insert", action["add"]["path"]))
+            elif "remove" in action and action["remove"].get("dataChange", True):
+                frames.append((v, "delete", action["remove"]["path"]))
+            elif "metaData" in action:
+                schema = T.StructType.fromJson(
+                    json.loads(action["metaData"]["schemaString"])
+                )
+
+    if not frames:
+        base = schema or T.StructType([])
+        out_schema = T.StructType(
+            list(base.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), True),
+                T.StructField("_commit_version", T.LongType(), True),
+            ]
+        )
+        return spark.createDataFrame([], out_schema)
+
+    dfs = []
+    for v, kind, path in frames:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        dfs.append(
+            reader.parquet(path)
+            .withColumn("_change_type", F.lit(kind))
+            .withColumn("_commit_version", F.lit(v).cast("long"))
+        )
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
 def read_delta(
     spark: SparkSession,
     table_path: str,

@@ -341,6 +341,77 @@ def merge_into(
     return version
 
 
+def delete_from(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    prune_column: str | None = None,
+    prune_lo=None,
+    prune_hi=None,
+) -> int:
+    """DELETE FROM ... WHERE ``predicate`` (SQL expression string).
+
+    Three-way file handling (Delta's own strategy):
+    * files whose stats DISPROVE any match (via the optional
+      ``prune_column`` range hint) are untouched — pure metadata,
+    * remaining candidate files are scanned; files with no matching
+      rows are also untouched,
+    * only files that actually contain matches are rewritten without
+      the matching rows (copy-on-write).
+    At 100 TB a targeted delete (GDPR erasure, bad-batch rollback)
+    rewrites a handful of files, never the table.
+    """
+    snap = load_snapshot(table_path)
+    if not snap.files:
+        raise ValueError(f"nothing to delete from at {table_path}")
+    if snap.partition_columns:
+        raise NotImplementedError(
+            "DELETE on a partitioned table not implemented"
+        )
+    candidates = (
+        snap.pruned_files(prune_column, prune_lo, prune_hi)
+        if prune_column
+        else list(snap.files)
+    )
+    from pyspark.sql import functions as F
+
+    reader = spark.read
+    if snap.schema is not None:
+        reader = reader.schema(snap.schema)
+
+    # Which candidate files actually contain matches? One pass with
+    # the file name attached; only those files get rewritten.
+    with_file = reader.parquet(*candidates).withColumn(
+        "__file", F.input_file_name()
+    )
+    hit_files = {
+        os.path.realpath(r["__file"].replace("file://", ""))
+        for r in with_file.where(predicate).select("__file").distinct().collect()
+    }
+    rewrite = [p for p in candidates if os.path.realpath(p) in hit_files]
+    if not rewrite:
+        raise ValueError("predicate matches no rows; nothing to delete")
+    survivors = reader.parquet(*rewrite).where(f"NOT ({predicate})")
+    files, _ = _stage_files(survivors, table_path)
+
+    from guidewire_spark.sources.stats import footer_stats
+
+    now = int(time.time() * 1000)
+    actions = [remove_action(p, now) for p in rewrite]
+    actions += [
+        add_action(f.path, f.size, f.modification_time, stats=footer_stats(f.path))
+        for f in files
+    ]
+    actions.append(
+        commit_info_action(
+            "DELETE", predicate, False, len(files), sum(f.size for f in files), now
+        )
+    )
+    version = last_version(table_path) + 1
+    write_commit(table_path, version, actions)
+    return version
+
+
 def restore_table(table_path: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF ``version``: a new commit
     whose net effect is the old snapshot's file set + schema (history

@@ -322,3 +322,79 @@ def test_metadata_only_count(spark, sf_dir, tmp_path):
     write_delta(s.limit(3), table, mode="append")
     snap = load_snapshot(table)
     assert snap.metadata_count() == s.count() + 3
+
+
+def test_delete_from_three_way_file_handling(spark, sf_dir, tmp_path):
+    """DELETE rewrites only files containing matches; stats-pruned and
+    match-free files survive untouched."""
+    from guidewire_spark.sources.writer import delete_from
+
+    table = str(tmp_path / "del")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    keys = sorted(r.s_suppkey for r in s.select("s_suppkey").collect())
+    t1, t2 = keys[len(keys) // 3], keys[2 * len(keys) // 3]
+    for part in (
+        s.where(F.col("s_suppkey") < t1),
+        s.where((F.col("s_suppkey") >= t1) & (F.col("s_suppkey") < t2)),
+        s.where(F.col("s_suppkey") >= t2),
+    ):
+        write_delta(part.coalesce(1), table, mode="append")
+    before = load_snapshot(table).files
+    victim = keys[len(keys) // 2]  # lives in the middle file
+
+    delete_from(
+        spark,
+        table,
+        f"s_suppkey = {victim}",
+        prune_column="s_suppkey",
+        prune_lo=victim,
+        prune_hi=victim,
+    )
+    after = load_snapshot(table)
+    assert len(set(before) & set(after.files)) == 2  # lo+hi untouched
+    got = read_delta(spark, table)
+    assert got.count() == s.count() - 1
+    assert got.where(F.col("s_suppkey") == victim).count() == 0
+
+
+def test_delete_from_no_match_raises(spark, sf_dir, tmp_path):
+    from guidewire_spark.sources.writer import delete_from
+
+    table = str(tmp_path / "del2")
+    write_delta(load_table(spark, sf_dir, "region"), table, mode="append")
+    with pytest.raises(ValueError, match="matches no rows"):
+        delete_from(spark, table, "r_regionkey = 999999")
+
+
+def test_change_data_feed(spark, sf_dir, tmp_path):
+    """CDF: appends surface as inserts, DELETE as delete+insert of the
+    rewritten file, OPTIMIZE (dataChange=false) emits nothing."""
+    from guidewire_spark.sources.snapshot import read_delta_changes
+    from guidewire_spark.sources.writer import delete_from
+
+    table = str(tmp_path / "cdf")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n.where(F.col("n_nationkey") < 10).coalesce(1), table, "append")
+    write_delta(n.where(F.col("n_nationkey") >= 10).coalesce(1), table, "append")
+
+    # full history: every row inserted once
+    all_changes = read_delta_changes(spark, table, from_version=-1)
+    assert all_changes.where(F.col("_change_type") == "insert").count() == n.count()
+    assert all_changes.where(F.col("_change_type") == "delete").count() == 0
+    # only v1's slice
+    v1 = read_delta_changes(spark, table, from_version=0, to_version=1)
+    assert v1.count() == n.where(F.col("n_nationkey") >= 10).count()
+    assert {r._commit_version for r in v1.collect()} == {1}
+
+    # DELETE → the rewritten file's rows show as delete + insert
+    delete_from(spark, table, "n_nationkey = 3")
+    d = read_delta_changes(spark, table, from_version=1)
+    n_v0_rows = n.where(F.col("n_nationkey") < 10).count()
+    assert d.where(F.col("_change_type") == "delete").count() == n_v0_rows
+    assert d.where(F.col("_change_type") == "insert").count() == n_v0_rows - 1
+
+    # OPTIMIZE is dataChange=false → no CDF events
+    v_before = load_snapshot(table).version
+    optimize_table(spark, table, target_files=1)
+    opt = read_delta_changes(spark, table, from_version=v_before)
+    assert opt.count() == 0
