@@ -120,6 +120,75 @@ def mix_rebalance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_k_per_stratum",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, lang, {FP_SQL} AS f FROM documents)
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f, doc_id) AS rn
+      FROM fp
+    ) WHERE rn <= 20
+    """,
+)
+def sample_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling (here 20 docs per language),
+    ordered by content fingerprint — the deterministic stand-in for
+    per-group reservoir sampling. One window shuffle keyed by the
+    stratum; rank order is content-derived, so re-runs and engine
+    changes pick the same k."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_fingerprint(), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "docs_embeddings_quality_by_label",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             len({WORDS_SQL}) AS wc
+      FROM documents
+    )
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(q.wc), 4) AS avg_words,
+           ROUND(AVG(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
+             AS avg_sq_norm
+    FROM q JOIN embeddings e ON e.vec_id = q.doc_id
+    GROUP BY e.label
+    """,
+)
+def docs_embeddings_quality_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: documents × embeddings on doc_id=vec_id,
+    aggregated per label — the text-feature/vector-feature join a
+    curation pipeline runs to slice quality metrics by cluster label.
+    The embeddings side carries only (vec_id, label, norm) through the
+    join; text reduces to its word count before the shuffle."""
+    from guidewire_spark.functions import vectors as V
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.word_count(F.col("text")).alias("wc")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.sq_norm(F.col("embedding")).alias("sq")
+    )
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("wc"), 4).alias("avg_words"),
+            F.round(F.avg("sq"), 4).alias("avg_sq_norm"),
+        )
+    )
+
+
+@query(
     "vocab_top_tokens",
     oracle=f"""
     SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
