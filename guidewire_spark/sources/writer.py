@@ -213,6 +213,20 @@ def write_delta(
             "WRITE", op_mode, blind, len(files), sum(f.size for f in files), now
         )
     )
+    if blind:
+        # Optimistic concurrency, Delta-style: a blind append conflicts
+        # with nothing — on version collision, re-resolve and re-commit
+        # at the next version (the staged files are untouched).
+        for _ in range(50):
+            try:
+                write_commit(table_path, version, actions)
+                return version
+            except FileExistsError:
+                version = last_version(table_path) + 1
+        raise RuntimeError(f"could not commit after 50 retries at {table_path}")
+    # Non-blind commits (create/overwrite/evolution) read table state
+    # before writing; a collision means that state is stale → surface
+    # the conflict to the caller instead of silently clobbering.
     write_commit(table_path, version, actions)
     return version
 

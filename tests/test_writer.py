@@ -398,3 +398,24 @@ def test_change_data_feed(spark, sf_dir, tmp_path):
     optimize_table(spark, table, target_files=1)
     opt = read_delta_changes(spark, table, from_version=v_before)
     assert opt.count() == 0
+
+
+def test_concurrent_blind_appends_all_land(spark, sf_dir, tmp_path):
+    """Optimistic concurrency: parallel blind appends to one table must
+    all commit (at distinct versions), Delta-style; non-blind writers
+    surface version collisions instead of clobbering."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    table = str(tmp_path / "conc")
+    r = load_table(spark, sf_dir, "region")
+    write_delta(r, table, mode="append")
+
+    def append_one(i):
+        return write_delta(
+            r.where(F.col("r_regionkey") == i % 5), table, mode="append"
+        )
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        versions = list(pool.map(append_one, range(6)))
+    assert sorted(versions) == [1, 2, 3, 4, 5, 6]
+    assert read_delta(spark, table).count() == r.count() + 6
