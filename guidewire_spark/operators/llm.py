@@ -449,8 +449,23 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cells = assign(e, refined)
-    queries = cells.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("u").alias("qu"), F.col("cell")
+    # Multi-probe: each query searches its top-2 cells (n_probe=2) —
+    # the standard IVF recall lever; a corpus vector lives in exactly
+    # one cell, so probing distinct cells never duplicates candidates.
+    q_pts = e.where(F.col("vec_id") < 10)
+    q_scored = q_pts.join(F.broadcast(refined)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("u").alias("qu"),
+        F.col("cent_id").alias("cell"),
+        V.dot(F.col("u"), F.col("cu")).alias("sim"),
+    )
+    wq_probe = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cell")
+    )
+    queries = (
+        q_scored.withColumn("rn", F.row_number().over(wq_probe))
+        .where(F.col("rn") <= 2)
+        .select("query_id", "qu", "cell")
     )
     scored = (
         cells.join(F.broadcast(queries), on="cell")

@@ -496,13 +496,40 @@ def table_history(table_path: str) -> list[dict]:
     return sorted(rows, key=lambda r: -r["version"])
 
 
-def vacuum_table(table_path: str, dry_run: bool = False) -> list[str]:
+def vacuum_table(
+    table_path: str, dry_run: bool = False, retention_ms: int | None = None
+) -> list[str]:
     """Delete data files under the table directory that no longer
     appear in the latest snapshot. Files OUTSIDE the table directory
     (shallow-cloned source data) are never touched — the guard the
-    reference documents at README.md:45-49. Returns deleted paths."""
+    reference documents at README.md:45-49. Returns deleted paths.
+
+    ``retention_ms`` (Delta's retention window): orphans whose
+    remove-tombstone ``deletionTimestamp`` is younger than
+    ``now - retention_ms`` are kept, so time travel to recent versions
+    keeps working; pass None to reclaim everything (the tests' and
+    default Delta-VACUUM-0 behavior — breaks time travel to removed
+    versions, exactly as Delta warns)."""
+    recently_removed: set[str] = set()
+    if retention_ms is not None:
+        import json as _json
+
+        from guidewire_spark.sources.deltalog import delta_log_dir, list_versions
+
+        horizon = int(time.time() * 1000) - retention_ms
+        for v in list_versions(table_path):
+            path = os.path.join(delta_log_dir(table_path), f"{v:020d}.json")
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    action = _json.loads(line)
+                    if "remove" in action:
+                        ts = action["remove"].get("deletionTimestamp", 0)
+                        if ts > horizon:
+                            recently_removed.add(
+                                os.path.realpath(action["remove"]["path"])
+                            )
     snap = load_snapshot(table_path)
-    live = set(os.path.realpath(p) for p in snap.files)
+    live = set(os.path.realpath(p) for p in snap.files) | recently_removed
     table_real = os.path.realpath(table_path)
     doomed: list[str] = []
     for root, dirs, names in os.walk(table_real):

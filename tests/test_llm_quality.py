@@ -55,4 +55,6 @@ def test_ivf_recall_vs_bruteforce(spark):
         for r in similarity_ann_ivf(spark, SF).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"IVF recall@5 collapsed: {recall:.2f}"
+    # measured 0.58 @ sf0.001 / 0.54 @ sf0.01 with n_probe=2 of 8
+    # cells (searching ~25% of the corpus); bound set with headroom.
+    assert recall >= 0.4, f"IVF recall@5 collapsed: {recall:.2f}"

@@ -419,3 +419,16 @@ def test_concurrent_blind_appends_all_land(spark, sf_dir, tmp_path):
         versions = list(pool.map(append_one, range(6)))
     assert sorted(versions) == [1, 2, 3, 4, 5, 6]
     assert read_delta(spark, table).count() == r.count() + 6
+
+
+def test_vacuum_retention_protects_recent_removes(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "vac_ret")
+    r = load_table(spark, sf_dir, "region")
+    write_delta(r, table, mode="append")
+    write_delta(r, table, mode="overwrite")  # v0 files become orphans NOW
+    # 1-day retention: the just-removed files are inside the window
+    assert vacuum_table(table, retention_ms=24 * 3600 * 1000) == []
+    # time travel to v0 still works
+    assert read_delta(spark, table, version=0).count() == r.count()
+    # no retention: orphans reclaimed
+    assert vacuum_table(table) != []
