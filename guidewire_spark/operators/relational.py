@@ -21,7 +21,8 @@ from guidewire_spark.registry import query
     "scan_filter_project",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price
+           CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)),
+                      2) AS DOUBLE) AS disc_price
     FROM lineitem
     WHERE l_quantity > 45 AND l_returnflag = 'R'
     """,
@@ -32,16 +33,23 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``.explain`` shows PushedFilters: [GreaterThan(l_quantity,45.0),
     EqualTo(l_returnflag,R)] and a 5-column ReadSchema, i.e. the scan
     never materializes the other 6 lineitem columns.
+
+    Rounding note: the per-row 2dp round goes through DECIMAL(18,4) on
+    BOTH engines. Spark rounds the exact binary double (…2249999… →
+    .22) while DuckDB rounds the shortest decimal rendering (.225 →
+    .23); snapping to 4 decimals first makes the half-boundary
+    unambiguous — 40 of 19830 rows diverged at sf0.1 without it.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
     return (
         li.where((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
-                "disc_price"
-            ),
+            F.round(disc, 2).cast("double").alias("disc_price"),
         )
     )
 

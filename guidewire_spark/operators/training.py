@@ -430,6 +430,56 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_curate_corpus",
+    oracle=f"""
+    WITH dedup AS (
+      SELECT doc_id, text, lang FROM (
+        SELECT doc_id, text, lang,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id)
+                 AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    quality AS (
+      SELECT doc_id, text, lang,
+             len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))
+               AS wc
+      FROM dedup
+    ),
+    filtered AS (
+      SELECT doc_id, text, lang FROM quality
+      WHERE wc >= 5 AND lang IN ('en', 'es', 'fr', 'de')
+    )
+    SELECT doc_id, lang,
+           CASE {FP_SQL} % 10 WHEN 0 THEN 'val' WHEN 1 THEN 'test'
+                ELSE 'train' END AS split
+    FROM filtered
+    """,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline composed from the operator library:
+    exact dedup (keep lowest doc_id per content hash) → quality floor
+    (≥5 words) → language allowlist → deterministic train/val/test
+    split. One shuffle for the dedup window; everything after is
+    projection — the shape of a full pretraining-corpus pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    dedup = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    filtered = dedup.where(
+        (T.word_count(F.col("text")) >= 5)
+        & F.col("lang").isin("en", "es", "fr", "de")
+    )
+    f = _fingerprint() % 10
+    split = F.when(f == 0, "val").when(f == 1, "test").otherwise("train")
+    return filtered.select("doc_id", "lang", split.alias("split"))
+
+
 # --------------------------------------------------------------------------
 # Near-dup clustering (iterative)
 # --------------------------------------------------------------------------
