@@ -192,8 +192,11 @@ def read_delta_changes(
     versions = [v for v in list_versions(table_path) if v > from_version]
     if to_version is not None:
         versions = [v for v in versions if v <= to_version]
-    snap = load_snapshot(table_path, version=from_version) if from_version >= 0 else None
-    schema = snap.schema if snap else None
+    # Base schema from the latest snapshot (checkpoint-seeded, cheap);
+    # robust to from_version values that are truncated away or beyond
+    # the latest version. Per-version metaData actions below override
+    # it for evolving ranges.
+    schema = load_snapshot(table_path).schema
 
     frames = []
     for v in versions:

