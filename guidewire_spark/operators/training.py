@@ -431,6 +431,102 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {WORDS_SQL} AS words FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(words) - 1),
+                            i -> array_to_string(words[i : i + 2], ' '))
+               AS shingles
+      FROM d WHERE len(words) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(shingles) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - len(list_distinct(shingles)) / len(shingles), 6)
+             AS repetition_ratio
+    FROM sh
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring (the Gopher-rules duplicate-n-gram signal):
+    fraction of repeated 3-word shingles per document — high values
+    mark boilerplate/spam for the quality filter. Array-local (no
+    explode, no shuffle): shingle list, distinct count, ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = T.word_shingles(F.col("text"), 3)
+    n = F.size(sh)
+    nd = F.size(F.array_distinct(sh))
+    return (
+        d.where(F.size(T.words(F.col("text"))) >= 3)
+        .select(
+            "doc_id",
+            n.cast("long").alias("n_shingles"),
+            nd.cast("long").alias("n_distinct"),
+            F.round(F.lit(1.0) - nd / n, 6).alias("repetition_ratio"),
+        )
+    )
+
+
+@query(
+    "text_redact_pii",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           LENGTH(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g')) AS redacted_len
+    FROM documents
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email-shaped spans (the
+    compliance pass of a corpus pipeline). Pure projection — JVM regex
+    per row, no shuffle; extend the pattern set per policy."""
+    d = load_table(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(email), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.length(F.regexp_replace("text", email, "<EMAIL>"))
+        .cast("long")
+        .alias("redacted_len"),
+    )
+
+
+@query("agg_hll_sketch")  # sketch estimate → rows-only
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL: build per-returnflag sketches, union
+    them, estimate distinct orderkeys — the mergeable-sketch pattern
+    that lets 1000 executors aggregate independently and combine
+    O(KB) states (vs shuffling raw keys for an exact distinct).
+    Estimates are approximate → rows-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    return per_flag.select(
+        "l_returnflag",
+        "n_rows",
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_distinct_orders"),
+    ).unionByName(
+        per_flag.agg(
+            F.hll_union_agg("sk").alias("u"), F.sum("n_rows").alias("n_rows")
+        ).select(
+            F.lit("ALL").alias("l_returnflag"),
+            "n_rows",
+            F.hll_sketch_estimate("u").cast("long").alias("approx_distinct_orders"),
+        )
+    )
+
+
+@query(
     "pipeline_curate_corpus",
     oracle=f"""
     WITH dedup AS (
