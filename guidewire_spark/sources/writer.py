@@ -236,6 +236,7 @@ def optimize_table(
     table_path: str,
     target_files: int = 1,
     zorder_by: list[str] | None = None,
+    min_file_size: int | None = None,
 ) -> int:
     """Compact the current snapshot into ``target_files`` files.
 
@@ -259,10 +260,22 @@ def optimize_table(
             "per-partition OPTIMIZE not implemented; compact each "
             "partition's files separately"
         )
+    # Incremental bin-packing (Delta's minFileSize behavior): only
+    # files below the threshold are rewritten; already-compacted big
+    # files stay in place — re-running OPTIMIZE on a maintained table
+    # touches just the new small-file tail, not the whole history.
+    # zorder recluster needs every row, so it always takes all files.
+    victims = snap.files
+    if min_file_size is not None and not zorder_by:
+        victims = [
+            p for p in snap.files if snap.file_sizes.get(p, 0) < min_file_size
+        ]
+        if len(victims) < 2:
+            return load_snapshot(table_path).version  # nothing worth packing
     reader = spark.read
     if snap.schema is not None:
         reader = reader.schema(snap.schema)
-    df = reader.parquet(*snap.files)
+    df = reader.parquet(*victims)
     if zorder_by:
         from guidewire_spark.sources.zorder import cluster_by_zorder
 
@@ -273,7 +286,7 @@ def optimize_table(
     now = int(time.time() * 1000)
     from guidewire_spark.sources.stats import footer_stats
 
-    actions = [remove_action(p, now) for p in snap.files]
+    actions = [remove_action(p, now) for p in victims]
     actions += [
         add_action(f.path, f.size, f.modification_time, stats=footer_stats(f.path))
         for f in files

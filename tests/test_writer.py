@@ -443,3 +443,34 @@ def test_partitioned_read_empty_filter(spark, sf_dir, tmp_path):
     got = read_delta(spark, table, partition_filter={"lang": "nope"})
     assert got.count() == 0
     assert got.columns == ["doc_id", "lang"]
+
+
+def test_incremental_optimize_leaves_big_files(spark, sf_dir, tmp_path):
+    """min_file_size bin-packing: only small files are rewritten; the
+    already-compacted big file survives in place."""
+    table = str(tmp_path / "opt_inc")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_delta(li, table, mode="append")  # one big file
+    snap0 = load_snapshot(table)
+    big = max(snap0.files, key=lambda p: snap0.file_sizes[p])
+    r = load_table(spark, sf_dir, "region")
+    for i in range(3):  # three tiny appends
+        write_delta(
+            r.select(F.col("r_regionkey").cast("long").alias("l_orderkey"),
+                     F.lit(float(i)).alias("l_quantity")),
+            table, mode="append",
+        )
+    before = load_snapshot(table)
+    assert before.num_files >= 4
+    total = read_delta(spark, table).count()
+
+    optimize_table(spark, table, target_files=1,
+                   min_file_size=before.file_sizes[big])
+    after = load_snapshot(table)
+    assert big in after.files          # the big file was not rewritten
+    assert after.num_files == 2        # big + one packed file
+    assert read_delta(spark, table).count() == total
+    # nothing left to pack → no-op, version unchanged
+    v = optimize_table(spark, table, target_files=1,
+                       min_file_size=before.file_sizes[big])
+    assert v == after.version
