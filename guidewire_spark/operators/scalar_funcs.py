@@ -272,3 +272,33 @@ def func_conditional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("flag_desc"),
         F.nullif(F.col("l_linestatus"), F.lit("O")).alias("status_or_null"),
     )
+
+
+@query(
+    "func_bitwise_family",
+    oracle="""
+    SELECT l_orderkey,
+           l_orderkey & 255 AS band,
+           l_orderkey | 4096 AS bor,
+           xor(l_orderkey, l_linenumber) AS bxor,
+           l_orderkey << 2 AS shl,
+           l_orderkey >> 3 AS shr,
+           CAST(bit_count(l_orderkey) AS INTEGER) AS popcount
+    FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 5000
+    """,
+)
+def func_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family: and/or/xor, shifts, popcount — the
+    primitives under bucketing, bloom filters, and the engine's own
+    Morton z-values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    return li.where((F.col("l_linenumber") == 1) & (k < 5000)).select(
+        "l_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.col("l_linenumber").cast("long")).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+    )

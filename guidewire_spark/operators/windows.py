@@ -179,3 +179,31 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "window_nth_last_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_nth_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / last_value analytics — last_value over the full
+    partition frame (the default running frame would just echo the
+    current row, the classic last_value trap)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+    )
