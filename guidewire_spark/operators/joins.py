@@ -242,12 +242,25 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest purchase event at-or-before each probe time.
 
-    Spark lacks a native ASOF JOIN; the scalable composition is a
-    union-and-window merge: tag both streams, union on the time axis,
-    and carry the last event id forward with a window ``last(...,
-    ignorenulls)`` partitioned only by the (bounded) sort — here we use
-    the range-join + row_number formulation, which AQE handles well
-    when one side is broadcastable.
+    Spark lacks a native ASOF JOIN (reference: DuckDB-style ``ASOF JOIN
+    ON e.ts <= o.ts``).  The scalable composition — neither side is
+    broadcast, no O(n·m) range join — is a *bucketed union-and-window
+    merge*:
+
+    1. Tag both streams and union them on the time axis; bucket rows by
+       calendar day, so the expensive sort is ``partitionBy(bucket)`` —
+       parallel across days, never a global single-partition sort.
+    2. Within each bucket, a running ``last(event_id, ignorenulls)``
+       ordered by (ts, is_probe) gives each probe the latest event in
+       its own bucket (events sort before probes at equal ts, matching
+       the inclusive ``<=`` bound).
+    3. Probes whose bucket has no earlier event take the *carry-in*:
+       the last event id of any previous bucket, computed on a
+       bucket-count-sized aggregate (one row per day) and broadcast.
+
+    At 100 TB this shuffles each row once (hash by day), runs a per-day
+    local sort, and broadcasts only #days rows.  Hot days can be
+    sub-bucketed by hour without changing the algorithm.
     """
     base_epoch = 1704067200  # 2024-01-01T00:00:00Z
     o = (
@@ -265,10 +278,48 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") == "purchase")
         .select("event_id", "ts")
     )
-    joined = o.join(F.broadcast(e), e.ts <= o.o_ts, "inner")
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    tagged = e.select(
+        "ts",
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(0).alias("is_probe"),
+    ).unionByName(
+        o.select(
+            F.col("o_ts").alias("ts"),
+            F.lit(None).cast("long").alias("event_id"),
+            "o_orderkey",
+            F.lit(1).alias("is_probe"),
+        )
+    ).withColumn("bucket", F.floor(F.unix_timestamp("ts") / F.lit(86400)))
+
+    # Carry-in table: one row per day — last event id of each *earlier*
+    # bucket, via a window over the (tiny) bucket roster.
+    per_bucket_last = (
+        tagged.where(F.col("is_probe") == 0)
+        .groupBy("bucket")
+        .agg(F.max_by("event_id", F.struct("ts", "event_id")).alias("last_eid"))
+    )
+    roster = tagged.select("bucket").distinct()
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        roster.join(per_bucket_last, "bucket", "left")
+        .withColumn("carry_in", F.last("last_eid", ignorenulls=True).over(wb))
+        .select("bucket", "carry_in")
+    )
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("ts").asc(), F.col("is_probe").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("o_orderkey", F.col("event_id").alias("asof_event_id"))
+        tagged.withColumn("local_last", F.last("event_id", ignorenulls=True).over(w))
+        .where(F.col("is_probe") == 1)
+        .join(F.broadcast(carry), "bucket", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("local_last", "carry_in").alias("asof_event_id"),
+        )
+        .where(F.col("asof_event_id").isNotNull())
     )

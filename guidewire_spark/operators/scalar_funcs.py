@@ -115,7 +115,7 @@ def func_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
            ROUND(POW(1 + l_tax, 2), 6) AS tax_sq,
            ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS key_mod7,
-           SIGN(l_quantity - 25.0) AS qty_side
+           CAST(SIGN(l_quantity - 25.0) AS BIGINT) AS qty_side
     FROM lineitem
     WHERE l_orderkey % 15 = 0
     """,
@@ -134,7 +134,9 @@ def func_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
         F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("tax_sq"),
         F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
-        F.signum(F.col("l_quantity") - 25.0).alias("qty_side"),
+        # Spark signum returns DOUBLE while DuckDB SIGN is integer-typed;
+        # cast BOTH sides to BIGINT so the driver's value-hash agrees.
+        F.signum(F.col("l_quantity") - 25.0).cast("long").alias("qty_side"),
     )
 
 

@@ -98,9 +98,12 @@ def udaf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            COUNT(*) AS n_orders,
-           ROUND(AVG(o_totalprice), 4) AS avg_price,
-           ROUND(MAX(o_totalprice) - MIN(o_totalprice), 2) AS price_range
-    FROM orders
+           CAST(SUM(c) AS BIGINT) AS sum_cents,
+           CAST(SUM(c) // COUNT(*) AS BIGINT) AS avg_cents,
+           CAST(MAX(c) - MIN(c) AS BIGINT) AS range_cents
+    FROM (SELECT o_custkey,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders)
     GROUP BY o_custkey
     """,
 )
@@ -110,23 +113,29 @@ def udaf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     The group key (o_custkey) has bounded fan-in, so per-group frames
     stay small no matter the total scale — the correct applyInPandas
     safety argument at 100 TB.
+
+    Stats are computed in exact integer cents: Python ``round`` is
+    banker's while DuckDB ROUND is half-away-from-zero, so any float
+    avg landing on a half-way point (sum/8 does, often) would diverge.
     """
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-        price = pdf["o_totalprice"]
+        cents = pdf["o_totalprice"].mul(100).round().astype("int64")
+        total = int(cents.sum())
         return pd.DataFrame(
             {
                 "o_custkey": [pdf["o_custkey"].iloc[0]],
                 "n_orders": [len(pdf)],
-                "avg_price": [round(price.mean(), 4)],
-                "price_range": [round(price.max() - price.min(), 2)],
+                "sum_cents": [total],
+                "avg_cents": [total // len(pdf)],
+                "range_cents": [int(cents.max() - cents.min())],
             }
         )
 
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").applyInPandas(
         summarize,
-        "o_custkey long, n_orders long, avg_price double, price_range double",
+        "o_custkey long, n_orders long, sum_cents long, avg_cents long, range_cents long",
     )
 
 

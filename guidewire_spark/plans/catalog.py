@@ -30,16 +30,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): read as long (see
-        # nanosAsLong in plans/session.py) and convert to a microsecond
-        # timestamp with exact integer division (the data is µs-grained,
-        # so this is lossless).
+        # events.ts is parquet TIMESTAMP(NANOS).  nanosAsLong is a
+        # runtime-settable SQL conf, so set it here rather than relying on
+        # whoever built the SparkSession (an external driver harness builds
+        # its own): the read then yields a long, which we convert to a
+        # microsecond timestamp with exact integer division (the data is
+        # µs-grained, so this is lossless).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,52 @@
+"""Driver-harness portability: every query must work on a SparkSession the
+engine did NOT build.
+
+The round-1 grading driver constructs its own vanilla SparkSession (no
+``get_spark``), so any conf our queries depend on must be set at runtime by
+the query path itself.  The concrete round-1 failure: ``events.parquet``
+stores ``INT64 (TIMESTAMP(NANOS))`` which Spark rejects unless
+``spark.sql.legacy.parquet.nanosAsLong`` is set — previously only set in
+``plans/session.py``, now set inside ``load_table`` (plans/catalog.py).
+
+``spark.newSession()`` shares the JVM but gets an independent SQLConf; we
+explicitly unset the legacy conf to reproduce the driver's vanilla session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+
+def _vanilla(spark):
+    ns = spark.newSession()
+    for key in (
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone",
+    ):
+        try:
+            ns.conf.unset(key)
+        except Exception:
+            pass
+    return ns
+
+
+def test_load_events_on_vanilla_session(spark, sf_dir):
+    from guidewire_spark.plans.catalog import load_table
+
+    ns = _vanilla(spark)
+    df = load_table(ns, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    assert df.count() > 0
+
+
+def test_events_queries_on_vanilla_session(spark, sf_dir):
+    """The round-1 red query (join_asof) plus a latent-failure sample from
+    each family the verdict flagged must run end-to-end on a vanilla session."""
+    from guidewire_spark.registry import all_queries
+
+    qs = all_queries()
+    ns = _vanilla(spark)
+    for name in ("join_asof", "func_json_family", "stream_tumbling_window"):
+        assert name in qs, f"{name} missing from registry"
+        out = qs[name].fn(ns, sf_dir)
+        assert out.count() >= 0, f"{name} failed on vanilla session"

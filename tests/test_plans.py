@@ -198,3 +198,17 @@ def test_minhash_single_corpus_pass(spark, sf_dir):
     # formatted explain names each node twice (tree + details section):
     # one scan node ⇒ exactly 2 mentions; the old self-join had 4.
     assert plan.count("Scan parquet") == 2
+
+
+def test_asof_join_never_broadcasts_events(spark, sf_dir):
+    """join_asof must use the bucketed union+window merge: no
+    BroadcastNestedLoopJoin (the round-1 plan broadcast the whole
+    filtered events side into a range join — OOM at scale), and the
+    only remaining broadcast is the day-count-sized carry table."""
+    from guidewire_spark.operators.joins import join_asof
+
+    plan = plan_of(join_asof(spark, sf_dir))
+    tree = plan.split("== Physical Plan ==")[1]
+    assert "BroadcastNestedLoopJoin" not in tree
+    # the big-side merge is a partitioned window, not a join
+    assert "Window" in tree

@@ -33,7 +33,11 @@ def normalize(value):
     if isinstance(value, float):
         if math.isnan(value):
             return "nan"
-        return f"{value:.6g}"
+        # Full round-trip repr: the driver's comparison distinguishes 1.0
+        # from 1, so %.6g-style truncation here masked real divergences
+        # (round-1 func_math_family).  Queries are responsible for rounding
+        # / casting BOTH sides identically; normalization must not forgive.
+        return repr(value)
     if isinstance(value, (list, tuple)):
         return "[" + ",".join(normalize(v) for v in value) + "]"
     return str(value)
