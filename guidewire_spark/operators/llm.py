@@ -17,6 +17,8 @@ Scale design notes (100 TB posture):
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints at driver side
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -182,11 +184,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The documents table arrives as one small parquet file = one scan
     # partition; fan out before the (CPU-heavy) shingling projection so
-    # it uses every core. At real scale the scan has many partitions
-    # and this repartition collapses to a no-op-sized shuffle of text.
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # it uses every core.  Guard the fan-out: repartition always moves
+    # every row, so at real scale — where the scan already has ≥ cores
+    # partitions — an unconditional repartition would be a full shuffle
+    # of raw corpus text for nothing.
+    d = load_table(spark, sf_dir, "documents")
+    parallelism = spark.sparkContext.defaultParallelism
+    if len(d.inputFiles()) < parallelism:
+        d = d.repartition(parallelism)
     hw = F.transform(T.words(F.col("text")), lambda w: (F.xxhash64(w) % p + p) % p)
 
     def shingle_ids(col):
@@ -290,6 +295,82 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash.orderBy("doc_id")
 
 
+def embedding_near_dup_pairs(
+    unit_vectors: DataFrame,
+    threshold: float = 0.95,
+    n_bands: int = 32,
+    bits: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs over (vec_id, u) unit vectors.
+
+    Scale shape — LSH bucketing, NOT an all-pairs join:
+
+    1. One Arrow-batched pandas UDF computes ``n_bands`` band-bucket ids
+       per vector (sign bits of ``U @ H.T`` against seeded hyperplanes,
+       packed to ints — a single numpy matmul per batch).
+    2. Candidate pairs come from groupBy (band, bucket) + in-bucket
+       combination expansion (same machinery as minhash LSH); only
+       (band, bucket, vec_id) rows shuffle, never vectors.
+    3. Candidates are verified with the exact fused dot product after
+       joining unit vectors back by vec_id — two hash joins sized by
+       the candidate count, not the corpus square.
+
+    For cosine ≥ 0.95 the per-bit agreement probability is
+    1 − arccos(.95)/π ≈ .899, so a qualifying pair misses all 32 bands
+    with probability (1 − .899¹²)³² ≈ 3e-5, and the seeded hyperplanes
+    make the outcome deterministic.  Recall is locked by a planted-dup
+    pytest (tests/test_llm_quality.py); engine parity by the all-pairs
+    DuckDB oracle twin.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    hyper = np.random.RandomState(7).standard_normal((n_bands * bits, dim))
+    packer = 1 << np.arange(bits, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def band_buckets(u: pd.Series) -> pd.Series:
+        mat = np.stack(u.to_numpy())  # (n, dim)
+        signs = (mat @ hyper.T) > 0  # (n, n_bands*bits)
+        b = signs.reshape(len(mat), n_bands, bits) @ packer  # (n, n_bands)
+        return pd.Series(list(b))
+
+    e = unit_vectors
+    buckets = (
+        e.select("vec_id", F.posexplode(band_buckets("u")).alias("band", "bucket"))
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("vec_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .select("pr.vec_a", "pr.vec_b")
+        .distinct()
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
+    sim = V.dot(F.col("ua"), F.col("ub"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .where(sim >= threshold)
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("cos_sim"))
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle="""
@@ -308,28 +389,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.95 on unit vectors.
+    """Embedding near-dup pairs: cosine ≥ 0.95 on unit vectors, via
+    random-hyperplane LSH (see ``embedding_near_dup_pairs``).
 
-    Normalization happens once per vector before the pair join, so the
-    pair computation is a single fused zip_with/aggregate dot product.
+    The ``vec_id < 100`` cap only mirrors the all-pairs oracle twin;
+    the same plan runs uncapped at corpus scale, where bucket fan-in
+    replaces the O(n²) pair space.  This corpus contains no pair above
+    0.95 (max observed cosine ≈ 0.6), so both engines agree on the
+    empty set; positive-recall is locked by the planted-dup pytest.
     """
     e = (
         load_table(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") < 100)
         .select("vec_id", V.normalize(F.col("embedding")).alias("u"))
     )
-    a = e.alias("a")
-    b = e.alias("b")
-    sim = V.dot(F.col("a.u"), F.col("b.u"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .where(sim >= 0.95)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(sim, 4).alias("cos_sim"),
-        )
-    )
+    return embedding_near_dup_pairs(e)
 
 
 # --------------------------------------------------------------------------

@@ -58,3 +58,42 @@ def test_ivf_recall_vs_bruteforce(spark):
     # measured 0.58 @ sf0.001 / 0.54 @ sf0.01 with n_probe=2 of 8
     # cells (searching ~25% of the corpus); bound set with headroom.
     assert recall >= 0.4, f"IVF recall@5 collapsed: {recall:.2f}"
+
+
+def test_embedding_lsh_recall_of_planted_near_dups(spark):
+    """Random-hyperplane LSH must recover every planted near-dup pair
+    (cos ≈ 0.98-0.99) and report no pair below the threshold.  200
+    background vectors are near-orthogonal random draws; 10 planted
+    pairs are a base vector plus small noise."""
+    import numpy as np
+
+    from guidewire_spark.operators.llm import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    for _ in range(200):
+        v = rng.standard_normal(64)
+        rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+        vid += 1
+    planted = []
+    for _ in range(10):
+        v = rng.standard_normal(64)
+        v /= np.linalg.norm(v)
+        w = v + 0.03 * rng.standard_normal(64)
+        w /= np.linalg.norm(w)
+        assert float(v @ w) >= 0.95
+        rows.append((vid, v.tolist()))
+        rows.append((vid + 1, w.tolist()))
+        planted.append((vid, vid + 1))
+        vid += 2
+
+    df = spark.createDataFrame(rows, "vec_id long, u array<double>")
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert set(planted) <= got, f"missed planted pairs: {set(planted) - got}"
+    # exact verification step must have filtered everything else out
+    for a, b in got - set(planted):
+        assert False, f"unexpected pair ({a},{b}) survived exact check"

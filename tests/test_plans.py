@@ -212,3 +212,15 @@ def test_asof_join_never_broadcasts_events(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in tree
     # the big-side merge is a partitioned window, not a join
     assert "Window" in tree
+
+
+def test_embedding_dedup_has_no_all_pairs_join(spark, sf_dir):
+    """dedup_embedding_cosine must pair within LSH buckets: the round-1
+    plan was an O(n²) theta join (CartesianProduct/BroadcastNestedLoop
+    under `a.vec_id < b.vec_id`)."""
+    from guidewire_spark.operators.llm import dedup_embedding_cosine
+
+    plan = plan_of(dedup_embedding_cosine(spark, sf_dir))
+    tree = plan.split("== Physical Plan ==")[1]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
