@@ -45,7 +45,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_REGISTERED: set[tuple[int, str]] = set()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every test table as a temp view for spark.sql queries."""
+    """Register every test table as a temp view for spark.sql queries.
+
+    Cached per (session, sf_dir): sql_suite queries call this on every
+    invocation, and re-reading + re-registering 10 parquet tables each
+    time is pure overhead in a long-lived session.  Temp views are
+    session-scoped, so the key includes the session identity."""
+    key = (id(spark), sf_dir)
+    if key in _REGISTERED:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED.add(key)

@@ -38,6 +38,8 @@ AVRO_TO_SPARK: dict[str, T.DataType] = {
     "long": T.LongType(),  # timestamp-millis/micros logical → TimestampType
     "int": T.IntegerType(),  # date logical → DateType
 }
+# union handling (null-elimination, int|long, float|double, member0..N
+# struct) is implemented in _union_to_spark_type below.
 
 
 def arrow_to_spark_type(atype: pa.DataType) -> T.DataType:
@@ -57,7 +59,13 @@ def arrow_to_spark_type(atype: pa.DataType) -> T.DataType:
     if pa.types.is_int32(atype) or pa.types.is_int16(atype) or pa.types.is_int8(atype) or pa.types.is_uint16(atype) or pa.types.is_uint8(atype):
         return T.IntegerType()
     if pa.types.is_timestamp(atype):
-        return T.TimestampType() if atype.tz else T.TimestampNTZType()
+        # tz-naive timestamps also map to TimestampType (reference
+        # parity, ParquetUtils.scala timestamp-millis/micros → Timestamp):
+        # TimestampNTZType in the log's schemaString would require the
+        # timestampNtz table feature (reader v3 / writer v7), above the
+        # protocol this engine emits (minReader 1 / minWriter 2), so
+        # external Delta readers would reject the table.
+        return T.TimestampType()
     if pa.types.is_date(atype):
         return T.DateType()
     if pa.types.is_decimal(atype):
@@ -80,7 +88,39 @@ def arrow_to_spark_type(atype: pa.DataType) -> T.DataType:
         )
     if pa.types.is_null(atype):
         return T.NullType()
+    if pa.types.is_union(atype):
+        return _union_to_spark_type(atype)
     raise ValueError(f"Unsupported type {atype}")  # ParquetUtils.scala:74 parity
+
+
+def _union_to_spark_type(atype: pa.DataType) -> T.DataType:
+    """Avro/Arrow n-ary union mapping (ParquetUtils.scala:51-72 parity):
+
+    * a union containing null drops the null branch (nullability is
+      carried by the field, not the type) and recurses;
+    * a single remaining branch collapses to that branch's type;
+    * {int, long} → long and {float, double} → double;
+    * anything else becomes a struct with fields ``member0..memberN``
+      (one per branch, all nullable — only one is set at a time),
+      matching Avro↔Parquet's own complex-union convention.
+    """
+    branches = [atype.field(i).type for i in range(atype.num_fields)]
+    non_null = [b for b in branches if not pa.types.is_null(b)]
+    if not non_null:
+        return T.NullType()
+    if len(non_null) == 1:
+        return arrow_to_spark_type(non_null[0])
+    kinds = {str(b) for b in non_null}
+    if kinds == {"int32", "int64"}:
+        return T.LongType()
+    if kinds == {"float", "double"}:
+        return T.DoubleType()
+    return T.StructType(
+        [
+            T.StructField(f"member{i}", arrow_to_spark_type(b), True)
+            for i, b in enumerate(non_null)
+        ]
+    )
 
 
 def arrow_schema_to_spark(schema: pa.Schema) -> T.StructType:

@@ -89,6 +89,41 @@ def _partition_values(
     return {c: values.get(c) for c in partition_by}
 
 
+def _read_with_partitions(spark: SparkSession, snap, paths: list[str]) -> DataFrame:
+    """Read data files, materializing partition columns from the log's
+    ``add.partitionValues`` (hive-layout files don't store them).
+
+    Files are grouped by partition tuple and each group's columns are
+    filled with cast literals, then unioned — the plan has one scan per
+    touched partition, which matches the copy-on-write contract (MERGE/
+    DELETE/OPTIMIZE read only the partitions they rewrite)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if not snap.partition_columns:
+        reader = spark.read
+        if snap.schema is not None:
+            reader = reader.schema(snap.schema)
+        return reader.parquet(*paths)
+    pcols = list(snap.partition_columns)
+    data_schema = T.StructType(
+        [f for f in snap.schema.fields if f.name not in set(pcols)]
+    )
+    groups: dict[tuple, list[str]] = {}
+    for p in paths:
+        pv = snap.file_partitions.get(p) or {}
+        groups.setdefault(tuple(pv.get(c) for c in pcols), []).append(p)
+    parts = []
+    for key, ps in groups.items():
+        df = spark.read.schema(data_schema).parquet(*ps)
+        for c, v in zip(pcols, key):
+            df = df.withColumn(c, F.lit(v).cast(snap.schema[c].dataType))
+        parts.append(df.select([f.name for f in snap.schema.fields]))
+    return reduce(DataFrame.unionByName, parts)
+
+
 def _merged_schema(old, new):
     """Additive schema merge (Delta mergeSchema semantics): new fields
     append after existing ones; shared fields must agree on type."""
@@ -255,11 +290,6 @@ def optimize_table(
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to optimize at {table_path}")
-    if snap.partition_columns:
-        raise NotImplementedError(
-            "per-partition OPTIMIZE not implemented; compact each "
-            "partition's files separately"
-        )
     # Incremental bin-packing (Delta's minFileSize behavior): only
     # files below the threshold are rewritten; already-compacted big
     # files stay in place — re-running OPTIMIZE on a maintained table
@@ -271,24 +301,34 @@ def optimize_table(
             p for p in snap.files if snap.file_sizes.get(p, 0) < min_file_size
         ]
         if len(victims) < 2:
-            return load_snapshot(table_path).version  # nothing worth packing
-    reader = spark.read
-    if snap.schema is not None:
-        reader = reader.schema(snap.schema)
-    df = reader.parquet(*victims)
+            return snap.version  # nothing worth packing
+    pcols = list(snap.partition_columns or [])
+    df = _read_with_partitions(spark, snap, victims)
     if zorder_by:
         from guidewire_spark.sources.zorder import cluster_by_zorder
 
         df = cluster_by_zorder(df, zorder_by, target_files)
+    elif pcols:
+        # one write task per partition value → target_files files per
+        # partition, compacted in parallel across partitions
+        df = df.repartition(*pcols)
     else:
         df = df.coalesce(target_files)
-    files, _ = _stage_files(df, table_path)
+    files, commit_dir = _stage_files(df, table_path, pcols or None)
     now = int(time.time() * 1000)
     from guidewire_spark.sources.stats import footer_stats
 
     actions = [remove_action(p, now) for p in victims]
     actions += [
-        add_action(f.path, f.size, f.modification_time, stats=footer_stats(f.path))
+        add_action(
+            f.path,
+            f.size,
+            f.modification_time,
+            stats=footer_stats(f.path),
+            partition_values=(
+                _partition_values(f.path, commit_dir, pcols) if pcols else None
+            ),
+        )
         for f in files
     ]
     for a in actions:
@@ -299,9 +339,12 @@ def optimize_table(
             "OPTIMIZE", "Compaction", False, len(files), sum(f.size for f in files), now
         )
     )
-    version = last_version(table_path) + 1
-    write_commit(table_path, version, actions)
-    return version
+    # Commit at the version AFTER the snapshot we read: if anything
+    # committed in between, write_commit's O_EXCL collides and the
+    # conflict surfaces instead of silently resurrecting stale state
+    # (Delta's read-version conflict detection).
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
 
 
 def merge_into(
@@ -326,11 +369,7 @@ def merge_into(
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to merge into at {table_path}")
-    if snap.partition_columns:
-        raise NotImplementedError(
-            "MERGE into a partitioned table not implemented; partition "
-            "columns are not materialized in the data files"
-        )
+    pcols = list(snap.partition_columns or [])
 
     from pyspark.sql import functions as F
 
@@ -339,23 +378,28 @@ def merge_into(
     ).collect()[0]
     candidates = snap.pruned_files(keys[0], bounds["lo"], bounds["hi"])
 
-    reader = spark.read
-    if snap.schema is not None:
-        reader = reader.schema(snap.schema)
     if candidates:
-        target = reader.parquet(*candidates)
+        target = _read_with_partitions(spark, snap, candidates)
         kept = target.join(source.select(*keys), keys, "left_anti")
         merged = kept.unionByName(source.select(*target.columns))
     else:
         merged = source
-    files, _ = _stage_files(merged, table_path)
+    files, commit_dir = _stage_files(merged, table_path, pcols or None)
 
     from guidewire_spark.sources.stats import footer_stats
 
     now = int(time.time() * 1000)
     actions = [remove_action(p, now) for p in candidates]
     actions += [
-        add_action(f.path, f.size, f.modification_time, stats=footer_stats(f.path))
+        add_action(
+            f.path,
+            f.size,
+            f.modification_time,
+            stats=footer_stats(f.path),
+            partition_values=(
+                _partition_values(f.path, commit_dir, pcols) if pcols else None
+            ),
+        )
         for f in files
     ]
     actions.append(
@@ -363,9 +407,9 @@ def merge_into(
             "MERGE", "Upsert", False, len(files), sum(f.size for f in files), now
         )
     )
-    version = last_version(table_path) + 1
-    write_commit(table_path, version, actions)
-    return version
+    # snapshot-version commit: intervening writers collide, not clobber
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
 
 
 def delete_from(
@@ -391,10 +435,7 @@ def delete_from(
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to delete from at {table_path}")
-    if snap.partition_columns:
-        raise NotImplementedError(
-            "DELETE on a partitioned table not implemented"
-        )
+    pcols = list(snap.partition_columns or [])
     candidates = (
         snap.pruned_files(prune_column, prune_lo, prune_hi)
         if prune_column
@@ -402,13 +443,11 @@ def delete_from(
     )
     from pyspark.sql import functions as F
 
-    reader = spark.read
-    if snap.schema is not None:
-        reader = reader.schema(snap.schema)
-
     # Which candidate files actually contain matches? One pass with
-    # the file name attached; only those files get rewritten.
-    with_file = reader.parquet(*candidates).withColumn(
+    # the file name attached (partition columns materialized from the
+    # log, so predicates may reference them); only those files get
+    # rewritten.
+    with_file = _read_with_partitions(spark, snap, candidates).withColumn(
         "__file", F.input_file_name()
     )
     hit_files = {
@@ -418,15 +457,25 @@ def delete_from(
     rewrite = [p for p in candidates if os.path.realpath(p) in hit_files]
     if not rewrite:
         raise ValueError("predicate matches no rows; nothing to delete")
-    survivors = reader.parquet(*rewrite).where(f"NOT ({predicate})")
-    files, _ = _stage_files(survivors, table_path)
+    survivors = _read_with_partitions(spark, snap, rewrite).where(
+        f"NOT ({predicate})"
+    )
+    files, commit_dir = _stage_files(survivors, table_path, pcols or None)
 
     from guidewire_spark.sources.stats import footer_stats
 
     now = int(time.time() * 1000)
     actions = [remove_action(p, now) for p in rewrite]
     actions += [
-        add_action(f.path, f.size, f.modification_time, stats=footer_stats(f.path))
+        add_action(
+            f.path,
+            f.size,
+            f.modification_time,
+            stats=footer_stats(f.path),
+            partition_values=(
+                _partition_values(f.path, commit_dir, pcols) if pcols else None
+            ),
+        )
         for f in files
     ]
     actions.append(
@@ -434,9 +483,9 @@ def delete_from(
             "DELETE", predicate, False, len(files), sum(f.size for f in files), now
         )
     )
-    version = last_version(table_path) + 1
-    write_commit(table_path, version, actions)
-    return version
+    # snapshot-version commit: intervening writers collide, not clobber
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
 
 
 def restore_table(table_path: str, version: int) -> int:
@@ -518,11 +567,15 @@ def vacuum_table(
     reference documents at README.md:45-49. Returns deleted paths.
 
     ``retention_ms`` (Delta's retention window): orphans whose
-    remove-tombstone ``deletionTimestamp`` is younger than
-    ``now - retention_ms`` are kept, so time travel to recent versions
-    keeps working; pass None to reclaim everything (the tests' and
-    default Delta-VACUUM-0 behavior — breaks time travel to removed
-    versions, exactly as Delta warns)."""
+    remove-tombstone ``deletionTimestamp`` OR file mtime is younger
+    than ``now - retention_ms`` are kept — the mtime half is Delta's
+    actual VACUUM rule, and it is what protects files staged by an
+    in-flight ``write_delta`` (between ``_stage_files`` and
+    ``write_commit``) from being deleted before their commit lands.
+    Pass None to reclaim everything (the tests' and Delta-VACUUM-0
+    behavior — breaks time travel to removed versions and is unsafe
+    under concurrent writers, exactly as Delta warns)."""
+    horizon: int | None = None
     recently_removed: set[str] = set()
     if retention_ms is not None:
         import json as _json
@@ -550,8 +603,15 @@ def vacuum_table(
             continue
         for name in names:
             full = os.path.join(root, name)
-            if name.endswith(".parquet") and os.path.realpath(full) not in live:
-                doomed.append(full)
+            if not name.endswith(".parquet") or os.path.realpath(full) in live:
+                continue
+            if (
+                horizon is not None
+                and int(os.stat(full).st_mtime * 1000) > horizon
+            ):
+                continue  # younger than the retention horizon: may be
+                # an in-flight write's staged data — keep it
+            doomed.append(full)
     if not dry_run:
         for path in doomed:
             os.remove(path)

@@ -29,7 +29,10 @@ def test_arrow_to_spark_type_table():
         (pa.date32(), T.DateType()),
         (pa.decimal128(10, 2), T.DecimalType(10, 2)),
         (pa.timestamp("us", tz="UTC"), T.TimestampType()),
-        (pa.timestamp("us"), T.TimestampNTZType()),
+        # tz-naive also → TimestampType: NTZ needs the timestampNtz
+        # table feature (reader v3/writer v7) which the emitted
+        # protocol (1/2) doesn't declare; reference maps it the same.
+        (pa.timestamp("us"), T.TimestampType()),
         (pa.list_(pa.int32()), T.ArrayType(T.IntegerType(), True)),
         (
             pa.struct([pa.field("a", pa.string())]),
@@ -42,6 +45,35 @@ def test_arrow_to_spark_type_table():
     ]
     for arrow_type, expected in cases:
         assert arrow_to_spark_type(arrow_type) == expected, str(arrow_type)
+
+
+def test_union_member_struct_mapping():
+    """n-ary union parity (ParquetUtils.scala:51-72): null branches
+    drop out, {int,long}→long, {float,double}→double, and complex
+    unions become member0..N structs with all-nullable fields."""
+    u = pa.union(
+        [pa.field("s", pa.string()), pa.field("i", pa.int64())], mode="sparse"
+    )
+    assert arrow_to_spark_type(u) == T.StructType(
+        [
+            T.StructField("member0", T.StringType(), True),
+            T.StructField("member1", T.LongType(), True),
+        ]
+    )
+    # null branch is eliminated, single survivor collapses
+    u1 = pa.union(
+        [pa.field("n", pa.null()), pa.field("s", pa.string())], mode="sparse"
+    )
+    assert arrow_to_spark_type(u1) == T.StringType()
+    # numeric widening pairs
+    u2 = pa.union(
+        [pa.field("a", pa.int32()), pa.field("b", pa.int64())], mode="sparse"
+    )
+    assert arrow_to_spark_type(u2) == T.LongType()
+    u3 = pa.union(
+        [pa.field("a", pa.float32()), pa.field("b", pa.float64())], mode="sparse"
+    )
+    assert arrow_to_spark_type(u3) == T.DoubleType()
 
 
 def test_avro_semantic_contract_documented():

@@ -474,3 +474,115 @@ def test_incremental_optimize_leaves_big_files(spark, sf_dir, tmp_path):
     v = optimize_table(spark, table, target_files=1,
                        min_file_size=before.file_sizes[big])
     assert v == after.version
+
+
+def _partitioned_supplier(spark, sf_dir, table):
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
+    ).withColumn("region_bucket", (F.col("s_nationkey") % 3).cast("long"))
+    write_delta(s, table, mode="append", partition_by=["region_bucket"])
+    return s
+
+
+def test_partitioned_merge_upsert(spark, sf_dir, tmp_path):
+    """MERGE into a partitioned table: partition columns are
+    materialized from the log when rewriting, updated rows land in the
+    right hive partition, untouched partitions' rows survive."""
+    from guidewire_spark.sources.writer import merge_into
+
+    table = str(tmp_path / "pmrg")
+    s = _partitioned_supplier(spark, sf_dir, table)
+    some = [r.s_suppkey for r in s.limit(5).collect()]
+    source = (
+        s.where(F.col("s_suppkey").isin(some))
+        .withColumn("acctbal", F.col("acctbal") + 1)
+    )
+    merge_into(spark, table, source, on="s_suppkey")
+    got = read_delta(spark, table)
+    assert got.count() == s.count()
+    # updated values present, partition column intact
+    exp = {
+        (r.s_suppkey, round(r.acctbal + 1, 2), r.s_nationkey % 3)
+        for r in s.where(F.col("s_suppkey").isin(some)).collect()
+    }
+    assert {
+        (r.s_suppkey, r.acctbal, r.region_bucket)
+        for r in got.where(F.col("s_suppkey").isin(some)).collect()
+    } == exp
+    snap = load_snapshot(table)
+    assert all(
+        snap.file_partitions.get(p, {}).get("region_bucket") is not None
+        for p in snap.files
+    )
+
+
+def test_partitioned_delete_rows(spark, sf_dir, tmp_path):
+    """DELETE on a partitioned table, predicate over the partition
+    column itself: only that partition's files are rewritten/removed."""
+    from guidewire_spark.sources.writer import delete_from
+
+    table = str(tmp_path / "pdel")
+    s = _partitioned_supplier(spark, sf_dir, table)
+    before = load_snapshot(table)
+    doomed_files = [
+        p
+        for p in before.files
+        if before.file_partitions.get(p, {}).get("region_bucket") == "1"
+    ]
+    assert doomed_files
+    delete_from(spark, table, "region_bucket = 1")
+    after = load_snapshot(table)
+    assert not set(doomed_files) & set(after.files)
+    assert set(before.files) - set(doomed_files) <= set(after.files)
+    got = read_delta(spark, table)
+    assert got.where(F.col("region_bucket") == 1).count() == 0
+    assert got.count() == s.where(F.col("s_nationkey") % 3 != 1).count()
+
+
+def test_partitioned_optimize_compacts_within_partitions(spark, sf_dir, tmp_path):
+    """OPTIMIZE on a partitioned table compacts per partition: row
+    set unchanged, every add keeps its partitionValues, file count
+    drops to one per partition."""
+    table = str(tmp_path / "popt")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
+    ).withColumn("region_bucket", (F.col("s_nationkey") % 3).cast("long"))
+    # several appends → many small files per partition
+    for i in range(3):
+        write_delta(
+            s.where(F.col("s_suppkey") % 3 == i),
+            table,
+            mode="append",
+            partition_by=["region_bucket"],
+        )
+    before = load_snapshot(table)
+    assert len(before.files) > 3
+    optimize_table(spark, table)
+    after = load_snapshot(table)
+    assert len(after.files) == 3  # one per region_bucket
+    assert {
+        after.file_partitions.get(p, {}).get("region_bucket") for p in after.files
+    } == {"0", "1", "2"}
+    got = read_delta(spark, table)
+    assert got.count() == s.count()
+    assert got.groupBy().sum("s_suppkey").collect()[0][0] == \
+        s.groupBy().sum("s_suppkey").collect()[0][0]
+
+
+def test_vacuum_retention_protects_young_untracked_files(spark, sf_dir, tmp_path):
+    """A freshly staged (uncommitted) file must survive VACUUM with a
+    retention window — its mtime is younger than the horizon — so an
+    in-flight write's data cannot be deleted before its commit lands."""
+    table = str(tmp_path / "vac")
+    s = load_table(spark, sf_dir, "supplier")
+    write_delta(s, table, mode="append")
+    staged = os.path.join(table, "data-inflight")
+    os.makedirs(staged)
+    orphan = os.path.join(staged, "part-00000.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1fake")
+    deleted = vacuum_table(table, retention_ms=3_600_000)
+    assert orphan not in deleted and os.path.exists(orphan)
+    # without a retention window the orphan is reclaimed (documented)
+    deleted = vacuum_table(table, retention_ms=None)
+    assert orphan in deleted and not os.path.exists(orphan)
