@@ -197,3 +197,167 @@ def sql_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@query(
+    "sql_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report): the canonical wide-aggregate
+    scan — eight aggregates over one filtered pass, partial+final agg
+    on a 6-value grouping key. The classic whole-stage-codegen
+    benchmark query."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 6) AS avg_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "sql_q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (revenue forecast): pure filter + global aggregate —
+    every predicate pushes to the parquet scan, no shuffle at all
+    beyond the single-row final agg."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@query(
+    "sql_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analogue (order priority checking): correlated EXISTS
+    against the fact table (shipped-after-order in place of the
+    dataset's missing commit/receipt dates) → left-semi join after
+    decorrelation."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "sql_q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+               / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def sql_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analogue (promotion effect): conditional aggregate
+    ratio over a fact-to-dim join (part broadcasts under AQE)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                   / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        """
+    )
+
+
+@query(
+    "sql_q18_large_volume_customers",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o_totalprice, 2) AS totalprice,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def sql_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large volume customers): IN over a grouped-HAVING
+    subquery on the fact table — Catalyst plans it as an aggregate
+    feeding a left-semi join, so the big table is scanned twice but
+    never joined to itself row-by-row."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               ROUND(o_totalprice, 2) AS totalprice,
+               ROUND(SUM(l_quantity), 2) AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        """
+    )

@@ -63,7 +63,8 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              user_id, value
       FROM events, offsets
     )
-    SELECT win_start, COUNT(*) AS n_events, ROUND(AVG(value), 6) AS avg_value
+    SELECT win_start, COUNT(*) AS n_events,
+           CAST(ROUND(CAST(AVG(value) AS DECIMAL(24,8)), 6) AS DOUBLE) AS avg_value
     FROM slid
     GROUP BY win_start
     """,
@@ -77,7 +78,13 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "10 minutes", "5 minutes"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # DECIMAL bridge before the 6dp round: the raw double avg
+            # can land on a .xxxxxx5 half-boundary where Spark (exact
+            # binary) and DuckDB (shortest decimal) round apart; an
+            # 8dp decimal quantization first makes both deterministic.
+            F.round(F.avg("value").cast("decimal(24,8)"), 6)
+            .cast("double")
+            .alias("avg_value"),
         )
         .select(
             _epoch_seconds(F.col("window.start")).alias("win_start"),
