@@ -467,3 +467,88 @@ def delta_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_delta(n.where(F.col("n_nationkey") % 3 == i), table, mode="append")
     optimize_table(spark, table, target_files=1)
     return read_delta(spark, table)
+
+
+@query(
+    "delta_partitioned_merge",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CAST(s_nationkey % 3 AS BIGINT) AS region_bucket,
+           ROUND(s_acctbal + 100, 2) AS acctbal
+    FROM supplier WHERE s_suppkey % 10 = 0
+    UNION ALL
+    SELECT s_suppkey, s_name,
+           CAST(s_nationkey % 3 AS BIGINT) AS region_bucket,
+           ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier WHERE s_suppkey % 10 <> 0
+    """,
+)
+def delta_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE into a hive-partitioned table: partition columns are not
+    stored in the data files, so the copy-on-write rewrite
+    rematerializes them from the log's partitionValues
+    (writer.py::_read_with_partitions) and stages updated rows back
+    into their partitions."""
+    table = tempfile.mkdtemp(prefix="gw_dpmrg_") + "/supplier_part"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        (F.col("s_nationkey") % 3).cast("long").alias("region_bucket"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+    write_delta(s, table, mode="append", partition_by=["region_bucket"])
+    updates = s.where(F.col("s_suppkey") % 10 == 0).withColumn(
+        "acctbal", F.round(F.col("acctbal") + 100, 2)
+    )
+    merge_into(spark, table, updates, on="s_suppkey")
+    return read_delta(spark, table)
+
+
+@query(
+    "delta_partitioned_delete",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'de'
+    """,
+)
+def delta_partitioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE on a partitioned table with a partition-column predicate:
+    only the lang=de partition's files are rewritten (here: dropped
+    entirely); every other partition survives untouched."""
+    from guidewire_spark.sources.writer import delete_from
+
+    table = tempfile.mkdtemp(prefix="gw_dpdel_") + "/docs_part"
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    write_delta(d, table, mode="append", partition_by=["lang"])
+    delete_from(spark, table, "lang = 'de'")
+    return read_delta(spark, table)
+
+
+@query(
+    "delta_partitioned_optimize",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CAST(s_nationkey % 3 AS BIGINT) AS region_bucket,
+           ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    """,
+)
+def delta_partitioned_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition OPTIMIZE: three small appends per partition are
+    compacted to one file per partition (dataChange=false), preserving
+    every row and each add's partitionValues."""
+    table = tempfile.mkdtemp(prefix="gw_dpopt_") + "/supplier_part"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        (F.col("s_nationkey") % 3).cast("long").alias("region_bucket"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+    for i in range(3):
+        write_delta(
+            s.where(F.col("s_suppkey") % 3 == i),
+            table,
+            mode="append",
+            partition_by=["region_bucket"],
+        )
+    optimize_table(spark, table)
+    return read_delta(spark, table)
