@@ -294,17 +294,23 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("bucket", F.floor(F.unix_timestamp("ts") / F.lit(86400)))
 
     # Carry-in table: one row per day — last event id of each *earlier*
-    # bucket, via a window over the (tiny) bucket roster.
-    per_bucket_last = (
-        tagged.where(F.col("is_probe") == 0)
-        .groupBy("bucket")
-        .agg(F.max_by("event_id", F.struct("ts", "event_id")).alias("last_eid"))
-    )
-    roster = tagged.select("bucket").distinct()
+    # bucket. A single aggregate pass produces both the bucket roster
+    # (every bucket, probe-only ones included) and its last event
+    # (lexicographic max of (ts, event_id) over event rows only; null
+    # where a bucket has no events), so the union is read once here
+    # instead of once for the roster and once for the per-bucket max.
     wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     carry = (
-        roster.join(per_bucket_last, "bucket", "left")
-        .withColumn("carry_in", F.last("last_eid", ignorenulls=True).over(wb))
+        tagged.groupBy("bucket")
+        .agg(
+            F.max(
+                F.when(F.col("is_probe") == 0, F.struct("ts", "event_id"))
+            ).alias("last_ev")
+        )
+        .withColumn(
+            "carry_in",
+            F.last(F.col("last_ev.event_id"), ignorenulls=True).over(wb),
+        )
         .select("bucket", "carry_in")
     )
 
