@@ -224,3 +224,26 @@ def test_embedding_dedup_has_no_all_pairs_join(spark, sf_dir):
     tree = plan.split("== Physical Plan ==")[1]
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_new_sql_suite_plan_shapes(spark, sf_dir):
+    """TPC-H additions keep the plans you'd want at scale: Q1/Q6 push
+    their scan predicates into parquet and aggregate partial+final;
+    Q18's IN-subquery decorrelates to a left-semi join (never a
+    per-row subquery)."""
+    from guidewire_spark.operators.sql_suite import (
+        sql_q1_pricing_summary,
+        sql_q6_forecast_revenue,
+        sql_q18_large_volume_customers,
+    )
+
+    q1 = plan_of(sql_q1_pricing_summary(spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in q1  # pushed to the scan
+    assert q1.count("HashAggregate") >= 2  # partial + final
+
+    q6 = plan_of(sql_q6_forecast_revenue(spark, sf_dir))
+    for pushed in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({pushed})" in q6 or pushed in q6.split("PushedFilters")[1].split("]")[0]
+
+    q18 = plan_of(sql_q18_large_volume_customers(spark, sf_dir))
+    assert "LeftSemi" in q18
