@@ -552,3 +552,41 @@ def delta_partitioned_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     optimize_table(spark, table)
     return read_delta(spark, table)
+
+
+@query(
+    "delta_check_constraint",
+    oracle="""
+    SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    UNION ALL
+    SELECT s_suppkey + 500000, s_name, 1.0 AS acctbal
+    FROM supplier WHERE s_suppkey % 5 = 0
+    """,
+)
+def delta_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints (writer-enforced table invariants, Delta's
+    delta.constraints.* configuration): a valid append lands, a
+    violating append is rejected wholesale, and the surviving table
+    contains exactly the base + valid rows."""
+    from guidewire_spark.sources.writer import add_check_constraint
+
+    table = tempfile.mkdtemp(prefix="gw_dchk_") + "/supplier_chk"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    write_delta(s, table, mode="append")
+    add_check_constraint(spark, table, "min_bal", "acctbal >= -1000")
+    good = s.where(F.col("s_suppkey") % 5 == 0).select(
+        (F.col("s_suppkey") + 500000).alias("s_suppkey"),
+        "s_name",
+        F.lit(1.0).alias("acctbal"),
+    )
+    write_delta(good, table, mode="append")
+    bad = good.withColumn("acctbal", F.lit(-5000.0))
+    try:
+        write_delta(bad, table, mode="append")
+        raise AssertionError("violating append must be rejected")
+    except ValueError:
+        pass
+    return read_delta(spark, table)

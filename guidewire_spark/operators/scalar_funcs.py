@@ -304,3 +304,44 @@ def func_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shr"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@query(
+    "func_struct_family",
+    oracle="""
+    WITH packed AS (
+      SELECT o_orderkey,
+             {'custkey': o_custkey, 'status': o_orderstatus,
+              'price_band': CAST(FLOOR(o_totalprice / 50000) AS BIGINT)} AS o
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_orderkey,
+           o.custkey AS custkey,
+           o.status AS status,
+           o.price_band AS price_band,
+           o.custkey % 10 = 0 AS is_decimal_cust
+    FROM packed
+    """,
+)
+def func_struct_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family: struct construction, dotted field access, and
+    expressions over extracted fields. Both engines build a nested
+    struct then project its fields back to scalars — the output stays
+    flat because Row-vs-dict renderings of nested values are not
+    comparable across engines, while their extracted fields are."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 11 == 0)
+    packed = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") / 50000).alias("price_band"),
+        ).alias("o"),
+    )
+    return packed.select(
+        "o_orderkey",
+        F.col("o.custkey").alias("custkey"),
+        F.col("o.status").alias("status"),
+        F.col("o.price_band").alias("price_band"),
+        (F.col("o.custkey") % 10 == 0).alias("is_decimal_cust"),
+    )

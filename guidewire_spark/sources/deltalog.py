@@ -58,13 +58,14 @@ def metadata_action(
     partition_columns: list[str] | None = None,
     created_time: int | None = None,
     table_id: str | None = None,
+    configuration: dict[str, str] | None = None,
 ) -> dict:
     return {
         "metaData": {
             "id": table_id or str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema.json(),
-            "configuration": {},
+            "configuration": configuration or {},
             "partitionColumns": partition_columns or [],
             "createdTime": created_time or int(time.time() * 1000),
         }

@@ -144,6 +144,118 @@ def _merged_schema(old, new):
     return T.StructType([by_name[n] for n in ordered])
 
 
+def table_configuration(table_path: str) -> dict[str, str]:
+    """Latest ``metaData.configuration`` from the JSON log (last
+    metadata action wins — a metadata-scale replay, no data touched).
+    Empty for tables that never set configuration."""
+    import json as _json
+
+    from guidewire_spark.sources.deltalog import delta_log_dir, list_versions
+
+    config: dict[str, str] = {}
+    for v in list_versions(table_path):
+        path = os.path.join(delta_log_dir(table_path), f"{v:020d}.json")
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                action = _json.loads(line)
+                if "metaData" in action:
+                    config = dict(action["metaData"].get("configuration") or {})
+    return config
+
+
+def table_constraints(table_path: str) -> dict[str, str]:
+    """CHECK constraints stored Delta-style as
+    ``delta.constraints.<name> = <sql expr>`` in the table
+    configuration."""
+    prefix = "delta.constraints."
+    return {
+        k[len(prefix):]: v
+        for k, v in table_configuration(table_path).items()
+        if k.startswith(prefix)
+    }
+
+
+def _enforce_constraints(df: DataFrame, table_path: str) -> None:
+    """Writer-side CHECK enforcement (Delta's invariant check): reject
+    the whole write if any incoming row violates any constraint. One
+    predicate pass over the incoming DataFrame — the same work Delta's
+    CheckDeltaInvariant exec node does inline."""
+    constraints = table_constraints(table_path)
+    if not constraints:
+        return
+    from pyspark.sql import functions as F
+
+    violated = df.where(
+        ~F.expr(" AND ".join(f"({e})" for e in constraints.values()))
+    ).limit(1)
+    if violated.count() > 0:
+        raise ValueError(
+            f"CHECK constraint violation writing to {table_path}: "
+            + "; ".join(f"{n}: {e}" for n, e in constraints.items())
+        )
+
+
+def add_check_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT ... CHECK (expr): validates the
+    EXISTING rows first (Delta refuses constraints the current data
+    violates), then commits a metadata action carrying the constraint
+    in the configuration. Returns the new version."""
+    from guidewire_spark.sources.snapshot import read_delta
+
+    snap = load_snapshot(table_path)
+    from pyspark.sql import functions as F
+
+    if snap.files and read_delta(spark, table_path).where(
+        ~F.expr(expr)
+    ).limit(1).count() > 0:
+        raise ValueError(
+            f"existing rows violate CHECK ({expr}); constraint not added"
+        )
+    config = table_configuration(table_path)
+    config[f"delta.constraints.{name}"] = expr
+    now = int(time.time() * 1000)
+    actions = [
+        metadata_action(
+            snap.schema,
+            partition_columns=snap.partition_columns or None,
+            created_time=now,
+            table_id=snap.metadata_id,
+            configuration=config,
+        ),
+        commit_info_action(
+            "ADD CONSTRAINT", f"{name} CHECK ({expr})", False, 0, 0, now
+        ),
+    ]
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
+def drop_check_constraint(table_path: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: removes the configuration key
+    in a new metadata commit."""
+    key = f"delta.constraints.{name}"
+    config = table_configuration(table_path)
+    if key not in config:
+        raise KeyError(f"no CHECK constraint {name!r} on {table_path}")
+    del config[key]
+    snap = load_snapshot(table_path)
+    now = int(time.time() * 1000)
+    actions = [
+        metadata_action(
+            snap.schema,
+            partition_columns=snap.partition_columns or None,
+            created_time=now,
+            table_id=snap.metadata_id,
+            configuration=config,
+        ),
+        commit_info_action("DROP CONSTRAINT", name, False, 0, 0, now),
+    ]
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
 def write_delta(
     df: DataFrame,
     table_path: str,
@@ -169,6 +281,11 @@ def write_delta(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r} not supported (append|overwrite)")
     prev = last_version(table_path)
+    if prev is not None:
+        # CHECK constraints survive overwrite (Delta semantics: the
+        # table definition outlives its data), so enforce on every
+        # write into an existing table before any file is staged.
+        _enforce_constraints(df, table_path)
     if prev is not None and partition_by:
         existing = load_snapshot(table_path).partition_columns
         if existing != partition_by:
@@ -190,7 +307,11 @@ def write_delta(
         snap = load_snapshot(table_path)
         actions.append(
             metadata_action(
-                df.schema, partition_columns=partition_by, created_time=now
+                df.schema,
+                partition_columns=partition_by,
+                created_time=now,
+                table_id=snap.metadata_id,
+                configuration=table_configuration(table_path),
             )
         )
         actions.extend(remove_action(p, now) for p in snap.files)
@@ -223,6 +344,8 @@ def write_delta(
                             merged,
                             partition_columns=snap.partition_columns or None,
                             created_time=now,
+                            table_id=snap.metadata_id,
+                            configuration=table_configuration(table_path),
                         )
                     )
         # a schema-evolving commit is not a blind append

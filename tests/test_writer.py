@@ -586,3 +586,49 @@ def test_vacuum_retention_protects_young_untracked_files(spark, sf_dir, tmp_path
     # without a retention window the orphan is reclaimed (documented)
     deleted = vacuum_table(table, retention_ms=None)
     assert orphan in deleted and not os.path.exists(orphan)
+
+
+def test_check_constraints_enforced_on_write(spark, sf_dir, tmp_path):
+    """CHECK constraints: added only when existing data satisfies them,
+    enforced on later appends AND overwrites, carried through schema
+    evolution, removable."""
+    from guidewire_spark.sources.writer import (
+        add_check_constraint,
+        drop_check_constraint,
+        table_constraints,
+    )
+
+    table = str(tmp_path / "cons")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    write_delta(s, table, mode="append")
+
+    with pytest.raises(ValueError, match="existing rows violate"):
+        add_check_constraint(spark, table, "huge_bal", "acctbal > 100000")
+    add_check_constraint(spark, table, "valid_key", "s_suppkey >= 0")
+    assert table_constraints(table) == {"valid_key": "s_suppkey >= 0"}
+
+    bad = spark.createDataFrame(
+        [(-1, "BAD", 1.0)], "s_suppkey long, s_name string, acctbal double"
+    )
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        write_delta(bad, table, mode="append")
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        write_delta(bad, table, mode="overwrite")
+
+    ok = spark.createDataFrame(
+        [(999999, "OK", 1.0)], "s_suppkey long, s_name string, acctbal double"
+    )
+    write_delta(ok, table, mode="append")
+    # constraint survives a schema-evolving append
+    evolved = ok.withColumn("note", F.lit("x"))
+    write_delta(evolved, table, mode="append", merge_schema=True)
+    assert table_constraints(table) == {"valid_key": "s_suppkey >= 0"}
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        write_delta(bad, table, mode="append")
+
+    drop_check_constraint(table, "valid_key")
+    assert table_constraints(table) == {}
+    write_delta(bad, table, mode="append")  # no longer enforced
+    assert read_delta(spark, table).where(F.col("s_suppkey") == -1).count() == 1
