@@ -280,7 +280,11 @@ def read_delta(
     if not groups:
         return spark.createDataFrame([], schema)
     parts = []
-    for pv, files in sorted(groups.items()):
+    # Deterministic group order; None partition values (Hive default
+    # partition) sort last rather than crashing the tuple compare.
+    for pv, files in sorted(
+        groups.items(), key=lambda kv: tuple((v is None, v or "") for v in kv[0])
+    ):
         df = spark.read.schema(data_schema).parquet(*files)
         for col, val in zip(pcols, pv):
             dtype = schema[col].dataType if col in schema.fieldNames() else T.StringType()

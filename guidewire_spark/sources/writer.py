@@ -256,14 +256,60 @@ def drop_check_constraint(table_path: str, name: str) -> int:
     return snap.version + 1
 
 
+def table_generated_columns(table_path: str) -> dict[str, str]:
+    """Generated columns stored Delta-style as
+    ``delta.generatedColumns.<col> = <sql expr>`` in the table
+    configuration (Delta proper keeps the expression in schema field
+    metadata; the configuration keeps this engine's log replay
+    simple while preserving the semantics)."""
+    prefix = "delta.generatedColumns."
+    return {
+        k[len(prefix):]: v
+        for k, v in table_configuration(table_path).items()
+        if k.startswith(prefix)
+    }
+
+
+def _apply_generated_columns(df: DataFrame, table_path: str) -> DataFrame:
+    """Compute absent generated columns; validate supplied ones (a
+    provided value that disagrees with its generation expression is
+    rejected, matching Delta's generated-column write check)."""
+    gen = table_generated_columns(table_path)
+    if not gen:
+        return df
+    from pyspark.sql import functions as F
+
+    for col, expr in gen.items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+        else:
+            bad = df.where(
+                ~(F.col(col).eqNullSafe(F.expr(expr)))
+            ).limit(1)
+            if bad.count() > 0:
+                raise ValueError(
+                    f"generated column {col!r} was supplied with values "
+                    f"that contradict its expression ({expr})"
+                )
+    return df
+
+
 def write_delta(
     df: DataFrame,
     table_path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
+    generated_columns: dict[str, str] | None = None,
 ) -> int:
     """Write a DataFrame as a new Delta version; returns the version.
+
+    ``generated_columns`` (first write only): declare ``{col: sql
+    expr}`` generated columns — materialized from the expression when
+    the writer omits them, validated when supplied. Stored in the
+    table configuration so every later ``write_delta`` enforces them
+    (a generated partition column gives Delta's classic
+    generated-partition pruning pattern).
 
     ``partition_by`` writes hive-layout files and records each file's
     ``partitionValues`` in its add action (standard Delta), enabling
@@ -281,17 +327,37 @@ def write_delta(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r} not supported (append|overwrite)")
     prev = last_version(table_path)
-    if prev is not None:
-        # CHECK constraints survive overwrite (Delta semantics: the
-        # table definition outlives its data), so enforce on every
-        # write into an existing table before any file is staged.
-        _enforce_constraints(df, table_path)
-    if prev is not None and partition_by:
-        existing = load_snapshot(table_path).partition_columns
-        if existing != partition_by:
+    if prev is None:
+        if generated_columns:
+            from pyspark.sql import functions as F
+
+            for col, expr in generated_columns.items():
+                if col not in df.columns:
+                    df = df.withColumn(col, F.expr(expr))
+    else:
+        if generated_columns:
             raise ValueError(
-                f"partition_by {partition_by} != table's {existing}"
+                "generated_columns may only be declared on the first write"
             )
+        # Generated columns materialize/validate first (constraints may
+        # reference them); CHECK constraints survive overwrite (Delta
+        # semantics: the table definition outlives its data), so both
+        # are enforced on every write into an existing table before any
+        # file is staged.
+        df = _apply_generated_columns(df, table_path)
+        _enforce_constraints(df, table_path)
+    if prev is not None:
+        existing = load_snapshot(table_path).partition_columns
+        if partition_by:
+            if existing != partition_by:
+                raise ValueError(
+                    f"partition_by {partition_by} != table's {existing}"
+                )
+        elif existing and mode == "append":
+            # appends inherit the table's partitioning — omitting
+            # partition_by must not silently stage unpartitioned files
+            # into a partitioned table
+            partition_by = list(existing)
     files, commit_dir = _stage_files(df, table_path, partition_by)
     now = int(time.time() * 1000)
     actions: list[dict] = []
@@ -299,7 +365,13 @@ def write_delta(
         actions.append(protocol_action())
         actions.append(
             metadata_action(
-                df.schema, partition_columns=partition_by, created_time=now
+                df.schema,
+                partition_columns=partition_by,
+                created_time=now,
+                configuration={
+                    f"delta.generatedColumns.{c}": e
+                    for c, e in (generated_columns or {}).items()
+                },
             )
         )
         version, op_mode, blind = 0, "Overwrite" if mode == "overwrite" else "Append", False

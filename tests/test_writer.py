@@ -632,3 +632,48 @@ def test_check_constraints_enforced_on_write(spark, sf_dir, tmp_path):
     assert table_constraints(table) == {}
     write_delta(bad, table, mode="append")  # no longer enforced
     assert read_delta(spark, table).where(F.col("s_suppkey") == -1).count() == 1
+
+
+def test_generated_columns(spark, sf_dir, tmp_path):
+    """Generated columns: declared on the first write, materialized
+    when omitted, validated when supplied, usable as the partition
+    column (Delta's generated-partition pattern)."""
+    from guidewire_spark.sources.writer import table_generated_columns
+
+    table = str(tmp_path / "gen")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("price")
+    )
+    write_delta(
+        o,
+        table,
+        mode="append",
+        partition_by=["order_year"],
+        generated_columns={"order_year": "year(o_orderdate)"},
+    )
+    assert table_generated_columns(table) == {"order_year": "year(o_orderdate)"}
+    got = read_delta(spark, table)
+    assert "order_year" in got.columns
+    assert got.where("order_year = year(o_orderdate)").count() == got.count()
+
+    # later append without the column: materialized automatically, and
+    # the append inherits the table's partitioning (no partition_by)
+    extra = o.limit(3).withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    write_delta(extra, table, mode="append")
+    got = read_delta(spark, table)
+    assert got.count() == o.count() + 3
+    assert got.where("order_year = year(o_orderdate)").count() == got.count()
+    snap = load_snapshot(table)
+    assert all(
+        snap.file_partitions.get(p, {}).get("order_year") is not None
+        for p in snap.files
+    )
+
+    # later append WITH contradicting values: rejected
+    bad = extra.withColumn("order_year", F.lit(1900))
+    with pytest.raises(ValueError, match="generated column"):
+        write_delta(bad, table, mode="append")
+
+    # declaring on an existing table: rejected
+    with pytest.raises(ValueError, match="first write"):
+        write_delta(extra, table, mode="append", generated_columns={"x": "1"})
