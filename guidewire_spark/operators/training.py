@@ -688,3 +688,73 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+@query(
+    "training_negative_pairs",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    anchors AS (
+      SELECT d.doc_id, d.lang, t.i
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) t
+    ),
+    pairs AS (
+      SELECT a.doc_id, CAST(a.i AS BIGINT) AS neg_rank,
+             CASE WHEN raw = a.doc_id THEN (raw + 1) % n.n_docs ELSE raw END
+               AS neg_doc_id,
+             a.lang
+      FROM (SELECT doc_id, lang, i,
+                   (doc_id * 2654435761 + i * 40503 + 17) % (SELECT n_docs FROM n)
+                     AS raw
+            FROM anchors) a, n
+    )
+    SELECT p.doc_id, p.neg_rank, p.neg_doc_id,
+           (p.lang = d2.lang) AS same_lang
+    FROM pairs p JOIN documents d2 ON p.neg_doc_id = d2.doc_id
+    """,
+)
+def training_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document gets k=4 pseudo-random negatives via modular hashing of
+    (doc_id, rank) — reproducible across runs and engines without
+    rand(), exactly like the split/sample operators.
+
+    Scale shape: a projection + posexplode fans each anchor into k
+    rows; the join that fetches negative-side features is a plain
+    equi-join on neg_doc_id (shuffle hash join at corpus scale — both
+    sides are the corpus; no broadcast assumption). Self-pairs are
+    remapped to the next id, so every anchor keeps exactly k rows.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n_docs = d.count()
+    k = 4
+    raw = (
+        F.col("doc_id") * F.lit(2654435761) + F.col("neg_rank") * 40503 + 17
+    ) % n_docs
+    pairs = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.posexplode(F.array(*[F.lit(i) for i in range(k)])).alias(
+                "_pos", "neg_rank"
+            ),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            F.when(raw == F.col("doc_id"), (raw + 1) % n_docs)
+            .otherwise(raw)
+            .alias("neg_doc_id"),
+        )
+    )
+    neg = d.select(
+        F.col("doc_id").alias("neg_doc_id"), F.col("lang").alias("neg_lang")
+    )
+    return pairs.join(neg, "neg_doc_id").select(
+        "doc_id",
+        "neg_rank",
+        "neg_doc_id",
+        (F.col("lang") == F.col("neg_lang")).alias("same_lang"),
+    )
