@@ -590,3 +590,35 @@ def delta_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
     except ValueError:
         pass
     return read_delta(spark, table)
+
+
+@query(
+    "delta_rename_column",
+    oracle="""
+    SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS balance
+    FROM supplier
+    UNION ALL
+    SELECT s_suppkey + 700000, s_name, 7.0 AS balance
+    FROM supplier WHERE s_suppkey % 9 = 0
+    """,
+)
+def delta_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN via column mapping (mode=name): metadata-only —
+    old files keep their physical column name, an append under the new
+    logical name lands in the same table, and the read resolves both
+    through the mapping."""
+    from guidewire_spark.sources.writer import rename_column
+
+    table = tempfile.mkdtemp(prefix="gw_dren_") + "/supplier_ren"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    write_delta(s, table, mode="append")
+    rename_column(table, "acctbal", "balance")
+    extra = s.where(F.col("s_suppkey") % 9 == 0).select(
+        (F.col("s_suppkey") + 700000).alias("s_suppkey"),
+        "s_name",
+        F.lit(7.0).alias("balance"),
+    )
+    write_delta(extra, table, mode="append")
+    return read_delta(spark, table)

@@ -19,6 +19,41 @@ from pyspark.sql import types as T
 
 from guidewire_spark.sources.deltalog import delta_log_dir, list_versions
 
+PHYSICAL_NAME_KEY = "delta.columnMapping.physicalName"
+
+
+def physical_name(f: T.StructField) -> str:
+    """Column mapping (Delta mode=name): a renamed column keeps its
+    original *physical* parquet name in field metadata; unmapped
+    fields are physically named by their logical name."""
+    return (f.metadata or {}).get(PHYSICAL_NAME_KEY, f.name)
+
+
+def read_files_with_schema(
+    spark: SparkSession, schema: T.StructType | None, paths: list[str]
+) -> DataFrame:
+    """Read parquet files under a logical schema, resolving column
+    mapping: the scan requests physical names (so files written before
+    a RENAME COLUMN still bind), then aliases back to logical names.
+    DROPped columns simply aren't requested — neither operation ever
+    rewrites data."""
+    if schema is None:
+        return spark.read.parquet(*paths)
+    mapped = any(physical_name(f) != f.name for f in schema.fields)
+    if not mapped:
+        return spark.read.schema(schema).parquet(*paths)
+    from pyspark.sql import functions as F
+
+    phys = T.StructType(
+        [
+            T.StructField(physical_name(f), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    return spark.read.schema(phys).parquet(*paths).select(
+        *[F.col(physical_name(f)).alias(f.name) for f in schema.fields]
+    )
+
 
 @dataclass
 class DeltaSnapshot:
@@ -223,11 +258,8 @@ def read_delta_changes(
 
     dfs = []
     for v, kind, path in frames:
-        reader = spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
         dfs.append(
-            reader.parquet(path)
+            read_files_with_schema(spark, schema, [path])
             .withColumn("_change_type", F.lit(kind))
             .withColumn("_commit_version", F.lit(v).cast("long"))
         )
@@ -255,10 +287,7 @@ def read_delta(
     if not snap.partition_columns:
         if not snap.files:
             return spark.createDataFrame([], snap.schema or T.StructType([]))
-        reader = spark.read
-        if snap.schema is not None:
-            reader = reader.schema(snap.schema)
-        return reader.parquet(*snap.files)
+        return read_files_with_schema(spark, snap.schema, snap.files)
 
     from functools import reduce
 
@@ -285,7 +314,7 @@ def read_delta(
     for pv, files in sorted(
         groups.items(), key=lambda kv: tuple((v is None, v or "") for v in kv[0])
     ):
-        df = spark.read.schema(data_schema).parquet(*files)
+        df = read_files_with_schema(spark, data_schema, files)
         for col, val in zip(pcols, pv):
             dtype = schema[col].dataType if col in schema.fieldNames() else T.StringType()
             df = df.withColumn(col, F.lit(val).cast(dtype))

@@ -102,11 +102,10 @@ def _read_with_partitions(spark: SparkSession, snap, paths: list[str]) -> DataFr
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    from guidewire_spark.sources.snapshot import read_files_with_schema
+
     if not snap.partition_columns:
-        reader = spark.read
-        if snap.schema is not None:
-            reader = reader.schema(snap.schema)
-        return reader.parquet(*paths)
+        return read_files_with_schema(spark, snap.schema, paths)
     pcols = list(snap.partition_columns)
     data_schema = T.StructType(
         [f for f in snap.schema.fields if f.name not in set(pcols)]
@@ -117,7 +116,7 @@ def _read_with_partitions(spark: SparkSession, snap, paths: list[str]) -> DataFr
         groups.setdefault(tuple(pv.get(c) for c in pcols), []).append(p)
     parts = []
     for key, ps in groups.items():
-        df = spark.read.schema(data_schema).parquet(*ps)
+        df = read_files_with_schema(spark, data_schema, ps)
         for c, v in zip(pcols, key):
             df = df.withColumn(c, F.lit(v).cast(snap.schema[c].dataType))
         parts.append(df.select([f.name for f in snap.schema.fields]))
@@ -256,6 +255,118 @@ def drop_check_constraint(table_path: str, name: str) -> int:
     return snap.version + 1
 
 
+def _to_physical(df: DataFrame, schema) -> DataFrame:
+    """Rename logical columns to their physical parquet names before
+    staging, so files written after a RENAME COLUMN stay readable with
+    the stable physical schema (column mapping, mode=name)."""
+    from guidewire_spark.sources.snapshot import physical_name
+
+    if schema is None:
+        return df
+    renames = {
+        f.name: physical_name(f) for f in schema.fields if f.name in df.columns
+    }
+    if all(k == v for k, v in renames.items()):
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(c).alias(renames.get(c, c)) for c in df.columns]
+    )
+
+
+def rename_column(table_path: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN — metadata-only (column mapping,
+    Delta mode=name): the field keeps its original *physical* parquet
+    name in field metadata; no data file is rewritten. Returns the new
+    version.  Renaming partition columns or columns referenced by
+    CHECK constraints / generated columns is rejected."""
+    from pyspark.sql import types as T
+
+    from guidewire_spark.sources.snapshot import PHYSICAL_NAME_KEY, physical_name
+
+    snap = load_snapshot(table_path)
+    names = [f.name for f in snap.schema.fields]
+    if old not in names:
+        raise KeyError(f"no column {old!r} in {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    if old in (snap.partition_columns or []):
+        raise ValueError("renaming a partition column is not supported")
+    for label, exprs in (
+        ("CHECK constraint", table_constraints(table_path)),
+        ("generated column", table_generated_columns(table_path)),
+    ):
+        for cname, expr in exprs.items():
+            if old in expr or old == cname:
+                raise ValueError(
+                    f"column {old!r} is referenced by {label} {cname!r}; "
+                    "drop it first"
+                )
+    fields = []
+    for f in snap.schema.fields:
+        if f.name == old:
+            md = dict(f.metadata or {})
+            md[PHYSICAL_NAME_KEY] = physical_name(f)
+            fields.append(T.StructField(new, f.dataType, f.nullable, md))
+        else:
+            fields.append(f)
+    config = table_configuration(table_path)
+    config["delta.columnMapping.mode"] = "name"
+    now = int(time.time() * 1000)
+    actions = [
+        metadata_action(
+            T.StructType(fields),
+            partition_columns=snap.partition_columns or None,
+            created_time=now,
+            table_id=snap.metadata_id,
+            configuration=config,
+        ),
+        commit_info_action("RENAME COLUMN", f"{old} -> {new}", False, 0, 0, now),
+    ]
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
+def drop_column(table_path: str, name: str) -> int:
+    """ALTER TABLE ... DROP COLUMN — metadata-only: the field leaves
+    the logical schema; data files are untouched and readers simply
+    stop requesting the column."""
+    from pyspark.sql import types as T
+
+    snap = load_snapshot(table_path)
+    names = [f.name for f in snap.schema.fields]
+    if name not in names:
+        raise KeyError(f"no column {name!r} in {names}")
+    if name in (snap.partition_columns or []):
+        raise ValueError("dropping a partition column is not supported")
+    for label, exprs in (
+        ("CHECK constraint", table_constraints(table_path)),
+        ("generated column", table_generated_columns(table_path)),
+    ):
+        for cname, expr in exprs.items():
+            if name in expr or name == cname:
+                raise ValueError(
+                    f"column {name!r} is referenced by {label} {cname!r}; "
+                    "drop it first"
+                )
+    config = table_configuration(table_path)
+    config["delta.columnMapping.mode"] = "name"
+    now = int(time.time() * 1000)
+    actions = [
+        metadata_action(
+            T.StructType([f for f in snap.schema.fields if f.name != name]),
+            partition_columns=snap.partition_columns or None,
+            created_time=now,
+            table_id=snap.metadata_id,
+            configuration=config,
+        ),
+        commit_info_action("DROP COLUMN", name, False, 0, 0, now),
+    ]
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
 def table_generated_columns(table_path: str) -> dict[str, str]:
     """Generated columns stored Delta-style as
     ``delta.generatedColumns.<col> = <sql expr>`` in the table
@@ -358,6 +469,10 @@ def write_delta(
             # partition_by must not silently stage unpartitioned files
             # into a partitioned table
             partition_by = list(existing)
+    incoming_schema = df.schema  # logical, pre-column-mapping
+    if prev is not None and mode == "append":
+        # mapped tables stage files under physical column names
+        df = _to_physical(df, load_snapshot(table_path).schema)
     files, commit_dir = _stage_files(df, table_path, partition_by)
     now = int(time.time() * 1000)
     actions: list[dict] = []
@@ -390,18 +505,18 @@ def write_delta(
         version, op_mode, blind = prev + 1, "Overwrite", False
     else:
         snap = load_snapshot(table_path)
-        if snap.schema is not None and snap.schema != df.schema:
+        if snap.schema is not None and snap.schema != incoming_schema:
             if not merge_schema:
                 missing = {f.name for f in snap.schema.fields} - {
-                    f.name for f in df.schema.fields
+                    f.name for f in incoming_schema.fields
                 }
-                extra = {f.name for f in df.schema.fields} - {
+                extra = {f.name for f in incoming_schema.fields} - {
                     f.name for f in snap.schema.fields
                 }
                 if extra or any(
                     f.name not in missing
                     and snap.schema[f.name].dataType != f.dataType
-                    for f in df.schema.fields
+                    for f in incoming_schema.fields
                     if f.name in {g.name for g in snap.schema.fields}
                 ):
                     raise ValueError(
@@ -409,7 +524,7 @@ def write_delta(
                         "pass merge_schema=True for additive evolution"
                     )
             else:
-                merged = _merged_schema(snap.schema, df.schema)
+                merged = _merged_schema(snap.schema, incoming_schema)
                 if merged != snap.schema:
                     actions.append(
                         metadata_action(
@@ -509,7 +624,9 @@ def optimize_table(
         df = df.repartition(*pcols)
     else:
         df = df.coalesce(target_files)
-    files, commit_dir = _stage_files(df, table_path, pcols or None)
+    files, commit_dir = _stage_files(
+        _to_physical(df, snap.schema), table_path, pcols or None
+    )
     now = int(time.time() * 1000)
     from guidewire_spark.sources.stats import footer_stats
 
@@ -579,7 +696,9 @@ def merge_into(
         merged = kept.unionByName(source.select(*target.columns))
     else:
         merged = source
-    files, commit_dir = _stage_files(merged, table_path, pcols or None)
+    files, commit_dir = _stage_files(
+        _to_physical(merged, snap.schema), table_path, pcols or None
+    )
 
     from guidewire_spark.sources.stats import footer_stats
 
@@ -655,7 +774,9 @@ def delete_from(
     survivors = _read_with_partitions(spark, snap, rewrite).where(
         f"NOT ({predicate})"
     )
-    files, commit_dir = _stage_files(survivors, table_path, pcols or None)
+    files, commit_dir = _stage_files(
+        _to_physical(survivors, snap.schema), table_path, pcols or None
+    )
 
     from guidewire_spark.sources.stats import footer_stats
 

@@ -677,3 +677,80 @@ def test_generated_columns(spark, sf_dir, tmp_path):
     # declaring on an existing table: rejected
     with pytest.raises(ValueError, match="first write"):
         write_delta(extra, table, mode="append", generated_columns={"x": "1"})
+
+
+def test_rename_and_drop_column_metadata_only(spark, sf_dir, tmp_path):
+    """Column mapping (mode=name): RENAME COLUMN and DROP COLUMN are
+    metadata-only — zero data files rewritten — and reads, appends,
+    MERGE, and time travel all keep working across the rename."""
+    from guidewire_spark.sources.writer import (
+        drop_column,
+        merge_into,
+        rename_column,
+    )
+
+    table = str(tmp_path / "ren")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    write_delta(s, table, mode="append")
+    files_before = set(load_snapshot(table).files)
+
+    rename_column(table, "acctbal", "balance")
+    snap = load_snapshot(table)
+    assert set(snap.files) == files_before  # no data rewritten
+    got = read_delta(spark, table)
+    assert got.columns == ["s_suppkey", "s_name", "balance"]
+    assert got.agg(F.sum("balance")).collect()[0][0] == \
+        s.agg(F.sum("acctbal")).collect()[0][0]
+
+    # append with the NEW logical name: staged under the physical name
+    extra = spark.createDataFrame(
+        [(777777, "NEW", 42.0)], "s_suppkey long, s_name string, balance double"
+    )
+    write_delta(extra, table, mode="append")
+    got = read_delta(spark, table)
+    assert got.where("s_suppkey = 777777").collect()[0].balance == 42.0
+    assert got.count() == s.count() + 1
+
+    # MERGE through the mapping
+    upd = spark.createDataFrame(
+        [(777777, "NEW", 43.0)], "s_suppkey long, s_name string, balance double"
+    )
+    merge_into(spark, table, upd, on="s_suppkey")
+    assert read_delta(spark, table).where("s_suppkey = 777777").collect()[0].balance == 43.0
+
+    # time travel to v0 shows the original logical name
+    assert read_delta(spark, table, version=0).columns == [
+        "s_suppkey", "s_name", "acctbal"
+    ]
+
+    # rename collisions / unknown columns rejected
+    with pytest.raises(ValueError):
+        rename_column(table, "balance", "s_name")
+    with pytest.raises(KeyError):
+        rename_column(table, "ghost", "x")
+
+    # DROP COLUMN: metadata-only, column vanishes, data still reads
+    files_before = set(load_snapshot(table).files)
+    drop_column(table, "s_name")
+    assert set(load_snapshot(table).files) == files_before
+    got = read_delta(spark, table)
+    assert got.columns == ["s_suppkey", "balance"]
+    assert got.count() == s.count() + 1
+
+
+def test_rename_blocked_by_constraint_reference(spark, sf_dir, tmp_path):
+    from guidewire_spark.sources.writer import (
+        add_check_constraint,
+        rename_column,
+    )
+
+    table = str(tmp_path / "renc")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    write_delta(s, table, mode="append")
+    add_check_constraint(spark, table, "sane_bal", "acctbal >= -100000")
+    with pytest.raises(ValueError, match="referenced by"):
+        rename_column(table, "acctbal", "balance")
