@@ -622,3 +622,61 @@ def delta_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_delta(extra, table, mode="append")
     return read_delta(spark, table)
+
+
+@query(
+    "delta_update_rows",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CASE WHEN s_suppkey % 10 = 0
+                THEN ROUND(ROUND(s_acctbal, 2) * 2, 2)
+                ELSE ROUND(s_acctbal, 2) END AS acctbal
+    FROM supplier
+    """,
+)
+def delta_update_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE (copy-on-write): double every 10th
+    supplier's balance in place; only files containing matches are
+    rewritten (writer.py::update_table, DELETE's three-way file
+    handling applied to updates)."""
+    from guidewire_spark.sources.writer import update_table
+
+    table = tempfile.mkdtemp(prefix="gw_dupd_") + "/supplier_upd"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    write_delta(s, table, mode="append")
+    update_table(
+        spark, table, "s_suppkey % 10 = 0", {"acctbal": "round(acctbal * 2, 2)"}
+    )
+    return read_delta(spark, table)
+
+
+@query(
+    "delta_shallow_clone",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100, n_name FROM nation WHERE n_nationkey < 3
+    """,
+)
+def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE + divergent append: the clone references the
+    source's files in place (zero copy — the reference's core trick,
+    README.md:22-28), then takes its own append without disturbing the
+    source."""
+    from guidewire_spark.sources.writer import shallow_clone
+
+    root = tempfile.mkdtemp(prefix="gw_dcln_")
+    src, dst = root + "/src", root + "/dst"
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n, src, mode="append")
+    shallow_clone(src, dst)
+    write_delta(
+        n.where(F.col("n_nationkey") < 3).select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"), "n_name"
+        ),
+        dst,
+        mode="append",
+    )
+    return read_delta(spark, dst)

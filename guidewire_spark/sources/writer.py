@@ -804,6 +804,146 @@ def delete_from(
     return snap.version + 1
 
 
+def update_table(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    assignments: dict[str, str],
+    prune_column: str | None = None,
+    prune_lo=None,
+    prune_hi=None,
+) -> int:
+    """UPDATE ... SET ... WHERE (copy-on-write): rewrite only the files
+    that actually contain matching rows, applying each ``SET col =
+    expr`` to the matching rows and copying the rest through.
+
+    Same three-way file handling as DELETE (stats-pruned candidates →
+    match detection per file → rewrite only hit files); at 100 TB a
+    targeted UPDATE touches a handful of files, never the table.
+    Updated rows re-check CHECK constraints — an UPDATE may not
+    invalidate the table's invariants.
+    """
+    snap = load_snapshot(table_path)
+    if not snap.files:
+        raise ValueError(f"nothing to update at {table_path}")
+    for col in assignments:
+        if col in (snap.partition_columns or []):
+            raise ValueError(
+                f"updating partition column {col!r} is not supported; "
+                "use MERGE to move rows between partitions"
+            )
+    pcols = list(snap.partition_columns or [])
+    candidates = (
+        snap.pruned_files(prune_column, prune_lo, prune_hi)
+        if prune_column
+        else list(snap.files)
+    )
+    from pyspark.sql import functions as F
+
+    with_file = _read_with_partitions(spark, snap, candidates).withColumn(
+        "__file", F.input_file_name()
+    )
+    hit_files = {
+        os.path.realpath(r["__file"].replace("file://", ""))
+        for r in with_file.where(predicate).select("__file").distinct().collect()
+    }
+    rewrite = [p for p in candidates if os.path.realpath(p) in hit_files]
+    if not rewrite:
+        raise ValueError("predicate matches no rows; nothing to update")
+    base = _read_with_partitions(spark, snap, rewrite)
+    updated = base.select(
+        *[
+            F.when(F.expr(predicate), F.expr(assignments[c]))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in base.columns
+        ]
+    )
+    _enforce_constraints(updated, table_path)
+    files, commit_dir = _stage_files(
+        _to_physical(updated, snap.schema), table_path, pcols or None
+    )
+
+    from guidewire_spark.sources.stats import footer_stats
+
+    now = int(time.time() * 1000)
+    actions = [remove_action(p, now) for p in rewrite]
+    actions += [
+        add_action(
+            f.path,
+            f.size,
+            f.modification_time,
+            stats=footer_stats(f.path),
+            partition_values=(
+                _partition_values(f.path, commit_dir, pcols) if pcols else None
+            ),
+        )
+        for f in files
+    ]
+    actions.append(
+        commit_info_action(
+            "UPDATE", predicate, False, len(files), sum(f.size for f in files), now
+        )
+    )
+    # snapshot-version commit: intervening writers collide, not clobber
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
+def shallow_clone(
+    src_table: str, dst_table: str, version: int | None = None
+) -> int:
+    """SHALLOW CLONE (the reference's core concept, generalized): a new
+    Delta table whose log references the source snapshot's data files
+    in place — zero bytes copied, exactly how the connector interprets
+    CDA trees as Delta tables (``/root/reference/README.md:22-28``).
+    Optionally clones a historical ``version`` (time-travel clone).
+    The clone's history starts fresh at version 0; VACUUM on the clone
+    never touches the source's files (they live outside the clone's
+    directory — the guard the reference documents at README.md:45-49).
+    """
+    snap = load_snapshot(src_table, version=version)
+    if os.path.isdir(os.path.join(dst_table, "_delta_log")):
+        raise FileExistsError(f"destination {dst_table} is already a table")
+    os.makedirs(dst_table, exist_ok=True)
+    now = int(time.time() * 1000)
+    actions: list[dict] = [protocol_action()]
+    if snap.schema is not None:
+        actions.append(
+            metadata_action(
+                snap.schema,
+                partition_columns=snap.partition_columns or None,
+                created_time=now,
+                configuration=table_configuration(src_table),
+            )
+        )
+    actions.extend(
+        add_action(
+            p,
+            snap.file_sizes.get(p, 0),
+            now,
+            stats=snap.file_stats.get(p),
+            partition_values=snap.file_partitions.get(p),
+        )
+        for p in snap.files
+    )
+    actions.append(
+        commit_info_action(
+            "CLONE",
+            f"shallow from {src_table}"
+            + (f"@v{version}" if version is not None else ""),
+            False,
+            len(snap.files),
+            0,
+            now,
+        )
+    )
+    write_commit(dst_table, 0, actions)
+    return 0
+
+
 def restore_table(table_path: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF ``version``: a new commit
     whose net effect is the old snapshot's file set + schema (history

@@ -754,3 +754,82 @@ def test_rename_blocked_by_constraint_reference(spark, sf_dir, tmp_path):
     add_check_constraint(spark, table, "sane_bal", "acctbal >= -100000")
     with pytest.raises(ValueError, match="referenced by"):
         rename_column(table, "acctbal", "balance")
+
+
+def test_update_rewrites_only_hit_files(spark, sf_dir, tmp_path):
+    """UPDATE: three key-disjoint files, a predicate hitting only the
+    middle range -> other files survive by path; matching rows get the
+    SET expressions, non-matching rows in hit files copy through."""
+    from guidewire_spark.sources.writer import update_table
+
+    table = str(tmp_path / "upd")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    keys = sorted(r.s_suppkey for r in s.select("s_suppkey").collect())
+    t1, t2 = keys[len(keys) // 3], keys[2 * len(keys) // 3]
+    for part in (
+        s.where(F.col("s_suppkey") < t1),
+        s.where((F.col("s_suppkey") >= t1) & (F.col("s_suppkey") < t2)),
+        s.where(F.col("s_suppkey") >= t2),
+    ):
+        write_delta(part.coalesce(1), table, mode="append")
+    before = load_snapshot(table).files
+    mid_key = t1
+    update_table(
+        spark,
+        table,
+        f"s_suppkey = {mid_key}",
+        {"acctbal": "acctbal + 1000", "s_name": "concat(s_name, '-U')"},
+        prune_column="s_suppkey",
+        prune_lo=mid_key,
+        prune_hi=mid_key,
+    )
+    after = load_snapshot(table)
+    assert len(set(before) & set(after.files)) == 2  # two files untouched
+    got = read_delta(spark, table)
+    assert got.count() == s.count()
+    row = got.where(F.col("s_suppkey") == mid_key).collect()[0]
+    orig = s.where(F.col("s_suppkey") == mid_key).collect()[0]
+    assert row.acctbal == round(orig.acctbal + 1000, 2) and row.s_name.endswith("-U")
+    # updates re-check constraints
+    from guidewire_spark.sources.writer import add_check_constraint
+
+    add_check_constraint(spark, table, "cap", "acctbal < 1000000")
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        update_table(spark, table, f"s_suppkey = {mid_key}", {"acctbal": "2000000"})
+    with pytest.raises(ValueError, match="matches no rows"):
+        update_table(spark, table, "s_suppkey = -42", {"acctbal": "0"})
+
+
+def test_shallow_clone_zero_copy(spark, sf_dir, tmp_path):
+    """SHALLOW CLONE: the clone's log references the source files in
+    place (no bytes copied); writes to the clone never disturb the
+    source; VACUUM on the clone spares the source's files."""
+    from guidewire_spark.sources.writer import shallow_clone
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n.where(F.col("n_nationkey") < 10), src, mode="append")
+    write_delta(n.where(F.col("n_nationkey") >= 10), src, mode="append")
+
+    assert shallow_clone(src, dst) == 0
+    assert set(load_snapshot(dst).files) == set(load_snapshot(src).files)
+    assert read_delta(spark, dst).count() == n.count()
+
+    # historical clone
+    dst0 = str(tmp_path / "dst0")
+    shallow_clone(src, dst0, version=0)
+    assert read_delta(spark, dst0).count() == n.where(F.col("n_nationkey") < 10).count()
+
+    # divergence: append to clone, source unchanged
+    write_delta(n.limit(2).withColumn("n_nationkey", F.col("n_nationkey") + 100), dst, mode="append")
+    assert read_delta(spark, dst).count() == n.count() + 2
+    assert read_delta(spark, src).count() == n.count()
+
+    # vacuum on the clone never deletes the (external) source files
+    assert vacuum_table(dst) == []
+    assert read_delta(spark, src).count() == n.count()
+    with pytest.raises(FileExistsError):
+        shallow_clone(src, dst)
