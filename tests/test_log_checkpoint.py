@@ -220,3 +220,27 @@ def test_cdf_edge_versions(tmp_path):
     empty = read_delta_changes(spark, table, from_version=99)
     assert empty.count() == 0
     assert "_change_type" in empty.columns and "_commit_version" in empty.columns
+
+
+def test_checkpoint_preserves_column_mapping(spark, sf_dir, tmp_path):
+    """A log checkpoint written after RENAME COLUMN must carry the
+    field-metadata physical names, so checkpoint-seeded reads still
+    bind old files."""
+    from pyspark.sql import functions as F
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.log_checkpoint import write_log_checkpoint
+    from guidewire_spark.sources.snapshot import read_delta
+    from guidewire_spark.sources.writer import rename_column, write_delta
+
+    table = str(tmp_path / "ckpt_map")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    write_delta(s, table, mode="append")
+    rename_column(table, "acctbal", "balance")
+    write_log_checkpoint(table)
+    got = read_delta(spark, table)
+    assert got.columns == ["s_suppkey", "balance"]
+    assert got.agg(F.sum("balance")).collect()[0][0] == \
+        s.agg(F.sum("acctbal")).collect()[0][0]
