@@ -361,3 +361,205 @@ def sql_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFram
         GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
         """
     )
+
+
+@query(
+    "sql_q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             YEAR(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def sql_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bidirectional nation-pair revenue —
+    a five-way join where both nation dims broadcast and the OR-pair
+    predicate prunes before aggregation."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               ROUND(SUM(volume), 2) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 YEAR(l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+              OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        """
+    )
+
+
+@query(
+    "sql_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nationkey_supp = 7 THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT YEAR(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             s_nationkey AS nationkey_supp
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def sql_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analogue (national market share): one supplier
+    nation's share of European order volume per year — conditional
+    aggregate over a six-way join."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN nationkey_supp = 7 THEN volume ELSE 0 END)
+                     / SUM(volume), 6) AS mkt_share
+        FROM (
+          SELECT YEAR(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 s_nationkey AS nationkey_supp
+          FROM lineitem
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+        ) all_nations
+        GROUP BY o_year
+        """
+    )
+
+
+@query(
+    "sql_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def sql_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): double aggregation over a
+    left join with a join-condition filter — customers with zero
+    qualifying orders must appear in the c_count=0 bucket."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        """
+    )
+
+
+@query(
+    "sql_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def sql_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): CTE + scalar-subquery max — the CTE
+    is evaluated once for the join and once for the max under
+    Catalyst's subquery reuse."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """
+    )
+
+
+@query(
+    "sql_q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def sql_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analogue (small-quantity-order revenue): correlated
+    scalar subquery per part — Catalyst decorrelates it to an
+    aggregate + join instead of a per-row subquery."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+            SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = lineitem.l_partkey)
+        """
+    )
