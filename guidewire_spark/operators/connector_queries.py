@@ -680,3 +680,54 @@ def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     return read_delta(spark, dst)
+
+
+@query(
+    "delta_matview_incremental",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS view_count,
+           ROUND(SUM(ROUND(s_acctbal, 2)), 2) AS sum_acctbal
+    FROM (
+      SELECT s_nationkey, s_acctbal FROM supplier
+      UNION ALL
+      SELECT s_nationkey, 100.0 AS s_acctbal
+      FROM supplier WHERE s_suppkey % 4 = 0
+    )
+    GROUP BY s_nationkey
+    """,
+)
+def delta_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained aggregate view: build at v0, append to
+    the base, refresh from the change feed only — the refreshed view
+    must equal a full re-aggregate of the final base state (the oracle
+    computes exactly that)."""
+    from guidewire_spark.sources.matview import (
+        create_materialized_aggregate,
+        refresh_materialized_aggregate,
+    )
+
+    root = tempfile.mkdtemp(prefix="gw_dmv_")
+    base, view = root + "/base", root + "/view"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    write_delta(s, base, mode="append")
+    create_materialized_aggregate(
+        spark, base, view, group_cols=["s_nationkey"], sum_cols=["acctbal"]
+    )
+    write_delta(
+        s.where(F.col("s_suppkey") % 4 == 0).select(
+            (F.col("s_suppkey") + 900000).alias("s_suppkey"),
+            "s_nationkey",
+            F.lit(100.0).alias("acctbal"),
+        ),
+        base,
+        mode="append",
+    )
+    refresh_materialized_aggregate(spark, base, view)
+    return read_delta(spark, view).select(
+        "s_nationkey",
+        "view_count",
+        F.round("sum_acctbal", 2).alias("sum_acctbal"),
+    )

@@ -1,0 +1,88 @@
+"""Incrementally maintained materialized aggregates (sources/matview.py):
+every refresh must land the view on exactly the state a full re-aggregate
+of the base would produce — across appends, deletes, and updates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.sources.matview import (
+    create_materialized_aggregate,
+    read_materialized_aggregate,
+    refresh_materialized_aggregate,
+    view_state,
+)
+from guidewire_spark.sources.snapshot import read_delta
+from guidewire_spark.sources.writer import delete_from, update_table, write_delta
+
+
+def _full_expected(spark, base):
+    return {
+        (r.s_nationkey, r.view_count, round(r.sum_acctbal, 2))
+        for r in read_delta(spark, base)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("view_count"),
+            F.round(F.sum("acctbal"), 2).alias("sum_acctbal"),
+        )
+        .collect()
+    }
+
+
+def _view_rows(spark, view):
+    return {
+        (r.s_nationkey, r.view_count, round(r.sum_acctbal, 2))
+        for r in read_materialized_aggregate(spark, view).collect()
+    }
+
+
+def test_incremental_refresh_matches_full_aggregate(spark, sf_dir, tmp_path):
+    base = str(tmp_path / "base")
+    view = str(tmp_path / "view")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    write_delta(s, base, mode="append")
+    create_materialized_aggregate(
+        spark, base, view, group_cols=["s_nationkey"], sum_cols=["acctbal"]
+    )
+    assert _view_rows(spark, view) == _full_expected(spark, base)
+
+    # append → refresh
+    extra = s.limit(4).select(
+        (F.col("s_suppkey") + 1000).alias("s_suppkey"),
+        (F.col("s_nationkey") + 50).alias("s_nationkey"),  # brand-new groups
+        F.lit(10.0).alias("acctbal"),
+    )
+    write_delta(extra, base, mode="append")
+    refresh_materialized_aggregate(spark, base, view)
+    assert _view_rows(spark, view) == _full_expected(spark, base)
+
+    # delete (removes the new groups entirely → zero-count rows drop)
+    delete_from(spark, base, "s_nationkey >= 50")
+    refresh_materialized_aggregate(spark, base, view)
+    got = _view_rows(spark, view)
+    assert got == _full_expected(spark, base)
+    assert not any(k >= 50 for k, _, _ in got)
+
+    # update (delete+insert in the feed → net move between sums)
+    any_key = next(iter(got))[0]
+    update_table(
+        spark, base, f"s_nationkey = {any_key}", {"acctbal": "acctbal + 5"}
+    )
+    refresh_materialized_aggregate(spark, base, view)
+    assert _view_rows(spark, view) == _full_expected(spark, base)
+
+    # idempotent no-op refresh
+    v = view_state(view)["base_version"]
+    assert refresh_materialized_aggregate(spark, base, view) == v
+    assert _view_rows(spark, view) == _full_expected(spark, base)
+
+
+def test_view_state_guard(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "plain")
+    write_delta(load_table(spark, sf_dir, "region"), t, mode="append")
+    with pytest.raises(ValueError, match="not a materialized view"):
+        view_state(t)
