@@ -833,3 +833,28 @@ def test_shallow_clone_zero_copy(spark, sf_dir, tmp_path):
     assert read_delta(spark, src).count() == n.count()
     with pytest.raises(FileExistsError):
         shallow_clone(src, dst)
+
+
+def test_partitioned_zorder_optimize(spark, sf_dir, tmp_path):
+    """OPTIMIZE zorder_by on a partitioned table: rows and partition
+    values survive, and files keep their hive partition assignment."""
+    table = str(tmp_path / "pzo")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity",
+        (F.col("l_orderkey") % 2).cast("long").alias("bucket"),
+    )
+    for i in range(2):
+        write_delta(
+            li.where(F.col("l_partkey") % 2 == i),
+            table, mode="append", partition_by=["bucket"],
+        )
+    total = read_delta(spark, table).count()
+    optimize_table(spark, table, target_files=2, zorder_by=["l_orderkey"])
+    after = load_snapshot(table)
+    assert read_delta(spark, table).count() == total
+    assert all(
+        after.file_partitions.get(p, {}).get("bucket") in {"0", "1"}
+        for p in after.files
+    )
+    got = read_delta(spark, table, partition_filter={"bucket": 0})
+    assert got.where(F.col("l_orderkey") % 2 != 0).count() == 0
