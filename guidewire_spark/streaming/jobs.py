@@ -269,3 +269,35 @@ def run_to_parquet(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_matview_stream(
+    rows: DataFrame, base_table: str, view_path: str, checkpoint_dir: str
+) -> None:
+    """Continuous materialized-view maintenance: each micro-batch is
+    appended to the base Delta table (a blind append — retried
+    optimistically on version collisions), then the aggregate view is
+    refreshed from the change feed alone (sources/matview.py). After
+    every batch the view equals a full re-aggregate of the base — the
+    streaming closure of the CDF-refresh loop, at per-batch cost
+    proportional to the batch plus the view, never the base.
+    """
+    from guidewire_spark.sources.matview import refresh_materialized_aggregate
+    from guidewire_spark.sources.writer import write_delta
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        write_delta(batch_df, base_table, mode="append")
+        refresh_materialized_aggregate(batch_df.sparkSession, base_table, view_path)
+
+    q = (
+        rows.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

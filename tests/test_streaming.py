@@ -219,3 +219,51 @@ def test_merge_stream_cdc_apply(staged_events, tmp_path):
     assert got.where((F.col("user_id") % 2 == 1) & (F.col("user_id") < 100000)
                      & (F.col("origin") != "base")).count() == 0
     assert got.where(F.col("origin") == "new").count() == 3
+
+
+def test_matview_stream_refresh(staged_events, tmp_path):
+    """Streaming matview maintenance: events arrive file-by-file, each
+    micro-batch appends to the base and refreshes the aggregate view
+    from the change feed; the drained view equals a full aggregate."""
+    from guidewire_spark.sources.matview import (
+        create_materialized_aggregate,
+        read_materialized_aggregate,
+    )
+    from guidewire_spark.sources.snapshot import read_delta
+    from guidewire_spark.sources.writer import write_delta
+
+    spark, src, batch = staged_events
+    base = str(tmp_path / "mv_base")
+    view = str(tmp_path / "mv_view")
+    rows = batch.select("user_id", "value")
+    seed = rows.limit(50)
+    write_delta(seed, base, mode="append")
+    create_materialized_aggregate(
+        spark, base, view, group_cols=["user_id"], sum_cols=["value"]
+    )
+
+    # the rest of the rows stream in, 1 file per micro-batch
+    rest_src = str(tmp_path / "mv_src")
+    rows.subtract(seed).repartition(3).write.parquet(rest_src)
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rest_src)
+    )
+    jobs.run_matview_stream(stream, base, view, str(tmp_path / "ckpt"))
+
+    expected = {
+        (r.user_id, r.view_count, round(r.sum_value, 4))
+        for r in read_delta(spark, base)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("view_count"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .collect()
+    }
+    got = {
+        (r.user_id, r.view_count, round(r.sum_value, 4))
+        for r in read_materialized_aggregate(spark, view).collect()
+    }
+    assert got == expected
