@@ -329,3 +329,63 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("asof_event_id").isNotNull())
     )
+
+
+@query(
+    "join_asof_by_key",
+    oracle="""
+    SELECT l.event_id AS probe_id,
+           l.user_id,
+           r.event_id AS last_view_id
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') l
+    ASOF JOIN (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+)
+def join_asof_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed as-of join: for each purchase, the user's latest view
+    event at-or-before it (the "attribute conversion to last touch"
+    query).
+
+    With an equality key the union-and-window merge needs NO time
+    bucketing: tag both streams, union, and run ``last(...,
+    ignorenulls)`` over a window partitioned by the key and ordered by
+    (ts, is_probe). One shuffle hash-partitioned by user — the exact
+    plan a 1000-executor cluster wants, with AQE handling hot keys.
+    Inner semantics: purchases with no prior view are dropped
+    (matching DuckDB ASOF JOIN).
+    """
+    e = load_table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("probe_id")
+    )
+    tagged = views.select(
+        "user_id",
+        "ts",
+        "view_id",
+        F.lit(None).cast("long").alias("probe_id"),
+        F.lit(0).alias("is_probe"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("view_id"),
+            "probe_id",
+            F.lit(1).alias("is_probe"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_probe").asc(), F.col("view_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("last_view_id", F.last("view_id", ignorenulls=True).over(w))
+        .where((F.col("is_probe") == 1) & F.col("last_view_id").isNotNull())
+        .select("probe_id", "user_id", "last_view_id")
+    )

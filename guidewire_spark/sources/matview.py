@@ -44,10 +44,12 @@ from guidewire_spark.sources.writer import table_configuration, write_delta
 _STATE_KEY = "guidewire.matview.state"
 
 
-def _agg_exprs(sum_cols: list[str]) -> list:
-    return [F.count(F.lit(1)).alias("view_count")] + [
-        F.sum(c).alias(f"sum_{c}") for c in sum_cols
-    ]
+def _agg_exprs(sum_cols: list[str], minmax_cols: list[str]) -> list:
+    exprs = [F.count(F.lit(1)).alias("view_count")]
+    exprs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+    for c in minmax_cols:
+        exprs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return exprs
 
 
 def _signed_agg(changes: DataFrame, group_cols: list[str], sum_cols: list[str]) -> DataFrame:
@@ -61,11 +63,18 @@ def _signed_agg(changes: DataFrame, group_cols: list[str], sum_cols: list[str]) 
     )
 
 
-def _write_state(view_path: str, base_version: int, group_cols, sum_cols) -> None:
+def _write_state(
+    view_path: str, base_version: int, group_cols, sum_cols, minmax_cols
+) -> None:
     snap = load_snapshot(view_path)
     config = table_configuration(view_path)
     config[_STATE_KEY] = json.dumps(
-        {"base_version": base_version, "group_cols": group_cols, "sum_cols": sum_cols}
+        {
+            "base_version": base_version,
+            "group_cols": group_cols,
+            "sum_cols": sum_cols,
+            "minmax_cols": minmax_cols,
+        }
     )
     import time as _time
 
@@ -98,18 +107,27 @@ def create_materialized_aggregate(
     view_path: str,
     group_cols: list[str],
     sum_cols: list[str],
+    minmax_cols: list[str] | None = None,
 ) -> int:
     """Initial build: one full aggregate of the base snapshot, then the
     base version is pinned in the view's configuration. Returns the
-    pinned base version."""
+    pinned base version.
+
+    ``minmax_cols`` adds min_c/max_c columns. Min/max is not
+    invertible under deletes, so refresh handles it hybrid: inserts
+    fold in monotonically; groups touched by a delete are re-aggregated
+    from the base, restricted to exactly those groups (a semi-join the
+    optimizer pushes into the scan — with the base partitioned or
+    z-ordered on the group key this prunes to the affected files)."""
+    minmax_cols = minmax_cols or []
     base_snap = load_snapshot(base_table)
     full = (
         read_delta(spark, base_table)
         .groupBy(*group_cols)
-        .agg(*_agg_exprs(sum_cols))
+        .agg(*_agg_exprs(sum_cols, minmax_cols))
     )
     write_delta(full, view_path, mode="append")
-    _write_state(view_path, base_snap.version, group_cols, sum_cols)
+    _write_state(view_path, base_snap.version, group_cols, sum_cols, minmax_cols)
     return base_snap.version
 
 
@@ -122,6 +140,7 @@ def refresh_materialized_aggregate(
     new base commits is a no-op. Returns the new pinned version."""
     state = view_state(view_path)
     group_cols, sum_cols = state["group_cols"], state["sum_cols"]
+    minmax_cols = state.get("minmax_cols") or []
     from_version = state["base_version"]
     base_snap = load_snapshot(base_table)
     if base_snap.version <= from_version:
@@ -131,37 +150,87 @@ def refresh_materialized_aggregate(
         spark, base_table, from_version=from_version, to_version=base_snap.version
     )
     deltas = _signed_agg(changes, group_cols, sum_cols)
+    if minmax_cols:
+        # inserts fold into min/max monotonically...
+        ins_ext = (
+            changes.where(F.col("_change_type") == "insert")
+            .groupBy(*group_cols)
+            .agg(
+                *[F.min(c).alias(f"i_min_{c}") for c in minmax_cols],
+                *[F.max(c).alias(f"i_max_{c}") for c in minmax_cols],
+            )
+        )
+        # ...but a delete can remove the current extreme, so groups
+        # touched by any delete are re-aggregated from the base,
+        # restricted to exactly those groups (left-semi pushdown).
+        del_groups = (
+            changes.where(F.col("_change_type") == "delete")
+            .select(*group_cols)
+            .distinct()
+        )
+        recomputed = (
+            read_delta(spark, base_table)
+            .join(F.broadcast(del_groups), group_cols, "left_semi")
+            .groupBy(*group_cols)
+            .agg(
+                *[F.min(c).alias(f"r_min_{c}") for c in minmax_cols],
+                *[F.max(c).alias(f"r_max_{c}") for c in minmax_cols],
+            )
+            .withColumn("__recomputed", F.lit(True))
+        )
 
     current = read_delta(spark, view_path)
     merged = (
         current.select(
-            *group_cols, "view_count", *[f"sum_{c}" for c in sum_cols]
+            *group_cols,
+            "view_count",
+            *[f"sum_{c}" for c in sum_cols],
+            *[x for c in minmax_cols for x in (f"min_{c}", f"max_{c}")],
         )
         .join(deltas.withColumnRenamed("view_count", "d_count").select(
             *group_cols, "d_count", *[
                 F.col(f"sum_{c}").alias(f"d_sum_{c}") for c in sum_cols
             ]
         ), group_cols, "full_outer")
-        .select(
-            *group_cols,
-            (F.coalesce("view_count", F.lit(0)) + F.coalesce("d_count", F.lit(0))).alias("view_count"),
-            *[
-                (
-                    F.coalesce(f"sum_{c}", F.lit(0.0))
-                    + F.coalesce(f"d_sum_{c}", F.lit(0.0))
-                ).alias(f"sum_{c}")
-                for c in sum_cols
-            ],
-        )
-        .where(F.col("view_count") > 0)
     )
+    if minmax_cols:
+        merged = merged.join(ins_ext, group_cols, "left").join(
+            recomputed, group_cols, "left"
+        )
+    out_cols = [F.col(c) for c in group_cols]
+    out_cols.append(
+        (
+            F.coalesce("view_count", F.lit(0)) + F.coalesce("d_count", F.lit(0))
+        ).alias("view_count")
+    )
+    out_cols += [
+        (
+            F.coalesce(f"sum_{c}", F.lit(0.0)) + F.coalesce(f"d_sum_{c}", F.lit(0.0))
+        ).alias(f"sum_{c}")
+        for c in sum_cols
+    ]
+    for c in minmax_cols:
+        # recomputed groups take the authoritative base value (the base
+        # already contains this window's inserts); others extend
+        # monotonically (least/greatest skip nulls).
+        out_cols.append(
+            F.when(F.col("__recomputed"), F.col(f"r_min_{c}"))
+            .otherwise(F.least(f"min_{c}", f"i_min_{c}"))
+            .alias(f"min_{c}")
+        )
+        out_cols.append(
+            F.when(F.col("__recomputed"), F.col(f"r_max_{c}"))
+            .otherwise(F.greatest(f"max_{c}", f"i_max_{c}"))
+            .alias(f"max_{c}")
+        )
+    merged = merged.select(*out_cols).where(F.col("view_count") > 0)
     # The view is small relative to the base (one row per group); a
     # full-outer rebuild of the view table is the simple correct move,
     # and stays proportional to |groups|, never |base|. (A keyed MERGE
     # of only-touched groups is the next refinement when |groups| is
     # itself huge.)
     write_delta(merged, view_path, mode="overwrite")
-    _write_state(view_path, base_snap.version, group_cols, sum_cols)
+    _write_state(view_path, base_snap.version, group_cols, sum_cols, minmax_cols)
     return base_snap.version
 
 

@@ -86,3 +86,73 @@ def test_view_state_guard(spark, sf_dir, tmp_path):
     write_delta(load_table(spark, sf_dir, "region"), t, mode="append")
     with pytest.raises(ValueError, match="not a materialized view"):
         view_state(t)
+
+
+def test_minmax_hybrid_maintenance(spark, sf_dir, tmp_path):
+    """MIN/MAX view columns: inserts fold monotonically; deleting a
+    group's current extreme triggers the affected-group recompute and
+    the view still equals a full re-aggregate."""
+    from guidewire_spark.sources.matview import create_materialized_aggregate
+
+    base = str(tmp_path / "mm_base")
+    view = str(tmp_path / "mm_view")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    write_delta(s, base, mode="append")
+    create_materialized_aggregate(
+        spark, base, view,
+        group_cols=["s_nationkey"], sum_cols=["acctbal"], minmax_cols=["acctbal"],
+    )
+
+    def full():
+        return {
+            (r.s_nationkey, r.view_count, round(r.sum_acctbal, 2),
+             r.min_acctbal, r.max_acctbal)
+            for r in read_delta(spark, base)
+            .groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("view_count"),
+                F.round(F.sum("acctbal"), 2).alias("sum_acctbal"),
+                F.min("acctbal").alias("min_acctbal"),
+                F.max("acctbal").alias("max_acctbal"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            (r.s_nationkey, r.view_count, round(r.sum_acctbal, 2),
+             r.min_acctbal, r.max_acctbal)
+            for r in read_materialized_aggregate(spark, view).collect()
+        }
+
+    assert got() == full()
+
+    # insert a new global max into one group: monotonic fold path
+    key = read_delta(spark, base).select("s_nationkey").first()[0]
+    write_delta(
+        spark.createDataFrame(
+            [(888888, key, 999999.0)], schema=read_delta(spark, base).schema
+        ),
+        base, mode="append",
+    )
+    refresh_materialized_aggregate(spark, base, view)
+    assert got() == full()
+
+    # delete that max again: the group's extreme must shrink back via
+    # the affected-group recompute (pure insert-folding cannot do this)
+    delete_from(spark, base, "s_suppkey = 888888")
+    refresh_materialized_aggregate(spark, base, view)
+    assert got() == full()
+    assert all(mx < 999999.0 for *_, mx in got())
+
+    # update the minimum of a group upward: delete+insert in the feed
+    row = min(
+        read_delta(spark, base).collect(), key=lambda r: r.acctbal
+    )
+    update_table(
+        spark, base, f"s_suppkey = {row.s_suppkey}", {"acctbal": "acctbal + 100000"}
+    )
+    refresh_materialized_aggregate(spark, base, view)
+    assert got() == full()
