@@ -170,3 +170,36 @@ def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         expand, "doc_id long, unit string, n long"
     )
+
+
+@query(
+    "udtf_map_in_arrow",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy sibling of mapInPandas — the UDF sees
+    raw ``pyarrow.RecordBatch``es, so columnar data never converts to
+    pandas at all. Here: price scaled to exact integer cents with
+    pyarrow compute kernels only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def scale(batches):
+        for batch in batches:
+            cents = pc.cast(
+                pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("o_orderkey"), cents],
+                ["o_orderkey", "price_cents"],
+            )
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
+    return o.select("o_orderkey", "o_totalprice").mapInArrow(
+        scale, "o_orderkey long, price_cents long"
+    )

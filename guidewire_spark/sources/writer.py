@@ -984,6 +984,25 @@ def restore_table(table_path: str, version: int) -> int:
     return new_version
 
 
+def table_detail(table_path: str) -> dict:
+    """DESCRIBE DETAIL: table-level facts from the log alone — no data
+    file is opened. Mirrors Delta's column set where this engine has
+    the information."""
+    snap = load_snapshot(table_path)
+    config = table_configuration(table_path)
+    return {
+        "format": "delta",
+        "id": snap.metadata_id,
+        "location": os.path.abspath(table_path),
+        "numFiles": len(snap.files),
+        "sizeInBytes": sum(snap.file_sizes.get(p, 0) for p in snap.files),
+        "partitionColumns": list(snap.partition_columns or []),
+        "version": snap.version,
+        "properties": config,
+        "numRecords": snap.metadata_count(),  # None if any file lacks stats
+    }
+
+
 def table_history(table_path: str) -> list[dict]:
     """DESCRIBE HISTORY: one row per commit still present as JSON
     (commits compacted away by log checkpointing have no commitInfo —

@@ -858,3 +858,24 @@ def test_partitioned_zorder_optimize(spark, sf_dir, tmp_path):
     )
     got = read_delta(spark, table, partition_filter={"bucket": 0})
     assert got.where(F.col("l_orderkey") % 2 != 0).count() == 0
+
+
+def test_table_detail_metadata_only(spark, sf_dir, tmp_path):
+    """DESCRIBE DETAIL from the log alone: files, bytes, partitions,
+    version, properties, and a stats-derived record count."""
+    from guidewire_spark.sources.writer import add_check_constraint, table_detail
+
+    table = str(tmp_path / "det")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.round("s_acctbal", 2).alias("acctbal"),
+        (F.col("s_nationkey") % 2).cast("long").alias("b"),
+    )
+    write_delta(s, table, mode="append", partition_by=["b"])
+    add_check_constraint(spark, table, "k", "s_suppkey >= 0")
+    d = table_detail(table)
+    assert d["format"] == "delta" and d["version"] == 1
+    assert d["numFiles"] == len(load_snapshot(table).files) > 0
+    assert d["sizeInBytes"] > 0
+    assert d["partitionColumns"] == ["b"]
+    assert d["properties"]["delta.constraints.k"] == "s_suppkey >= 0"
+    assert d["numRecords"] == s.count()
