@@ -731,3 +731,50 @@ def delta_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_count",
         F.round("sum_acctbal", 2).alias("sum_acctbal"),
     )
+
+
+@query(
+    "delta_convert_in_place",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    """,
+)
+def delta_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA: stage a plain multi-file parquet directory,
+    convert it in place (log generation only — the connector's shallow
+    trick applied to any parquet dataset), read back through the log."""
+    from guidewire_spark.sources.writer import convert_to_delta
+
+    d = tempfile.mkdtemp(prefix="gw_dcnv_") + "/supplier_pq"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    s.repartition(3).write.parquet(d)
+    convert_to_delta(d)
+    return read_delta(spark, d)
+
+
+@query(
+    "delta_dynamic_partition_overwrite",
+    oracle="""
+    SELECT doc_id, lang, n_chars + 1 AS n_chars
+    FROM documents WHERE lang = 'en'
+    UNION ALL
+    SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en'
+    """,
+)
+def delta_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: re-load the lang=en partition with
+    corrected values; every other partition's files survive untouched
+    (the idempotent daily-reload pattern)."""
+    from guidewire_spark.sources.writer import overwrite_partitions
+
+    table = tempfile.mkdtemp(prefix="gw_ddpo_") + "/docs_dpo"
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    write_delta(d, table, mode="append", partition_by=["lang"])
+    overwrite_partitions(
+        d.where(F.col("lang") == "en").withColumn("n_chars", F.col("n_chars") + 1),
+        table,
+    )
+    return read_delta(spark, table)

@@ -984,6 +984,125 @@ def restore_table(table_path: str, version: int) -> int:
     return new_version
 
 
+def overwrite_partitions(df: DataFrame, table_path: str) -> int:
+    """Dynamic partition overwrite (Delta replaceWhere on partition
+    values): replace exactly the partitions present in ``df``, leave
+    every other partition untouched — the idempotent daily-reload
+    pattern (re-running a day's load replaces that day only).
+
+    The incoming frame's distinct partition tuples are collected
+    (partition-count-scale, driver-side); current files in those
+    partitions become remove actions and the staged files are added in
+    one commit at snapshot-version+1.
+    """
+    import time as _time
+
+    snap = load_snapshot(table_path)
+    pcols = list(snap.partition_columns or [])
+    if not pcols:
+        raise ValueError(f"{table_path} is not partitioned")
+    df = _apply_generated_columns(df, table_path)
+    _enforce_constraints(df, table_path)
+    incoming = {
+        tuple(None if r[c] is None else str(r[c]) for c in pcols)
+        for r in df.select(*pcols).distinct().collect()
+    }
+    doomed = [
+        p
+        for p in snap.files
+        if tuple((snap.file_partitions.get(p) or {}).get(c) for c in pcols)
+        in incoming
+    ]
+    files, commit_dir = _stage_files(
+        _to_physical(df, snap.schema), table_path, pcols
+    )
+    from guidewire_spark.sources.stats import footer_stats
+
+    now = int(_time.time() * 1000)
+    actions = [remove_action(p, now) for p in doomed]
+    actions += [
+        add_action(
+            f.path,
+            f.size,
+            f.modification_time,
+            stats=footer_stats(f.path),
+            partition_values=_partition_values(f.path, commit_dir, pcols),
+        )
+        for f in files
+    ]
+    actions.append(
+        commit_info_action(
+            "WRITE",
+            f"dynamic partition overwrite ({len(incoming)} partitions)",
+            False,
+            len(files),
+            sum(f.size for f in files),
+            now,
+        )
+    )
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
+def convert_to_delta(parquet_dir: str) -> int:
+    """CONVERT TO DELTA: generate a transaction log for an existing
+    plain-parquet directory in place — no data is moved or rewritten
+    (the same shallow trick the CDA connector performs, applied to any
+    parquet dataset). Schema comes from the smallest non-empty file's
+    footer (P7 machinery); every file gets an add action with footer
+    stats so data skipping works immediately. Returns version 0.
+
+    Hive-partitioned layouts are intentionally rejected (their
+    partition columns live in directory names, not file footers) —
+    convert those by re-writing through ``write_delta(partition_by=)``.
+    """
+    import time as _time
+
+    from guidewire_spark.sources.fs import FileMeta
+    from guidewire_spark.sources.schema import infer_schema_from_files
+    from guidewire_spark.sources.stats import footer_stats
+
+    if os.path.isdir(os.path.join(parquet_dir, "_delta_log")):
+        raise FileExistsError(f"{parquet_dir} is already a Delta table")
+    files: list[FileMeta] = []
+    for root, _dirs, names in os.walk(parquet_dir):
+        if any("=" in seg for seg in os.path.relpath(root, parquet_dir).split(os.sep)):
+            raise ValueError(
+                "hive-partitioned layout detected; re-write through "
+                "write_delta(partition_by=) instead"
+            )
+        for name in names:
+            if name.endswith(".parquet") and not name.startswith("."):
+                full = os.path.join(root, name)
+                st = os.stat(full)
+                if st.st_size > 0:
+                    files.append(
+                        FileMeta(
+                            path=os.path.abspath(full),
+                            size=st.st_size,
+                            modification_time=int(st.st_mtime * 1000),
+                        )
+                    )
+    if not files:
+        raise ValueError(f"no parquet files under {parquet_dir}")
+    schema = infer_schema_from_files(files)
+    if schema is None:
+        raise ValueError(f"no non-empty parquet files under {parquet_dir}")
+    now = int(_time.time() * 1000)
+    actions: list[dict] = [protocol_action(), metadata_action(schema, created_time=now)]
+    actions += [
+        add_action(f.path, f.size, f.modification_time, stats=footer_stats(f.path))
+        for f in sorted(files, key=lambda f: f.path)
+    ]
+    actions.append(
+        commit_info_action(
+            "CONVERT", parquet_dir, False, len(files), sum(f.size for f in files), now
+        )
+    )
+    write_commit(parquet_dir, 0, actions)
+    return 0
+
+
 def table_detail(table_path: str) -> dict:
     """DESCRIBE DETAIL: table-level facts from the log alone — no data
     file is opened. Mirrors Delta's column set where this engine has

@@ -879,3 +879,63 @@ def test_table_detail_metadata_only(spark, sf_dir, tmp_path):
     assert d["partitionColumns"] == ["b"]
     assert d["properties"]["delta.constraints.k"] == "s_suppkey >= 0"
     assert d["numRecords"] == s.count()
+
+
+def test_convert_to_delta_in_place(spark, sf_dir, tmp_path):
+    """CONVERT TO DELTA: a plain parquet directory becomes a Delta
+    table without moving a byte; stats enable skipping immediately."""
+    from guidewire_spark.sources.writer import convert_to_delta
+
+    d = str(tmp_path / "plainpq")
+    s = load_table(spark, sf_dir, "supplier")
+    s.repartition(3).write.parquet(d)
+    before = sorted(
+        os.path.join(r, n) for r, _, ns in os.walk(d) for n in ns
+        if n.endswith(".parquet")
+    )
+    assert convert_to_delta(d) == 0
+    assert read_delta(spark, d).count() == s.count()
+    after = sorted(
+        os.path.join(r, n) for r, _, ns in os.walk(d) for n in ns
+        if n.endswith(".parquet")
+    )
+    assert before == after  # zero data movement
+    snap = load_snapshot(d)
+    assert all(snap.file_stats.get(p) for p in snap.files)  # skipping works
+    with pytest.raises(FileExistsError):
+        convert_to_delta(d)
+    # appends keep working on the converted table
+    write_delta(s.limit(2), d, mode="append")
+    assert read_delta(spark, d).count() == s.count() + 2
+
+
+def test_overwrite_partitions_replaces_only_incoming(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite: re-loading one partition replaces
+    exactly that partition; others keep their files and rows."""
+    from guidewire_spark.sources.writer import overwrite_partitions
+
+    table = str(tmp_path / "dpo")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    write_delta(d, table, mode="append", partition_by=["lang"])
+    before = load_snapshot(table)
+    en_files = [
+        p for p in before.files
+        if before.file_partitions.get(p, {}).get("lang") == "en"
+    ]
+    other_files = set(before.files) - set(en_files)
+
+    reload_en = d.where(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") + 1
+    )
+    overwrite_partitions(reload_en, table)
+    after = load_snapshot(table)
+    assert not set(en_files) & set(after.files)  # en replaced
+    assert other_files <= set(after.files)  # others untouched
+    got = read_delta(spark, table)
+    assert got.count() == d.count()
+    assert got.where("lang = 'en'").agg(F.sum("n_chars")).collect()[0][0] == \
+        d.where("lang = 'en'").agg(F.sum("n_chars") + F.count("*")).collect()[0][0]
+    with pytest.raises(ValueError, match="not partitioned"):
+        t2 = str(tmp_path / "plain2")
+        write_delta(d, t2, mode="append")
+        overwrite_partitions(d, t2)
