@@ -156,3 +156,75 @@ def test_minmax_hybrid_maintenance(spark, sf_dir, tmp_path):
     )
     refresh_materialized_aggregate(spark, base, view)
     assert got() == full()
+
+
+# ---------------------------------------------------------------------------
+# Property-based: any sequence of appends / deletes / updates must leave the
+# incrementally refreshed view identical to a full re-aggregate of the base.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(0, 4), st.integers(1, 500)),
+    st.tuples(st.just("delete"), st.integers(0, 4), st.just(0)),
+    st.tuples(st.just("update"), st.integers(0, 4), st.integers(1, 500)),
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_op, min_size=1, max_size=4))
+def test_matview_equals_full_aggregate_under_random_ops(
+    request, tmp_path_factory, ops
+):
+    from guidewire_spark.sources.matview import create_materialized_aggregate
+    from guidewire_spark.sources.writer import delete_from, update_table
+
+    spark = request.getfixturevalue("spark")
+    tmp = tmp_path_factory.mktemp("mvprop")
+    base, view = str(tmp / "b"), str(tmp / "v")
+    rows = [(i, i % 5, float(10 + i)) for i in range(20)]
+    schema = "rid long, grp long, val double"
+    write_delta(spark.createDataFrame(rows, schema), base, mode="append")
+    create_materialized_aggregate(
+        spark, base, view, group_cols=["grp"], sum_cols=["val"], minmax_cols=["val"]
+    )
+    next_rid = 1000
+    for op, grp, val in ops:
+        try:
+            if op == "append":
+                write_delta(
+                    spark.createDataFrame(
+                        [(next_rid, grp, float(val))], schema
+                    ),
+                    base,
+                    mode="append",
+                )
+                next_rid += 1
+            elif op == "delete":
+                delete_from(spark, base, f"grp = {grp}")
+            else:
+                update_table(
+                    spark, base, f"grp = {grp}", {"val": f"val + {val}"}
+                )
+        except ValueError:
+            continue  # predicate matched no rows — base unchanged
+        refresh_materialized_aggregate(spark, base, view)
+        expected = {
+            (r.grp, r.view_count, round(r.sum_val, 4), r.min_val, r.max_val)
+            for r in read_delta(spark, base)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("view_count"),
+                F.round(F.sum("val"), 4).alias("sum_val"),
+                F.min("val").alias("min_val"),
+                F.max("val").alias("max_val"),
+            )
+            .collect()
+        }
+        got = {
+            (r.grp, r.view_count, round(r.sum_val, 4), r.min_val, r.max_val)
+            for r in read_materialized_aggregate(spark, view).collect()
+        }
+        assert got == expected, f"diverged after {op} grp={grp}"
