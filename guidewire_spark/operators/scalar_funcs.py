@@ -345,3 +345,64 @@ def func_struct_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.price_band").alias("price_band"),
         (F.col("o.custkey") % 10 == 0).alias("is_decimal_cust"),
     )
+
+
+@query(
+    "func_trig_family",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SIN(l_quantity / 10.0), 6) AS sin_q,
+           ROUND(COS(l_quantity / 10.0), 6) AS cos_q,
+           ROUND(TAN(l_discount), 6) AS tan_d,
+           ROUND(ATAN2(l_quantity, l_extendedprice / 1000.0), 6) AS bearing,
+           ROUND(DEGREES(ATAN(l_tax)), 6) AS tax_deg,
+           ROUND(EXP(l_discount), 6) AS exp_d,
+           ROUND(LOG10(l_extendedprice), 6) AS log10_price
+    FROM lineitem WHERE l_orderkey % 35 = 0
+    """,
+)
+def func_trig_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric/transcendental family: sin/cos/tan/atan2/degrees/
+    exp/log10 — the feature-engineering staples (cyclic encodings,
+    bearings, log scaling), all inside whole-stage codegen."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 35 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(F.col("l_quantity") / 10.0), 6).alias("sin_q"),
+        F.round(F.cos(F.col("l_quantity") / 10.0), 6).alias("cos_q"),
+        F.round(F.tan("l_discount"), 6).alias("tan_d"),
+        F.round(
+            F.atan2(F.col("l_quantity"), F.col("l_extendedprice") / 1000.0), 6
+        ).alias("bearing"),
+        F.round(F.degrees(F.atan("l_tax")), 6).alias("tax_deg"),
+        F.round(F.exp("l_discount"), 6).alias("exp_d"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
+    )
+
+
+@query(
+    "func_string_distance",
+    oracle="""
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist,
+           (a.c_mktsegment = b.c_mktsegment) AS same_segment
+    FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+    WHERE a.c_custkey % 25 = 0
+    """,
+)
+def func_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-distance family: Levenshtein edit distance between
+    adjacent customer names (the fuzzy-matching primitive under
+    entity resolution), computed JVM-side."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.where(F.col("c_custkey") % 25 == 0).alias("a")
+    b = c.alias("b")
+    return a.join(
+        b, F.col("b.c_custkey") == F.col("a.c_custkey") + 1
+    ).select(
+        F.col("a.c_custkey").alias("cust_a"),
+        F.col("b.c_custkey").alias("cust_b"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("edit_dist"),
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias("same_segment"),
+    )

@@ -563,3 +563,75 @@ def sql_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFram
             WHERE l2.l_partkey = lineitem.l_partkey)
         """
     )
+
+
+@query(
+    "sql_q19_discounted_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def sql_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analogue (discounted revenue): disjunction of
+    conjunctive brand/size/quantity ranges — the classic OR-of-ANDs
+    predicate that exercises CNF conversion and partial pushdown of
+    the common join key."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity >= 20 AND l_quantity <= 30)
+        """
+    )
+
+
+@query(
+    "sql_q22_global_sales_opportunity",
+    oracle="""
+    SELECT seg, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM (
+      SELECT SUBSTRING(c_mktsegment, 1, 1) AS seg, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_totalprice > 250000)
+    ) custsale
+    GROUP BY seg
+    """,
+)
+def sql_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analogue (global sales opportunity): above-average
+    customers with no large order — scalar subquery + anti join + group by
+    a derived key (market-segment initial standing in for the phone
+    country code the dataset lacks)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT seg, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM (
+          SELECT SUBSTRING(c_mktsegment, 1, 1) AS seg, c_acctbal
+          FROM customer
+          WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0)
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_totalprice > 250000)
+        ) custsale
+        GROUP BY seg
+        """
+    )

@@ -119,3 +119,70 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"LSH ANN recall@5 collapsed: {recall:.2f}"
+
+
+def test_simhash_hamming_separates_near_dups(spark):
+    """SimHash quality gate: a document and its lightly-edited copy
+    must be far hamming-closer than unrelated documents. (On this
+    corpus the background mean is ~14 bits, not the ~32 of independent
+    texts — every synthetic doc shares one small vocabulary — so the
+    gate is separation, not absolute distance.)"""
+    from guidewire_spark.operators.llm import dedup_simhash
+
+    sigs = {
+        r.doc_id: r.simhash for r in dedup_simhash(spark, SF).collect()
+    }
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    import itertools
+
+    ids = sorted(sigs)
+    pairs = list(itertools.combinations(ids[:60], 2))
+    background = sum(hamming(sigs[a], sigs[b]) for a, b in pairs) / len(pairs)
+    assert background > 8, f"background hamming collapsed: {background:.1f}"
+
+    # planted: re-run the operator over a tiny frame with edited copies
+    from pyspark.sql import functions as F
+
+    from guidewire_spark.plans.catalog import load_table
+
+    d = (
+        load_table(spark, SF, "documents")
+        .orderBy(F.col("n_chars").desc())
+        .limit(10)
+        .select("doc_id", "text")
+    )
+    edited = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzqx")).alias("text"),
+    )
+    both = d.unionByName(edited)
+    both.createOrReplaceTempView("_simhash_planted")
+    # reuse the operator body via a monkeypatched loader? simpler: the
+    # signature math is deterministic, so compute directly with the
+    # same pipeline on the union frame
+    from guidewire_spark.operators import llm as llm_mod
+
+    orig = llm_mod.load_table
+    try:
+        llm_mod.load_table = lambda _s, _d, _n: both
+        planted = {
+            r.doc_id: r.simhash for r in llm_mod.dedup_simhash(spark, SF).collect()
+        }
+    finally:
+        llm_mod.load_table = orig
+    planted_dists = [
+        hamming(planted[r.doc_id], planted[r.doc_id + 100000])
+        for r in d.select("doc_id").collect()
+    ]
+    mean_planted = sum(planted_dists) / len(planted_dists)
+    # tiny shared vocabulary → bit-sums are shallow random walks, so a
+    # one-token edit still flips a few bits; gate on clear separation
+    # of the means and no planted pair reaching background distance
+    assert mean_planted < background / 2, (
+        f"edited copies not separated: planted mean {mean_planted:.1f} "
+        f"vs background mean {background:.1f}"
+    )
+    assert max(planted_dists) < background, planted_dists
