@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from guidewire_spark.plans.catalog import load_table
@@ -183,5 +183,127 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "ts_resample_ffill",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE user_id % 20 = 0
+    ),
+    spans AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS lo, MAX(ts) AS hi
+      FROM ev GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS gts
+      FROM spans
+    )
+    SELECT g.user_id,
+           CAST(epoch(g.gts) AS BIGINT) AS grid_ts,
+           ROUND(e.value, 4) AS filled_value
+    FROM grid g
+    ASOF JOIN ev e ON g.user_id = e.user_id AND e.ts <= g.gts
+    """,
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: a 6-hour grid per user
+    spanning that user's activity, each grid point carrying the value
+    of the user's latest event at-or-before it.
+
+    Scale shape — the keyed union-and-window merge again: grid points
+    (generated with ``sequence`` + ``explode`` from a per-user
+    min/max aggregate, never collected to the driver) union with the
+    events and one window partitioned by user forward-fills the value.
+    One shuffle by user; grid generation is a per-user-sized aggregate.
+    Grid points before a user's first event are dropped (ASOF inner),
+    but the grid starts at the hour-truncated first event so only the
+    leading partial hour can be empty.
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 20 == 0)
+    ev = e.select("user_id", "ts", "value")
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"), F.max("ts").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS"))
+        ).alias("gts"),
+    )
+    tagged = ev.select(
+        "user_id",
+        F.col("ts"),
+        F.col("value"),
+        F.lit(0).alias("is_grid"),
+    ).unionByName(
+        grid.select(
+            "user_id",
+            F.col("gts").alias("ts"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_grid").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("fv", F.last("value", ignorenulls=True).over(w))
+        .where((F.col("is_grid") == 1) & F.col("fv").isNotNull())
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("grid_ts"),
+            F.round("fv", 4).alias("filled_value"),
+        )
+    )
+
+
+@query(
+    "ts_rolling_zscore",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND((value - m) / s, 4) AS zscore
+    FROM (
+      SELECT user_id, event_id, value,
+             AVG(value) OVER w AS m,
+             STDDEV_SAMP(value) OVER w AS s
+      FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE user_id % 20 = 0)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    WHERE s IS NOT NULL AND s > 0.001
+    """,
+)
+def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly score in batch: each event's value
+    z-scored against the trailing 10 events of the same user (mean and
+    sample stddev over a preceding-only frame — no lookahead leakage).
+    One shuffle by user; the frame never materializes beyond the
+    window operator's ring buffer."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 20 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-10, -1)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.avg("value").over(w).alias("m"),
+            F.stddev_samp("value").over(w).alias("s"),
+        )
+        .where(F.col("s").isNotNull() & (F.col("s") > 0.001))
+        .select(
+            "user_id",
+            "event_id",
+            F.round((F.col("value") - F.col("m")) / F.col("s"), 4).alias("zscore"),
         )
     )
