@@ -307,3 +307,89 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("value") - F.col("m")) / F.col("s"), 4).alias("zscore"),
         )
     )
+
+
+@query(
+    "profile_table_columns",
+    oracle="""
+    SELECT 'o_totalprice' AS col,
+           COUNT(*) AS n_rows,
+           COUNT(o_totalprice) AS n_nonnull,
+           COUNT(DISTINCT o_totalprice) AS n_distinct,
+           ROUND(MIN(o_totalprice), 2) AS min_val,
+           ROUND(MAX(o_totalprice), 2) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           ROUND(MIN(o_custkey), 2), ROUND(MAX(o_custkey), 2)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', COUNT(*), COUNT(o_orderkey),
+           COUNT(DISTINCT o_orderkey),
+           ROUND(MIN(o_orderkey), 2), ROUND(MAX(o_orderkey), 2)
+    FROM orders
+    """,
+)
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality staple): row/non-null/
+    distinct counts and min/max per numeric column, computed in ONE
+    aggregation pass over the table and reshaped to long format —
+    never one scan per column."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_totalprice", "o_custkey", "o_orderkey"]
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
+        *[F.round(F.min(c).cast("double"), 2).alias(f"mn_{c}") for c in cols],
+        *[F.round(F.max(c).cast("double"), 2).alias(f"mx_{c}") for c in cols],
+    )
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"nn_{c}").alias("n_nonnull"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_val"),
+            F.col(f"mx_{c}").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, ROUND(val, 2) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             'price' AS metric, l_extendedprice AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'qty', l_quantity FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    ) WHERE l_orderkey % 50 = 0
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long, the inverse of agg_pivot): three measure
+    columns melt into (metric, val) rows via the native unpivot
+    operator — an Expand node, one pass, no self-union of scans."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            [
+                F.col("l_extendedprice").alias("price"),
+                F.col("l_quantity").alias("qty"),
+                F.col("l_tax").alias("tax"),
+            ],
+            "metric",
+            "val",
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "metric", F.round("val", 2).alias("val")
+        )
+    )
