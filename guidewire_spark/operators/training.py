@@ -758,3 +758,64 @@ def training_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_doc_id",
         (F.col("lang") == F.col("neg_lang")).alias("same_lang"),
     )
+
+
+@query(
+    "sample_quality_weighted",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             LEAST(CAST(n_chars AS BIGINT) * 25, 100000) AS w100k,
+             ({FP_SQL}) % 10000 AS u
+      FROM documents
+    )
+    SELECT doc_id, lang, w100k AS weight_x100k
+    FROM scored
+    WHERE u * 10 < w100k
+    """,
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling: keep each document with probability
+    equal to a quality weight (here: length-proportional, capped at 1
+    — longer documents survive more often) — the importance-sampling
+    move that up-weights preferred text without hard thresholds. The
+    acceptance draw is the content fingerprint mod 10k (deterministic,
+    reproducible in SQL, stable across runs and engines — no rand()),
+    so the same corpus always yields the same sample. Pure
+    projection+filter: shuffle-free at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    # weight = min(n_chars/4000, 1), carried as integer ×100k so the
+    # acceptance test and the emitted weight are float-free on both
+    # engines (per-row float rounding is where engines diverge)
+    w100k = F.least(F.col("n_chars").cast("long") * 25, F.lit(100000))
+    u = _fingerprint() % 10000
+    return d.where(u * 10 < w100k).select(
+        "doc_id", "lang", w100k.alias("weight_x100k")
+    )
+
+
+@query(
+    "mix_rebalance_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {FP_SQL}, doc_id)
+               AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rk <= 60
+    """,
+)
+def mix_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing, materialized: cap every language at the
+    same budget (60 docs) by taking the fingerprint-ordered head per
+    group — deterministic downsampling of over-represented sources,
+    the action behind mix_rebalance_counts' accounting. One shuffle by
+    group; the rank window never materializes beyond the group."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_fingerprint().asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 60)
+        .select("doc_id", "lang")
+    )
