@@ -393,3 +393,88 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", "l_linenumber", "metric", F.round("val", 2).alias("val")
         )
     )
+
+
+@query(
+    "ts_funnel_view_click_purchase",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+    first_view AS (
+      SELECT user_id, MIN(ts) AS t_view FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    first_click AS (
+      SELECT v.user_id, MIN(e.ts) AS t_click
+      FROM first_view v JOIN ev e
+        ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY v.user_id
+    ),
+    first_purchase AS (
+      SELECT c.user_id, MIN(e.ts) AS t_purchase
+      FROM first_click c JOIN ev e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY c.user_id
+    )
+    SELECT v.user_id,
+           TRUE AS reached_view,
+           (c.user_id IS NOT NULL) AS reached_click,
+           (p.user_id IS NOT NULL) AS reached_purchase
+    FROM first_view v
+    LEFT JOIN first_click c USING (user_id)
+    LEFT JOIN first_purchase p USING (user_id)
+    """,
+)
+def ts_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per user,
+    which stages were reached IN ORDER — a click only counts after the
+    first view, a purchase only after that first qualifying click.
+
+    Scale shape: one aggregation per stage over the events narrowed to
+    that stage's type, each joined on user_id (per-user-sized frames
+    after the first min-aggregate; the big fact is scanned per stage
+    with the stage predicate pushed into the scan). No window over the
+    whole event stream, no per-user collect.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first_view = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    first_click = (
+        first_view.join(clicks, "user_id")
+        .where(F.col("c_ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("c_ts").alias("t_click"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    first_purchase = (
+        first_click.join(purchases, "user_id")
+        .where(F.col("p_ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("t_purchase"))
+    )
+    return (
+        first_view.join(
+            first_click.select("user_id", F.lit(True).alias("clicked")),
+            "user_id",
+            "left",
+        )
+        .join(
+            first_purchase.select("user_id", F.lit(True).alias("purchased")),
+            "user_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            F.lit(True).alias("reached_view"),
+            F.coalesce("clicked", F.lit(False)).alias("reached_click"),
+            F.coalesce("purchased", F.lit(False)).alias("reached_purchase"),
+        )
+    )
