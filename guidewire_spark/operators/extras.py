@@ -478,3 +478,91 @@ def ts_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce("purchased", F.lit(False)).alias("reached_purchase"),
         )
     )
+
+
+@query(
+    "agg_histogram_width_bucket",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 500000 THEN 21
+                ELSE CAST(FLOOR(o_totalprice / 25000) AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket: 20 price buckets over a
+    fixed range with per-bucket bounds — the profiling/monitoring
+    staple, one partial+final aggregation pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket", F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(20))
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "ts_cohort_retention",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+    cohort AS (
+      SELECT user_id,
+             date_trunc('week', MIN(ts)) AS cohort_week
+      FROM ev WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_diff('day', c.cohort_week, date_trunc('week', e.ts)) / 7
+                  AS BIGINT) AS week_offset
+      FROM ev e JOIN cohort c USING (user_id)
+      WHERE e.ts >= c.cohort_week
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           a.week_offset,
+           COUNT(*) AS n_active
+    FROM cohort c JOIN activity a USING (user_id)
+    GROUP BY c.cohort_week, a.week_offset
+    """,
+)
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by signup week, counted as
+    active in each subsequent week-offset — the classic retention
+    triangle. Cohort assignment is a per-user min-aggregate; activity
+    dedups to (user, week) before counting so heavy users don't skew
+    retention; both shuffles are user-sized, never event-sized."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    cohort = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = (
+        e.join(cohort, "user_id")
+        .where(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count("*").alias("n_active"))
