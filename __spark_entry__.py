@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from guidewire_spark.registry import all_queries  # noqa: E402
+from guidewire_spark.registry import driver_window_order  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,8 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    this round's verification window (registry._FRONT) comes first."""
+    return {name: spec.fn for name, spec in driver_window_order().items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -42,6 +43,6 @@ def oracle_sql() -> dict[str, str]:
     are intentionally absent."""
     return {
         name: spec.oracle
-        for name, spec in all_queries().items()
+        for name, spec in driver_window_order().items()
         if spec.oracle is not None
     }

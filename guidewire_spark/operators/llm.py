@@ -789,8 +789,7 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample")  # python-side pipeline → rows-only
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_frame_sample_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling for video-like payloads: one input row fans out
     to N frame rows (uniform stride over the byte stream), each with a
     fixed-shape feature vector — the one-to-many mapInPandas shape a
@@ -801,6 +800,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: payloads stay in executor-local Arrow batches; the fan-
     out multiplies rows, not bytes (features only), so the shuffle
     after sampling carries frames' features, never the source media.
+
+    Returns the array<int>-typed feature column for downstream use;
+    the registered query serializes it (see multimodal_frame_sample).
     """
     import pandas as pd
 
@@ -834,8 +836,18 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_stub")  # python-side pipeline → rows-only
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("multimodal_frame_sample")  # python-side pipeline → rows-only
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper over multimodal_frame_sample_arrays: the
+    feature vector is serialized to a JSON string at the query boundary
+    so result canonicalizers (pandas sort/hash) can handle the rows;
+    internal pipelines use the array-typed variant directly."""
+    return multimodal_frame_sample_arrays(spark, sf_dir).withColumn(
+        "feature", F.to_json("feature")
+    )
+
+
+def multimodal_decode_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched multimodal decode/feature-extract pipeline.
 
     mapInPandas over (doc_id, payload binary) producing fixed-shape
@@ -843,6 +855,9 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     (byte-histogram "features") because no image/audio codecs ship in
     this container — the Spark-side contract (schema, Arrow batching,
     iterator-of-DataFrames signature, partition sizing) is real.
+
+    Returns the array<int>-typed features column for downstream use;
+    the registered query serializes it (see multimodal_decode_stub).
     """
     import pandas as pd
 
@@ -871,4 +886,15 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.mapInPandas(
         decode_batch, "doc_id long, n_bytes long, features array<int>"
+    )
+
+
+@query("multimodal_decode_stub")  # python-side pipeline → rows-only
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper over multimodal_decode_arrays: the
+    features vector is serialized to a JSON string at the query
+    boundary so result canonicalizers (pandas sort/hash) can handle the
+    rows; internal pipelines use the array-typed variant directly."""
+    return multimodal_decode_arrays(spark, sf_dir).withColumn(
+        "features", F.to_json("features")
     )
