@@ -685,6 +685,14 @@ def merge_into(
 
     from pyspark.sql import functions as F
 
+    # Delta enforces invariants on MERGE like any other write: generated
+    # columns materialize/validate and CHECK constraints reject the
+    # whole merge before any file is staged (mirrors write_delta /
+    # update_table / overwrite_partitions). Only the source needs the
+    # pass — kept target rows were validated when they were written.
+    source = _apply_generated_columns(source, table_path)
+    _enforce_constraints(source, table_path)
+
     bounds = source.agg(
         F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
     ).collect()[0]
@@ -1003,9 +1011,20 @@ def overwrite_partitions(df: DataFrame, table_path: str) -> int:
         raise ValueError(f"{table_path} is not partitioned")
     df = _apply_generated_columns(df, table_path)
     _enforce_constraints(df, table_path)
+    from pyspark.sql import functions as F
+
+    # Encode incoming partition tuples Spark-side (cast to string) so
+    # they compare equal to the hive-encoded partitionValues in the log
+    # — Python str() disagrees with hive for booleans (str(True) ==
+    # 'True' vs hive 'true'), which would silently duplicate instead of
+    # overwrite the partition.
     incoming = {
-        tuple(None if r[c] is None else str(r[c]) for c in pcols)
-        for r in df.select(*pcols).distinct().collect()
+        tuple(r[c] for c in pcols)
+        for r in df.select(
+            *[F.col(c).cast("string").alias(c) for c in pcols]
+        )
+        .distinct()
+        .collect()
     }
     doomed = [
         p

@@ -939,3 +939,74 @@ def test_overwrite_partitions_replaces_only_incoming(spark, sf_dir, tmp_path):
         t2 = str(tmp_path / "plain2")
         write_delta(d, t2, mode="append")
         overwrite_partitions(d, t2)
+
+
+def test_merge_enforces_constraints_and_generated_columns(spark, sf_dir, tmp_path):
+    """MERGE is a write like any other: CHECK constraints reject a
+    violating source before any file stages, and generated columns are
+    materialized/validated on inserted rows (Delta enforces invariants
+    on MERGE too)."""
+    from guidewire_spark.sources.writer import add_check_constraint, merge_into
+
+    table = str(tmp_path / "mrgc")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    write_delta(
+        s, table, mode="append",
+        generated_columns={"bal_sign": "CASE WHEN acctbal < 0 THEN -1 ELSE 1 END"},
+    )
+    add_check_constraint(spark, table, "nonneg_key", "s_suppkey >= 0")
+    before = load_snapshot(table)
+
+    bad = s.limit(3).withColumn("s_suppkey", -F.col("s_suppkey") - 1)
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        merge_into(spark, table, bad.drop("bal_sign"), on="s_suppkey")
+    assert load_snapshot(table).version == before.version  # nothing staged
+
+    # a supplied generated column that contradicts its expression is rejected
+    lying = s.limit(2).withColumn("bal_sign", F.lit(99))
+    with pytest.raises(ValueError, match="generated column"):
+        merge_into(spark, table, lying, on="s_suppkey")
+
+    # a clean source missing the generated column gets it materialized
+    new_key = s.agg(F.max("s_suppkey")).collect()[0][0] + 1
+    src = spark.createDataFrame(
+        [(new_key, "NEWCO", -12.5)], "s_suppkey long, s_name string, acctbal double"
+    )
+    merge_into(spark, table, src, on="s_suppkey")
+    got = read_delta(spark, table).where(F.col("s_suppkey") == new_key).collect()
+    assert len(got) == 1 and got[0]["bal_sign"] == -1
+
+
+def test_overwrite_partitions_boolean_partition_column(spark, sf_dir, tmp_path):
+    """Dynamic overwrite on a boolean partition column: incoming tuples
+    must hive-encode ('true'/'false') to match the log, so the existing
+    partition's files are removed, not duplicated."""
+    from guidewire_spark.sources.writer import overwrite_partitions
+
+    table = str(tmp_path / "dpobool")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .withColumn("is_long", F.col("n_chars") > 300)
+    )
+    write_delta(d, table, mode="append", partition_by=["is_long"])
+    before = load_snapshot(table)
+    true_files = [
+        p for p in before.files
+        if before.file_partitions.get(p, {}).get("is_long") == "true"
+    ]
+    assert true_files  # the partition under test exists
+
+    reload_true = d.where(F.col("is_long")).withColumn(
+        "n_chars", F.col("n_chars") + 1
+    )
+    overwrite_partitions(reload_true, table)
+    after = load_snapshot(table)
+    assert not set(true_files) & set(after.files)  # replaced, not duplicated
+    got = read_delta(spark, table)
+    assert got.count() == d.count()
+    assert (
+        got.where("is_long").count() == d.where("is_long").count()
+    )
