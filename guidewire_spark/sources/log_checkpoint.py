@@ -50,6 +50,9 @@ _CHECKPOINT_SCHEMA = pa.schema(
                     pa.field("format", pa.struct([pa.field("provider", pa.string())])),
                     pa.field("schemaString", pa.string()),
                     pa.field("partitionColumns", pa.list_(pa.string())),
+                    pa.field(
+                        "configuration", pa.map_(pa.string(), pa.string())
+                    ),
                     pa.field("createdTime", pa.int64()),
                 ]
             ),
@@ -94,9 +97,22 @@ def write_log_checkpoint(table_path: str, version: int | None = None) -> str:
     # Local import: snapshot imports this module for the read path.
     from guidewire_spark.sources.snapshot import load_snapshot
 
+    from guidewire_spark.sources.writer import table_configuration
+
     snap = load_snapshot(table_path, version=version)
+    config = table_configuration(table_path)
+    # Column mapping requires a protocol upgrade for external Delta
+    # readers (minReader 2 / minWriter 5 per the protocol spec) —
+    # advertising (1, 2) would let a reader bind post-RENAME files by
+    # logical name and read nulls.
+    mapped = config.get("delta.columnMapping.mode") not in (None, "none")
     rows: list[dict] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        {
+            "protocol": {
+                "minReaderVersion": 2 if mapped else 1,
+                "minWriterVersion": 5 if mapped else 2,
+            }
+        }
     ]
     if snap.schema is not None:
         rows.append(
@@ -106,6 +122,7 @@ def write_log_checkpoint(table_path: str, version: int | None = None) -> str:
                     "format": {"provider": "parquet"},
                     "schemaString": snap.schema.json(),
                     "partitionColumns": snap.partition_columns,
+                    "configuration": list(config.items()),
                     "createdTime": None,
                 }
             }

@@ -227,17 +227,36 @@ def read_delta_changes(
     versions = [v for v in list_versions(table_path) if v > from_version]
     if to_version is not None:
         versions = [v for v in versions if v <= to_version]
-    # Base schema from the latest snapshot (checkpoint-seeded, cheap);
-    # robust to from_version values that are truncated away or beyond
-    # the latest version. Per-version metaData actions below override
-    # it for evolving ranges.
-    schema = load_snapshot(table_path).schema
+    # Base schema + partition layout from the latest snapshot
+    # (checkpoint-seeded, cheap); robust to from_version values that
+    # are truncated away or beyond the latest version. Per-version
+    # metaData actions below override the schema for evolving ranges.
+    latest = load_snapshot(table_path)
+    schema = latest.schema
+    pcols = list(latest.partition_columns or [])
+
+    # Hive-layout data files don't store partition columns; they must
+    # be rematerialized from add.partitionValues. remove actions carry
+    # empty partitionValues, so removes of files added BEFORE the
+    # window resolve through a snapshot at from_version (checkpoint
+    # truncation of that version degrades to the latest snapshot's map,
+    # which still covers every currently-live file).
+    pv_map: dict[str, dict] = dict(latest.file_partitions)
+    if pcols:
+        try:
+            pv_map.update(
+                load_snapshot(table_path, version=from_version).file_partitions
+            )
+        except (ValueError, FileNotFoundError):
+            pass
 
     frames = []
     for v in versions:
         for action in _read_commit(table_path, v):
             if "add" in action and action["add"].get("dataChange", True):
-                frames.append((v, "insert", action["add"]["path"]))
+                path = action["add"]["path"]
+                pv_map[path] = action["add"].get("partitionValues") or {}
+                frames.append((v, "insert", path))
             elif "remove" in action and action["remove"].get("dataChange", True):
                 frames.append((v, "delete", action["remove"]["path"]))
             elif "metaData" in action:
@@ -258,9 +277,24 @@ def read_delta_changes(
 
     dfs = []
     for v, kind, path in frames:
+        base_schema = schema
+        if pcols and schema is not None:
+            base_schema = T.StructType(
+                [f for f in schema.fields if f.name not in pcols]
+            )
+        df = read_files_with_schema(spark, base_schema, [path])
+        if pcols and schema is not None:
+            pv = pv_map.get(path, {})
+            for col in pcols:
+                dtype = (
+                    schema[col].dataType
+                    if col in schema.fieldNames()
+                    else T.StringType()
+                )
+                df = df.withColumn(col, F.lit(pv.get(col)).cast(dtype))
+            df = df.select(*schema.fieldNames())
         dfs.append(
-            read_files_with_schema(spark, schema, [path])
-            .withColumn("_change_type", F.lit(kind))
+            df.withColumn("_change_type", F.lit(kind))
             .withColumn("_commit_version", F.lit(v).cast("long"))
         )
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)

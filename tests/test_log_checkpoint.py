@@ -244,3 +244,52 @@ def test_checkpoint_preserves_column_mapping(spark, sf_dir, tmp_path):
     assert got.columns == ["s_suppkey", "balance"]
     assert got.agg(F.sum("balance")).collect()[0][0] == \
         s.agg(F.sum("acctbal")).collect()[0][0]
+
+
+def test_checkpoint_carries_configuration_and_protocol_bump(
+    spark, sf_dir, tmp_path
+):
+    """The checkpoint's metaData must carry table configuration
+    (constraints, column-mapping mode) and advertise an upgraded
+    protocol when column mapping is active, so an external Delta
+    reader seeded from the checkpoint sees the same table rules the
+    JSON log declares."""
+    import pyarrow.parquet as pq
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.log_checkpoint import (
+        checkpoint_path,
+        write_log_checkpoint,
+    )
+    from guidewire_spark.sources.writer import (
+        add_check_constraint,
+        rename_column,
+        table_configuration,
+        write_delta,
+    )
+
+    table = str(tmp_path / "ckpt_cfg")
+    r = load_table(spark, sf_dir, "region")
+    write_delta(r, table, mode="append")
+    add_check_constraint(spark, table, "valid_key", "r_regionkey >= 0")
+
+    # plain table: baseline protocol, configuration present
+    write_log_checkpoint(table)
+    snap_v = load_snapshot(table).version
+    rows = pq.read_table(checkpoint_path(table, snap_v)).to_pylist()
+    proto = next(x["protocol"] for x in rows if x.get("protocol"))
+    meta = next(x["metaData"] for x in rows if x.get("metaData"))
+    assert (proto["minReaderVersion"], proto["minWriterVersion"]) == (1, 2)
+    assert dict(meta["configuration"]) == table_configuration(table)
+    assert "delta.constraints.valid_key" in dict(meta["configuration"])
+
+    # column-mapped table: protocol must be upgraded
+    rename_column(table, "r_name", "region_name")
+    write_log_checkpoint(table)
+    snap_v = load_snapshot(table).version
+    rows = pq.read_table(checkpoint_path(table, snap_v)).to_pylist()
+    proto = next(x["protocol"] for x in rows if x.get("protocol"))
+    meta = next(x["metaData"] for x in rows if x.get("metaData"))
+    assert (proto["minReaderVersion"], proto["minWriterVersion"]) == (2, 5)
+    cfg = dict(meta["configuration"])
+    assert cfg.get("delta.columnMapping.mode") == "name"

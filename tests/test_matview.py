@@ -228,3 +228,56 @@ def test_matview_equals_full_aggregate_under_random_ops(
             for r in read_materialized_aggregate(spark, view).collect()
         }
         assert got == expected, f"diverged after {op} grp={grp}"
+
+
+def test_matview_over_partitioned_base_grouped_by_partition_col(
+    spark, sf_dir, tmp_path
+):
+    """Regression: the base table is partitioned ON the group column.
+    The CDF must rematerialize partitionValues (hive files don't store
+    the column), else every refresh aggregates NULL groups and silently
+    corrupts the view."""
+    base = str(tmp_path / "pbase")
+    view = str(tmp_path / "pview")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_nationkey") % 3).cast("long").alias("bucket"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+    write_delta(s, base, mode="append", partition_by=["bucket"])
+    create_materialized_aggregate(
+        spark, base, view, group_cols=["bucket"], sum_cols=["acctbal"]
+    )
+
+    def full():
+        return {
+            (r.bucket, r.view_count, round(r.sum_acctbal, 2))
+            for r in read_delta(spark, base)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("view_count"),
+                F.round(F.sum("acctbal"), 2).alias("sum_acctbal"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            (r.bucket, r.view_count, round(r.sum_acctbal, 2))
+            for r in read_materialized_aggregate(spark, view).collect()
+        }
+
+    assert got() == full()
+    assert not any(b is None for b, _, _ in got())
+
+    # append into one partition, then refresh from the CDF
+    extra = s.limit(5).withColumn("acctbal", F.lit(7.0))
+    write_delta(extra, base, mode="append")
+    refresh_materialized_aggregate(spark, base, view)
+    assert got() == full()
+
+    # delete across partitions → signed CDF rows must carry bucket
+    delete_from(spark, base, "s_suppkey % 4 = 0")
+    refresh_materialized_aggregate(spark, base, view)
+    assert got() == full()
+    assert not any(b is None for b, _, _ in got())

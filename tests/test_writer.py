@@ -1010,3 +1010,38 @@ def test_overwrite_partitions_boolean_partition_column(spark, sf_dir, tmp_path):
     assert (
         got.where("is_long").count() == d.where("is_long").count()
     )
+
+
+def test_change_data_feed_partitioned_materializes_partition_cols(
+    spark, sf_dir, tmp_path
+):
+    """CDF on a partitioned table: partition columns come back with
+    real values (from add.partitionValues), never NULL — including for
+    deletes of files whose add predates the requested window. This is
+    what the incremental matview refresh consumes."""
+    from guidewire_spark.sources.snapshot import read_delta_changes
+    from guidewire_spark.sources.writer import delete_from
+
+    table = str(tmp_path / "cdfpart")
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .withColumn("bucket", (F.col("n_nationkey") % 2).cast("long"))
+    )
+    write_delta(n, table, "append", partition_by=["bucket"])
+    v0 = load_snapshot(table).version
+    delete_from(spark, table, "n_nationkey = 3")
+
+    # window (v0, latest]: the delete rewrote a bucket=1 file added at
+    # v0 (before the window) — its delete rows must still carry bucket
+    d = read_delta_changes(spark, table, from_version=v0)
+    assert d.where(F.col("bucket").isNull()).count() == 0
+    del_rows = d.where("_change_type = 'delete'")
+    assert del_rows.count() > 0
+    assert {r.bucket for r in del_rows.select("bucket").distinct().collect()} == {1}
+
+    # full history: inserts carry correct per-row partition values
+    full = read_delta_changes(spark, table, from_version=-1)
+    ins = full.where("_change_type = 'insert' AND _commit_version = 0")
+    assert ins.where(F.col("bucket") != F.col("n_nationkey") % 2).count() == 0
+    assert ins.count() == n.count()
