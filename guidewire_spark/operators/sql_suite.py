@@ -635,3 +635,204 @@ def sql_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFr
         GROUP BY seg
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Completing the TPC-H analogue suite (Q2/Q9/Q11/Q12/Q16/Q20/Q21).
+# The driver schema has no partsupp table and no commit/receipt dates,
+# so these analogues derive the part-supplier relation from lineitem
+# (unit_cost = min l_extendedprice/l_quantity per part+supplier) and
+# stand in l_linestatus / shipdate-vs-orderdate lag for shipmode /
+# lateness — preserving each query's *shape* (correlated min, double
+# exists/anti, distinct-count group, nested IN-with-HAVING), which is
+# what exercises the optimizer. SQL text is shared verbatim between
+# Spark and the DuckDB oracle: this is the portable dialect surface.
+# ---------------------------------------------------------------------------
+
+_Q2_SQL = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey,
+       ROUND(CAST(unit_cost AS DECIMAL(18, 6)), 2) AS supplycost
+FROM part
+JOIN supply ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 25 AND p_type = 'LARGE' AND r_name = 'ASIA'
+  AND unit_cost = (
+    SELECT MIN(s2.unit_cost) FROM supply s2
+    JOIN supplier sp ON sp.s_suppkey = s2.l_suppkey
+    JOIN nation n2 ON sp.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE s2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+"""
+
+
+@query("sql_q2_min_cost_supplier", oracle=_Q2_SQL)
+def sql_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analogue (minimum-cost supplier): the part-supplier
+    cost relation is derived from lineitem (no partsupp table in this
+    schema); the correlated MIN subquery — itself a 3-way join — is
+    what Q2 exercises, and Catalyst decorrelates it into an aggregate
+    joined back on p_partkey. Both CTE consumers reuse one exchange."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
+_Q9_SQL = """
+SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.1 * p_retailprice * l_quantity AS amount
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%') profit
+GROUP BY nation, o_year
+"""
+
+
+@query("sql_q9_product_type_profit", oracle=_Q9_SQL)
+def sql_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analogue (product-type profit): 5-way star join with a
+    substring part filter, profit proxied as revenue minus a retail-
+    price-based cost (no ps_supplycost in this schema), grouped by
+    supplier nation and order year. The two fact tables shuffle on
+    orderkey; every dimension broadcasts under AQE."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q9_SQL)
+
+
+_Q11_SQL = """
+SELECT l_partkey AS ps_partkey,
+       ROUND(SUM(l_extendedprice * l_quantity), 2) AS value
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+GROUP BY l_partkey
+HAVING SUM(l_extendedprice * l_quantity) > (
+  SELECT 1.6 * SUM(l_extendedprice * l_quantity) / COUNT(DISTINCT l_partkey)
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7')
+"""
+
+
+@query("sql_q11_important_stock", oracle=_Q11_SQL)
+def sql_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analogue (important stock): per-part inventory value
+    for one nation's suppliers, kept only when above 1.6x the average
+    per-part share (scale-invariant, unlike Q11's fixed fraction) — a
+    HAVING over a scalar subquery that re-aggregates the same filtered
+    join (Catalyst reuses the exchange)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+_Q12_SQL = """
+SELECT l_linestatus AS shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+"""
+
+
+@query("sql_q12_shipmode_priority", oracle=_Q12_SQL)
+def sql_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analogue (shipping modes and order priority): late
+    lines (shipped 60+ days after ordering — the schema has no
+    commit/receipt dates) counted into high/low priority classes per
+    linestatus. Conditional aggregation over a fact-fact join; the sums
+    are CAST to BIGINT on both engines (DuckDB sums ints to HUGEINT)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q12_SQL)
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type NOT IN ('PROMO', 'ECONOMY')
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("sql_q16_parts_supplier_relationship", oracle=_Q16_SQL)
+def sql_q16_parts_supplier_relationship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 analogue (parts/supplier relationship): distinct
+    supplier count per (brand, type, size) bucket, excluding one brand,
+    two type families, and suppliers with negative balances (standing
+    in for the complaints filter) via NOT IN → null-aware anti join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
+
+
+_Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(l_quantity) > 25)
+  AND n_name IN ('NATION_3', 'NATION_4', 'NATION_5')
+"""
+
+
+@query("sql_q20_potential_promotion", oracle=_Q20_SQL)
+def sql_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analogue (potential part promotion): suppliers in
+    three nations who moved >25 units of any 'red' part during 1997 —
+    an IN over a grouped-HAVING subquery, planned as aggregate → semi
+    join with the date+name filters pushed to the scans."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
+
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+  AND n_name = 'NATION_2'
+GROUP BY s_name
+"""
+
+
+@query("sql_q21_suppliers_kept_waiting", oracle=_Q21_SQL)
+def sql_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue (suppliers who kept orders waiting): the only
+    supplier shipping late (60+ days past ordering) on a finished
+    multi-supplier order — EXISTS + NOT EXISTS on the same fact table,
+    planned as left-semi + left-anti joins co-partitioned on orderkey."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)

@@ -72,10 +72,11 @@ def query(name: str, oracle: str | None = None):
 # serialized), the full Delta maintenance surface, the 4 streaming
 # windows, the remaining scalar families, the two never-checked rows-only
 # queries, and the 12 remaining TPC-H analogues.  Round 4 should rotate to
-# the ~15 still-unchecked (ts_*/profile/funnel/cohort/histogram,
+# the still-unchecked (ts_*/profile/funnel/cohort/histogram,
 # join_asof_by_key, udtf_map_in_arrow, intersect_all_multiset,
 # skew/bucketed joins, training_negative_pairs, sample_quality_weighted,
-# mix_rebalance_sample) plus re-checks of older families.
+# mix_rebalance_sample, and the round-3 additions
+# sql_q2/q9/q11/q12/q16/q20/q21) plus re-checks of older families.
 _FRONT = [
     # multimodal red rows from r2 — array<int> now serialized to JSON (2)
     "multimodal_frame_sample",
