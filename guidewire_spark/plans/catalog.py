@@ -31,17 +31,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS).  nanosAsLong is a
-        # runtime-settable SQL conf, so set it here rather than relying on
-        # whoever built the SparkSession (an external driver harness builds
-        # its own): the read then yields a long, which we convert to a
-        # microsecond timestamp with exact integer division (the data is
-        # µs-grained, so this is lossless).
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+        # generations and TIMESTAMP(MICROS) in others, so adapt to the
+        # stored type instead of assuming one:
+        #   * NANOS — Spark rejects by default; nanosAsLong is a
+        #     runtime-settable SQL conf (set here rather than relying on
+        #     whoever built the SparkSession — an external driver harness
+        #     builds its own), then the long nanos convert losslessly to a
+        #     microsecond timestamp with exact integer division.
+        #   * MICROS — arrives as TIMESTAMP_NTZ; cast to TimestampType so
+        #     downstream operators see one type either way (under the
+        #     engine's UTC session timezone the instants are identical).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
