@@ -226,6 +226,105 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_merge(
+    probe: DataFrame,
+    event: DataFrame,
+    probe_time: str,
+    event_time: str,
+    event_val: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Global (un-keyed) as-of merge: for every probe row, the value of
+    the latest event at-or-before its timestamp.
+
+    Spark lacks a native ASOF JOIN (reference: DuckDB-style ``ASOF JOIN
+    ON e.ts <= p.ts``).  The scalable composition — neither side is
+    broadcast, no O(n·m) range join — is a *bucketed union-and-window
+    merge*:
+
+    1. Tag both streams and union them on the time axis; bucket rows by
+       a fixed time width, so the expensive sort is
+       ``partitionBy(bucket)`` — parallel across buckets, never a
+       global single-partition sort.
+    2. Within each bucket, a running ``last(val, ignorenulls)`` ordered
+       by (ts, is_probe) gives each probe the latest event in its own
+       bucket (events sort before probes at equal ts, matching the
+       inclusive ``<=`` bound).
+    3. Probes whose bucket has no earlier event take the *carry-in*:
+       the last event value of any previous bucket, computed on a
+       bucket-count-sized aggregate (one row per bucket) and broadcast.
+
+    At 100 TB this shuffles each row once (hash by bucket), runs a
+    per-bucket local sort, and broadcasts only #buckets rows.
+    ``bucket_seconds`` tunes skew resistance: the default day width
+    suits sparse probes; drop to 3600 (or lower) when single days are
+    hot — the algorithm is invariant to the width (locked by
+    tests/test_joins_quality.py), only the shuffle fan-out changes.
+
+    Returns the probe's non-time columns plus ``asof_<event_val>``;
+    probes before the first event are dropped (inner ASOF semantics).
+    """
+    payload_cols = [c for c in probe.columns if c != probe_time]
+    payload_type = probe.select(F.struct(*payload_cols)).schema[0].dataType
+    val_type = event.schema[event_val].dataType
+
+    tagged = event.select(
+        F.col(event_time).alias("__ts"),
+        F.col(event_val).alias("__val"),
+        F.lit(None).cast(payload_type).alias("__payload"),
+        F.lit(0).alias("__is_probe"),
+    ).unionByName(
+        probe.select(
+            F.col(probe_time).alias("__ts"),
+            F.lit(None).cast(val_type).alias("__val"),
+            F.struct(*payload_cols).alias("__payload"),
+            F.lit(1).alias("__is_probe"),
+        )
+    ).withColumn(
+        "__bucket", F.floor(F.unix_timestamp("__ts") / F.lit(bucket_seconds))
+    )
+
+    # Carry-in table: one row per bucket — last event value of each
+    # *earlier* bucket. A single aggregate pass produces both the bucket
+    # roster (every bucket, probe-only ones included) and its last event
+    # (lexicographic max of (ts, val) over event rows only; null where a
+    # bucket has no events), so the union is read once here instead of
+    # once for the roster and once for the per-bucket max.
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        tagged.groupBy("__bucket")
+        .agg(
+            F.max(
+                F.when(F.col("__is_probe") == 0, F.struct("__ts", "__val"))
+            ).alias("last_ev")
+        )
+        .withColumn(
+            "carry_in",
+            F.last(F.col("last_ev.__val"), ignorenulls=True).over(wb),
+        )
+        .select("__bucket", "carry_in")
+    )
+
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(
+            F.col("__ts").asc(), F.col("__is_probe").asc(), F.col("__val").asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out_val = f"asof_{event_val}"
+    return (
+        tagged.withColumn("local_last", F.last("__val", ignorenulls=True).over(w))
+        .where(F.col("__is_probe") == 1)
+        .join(F.broadcast(carry), "__bucket", "left")
+        .select(
+            "__payload.*",
+            F.coalesce("local_last", "carry_in").alias(out_val),
+        )
+        .where(F.col(out_val).isNotNull())
+    )
+
+
 @query(
     "join_asof",
     oracle="""
@@ -242,25 +341,8 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest purchase event at-or-before each probe time.
 
-    Spark lacks a native ASOF JOIN (reference: DuckDB-style ``ASOF JOIN
-    ON e.ts <= o.ts``).  The scalable composition — neither side is
-    broadcast, no O(n·m) range join — is a *bucketed union-and-window
-    merge*:
-
-    1. Tag both streams and union them on the time axis; bucket rows by
-       calendar day, so the expensive sort is ``partitionBy(bucket)`` —
-       parallel across days, never a global single-partition sort.
-    2. Within each bucket, a running ``last(event_id, ignorenulls)``
-       ordered by (ts, is_probe) gives each probe the latest event in
-       its own bucket (events sort before probes at equal ts, matching
-       the inclusive ``<=`` bound).
-    3. Probes whose bucket has no earlier event take the *carry-in*:
-       the last event id of any previous bucket, computed on a
-       bucket-count-sized aggregate (one row per day) and broadcast.
-
-    At 100 TB this shuffles each row once (hash by day), runs a per-day
-    local sort, and broadcasts only #days rows.  Hot days can be
-    sub-bucketed by hour without changing the algorithm.
+    Delegates to :func:`asof_merge` (bucketed union-and-window merge)
+    at the default day bucket width.
     """
     base_epoch = 1704067200  # 2024-01-01T00:00:00Z
     o = (
@@ -278,57 +360,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") == "purchase")
         .select("event_id", "ts")
     )
-
-    tagged = e.select(
-        "ts",
-        "event_id",
-        F.lit(None).cast("long").alias("o_orderkey"),
-        F.lit(0).alias("is_probe"),
-    ).unionByName(
-        o.select(
-            F.col("o_ts").alias("ts"),
-            F.lit(None).cast("long").alias("event_id"),
-            "o_orderkey",
-            F.lit(1).alias("is_probe"),
-        )
-    ).withColumn("bucket", F.floor(F.unix_timestamp("ts") / F.lit(86400)))
-
-    # Carry-in table: one row per day — last event id of each *earlier*
-    # bucket. A single aggregate pass produces both the bucket roster
-    # (every bucket, probe-only ones included) and its last event
-    # (lexicographic max of (ts, event_id) over event rows only; null
-    # where a bucket has no events), so the union is read once here
-    # instead of once for the roster and once for the per-bucket max.
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    carry = (
-        tagged.groupBy("bucket")
-        .agg(
-            F.max(
-                F.when(F.col("is_probe") == 0, F.struct("ts", "event_id"))
-            ).alias("last_ev")
-        )
-        .withColumn(
-            "carry_in",
-            F.last(F.col("last_ev.event_id"), ignorenulls=True).over(wb),
-        )
-        .select("bucket", "carry_in")
-    )
-
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy(F.col("ts").asc(), F.col("is_probe").asc(), F.col("event_id").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        tagged.withColumn("local_last", F.last("event_id", ignorenulls=True).over(w))
-        .where(F.col("is_probe") == 1)
-        .join(F.broadcast(carry), "bucket", "left")
-        .select(
-            "o_orderkey",
-            F.coalesce("local_last", "carry_in").alias("asof_event_id"),
-        )
-        .where(F.col("asof_event_id").isNotNull())
-    )
+    return asof_merge(o, e, "o_ts", "ts", "event_id")
 
 
 @query(
