@@ -566,3 +566,67 @@ def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "week_offset",
     ).agg(F.count("*").alias("n_active"))
+
+
+@query(
+    "ts_interval_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id,
+           CAST(COUNT(v.ts) AS BIGINT) AS n_views_1h,
+           CAST(ROUND(CAST(COALESCE(SUM(v.value), 0)
+                AS DECIMAL(24,8)), 4) AS DOUBLE) AS view_value_1h
+    FROM p LEFT JOIN v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def ts_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join, the batch twin of a stream-stream time-bound
+    join: for every purchase, the count and value-sum of the same
+    user's view events in the preceding hour (inclusive bounds).
+
+    NOT implemented as a range-predicate join (O(n·m) within key):
+    both event types union into one stream per user and a single
+    RANGE window frame on epoch-microseconds does the interval
+    aggregation — one shuffle by user_id, per-row cost bounded by the
+    frame, the plan a stream-stream join's state store approximates.
+    Ties at the same timestamp are all included (RANGE, not ROWS —
+    matching the oracle's closed-interval predicate).
+    """
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        (F.col("event_type") == "view").alias("is_view"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        tagged.withColumn(
+            "n_views_1h",
+            F.count(F.when(F.col("is_view"), F.lit(1))).over(w),
+        )
+        .withColumn(
+            "view_value_1h",
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("is_view"), F.col("value"))).over(w),
+                    F.lit(0.0),
+                ).cast("decimal(24,8)"),
+                4,
+            ).cast("double"),
+        )
+        .where(~F.col("is_view"))
+        .select("event_id", "user_id", "n_views_1h", "view_value_1h")
+    )

@@ -898,3 +898,42 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_decode_arrays(spark, sf_dir).withColumn(
         "features", F.to_json("features")
     )
+
+
+@query(
+    "embedding_normalize_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(ROUND(CAST(sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                AS DECIMAL(24,10)), 5) AS DOUBLE) AS l2_norm,
+           CAST(ROUND(CAST(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE))))
+                AS DECIMAL(24,10)), 5) AS DOUBLE) AS max_abs
+    FROM embeddings
+    """,
+)
+def embedding_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector embedding hygiene stats: dimensionality, L2 norm and
+    largest-magnitude component — the pre-normalization audit every
+    ANN/cosine pipeline runs (zero vectors and NaN spikes break cosine
+    math downstream).
+
+    Pure higher-order-function arithmetic (transform/aggregate/
+    array_max) inside the JVM: one projection pass, no shuffle, no
+    Python. The 5dp DECIMAL bridge keeps float32→double widening and
+    summation rounding identical across engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    sq_sum = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x)
+    max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.sqrt(sq_sum).cast("decimal(24,10)"), 5)
+        .cast("double")
+        .alias("l2_norm"),
+        F.round(max_abs.cast("decimal(24,10)"), 5).cast("double").alias("max_abs"),
+    )

@@ -581,9 +581,12 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "dedup_connected_components",
-    oracle=f"""
+# Shared recursive-CTE transitive closure for the near-dup component
+# queries: yields `comp(doc_id, component_id)` over docs 0..99 with
+# Jaccard >= 0.2 edges on 3-word shingles. Kept as a WITH-clause body
+# so both dedup_connected_components and dedup_cluster_canonical stay
+# verbatim-identical on the component definition.
+_CC_ORACLE_CTES = f"""
     WITH RECURSIVE
     d AS (SELECT doc_id, {WORDS_SQL} AS words FROM documents WHERE doc_id < 100),
     sh AS (
@@ -609,14 +612,21 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a, b FROM und
       UNION
       SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (
+      SELECT doc.doc_id,
+             CAST(LEAST(doc.doc_id, COALESCE(MIN(r.b), doc.doc_id)) AS BIGINT)
+               AS component_id
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 100) doc
+      LEFT JOIN reach r ON r.a = doc.doc_id
+      GROUP BY doc.doc_id
     )
-    SELECT doc.doc_id,
-           CAST(LEAST(doc.doc_id, COALESCE(MIN(r.b), doc.doc_id)) AS BIGINT)
-             AS component_id
-    FROM (SELECT doc_id FROM documents WHERE doc_id < 100) doc
-    LEFT JOIN reach r ON r.a = doc.doc_id
-    GROUP BY doc.doc_id
-    """,
+"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=_CC_ORACLE_CTES + "SELECT doc_id, component_id FROM comp",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph (Jaccard ≥
@@ -633,6 +643,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle computes the same labels via a recursive-CTE
     transitive closure.
     """
+    return _component_labels(spark, sf_dir)
+
+
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     shingles = (
         d.where(F.size(T.words(F.col("text"))) >= 3)
@@ -819,3 +833,253 @@ def mix_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 60)
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=_CC_ORACLE_CTES
+    + """,
+    ranked AS (
+      SELECT c.doc_id, c.component_id, d2.n_chars
+      FROM comp c JOIN documents d2 ON d2.doc_id = c.doc_id
+    ),
+    canon AS (
+      SELECT component_id, doc_id AS canonical_id
+      FROM (SELECT component_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY component_id
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM ranked)
+      WHERE rn = 1
+    )
+    SELECT r.doc_id, r.component_id, CAST(c.canonical_id AS BIGINT) AS canonical_id,
+           r.doc_id = c.canonical_id AS is_canonical
+    FROM ranked r JOIN canon c ON c.component_id = r.component_id
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: within each
+    connected component of the duplicate graph, keep the longest
+    document (n_chars, doc_id tiebreak) as canonical and map every
+    member to it — the curation step that turns cluster labels into an
+    actionable keep/drop list.
+
+    Built on the same min-label propagation as
+    dedup_connected_components; the canonical pick is one window over
+    the component-sized label table (ids + a length — never text), so
+    the added cost at 100 TB is a shuffle of the label table only.
+    """
+    labels = _component_labels(spark, sf_dir)
+    lens = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = labels.join(lens, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        ranked.withColumn("canonical_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "component_id",
+            F.col("canonical_id").cast("long").alias("canonical_id"),
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
+@query(
+    "dedup_cross_corpus",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(lower(text)) AS text_md5 FROM documents)
+    SELECT doc_id, text_md5 FROM h
+    WHERE doc_id % 89 <> 0
+      AND text_md5 NOT IN (SELECT text_md5 FROM h WHERE doc_id % 89 = 0)
+    """,
+)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination by exact content hash: drop every
+    training document whose normalized text also appears in a held-out
+    reference corpus (doc_id % 89 == 0 stands in for it) — the
+    "remove eval data from the training set" pass that runs before any
+    fuzzy dedup.
+
+    Anti-join on md5(lower(text)): the reference side reduces to a
+    distinct digest set (benchmark suites are MBs against TB corpora →
+    broadcast), and the training side streams through it without a
+    shuffle. Digests, never text, cross the exchange.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower(F.col("text"))).alias("text_md5")
+    )
+    ref = d.where(F.col("doc_id") % 89 == 0).select("text_md5").distinct()
+    return d.where(F.col("doc_id") % 89 != 0).join(
+        F.broadcast(ref), "text_md5", "left_anti"
+    ).select("doc_id", "text_md5")
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {WORDS_SQL} AS toks FROM documents),
+    n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok
+          FROM d WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks, n_tok,
+                 unnest(generate_series(
+                   0, (greatest(n_tok - 64, 0) + 47) // 48)) AS i
+          FROM n)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text,
+           CAST(least(64, n_tok - i * 48) AS BIGINT) AS n_chunk_tokens
+    FROM c
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    64-token chunks with 16-token overlap (stride 48) — the
+    context-window packing precursor that keeps chunk boundaries from
+    severing passages. The final chunk may be short; every token is
+    covered.
+
+    sequence+explode generates chunk indices from a per-row arithmetic
+    bound (never a driver loop), and slice+array_join materializes each
+    chunk from the already-tokenized array — one corpus pass, no
+    shuffle at all: the whole plan is projection + generator.
+    """
+    window, stride = 64, 48
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", T.words(F.col("text")).alias("toks"))
+        .withColumn("n_tok", F.size("toks").cast("long"))
+        .where(F.col("n_tok") > 0)
+    )
+    last_idx = F.expr(f"(greatest(n_tok - {window}, 0) + {stride - 1}) div {stride}")
+    return (
+        d.withColumn("i", F.explode(F.sequence(F.lit(0), last_idx)))
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_idx"),
+            F.array_join(
+                F.expr(f"slice(toks, i * {stride} + 1, {window})"), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(window), F.col("n_tok") - F.col("i") * stride)
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        )
+    )
+
+
+@query(
+    "text_bigram_counts",
+    oracle=f"""
+    WITH w AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '') AS words
+               FROM documents),
+    sh AS (
+      SELECT array_to_string(words[i : i + 1], ' ') AS bigram
+      FROM w, UNNEST(range(1, len(words))) AS t(i)
+      WHERE len(words) >= 2
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM sh GROUP BY bigram
+    ORDER BY freq DESC, bigram
+    LIMIT 50
+    """,
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigram frequencies — the n-gram statistics
+    pass behind tokenizer merges and boilerplate detection
+    (vocab_top_tokens is the unigram twin).
+
+    zip_with over two shifted slices forms bigrams inside the JVM (no
+    Python), then partial-agg count + TakeOrderedAndProject: the
+    shuffle carries (bigram, partial count) and top-k never sorts the
+    full bigram vocabulary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = d.where(F.size(T.words(F.col("text"))) >= 2).select(
+        F.explode(T.word_shingles(F.lower(F.col("text")), 2)).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "bigram")
+        .limit(50)
+    )
+
+
+@query(
+    "graph_pagerank",
+    oracle="""
+    WITH e AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS pk,
+                               CAST(l_suppkey AS BIGINT) AS sk
+               FROM lineitem WHERE l_partkey % 10 = 0),
+    adj AS (SELECT 'p:' || pk AS src, 's:' || sk AS dst FROM e
+            UNION ALL
+            SELECT 's:' || sk AS src, 'p:' || pk AS dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+    r1 AS (
+      SELECT a.dst AS node,
+             CAST(ROUND(CAST(0.15 + 0.85 * SUM(1.0 / d.deg)
+                             AS DECIMAL(28,12)), 8) AS DOUBLE) AS r
+      FROM adj a JOIN deg d ON a.src = d.src
+      GROUP BY a.dst
+    )
+    SELECT a.dst AS node,
+           CAST(ROUND(CAST(0.15 + 0.85 * SUM(r.r / d.deg)
+                           AS DECIMAL(28,12)), 6) AS DOUBLE) AS pagerank
+    FROM adj a
+    JOIN deg d ON a.src = d.src
+    JOIN r1 r ON r.node = a.src
+    GROUP BY a.dst
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled PageRank iterations (damping 0.85, uniform init)
+    over the part↔supplier co-occurrence graph from lineitem — the
+    iterative-graph-algorithm shape (rank propagation over an edge
+    list) that label propagation's min() can't express.
+
+    Per iteration: one equi-join of the rank table onto the adjacency
+    list keyed by source + one aggregation by destination — the
+    message-passing plan a 1000-executor PageRank runs, where only
+    (node, rank) pairs shuffle, never the graph payload. Ranks are
+    quantized (8dp intermediate, 6dp final, via a DECIMAL bridge) so
+    float summation order cannot leak into the result.
+    """
+    e = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") % 10 == 0)
+        .select(
+            F.col("l_partkey").cast("long").alias("pk"),
+            F.col("l_suppkey").cast("long").alias("sk"),
+        )
+        .distinct()
+    )
+    p = F.concat(F.lit("p:"), F.col("pk").cast("string"))
+    s = F.concat(F.lit("s:"), F.col("sk").cast("string"))
+    adj = e.select(p.alias("src"), s.alias("dst")).unionByName(
+        e.select(s.alias("src"), p.alias("dst"))
+    )
+    deg = adj.groupBy("src").agg(F.count("*").alias("deg"))
+    weighted = adj.join(deg, "src")
+
+    def _iterate(ranks: DataFrame, dp: int, out: str) -> DataFrame:
+        return (
+            weighted.join(ranks, weighted.src == ranks.node)
+            .groupBy("dst")
+            .agg(
+                F.round(
+                    (F.lit(0.15) + F.lit(0.85) * F.sum(F.col("r") / F.col("deg")))
+                    .cast("decimal(28,12)"),
+                    dp,
+                )
+                .cast("double")
+                .alias(out)
+            )
+            .select(F.col("dst").alias("node"), out)
+        )
+
+    r0 = deg.select("src").select(
+        F.col("src").alias("node"), F.lit(1.0).alias("r")
+    )
+    r1 = _iterate(r0, 8, "r").select("node", F.col("r"))
+    return _iterate(r1, 6, "pagerank")

@@ -49,6 +49,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.connector_queries",
     "guidewire_spark.operators.extras",
     "guidewire_spark.streaming.windowed",
+    "guidewire_spark.streaming.jobs",
 ]
 
 
@@ -75,8 +76,12 @@ def query(name: str, oracle: str | None = None):
 # the still-unchecked (ts_*/profile/funnel/cohort/histogram,
 # join_asof_by_key, udtf_map_in_arrow, intersect_all_multiset,
 # skew/bucketed joins, training_negative_pairs, sample_quality_weighted,
-# mix_rebalance_sample, and the round-3 additions
-# sql_q2/q9/q11/q12/q16/q20/q21) plus re-checks of older families.
+# mix_rebalance_sample, the round-3 TPC-H additions
+# sql_q2/q9/q11/q12/q16/q20/q21, and the round-3 new operators
+# dedup_cluster_canonical, dedup_cross_corpus, doc_chunk_overlap,
+# text_bigram_counts, graph_pagerank, embedding_normalize_stats,
+# ts_interval_join, stream_merge_to_delta) plus re-checks of older
+# families.
 _FRONT = [
     # multimodal red rows from r2 — array<int> now serialized to JSON (2)
     "multimodal_frame_sample",

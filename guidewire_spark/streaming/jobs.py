@@ -15,9 +15,11 @@ connector's own `_checkpoints` high-water-mark design, P12).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from guidewire_spark.registry import query
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -301,3 +303,79 @@ def run_matview_stream(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+@query(
+    "stream_merge_to_delta",
+    oracle="""
+    WITH u AS (SELECT event_id, user_id, event_type, value, ts
+               FROM events WHERE user_id % 7 = 0),
+    l AS (SELECT user_id, event_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM u)
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           CAST(ROUND(CAST(value AS DECIMAL(24,8)), 4) AS DOUBLE) AS last_value
+    FROM l WHERE rn = 1
+    """,
+)
+def stream_merge_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming CDC-apply: a Delta table seeded with each
+    user's FIRST event is brought to "latest event per user" by
+    streaming per-user update rows through foreachBatch + MERGE
+    (run_merge_stream), one file per micro-batch. Verifies the whole
+    stream → foreachBatch → stats-pruned MERGE → Delta log loop; the
+    final table must equal the batch window query regardless of batch
+    arrival order (each key is updated by exactly one streamed row, so
+    the merge sequence commutes).
+    """
+    import tempfile
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.snapshot import read_delta
+    from guidewire_spark.sources.writer import write_delta
+
+    root = tempfile.mkdtemp(prefix="gw_smerge_")
+    table = root + "/user_state"
+    src = root + "/updates_src"
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 7 == 0)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    w_first = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seed = (
+        ev.withColumn("_rn", F.row_number().over(w_first))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    write_delta(seed, table, mode="append")
+
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    updates = (
+        ev.withColumn("_rn", F.row_number().over(w_last))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    updates.repartition(3, "user_id").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_merge_stream(stream, table, on="user_id", checkpoint_dir=root + "/ckpt")
+
+    return read_delta(spark, table).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value").cast("decimal(24,8)"), 4)
+        .cast("double")
+        .alias("last_value"),
+    )
