@@ -1060,7 +1060,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(s.alias("src"), p.alias("dst"))
     )
     deg = adj.groupBy("src").agg(F.count("*").alias("deg"))
-    weighted = adj.join(deg, "src")
+    # Materialize the degree-annotated adjacency once: every iteration
+    # re-joins it, and without truncation the unrolled plan embeds (and
+    # re-scans) the whole edge-derivation subtree per iteration — the
+    # iterative-algorithm analogue of the connected-components
+    # localCheckpoint. Edge-list sized, never corpus-sized.
+    weighted = adj.join(deg, "src").localCheckpoint(eager=True)
 
     def _iterate(ranks: DataFrame, dp: int, out: str) -> DataFrame:
         return (
@@ -1078,8 +1083,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), out)
         )
 
-    r0 = deg.select("src").select(
-        F.col("src").alias("node"), F.lit(1.0).alias("r")
+    r0 = weighted.select(F.col("src").alias("node")).distinct().withColumn(
+        "r", F.lit(1.0)
     )
     r1 = _iterate(r0, 8, "r").select("node", F.col("r"))
     return _iterate(r1, 6, "pagerank")

@@ -247,3 +247,58 @@ def test_new_sql_suite_plan_shapes(spark, sf_dir):
 
     q18 = plan_of(sql_q18_large_volume_customers(spark, sf_dir))
     assert "LeftSemi" in q18
+
+
+def test_doc_chunking_is_shuffle_free(spark, sf_dir):
+    """doc_chunk_overlap is projection + generator only: no Exchange
+    may appear — chunking a 100 TB corpus must not shuffle text."""
+    from guidewire_spark.operators.training import doc_chunk_overlap
+
+    tree = plan_of(doc_chunk_overlap(spark, sf_dir)).split("== Physical Plan ==")[1]
+    assert "Exchange" not in tree
+
+
+def test_cross_corpus_dedup_broadcasts_reference(spark, sf_dir):
+    """The reference digest set must broadcast (benchmark suites are
+    MBs); the corpus side must not shuffle for the anti-join."""
+    from guidewire_spark.operators.training import dedup_cross_corpus
+
+    tree = plan_of(dedup_cross_corpus(spark, sf_dir)).split("== Physical Plan ==")[1]
+    assert "BroadcastHashJoin LeftAnti" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_interval_join_is_single_shuffle_window(spark, sf_dir):
+    """ts_interval_join must compile to window frames over ONE shuffle
+    by user — never a per-key range join (O(n·m) within key)."""
+    from guidewire_spark.operators.extras import ts_interval_join
+
+    full = plan_of(ts_interval_join(spark, sf_dir)).split("== Physical Plan ==")[1]
+    tree = full.strip().split("\n\n")[0]  # node tree only, not the details
+    assert "Join" not in tree  # no join operator of any kind
+    assert tree.count("Exchange") == 1
+    assert "Window" in tree
+
+
+def test_embedding_stats_stay_jvm_side(spark, sf_dir):
+    """embedding_normalize_stats is pure HOF arithmetic: no Exchange,
+    no Python evaluation node."""
+    from guidewire_spark.operators.llm import embedding_normalize_stats
+
+    tree = plan_of(embedding_normalize_stats(spark, sf_dir)).split(
+        "== Physical Plan =="
+    )[1]
+    assert "Exchange" not in tree
+    assert "EvalPython" not in tree
+
+
+def test_pagerank_scans_graph_source_once(spark, sf_dir):
+    """The unrolled PageRank iterations must reuse the materialized
+    adjacency (localCheckpoint), not re-derive edges from lineitem per
+    iteration."""
+    from guidewire_spark.operators.training import graph_pagerank
+
+    plan = plan_of(graph_pagerank(spark, sf_dir))
+    tree = plan.split("== Physical Plan ==")[1]
+    assert tree.count("Scan parquet") == 0  # all inputs come from the checkpoint
+    assert "Scan ExistingRDD" in tree
