@@ -379,3 +379,74 @@ def stream_merge_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("last_value"),
     )
+
+
+@query(
+    "stream_stream_interval_join",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type, ts FROM events
+               WHERE user_id % 3 = 0)
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+    FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM e WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 24 HOUR AND v.ts <= p.ts
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join, end to end: purchases
+    and views arrive as two independent file streams; each purchase
+    joins the same user's views from the preceding day. Both sides
+    carry a 2-hour watermark + the time-bound join condition, so the
+    state store provably evicts rows older than the bound — the
+    property that lets this run forever at 100 TB/day. Inner-join
+    output is complete regardless of watermark timing, so the emitted
+    pair set equals the batch interval join exactly (ts_interval_join
+    is the single-shuffle batch twin of this query).
+    """
+    import tempfile
+
+    from guidewire_spark.plans.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="gw_ssjoin_")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 3 == 0)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    for etype, sub in (("purchase", "p_src"), ("view", "v_src")):
+        e.where(F.col("event_type") == etype).write.parquet(f"{root}/{sub}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    p = (
+        spark.readStream.schema(schema)
+        .parquet(f"{root}/p_src")
+        .withWatermark("ts", "25 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    v = (
+        spark.readStream.schema(schema)
+        .parquet(f"{root}/v_src")
+        .withWatermark("ts", "25 hours")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = p.join(
+        v,
+        F.expr(
+            """purchase_id IS NOT NULL AND user_id = v_user_id
+               AND v_ts >= p_ts - INTERVAL 24 HOUR AND v_ts <= p_ts"""
+        ),
+        "inner",
+    ).select("purchase_id", "view_id", "user_id")
+    run_to_parquet(joined, f"{root}/out", f"{root}/ckpt")
+    return spark.read.schema(
+        "purchase_id long, view_id long, user_id long"
+    ).parquet(f"{root}/out")
