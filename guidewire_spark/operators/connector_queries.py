@@ -778,3 +778,62 @@ def delta_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataF
         table,
     )
     return read_delta(spark, table)
+
+
+@query(
+    "delta_vacuum_reclaim",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_nationkey % 2 = 0
+    """,
+)
+def delta_vacuum_reclaim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM after an overwrite: the overwritten generation's files
+    are tombstoned in the log but still on disk; vacuum_table deletes
+    exactly those (retention None = Delta's RETAIN 0 HOURS), and the
+    live snapshot must read back intact afterwards. The shallow-clone
+    guard (never deleting files outside the table root) is covered by
+    tests/test_writer.py; here the driver verifies the reclaim path
+    end-to-end."""
+    from guidewire_spark.sources.writer import vacuum_table
+
+    table = tempfile.mkdtemp(prefix="gw_dvac_") + "/nation_vac"
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_delta(n, table, mode="append")
+    write_delta(
+        n.where(F.col("n_nationkey") % 2 == 0), table, mode="overwrite"
+    )
+    deleted = vacuum_table(table)
+    assert deleted, "overwrite must leave reclaimable files"
+    return read_delta(spark, table)
+
+
+@query(
+    "delta_drop_column",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    UNION ALL
+    SELECT s_suppkey + 800000, s_name FROM supplier WHERE s_suppkey % 11 = 0
+    """,
+)
+def delta_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... DROP COLUMN (metadata-only, via column
+    mapping): the dropped field leaves the logical schema without
+    rewriting a byte of data — old files keep the column physically,
+    readers stop requesting it — and a post-drop append under the
+    narrowed schema lands in the same table."""
+    from guidewire_spark.sources.writer import drop_column
+
+    table = tempfile.mkdtemp(prefix="gw_ddrop_") + "/supplier_drop"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    write_delta(s, table, mode="append")
+    drop_column(table, "acctbal")
+    extra = s.where(F.col("s_suppkey") % 11 == 0).select(
+        (F.col("s_suppkey") + 800000).alias("s_suppkey"), "s_name"
+    )
+    write_delta(extra, table, mode="append")
+    return read_delta(spark, table)

@@ -1088,3 +1088,99 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r1 = _iterate(r0, 8, "r").select("node", F.col("r"))
     return _iterate(r1, 6, "pagerank")
+
+
+@query(
+    "contamination_max_jaccard",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {WORDS_SQL} AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i : i + 2], ' ') AS shingle
+      FROM d, UNNEST(range(1, len(words) - 1)) AS t(i)
+      WHERE len(words) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT t.doc_id AS train_id, b.doc_id AS bench_id, COUNT(*) AS bn
+      FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) t
+      JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) b USING (shingle)
+      GROUP BY t.doc_id, b.doc_id
+    ),
+    scored AS (
+      SELECT train_id, bench_id,
+             CAST(ROUND(CAST(bn / (st.n + sb.n - bn) AS DECIMAL(18,10)), 6)
+                  AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes st ON st.doc_id = train_id
+      JOIN sizes sb ON sb.doc_id = bench_id
+    )
+    SELECT train_id, bench_id, jaccard FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY train_id
+                 ORDER BY jaccard DESC, bench_id) AS rn
+      FROM scored WHERE jaccard >= 0.01
+    ) WHERE rn = 1
+    """,
+)
+def contamination_max_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: for every training document, its
+    single best-matching benchmark document by 3-shingle Jaccard
+    (threshold 0.1) — the pairwise-scored complement of
+    contamination_ngram_overlap's boolean flag, used to audit WHICH
+    eval item leaked.
+
+    The shingle inverted index joins train→bench (benchmark side is
+    dimension-sized → broadcast); intersection counts aggregate before
+    sizes join in, so only (train_id, bench_id, count) triples
+    shuffle. Ranking uses the ROUNDED score with bench_id tiebreak —
+    float-order independent, deterministic across engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.where(F.size(T.words(F.col("text"))) >= 3)
+        .select(
+            "doc_id",
+            F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    train = sh.where(F.col("doc_id") % 97 != 0)
+    bench = sh.where(F.col("doc_id") % 97 == 0)
+    inter = (
+        train.alias("t")
+        .join(F.broadcast(bench.alias("b")), "shingle")
+        .groupBy(
+            F.col("t.doc_id").alias("train_id"),
+            F.col("b.doc_id").alias("bench_id"),
+        )
+        .agg(F.count("*").alias("bn"))
+    )
+    scored = (
+        inter.join(
+            F.broadcast(sizes.alias("st")), F.col("train_id") == F.col("st.doc_id")
+        )
+        .join(
+            F.broadcast(sizes.alias("sb")), F.col("bench_id") == F.col("sb.doc_id")
+        )
+        .select(
+            "train_id",
+            "bench_id",
+            F.round(
+                (
+                    F.col("bn") / (F.col("st.n") + F.col("sb.n") - F.col("bn"))
+                ).cast("decimal(18,10)"),
+                6,
+            )
+            .cast("double")
+            .alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.01)
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("jaccard").desc(), F.col("bench_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("train_id", "bench_id", "jaccard")
+    )
