@@ -905,8 +905,8 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS dim,
-           CAST(ROUND(CAST(sqrt(list_sum(list_transform(embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           CAST(ROUND(CAST(sqrt(COALESCE(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0))
                 AS DECIMAL(24,10)), 5) AS DOUBLE) AS l2_norm,
            CAST(ROUND(CAST(list_max(list_transform(embedding,
                   x -> abs(CAST(x AS DOUBLE))))

@@ -1124,14 +1124,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def contamination_max_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination: for every training document, its
     single best-matching benchmark document by 3-shingle Jaccard
-    (threshold 0.1) — the pairwise-scored complement of
+    (threshold 0.01) — the pairwise-scored complement of
     contamination_ngram_overlap's boolean flag, used to audit WHICH
     eval item leaked.
 
     The shingle inverted index joins train→bench (benchmark side is
     dimension-sized → broadcast); intersection counts aggregate before
     sizes join in, so only (train_id, bench_id, count) triples
-    shuffle. Ranking uses the ROUNDED score with bench_id tiebreak —
+    shuffle. Sizes are split by side: the bench half is
+    dimension-sized and broadcast, the train half is corpus-sized and
+    MUST shuffle-join (a broadcast there would ship one row per
+    training document — billions at 100 TB — to every executor).
+    Ranking uses the ROUNDED score with bench_id tiebreak —
     float-order independent, deterministic across engines.
     """
     d = load_table(spark, sf_dir, "documents")
@@ -1155,12 +1159,13 @@ def contamination_max_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("bn"))
     )
+    train_sizes = sizes.where(F.col("doc_id") % 97 != 0)
+    bench_sizes = sizes.where(F.col("doc_id") % 97 == 0)
     scored = (
-        inter.join(
-            F.broadcast(sizes.alias("st")), F.col("train_id") == F.col("st.doc_id")
-        )
+        inter.join(train_sizes.alias("st"), F.col("train_id") == F.col("st.doc_id"))
         .join(
-            F.broadcast(sizes.alias("sb")), F.col("bench_id") == F.col("sb.doc_id")
+            F.broadcast(bench_sizes.alias("sb")),
+            F.col("bench_id") == F.col("sb.doc_id"),
         )
         .select(
             "train_id",

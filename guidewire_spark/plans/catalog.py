@@ -43,6 +43,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         #     downstream operators see one type either way (under the
         #     engine's UTC session timezone the instants are identical).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Same defensive posture for the session timezone: the
+        # TIMESTAMP_NTZ→TimestampType cast below and every downstream
+        # calendar-bucketed operator (window(), date_format, weekly
+        # cohorts) interpret wall clocks in spark.sql.session.timeZone.
+        # An external harness-built session may not be UTC; pin it here
+        # so epoch math matches the UTC-based DuckDB oracles.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 

@@ -397,8 +397,9 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join, end to end: purchases
     and views arrive as two independent file streams; each purchase
     joins the same user's views from the preceding day. Both sides
-    carry a 2-hour watermark + the time-bound join condition, so the
-    state store provably evicts rows older than the bound — the
+    carry a 25-hour watermark + the 24-hour time-bound join condition,
+    so the state store provably evicts rows older than watermark +
+    join bound (~49 h behind max event time) — bounded state is the
     property that lets this run forever at 100 TB/day. Inner-join
     output is complete regardless of watermark timing, so the emitted
     pair set equals the batch interval join exactly (ts_interval_join

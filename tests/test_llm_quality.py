@@ -186,3 +186,33 @@ def test_simhash_hamming_separates_near_dups(spark):
         f"vs background mean {background:.1f}"
     )
     assert max(planted_dists) < background, planted_dists
+
+
+def test_approx_percentile_error_bound(spark):
+    """agg_approx_percentile (Greenwald-Khanna, accuracy=10000) must
+    land within the sketch's rank guarantee of the exact percentile:
+    rank error <= n/accuracy, checked here as a value-space relative
+    error bound of 1% against F.percentile on the same groups (loose
+    vs the theory, tight vs a broken wiring)."""
+    from guidewire_spark.operators.extras import agg_approx_percentile
+    from guidewire_spark.plans.catalog import load_table
+
+    approx = {
+        r.l_returnflag: (r.p50, r.p90, r.p99)
+        for r in agg_approx_percentile(spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    exact = {
+        r.l_returnflag: (r.e50, r.e90, r.e99)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("e90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("e99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, vals in approx.items():
+        for got, want in zip(vals, exact[flag]):
+            assert abs(got - want) / want < 0.01, (flag, got, want)

@@ -302,3 +302,24 @@ def test_pagerank_scans_graph_source_once(spark, sf_dir):
     tree = plan.split("== Physical Plan ==")[1]
     assert tree.count("Scan parquet") == 0  # all inputs come from the checkpoint
     assert "Scan ExistingRDD" in tree
+
+
+def test_fuzzy_decon_never_broadcasts_train_sizes(spark, sf_dir):
+    """contamination_max_jaccard's sizes table splits by side: the
+    bench half is dimension-sized and broadcast (hinted), the train
+    half is corpus-sized and must SHUFFLE-join — a broadcast there
+    ships one row per training document to every executor (OOM at
+    100 TB). Auto-broadcast is disabled so the assertion sees the
+    hint structure, not small-test-data stats."""
+    from guidewire_spark.operators.training import contamination_max_jaccard
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(contamination_max_jaccard(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    tree = plan.split("== Physical Plan ==")[1].strip().split("\n\n")[0]
+    # hinted broadcasts survive: bench shingles + bench sizes
+    assert tree.count("BroadcastHashJoin") == 2
+    # the train-sizes join degrades to a shuffle join, as it must
+    assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
