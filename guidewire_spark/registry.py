@@ -48,6 +48,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.training",
     "guidewire_spark.operators.connector_queries",
     "guidewire_spark.operators.extras",
+    "guidewire_spark.operators.analytics",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]

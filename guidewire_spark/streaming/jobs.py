@@ -382,6 +382,60 @@ def stream_merge_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.event_type, c.c_mktsegment,
+           CAST(ROUND(CAST(e.value * 1.1 AS DECIMAL(24,10)), 4) AS DOUBLE)
+             AS adj_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_id % 20 = 0
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: a streaming event feed joined to
+    a static (slowly-changing) dimension table — the canonical
+    "enrich the clickstream with the customer record" pipeline. The
+    static side is broadcast to every task, so the stream never
+    shuffles and the join is STATELESS (no watermark, no state store —
+    the static snapshot is re-resolvable per micro-batch); this is the
+    shape that runs indefinitely at 100 TB/day where a stream-stream
+    join would accumulate state.
+    """
+    import tempfile
+
+    from guidewire_spark.plans.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="gw_senrich_")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 20 == 0)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    ev.write.parquet(f"{root}/src")
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double"
+    ).parquet(f"{root}/src")
+    enriched = stream.join(
+        F.broadcast(customers), stream.user_id == customers.c_custkey, "inner"
+    ).select(
+        "event_id",
+        "event_type",
+        "c_mktsegment",
+        F.round((F.col("value") * 1.1).cast("decimal(24,10)"), 4)
+        .cast("double")
+        .alias("adj_value"),
+    )
+    run_to_parquet(enriched, f"{root}/out", f"{root}/ckpt")
+    return spark.read.schema(
+        "event_id long, event_type string, c_mktsegment string, adj_value double"
+    ).parquet(f"{root}/out")
+
+
+@query(
     "stream_stream_interval_join",
     oracle="""
     WITH e AS (SELECT event_id, user_id, event_type, ts FROM events

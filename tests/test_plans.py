@@ -323,3 +323,46 @@ def test_fuzzy_decon_never_broadcasts_train_sizes(spark, sf_dir):
     assert tree.count("BroadcastHashJoin") == 2
     # the train-sizes join degrades to a shuffle join, as it must
     assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
+
+
+def test_gaps_islands_single_shuffle(spark, sf_dir):
+    """ts_gaps_islands: ONE Exchange (by user_id) must serve both
+    windows AND the final session aggregate — the per-user sort is the
+    whole cost, never a global sort or a second shuffle."""
+    from guidewire_spark.operators.analytics import ts_gaps_islands
+
+    tree = plan_of(ts_gaps_islands(spark, sf_dir)).split("== Physical Plan ==")[
+        1
+    ].strip().split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 2
+    assert "Join" not in tree
+
+
+def test_duplicated_ngram_fraction_single_corpus_pass(spark, sf_dir):
+    """text_duplicated_ngram_fraction must shingle the corpus exactly
+    once: df comes from a window over the occurrence aggregate, not a
+    join that re-derives the shingling subtree (the shape PERF.md
+    measured and rejected for TF-IDF)."""
+    from guidewire_spark.operators.analytics import (
+        text_duplicated_ngram_fraction,
+    )
+
+    plan = plan_of(text_duplicated_ngram_fraction(spark, sf_dir))
+    # formatted explain names each node twice (tree + details)
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Generate") == 2
+    assert "Join" not in plan.split("== Physical Plan ==")[1]
+
+
+def test_ngram_novelty_broadcasts_bench_only(spark, sf_dir):
+    """text_ngram_novelty: the benchmark shingle set (dimension-sized)
+    broadcasts; the training corpus side must never broadcast or
+    sort-merge on shingle."""
+    from guidewire_spark.operators.analytics import text_ngram_novelty
+
+    tree = plan_of(text_ngram_novelty(spark, sf_dir)).split(
+        "== Physical Plan =="
+    )[1].strip().split("\n\n")[0]
+    assert "BroadcastHashJoin LeftOuter" in tree
+    assert "SortMergeJoin" not in tree
