@@ -455,3 +455,167 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_frac"),
         )
     )
+
+
+@query(
+    "orc_roundtrip_scan",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice FROM part
+    """,
+)
+def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan: the columnar format Spark supports natively
+    beside parquet (vectorized reader, predicate pushdown, zlib/snappy
+    stripes). Completes the source/sink matrix: parquet, csv,
+    json-lines, delta, ORC."""
+    import tempfile
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    out = tempfile.mkdtemp(prefix="gw_orc_") + "/part_orc"
+    p.write.mode("overwrite").orc(out)
+    return spark.read.schema("p_partkey long, p_name string, p_retailprice double").orc(
+        out
+    )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING / GROUPING_ID over a rollup: the flags that let
+    consumers of a multi-level aggregate distinguish "NULL because
+    subtotal row" from "NULL in the data" — required for correct
+    cube/rollup result handling downstream."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "gid", "n"
+        )
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+      FROM lineitem WHERE l_partkey % 100 = 0
+    ),
+    edges AS (
+      SELECT DISTINCT a.sk AS s1, b.sk AS s2
+      FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+    ),
+    tri AS (
+      SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.s2 = e2.s1
+      JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+    )
+    SELECT CAST(v AS BIGINT) AS vertex, COUNT(*) AS n_triangles FROM (
+      SELECT a AS v FROM tri UNION ALL
+      SELECT b AS v FROM tri UNION ALL
+      SELECT c AS v FROM tri
+    ) GROUP BY v
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the supplier co-supply graph
+    (suppliers adjacent when they supply a common part) — the
+    clustering-coefficient numerator, the standard graph-quality
+    signal label propagation and PageRank don't give.
+
+    Classic distributed triangle enumeration: edges stored once in
+    canonical (low < high) orientation, so each triangle {a<b<c} is
+    found exactly once as the join e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) —
+    a two-join plan whose shuffle keys are vertex ids. The canonical
+    orientation is what bounds the wedge-join fan-out (each wedge is
+    generated once, not six times); at production scale the same plan
+    runs with degree-ordered vertex renaming to cap hub fan-out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.where(F.col("l_partkey") % 100 == 0)
+        .select(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_suppkey").cast("long").alias("sk"),
+        )
+        .distinct()
+    )
+    edges = (
+        ps.alias("a")
+        .join(ps.alias("b"), "pk")
+        .where(F.col("a.sk") < F.col("b.sk"))
+        .select(F.col("a.sk").alias("s1"), F.col("b.sk").alias("s2"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
+        .join(
+            e3,
+            (F.col("e3.s1") == F.col("e1.s1")) & (F.col("e3.s2") == F.col("e2.s2")),
+        )
+        .select(
+            F.col("e1.s1").alias("a"),
+            F.col("e1.s2").alias("b"),
+            F.col("e2.s2").alias("c"),
+        )
+    )
+    verts = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+    )
+    return verts.groupBy(F.col("v").alias("vertex")).agg(
+        F.count("*").alias("n_triangles")
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, CAST(t.i AS BIGINT) AS pos,
+           COUNT(*) AS n_vectors,
+           CAST(ROUND(CAST(AVG(CAST(embedding[i] AS DOUBLE))
+                AS DECIMAL(24,10)), 6) AS DOUBLE) AS centroid_val
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY label, t.i
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long format (label, dimension,
+    mean): the class-prototype computation behind nearest-centroid
+    probes, IVF coarse quantizers and embedding-drift monitors.
+
+    posexplode fans each vector into (label, pos, component) rows and
+    ONE hash aggregate computes every (label, dim) mean — partial
+    aggregation makes the shuffle carry (labels × dims) partial sums
+    per task, independent of vector count. Long format keeps the
+    output scalar-typed (array cells break result canonicalizers —
+    the agg_approx_percentile lesson)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            _r(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"),
+        )
+    )

@@ -8,6 +8,8 @@ the ones recommended for real pipelines.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -202,4 +204,37 @@ def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
     return o.select("o_orderkey", "o_totalprice").mapInArrow(
         scale, "o_orderkey long, price_cents long"
+    )
+
+
+@query(
+    "udf_pandas_iterator",
+    oracle="""
+    SELECT event_id,
+           CAST(ROUND(CAST(ln(1 + value) * 100 AS DECIMAL(24,10)), 4)
+                AS DOUBLE) AS scored
+    FROM events WHERE event_id % 25 = 0
+    """,
+)
+def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF: the Arrow batch stream flows
+    through one generator per task, so expensive per-task setup (model
+    load, tokenizer init — here a stand-in constant) is paid ONCE per
+    executor task instead of once per batch. This is the recommended
+    shape for ML scoring UDFs at 100 TB; the scalar form re-enters
+    Python per batch with no init amortization."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        scale = 100.0  # per-task init happens here, before the loop
+        for values in batches:
+            yield pd.Series(np.log1p(values.to_numpy()) * scale)
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 25 == 0)
+    return e.select(
+        "event_id",
+        F.round(score("value").cast("decimal(24,10)"), 4)
+        .cast("double")
+        .alias("scored"),
     )

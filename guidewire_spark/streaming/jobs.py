@@ -505,3 +505,47 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "purchase_id long, view_id long, user_id long"
     ).parquet(f"{root}/out")
+
+
+@query(
+    "stream_complete_mode_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(ROUND(CAST(SUM(value) AS DECIMAL(24,8)), 2) AS DOUBLE)
+             AS sum_value
+    FROM events WHERE user_id % 5 = 0 GROUP BY event_type
+    """,
+)
+def stream_complete_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-output-mode streaming aggregation: an unwindowed
+    global groupBy over a stream re-emits the FULL aggregate table
+    every micro-batch (the live-dashboard contract). Safe at scale
+    only because the result is group-cardinality-sized — event types,
+    not events — which is exactly when complete mode is the right
+    tool; the memory sink here is the dashboard stand-in. After
+    draining all input the last emission must equal the batch
+    aggregate (the oracle)."""
+    import tempfile
+    import uuid
+
+    from guidewire_spark.plans.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="gw_complete_")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 5 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    ev.write.parquet(f"{root}/src")
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, value double"
+    ).parquet(f"{root}/src")
+    counts = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value").cast("decimal(24,8)"), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+    name = "gw_complete_" + uuid.uuid4().hex[:8]
+    run_to_memory(counts, name, f"{root}/ckpt", mode="complete")
+    return spark.sql(f"SELECT event_type, n, sum_value FROM {name}")
