@@ -406,3 +406,116 @@ def func_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("edit_dist"),
         (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias("same_segment"),
     )
+
+
+@query(
+    "func_try_family",
+    oracle="""
+    SELECT event_id,
+           CAST(ROUND(CAST(CASE WHEN user_id % 3 = 0 THEN NULL
+                ELSE value / (user_id % 3) END AS DECIMAL(24,10)), 4)
+                AS DOUBLE) AS safe_div,
+           TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS k_num,
+           TRY_CAST(event_type AS INTEGER) AS bad_cast,
+           CASE WHEN user_id > 0 THEN NULL
+                ELSE 9223372036854775807 + user_id END AS add_ovf
+    FROM events WHERE event_id % 25 = 0
+    """,
+)
+def func_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_* error-safe arithmetic: graceful NULL instead of a runtime
+    error under ANSI mode — division by zero, malformed casts, int64
+    overflow. The oracle spells out the same semantics with CASE
+    guards, which is exactly the contract try_* encapsulates."""
+    from guidewire_spark.plans.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 25 == 0)
+    return e.select(
+        "event_id",
+        F.round(
+            F.try_divide(F.col("value"), (F.col("user_id") % 3)).cast(
+                "decimal(24,10)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("safe_div"),
+        F.try_to_number(
+            F.regexp_extract("props", "[0-9]+", 0), F.lit("999999")
+        )
+        .cast("int")
+        .alias("k_num"),
+        F.expr("try_cast(event_type AS INT)").alias("bad_cast"),
+        F.try_add(F.lit(9223372036854775807), F.col("user_id")).alias("add_ovf"),
+    )
+
+
+@query(
+    "func_hash_family",
+    oracle="""
+    SELECT o_orderkey,
+           md5(o_orderpriority || ':' || CAST(o_orderkey AS VARCHAR)) AS h_md5,
+           sha256(o_orderpriority || ':' || CAST(o_orderkey AS VARCHAR))
+             AS h_sha256,
+           LOWER(to_hex(o_orderkey)) AS key_hex,
+           to_base64(encode(o_orderstatus)) AS status_b64
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def func_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic/encoding function family: md5, sha2-256, hex,
+    base64 — the content-addressing primitives behind exact dedup
+    digests and cache keys. (xxhash64/crc32 exist too but are
+    engine-specific bit-for-bit, so the portable pair md5/sha2 is what
+    cross-engine digests should use — the same reasoning that made the
+    dedup operators digest-based.)"""
+    from guidewire_spark.plans.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    keyed = F.concat_ws(":", F.col("o_orderpriority"), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.md5(keyed).alias("h_md5"),
+        F.sha2(keyed, 256).alias("h_sha256"),
+        F.lower(F.hex(F.col("o_orderkey"))).alias("key_hex"),
+        F.base64(F.col("o_orderstatus").cast("binary")).alias("status_b64"),
+    )
+
+
+@query(
+    "func_variant_family",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           event_type AS t_val,
+           user_id AS uid_val
+    FROM events WHERE event_id % 40 = 0
+    """,
+)
+def func_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (Spark 4 semi-structured type): parse_json into a
+    binary-encoded variant, then typed path extraction with
+    variant_get — the schema-on-read column type that replaces
+    string-JSON + from_json for open schemas (shredded storage,
+    typed pushdown). One variant is parsed from the stored props
+    JSON, a second is constructed from row data via to_json to
+    exercise nested '$.a.b' paths; the oracle recomputes the same
+    values from the base columns."""
+    from guidewire_spark.plans.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 40 == 0)
+    props_v = F.parse_json("props")
+    nested_v = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.struct(F.col("user_id").alias("id")).alias("u"),
+            )
+        )
+    )
+    return e.select(
+        "event_id",
+        F.variant_get(props_v, "$.k", "long").alias("k_val"),
+        F.variant_get(nested_v, "$.t", "string").alias("t_val"),
+        F.variant_get(nested_v, "$.u.id", "long").alias("uid_val"),
+    )

@@ -836,3 +836,90 @@ def sql_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFram
     planned as left-semi + left-anti joins co-partitioned on orderkey."""
     register_views(spark, sf_dir)
     return spark.sql(_Q21_SQL)
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(v, depth) AS (
+      SELECT CAST(MIN(l_suppkey) AS BIGINT), 0
+      FROM lineitem WHERE l_partkey % 100 = 0
+      UNION ALL
+      SELECT CAST(e.s2 AS BIGINT), w.depth + 1
+      FROM walk w JOIN (
+        SELECT DISTINCT a.sk AS s1, b.sk AS s2 FROM
+          (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+           WHERE l_partkey % 100 = 0) a
+          JOIN
+          (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+           WHERE l_partkey % 100 = 0) b
+          ON a.pk = b.pk AND a.sk <> b.sk) e
+        ON e.s1 = w.v
+      WHERE w.depth < 2
+    )
+    SELECT v AS vertex, CAST(MIN(depth) AS BIGINT) AS min_depth,
+           COUNT(*) AS n_paths
+    FROM walk GROUP BY v
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4): depth-bounded BFS from the smallest
+    supplier vertex over the co-supply graph — iterative reachability
+    pushed INTO the SQL engine instead of a driver-side loop (the
+    unrolled-loop alternative is graph_pagerank; this is the
+    parser-native form). Each recursion step is one join of the
+    frontier onto the edge list; the depth bound caps state, and the
+    final aggregate collapses path multiplicity into (min depth,
+    path count) per vertex."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(v, depth) AS (
+          SELECT CAST(MIN(l_suppkey) AS BIGINT), 0
+          FROM lineitem WHERE l_partkey % 100 = 0
+          UNION ALL
+          SELECT CAST(e.s2 AS BIGINT), w.depth + 1
+          FROM walk w JOIN (
+            SELECT DISTINCT a.sk AS s1, b.sk AS s2 FROM
+              (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+               WHERE l_partkey % 100 = 0) a
+              JOIN
+              (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+               WHERE l_partkey % 100 = 0) b
+              ON a.pk = b.pk AND a.sk <> b.sk) e
+            ON e.s1 = w.v
+          WHERE w.depth < 2
+        )
+        SELECT v AS vertex, CAST(MIN(depth) AS BIGINT) AS min_depth,
+               COUNT(*) AS n_paths
+        FROM walk GROUP BY v
+        """
+    )
+
+
+@query(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT: the
+    SQL-text form of top-k-per-group (the DataFrame twin is
+    window_topk_per_group). Catalyst decorrelates this into a
+    partitioned window/rank plan rather than executing the subquery
+    per outer row — same physical shape, portable syntax."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        """
+    )
