@@ -619,3 +619,77 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"),
         )
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer WHERE c_custkey % 100 = 0
+    GROUP BY c_nationkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (Spark 4): ordered string
+    concatenation per group — deterministic because the WITHIN GROUP
+    order is total. The per-group sort happens inside the aggregate
+    (map-side partials carry partial lists), unlike collect_list +
+    sort_array which materializes the unsorted list first."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 100 == 0)
+    return c.groupBy("c_nationkey").agg(
+        F.expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)").alias(
+            "names"
+        )
+    )
+
+
+@query(
+    "vocab_bpe_merge_candidates",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT substring(w, i, 2) AS pair
+      FROM w, UNNEST(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def vocab_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round, the counting step: frequencies of adjacent
+    character pairs within words across the corpus, top-20 by count —
+    the inner loop of byte-pair-encoding tokenizer training (the
+    winning pair becomes the next merge rule). Complements
+    text_bigram_counts (word pairs) and vocab_top_tokens (unigrams).
+
+    Character pairs are generated JVM-side (sequence + substring HOF,
+    no Python), counts partial-aggregate map-side, and the top-20 is a
+    TakeOrdered over (count, pair) — a total order, so the emitted SET
+    is deterministic; the full pair distribution never sorts
+    globally."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.explode(T.words(F.col("text"))).alias("w"))
+        .where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )

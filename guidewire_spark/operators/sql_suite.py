@@ -923,3 +923,106 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         """
     )
+
+
+@query(
+    "sql_udf_create_function",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 200000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS band,
+           CASE WHEN o_totalprice >= 200000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END || ':' || o_orderpriority AS band_prio
+    FROM orders WHERE o_orderkey % 30 = 0
+    """,
+)
+def sql_udf_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDF (Spark 4 CREATE FUNCTION ... RETURN expr): a named,
+    catalog-managed scalar function whose body is pure SQL — unlike a
+    Python UDF it inlines into the Catalyst plan (codegen, pushdown,
+    no serialization boundary), which makes it the right way to share
+    business logic across queries at scale. The oracle inlines the
+    same expression, which is exactly what the optimizer does."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION gw_price_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p >= 200000 THEN 'high'
+                    WHEN p >= 100000 THEN 'mid'
+                    ELSE 'low' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               gw_price_band(o_totalprice) AS band,
+               gw_price_band(o_totalprice) || ':' || o_orderpriority AS band_prio
+        FROM orders WHERE o_orderkey % 30 = 0
+        """
+    )
+
+
+@query(
+    "sql_pivot_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END)
+                AS DECIMAL(24,10)), 2) AS DOUBLE) AS f_qty,
+           CAST(ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END)
+                AS DECIMAL(24,10)), 2) AS DOUBLE) AS o_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT clause (the parser-native form of the DataFrame pivot
+    in agg_pivot): rows→columns on an explicit value list. An explicit
+    IN list is mandatory for the scalable plan — it compiles to one
+    conditional aggregation pass; an inferred list would need an extra
+    distinct scan first."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(ROUND(CAST(f_qty AS DECIMAL(24,10)), 2) AS DOUBLE) AS f_qty,
+               CAST(ROUND(CAST(o_qty AS DECIMAL(24,10)), 2) AS DOUBLE) AS o_qty
+        FROM (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
+        PIVOT (SUM(l_quantity) FOR l_linestatus IN ('F' AS f_qty, 'O' AS o_qty))
+        """
+    )
+
+
+@query(
+    "sql_unpivot_clause",
+    oracle="""
+    SELECT c_custkey, metric, CAST(ROUND(CAST(val AS DECIMAL(24,10)), 2)
+           AS DOUBLE) AS val
+    FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val
+      FROM customer WHERE c_custkey % 40 = 0
+      UNION ALL
+      SELECT c_custkey, 'nkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val
+      FROM customer WHERE c_custkey % 40 = 0
+    )
+    """,
+)
+def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNPIVOT clause: columns→rows without a join or explode —
+    compiles to the same single-pass Expand node as the DataFrame
+    unpivot (reshape_unpivot); the oracle is the UNION ALL the clause
+    replaces (which would scan the input once per column)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, metric,
+               CAST(ROUND(CAST(val AS DECIMAL(24,10)), 2) AS DOUBLE) AS val
+        FROM (
+          SELECT c_custkey, c_acctbal AS acctbal,
+                 CAST(c_nationkey AS DOUBLE) AS nkey
+          FROM customer WHERE c_custkey % 40 = 0
+        )
+        UNPIVOT (val FOR metric IN (acctbal, nkey))
+        """
+    )

@@ -238,3 +238,44 @@ def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("scored"),
     )
+
+
+@query(
+    "udaf_apply_in_arrow",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(ROUND(CAST(SUM(value) AS DECIMAL(24,8)), 2) AS DOUBLE)
+             AS total_value
+    FROM events WHERE user_id % 4 = 0 GROUP BY event_type
+    """,
+)
+def udaf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map over raw Arrow tables (applyInArrow): the zero-copy
+    sibling of applyInPandas — no pandas materialization, each group
+    arrives as a pyarrow.Table and returns one. The right boundary for
+    columnar native libs (polars, numpy-on-arrow) in a 100 TB
+    pipeline; per-group state is one record batch, never the corpus."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def summarize(table: pa.Table) -> pa.Table:
+        total = pc.sum(table.column("value")).as_py() or 0.0
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": [table.num_rows],
+                "total_value": [total],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 4 == 0)
+    out = e.select("event_type", "value").groupBy("event_type").applyInArrow(
+        summarize, schema="event_type string, n long, total_value double"
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("total_value").cast("decimal(24,8)"), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
