@@ -366,3 +366,30 @@ def test_ngram_novelty_broadcasts_bench_only(spark, sf_dir):
     )[1].strip().split("\n\n")[0]
     assert "BroadcastHashJoin LeftOuter" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """The correlated LATERAL + per-row LIMIT must decorrelate into a
+    rank-pushdown window plan (WindowGroupLimit), never a per-outer-row
+    subquery execution or a cartesian/nested-loop join."""
+    from guidewire_spark.operators.sql_suite import sql_lateral_topk
+
+    tree = plan_of(sql_lateral_topk(spark, sf_dir)).split(
+        "== Physical Plan =="
+    )[1].strip().split("\n\n")[0]
+    assert "WindowGroupLimit" in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_unpivot_is_single_pass_expand(spark, sf_dir):
+    """The SQL UNPIVOT clause must compile to one Expand over one scan
+    — not the UNION ALL it replaces (which scans the input once per
+    unpivoted column)."""
+    from guidewire_spark.operators.sql_suite import sql_unpivot_clause
+
+    plan = plan_of(sql_unpivot_clause(spark, sf_dir))
+    tree = plan.split("== Physical Plan ==")[1].strip().split("\n\n")[0]
+    assert "Expand" in tree
+    assert tree.count("Scan parquet") == 1
+    assert "Exchange" not in tree
