@@ -693,3 +693,103 @@ def vocab_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(20)
     )
+
+
+@query(
+    "agg_argminmax_family",
+    oracle="""
+    SELECT o_orderpriority,
+           count_if(o_totalprice > 150000) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           max_by(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  * 1000000 + o_orderkey % 1000000) AS priciest_order,
+           min_by(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  * 1000000 + o_orderkey % 1000000) AS cheapest_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_argminmax_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax + predicate aggregate family: max_by/min_by
+    (which row holds the extreme — the single-pass replacement for a
+    self-join on the max), count_if, bool_and/bool_or.
+
+    max_by's tie-break is engine-undefined, so the ordering key is
+    made UNIQUE by construction (exact integer cents * 1e6 + key
+    suffix, all < 2^53 so both engines compute it exactly) — the same
+    determinism discipline as the mode operator."""
+    o = load_table(spark, sf_dir, "orders")
+    ukey = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * 1000000
+        + F.col("o_orderkey") % 1000000
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.max_by("o_orderkey", ukey).alias("priciest_order"),
+        F.min_by("o_orderkey", ukey).alias("cheapest_order"),
+    )
+
+
+@query(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT event_type AS item, COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k (heavy-hitters sketch): the bounded-memory answer
+    to "most frequent items" over unbounded cardinality. Exploded to
+    scalar (item, count) rows at the query boundary. With
+    maxItemsTracked (10000) >= the true cardinality the sketch is
+    EXACT — which is what makes the exact-count oracle valid here —
+    and k (10) >= cardinality returns the full set, so the emitted
+    rows are deterministic. At real scale you keep the same query and
+    accept epsilon-bounded counts on the tail."""
+    e = load_table(spark, sf_dir, "events")
+    topk = e.agg(F.expr("approx_top_k(event_type, 10, 10000)").alias("tk"))
+    return topk.select(F.explode("tk").alias("s")).select(
+        F.col("s.item").alias("item"), F.col("s.count").alias("cnt")
+    )
+
+
+@query(
+    "er_blocked_fuzzy_match",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_name, substring(c_name, 1, 16) AS blk
+               FROM customer WHERE c_custkey % 4 = 0)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def er_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching (the record-linkage primitive):
+    candidate pairs are generated ONLY within a blocking key (here a
+    name prefix; production uses phonetic codes / sorted n-grams),
+    then scored with edit distance and thresholded. Blocking turns the
+    O(n²) all-pairs problem into per-block quadratic work on bounded
+    blocks — the same contract as the LSH dedup operators, with the
+    block key as the bucket. The join shuffles on the block key, so
+    skewed blocks are the thing to monitor (AQE skew-join handles
+    moderate cases)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk"))
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return pairs.where(dist <= 1).select(
+        F.col("a.c_custkey").alias("id_a"),
+        F.col("b.c_custkey").alias("id_b"),
+        dist.cast("long").alias("dist"),
+    )

@@ -937,3 +937,68 @@ def embedding_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("l2_norm"),
         F.round(max_abs.cast("decimal(24,10)"), 5).cast("double").alias("max_abs"),
     )
+
+
+@query(
+    "multimodal_audio_rms",
+    oracle="""
+    WITH samples AS (
+      SELECT doc_id, CAST((t.p - 1) // 256 AS BIGINT) AS window_idx,
+             ord(substring(text, t.p, 1)) AS s
+      FROM documents, UNNEST(range(1, length(text) + 1)) AS t(p)
+      WHERE doc_id % 9 = 0
+    )
+    SELECT doc_id, window_idx,
+           COUNT(*) AS n_samples,
+           CAST(ROUND(CAST(sqrt(AVG(CAST(s * s AS DOUBLE)))
+                AS DECIMAL(24,10)), 4) AS DOUBLE) AS rms
+    FROM samples GROUP BY doc_id, window_idx
+    """,
+)
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowed RMS over binary payloads: the payload is
+    treated as a PCM-u8 sample stream (the documents' utf-8 bytes — no
+    audio codecs in this container; with ASCII text every byte IS the
+    code point, which is what lets a SQL oracle verify the Python path
+    bit-for-bit). mapInPandas decodes each payload with numpy and
+    emits one row per 256-sample window with its RMS level — the
+    loudness-profile / silence-detection primitive of an audio
+    curation pipeline.
+
+    At 100 TB: payloads never shuffle (the window rows carry only
+    scalars); numpy vectorizes the per-window fold inside one Arrow
+    batch. The decode call is the swap point for a real codec
+    (soundfile/ffmpeg) on a cluster that has one."""
+    import pandas as pd
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 9 == 0)
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+
+    def rms_windows(batches):
+        import numpy as np
+
+        win = 256
+        for pdf in batches:
+            out = {"doc_id": [], "window_idx": [], "n_samples": [], "rms": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8)
+                for i in range(0, len(samples), win):
+                    chunk = samples[i : i + win].astype(np.float64)
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(i // win)
+                    out["n_samples"].append(len(chunk))
+                    out["rms"].append(float(np.sqrt(np.mean(chunk * chunk))))
+            yield pd.DataFrame(out)
+
+    raw = d.mapInPandas(
+        rms_windows, "doc_id long, window_idx long, n_samples long, rms double"
+    )
+    return raw.select(
+        "doc_id",
+        "window_idx",
+        "n_samples",
+        F.round(F.col("rms").cast("decimal(24,10)"), 4).cast("double").alias("rms"),
+    )

@@ -549,3 +549,56 @@ def stream_complete_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "gw_complete_" + uuid.uuid4().hex[:8]
     run_to_memory(counts, name, f"{root}/ckpt", mode="complete")
     return spark.sql(f"SELECT event_type, n, sum_value FROM {name}")
+
+
+@query(
+    "stream_available_now_backfill",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ROUND(CAST(value AS DECIMAL(24,8)), 4) AS DOUBLE) AS value
+    FROM events WHERE user_id % 6 = 0
+    """,
+)
+def stream_available_now_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow backfill: process everything currently in
+    the source in rate-limited micro-batches (maxFilesPerTrigger
+    honored, unlike the deprecated Trigger.Once), then STOP — the
+    production pattern for replaying history through the same
+    streaming query that then runs continuously, with exactly-once
+    checkpointing across the restart boundary. The drained output must
+    equal the batch projection (the oracle)."""
+    import tempfile
+
+    from guidewire_spark.plans.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="gw_avnow_")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 6 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    ev.repartition(4).write.parquet(f"{root}/src")
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/src")
+    )
+    out = stream.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value").cast("decimal(24,8)"), 4)
+        .cast("double")
+        .alias("value"),
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema("event_id long, event_type string, value double").parquet(
+        f"{root}/out"
+    )
