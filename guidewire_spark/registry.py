@@ -74,9 +74,16 @@ def query(name: str, oracle: str | None = None):
 # the 34 queries with zero driver history (all green under the local
 # driver-replica oracle gate, tools/check_oracles.py), the re-fixed
 # agg_approx_percentile (r3's one red row — array<double> output now
-# three scalar columns), and 15 re-checks of the oldest r1 rows (the
-# scan/filter/set-op head, unchecked since round 1).  After this window
-# every registered query has hard driver signal.
+# three scalar columns), and 15 of this round's 32 new operators
+# (first-time signal beats re-checking r1 rows that already have driver
+# history).  Round 5 should front the remaining 17 round-4 additions
+# (sql_udf_create_function, sql_pivot_clause, sql_unpivot_clause,
+# udaf_apply_in_arrow, agg_listagg, vocab_bpe_merge_candidates,
+# agg_argminmax_family, agg_approx_top_k, er_blocked_fuzzy_match,
+# multimodal_audio_rms, stream_available_now_backfill,
+# stream_complete_mode_agg, udf_pandas_iterator, agg_grouping_id,
+# agg_weighted_stats, func_try_family, func_hash_family) plus r1-head
+# re-checks (scan_filter_project .. parquet_sink_roundtrip).
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
     "agg_approx_percentile",
@@ -121,22 +128,22 @@ _FRONT = [
     # streaming tail, never in a window (2)
     "stream_merge_to_delta",
     "stream_stream_interval_join",
-    # re-checks of the oldest r1 rows: scans/filters/set-ops head (15)
-    "scan_filter_project",
-    "filter_in_between_like",
-    "filter_rlike_regex",
-    "null_predicates_case_when",
-    "distinct_values",
-    "dedup_by_key",
-    "sort_multi_key_nulls",
-    "topk_global",
-    "union_all_distinct",
-    "intersect_nations",
-    "except_nations",
-    "except_all_multiset",
-    "csv_roundtrip_scan",
-    "json_roundtrip_scan",
-    "parquet_sink_roundtrip",
+    # round-4 additions, first driver look (15 of 32)
+    "agg_median_mode",
+    "agg_regression_family",
+    "ts_gaps_islands",
+    "window_cume_dist_family",
+    "text_entropy_stats",
+    "text_duplicated_ngram_fraction",
+    "text_ngram_novelty",
+    "mix_temperature_sampling",
+    "stream_static_enrich",
+    "sql_recursive_cte",
+    "sql_lateral_topk",
+    "func_variant_family",
+    "graph_triangle_count",
+    "embedding_label_centroids",
+    "orc_roundtrip_scan",
 ]
 
 
