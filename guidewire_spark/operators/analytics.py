@@ -793,3 +793,102 @@ def er_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.c_custkey").alias("id_b"),
         dist.cast("long").alias("dist"),
     )
+
+
+@query(
+    "text_perplexity_proxy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        w -> w <> '')) AS w
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+    corpus AS (SELECT w, SUM(c) AS wc FROM cnt GROUP BY w),
+    n AS (SELECT SUM(c) AS n_total FROM cnt)
+    SELECT cnt.doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(ROUND(CAST(-SUM(c * log2(wc / CAST(n.n_total AS DOUBLE)))
+                 / SUM(c) AS DECIMAL(24,10)), 5) AS DOUBLE) AS xent_bits
+    FROM cnt JOIN corpus ON cnt.w = corpus.w CROSS JOIN n
+    GROUP BY cnt.doc_id
+    """,
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document against the CORPUS
+    distribution (a KenLM stand-in): documents whose tokens are
+    corpus-improbable score high — the classic perplexity-based
+    quality filter, distinct from text_entropy_stats (which measures
+    the doc's own distribution).
+
+    Corpus token frequencies come from a COUNT window over the
+    per-(doc, token) aggregate — the single-corpus-pass shape (PERF.md
+    TF-IDF precedent); the global token total N is a scalar from a
+    second tokenize-and-count scan (aggregate-only, no shuffle of
+    tokens) broadcast into the plan, never a global window over the
+    corpus-sized count table."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(T.words(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    with_corpus = cnt.withColumn(
+        "wc", F.sum("c").over(Window.partitionBy("w"))
+    )
+    n_total = d.select(
+        F.sum(F.size(T.words(F.col("text")))).cast("double").alias("n_total")
+    )
+    return (
+        with_corpus.crossJoin(F.broadcast(n_total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            _r(
+                -F.sum(F.col("c") * F.log2(F.col("wc") / F.col("n_total")))
+                / F.sum("c"),
+                5,
+            ).alias("xent_bits"),
+        )
+    )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    SELECT CAST(t.i AS BIGINT) AS pos,
+           CAST(ROUND(CAST(AVG(CAST(embedding[i] AS DOUBLE))
+                AS DECIMAL(24,10)), 6) AS DOUBLE) AS dim_mean,
+           CAST(ROUND(CAST(stddev_pop(CAST(embedding[i] AS DOUBLE))
+                AS DECIMAL(24,10)), 5) AS DOUBLE) AS dim_std,
+           CAST(ROUND(CAST(MIN(CAST(embedding[i] AS DOUBLE))
+                AS DECIMAL(24,10)), 6) AS DOUBLE) AS dim_min,
+           CAST(ROUND(CAST(MAX(CAST(embedding[i] AS DOUBLE))
+                AS DECIMAL(24,10)), 6) AS DOUBLE) AS dim_max
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY t.i
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global per-dimension embedding statistics (mean/std/min/max in
+    long format): the whitening/normalization fit and the drift
+    monitor for an embedding column — a collapsed dimension (std ~ 0)
+    or a shifted mean flags a broken encoder before ANN quality decays.
+
+    posexplode + ONE partial-aggregated hash agg keyed by dimension:
+    the shuffle carries (dims x partials) sums, independent of vector
+    count — same contract as embedding_label_centroids."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("v").cast("double")
+    return (
+        e.select(F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy((F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(
+            _r(F.avg(v), 6).alias("dim_mean"),
+            F.round(F.stddev_pop(v).cast("decimal(24,10)"), 5)
+            .cast("double")
+            .alias("dim_std"),
+            _r(F.min(v), 6).alias("dim_min"),
+            _r(F.max(v), 6).alias("dim_max"),
+        )
+    )
