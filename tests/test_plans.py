@@ -393,3 +393,15 @@ def test_unpivot_is_single_pass_expand(spark, sf_dir):
     assert "Expand" in tree
     assert tree.count("Scan parquet") == 1
     assert "Exchange" not in tree
+
+
+def test_perplexity_proxy_single_tokenize_pass(spark, sf_dir):
+    """text_perplexity_proxy must explode tokens exactly once (corpus
+    frequencies via count-window over the per-doc aggregate); the
+    global-N side is an aggregate-only scan with no Generate, joined
+    as a 1-row broadcast."""
+    from guidewire_spark.operators.analytics import text_perplexity_proxy
+
+    plan = plan_of(text_perplexity_proxy(spark, sf_dir))
+    assert plan.count("Generate") == 2  # one node (tree + details)
+    assert "SortMergeJoin" not in plan
