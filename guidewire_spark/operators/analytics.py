@@ -892,3 +892,187 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.max(v), 6).alias("dim_max"),
         )
     )
+
+
+@query(
+    "ts_ewma_smoothing",
+    oracle="""
+    WITH win AS (
+      SELECT event_id, user_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS arr
+      FROM events WHERE user_id % 10 = 0
+    ),
+    expl AS (
+      SELECT event_id, user_id, len(arr) AS n, t.j, arr[j] AS x
+      FROM win, UNNEST(range(1, len(arr) + 1)) AS t(j)
+    )
+    SELECT event_id, user_id,
+           CAST(ROUND(CAST(SUM(x * power(0.7, n - j))
+                 / SUM(power(0.7, n - j)) AS DECIMAL(24,10)), 5) AS DOUBLE)
+             AS ewma
+    FROM expl GROUP BY event_id, user_id
+    """,
+)
+def ts_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 0.3, adjust-style
+    normalization) over each user's event stream — the trend-smoothing
+    operator Spark has no built-in for, expressed as a composition:
+    an ordered ROWS window collects the trailing K=10 values and one
+    indexed-HOF fold computes sum(x_i * (1-a)^age) / sum((1-a)^age)
+    per row, entirely JVM-side.
+
+    The K-bound makes it a windowed approximation of the infinite
+    EWMA (tail weight (1-a)^10 ~ 2.8% absorbed by the normalizer) —
+    and that bound is what makes it distributable: state per row is K
+    values inside one partition-local frame, never a running carry
+    across rows (the sequential dependency that would serialize the
+    stream)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    arr = F.collect_list("value").over(w)
+    tmp = e.select("event_id", "user_id", arr.alias("arr"))
+    n = F.size("arr")
+    weighted = F.aggregate(
+        F.zip_with(
+            F.col("arr"),
+            F.sequence(F.lit(1), n),
+            lambda x, j: x * F.pow(F.lit(0.7), (n - j).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda j: F.pow(F.lit(0.7), (n - j).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return tmp.select(
+        "event_id",
+        "user_id",
+        _r(weighted / norm, 5).alias("ewma"),
+    )
+
+
+@query(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT user_id,
+             quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           COUNT(*) AS n_events,
+           CAST(ROUND(CAST(ANY_VALUE(med) AS DECIMAL(24,10)), 4) AS DOUBLE)
+             AS median_value,
+           CAST(ROUND(CAST(quantile_cont(abs(e.value - med), 0.5)
+                AS DECIMAL(24,10)), 4) AS DOUBLE) AS mad
+    FROM events e JOIN med ON e.user_id = med.user_id
+    GROUP BY e.user_id
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per user: the robust dispersion
+    estimate behind outlier scoring (|x - med| > k * MAD) — unlike the
+    z-score twin (ts_rolling_zscore), one wild value cannot inflate
+    the threshold that judges it.
+
+    Two grouped exact medians: the per-user median joins back (both
+    sides shuffle on user_id — AQE broadcasts the median table when
+    small) and the deviations aggregate in the same user_id
+    partitioning, so the second median adds no extra exchange."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return (
+        e.join(med, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            _r(F.first("med"), 4).alias("median_value"),
+            _r(
+                F.expr("percentile(abs(value - med), 0.5)"),
+                4,
+            ).alias("mad"),
+        )
+    )
+
+
+@query(
+    "text_overlap_stitch",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    chunks AS (
+      SELECT doc_id, t.i AS chunk_idx,
+             array_to_string(ws[t.i * 8 + 1 : t.i * 8 + 12], ' ') AS chunk,
+             array_to_string(ws[t.i * 8 + 9 : t.i * 8 + 12], ' ') AS suffix,
+             array_to_string(ws[t.i * 8 + 1 : t.i * 8 + 4], ' ') AS prefix
+      FROM toks, UNNEST(range(0, (len(ws) - 12) // 8 + 1)) AS t(i)
+      WHERE len(ws) >= 12
+    )
+    SELECT a.doc_id, a.chunk_idx AS idx_a, b.chunk_idx AS idx_b,
+           a.suffix AS overlap_key
+    FROM chunks a JOIN chunks b
+      ON a.doc_id = b.doc_id AND b.chunk_idx = a.chunk_idx + 1
+     AND a.suffix = b.prefix
+    """,
+)
+def text_overlap_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk re-stitching — the inverse of doc_chunk_overlap: split
+    each document into 12-token chunks with stride 8 (4-token
+    overlap), then re-link adjacent chunks by matching chunk N's
+    4-token suffix to chunk N+1's 4-token prefix. Emitting one row per
+    stitched boundary proves the chunker's overlap invariant
+    corpus-wide — the integrity check a pipeline runs before training
+    on chunked text (a chunk whose neighbor is missing or mismatched
+    means data loss between pipeline stages).
+
+    The stitch join is keyed by (doc_id, chunk_idx) — unique keys by
+    construction, so no skew regardless of how repetitive the text is;
+    the suffix = prefix equality rides along as the verified
+    condition. Chunks are generated by a JVM sequence + slice, one
+    pass, no shuffle before the join."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    ws = T.words(F.col("text"))
+    toks = d.where(F.size(ws) >= 12).select("doc_id", ws.alias("ws"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), ((F.size("ws") - 12) / 8).cast("long"))
+        ).alias("chunk_idx"),
+        F.col("ws"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(
+            " ", F.slice("ws", (F.col("chunk_idx") * 8 + 9).cast("int"), 4)
+        ).alias("suffix"),
+        F.concat_ws(
+            " ", F.slice("ws", (F.col("chunk_idx") * 8 + 1).cast("int"), 4)
+        ).alias("prefix"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.chunk_idx") == F.col("a.chunk_idx") + 1)
+        & (F.col("a.suffix") == F.col("b.prefix")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.chunk_idx").alias("idx_a"),
+        F.col("b.chunk_idx").alias("idx_b"),
+        F.col("a.suffix").alias("overlap_key"),
+    )
