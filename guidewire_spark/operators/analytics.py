@@ -1076,3 +1076,160 @@ def text_overlap_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.chunk_idx").alias("idx_b"),
         F.col("a.suffix").alias("overlap_key"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, MIN(event_id) AS view_id
+      FROM events WHERE event_type = 'view' AND user_id % 4 = 0
+      GROUP BY user_id, ts
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase' AND user_id % 4 = 0
+    ),
+    ranked AS (
+      SELECT p.purchase_id, p.user_id, v.view_id,
+             abs(epoch_us(p.ts) - epoch_us(v.ts)) AS gap_us,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                 ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)) ASC,
+                          v.ts ASC, v.view_id ASC) AS rn
+      FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT purchase_id, user_id, view_id, gap_us
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (pandas merge_asof
+    direction='nearest'): each purchase matches the view closest in
+    time, before OR after — the operator the backward-only as-of
+    (join_asof / join_asof_by_key) can't express.
+
+    Implementation is the union+window merge, bidirectional: views and
+    purchases interleave in ONE per-user time-sorted stream; a
+    trailing last(ignorenulls) carries the backward candidate and a
+    leading first(ignorenulls) the forward candidate, then a
+    deterministic comparator picks the nearer (ties → the earlier
+    view; views are pre-deduplicated to one per (user, ts) so the
+    candidate at any distance is unique). One shuffle by user_id, no
+    join against the events side at all — the oracle's O(n*m)
+    pairwise rank is exactly what this plan avoids at scale."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 4 == 0)
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("view_id"))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "view_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.lit(0).alias("kind"),
+        )
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("kind"),
+    )
+    u = v.unionByName(p)
+    order = Window.partitionBy("user_id").orderBy("ts_us", "kind", "view_id")
+    past = order.rowsBetween(Window.unboundedPreceding, 0)
+    future = order.rowsBetween(0, Window.unboundedFollowing)
+    merged = (
+        u.withColumn("b_ts", F.last(F.when(F.col("kind") == 0, F.col("ts_us")), ignorenulls=True).over(past))
+        .withColumn("b_id", F.last(F.when(F.col("kind") == 0, F.col("view_id")), ignorenulls=True).over(past))
+        .withColumn("f_ts", F.first(F.when(F.col("kind") == 0, F.col("ts_us")), ignorenulls=True).over(future))
+        .withColumn("f_id", F.first(F.when(F.col("kind") == 0, F.col("view_id")), ignorenulls=True).over(future))
+        .where(F.col("kind") == 1)
+    )
+    bdiff = F.col("ts_us") - F.col("b_ts")
+    fdiff = F.col("f_ts") - F.col("ts_us")
+    take_backward = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (bdiff <= fdiff)
+    )
+    return merged.where(
+        F.col("b_ts").isNotNull() | F.col("f_ts").isNotNull()
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.when(take_backward, F.col("b_id")).otherwise(F.col("f_id")).alias(
+            "view_id"
+        ),
+        F.when(take_backward, bdiff).otherwise(fdiff).alias("gap_us"),
+    )
+
+
+@query(
+    "text_ngram_containment",
+    oracle="""
+    WITH shingles AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               array_to_string(words[i : i + 2], ' ') AS shingle
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), w -> w <> '')
+                   AS words
+          FROM documents WHERE doc_id < 100
+        ), UNNEST(range(1, len(words) - 1)) AS t(i)
+        WHERE len(words) >= 3
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_n
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(ROUND(CAST(both_n / CAST(sa.n AS DOUBLE)
+                AS DECIMAL(24,10)), 6) AS DOUBLE) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE both_n / CAST(sa.n AS DOUBLE) >= 0.1
+    """,
+)
+def text_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment |A∩B| / |A|: detects when
+    document A is (mostly) CONTAINED in document B — quotes, excerpts
+    and supersets that symmetric Jaccard under-scores (a short doc
+    fully quoted inside a long one has low Jaccard but containment
+    1.0). The directed complement of dedup_ngram_jaccard; ordered
+    pairs are emitted both ways.
+
+    Same sparse inverted-index shape as the Jaccard twin: only
+    documents sharing a shingle pair up, sizes join on the
+    dimension-keyed aggregate — never an all-pairs comparison."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    sh = (
+        d.where(F.size(T.words(F.col("text"))) >= 3)
+        .select(
+            "doc_id",
+            F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("both_n"))
+    )
+    containment = F.col("both_n") / F.col("n").cast("double")
+    return (
+        inter.join(F.broadcast(sizes), F.col("doc_a") == F.col("doc_id"))
+        .where(containment >= 0.1)
+        .select("doc_a", "doc_b", _r(containment, 6).alias("containment"))
+    )
