@@ -519,3 +519,39 @@ def func_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(nested_v, "$.t", "string").alias("t_val"),
         F.variant_get(nested_v, "$.u.id", "long").alias("uid_val"),
     )
+
+
+@query(
+    "func_aes_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS decrypted,
+           CAST((length(o_orderpriority) // 16 + 1) * 16 AS BIGINT)
+             AS cipher_bytes
+    FROM orders WHERE o_orderkey % 60 = 0
+    """,
+)
+def func_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption functions: aes_encrypt/aes_decrypt
+    (ECB + PKCS padding here, the deterministic mode — GCM adds a
+    random IV, which is what production wants but what no
+    cross-engine oracle can check). The oracle verifies the roundtrip
+    identity decrypt(encrypt(x)) = x and the PKCS#5 ciphertext length
+    contract ((len/16 + 1) * 16 bytes) — the two properties that
+    don't depend on the key schedule."""
+    from guidewire_spark.plans.catalog import load_table
+
+    key = F.lit("0000111122223333")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 60 == 0)
+    cipher = F.expr(
+        "aes_encrypt(o_orderpriority, '0000111122223333', 'ECB')"
+    )
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "CAST(aes_decrypt(aes_encrypt(o_orderpriority,"
+            " '0000111122223333', 'ECB'), '0000111122223333', 'ECB')"
+            " AS STRING)"
+        ).alias("decrypted"),
+        F.octet_length(cipher).cast("long").alias("cipher_bytes"),
+    )

@@ -279,3 +279,43 @@ def udaf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@query(
+    "udtf_python_class",
+    oracle="""
+    SELECT doc_id, ws[t.i] AS word, CAST(t.i - 1 AS INTEGER) AS pos
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+      FROM documents WHERE doc_id % 25 = 0
+    ), UNNEST(range(1, len(ws) + 1)) AS t(i)
+    """,
+)
+def udtf_python_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 @udtf class API): a user-defined TABLE
+    function invoked in the FROM clause with LATERAL correlation —
+    each input row fans out to (word, position) rows via the class's
+    ``eval`` generator. This is the SQL-surface sibling of
+    mapInPandas-as-UDTF (udtf_map_in_pandas): callable from pure SQL,
+    registered in the session catalog, composable with joins. Python
+    executes row-at-a-time here (the API's contract), so real
+    pipelines keep heavy fan-outs on the Arrow paths — this covers
+    the interface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield w, i
+
+    spark.udtf.register("gw_split_words", SplitWords)
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    d.createOrReplaceTempView("gw_udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, s.word, s.pos
+        FROM gw_udtf_docs, LATERAL gw_split_words(text) s
+        """
+    )

