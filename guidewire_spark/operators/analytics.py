@@ -1233,3 +1233,86 @@ def text_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(containment >= 0.1)
         .select("doc_a", "doc_b", _r(containment, 6).alias("containment"))
     )
+
+
+@query(
+    "agg_higher_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(l_extendedprice) AS s1,
+             SUM(l_extendedprice * l_extendedprice) AS s2,
+             SUM(l_extendedprice * l_extendedprice * l_extendedprice) AS s3
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(ROUND(CAST(
+             (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / power(s2 / n - (s1 / n) * (s1 / n), 1.5)
+             AS DECIMAL(24,10)), 5) AS DOUBLE) AS skew
+    FROM s
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third standardized moment (skewness) from raw power sums —
+    single-pass, map-side-combinable: m3 = E[x³] − 3μE[x²] + 2μ³ over
+    the central second moment^1.5. Computed from explicit sums rather
+    than the engines' skewness() builtins, whose bias corrections
+    (population vs sample g1/G1) differ across engines — the moment
+    expansion is the form that is both distributable and
+    engine-portable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+    )
+    n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+    return s.select(
+        "l_returnflag", "n", _r(m3 / F.pow(m2, 1.5), 5).alias("skew")
+    )
+
+
+@query(
+    "ts_autocorr_lag1",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, value,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_pairs,
+           CAST(ROUND(CAST(corr(value, prev) AS DECIMAL(24,10)), 5)
+                AS DOUBLE) AS acf1
+    FROM lagged WHERE prev IS NOT NULL
+    GROUP BY user_id HAVING COUNT(*) >= 2
+    """,
+)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per user: Pearson correlation between
+    each value and its predecessor in event-time order — the
+    mean-reversion / momentum diagnostic (ACF at lag 1) and the
+    stationarity smell test run before fitting any forecasting model.
+
+    One shuffle by user_id serves the LAG window AND the correlation
+    aggregate (same partitioning); corr() accumulates co-moments
+    map-side, so the pairs never materialize beyond their partition."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.withColumn("prev", F.lag("value").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            _r(F.corr("value", "prev"), 5).alias("acf1"),
+        )
+        .where(F.col("n_pairs") >= 2)
+    )
