@@ -1316,3 +1316,96 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_pairs") >= 2)
     )
+
+
+@query(
+    "join_interval_overlap_bucketed",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  <= 1800 * 1000000 THEN 0 ELSE 1 END AS is_new
+      FROM events WHERE user_id % 20 = 0
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid, ts_us
+      FROM flagged
+    ),
+    iv AS (SELECT user_id, CAST(sid AS BIGINT) AS sid,
+                  MIN(ts_us) AS s, MAX(ts_us) AS e
+           FROM sessions GROUP BY user_id, sid)
+    SELECT a.user_id AS user_a, a.sid AS sid_a,
+           b.user_id AS user_b, b.sid AS sid_b,
+           LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def join_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via time-bucket pre-join — the scalable
+    pattern for "which intervals overlap" (concurrent sessions,
+    IP-range hits, reservation conflicts): each session interval
+    explodes into the coarse day-buckets it spans, candidates come
+    from an EQUI-join on bucket (hash-partitionable!), and the exact
+    overlap predicate filters candidates. A naive theta join
+    (a.s <= b.e AND b.s <= a.e) is O(n·m) nested-loop work no
+    distributed engine can partition; the bucket trick makes the join
+    key hashable at the cost of bucket-width slack rows filtered
+    after. The oracle IS that theta join — DuckDB's IEJoin handles it
+    single-node, which is exactly the luxury a 1000-executor plan
+    doesn't have.
+
+    Intervals here are the gaps-and-islands sessions (ts_gaps_islands)
+    of a user subset; overlapping pairs across distinct users =
+    concurrent activity."""
+    day_us = 86_400 * 1_000_000
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 20 == 0)
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(order) <= 1800 * 1_000_000,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    iv = (
+        flagged.withColumn(
+            "sid",
+            F.sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts_us").alias("s"), F.max("ts_us").alias("e"))
+    )
+    bucketed = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("s") / day_us).cast("long"), (F.col("e") / day_us).cast("long")
+            )
+        ),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .where((F.col("a.s") <= F.col("b.e")) & (F.col("b.s") <= F.col("a.e")))
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.sid").alias("sid_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.sid").alias("sid_b"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )
