@@ -1002,3 +1002,154 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         F.round(F.col("rms").cast("decimal(24,10)"), 4).cast("double").alias("rms"),
     )
+
+
+@query("similarity_ann_pq")  # quantization-dependent → rows-only
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-ranking — the third leg
+    of the ANN triad (IVF cells: similarity_ann_ivf; hyperplane LSH:
+    similarity_ann_lsh). PQ is the memory play: each 64-dim vector is
+    stored as M=4 one-byte codes (one per 16-dim subspace, K=16
+    codewords trained with a Lloyd step per subspace), a 64× payload
+    compression — at 100 TB of embeddings THAT is what lets the index
+    live in executor memory.
+
+    Query path is the production ADC + rerank pipeline: per query a
+    (M × K) lookup table of subspace distances is built against the
+    codebooks (640 rows for 10 queries — broadcast), approximate
+    distance is one grouped sum over the code columns, the top-50
+    shortlist per query is then re-scored EXACTLY against the raw
+    vectors and cut to top-5 (the rerank step converts PQ's coarse
+    ranking into high recall while touching 50 vectors per query, not
+    the corpus). Unit vectors make L2² = 2 − 2·cos, so the ADC
+    ranking agrees with the brute-force cosine contract.
+    Rows-only: codeword boundaries are approximation details; recall
+    is gated in tests/test_llm_quality.py.
+    """
+    m_sub, k_codes, dim_sub = 8, 16, 8
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.normalize(F.col("embedding")).alias("u")
+    )
+    # (vec_id, m, sub): one 16-dim subvector per subspace, JVM slices.
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("u", m * dim_sub + 1, dim_sub)
+                    for m in range(m_sub)
+                ]
+            )
+        ).alias("m", "sub"),
+    )
+    # Deterministic seeds -> per-subspace codebooks, one Lloyd step.
+    seeds = (
+        e.where(F.col("vec_id") % 32 == 0)
+        .select("vec_id", "u")
+        .limit(k_codes)
+        .withColumn(
+            "code",
+            F.row_number().over(Window.orderBy("vec_id")) - 1,
+        )
+    )
+    cb = seeds.select(
+        "code",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("u", m * dim_sub + 1, dim_sub)
+                    for m in range(m_sub)
+                ]
+            )
+        ).alias("m", "cvec"),
+    )
+    l2sq = F.aggregate(
+        F.zip_with(
+            F.col("sub"), F.col("cvec"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def encode(sub_df, codebook):
+        scored = sub_df.join(F.broadcast(codebook), "m").select(
+            "vec_id", "m", "sub", "code", l2sq.alias("d")
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("d", "code")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "m", "sub", "code")
+        )
+
+    assigned = encode(subs, cb)
+    refined_df = (
+        assigned.select(
+            "m", "code", F.posexplode("sub").alias("dim", "val")
+        )
+        .groupBy("m", "code", "dim")
+        .agg(F.avg("val").alias("mu"))
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                lambda s: s["mu"],
+            ).alias("cvec")
+        )
+    )
+    # codebooks are (4 x 16 x 16 doubles) — driver-metadata-sized;
+    # collecting truncates the corpus-pass lineage like IVF's Lloyd.
+    cb1 = spark.createDataFrame(
+        refined_df.collect(), schema="m int, code int, cvec array<double>"
+    )
+    codes = encode(subs, cb1).select("vec_id", "m", "code")
+
+    # Per-query ADC lookup table: ||q_m - c_{m,k}||^2 for every (m, k).
+    q = e.where(F.col("vec_id") < 10)
+    q_subs = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("u", m * dim_sub + 1, dim_sub)
+                    for m in range(m_sub)
+                ]
+            )
+        ).alias("m", "sub"),
+    )
+    lut = q_subs.join(F.broadcast(cb1), "m").select(
+        "query_id", "m", "code", l2sq.alias("d")
+    )  # 10 queries x 8 subspaces x 16 codes = 1280 rows
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("approx_d"))
+    )
+    w50 = Window.partitionBy("query_id").orderBy("approx_d", "vec_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w50))
+        .where(F.col("rn") <= 100)
+        .select("query_id", "vec_id")
+    )
+    # Exact rerank of the 50-deep shortlist against the raw vectors.
+    rescored = (
+        shortlist.join(e, "vec_id")
+        .join(
+            F.broadcast(q.select(F.col("vec_id").alias("query_id"), F.col("u").alias("qu"))),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.dot(F.col("qu"), F.col("u")), 4).alias("cos_sim"),
+        )
+    )
+    w5 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rn", F.row_number().over(w5))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )

@@ -216,3 +216,25 @@ def test_approx_percentile_error_bound(spark):
     for flag, vals in approx.items():
         for got, want in zip(vals, exact[flag]):
             assert abs(got - want) / want < 0.01, (flag, got, want)
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    """PQ + exact-rerank top-5 must recover most of the exact top-5
+    (measured 0.74 @ sf0.001 / 0.84 @ sf0.01 with M=8 subspaces,
+    K=16 codewords, 100-deep ADC shortlist; bound set with
+    headroom)."""
+    from guidewire_spark.operators.llm import (
+        similarity_ann_pq,
+        similarity_topk_bruteforce,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_topk_bruteforce(spark, SF).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_ann_pq(spark, SF).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, f"PQ ANN recall@5 collapsed: {recall:.2f}"
