@@ -1409,3 +1409,36 @@ def join_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .distinct()
     )
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle="""
+    SELECT CAST(date_part('dow', ts) AS BIGINT) AS dow,
+           CAST(date_part('hour', ts) AS BIGINT) AS hour,
+           COUNT(*) AS n_events,
+           CAST(ROUND(CAST(AVG(value) AS DECIMAL(24,10)), 4) AS DOUBLE)
+             AS mean_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: mean activity per (day-of-week,
+    hour-of-day) cell — the seasonal component a forecasting pipeline
+    subtracts before modeling residuals, and the load-shape input to
+    capacity planning. One partial-aggregated pass; the output is
+    bounded at 7 × 24 rows regardless of input scale. Calendar
+    bucketing is UTC-pinned (plans/catalog.py), so both engines cut
+    weeks identically (Spark dayofweek is 1-based Sunday, DuckDB dow
+    is 0-based Sunday — aligned with a -1)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _r(F.avg("value"), 4).alias("mean_value"),
+        )
+    )

@@ -837,3 +837,40 @@ def delta_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_delta(extra, table, mode="append")
     return read_delta(spark, table)
+
+
+@query(
+    "delta_partition_profile",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_rows FROM documents GROUP BY lang
+    """,
+)
+def delta_partition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only per-partition row counts: the profile is computed
+    ENTIRELY from the Delta log (add.partitionValues × add.stats
+    numRecords) without opening a single data file — the per-partition
+    generalization of metadata_count. The oracle aggregates the actual
+    data, so a green row proves the writer's stats are faithful
+    per-partition, which is what partition pruning and metadata
+    COUNT(*) rely on at 100 TB (a wrong numRecords silently corrupts
+    every downstream metadata shortcut)."""
+    import json as _json
+
+    from guidewire_spark.sources.snapshot import load_snapshot
+
+    table = tempfile.mkdtemp(prefix="gw_dprof_") + "/docs_part"
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    write_delta(d, table, mode="append", partition_by=["lang"])
+    snap = load_snapshot(table)
+    per_part: dict[str, int] = {}
+    for path in snap.files:
+        lang = snap.file_partitions.get(path, {}).get("lang")
+        raw = snap.file_stats.get(path)
+        n = _json.loads(raw)["numRecords"] if raw else None
+        if lang is None or n is None:
+            raise ValueError(f"file {path} missing partition value or stats")
+        per_part[lang] = per_part.get(lang, 0) + n
+    return spark.createDataFrame(
+        [(lang, n) for lang, n in per_part.items()],
+        schema="lang string, n_rows long",
+    )
