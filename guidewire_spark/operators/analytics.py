@@ -1442,3 +1442,187 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.avg("value"), 4).alias("mean_value"),
         )
     )
+
+
+@query(
+    "ts_resample_interpolate",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE user_id % 20 = 0
+    ),
+    spans AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS lo, MAX(ts) AS hi
+      FROM ev GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS gts
+      FROM spans
+    ),
+    tagged AS (
+      SELECT user_id, ts, epoch_us(ts) AS ts_us, value, 0 AS is_grid FROM ev
+      UNION ALL
+      SELECT user_id, gts AS ts, epoch_us(gts) AS ts_us, NULL AS value,
+             1 AS is_grid
+      FROM grid
+    ),
+    carried AS (
+      SELECT user_id, ts_us, is_grid,
+             LAST_VALUE(value IGNORE NULLS) OVER w_past AS pv,
+             LAST_VALUE(CASE WHEN is_grid = 0 THEN ts_us END IGNORE NULLS)
+               OVER w_past AS pt,
+             FIRST_VALUE(value IGNORE NULLS) OVER w_future AS nv,
+             FIRST_VALUE(CASE WHEN is_grid = 0 THEN ts_us END IGNORE NULLS)
+               OVER w_future AS nt
+      FROM tagged
+      WINDOW w_past AS (PARTITION BY user_id ORDER BY ts_us, is_grid
+                        ROWS UNBOUNDED PRECEDING),
+             w_future AS (PARTITION BY user_id ORDER BY ts_us, is_grid
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, ts_us AS grid_ts_us,
+           CAST(ROUND(CAST(CASE
+             WHEN nt IS NULL OR nt = pt THEN pv
+             ELSE pv + (nv - pv) * (ts_us - pt) / (nt - pt)
+           END AS DECIMAL(24,10)), 4) AS DOUBLE) AS interp_value
+    FROM carried WHERE is_grid = 1 AND pv IS NOT NULL
+    """,
+)
+def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample with LINEAR INTERPOLATION — the companion to
+    ts_resample_ffill for continuous signals (sensor readings,
+    prices): each 6-hour grid point gets the straight-line value
+    between its surrounding events; flat extrapolation after the last
+    event. Same keyed union-and-window merge, now with BOTH a
+    trailing carry (previous event's ts+value) and a leading carry
+    (next event's) — still one shuffle by user, grid generated from a
+    per-user aggregate, never the driver."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 20 == 0)
+    ev = e.select("user_id", "ts", "value")
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"), F.max("ts").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS"))).alias("gts"),
+    )
+    tagged = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.lit(0).alias("is_grid"),
+    ).unionByName(
+        grid.select(
+            "user_id",
+            F.unix_micros("gts").alias("ts_us"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    order = Window.partitionBy("user_id").orderBy("ts_us", "is_grid")
+    past = order.rowsBetween(Window.unboundedPreceding, 0)
+    future = order.rowsBetween(0, Window.unboundedFollowing)
+    ev_ts = F.when(F.col("is_grid") == 0, F.col("ts_us"))
+    carried = (
+        tagged.withColumn("pv", F.last("value", ignorenulls=True).over(past))
+        .withColumn("pt", F.last(ev_ts, ignorenulls=True).over(past))
+        .withColumn("nv", F.first("value", ignorenulls=True).over(future))
+        .withColumn("nt", F.first(ev_ts, ignorenulls=True).over(future))
+        .where((F.col("is_grid") == 1) & F.col("pv").isNotNull())
+    )
+    interp = F.when(
+        F.col("nt").isNull() | (F.col("nt") == F.col("pt")), F.col("pv")
+    ).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.col("ts_us") - F.col("pt"))
+        / (F.col("nt") - F.col("pt"))
+    )
+    return carried.select(
+        "user_id",
+        F.col("ts_us").alias("grid_ts_us"),
+        _r(interp, 4).alias("interp_value"),
+    )
+
+
+@query(
+    "ts_changepoint_meanshift",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS val_c,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS k
+      FROM events WHERE user_id % 15 = 0
+    ),
+    pref AS (
+      SELECT user_id, k, val_c,
+             SUM(val_c) OVER (PARTITION BY user_id ORDER BY k
+                              ROWS UNBOUNDED PRECEDING) AS ps,
+             SUM(val_c) OVER (PARTITION BY user_id) AS total,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM ev
+    ),
+    scored AS (
+      SELECT user_id, k, n,
+             abs(ps / CAST(k AS DOUBLE)
+                 - (total - ps) / CAST(n - k AS DOUBLE)) AS shift_c
+      FROM pref WHERE k < n
+    )
+    SELECT user_id, k AS split_at, CAST(n AS BIGINT) AS n_events,
+           CAST(ROUND(CAST(shift_c / 100 AS DECIMAL(24,10)), 4) AS DOUBLE)
+             AS mean_shift
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY shift_c DESC, k ASC) AS rn FROM scored)
+    WHERE rn = 1
+    """,
+)
+def ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection (largest mean shift): for each
+    user, the split position k maximizing |mean(first k) − mean(rest)|
+    — the one-pass CUSUM-style scan behind drift alarms and A/B
+    phase detection.
+
+    All O(n) per user from ONE ordered window pass: prefix sums give
+    every split's two means simultaneously; the argmax is a second
+    window over the same partitioning (no extra shuffle). Values are
+    scaled to exact integer cents before summing, so both engines fold
+    identical integers and the derived IEEE doubles — and therefore
+    the argmax — are bit-identical (float prefix sums would make the
+    tie-break engine-dependent)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 15 == 0)
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("val_c"),
+        F.row_number().over(order).alias("k"),
+    )
+    per_user = Window.partitionBy("user_id")
+    korder = Window.partitionBy("user_id").orderBy("k")
+    pref = (
+        ev.withColumn(
+            "ps",
+            F.sum("val_c").over(korder.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("total", F.sum("val_c").over(per_user))
+        .withColumn("n", F.count("*").over(per_user))
+        .where(F.col("k") < F.col("n"))
+    )
+    shift = F.abs(
+        F.col("ps") / F.col("k").cast("double")
+        - (F.col("total") - F.col("ps")) / (F.col("n") - F.col("k")).cast("double")
+    )
+    scored = pref.withColumn("shift_c", shift)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("shift_c").desc(), F.col("k").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("k").alias("split_at"),
+            F.col("n").cast("long").alias("n_events"),
+            _r(F.col("shift_c") / 100, 4).alias("mean_shift"),
+        )
+    )

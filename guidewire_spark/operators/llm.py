@@ -1153,3 +1153,68 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+@query(
+    "training_hard_negatives",
+    oracle="""
+    WITH unit AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+             c.label AS negative_label,
+             ROUND(list_sum(list_transform(range(1, 65),
+                   i -> q.u[i] * c.u[i])), 4) AS cos_sim
+      FROM unit q JOIN unit c
+        ON q.label <> c.label
+      WHERE q.vec_id < 20
+    )
+    SELECT anchor_id, negative_id, negative_label, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                 ORDER BY cos_sim DESC, negative_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def training_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the most-similar vectors with a DIFFERENT label — the negatives
+    that actually move a contrastive loss (random negatives are
+    trivially separated; hard ones define the margin). Complements
+    training_negative_pairs (deterministic random negatives).
+
+    Same broadcast-anchor brute-force shape as
+    similarity_topk_bruteforce with the label-mismatch predicate
+    pushed into the join; at 100 TB the anchor side is the small
+    per-batch set and the corpus side streams. The ANN paths (IVF/
+    LSH/PQ + label filter at rerank) are the scale route when anchors
+    grow."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.normalize(F.col("embedding")).alias("u")
+    )
+    anchors = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("u").alias("qu"),
+    )
+    scored = e.join(
+        F.broadcast(anchors), F.col("label") != F.col("anchor_label")
+    ).select(
+        "anchor_id",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.round(V.dot(F.col("qu"), F.col("u")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("anchor_id", "negative_id", "negative_label", "cos_sim")
+    )
