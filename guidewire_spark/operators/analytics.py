@@ -1626,3 +1626,34 @@ def ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.col("shift_c") / 100, 4).alias("mean_shift"),
         )
     )
+
+
+@query(
+    "dedup_source_priority",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY sha256(text)
+               ORDER BY CAST(substring(source, 4) AS INTEGER), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact dedup with SOURCE PRIORITY: when the same
+    content arrives from several feeds, keep the copy from the
+    highest-priority source (curated beats crawled) — the multi-feed
+    ingestion policy, vs dedup_exact_keep_first's neutral lowest-id
+    rule. One window over (digest) ordered by (priority, doc_id);
+    as everywhere in the dedup family only 32-byte digests and ids
+    shuffle, never text."""
+    d = load_table(spark, sf_dir, "documents")
+    priority = F.substring("source", 4, 10).cast("int")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy(priority, F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source")
+    )
