@@ -1657,3 +1657,153 @@ def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "source")
     )
+
+
+@query(
+    "ts_burst_windows",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      FROM events WHERE user_id % 12 = 0
+    ),
+    counted AS (
+      SELECT user_id, event_id, ts_us,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us
+                            RANGE BETWEEN CAST(3600 AS BIGINT) * 1000000 PRECEDING
+                                      AND CURRENT ROW) AS n_in_hour
+      FROM ev
+    )
+    SELECT user_id, CAST(n_in_hour AS BIGINT) AS burst_size,
+           ts_us AS burst_end_us
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY n_in_hour DESC, ts_us ASC, event_id ASC) AS rn
+          FROM counted)
+    WHERE rn = 1
+    """,
+)
+def ts_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: each user's busiest trailing one-hour window
+    (max events within any 60-minute span, anchored at an event) —
+    the rate-anomaly primitive behind abuse detection and hotspot
+    alerts. A RANGE frame over epoch-microseconds counts the trailing
+    hour at every event in ONE per-user window pass (the same
+    never-O(n·m) trick as ts_interval_join); the argmax is a second
+    window on the same partitioning — one shuffle total."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 12 == 0)
+    ev = e.select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+    hour = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    counted = ev.withColumn("n_in_hour", F.count("*").over(hour))
+    pick = Window.partitionBy("user_id").orderBy(
+        F.col("n_in_hour").desc(), F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_in_hour").cast("long").alias("burst_size"),
+            F.col("ts_us").alias("burst_end_us"),
+        )
+    )
+
+
+@query(
+    "agg_ab_welch_t",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(value) AS s1,
+             SUM(value * value) AS s2
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, s1 / n AS mean,
+             (s2 - s1 * s1 / n) / (n - 1) AS var
+      FROM s
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           CAST(ROUND(CAST(a.mean AS DECIMAL(24,10)), 4) AS DOUBLE) AS mean_a,
+           CAST(ROUND(CAST(b.mean AS DECIMAL(24,10)), 4) AS DOUBLE) AS mean_b,
+           CAST(ROUND(CAST((a.mean - b.mean)
+                / sqrt(a.var / a.n + b.var / b.n)
+                AS DECIMAL(24,10)), 4) AS DOUBLE) AS t_stat
+    FROM (SELECT * FROM m WHERE event_type = 'view') a
+    CROSS JOIN (SELECT * FROM m WHERE event_type = 'click') b
+    """,
+)
+def agg_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic between the 'view' and 'click'
+    populations — the unequal-variance A/B test core, computed from
+    single-pass power sums (n, Σx, Σx²) per arm: no second scan for
+    the means, no assumption of equal variance, map-side combinable at
+    any scale. The final join is two one-row aggregates."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click")
+    )
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = m.where(F.col("event_type") == "view").alias("a")
+    b = m.where(F.col("event_type") == "click").alias("b")
+    t = (F.col("a.mean") - F.col("b.mean")) / F.sqrt(
+        F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+    )
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        _r(F.col("a.mean"), 4).alias("mean_a"),
+        _r(F.col("b.mean"), 4).alias("mean_b"),
+        _r(t, 4).alias("t_stat"),
+    )
+
+
+@query(
+    "agg_behavioral_entropy",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, SUM(c) AS n FROM cnt GROUP BY user_id)
+    SELECT cnt.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(ROUND(CAST(-SUM((c / CAST(n AS DOUBLE))
+                 * log2(c / CAST(n AS DOUBLE)))
+                AS DECIMAL(24,10)), 5) AS DOUBLE) AS entropy_bits
+    FROM cnt JOIN tot ON cnt.user_id = tot.user_id
+    GROUP BY cnt.user_id, tot.n
+    """,
+)
+def agg_behavioral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity score: Shannon entropy of each user's
+    event-type distribution — bots and single-purpose scripts score
+    near 0, organic users near log2(#types); the categorical sibling
+    of text_entropy_stats over an activity table. Two partial-
+    aggregated passes over (user, type) counts; nothing larger than
+    the count table shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    p = F.col("c") / F.col("n")
+    return (
+        cnt.groupBy("user_id")
+        .agg(F.sum("c").alias("n"), F.count("*").alias("n_types"))
+        .join(cnt, "user_id")
+        .groupBy("user_id", "n", "n_types")
+        .agg(_r(-F.sum(p * F.log2(p)), 5).alias("entropy_bits"))
+        .select("user_id", "n_types", "entropy_bits")
+    )
