@@ -1807,3 +1807,53 @@ def agg_behavioral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_r(-F.sum(p * F.log2(p)), 5).alias("entropy_bits"))
         .select("user_id", "n_types", "entropy_bits")
     )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id, SUM(value) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS r,
+             COUNT(*) OVER () AS n
+      FROM spend
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(ROUND(CAST(
+             2.0 * SUM(r * x) / (MAX(n) * SUM(x))
+             - (MAX(n) + 1.0) / MAX(n)
+             AS DECIMAL(24,10)), 5) AS DOUBLE) AS gini
+    FROM ranked
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user purchase spend — the concentration
+    / inequality measure (0 = spend spread evenly, →1 = whales
+    dominate) behind revenue-risk and data-source-balance audits (the
+    same statistic flags a training mix dominated by one domain).
+
+    Computed from the rank-weighted sum formula G = 2Σ(r·x)/(nΣx) −
+    (n+1)/n over spend ranked ascending with a unique (x, user_id)
+    tiebreak: one aggregation for spend, one global window for ranks
+    (user-cardinality-sized input, not event-sized), one final fold."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    spend = e.groupBy("user_id").agg(F.sum("value").alias("x"))
+    ranked = spend.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.col("x").asc(), F.col("user_id").asc()))
+        .alias("r"),
+    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    gini = (
+        F.lit(2.0) * F.sum(F.col("r") * F.col("x")) / (F.max("n") * F.sum("x"))
+        - (F.max("n") + F.lit(1.0)) / F.max("n")
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_users"),
+        _r(gini, 5).alias("gini"),
+    )

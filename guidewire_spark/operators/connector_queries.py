@@ -874,3 +874,67 @@ def delta_partition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(lang, n) for lang, n in per_part.items()],
         schema="lang string, n_rows long",
     )
+
+
+@query(
+    "delta_version_diff",
+    oracle="""
+    SELECT s_suppkey,
+           'changed' AS status,
+           ROUND(s_acctbal, 2) AS old_acctbal,
+           CAST(ROUND(CAST(s_acctbal * 1.5 AS DECIMAL(18,4)), 2) AS DOUBLE) AS new_acctbal
+    FROM supplier WHERE s_suppkey % 9 = 0
+    UNION ALL
+    SELECT s_suppkey + 500000 AS s_suppkey,
+           'added' AS status,
+           NULL AS old_acctbal,
+           0.0 AS new_acctbal
+    FROM supplier WHERE s_suppkey % 13 = 0
+    """,
+)
+def delta_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic diff between two table versions — the reconciliation /
+    audit query time travel exists for: read VERSION AS OF old and
+    new, full-outer-join on the key, and label each key added /
+    removed / changed with old and new values side by side. Unchanged
+    rows drop out, so the result is change-sized, not table-sized;
+    both sides are log-replayed snapshots of the SAME files wherever
+    versions share them, so the join's scan cost is one pass over each
+    version's live files."""
+    from guidewire_spark.sources.writer import update_table, write_delta
+
+    table = tempfile.mkdtemp(prefix="gw_vdiff_") + "/supplier_delta"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    write_delta(s, table, mode="append")  # v0
+    update_table(
+        spark, table, "s_suppkey % 9 = 0", {"acctbal": "cast(round(cast(acctbal * 1.5 as decimal(18,4)), 2) as double)"}
+    )  # v1
+    adds = s.where(F.col("s_suppkey") % 13 == 0).select(
+        (F.col("s_suppkey") + 500000).alias("s_suppkey"),
+        F.lit(0.0).alias("acctbal"),
+    )
+    write_delta(adds, table, mode="append")  # v2
+    old = read_delta(spark, table, version=0).alias("o")
+    new = read_delta(spark, table).alias("n")
+    joined = old.join(
+        new, F.col("o.s_suppkey") == F.col("n.s_suppkey"), "full_outer"
+    )
+    status = (
+        F.when(F.col("o.s_suppkey").isNull(), F.lit("added"))
+        .when(F.col("n.s_suppkey").isNull(), F.lit("removed"))
+        .when(F.col("o.acctbal") != F.col("n.acctbal"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("o.s_suppkey"), F.col("n.s_suppkey")).alias(
+                "s_suppkey"
+            ),
+            status.alias("status"),
+            F.col("o.acctbal").alias("old_acctbal"),
+            F.col("n.acctbal").alias("new_acctbal"),
+        )
+        .where(F.col("status") != "unchanged")
+    )
