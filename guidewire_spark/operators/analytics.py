@@ -1857,3 +1857,91 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_users"),
         _r(gini, 5).alias("gini"),
     )
+
+
+@query(
+    "agg_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, user_id % 2 AS cohort, COUNT(*) AS o
+      FROM events GROUP BY event_type, user_id % 2
+    ),
+    margins AS (
+      SELECT event_type, cohort, o,
+             SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(o) OVER (PARTITION BY cohort) AS col_tot,
+             SUM(o) OVER () AS n
+      FROM obs
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MAX((SELECT COUNT(DISTINCT event_type) FROM obs) - 1)
+                AS BIGINT) AS dof,
+           CAST(ROUND(CAST(SUM(
+             (o - row_tot * col_tot / CAST(n AS DOUBLE))
+             * (o - row_tot * col_tot / CAST(n AS DOUBLE))
+             / (row_tot * col_tot / CAST(n AS DOUBLE))
+           ) AS DECIMAL(24,10)), 4) AS DOUBLE) AS chi2
+    FROM margins
+    """,
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and user
+    cohort (user_id parity as the A/B assignment): Σ (O−E)²/E over the
+    contingency table, with E = row_total × col_total / N — the
+    categorical counterpart of agg_ab_welch_t, the "did the treatment
+    change the action mix?" question. The contingency table is
+    (types × cohorts) cells — bounded — so every window after the
+    first partial-aggregated count pass runs on a handful of rows."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("cohort")
+    ).agg(F.count("*").alias("o"))
+    margins = (
+        obs.withColumn("row_tot", F.sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("col_tot", F.sum("o").over(Window.partitionBy("cohort")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    expected = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
+    chi2 = F.sum((F.col("o") - expected) * (F.col("o") - expected) / expected)
+    n_types = obs.select("event_type").distinct().count()
+    return margins.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.lit(n_types - 1).cast("long").alias("dof"),
+        _r(chi2, 4).alias("chi2"),
+    )
+
+
+@query(
+    "mix_kl_divergence",
+    oracle="""
+    WITH p AS (
+      SELECT source, COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS pi
+      FROM documents GROUP BY source
+    ),
+    k AS (SELECT COUNT(*) AS n_sources FROM p)
+    SELECT CAST(MAX(k.n_sources) AS BIGINT) AS n_sources,
+           CAST(ROUND(CAST(SUM(pi * log2(pi * k.n_sources))
+                AS DECIMAL(24,10)), 5) AS DOUBLE) AS kl_from_uniform_bits
+    FROM p CROSS JOIN k
+    """,
+)
+def mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of the corpus source mix from the uniform target
+    (bits): D(P‖U) = Σ p_i · log2(p_i·K) — the single-number
+    imbalance diagnostic for a training mixture (0 = perfectly
+    balanced; rebalance via mix_temperature_sampling when it drifts).
+    Source shares come from one partial-aggregated count; every
+    window afterward runs over the source-cardinality table."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("c"))
+    p = counts.withColumn(
+        "pi", F.col("c") / F.sum("c").over(Window.partitionBy()).cast("double")
+    )
+    k = F.count("*").over(Window.partitionBy())
+    scored = p.withColumn("term", F.col("pi") * F.log2(F.col("pi") * k)).withColumn(
+        "n_sources", k
+    )
+    return scored.agg(
+        F.max("n_sources").cast("long").alias("n_sources"),
+        _r(F.sum("term"), 5).alias("kl_from_uniform_bits"),
+    )
