@@ -1945,3 +1945,53 @@ def mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_sources").cast("long").alias("n_sources"),
         _r(F.sum("term"), 5).alias("kl_from_uniform_bits"),
     )
+
+
+@query(
+    "ts_velocity_features",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      FROM events WHERE user_id % 25 = 0
+    )
+    SELECT event_id, user_id,
+           CAST(ts_us - LAG(ts_us) OVER w AS BIGINT) AS us_since_prev,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us
+                RANGE BETWEEN CAST(86400 AS BIGINT) * 1000000 PRECEDING
+                          AND CURRENT ROW) - 1 AS BIGINT) AS n_prev_24h,
+           CAST(ROUND(CAST(value - LAG(value) OVER w AS DECIMAL(24,10)), 4)
+                AS DOUBLE) AS value_delta
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """,
+)
+def ts_velocity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity feature engineering — the per-event feature row a
+    fraud/abuse model consumes: time since the user's previous event,
+    how many events the user produced in the trailing 24 h, and the
+    value delta. Three window expressions over ONE user_id shuffle
+    (the LAG pair shares a frame; the 24 h count is a RANGE frame on
+    epoch-microseconds) — feature generation at 100 TB is exactly
+    this shape: wide projections over a single keyed sort, never a
+    self-join per feature."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 25 == 0)
+    ev = e.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    day = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("us_since_prev"),
+        (F.count("*").over(day) - 1).cast("long").alias("n_prev_24h"),
+        F.round(
+            (F.col("value") - F.lag("value").over(w)).cast("decimal(24,10)"), 4
+        )
+        .cast("double")
+        .alias("value_delta"),
+    )

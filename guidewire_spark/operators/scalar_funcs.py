@@ -555,3 +555,33 @@ def func_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("decrypted"),
         F.octet_length(cipher).cast("long").alias("cipher_bytes"),
     )
+
+
+@query(
+    "func_format_family",
+    oracle="""
+    SELECT n_nationkey,
+           printf('%s#%04d', n_name, n_nationkey) AS tagged,
+           repeat(n_name, 2) AS doubled,
+           translate(n_name, 'AEIOU', 'aeiou') AS devoweled,
+           reverse(n_name) AS reversed
+    FROM nation
+    """,
+)
+def func_format_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting family: printf-style format_string, repeat,
+    translate (character mapping), reverse — the templating /
+    identifier-minting primitives (printf over columns is how
+    surrogate keys and report labels are minted without a UDF)."""
+    from guidewire_spark.plans.catalog import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.format_string("%s#%04d", F.col("n_name"), F.col("n_nationkey")).alias(
+            "tagged"
+        ),
+        F.repeat(F.col("n_name"), 2).alias("doubled"),
+        F.translate(F.col("n_name"), "AEIOU", "aeiou").alias("devoweled"),
+        F.reverse(F.col("n_name")).alias("reversed"),
+    )
