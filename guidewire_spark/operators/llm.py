@@ -1218,3 +1218,63 @@ def training_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("anchor_id", "negative_id", "negative_label", "cos_sim")
     )
+
+
+@query(
+    "text_lang_confusion_matrix",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(ws, x -> x IN ('the','and','of','to','a'))) AS en_hits,
+        len(list_filter(ws, x -> x IN ('el','la','de','que','y'))) AS es_hits,
+        len(list_filter(ws, x -> x IN ('le','la','et','les','des'))) AS fr_hits,
+        len(list_filter(ws, x -> x IN ('der','die','und','das','ist'))) AS de_hits,
+        len(list_filter(ws, x -> x IN ('的','是','了','在','我'))) AS zh_hits
+      FROM w
+    ),
+    pred AS (
+      SELECT lang AS actual_lang,
+             CASE GREATEST(en_hits, es_hits, fr_hits, de_hits, zh_hits)
+               WHEN 0 THEN 'unknown'
+               WHEN en_hits THEN 'en'
+               WHEN es_hits THEN 'es'
+               WHEN fr_hits THEN 'fr'
+               WHEN de_hits THEN 'de'
+               ELSE 'zh' END AS predicted_lang
+      FROM hits
+    )
+    SELECT actual_lang, predicted_lang, COUNT(*) AS n,
+           CAST(ROUND(CAST(COUNT(*) / CAST(SUM(COUNT(*))
+                OVER (PARTITION BY actual_lang) AS DOUBLE)
+                AS DECIMAL(24,10)), 4) AS DOUBLE) AS frac_of_actual
+    FROM pred GROUP BY actual_lang, predicted_lang
+    """,
+)
+def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    stored labels — the component-quality evaluation run as a query:
+    per (actual, predicted) cell count and its share of the actual
+    class (the per-class recall on the diagonal). Operator evaluation
+    at 100 TB is exactly this: aggregate the predictor's output
+    against ground truth in one pass; the matrix is
+    (langs × langs)-bounded regardless of corpus size."""
+    pred = text_lang_id(spark, sf_dir)
+    cell = pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count("*").alias("n")
+    )
+    share = F.col("n") / F.sum("n").over(
+        Window.partitionBy("actual_lang")
+    ).cast("double")
+    return cell.select(
+        "actual_lang",
+        "predicted_lang",
+        "n",
+        F.round(share.cast("decimal(24,10)"), 4).cast("double").alias(
+            "frac_of_actual"
+        ),
+    )

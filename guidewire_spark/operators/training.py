@@ -1189,3 +1189,38 @@ def contamination_max_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("train_id", "bench_id", "jaccard")
     )
+
+
+@query(
+    "pack_shard_manifest",
+    oracle="""
+    SELECT doc_id % 8 AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                w -> w <> ''))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM((doc_id * 2654435761) % 2147483647) % 2147483647
+                AS BIGINT) AS id_checksum
+    FROM documents GROUP BY doc_id % 8
+    """,
+)
+def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-assignment manifest: deterministic doc→shard mapping
+    (id mod — at production scale a salted content hash) plus the
+    per-shard audit row every training-data export writes next to its
+    shards: document count, token and char totals, and an
+    ORDER-INSENSITIVE integer id checksum (Knuth-multiplicative sum
+    mod 2³¹−1 — exact in int64, so both engines agree bit-for-bit).
+    A re-exported shard whose manifest row differs is corrupt; the
+    checksum catches silent row loss that counts alone miss when adds
+    and drops cancel."""
+    d = load_table(spark, sf_dir, "documents")
+    checksum = F.sum(
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647)
+    ) % F.lit(2147483647)
+    return d.groupBy((F.col("doc_id") % 8).alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(T.words(F.col("text")))).cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        checksum.cast("long").alias("id_checksum"),
+    )
