@@ -1995,3 +1995,95 @@ def ts_velocity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_delta"),
     )
+
+
+@query(
+    "agg_distinct_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(CAST(SUM(DISTINCT l_quantity) AS DECIMAL(24,10)), 2)
+                AS DOUBLE) AS sum_distinct_qty,
+           CAST(ROUND(CAST(AVG(DISTINCT l_quantity) AS DECIMAL(24,10)), 6)
+                AS DOUBLE) AS avg_distinct_qty,
+           CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_linenumbers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates beyond COUNT: SUM(DISTINCT) / AVG(DISTINCT)
+    — compiled by Catalyst into the two-level Expand + aggregate plan
+    (dedupe per group first, then aggregate), so the distinct set
+    itself never materializes driver-side. Mixing several DISTINCT
+    aggregates in one query exercises the multi-distinct rewrite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+        F.round(F.expr("avg(DISTINCT l_quantity)").cast("decimal(24,10)"), 6)
+        .cast("double")
+        .alias("avg_distinct_qty"),
+        F.count_distinct(F.col("l_linenumber")).cast("long").alias(
+            "n_linenumbers"
+        ),
+    )
+
+
+@query(
+    "window_ignore_nulls_carry",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+      FROM events WHERE user_id % 11 = 0
+    )
+    SELECT event_id, user_id,
+           CAST(ROUND(CAST(LAST_VALUE(purchase_value IGNORE NULLS) OVER w
+                AS DECIMAL(24,10)), 4) AS DOUBLE) AS last_purchase_value,
+           CAST(ROUND(CAST(FIRST_VALUE(purchase_value IGNORE NULLS) OVER w2
+                AS DECIMAL(24,10)), 4) AS DOUBLE) AS next_purchase_value
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING),
+           w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_ignore_nulls_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS analytics as a first-class query: at every event,
+    the user's most recent purchase amount (trailing last, skipping
+    the NULLs that non-purchase events produce) and the next one
+    (leading first) — the carry operators behind last-touch
+    attribution and "time since last conversion" features, exposed
+    directly rather than buried inside the as-of merge internals.
+    One shuffle by user serves both directions."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 11 == 0)
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "purchase_value"
+        ),
+    )
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    past = order.rowsBetween(Window.unboundedPreceding, 0)
+    future = order.rowsBetween(0, Window.unboundedFollowing)
+    return base.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.last("purchase_value", ignorenulls=True).over(past).cast(
+                "decimal(24,10)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("last_purchase_value"),
+        F.round(
+            F.first("purchase_value", ignorenulls=True).over(future).cast(
+                "decimal(24,10)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("next_purchase_value"),
+    )

@@ -76,7 +76,7 @@ def query(name: str, oracle: str | None = None):
 # agg_approx_percentile (r3's one red row — array<double> output now
 # three scalar columns), and 15 of this round's 32 new operators
 # (first-time signal beats re-checking r1 rows that already have driver
-# history).  Round 5 should front the remaining 49 round-4 additions
+# history).  Round 5 should front the remaining 51 round-4 additions
 # (sql_udf_create_function, sql_pivot_clause, sql_unpivot_clause,
 # udaf_apply_in_arrow, agg_listagg, vocab_bpe_merge_candidates,
 # agg_argminmax_family, agg_approx_top_k, er_blocked_fuzzy_match,
@@ -94,7 +94,8 @@ def query(name: str, oracle: str | None = None):
 # agg_behavioral_entropy, delta_version_diff, agg_gini_concentration,
 # agg_chi_square_independence, mix_kl_divergence, func_format_family,
 # ts_velocity_features, stream_fanout_two_sinks,
-# text_lang_confusion_matrix, pack_shard_manifest) plus r1-head
+# text_lang_confusion_matrix, pack_shard_manifest,
+# agg_distinct_aggregates, window_ignore_nulls_carry) plus r1-head
 # re-checks (scan_filter_project .. parquet_sink_roundtrip).
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
