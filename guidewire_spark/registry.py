@@ -49,6 +49,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.connector_queries",
     "guidewire_spark.operators.extras",
     "guidewire_spark.operators.analytics",
+    "guidewire_spark.operators.stats_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
@@ -95,8 +96,13 @@ def query(name: str, oracle: str | None = None):
 # agg_chi_square_independence, mix_kl_divergence, func_format_family,
 # ts_velocity_features, stream_fanout_two_sinks,
 # text_lang_confusion_matrix, pack_shard_manifest,
-# agg_distinct_aggregates, window_ignore_nulls_carry) plus r1-head
-# re-checks (scan_filter_project .. parquet_sink_roundtrip).
+# agg_distinct_aggregates, window_ignore_nulls_carry), the stats_ext
+# additions (agg_bool_count_if, agg_bit_aggregates, ts_ohlc_bars,
+# window_rolling_median, agg_ks_statistic, agg_mann_whitney_u,
+# sql_group_by_all, func_inline_explode, anon_k_anonymity,
+# agg_benford_first_digit, ts_rolling_corr, embedding_quantize_int8),
+# plus r1-head re-checks (scan_filter_project ..
+# parquet_sink_roundtrip) as slots allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
     "agg_approx_percentile",
