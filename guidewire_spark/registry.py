@@ -50,6 +50,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.extras",
     "guidewire_spark.operators.analytics",
     "guidewire_spark.operators.stats_ext",
+    "guidewire_spark.operators.pipeline_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
@@ -101,8 +102,12 @@ def query(name: str, oracle: str | None = None):
 # window_rolling_median, agg_ks_statistic, agg_mann_whitney_u,
 # sql_group_by_all, func_inline_explode, anon_k_anonymity,
 # agg_benford_first_digit, ts_rolling_corr, embedding_quantize_int8),
-# plus r1-head re-checks (scan_filter_project ..
-# parquet_sink_roundtrip) as slots allow.
+# the pipeline_ext additions (mix_token_budget_allocation,
+# func_url_family, text_sentence_stats, ts_pattern_three_rises,
+# embedding_assign_centroid, graph_label_propagation_step,
+# delta_scd2_merge, stream_stream_left_outer_join), plus r1-head
+# re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
+# allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
     "agg_approx_percentile",

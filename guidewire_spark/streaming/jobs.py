@@ -732,3 +732,100 @@ def stream_fanout_two_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.withColumn("sink", F.lit("parquet")).unionByName(
         de.withColumn("sink", F.lit("delta"))
     )
+
+
+@query(
+    "stream_stream_left_outer_join",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type, ts FROM events
+               WHERE user_id % 4 = 1)
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+    FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 24 HOUR AND v.ts <= p.ts
+    """,
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every
+    purchase pairs with the same user's preceding-day views, and
+    purchases with NO qualifying view still emit (view_id NULL) — the
+    outer side is what makes this the hard join: null rows can only be
+    emitted once the watermark proves no match can still arrive, so
+    each unmatched row surfaces ~(watermark + join bound) behind max
+    event time, from the no-data micro-batch that follows the
+    watermark advance.
+
+    To make the finite run flush deterministically, each source
+    includes one far-future sentinel row (96 h past max event time,
+    negative ids): the post-batch watermark then clears the entire
+    state store and the trailing no-data micro-batch emits every
+    pending null row. The sentinel must NOT be excluded inside the
+    streaming query: a predicate like purchase_id >= 0 after the join
+    is pushed below the watermark operator into the purchase-side
+    scan, the sentinel file is skipped via rowgroup stats, that side's
+    watermark never advances, and the global (min) watermark strands
+    the newest ~25 h of unmatched purchases in the state store
+    (observed before this design). The sentinels are instead dropped
+    in the BATCH read of the sink directory, where pushdown is
+    harmless. On an unbounded stream no sentinel is needed — live
+    traffic advances the watermark continuously. State is bounded at
+    ~49 h of both streams, same as the inner variant
+    (stream_stream_interval_join)."""
+    import tempfile
+
+    from guidewire_spark.plans.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="gw_ssloj_")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 4 == 1)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    for etype, sub, sid in (("purchase", "p_src", -1), ("view", "v_src", -2)):
+        side = e.where(F.col("event_type") == etype)
+        sentinel = spark.createDataFrame(
+            [(sid, max_ts, sid, "sentinel")],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 96 HOURS"))
+        side.unionByName(sentinel).write.parquet(f"{root}/{sub}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    p = (
+        spark.readStream.schema(schema)
+        .parquet(f"{root}/p_src")
+        .withWatermark("ts", "25 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    v = (
+        spark.readStream.schema(schema)
+        .parquet(f"{root}/v_src")
+        .withWatermark("ts", "25 hours")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = (
+        p.join(
+            v,
+            F.expr(
+                """user_id = v_user_id
+                   AND v_ts >= p_ts - INTERVAL 24 HOUR AND v_ts <= p_ts"""
+            ),
+            "left_outer",
+        )
+        .select("purchase_id", "view_id", "user_id")
+    )
+    run_to_parquet(joined, f"{root}/out", f"{root}/ckpt")
+    return (
+        spark.read.schema("purchase_id long, view_id long, user_id long")
+        .parquet(f"{root}/out")
+        .where(F.col("purchase_id") >= 0)  # drop sentinels post-stream
+    )
