@@ -51,6 +51,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.analytics",
     "guidewire_spark.operators.stats_ext",
     "guidewire_spark.operators.pipeline_ext",
+    "guidewire_spark.operators.warehouse_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
@@ -105,9 +106,11 @@ def query(name: str, oracle: str | None = None):
 # the pipeline_ext additions (mix_token_budget_allocation,
 # func_url_family, text_sentence_stats, ts_pattern_three_rises,
 # embedding_assign_centroid, graph_label_propagation_step,
-# delta_scd2_merge, stream_stream_left_outer_join), plus r1-head
-# re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
-# allow.
+# delta_scd2_merge, stream_stream_left_outer_join), the warehouse_ext
+# additions (delta_idempotent_writes, join_null_safe_equality,
+# ts_tumbling_vwap, agg_herfindahl_index, agg_poisson_bootstrap_ci,
+# stream_full_outer_interval_join), plus r1-head re-checks
+# (scan_filter_project .. parquet_sink_roundtrip) as slots allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
     "agg_approx_percentile",

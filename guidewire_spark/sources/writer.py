@@ -29,7 +29,9 @@ from pyspark.sql import DataFrame, SparkSession
 from guidewire_spark.sources.deltalog import (
     add_action,
     commit_info_action,
+    delta_log_dir,
     last_version,
+    list_versions,
     metadata_action,
     protocol_action,
     remove_action,
@@ -405,6 +407,30 @@ def _apply_generated_columns(df: DataFrame, table_path: str) -> DataFrame:
     return df
 
 
+def last_txn_version(table_path: str, app_id: str) -> int | None:
+    """Latest SetTransaction (``txn``) version committed for
+    ``app_id``, or None. Walks the JSON commit trail (this writer
+    never deletes log files, so the trail is complete); each commit is
+    a metadata-sized read — O(versions), not O(data)."""
+    import json as _json
+
+    latest: int | None = None
+    log_dir = delta_log_dir(table_path)
+    for v in list_versions(table_path):
+        path = os.path.join(log_dir, f"{v:020d}.json")
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                txn = _json.loads(line).get("txn")
+                if txn and txn.get("appId") == app_id:
+                    ver = txn.get("version")
+                    if latest is None or ver > latest:
+                        latest = ver
+    return latest
+
+
 def write_delta(
     df: DataFrame,
     table_path: str,
@@ -412,6 +438,8 @@ def write_delta(
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
     generated_columns: dict[str, str] | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Write a DataFrame as a new Delta version; returns the version.
 
@@ -433,11 +461,24 @@ def write_delta(
     columns with null), exactly Delta's mergeSchema behavior and the
     additive complement of the connector's fingerprint-overwrite
     evolution (P10).
+
+    ``txn_app_id``/``txn_version``: Delta's idempotent-write protocol
+    (SetTransaction actions). When the table already records a ``txn``
+    for this app at >= txn_version, the write is a no-op (returns the
+    current version) — so a failed-then-retried loader batch commits
+    its rows exactly once, the property every at-least-once upstream
+    (the reference's CDA batch fan-out included) needs from its sink.
     """
     mode = mode.lower()
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r} not supported (append|overwrite)")
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version must be set together")
     prev = last_version(table_path)
+    if txn_app_id is not None and prev is not None:
+        seen = last_txn_version(table_path, txn_app_id)
+        if seen is not None and seen >= txn_version:
+            return prev  # already committed by this app at this version
     if prev is None:
         if generated_columns:
             from pyspark.sql import functions as F
@@ -553,6 +594,16 @@ def write_delta(
         )
         for f in files
     )
+    if txn_app_id is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn_app_id,
+                    "version": txn_version,
+                    "lastUpdated": now,
+                }
+            }
+        )
     actions.append(
         commit_info_action(
             "WRITE", op_mode, blind, len(files), sum(f.size for f in files), now

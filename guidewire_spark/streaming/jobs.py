@@ -829,3 +829,92 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .parquet(f"{root}/out")
         .where(F.col("purchase_id") >= 0)  # drop sentinels post-stream
     )
+
+
+@query(
+    "stream_full_outer_interval_join",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type, ts FROM events
+               WHERE user_id % 4 = 2)
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           COALESCE(p.user_id, v.user_id) AS user_id
+    FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM e WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 24 HOUR AND v.ts <= p.ts
+    """,
+)
+def stream_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER interval join: matched
+    purchase/view pairs plus null-extended rows on BOTH sides —
+    purchases with no preceding-day view AND views that preceded no
+    purchase. State eviction is two-sided: a purchase evicts (and
+    null-emits) once the view watermark passes its timestamp, a view
+    once the purchase watermark passes its timestamp + 24 h.
+
+    Flush discipline is identical to the left-outer variant
+    (stream_stream_left_outer_join): far-future sentinels ride INSIDE
+    the source data and are filtered only in the batch read of the
+    sink — any sentinel-excluding predicate inside the streaming query
+    would push below the watermark operator and starve the flush."""
+    import tempfile
+
+    from guidewire_spark.plans.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="gw_ssfoj_")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 4 == 2)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    for etype, sub, sid in (("purchase", "p_src", -1), ("view", "v_src", -2)):
+        side = e.where(F.col("event_type") == etype)
+        sentinel = spark.createDataFrame(
+            [(sid, max_ts, sid, "sentinel")],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 96 HOURS"))
+        side.unionByName(sentinel).write.parquet(f"{root}/{sub}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    p = (
+        spark.readStream.schema(schema)
+        .parquet(f"{root}/p_src")
+        .withWatermark("ts", "25 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    v = (
+        spark.readStream.schema(schema)
+        .parquet(f"{root}/v_src")
+        .withWatermark("ts", "25 hours")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = p.join(
+        v,
+        F.expr(
+            """p_user_id = v_user_id
+               AND v_ts >= p_ts - INTERVAL 24 HOUR AND v_ts <= p_ts"""
+        ),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        "view_id",
+        F.coalesce("p_user_id", "v_user_id").alias("user_id"),
+    )
+    run_to_parquet(joined, f"{root}/out", f"{root}/ckpt")
+    return (
+        spark.read.schema("purchase_id long, view_id long, user_id long")
+        .parquet(f"{root}/out")
+        .where(
+            (F.coalesce(F.col("purchase_id"), F.lit(0)) >= 0)
+            & (F.coalesce(F.col("view_id"), F.lit(0)) >= 0)
+        )  # drop sentinel rows post-stream (see docstring)
+    )
