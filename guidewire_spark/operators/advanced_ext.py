@@ -1,0 +1,362 @@
+"""Advanced analytics operators: the exact-integer covariance/Gram
+matrix (the scalable single-pass step of distributed PCA), an LTTB
+(largest-triangle-three-buckets) time-series downsampler in exact
+integer arithmetic, one applied BPE merge round (tokenizer training
+step: find the winning pair, apply it, account the token reduction),
+an Observation-metrics quality gate, and the VALUES inline-table SQL
+surface.
+
+Same determinism doctrine as the other *_ext modules: every argmax /
+selection runs on exact int64 quantities (quantized components,
+epoch seconds, denominator-cleared triangle areas), so no engine's
+float accumulation order can flip a selected row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from guidewire_spark.functions import text as T
+from guidewire_spark.plans.catalog import load_table, register_views
+from guidewire_spark.registry import query
+
+
+def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
+    """Engine-stable rounding: DECIMAL bridge then round, as double."""
+    return F.round(col.cast(prec), dp).cast("double")
+
+
+@query(
+    "embedding_covariance_matrix",
+    oracle="""
+    WITH pos AS (SELECT CAST(range AS INT) AS p FROM range(1, 65)),
+    vq AS (
+      SELECT vec_id, p,
+             CAST(ROUND(CAST(embedding[p] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+      FROM embeddings, pos
+    ),
+    n AS (SELECT COUNT(DISTINCT vec_id) AS n FROM vq),
+    dim_sums AS (SELECT p, SUM(q) AS s FROM vq GROUP BY p),
+    cross_sums AS (
+      SELECT a.p AS i, b.p AS j, SUM(a.q * b.q) AS s_ij
+      FROM vq a JOIN vq b ON a.vec_id = b.vec_id AND a.p <= b.p
+      GROUP BY a.p, b.p
+    )
+    SELECT i, j,
+           CAST(n * s_ij - si.s * sj.s AS BIGINT) AS cov_num,
+           CAST(ROUND(CAST(CAST(n * s_ij - si.s * sj.s AS DOUBLE)
+                           / n / n / 1e8 AS DECIMAL(28,14)), 10) AS DOUBLE) AS cov
+    FROM cross_sums
+    JOIN dim_sums si ON si.p = i
+    JOIN dim_sums sj ON sj.p = j
+    CROSS JOIN n
+    """,
+)
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance matrix of the embedding table (upper
+    triangle): the single-pass distributed step of PCA — everything
+    after it (eigendecomposition of a 64x64 matrix) is metadata-sized
+    driver work, exactly like the IVF centroid collect.
+
+    Components are quantized to int(1e4·x) so the cross-moment sums
+    and the centering term n·S_ij − S_i·S_j are EXACT int64 — the
+    matrix is bit-identical regardless of row order or partitioning.
+    The shuffle profile: one self-join on vec_id (co-partitioned, both
+    sides the same table) producing d(d+1)/2 = 2080 partial sums per
+    vector that combine map-side; output is dimension²-sized, never
+    row-count-sized. `tests/test_advanced_ext.py` extracts the top
+    eigenvector from the result and checks it maximizes projected
+    variance — closing the PCA loop."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vq = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 10000, 0).cast("long"),
+            )
+        ).alias("p0", "q"),
+    ).select("vec_id", (F.col("p0") + 1).alias("p"), "q")  # 1-based dims
+    n = vq.agg(F.count_distinct("vec_id").alias("n"))
+    dim_sums = vq.groupBy("p").agg(F.sum("q").alias("s"))
+    a = vq.select(
+        "vec_id", F.col("p").alias("i"), F.col("q").alias("qi")
+    )
+    b = vq.select(
+        "vec_id", F.col("p").alias("j"), F.col("q").alias("qj")
+    )
+    cross = (
+        a.join(b, "vec_id")
+        .where(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qi") * F.col("qj")).alias("s_ij"))
+    )
+    si = dim_sums.select(F.col("p").alias("i"), F.col("s").alias("si"))
+    sj = dim_sums.select(F.col("p").alias("j"), F.col("s").alias("sj"))
+    full = (
+        cross.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n))
+    )
+    cov_num = F.col("n") * F.col("s_ij") - F.col("si") * F.col("sj")
+    return full.select(
+        "i",
+        "j",
+        cov_num.alias("cov_num"),
+        F.round(
+            (
+                cov_num.cast("double") / F.col("n") / F.col("n") / 1e8
+            ).cast("decimal(28,14)"),
+            10,
+        )
+        .cast("double")
+        .alias("cov"),
+    )
+
+
+@query(
+    "ts_downsample_lttb",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS x,
+             CAST(ROUND(value * 1000, 0) AS BIGINT) AS y,
+             CAST(FLOOR(epoch(date_trunc('hour', ts)) / 21600) AS BIGINT) AS bucket
+      FROM events WHERE event_type = 'view'
+    ),
+    bagg AS (
+      SELECT bucket, SUM(x) AS sx, SUM(y) AS sy, COUNT(*) AS n
+      FROM pts GROUP BY bucket
+    ),
+    ctx AS (
+      SELECT bucket, n,
+             LAG(sx)  OVER w AS psx, LAG(sy)  OVER w AS psy, LAG(n)  OVER w AS pn,
+             LEAD(sx) OVER w AS nsx, LEAD(sy) OVER w AS nsy, LEAD(n) OVER w AS nn
+      FROM bagg WINDOW w AS (ORDER BY bucket)
+    ),
+    scored AS (
+      SELECT p.event_id, p.bucket, p.x, p.y,
+             ABS( (p.x * c.pn - c.psx) * (c.nsy * c.pn - c.psy * c.nn)
+                - (c.nsx * c.pn - c.psx * c.nn) * (p.y * c.pn - c.psy) ) AS area2
+      FROM pts p JOIN ctx c ON p.bucket = c.bucket
+      WHERE c.pn IS NOT NULL AND c.nn IS NOT NULL
+    )
+    SELECT event_id, bucket, x,
+           CAST(ROUND(CAST(y / 1000.0 AS DECIMAL(24,10)), 3) AS DOUBLE) AS y
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                     ORDER BY area2 DESC, event_id ASC) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB (largest-triangle-three-buckets) downsampling — the
+    standard visual-fidelity downsampler: per 6-hour bucket keep the
+    point forming the largest triangle with the neighbor buckets'
+    centroids (the parallel LTTB variant: neighbor CENTROIDS instead
+    of the previously-selected point, which removes the sequential
+    chain and makes every bucket independent — one window over the
+    bucket aggregate + one argmax per bucket).
+
+    The triangle area comparison is exact: x in epoch seconds, y in
+    integer milli-units, and the area expression is multiplied
+    through by the centroid denominators so the argmax ranks pure
+    int64 quantities — no float area can flip the selected point
+    between engines. Edge buckets (no neighbor on one side) are not
+    emitted; a renderer keeps the raw first/last points anyway."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    pts = e.select(
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("x"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("y"),
+        F.floor(
+            F.unix_timestamp(F.date_trunc("hour", "ts")) / 21600
+        ).cast("long").alias("bucket"),
+    )
+    bagg = pts.groupBy("bucket").agg(
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"), F.count("*").alias("n")
+    )
+    w = Window.orderBy("bucket")
+    ctx = bagg.select(
+        "bucket",
+        F.lag("sx").over(w).alias("psx"),
+        F.lag("sy").over(w).alias("psy"),
+        F.lag("n").over(w).alias("pn"),
+        F.lead("sx").over(w).alias("nsx"),
+        F.lead("sy").over(w).alias("nsy"),
+        F.lead("n").over(w).alias("nn"),
+    )
+    scored = (
+        pts.join(F.broadcast(ctx), "bucket")
+        .where(F.col("pn").isNotNull() & F.col("nn").isNotNull())
+        .withColumn(
+            "area2",
+            F.abs(
+                (F.col("x") * F.col("pn") - F.col("psx"))
+                * (F.col("nsy") * F.col("pn") - F.col("psy") * F.col("nn"))
+                - (F.col("nsx") * F.col("pn") - F.col("psx") * F.col("nn"))
+                * (F.col("y") * F.col("pn") - F.col("psy"))
+            ),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("bucket").orderBy(
+            F.col("area2").desc(), F.col("event_id").asc()
+        )
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "bucket",
+            "x",
+            _r(F.col("y") / 1000.0, 3).alias("y"),
+        )
+    )
+
+
+@query(
+    "tokenizer_bpe_apply_merge",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT substring(w, i, 2) AS pair
+      FROM w, UNNEST(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    ),
+    top_pair AS (
+      SELECT pair FROM (
+        SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 1
+      )
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(length(w)) AS BIGINT) AS tokens_before,
+             CAST(SUM((length(w) - length(replace(w, pair, ''))) / 2)
+                  AS BIGINT) AS merges
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+      ) dw, top_pair
+      GROUP BY doc_id
+    )
+    SELECT doc_id, tokens_before, merges,
+           tokens_before - merges AS tokens_after
+    FROM per_doc
+    """,
+)
+def tokenizer_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE training iteration, applied: find the corpus-wide
+    winning character pair (max frequency, lexicographic tie-break),
+    merge every non-overlapping occurrence, and account the per-doc
+    token reduction (each merge replaces two symbols with one). This
+    is the step vocab_bpe_merge_candidates only counts.
+
+    The winning pair is a 1-row broadcast; merge counting uses the
+    length-delta of a left-to-right non-overlapping replace — the same
+    greedy application order BPE specifies, and identical in both
+    engines. One corpus pass for the pair histogram, one for the
+    application; at 100 TB the histogram's partial aggregation carries
+    only the pair vocabulary (<= alphabet²) per task."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("w"))
+    pairs = words.where(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    top_pair = (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(1)
+        .select("pair")
+    )
+    merged = words.crossJoin(F.broadcast(top_pair)).select(
+        "doc_id",
+        F.length("w").alias("chars"),
+        (
+            (F.length("w") - F.length(F.replace(F.col("w"), F.col("pair"), F.lit(""))))
+            / 2
+        ).cast("long").alias("m"),
+    )
+    return merged.groupBy("doc_id").agg(
+        F.sum("chars").alias("tokens_before"),
+        F.sum("m").alias("merges"),
+        (F.sum("chars") - F.sum("m")).alias("tokens_after"),
+    )
+
+
+@query(
+    "obs_quality_gate",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE n_chars >= 150 AND lang IN ('en', 'es', 'fr', 'de')
+    """,
+)
+def obs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate filter with ``observe`` metrics: the filter result
+    is the output; pass/drop counts and the dropped-char mass ride as
+    Observation metrics on the SAME job — zero extra passes, the
+    mechanism for pipeline health counters at scale (a separate
+    count() would re-scan 100 TB). The metrics side is asserted in
+    tests/test_advanced_ext.py via Observation.get."""
+    from pyspark.sql import Observation
+
+    d = load_table(spark, sf_dir, "documents")
+    passed = F.col("n_chars") >= 150
+    lang_ok = F.col("lang").isin("en", "es", "fr", "de")
+    obs = Observation("quality_gate")
+    observed = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(~(passed & lang_ok)).alias("n_dropped"),
+        F.sum(F.when(~(passed & lang_ok), F.col("n_chars")).otherwise(0)).alias(
+            "dropped_chars"
+        ),
+    )
+    result = observed.where(passed & lang_ok).select("doc_id", "n_chars")
+    # expose the handle so tests can assert the metrics after an action
+    result._quality_observation = obs  # type: ignore[attr-defined]
+    return result
+
+
+@query(
+    "sql_values_inline_table",
+    oracle="""
+    SELECT t.code, n.n_name, COUNT(c.c_custkey) AS n_customers
+    FROM (VALUES (0, 'AFR'), (1, 'AME'), (2, 'ASI'), (3, 'EUR'), (4, 'MEA'))
+         AS t(rk, code)
+    JOIN nation n ON n.n_regionkey = t.rk
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY t.code, n.n_name
+    """,
+)
+def sql_values_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES inline table in the FROM clause joined against real
+    tables — the literal-dimension pattern (code lists, feature flags)
+    without a temp view. Resolves to a LocalRelation that broadcasts;
+    no scan, no shuffle for the literal side."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT t.code, n.n_name, COUNT(c.c_custkey) AS n_customers
+        FROM (VALUES (0, 'AFR'), (1, 'AME'), (2, 'ASI'), (3, 'EUR'), (4, 'MEA'))
+             AS t(rk, code)
+        JOIN nation n ON n.n_regionkey = t.rk
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY t.code, n.n_name
+        """
+    )

@@ -52,6 +52,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.stats_ext",
     "guidewire_spark.operators.pipeline_ext",
     "guidewire_spark.operators.warehouse_ext",
+    "guidewire_spark.operators.advanced_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
@@ -109,7 +110,10 @@ def query(name: str, oracle: str | None = None):
 # delta_scd2_merge, stream_stream_left_outer_join), the warehouse_ext
 # additions (delta_idempotent_writes, join_null_safe_equality,
 # ts_tumbling_vwap, agg_herfindahl_index, agg_poisson_bootstrap_ci,
-# stream_full_outer_interval_join), plus r1-head re-checks
+# stream_full_outer_interval_join), the advanced_ext additions
+# (embedding_covariance_matrix, ts_downsample_lttb,
+# tokenizer_bpe_apply_merge, obs_quality_gate,
+# sql_values_inline_table), plus r1-head re-checks
 # (scan_filter_project .. parquet_sink_roundtrip) as slots allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)

@@ -1,0 +1,97 @@
+"""Quality gates for advanced_ext: the PCA loop closed over the exact
+covariance matrix (numpy eigendecomposition of the query result must
+yield the variance-maximizing direction), LTTB structural properties,
+a Python referee for the applied BPE merge, and the Observation
+metrics contract."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from guidewire_spark.operators.advanced_ext import (
+    embedding_covariance_matrix,
+    obs_quality_gate,
+    tokenizer_bpe_apply_merge,
+    ts_downsample_lttb,
+)
+from guidewire_spark.plans.catalog import load_table
+
+
+def test_covariance_matrix_closes_pca_loop(spark, sf_dir):
+    rows = embedding_covariance_matrix(spark, sf_dir).collect()
+    d = 64
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r["i"] - 1, r["j"] - 1] = r["cov"]
+        C[r["j"] - 1, r["i"] - 1] = r["cov"]
+    # referee: covariance computed directly in numpy from the raw table
+    X = np.array(
+        [
+            [float(v) for v in row["embedding"]]
+            for row in load_table(spark, sf_dir, "embeddings").collect()
+        ]
+    )
+    C_ref = np.cov(X, rowvar=False, bias=True)
+    assert np.allclose(C, C_ref, atol=2e-4)  # 1e4 quantization + 10dp round
+    # PCA closure: top eigenvector maximizes projected variance
+    vals, vecs = np.linalg.eigh(C)
+    top = vecs[:, -1]
+    proj_var = top @ C @ top
+    axis_vars = np.diag(C)
+    assert proj_var >= axis_vars.max() - 1e-9
+    assert abs(proj_var - vals[-1]) < 1e-9
+
+
+def test_lttb_one_point_per_interior_bucket(spark, sf_dir):
+    got = ts_downsample_lttb(spark, sf_dir).toPandas()
+    assert got["bucket"].is_unique
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "view"
+    )
+    buckets = (
+        e.select(
+            F.floor(
+                F.unix_timestamp(F.date_trunc("hour", "ts")) / 21600
+            ).alias("b")
+        )
+        .distinct()
+        .count()
+    )
+    # all buckets except the two edge buckets are represented
+    assert len(got) == buckets - 2
+    # each selected x lies inside its bucket's 6h span
+    assert ((got["x"] // 21600) == got["bucket"]).all()
+
+
+def test_bpe_apply_merge_matches_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    # referee: find top pair and apply greedy non-overlapping merge
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for r in docs:
+        for w in r["text"].split():
+            for k in range(len(w) - 1):
+                counts[w[k : k + 2]] += 1
+    best = max(counts.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))[0]
+    got = tokenizer_bpe_apply_merge(spark, sf_dir).toPandas().set_index("doc_id")
+    for r in docs[:50]:
+        words = r["text"].split()
+        before = sum(len(w) for w in words)
+        merges = sum((len(w) - len(w.replace(best, ""))) // 2 for w in words)
+        row = got.loc[r["doc_id"]]
+        assert row["tokens_before"] == before
+        assert row["merges"] == merges
+        assert row["tokens_after"] == before - merges
+
+
+def test_observation_metrics_ride_the_same_job(spark, sf_dir):
+    df = obs_quality_gate(spark, sf_dir)
+    kept = df.count()  # the action that materializes the metrics
+    obs = df._quality_observation
+    metrics = obs.get
+    total = load_table(spark, sf_dir, "documents").count()
+    assert metrics["n_total"] == total
+    assert metrics["n_dropped"] == total - kept
+    assert metrics["dropped_chars"] >= 0
