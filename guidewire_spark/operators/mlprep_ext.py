@@ -1,0 +1,306 @@
+"""ML-data-preparation operators, continued: cross-source quantile
+normalization, graph link prediction (bounded common-neighbor
+Jaccard), share-of-parent OLAP rollup, first-fit-decreasing sequence
+packing (the legitimate applyInPandas case: a sequential bin-packing
+loop Spark's declarative operators cannot express), and an HLL-based
+set-intersection cardinality estimate.
+
+Exact-integer doctrine throughout the oracle-checked operators:
+ranks, parts-per-million scores, and cent totals — never a float in a
+position that picks a row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.registry import query
+
+
+def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
+    """Engine-stable rounding: DECIMAL bridge then round, as double."""
+    return F.round(col.cast(prec), dp).cast("double")
+
+
+@query(
+    "mix_quantile_normalize",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    ),
+    pooled AS (
+      SELECT n_chars AS pooled_value,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS idx
+      FROM documents
+    ),
+    total AS (SELECT COUNT(*) AS n FROM documents),
+    mapped AS (
+      SELECT doc_id, source, n_chars,
+             ((2 * r - 1) * n + ns) // (2 * ns) AS target_idx
+      FROM ranked, total
+    )
+    SELECT m.doc_id, m.source, m.n_chars,
+           CAST(p.pooled_value AS BIGINT) AS normalized
+    FROM mapped m JOIN pooled p ON p.idx = m.target_idx
+    """,
+)
+def mix_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization: each document's length is
+    replaced by the POOLED corpus value at the same within-source rank
+    position — after it, every source has an identical length
+    distribution (the microarray-normalization technique applied to
+    corpus balancing, removing per-source length bias before mixing).
+
+    The rank→rank mapping is the exact integer midpoint formula
+    ((2r−1)·N + n_s) // (2·n_s), so the result is engine- and
+    order-proof. Exact quantile normalization inherently needs a
+    global rank over the pooled distribution; at 100 TB the
+    substitute is a percentile-grid approximation (interpolate into
+    ~1e4 pooled quantiles from approx_percentile) — this operator
+    implements the exact contract the grid approximates, and is the
+    oracle for it."""
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("ns"),
+    )
+    pooled = d.select(
+        F.col("n_chars").alias("pooled_value"),
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("idx"),
+    )
+    total = d.agg(F.count("*").alias("n"))
+    mapped = ranked.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("((2 * r - 1) * n + ns) div (2 * ns)").alias("target_idx"),
+    )
+    return mapped.join(
+        pooled, mapped.target_idx == pooled.idx
+    ).select("doc_id", "source", "n_chars", F.col("pooled_value").alias("normalized"))
+
+
+@query(
+    "graph_jaccard_link_prediction",
+    oracle="""
+    WITH edges_all AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT c, s FROM (
+        SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c ORDER BY s) AS rn
+        FROM edges_all
+      ) WHERE rn <= 10
+    ),
+    deg AS (SELECT s, COUNT(*) AS d FROM edges GROUP BY s),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2, COUNT(*) AS common
+      FROM edges a JOIN edges b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT s1, s2, CAST(common AS BIGINT) AS common,
+           CAST((common * 1000000) // (d1.d + d2.d - common) AS BIGINT)
+             AS score_ppm
+    FROM pairs
+    JOIN deg d1 ON d1.s = s1
+    JOIN deg d2 ON d2.s = s2
+    ORDER BY score_ppm DESC, s1 ASC, s2 ASC
+    LIMIT 20
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor Jaccard: for supplier pairs
+    sharing customers, score = |N(a)∩N(b)| / |N(a)∪N(b)| — the
+    classic who-should-trade-next heuristic. Top-20 predicted links.
+
+    Scale discipline: the neighbor list is CAPPED at 10 suppliers per
+    customer (deterministic: smallest keys) BEFORE pairing, so the
+    per-customer pair fan-out is bounded at 45 — the blocking pattern
+    that keeps common-neighbor enumeration linear in edges instead of
+    quadratic in degree (same playbook as er_blocked_fuzzy_match).
+    Scores rank as exact integer parts-per-million; the top-20 is a
+    TakeOrdered over a total order."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges_all = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    rn = F.row_number().over(Window.partitionBy("c").orderBy("s"))
+    edges = edges_all.withColumn("rn", rn).where(F.col("rn") <= 10).drop("rn")
+    deg = edges.groupBy("s").agg(F.count("*").alias("d"))
+    a = edges.select("c", F.col("s").alias("s1"))
+    b = edges.select("c", F.col("s").alias("s2"))
+    pairs = (
+        a.join(b, "c")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("common"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    scored = (
+        pairs.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "common",
+            F.expr(
+                "(common * 1000000) div (d1 + d2 - common)"
+            ).alias("score_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_ppm").desc(), F.col("s1").asc(), F.col("s2").asc()
+    ).limit(20)
+
+
+@query(
+    "agg_share_of_parent",
+    oracle="""
+    WITH nat AS (
+      SELECT n_regionkey AS rk, n_nationkey AS nk, n_name,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_regionkey, n_nationkey, n_name
+    ),
+    reg AS (SELECT rk, SUM(cents) AS r_cents FROM nat GROUP BY rk)
+    SELECT r_name, n_name,
+           CAST(ROUND(CAST(CAST((nat.cents * 1000000) // r_cents AS DOUBLE)
+                           / 1e6 AS DECIMAL(24,10)), 6) AS DOUBLE)
+             AS share_of_region,
+           CAST(ROUND(CAST(CAST(nat.cents AS DOUBLE) / 100.0
+                           AS DECIMAL(24,10)), 2) AS DOUBLE) AS revenue
+    FROM nat
+    JOIN reg ON nat.rk = reg.rk
+    JOIN region ON r_regionkey = nat.rk
+    """,
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent rollup: each nation's fraction of its region's
+    order revenue — the hierarchical OLAP ratio behind every drill-
+    down dashboard. Revenue sums in exact cents, shares as integer
+    parts-per-million; the region level is nation-cardinality-sized,
+    so the parent join broadcasts."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    nat = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_nationkey", "n_name")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    reg = nat.groupBy("n_regionkey").agg(F.sum("cents").alias("r_cents"))
+    return (
+        nat.join(F.broadcast(reg), "n_regionkey")
+        .join(F.broadcast(r), nat.n_regionkey == r.r_regionkey)
+        .select(
+            "r_name",
+            "n_name",
+            _r(
+                F.expr("(cents * 1000000) div r_cents").cast("double") / 1e6,
+                6,
+            ).alias("share_of_region"),
+            _r(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+        )
+    )
+
+
+@query("pack_first_fit_decreasing")  # sequential packing → rows-only
+def pack_first_fit_decreasing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence packing: per language, documents
+    sorted by length descending are placed into the first shard with
+    room (capacity 2000 chars); oversize documents become singleton
+    shards. FFD's 11/9·OPT+6/9 bound makes it the standard packing
+    heuristic for context-window batching.
+
+    This is the textbook applyInPandas case: the packing loop is
+    inherently sequential WITHIN a group (each placement depends on
+    all previous fills) but independent ACROSS groups — so the
+    language key partitions the work and each group runs a tight
+    pandas loop on one executor. Rows-only: a first-fit loop is not
+    expressible in set-based SQL; the invariants (capacity respected,
+    every doc packed once, shard count near the volume lower bound)
+    are enforced in tests/test_mlprep_ext.py."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        capacity = 2000
+        fills: list[int] = []
+        assignment = []
+        for _, row in pdf.iterrows():
+            size = int(row["n_chars"])
+            placed = None
+            for b, fill in enumerate(fills):
+                if fill + size <= capacity:
+                    placed = b
+                    fills[b] = fill + size
+                    break
+            if placed is None:
+                placed = len(fills)
+                fills.append(size)
+            assignment.append(placed)
+        pdf["shard_id"] = assignment
+        pdf["shard_fill"] = [fills[b] for b in assignment]
+        return pdf[["doc_id", "lang", "n_chars", "shard_id", "shard_fill"]]
+
+    return d.groupBy("lang").applyInPandas(
+        pack,
+        "doc_id long, lang string, n_chars long, shard_id int, shard_fill long",
+    )
+
+
+@query("agg_hll_intersection_estimate")  # sketch estimate → rows-only
+def agg_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection cardinality by inclusion-exclusion over HLL
+    sketches: |A∩B| ≈ |A| + |B| − |A∪B|, where A/B are the user sets
+    of two event types and the union comes from merging the two
+    sketches (hll_union) — never from re-scanning. The mergeability is
+    the point: per-segment sketches computed once combine into any
+    overlap estimate at constant cost, the idiom for audience-overlap
+    analytics at 100 TB. Rows-only (estimates); accuracy vs exact
+    intersection is gated in tests/test_mlprep_ext.py."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    sk = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_n"),
+    )
+    both = sk.agg(
+        F.hll_union_agg("sk").alias("u"),
+        F.sum(F.hll_sketch_estimate("sk")).alias("sum_est"),
+    ).select(
+        F.col("sum_est").cast("long").alias("sum_of_sizes"),
+        F.hll_sketch_estimate("u").cast("long").alias("union_est"),
+        (F.col("sum_est") - F.hll_sketch_estimate("u"))
+        .cast("long")
+        .alias("intersection_est"),
+    )
+    return both

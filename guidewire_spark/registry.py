@@ -53,6 +53,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.pipeline_ext",
     "guidewire_spark.operators.warehouse_ext",
     "guidewire_spark.operators.advanced_ext",
+    "guidewire_spark.operators.mlprep_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
@@ -113,7 +114,10 @@ def query(name: str, oracle: str | None = None):
 # stream_full_outer_interval_join), the advanced_ext additions
 # (embedding_covariance_matrix, ts_downsample_lttb,
 # tokenizer_bpe_apply_merge, obs_quality_gate,
-# sql_values_inline_table), plus r1-head re-checks
+# sql_values_inline_table), the mlprep_ext additions
+# (mix_quantile_normalize, graph_jaccard_link_prediction,
+# agg_share_of_parent, pack_first_fit_decreasing,
+# agg_hll_intersection_estimate), plus r1-head re-checks
 # (scan_filter_project .. parquet_sink_roundtrip) as slots allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)

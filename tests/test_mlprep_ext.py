@@ -1,0 +1,77 @@
+"""Quality gates for mlprep_ext: quantile-normalization distribution
+identity, FFD packing invariants (the rows-only operator's contract),
+HLL intersection accuracy vs exact, and link-prediction score
+bounds."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from guidewire_spark.operators.mlprep_ext import (
+    agg_hll_intersection_estimate,
+    graph_jaccard_link_prediction,
+    mix_quantile_normalize,
+    pack_first_fit_decreasing,
+)
+from guidewire_spark.plans.catalog import load_table
+
+
+def test_quantile_normalize_equalizes_distributions(spark, sf_dir):
+    got = mix_quantile_normalize(spark, sf_dir).toPandas()
+    # after QN, every equal-sized source has the IDENTICAL multiset of
+    # normalized values (the defining property of quantile normalization)
+    sizes = got.groupby("source").size()
+    groups = {
+        src: tuple(sorted(g["normalized"]))
+        for src, g in got.groupby("source")
+        if sizes[src] == sizes.iloc[0]
+    }
+    assert len(set(groups.values())) == 1
+    # normalized values are drawn from the pooled distribution
+    pooled = sorted(got["n_chars"])
+    assert set(got["normalized"]) <= set(pooled)
+
+
+def test_ffd_packing_invariants(spark, sf_dir):
+    got = pack_first_fit_decreasing(spark, sf_dir).toPandas()
+    total_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(got) == total_docs
+    assert got["doc_id"].is_unique
+    capacity = 2000
+    fills = got.groupby(["lang", "shard_id"])["n_chars"].sum()
+    singles = got.groupby(["lang", "shard_id"])["n_chars"].count()
+    # every multi-doc shard respects capacity; oversize docs are singletons
+    over = fills[fills > capacity]
+    for key in over.index:
+        assert singles[key] == 1
+    # shard_fill column is consistent with the actual fill
+    merged = got.merge(
+        fills.rename("actual"), left_on=["lang", "shard_id"], right_index=True
+    )
+    assert (merged["shard_fill"] == merged["actual"]).all()
+    # FFD bound: shards <= 1.23 * volume lower bound + 1, per lang
+    for lang, g in got.groupby("lang"):
+        n_shards = g["shard_id"].nunique()
+        lower = math.ceil(g["n_chars"].sum() / capacity)
+        n_oversize = (g["n_chars"] > capacity).sum()
+        assert n_shards <= math.ceil(1.23 * lower) + 1 + n_oversize
+
+
+def test_hll_intersection_within_tolerance(spark, sf_dir):
+    row = agg_hll_intersection_estimate(spark, sf_dir).collect()[0]
+    e = load_table(spark, sf_dir, "events")
+    viewers = e.where(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = viewers.intersect(buyers).count()
+    # inclusion-exclusion compounds sketch error: allow 15% + small abs slack
+    assert abs(row["intersection_est"] - exact) <= max(0.15 * exact, 10)
+
+
+def test_link_prediction_scores_are_valid_jaccard(spark, sf_dir):
+    got = graph_jaccard_link_prediction(spark, sf_dir).toPandas()
+    assert len(got) <= 20
+    assert (got["common"] >= 1).all()
+    assert ((got["score_ppm"] > 0) & (got["score_ppm"] <= 1_000_000)).all()
+    assert (got["s1"] < got["s2"]).all()
