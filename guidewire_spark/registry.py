@@ -54,6 +54,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.warehouse_ext",
     "guidewire_spark.operators.advanced_ext",
     "guidewire_spark.operators.mlprep_ext",
+    "guidewire_spark.operators.olap_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
@@ -117,8 +118,12 @@ def query(name: str, oracle: str | None = None):
 # sql_values_inline_table), the mlprep_ext additions
 # (mix_quantile_normalize, graph_jaccard_link_prediction,
 # agg_share_of_parent, pack_first_fit_decreasing,
-# agg_hll_intersection_estimate), plus r1-head re-checks
-# (scan_filter_project .. parquet_sink_roundtrip) as slots allow.
+# agg_hll_intersection_estimate), the olap_ext additions
+# (func_bitmap_family, join_shuffle_hash_hint,
+# sql_distribute_cluster_by, window_period_over_period,
+# ts_decompose_trend_seasonal, agg_mutual_information), plus r1-head
+# re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
+# allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
     "agg_approx_percentile",

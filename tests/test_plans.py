@@ -405,3 +405,42 @@ def test_perplexity_proxy_single_tokenize_pass(spark, sf_dir):
     plan = plan_of(text_perplexity_proxy(spark, sf_dir))
     assert plan.count("Generate") == 2  # one node (tree + details)
     assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_hash_hint_takes_effect(spark, sf_dir):
+    """join_shuffle_hash_hint: the hint must produce a
+    ShuffledHashJoin — silently degrading to sort-merge would pay two
+    sorts the operator's contract says it avoids."""
+    from guidewire_spark.operators.olap_ext import join_shuffle_hash_hint
+
+    plan = plan_of(join_shuffle_hash_hint(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_distribute_sort_by_is_local_sort(spark, sf_dir):
+    """sql_distribute_cluster_by: DISTRIBUTE BY must hash-partition
+    and SORT BY must sort WITHIN partitions (global=false) — a global
+    sort here would mean the SQL surface silently upgraded to a
+    single-range-sort plan."""
+    from guidewire_spark.operators.olap_ext import sql_distribute_cluster_by
+
+    plan = plan_of(sql_distribute_cluster_by(spark, sf_dir))
+    assert "hashpartitioning(l_returnflag" in plan
+    # the Sort node's second argument is the global flag: must be false
+    lines = plan.splitlines()
+    sort_idx = next(i for i, l in enumerate(lines) if l.startswith("(") and l.endswith(" Sort"))
+    args = next(l for l in lines[sort_idx:] if l.startswith("Arguments:"))
+    assert "], false," in args, args
+
+
+def test_bitmap_family_partial_aggregates(spark, sf_dir):
+    """func_bitmap_family: the bitmap construct/merge must partial-
+    aggregate (two HashAggregate levels around its exchange) — the
+    property that makes exact distinct counting mergeable per
+    segment."""
+    from guidewire_spark.operators.olap_ext import func_bitmap_family
+
+    plan = plan_of(func_bitmap_family(spark, sf_dir))
+    assert "bitmap_construct_agg" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x two aggs
