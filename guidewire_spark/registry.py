@@ -55,6 +55,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.advanced_ext",
     "guidewire_spark.operators.mlprep_ext",
     "guidewire_spark.operators.olap_ext",
+    "guidewire_spark.operators.robust_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
@@ -121,7 +122,10 @@ def query(name: str, oracle: str | None = None):
 # agg_hll_intersection_estimate), the olap_ext additions
 # (func_bitmap_family, join_shuffle_hash_hint,
 # sql_distribute_cluster_by, window_period_over_period,
-# ts_decompose_trend_seasonal, agg_mutual_information), plus r1-head
+# ts_decompose_trend_seasonal, agg_mutual_information), the
+# robust_ext additions (range_source_generate,
+# json_corrupt_records_scan, agg_top1pct_revenue_share,
+# join_dim_asof_scd2, stream_idempotent_foreachbatch), plus r1-head
 # re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
 # allow.
 _FRONT = [
