@@ -56,6 +56,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.mlprep_ext",
     "guidewire_spark.operators.olap_ext",
     "guidewire_spark.operators.robust_ext",
+    "guidewire_spark.operators.surface_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
@@ -125,9 +126,11 @@ def query(name: str, oracle: str | None = None):
 # ts_decompose_trend_seasonal, agg_mutual_information), the
 # robust_ext additions (range_source_generate,
 # json_corrupt_records_scan, agg_top1pct_revenue_share,
-# join_dim_asof_scd2, stream_idempotent_foreachbatch), plus r1-head
-# re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
-# allow.
+# join_dim_asof_scd2, stream_idempotent_foreachbatch), the
+# surface_ext additions (sql_lateral_view_explode, func_xpath_family,
+# func_to_from_csv, func_collation_groupby, corpus_incremental_ingest,
+# cda_manifest_drift_audit), plus r1-head re-checks
+# (scan_filter_project .. parquet_sink_roundtrip) as slots allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
     "agg_approx_percentile",
