@@ -57,6 +57,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.olap_ext",
     "guidewire_spark.operators.robust_ext",
     "guidewire_spark.operators.surface_ext",
+    "guidewire_spark.operators.gaps_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
@@ -129,7 +130,10 @@ def query(name: str, oracle: str | None = None):
 # join_dim_asof_scd2, stream_idempotent_foreachbatch), the
 # surface_ext additions (sql_lateral_view_explode, func_xpath_family,
 # func_to_from_csv, func_collation_groupby, corpus_incremental_ingest,
-# cda_manifest_drift_audit), plus r1-head re-checks
+# cda_manifest_drift_audit), the gaps_ext additions
+# (ts_calendar_spine_fill, ts_session_length_histogram,
+# window_count_distinct_trick, func_regexp_family,
+# sql_not_exists_antijoin), plus r1-head re-checks
 # (scan_filter_project .. parquet_sink_roundtrip) as slots allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)

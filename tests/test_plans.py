@@ -444,3 +444,31 @@ def test_bitmap_family_partial_aggregates(spark, sf_dir):
     plan = plan_of(func_bitmap_family(spark, sf_dir))
     assert "bitmap_construct_agg" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final x two aggs
+
+
+def test_not_exists_decorrelates_to_anti_join(spark, sf_dir):
+    """sql_not_exists_antijoin: the correlated NOT EXISTS must compile
+    to a left-anti hash join — a nested-loop or per-row subquery here
+    would be quadratic at scale."""
+    from guidewire_spark.operators.gaps_ext import sql_not_exists_antijoin
+
+    plan = plan_of(sql_not_exists_antijoin(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_session_histogram_single_user_shuffle(spark, sf_dir):
+    """ts_session_length_histogram: the lag window, the running-sum
+    window, and the per-session count must all ride ONE user_id
+    exchange (same contract as ts_gaps_islands); the final histogram
+    aggregate adds the only other exchange."""
+    from guidewire_spark.operators.gaps_ext import ts_session_length_histogram
+
+    tree = (
+        plan_of(ts_session_length_histogram(spark, sf_dir))
+        .split("== Physical Plan ==")[1]
+        .strip()
+        .split("\n\n")[0]
+    )
+    assert tree.count("Exchange") == 2  # user_id + histogram keys
+    assert tree.count("Window") == 2
