@@ -282,3 +282,35 @@ def stream_idempotent_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFram
             txn_version=int(bid) + 1,
         )
     return read_delta(spark, table)
+
+
+@query(
+    "delta_replace_where",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en'
+    UNION ALL
+    SELECT doc_id, lang, n_chars + 1000000 AS n_chars
+    FROM documents WHERE lang = 'en'
+    """,
+)
+def delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replaceWhere — selective overwrite in ONE atomic commit: the
+    English slice of the corpus is reprocessed (lengths shifted by
+    1e6 to make replacement visible) and swapped in while every other
+    language's rows stay untouched; readers can never observe the
+    deleted-but-not-yet-reinserted state a delete+append pair
+    exposes. Incoming rows violating the predicate are rejected
+    (Delta's replaceWhere contract — tests/test_warehouse_ext.py)."""
+    from guidewire_spark.sources.snapshot import read_delta
+    from guidewire_spark.sources.writer import replace_where, write_delta
+
+    table = tempfile.mkdtemp(prefix="gw_rw_") + "/docs"
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_delta(d, table, mode="append")
+    reprocessed = d.where(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") + 1000000
+    )
+    replace_where(spark, table, "lang = 'en'", reprocessed)
+    return read_delta(spark, table)

@@ -863,6 +863,90 @@ def delete_from(
     return snap.version + 1
 
 
+def replace_where(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    new_df: DataFrame,
+) -> int:
+    """Selective overwrite (Delta's ``replaceWhere``): atomically
+    delete every row matching ``predicate`` and insert ``new_df`` —
+    ONE commit, so readers never observe the half-replaced state that
+    a delete-then-append pair exposes. The idiom for reprocessing one
+    day / one partition of a 100 TB table in place.
+
+    Delta's contract is enforced: every incoming row must satisfy the
+    predicate (otherwise the "overwrite" would silently leak rows
+    outside the replaced region). File handling is the same three-way
+    copy-on-write as ``delete_from``: untouched files stay metadata-
+    only; only files actually containing matches are rewritten.
+    """
+    snap = load_snapshot(table_path)
+    if not snap.files:
+        raise ValueError(f"nothing to replace at {table_path}")
+    violating = new_df.where(f"NOT ({predicate})").count()
+    if violating:
+        raise ValueError(
+            f"replace_where: {violating} incoming rows violate {predicate!r}"
+        )
+    pcols = list(snap.partition_columns or [])
+    from pyspark.sql import functions as F
+
+    with_file = _read_with_partitions(spark, snap, list(snap.files)).withColumn(
+        "__file", F.input_file_name()
+    )
+    hit_files = {
+        os.path.realpath(r["__file"].replace("file://", ""))
+        for r in with_file.where(predicate).select("__file").distinct().collect()
+    }
+    rewrite = [p for p in snap.files if os.path.realpath(p) in hit_files]
+    staged = []
+    commit_dirs = []
+    if rewrite:
+        survivors = _read_with_partitions(spark, snap, rewrite).where(
+            f"NOT ({predicate})"
+        )
+        files, commit_dir = _stage_files(
+            _to_physical(survivors, snap.schema), table_path, pcols or None
+        )
+        staged += files
+        commit_dirs += [commit_dir] * len(files)
+    new_files, new_dir = _stage_files(
+        _to_physical(new_df, snap.schema), table_path, pcols or None
+    )
+    staged += new_files
+    commit_dirs += [new_dir] * len(new_files)
+
+    from guidewire_spark.sources.stats import footer_stats
+
+    now = int(time.time() * 1000)
+    actions = [remove_action(p, now) for p in rewrite]
+    actions += [
+        add_action(
+            f.path,
+            f.size,
+            f.modification_time,
+            stats=footer_stats(f.path),
+            partition_values=(
+                _partition_values(f.path, cdir, pcols) if pcols else None
+            ),
+        )
+        for f, cdir in zip(staged, commit_dirs)
+    ]
+    actions.append(
+        commit_info_action(
+            "WRITE",
+            f"ReplaceWhere({predicate})",
+            False,
+            len(staged),
+            sum(f.size for f in staged),
+            now,
+        )
+    )
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
 def update_table(
     spark: SparkSession,
     table_path: str,

@@ -64,3 +64,28 @@ def test_hhi_bounds_and_cr4(spark, sf_dir):
     assert ((got["cr4"] >= 0) & (got["cr4"] <= 1.0)).all()
     # with n customers, min possible HHI is 1/n (equal shares)
     assert (got["hhi"] >= 1.0 / got["n_customers"] - 1e-6).all()
+
+
+def test_replace_where_contract(spark, sf_dir):
+    from guidewire_spark.sources.writer import replace_where
+    import pytest as _pytest
+
+    table = tempfile.mkdtemp(prefix="gw_rw_t_") + "/t"
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    write_delta(d, table, mode="append")
+    # incoming rows OUTSIDE the predicate must be rejected
+    bad = d.where(F.col("lang") != "en")
+    with _pytest.raises(ValueError, match="violate"):
+        replace_where(spark, table, "lang = 'en'", bad)
+    # valid replacement: one commit, region swapped, rest untouched
+    v = replace_where(
+        spark, table, "lang = 'en'",
+        d.where(F.col("lang") == "en").limit(3),
+    )
+    assert v == 1  # exactly one commit after the initial write
+    out = read_delta(spark, table)
+    assert out.where(F.col("lang") == "en").count() == 3
+    assert (
+        out.where(F.col("lang") != "en").count()
+        == d.where(F.col("lang") != "en").count()
+    )
