@@ -58,6 +58,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.robust_ext",
     "guidewire_spark.operators.surface_ext",
     "guidewire_spark.operators.gaps_ext",
+    "guidewire_spark.operators.iter_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
@@ -133,9 +134,11 @@ def query(name: str, oracle: str | None = None):
 # cda_manifest_drift_audit), the gaps_ext additions
 # (ts_calendar_spine_fill, ts_session_length_histogram,
 # window_count_distinct_trick, func_regexp_family,
-# sql_not_exists_antijoin, delta_replace_where), plus r1-head
-# re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
-# allow.
+# sql_not_exists_antijoin, delta_replace_where), the iter_ext
+# additions (graph_bfs_distance, ts_cohort_ltv,
+# sql_parameterized_query, er_multi_key_blocking,
+# agg_rfm_segmentation), plus r1-head re-checks (scan_filter_project
+# .. parquet_sink_roundtrip) as slots allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
     "agg_approx_percentile",
