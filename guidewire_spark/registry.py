@@ -59,6 +59,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.surface_ext",
     "guidewire_spark.operators.gaps_ext",
     "guidewire_spark.operators.iter_ext",
+    "guidewire_spark.operators.dq_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
@@ -137,8 +138,10 @@ def query(name: str, oracle: str | None = None):
 # sql_not_exists_antijoin, delta_replace_where), the iter_ext
 # additions (graph_bfs_distance, ts_cohort_ltv,
 # sql_parameterized_query, er_multi_key_blocking,
-# agg_rfm_segmentation), plus r1-head re-checks (scan_filter_project
-# .. parquet_sink_roundtrip) as slots allow.
+# agg_rfm_segmentation), the dq_ext additions (dq_expectations_report,
+# agg_geo_harmonic_means, func_luhn_checksum,
+# join_runtime_bloom_filter), plus r1-head re-checks
+# (scan_filter_project .. parquet_sink_roundtrip) as slots allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
     "agg_approx_percentile",

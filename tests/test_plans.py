@@ -472,3 +472,25 @@ def test_session_histogram_single_user_shuffle(spark, sf_dir):
     )
     assert tree.count("Exchange") == 2  # user_id + histogram keys
     assert tree.count("Window") == 2
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """join_runtime_bloom_filter: under the demo thresholds, Spark
+    must inject a might_contain() predicate on the fact side built
+    from a bloom_filter_agg over the selective orders side — the
+    semi-join reduction the operator exists to demonstrate."""
+    from guidewire_spark.operators.dq_ext import _BLOOM_CONFS, _bloom_join
+
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = plan_of(_bloom_join(spark, sf_dir))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
