@@ -1,0 +1,184 @@
+"""Audit and engagement operators: longest consecutive-day activity
+streaks (the date-minus-rank islands trick), funnel stage latency,
+the ascii/char scalar family, and ID-sequence gap detection (the
+data-completeness audit for supposedly-contiguous keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.registry import query
+
+
+def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
+    """Engine-stable rounding: DECIMAL bridge then round, as double."""
+    return F.round(col.cast(prec), dp).cast("double")
+
+
+@query(
+    "ts_longest_daily_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    grouped AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS streak_len
+      FROM grouped GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(MAX(streak_len) AS BIGINT) AS longest_streak
+    FROM streaks GROUP BY user_id
+    """,
+)
+def ts_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user via the
+    date-minus-rank identity: within a run of consecutive days,
+    (day − row_number) is constant, so the run collapses under one
+    GROUP BY — zero self-joins, no recursion; the engagement-streak
+    metric behind every daily-habit product. One shuffle on user_id
+    serves the distinct, the rank, and both aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    grouped = days.select(
+        "user_id", "day", F.date_sub(F.col("day"), rn).alias("grp")
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count("*").alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").cast("long").alias("longest_streak")
+    )
+
+
+@query(
+    "ts_stage_latency",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    converted AS (
+      SELECT first_purchase - first_view AS latency_us
+      FROM stages
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    )
+    SELECT COUNT(*) AS n_converted,
+           CAST(ROUND(CAST(CAST(SUM(latency_us) AS DOUBLE) / COUNT(*) / 3.6e9
+                           AS DECIMAL(24,10)), 4) AS DOUBLE) AS avg_hours,
+           CAST(ROUND(CAST(CAST(quantile_cont(latency_us, 0.5) AS DOUBLE) / 3.6e9
+                           AS DECIMAL(24,10)), 4) AS DOUBLE) AS median_hours
+    FROM converted
+    """,
+)
+def ts_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel stage latency: time from first view to first purchase
+    for converting users — the time-to-convert number that sits next
+    to the conversion rate (ts_funnel_view_click_purchase). Latencies
+    are exact microsecond int64s (sum and count exact; one division
+    per statistic); the median is the exact interpolated percentile
+    over the converted-user-sized set."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+            "first_purchase"
+        ),
+    )
+    converted = stages.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select((F.col("first_purchase") - F.col("first_view")).alias("latency_us"))
+    return converted.agg(
+        F.count("*").alias("n_converted"),
+        _r(
+            F.sum("latency_us").cast("double") / F.count(F.lit(1)) / 3.6e9, 4
+        ).alias("avg_hours"),
+        _r(
+            F.percentile("latency_us", F.lit(0.5)).cast("double") / 3.6e9, 4
+        ).alias("median_hours"),
+    )
+
+
+@query(
+    "func_char_family",
+    oracle="""
+    SELECT doc_id,
+           CAST(ascii(substring(lang, 1, 1)) AS BIGINT) AS first_cp,
+           chr(65 + CAST(doc_id % 26 AS INT)) AS letter,
+           CAST(length(text) AS BIGINT) AS n_chars_fn,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           upper(lang) || '/' || lower(source) AS tag
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+)
+def func_char_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character/codepoint scalar family: ascii, chr, char_length vs
+    octet_length (the codepoint-vs-byte distinction that matters the
+    moment non-ASCII text arrives), case mapping and concatenation.
+    Pure row-parallel JVM expressions."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    return d.select(
+        "doc_id",
+        F.ascii(F.substring("lang", 1, 1)).cast("long").alias("first_cp"),
+        F.chr(F.lit(65) + (F.col("doc_id") % 26)).alias("letter"),
+        F.char_length("text").cast("long").alias("n_chars_fn"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.concat(F.upper("lang"), F.lit("/"), F.lower("source")).alias("tag"),
+    )
+
+
+@query(
+    "ts_id_sequence_gaps",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_orderkey,
+             LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS next_key
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT o_orderkey + 1 AS gap_start, next_key - 1 AS gap_end,
+           CAST(next_key - o_orderkey - 1 AS BIGINT) AS gap_len
+    FROM ordered
+    WHERE next_key - o_orderkey > 1 AND next_key - o_orderkey - 1 >= 12
+    """,
+)
+def ts_id_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-sequence gap detection: key ranges where a filtered
+    sequence (finished orders) goes silent for 12+ consecutive keys —
+    lead-minus-current over the sorted keys. The same shape audits a
+    supposedly contiguous export for dropped batches. The ordered pass runs
+    over KEYS only (one column); at 100 TB the same shape runs
+    per-range-partition with boundary stitching, and the gap report
+    stays gap-cardinality-sized."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    w = Window.orderBy("o_orderkey")
+    ordered = o.select(
+        "o_orderkey", F.lead("o_orderkey").over(w).alias("next_key")
+    )
+    gap = F.col("next_key") - F.col("o_orderkey") - 1
+    return ordered.where(gap >= 12).select(
+        (F.col("o_orderkey") + 1).alias("gap_start"),
+        (F.col("next_key") - 1).alias("gap_end"),
+        gap.cast("long").alias("gap_len"),
+    )

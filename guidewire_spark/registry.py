@@ -60,6 +60,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.gaps_ext",
     "guidewire_spark.operators.iter_ext",
     "guidewire_spark.operators.dq_ext",
+    "guidewire_spark.operators.audit_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
@@ -140,8 +141,10 @@ def query(name: str, oracle: str | None = None):
 # sql_parameterized_query, er_multi_key_blocking,
 # agg_rfm_segmentation), the dq_ext additions (dq_expectations_report,
 # agg_geo_harmonic_means, func_luhn_checksum,
-# join_runtime_bloom_filter), plus r1-head re-checks
-# (scan_filter_project .. parquet_sink_roundtrip) as slots allow.
+# join_runtime_bloom_filter), the audit_ext additions
+# (ts_longest_daily_streak, ts_stage_latency, func_char_family,
+# ts_id_sequence_gaps), plus r1-head re-checks (scan_filter_project
+# .. parquet_sink_roundtrip) as slots allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
     "agg_approx_percentile",
