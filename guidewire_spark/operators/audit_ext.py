@@ -182,3 +182,94 @@ def ts_id_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("next_key") - 1).alias("gap_end"),
         gap.cast("long").alias("gap_len"),
     )
+
+
+@query(
+    "training_epoch_shuffle_plan",
+    oracle="""
+    WITH plan AS (
+      SELECT doc_id, e.epoch,
+             (doc_id * 2654435761 + e.epoch * 97003) % 1000003 AS h
+      FROM documents,
+           (SELECT CAST(range AS BIGINT) AS epoch FROM range(0, 2)) e
+    )
+    SELECT epoch, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+                AS BIGINT) AS position
+    FROM plan
+    WHERE (doc_id * 2654435761 + epoch * 97003) % 1000003 < 40000
+    """,
+)
+def training_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shuffle plan: each (sample, epoch) pair
+    draws an integer congruential hash; ordering by it yields a
+    different but perfectly REPRODUCIBLE permutation per epoch — the
+    property data-loading pipelines need so a resumed/re-run training
+    job reads batches in the identical order (engine RNGs give
+    neither cross-run nor cross-engine stability). Output is a
+    hash-sampled head of each epoch's ordering; rank ties broken by
+    doc_id. The full-permutation form at scale range-partitions by
+    hash so each worker sorts only its slice."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = d.crossJoin(
+        F.broadcast(
+            d.sparkSession.range(0, 2).select(F.col("id").alias("epoch"))
+        )
+    )
+    h = (F.col("doc_id") * 2654435761 + F.col("epoch") * 97003) % 1000003
+    plan = epochs.select("doc_id", "epoch", h.alias("h")).where(
+        F.col("h") < 40000
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("epoch").orderBy("h", "doc_id")
+    )
+    return plan.select(
+        "epoch", "doc_id", rn.cast("long").alias("position")
+    )
+
+
+@query(
+    "ts_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type, event_type AS cur_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS row_n FROM cnt GROUP BY prev_type)
+    SELECT c.prev_type, c.cur_type, CAST(c.n AS BIGINT) AS n,
+           CAST(ROUND(CAST(CAST((c.n * 1000000) // t.row_n AS DOUBLE) / 1e6
+                           AS DECIMAL(24,10)), 6) AS DOUBLE) AS p
+    FROM cnt c JOIN tot t ON c.prev_type = t.prev_type
+    """,
+)
+def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences:
+    P(next event type | current) from lagged pairs — the behavioral
+    model behind next-action prediction and bot detection (bots have
+    near-degenerate rows). One user_id shuffle for the lag; the count
+    and normalization passes run over the (type × type)-sized table;
+    probabilities are exact integer parts-per-million."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy("prev_type", F.col("event_type").alias("cur_type")).agg(
+        F.count("*").alias("n")
+    )
+    tot = cnt.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return cnt.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "cur_type",
+        "n",
+        _r(F.expr("(n * 1000000) div row_n").cast("double") / 1e6, 6).alias(
+            "p"
+        ),
+    )

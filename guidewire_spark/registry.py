@@ -143,7 +143,8 @@ def query(name: str, oracle: str | None = None):
 # agg_geo_harmonic_means, func_luhn_checksum,
 # join_runtime_bloom_filter), the audit_ext additions
 # (ts_longest_daily_streak, ts_stage_latency, func_char_family,
-# ts_id_sequence_gaps), plus r1-head re-checks (scan_filter_project
+# ts_id_sequence_gaps, training_epoch_shuffle_plan,
+# ts_markov_transitions), plus r1-head re-checks (scan_filter_project
 # .. parquet_sink_roundtrip) as slots allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
