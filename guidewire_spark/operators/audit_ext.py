@@ -21,18 +21,17 @@ def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
 @query(
     "ts_longest_daily_streak",
     oracle="""
-    WITH days AS (
-      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    WITH grouped AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(date_trunc('day', ts) AS DATE)
+               - CAST(DENSE_RANK() OVER (PARTITION BY user_id
+                       ORDER BY CAST(date_trunc('day', ts) AS DATE))
+                      AS INTEGER) AS grp
       FROM events
     ),
-    grouped AS (
-      SELECT user_id, day,
-             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
-                        AS INTEGER) AS grp
-      FROM days
-    ),
     streaks AS (
-      SELECT user_id, COUNT(*) AS streak_len
+      SELECT user_id, COUNT(DISTINCT day) AS streak_len
       FROM grouped GROUP BY user_id, grp
     )
     SELECT user_id, CAST(MAX(streak_len) AS BIGINT) AS longest_streak
@@ -41,21 +40,22 @@ def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
 )
 def ts_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive-day activity streak per user via the
-    date-minus-rank identity: within a run of consecutive days,
-    (day − row_number) is constant, so the run collapses under one
-    GROUP BY — zero self-joins, no recursion; the engagement-streak
-    metric behind every daily-habit product. One shuffle on user_id
-    serves the distinct, the rank, and both aggregates."""
+    date-minus-rank islands identity — with DENSE_RANK directly over
+    the RAW events rather than a pre-distinct: duplicate days share a
+    rank, so (day − dense_rank) is still constant within a run, and
+    the duplicate collapse happens in the COUNT(DISTINCT day) of the
+    same grouped pass. A separate distinct would hash on (user, day)
+    and force a SECOND exchange before the user-partitioned window;
+    this shape rides ONE user_id shuffle end-to-end
+    (test_streak_single_user_shuffle)."""
     e = load_table(spark, sf_dir, "events")
-    days = e.select(
-        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
-    ).distinct()
-    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
-    grouped = days.select(
-        "user_id", "day", F.date_sub(F.col("day"), rn).alias("grp")
+    day = F.date_trunc("day", "ts").cast("date")
+    dr = F.dense_rank().over(Window.partitionBy("user_id").orderBy(day))
+    grouped = e.select(
+        "user_id", day.alias("day"), F.date_sub(day, dr).alias("grp")
     )
     streaks = grouped.groupBy("user_id", "grp").agg(
-        F.count("*").alias("streak_len")
+        F.count_distinct("day").alias("streak_len")
     )
     return streaks.groupBy("user_id").agg(
         F.max("streak_len").cast("long").alias("longest_streak")
@@ -241,21 +241,23 @@ def training_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT prev_type, event_type AS cur_type, COUNT(*) AS n
       FROM seq WHERE prev_type IS NOT NULL
       GROUP BY prev_type, event_type
-    ),
-    tot AS (SELECT prev_type, SUM(n) AS row_n FROM cnt GROUP BY prev_type)
-    SELECT c.prev_type, c.cur_type, CAST(c.n AS BIGINT) AS n,
-           CAST(ROUND(CAST(CAST((c.n * 1000000) // t.row_n AS DOUBLE) / 1e6
+    )
+    SELECT prev_type, cur_type, CAST(n AS BIGINT) AS n,
+           CAST(ROUND(CAST(CAST((n * 1000000)
+                 // SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) / 1e6
                            AS DECIMAL(24,10)), 6) AS DOUBLE) AS p
-    FROM cnt c JOIN tot t ON c.prev_type = t.prev_type
+    FROM cnt
     """,
 )
 def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over user event sequences:
     P(next event type | current) from lagged pairs — the behavioral
     model behind next-action prediction and bot detection (bots have
-    near-degenerate rows). One user_id shuffle for the lag; the count
-    and normalization passes run over the (type × type)-sized table;
-    probabilities are exact integer parts-per-million."""
+    near-degenerate rows). One user_id shuffle for the lag; row
+    normalization is a WINDOW over the (type × type)-sized count
+    table — a totals JOIN would re-derive the counts subtree and scan
+    raw events twice (observed before this shape); probabilities are
+    exact integer parts-per-million."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
@@ -264,8 +266,8 @@ def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = seq.groupBy("prev_type", F.col("event_type").alias("cur_type")).agg(
         F.count("*").alias("n")
     )
-    tot = cnt.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
-    return cnt.join(F.broadcast(tot), "prev_type").select(
+    row_n = F.sum("n").over(Window.partitionBy("prev_type"))
+    return cnt.withColumn("row_n", row_n).select(
         "prev_type",
         "cur_type",
         "n",

@@ -494,3 +494,54 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
                 spark.conf.set(k, v)
     assert "might_contain" in plan
     assert "bloom_filter_agg" in plan
+
+
+def test_markov_single_user_shuffle(spark, sf_dir):
+    """ts_markov_transitions: the lag window and downstream aggregates
+    must not re-shuffle raw events — one user_id Exchange, then
+    type²-sized tables only."""
+    from guidewire_spark.operators.audit_ext import ts_markov_transitions
+
+    plan = plan_of(ts_markov_transitions(spark, sf_dir))
+    tree = plan.split("== Physical Plan ==")[1].strip().split("\n\n")[0]
+    assert "hashpartitioning(user_id" in plan
+    assert tree.count("Window") == 2  # lag + type²-sized normalization
+    assert tree.count("Scan parquet") == 1  # never re-derives the counts
+
+
+def test_streak_single_user_shuffle(spark, sf_dir):
+    """ts_longest_daily_streak: distinct, rank, and both aggregates
+    must all ride the user_id partitioning — zero additional
+    exchanges after the first."""
+    from guidewire_spark.operators.audit_ext import ts_longest_daily_streak
+
+    tree = (
+        plan_of(ts_longest_daily_streak(spark, sf_dir))
+        .split("== Physical Plan ==")[1]
+        .strip()
+        .split("\n\n")[0]
+    )
+    # one exchange for user_id; the grouped/streak aggregates reuse it
+    assert tree.count("Exchange") == 1
+
+
+def test_bootstrap_partial_aggregates_before_shuffle(spark, sf_dir):
+    """agg_poisson_bootstrap_ci: the 64x generator expansion must
+    combine map-side — the replica Exchange sits between partial and
+    final HashAggregate, so the shuffle carries per-replica partials,
+    never expanded rows."""
+    from guidewire_spark.operators.warehouse_ext import agg_poisson_bootstrap_ci
+
+    plan = plan_of(agg_poisson_bootstrap_ci(spark, sf_dir))
+    tree = plan.split("== Physical Plan ==")[1].strip().split("\n\n")[0]
+    lines = tree.splitlines()
+    gen_line = next(i for i, l in enumerate(lines) if "Generate" in l)
+    # walking UP from the generator (parents are above): the nearest
+    # agg/exchange node must be a HashAggregate (map-side partial),
+    # not an Exchange of the expanded rows
+    nearest = next(
+        l
+        for l in reversed(lines[:gen_line])
+        if "HashAggregate" in l or "Exchange" in l
+    )
+    assert "HashAggregate" in nearest, nearest
