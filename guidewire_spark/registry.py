@@ -61,6 +61,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.iter_ext",
     "guidewire_spark.operators.dq_ext",
     "guidewire_spark.operators.audit_ext",
+    "guidewire_spark.operators.bands_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
@@ -144,8 +145,10 @@ def query(name: str, oracle: str | None = None):
 # join_runtime_bloom_filter), the audit_ext additions
 # (ts_longest_daily_streak, ts_stage_latency, func_char_family,
 # ts_id_sequence_gaps, training_epoch_shuffle_plan,
-# ts_markov_transitions), plus r1-head re-checks (scan_filter_project
-# .. parquet_sink_roundtrip) as slots allow.
+# ts_markov_transitions, ts_bollinger_bands, agg_weighted_median,
+# dedup_dup_ratio_by_source, window_pareto_8020), plus r1-head
+# re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
+# allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
     "agg_approx_percentile",
