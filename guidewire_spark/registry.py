@@ -62,6 +62,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.dq_ext",
     "guidewire_spark.operators.audit_ext",
     "guidewire_spark.operators.bands_ext",
+    "guidewire_spark.operators.metrics_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
@@ -146,9 +147,10 @@ def query(name: str, oracle: str | None = None):
 # (ts_longest_daily_streak, ts_stage_latency, func_char_family,
 # ts_id_sequence_gaps, training_epoch_shuffle_plan,
 # ts_markov_transitions, ts_bollinger_bands, agg_weighted_median,
-# dedup_dup_ratio_by_source, window_pareto_8020), plus r1-head
-# re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
-# allow.
+# dedup_dup_ratio_by_source, window_pareto_8020, ts_max_drawdown,
+# ts_cusum_alarm, sample_balanced_classes, ts_weekly_churn_rate,
+# text_zipf_slope), plus r1-head re-checks (scan_filter_project ..
+# parquet_sink_roundtrip) as slots allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
     "agg_approx_percentile",
