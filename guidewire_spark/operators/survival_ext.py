@@ -1,0 +1,202 @@
+"""Survival analysis and dedup-calibration operators: a Kaplan-Meier
+time-to-conversion curve with right-censoring, and a similarity-
+threshold sweep over exact shingle-Jaccard pairs (the calibration
+query run before committing to a dedup threshold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from guidewire_spark.functions import text as T
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.registry import query
+
+
+def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
+    """Engine-stable rounding: DECIMAL bridge then round, as double."""
+    return F.round(col.cast(prec), dp).cast("double")
+
+
+@query(
+    "ts_kaplan_meier",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             MIN(epoch_us(ts)) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS t_purchase,
+             MAX(epoch_us(ts)) AS t_last
+      FROM events GROUP BY user_id
+    ),
+    durations AS (
+      SELECT (COALESCE(t_purchase, t_last) - t0) // 3600000000 AS t_hours,
+             t_purchase IS NOT NULL AS converted
+      FROM spans WHERE COALESCE(t_purchase, t_last) > t0
+    ),
+    counts AS (
+      SELECT t_hours,
+             count_if(converted) AS d,
+             COUNT(*) AS leaving
+      FROM durations GROUP BY t_hours
+    ),
+    risk AS (
+      SELECT t_hours, d,
+             SUM(leaving) OVER (ORDER BY t_hours DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+      FROM counts
+    ),
+    terms AS (
+      SELECT t_hours, d, n_at_risk,
+             CAST(ROUND(CAST(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk)
+                             AS DECIMAL(20,12)), 12) AS DECIMAL(20,12)) AS ln_term
+      FROM risk WHERE d > 0 AND d < n_at_risk
+    )
+    SELECT CAST(t_hours AS BIGINT) AS t_hours,
+           CAST(d AS BIGINT) AS d,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(ROUND(CAST(exp(CAST(SUM(ln_term) OVER (ORDER BY t_hours
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))
+                           AS DECIMAL(24,10)), 6) AS DOUBLE) AS survival
+    FROM terms
+    """,
+)
+def ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase with
+    right-censoring: users who never purchase are censored at their
+    last observed event — dropping them (the naive mistake) biases
+    conversion-time estimates low. S(t) = Π(1 − d_i/n_i) over event
+    times, computed as exp of a running sum of DECIMAL-rounded log
+    terms: the product reduction is exact and order-free (the
+    mutual-information discipline applied to a cumulative product).
+    Everything after the per-user span aggregate runs over the
+    distinct-duration table; n-at-risk is a reverse cumulative sum,
+    not a self-join."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    spans = e.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+            "t_purchase"
+        ),
+        F.max(us).alias("t_last"),
+    )
+    end = F.coalesce("t_purchase", "t_last")
+    durations = spans.where(end > F.col("t0")).select(
+        F.expr(
+            "(coalesce(t_purchase, t_last) - t0) div 3600000000"
+        ).alias("t_hours"),
+        F.col("t_purchase").isNotNull().alias("converted"),
+    )
+    counts = durations.groupBy("t_hours").agg(
+        F.count_if("converted").alias("d"), F.count("*").alias("leaving")
+    )
+    n_at_risk = F.sum("leaving").over(
+        Window.orderBy(F.col("t_hours").desc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    risk = counts.select("t_hours", "d", n_at_risk.alias("n_at_risk"))
+    ln_term = F.round(
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk")).cast(
+            "decimal(20,12)"
+        ),
+        12,
+    ).cast("decimal(20,12)")
+    terms = risk.where(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk"))
+    ).select("t_hours", "d", "n_at_risk", ln_term.alias("ln_term"))
+    surv = F.exp(
+        F.sum("ln_term")
+        .over(Window.orderBy("t_hours").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+    )
+    return terms.select(
+        F.col("t_hours").cast("long").alias("t_hours"),
+        F.col("d").cast("long").alias("d"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        _r(surv, 6).alias("survival"),
+    )
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle="""
+    WITH shingles AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               array_to_string(words[i : i + 2], ' ') AS shingle
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words
+          FROM documents WHERE doc_id < 100
+        ), UNNEST(range(1, len(words) - 1)) AS t(i)
+        WHERE len(words) >= 3
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    jac AS (
+      SELECT (i * 1000000) // (sa.n + sb.n - i) AS j_ppm
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT CAST(count_if(j_ppm >= 500000) AS BIGINT) AS pairs_at_050,
+           CAST(count_if(j_ppm >= 700000) AS BIGINT) AS pairs_at_070,
+           CAST(count_if(j_ppm >= 900000) AS BIGINT) AS pairs_at_090,
+           COUNT(*) AS candidate_pairs
+    FROM jac
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold calibration: near-dup pair counts at Jaccard ≥
+    0.5 / 0.7 / 0.9 from ONE pass over the exact shingle-pair table —
+    the sweep run before committing a threshold to the MinHash
+    pipeline (dedup_minhash_lsh), because the kept-pair count's
+    threshold sensitivity IS the risk measure. Jaccard compares as
+    exact integer parts-per-million; the pair table is shingle-sparse
+    (only documents sharing a shingle pair up), identical to
+    dedup_ngram_jaccard's join discipline."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    shingles = (
+        d.where(F.size(T.words(F.col("text"))) >= 3)
+        .select(
+            "doc_id",
+            F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(F.expr("(i * 1000000) div (na + nb - i)").alias("j_ppm"))
+    )
+    return jac.agg(
+        F.count_if(F.col("j_ppm") >= 500000).alias("pairs_at_050"),
+        F.count_if(F.col("j_ppm") >= 700000).alias("pairs_at_070"),
+        F.count_if(F.col("j_ppm") >= 900000).alias("pairs_at_090"),
+        F.count("*").alias("candidate_pairs"),
+    )

@@ -63,6 +63,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.audit_ext",
     "guidewire_spark.operators.bands_ext",
     "guidewire_spark.operators.metrics_ext",
+    "guidewire_spark.operators.survival_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
@@ -149,8 +150,9 @@ def query(name: str, oracle: str | None = None):
 # ts_markov_transitions, ts_bollinger_bands, agg_weighted_median,
 # dedup_dup_ratio_by_source, window_pareto_8020, ts_max_drawdown,
 # ts_cusum_alarm, sample_balanced_classes, ts_weekly_churn_rate,
-# text_zipf_slope), plus r1-head re-checks (scan_filter_project ..
-# parquet_sink_roundtrip) as slots allow.
+# text_zipf_slope, ts_kaplan_meier, dedup_threshold_sweep), plus
+# r1-head re-checks (scan_filter_project .. parquet_sink_roundtrip)
+# as slots allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
     "agg_approx_percentile",
