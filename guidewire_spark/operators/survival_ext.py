@@ -200,3 +200,79 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("j_ppm") >= 900000).alias("pairs_at_090"),
         F.count("*").alias("candidate_pairs"),
     )
+
+
+@query(
+    "func_mask_family",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             source || '-' || upper(lang) || CAST(doc_id % 100 AS VARCHAR),
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked_default,
+           regexp_replace(
+             source || '-' || upper(lang) || CAST(doc_id % 100 AS VARCHAR),
+             '[0-9]', '#', 'g') AS masked_digits_only
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+)
+def func_mask_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mask() — structure-preserving PII masking: uppercase → X,
+    lowercase → x, digits → n (or any custom replacement set), keeping
+    length and character-class shape so downstream format validators
+    still pass — the complement of text_redact_pii's pattern removal.
+    The oracle reproduces the masking with explicit character-class
+    replaces, verifying the builtin against its specification."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    token = F.concat(
+        F.col("source"),
+        F.lit("-"),
+        F.upper("lang"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.mask(token).alias("masked_default"),
+        F.mask(
+            token,
+            upperChar=F.lit(None),
+            lowerChar=F.lit(None),
+            digitChar=F.lit("#"),
+        ).alias("masked_digits_only"),
+    )
+
+
+@query(
+    "delta_stats_skipping_scan",
+    oracle="""
+    SELECT l_orderkey, l_extendedprice FROM lineitem
+    WHERE l_orderkey BETWEEN 5000 AND 6000
+    """,
+)
+def delta_stats_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping as a query: the lineitem slice lands in a Delta
+    table, OPTIMIZE ZORDER BY clusters it on the key so every file's
+    add.stats min/max are tight, and the range read consults ONLY the
+    log (pruned_files) to decide which files to open — most files are
+    skipped without touching parquet, then the residual filter runs on
+    the survivors. Correctness is scan-set-independent (skipping is
+    sound: files without stats are kept), which the plain-filter
+    oracle enforces; the skipping RATIO is asserted in
+    tests/test_stats_skipping.py."""
+    import tempfile
+
+    from guidewire_spark.sources.snapshot import load_snapshot, read_files_with_schema
+    from guidewire_spark.sources.writer import optimize_table, write_delta
+
+    table = tempfile.mkdtemp(prefix="gw_skip_") + "/li"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    write_delta(li, table, mode="append")
+    optimize_table(spark, table, target_files=16, zorder_by=["l_orderkey"])
+    snap = load_snapshot(table)
+    files = snap.pruned_files("l_orderkey", 5000, 6000)
+    assert len(files) < len(snap.files), "skipping must prune files"
+    return read_files_with_schema(spark, snap.schema, files).where(
+        F.col("l_orderkey").between(5000, 6000)
+    )
