@@ -66,6 +66,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.survival_ext",
     "guidewire_spark.operators.session_ext",
     "guidewire_spark.operators.growth_ext",
+    "guidewire_spark.operators.forecast_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
@@ -156,8 +157,9 @@ def query(name: str, oracle: str | None = None):
 # func_mask_family, delta_stats_skipping_scan,
 # ts_session_duration_stats, text_bigram_pmi, delta_cdf_net_changes,
 # ts_cumulative_distinct_users, ts_new_vs_returning, ts_rolling_wau,
-# agg_dau_mau_stickiness), plus r1-head re-checks (scan_filter_project
-# .. parquet_sink_roundtrip) as slots allow.
+# agg_dau_mau_stickiness, ts_snaive_backtest, text_readability_fk,
+# anon_l_diversity), plus r1-head re-checks (scan_filter_project ..
+# parquet_sink_roundtrip) as slots allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
     "agg_approx_percentile",
