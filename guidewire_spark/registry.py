@@ -68,6 +68,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.growth_ext",
     "guidewire_spark.operators.forecast_ext",
     "guidewire_spark.operators.experiment_ext",
+    "guidewire_spark.operators.acf_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
@@ -160,9 +161,10 @@ def query(name: str, oracle: str | None = None):
 # ts_cumulative_distinct_users, ts_new_vs_returning, ts_rolling_wau,
 # agg_dau_mau_stickiness, ts_snaive_backtest, text_readability_fk,
 # anon_l_diversity, agg_ab_cuped_adjustment,
-# func_array_sort_comparator, delta_generated_partition_prune), plus
-# r1-head re-checks (scan_filter_project .. parquet_sink_roundtrip)
-# as slots allow.
+# func_array_sort_comparator, delta_generated_partition_prune,
+# ts_autocorrelation_function, vocab_oov_rate), plus r1-head
+# re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
+# allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
     "agg_approx_percentile",
