@@ -70,6 +70,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.experiment_ext",
     "guidewire_spark.operators.acf_ext",
     "guidewire_spark.operators.inference_ext",
+    "guidewire_spark.operators.signal_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
