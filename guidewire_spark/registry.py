@@ -71,6 +71,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.acf_ext",
     "guidewire_spark.operators.inference_ext",
     "guidewire_spark.operators.signal_ext",
+    "guidewire_spark.operators.graph_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
