@@ -1,11 +1,12 @@
 """Round-4 tail coverage: schema-flexible union-by-name, sentence-level
-boilerplate detection (the C4/RefinedWeb repeated-line rule), and a
-multi-k k-means inertia sweep (the elbow diagnostic).
+boilerplate detection (the C4/RefinedWeb repeated-line rule), a
+multi-k k-means inertia sweep (the elbow diagnostic), and
+Hilbert-curve OPTIMIZE clustering.
 """
 
 from __future__ import annotations
 
-from functools import reduce
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -252,3 +253,42 @@ def embedding_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cosine_inertia"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve OPTIMIZE clustering
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "delta_optimize_hilbert",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    """,
+)
+def delta_optimize_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE with Hilbert-curve clustering on (o_orderkey,
+    o_custkey): rows identical after the rewrite (dataChange=false
+    semantics), and each compacted file covers a contiguous run of
+    the Hilbert curve — tighter per-file min/max boxes on BOTH
+    columns than Morton Z-order, because consecutive Hilbert cells
+    are always edge-adjacent (no diagonal jumps).  This is the curve
+    Delta's liquid clustering uses; the skipping win over the
+    fragmented layout is asserted in
+    tests/test_coverage_ext.py::test_hilbert_optimize_prunes_both_dims.
+    Parity: the reference compacts via OPTIMIZE on its emitted tables
+    (README.md:50-51); clustering choice is the engine's."""
+    from guidewire_spark.sources.snapshot import read_delta
+    from guidewire_spark.sources.writer import optimize_table, write_delta
+
+    table = tempfile.mkdtemp(prefix="gw_dhil_") + "/orders_delta"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice")
+    )
+    for i in range(4):
+        write_delta(o.where(F.col("o_orderkey") % 4 == i), table, mode="append")
+    optimize_table(
+        spark, table, target_files=16, hilbert_by=["o_orderkey", "o_custkey"]
+    )
+    return read_delta(spark, table)

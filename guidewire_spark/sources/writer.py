@@ -633,6 +633,7 @@ def optimize_table(
     target_files: int = 1,
     zorder_by: list[str] | None = None,
     min_file_size: int | None = None,
+    hilbert_by: list[str] | None = None,
 ) -> int:
     """Compact the current snapshot into ``target_files`` files.
 
@@ -647,7 +648,14 @@ def optimize_table(
     hyper-rectangle and ``add.stats`` min/max are tight on EVERY
     clustered column — range predicates on any of them skip most
     files, the effect OPTIMIZE ZORDER BY has in Delta.
+
+    ``hilbert_by`` (exactly 2 columns) clusters on the Hilbert curve
+    instead (``sources/hilbert.py``): strictly better locality than
+    Morton — no diagonal jumps — which is the curve Delta's liquid
+    clustering uses; mutually exclusive with ``zorder_by``.
     """
+    if zorder_by and hilbert_by:
+        raise ValueError("zorder_by and hilbert_by are mutually exclusive")
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to optimize at {table_path}")
@@ -657,7 +665,7 @@ def optimize_table(
     # touches just the new small-file tail, not the whole history.
     # zorder recluster needs every row, so it always takes all files.
     victims = snap.files
-    if min_file_size is not None and not zorder_by:
+    if min_file_size is not None and not zorder_by and not hilbert_by:
         victims = [
             p for p in snap.files if snap.file_sizes.get(p, 0) < min_file_size
         ]
@@ -669,6 +677,10 @@ def optimize_table(
         from guidewire_spark.sources.zorder import cluster_by_zorder
 
         df = cluster_by_zorder(df, zorder_by, target_files)
+    elif hilbert_by:
+        from guidewire_spark.sources.hilbert import cluster_by_hilbert
+
+        df = cluster_by_hilbert(df, hilbert_by, target_files)
     elif pcols:
         # one write task per partition value → target_files files per
         # partition, compacted in parallel across partitions

@@ -82,3 +82,88 @@ def test_kmeans_assignment_matches_numpy_one_step(spark, sf_dir):
             if r["k"] == k
         ][0]
         assert abs(row["cosine_inertia"] - inertia) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Hilbert clustering
+# ---------------------------------------------------------------------------
+
+
+def test_hilbert_python_twin_is_a_true_hilbert_curve():
+    from guidewire_spark.sources.hilbert import hilbert_index_py
+
+    bits, n = 4, 16
+    cells = {
+        hilbert_index_py(x, y, bits): (x, y)
+        for x in range(n)
+        for y in range(n)
+    }
+    assert len(cells) == n * n  # bijection onto 0..255
+    for d in range(n * n - 1):
+        (x0, y0), (x1, y1) = cells[d], cells[d + 1]
+        assert abs(x1 - x0) + abs(y1 - y0) == 1  # always edge-adjacent
+
+
+def test_hilbert_spark_expression_matches_python_twin(spark):
+    from guidewire_spark.sources.hilbert import (
+        hilbert_index,
+        hilbert_index_py,
+    )
+    import pyspark.sql.functions as SF
+
+    n = 16
+    grid = spark.range(n * n).select(
+        (SF.col("id") % n).alias("x"), (SF.col("id") / n).cast("long").alias("y")
+    )
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in grid.select(
+            "x", "y", hilbert_index(SF.col("x"), SF.col("y"), 4).alias("d")
+        ).collect()
+    }
+    for (x, y), d in got.items():
+        assert d == hilbert_index_py(int(x), int(y), 4)
+
+
+def test_hilbert_optimize_prunes_both_dims(spark, sf_dir, tmp_path):
+    """After Hilbert clustering, a narrow range on EITHER column
+    prunes well below the full file count — and the total min/max box
+    area across files (the skipping surface) is no worse than the
+    fragmented layout by a wide margin."""
+    from guidewire_spark.sources.snapshot import load_snapshot, read_delta
+    from guidewire_spark.sources.writer import optimize_table, write_delta
+    import pyspark.sql.functions as SF
+
+    table = str(tmp_path / "hil")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    for i in range(4):
+        write_delta(o.where(SF.col("o_orderkey") % 4 == i), table, mode="append")
+    optimize_table(
+        spark, table, target_files=16, hilbert_by=["o_orderkey", "o_custkey"]
+    )
+    snap = load_snapshot(table)
+    assert snap.num_files == 16
+    assert read_delta(spark, table).count() == o.count()
+
+    stats = o.agg(
+        SF.min("o_orderkey"), SF.max("o_orderkey"),
+        SF.min("o_custkey"), SF.max("o_custkey"),
+    ).collect()[0]
+    k_lo, k_hi = stats[0], stats[0] + (stats[1] - stats[0]) // 16
+    c_lo, c_hi = stats[2], stats[2] + (stats[3] - stats[2]) // 16
+    kept_key = snap.pruned_files("o_orderkey", k_lo, k_hi)
+    kept_cust = snap.pruned_files("o_custkey", c_lo, c_hi)
+    assert len(kept_key) <= 8, f"key-range kept {len(kept_key)}/16"
+    assert len(kept_cust) <= 8, f"cust-range kept {len(kept_cust)}/16"
+
+
+def test_optimize_rejects_zorder_and_hilbert_together(spark, sf_dir, tmp_path):
+    from guidewire_spark.sources.writer import optimize_table, write_delta
+    import pytest as _pytest
+
+    table = str(tmp_path / "conflict")
+    write_delta(load_table(spark, sf_dir, "region"), table, mode="append")
+    with _pytest.raises(ValueError):
+        optimize_table(
+            spark, table, zorder_by=["r_regionkey"], hilbert_by=["a", "b"]
+        )
