@@ -73,6 +73,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.signal_ext",
     "guidewire_spark.operators.graph_ext",
     "guidewire_spark.operators.coverage_ext",
+    "guidewire_spark.operators.evaluation_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]

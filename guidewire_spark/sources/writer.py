@@ -1099,6 +1099,77 @@ def shallow_clone(
     return 0
 
 
+def deep_clone(
+    spark: SparkSession,
+    src_table: str,
+    dst_table: str,
+    version: int | None = None,
+) -> int:
+    """DEEP CLONE: an independent physical copy of the source snapshot.
+
+    Data files are copied (parquet bytes, never decoded) into the
+    clone's directory and a fresh version-0 log written with the
+    source's schema, per-file stats, and partition values — so unlike
+    :func:`shallow_clone`, whose add paths point into the source,
+    VACUUM or destructive rewrites on the source can never break the
+    clone.  The per-file loop is metadata-scale (the file list, same
+    envelope as the other writer ops); the byte copy itself is the
+    only data-proportional cost and at 100 TB runs as a distributed
+    object-store server-side copy, not through compute.
+    """
+    snap = load_snapshot(src_table, version=version)
+    if os.path.isdir(os.path.join(dst_table, "_delta_log")):
+        raise FileExistsError(f"destination {dst_table} is already a table")
+    os.makedirs(dst_table, exist_ok=True)
+    now = int(time.time() * 1000)
+    actions: list[dict] = [protocol_action()]
+    if snap.schema is not None:
+        actions.append(
+            metadata_action(
+                snap.schema,
+                partition_columns=snap.partition_columns or None,
+                created_time=now,
+                configuration=table_configuration(src_table),
+            )
+        )
+    src_root = os.path.abspath(src_table)
+    for p in snap.files:
+        src_path = p if os.path.isabs(p) else os.path.join(src_table, p)
+        inside = os.path.abspath(src_path).startswith(src_root + os.sep)
+        if inside:
+            # preserve the source's commit-dir / hive-partition layout
+            rel = os.path.relpath(os.path.abspath(src_path), src_root)
+        else:
+            # external (e.g. shallow-cloned) file: flatten; the log's
+            # partitionValues carry the partition columns, not the path
+            rel = f"clone-{uuid.uuid4().hex}-{os.path.basename(p)}"
+        dst_path = os.path.join(dst_table, rel)
+        os.makedirs(os.path.dirname(dst_path), exist_ok=True)
+        shutil.copy2(src_path, dst_path)
+        actions.append(
+            add_action(
+                os.path.abspath(dst_path),  # log convention: absolute
+                snap.file_sizes.get(p, os.path.getsize(dst_path)),
+                now,
+                stats=snap.file_stats.get(p),
+                partition_values=snap.file_partitions.get(p),
+            )
+        )
+    actions.append(
+        commit_info_action(
+            "CLONE",
+            f"deep from {src_table}"
+            + (f"@v{version}" if version is not None else ""),
+            False,
+            len(snap.files),
+            sum(snap.file_sizes.get(p, 0) for p in snap.files),
+            now,
+        )
+    )
+    write_commit(dst_table, 0, actions)
+    return 0
+
+
 def restore_table(table_path: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF ``version``: a new commit
     whose net effect is the old snapshot's file set + schema (history
