@@ -167,9 +167,19 @@ def query(name: str, oracle: str | None = None):
 # agg_dau_mau_stickiness, ts_snaive_backtest, text_readability_fk,
 # anon_l_diversity, agg_ab_cuped_adjustment,
 # func_array_sort_comparator, delta_generated_partition_prune,
-# ts_autocorrelation_function, vocab_oov_rate), plus r1-head
-# re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
-# allow.
+# ts_autocorrelation_function, vocab_oov_rate), the late round-4
+# batches: inference_ext (agg_spearman_rank_corr, agg_cramers_v,
+# agg_cohens_d_effect_size, agg_js_divergence, agg_trimmed_winsorized,
+# agg_theil_sen_slope, agg_bayesian_ab_beta), signal_ext
+# (ts_holt_linear_smoothing, ts_cross_correlation, ts_hampel_outliers,
+# ts_seasonal_strength), graph_ext (graph_degree_distribution,
+# graph_kcore_peel, graph_bipartite_projection,
+# graph_degree_assortativity), coverage_ext (union_by_name_missing,
+# text_sentence_boilerplate, embedding_kmeans_elbow,
+# delta_optimize_hilbert), evaluation_ext (agg_tukey_fences,
+# agg_lift_gains_table, agg_expected_calibration_error,
+# delta_deep_clone), plus r1-head re-checks
+# (scan_filter_project .. parquet_sink_roundtrip) as slots allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
     "agg_approx_percentile",
