@@ -74,6 +74,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.graph_ext",
     "guidewire_spark.operators.coverage_ext",
     "guidewire_spark.operators.evaluation_ext",
+    "guidewire_spark.operators.fitting_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
