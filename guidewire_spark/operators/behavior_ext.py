@@ -1,0 +1,332 @@
+"""Behavioral and quality operators: streaming windowed top-k (batch
+twin), the Gopher quality-rule filter, last-touch attribution, and the
+embedding pairwise-distance histogram.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from guidewire_spark.functions import text as T
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.registry import query
+
+
+def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
+    """Engine-stable rounding: DECIMAL bridge then round, as double."""
+    return F.round(col.cast(prec), dp).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_windowed_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL 15 MINUTE, ts)) AS BIGINT)
+               AS win_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT win_start, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY win_start
+                                ORDER BY n DESC, event_type ASC) AS rnk
+      FROM counts
+    )
+    SELECT win_start, event_type, CAST(n AS BIGINT) AS n,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per 15-minute tumbling window — the windowed
+    leaderboard.  Ranking over a windowed aggregate is not expressible
+    inside one streaming query (no window functions after a streaming
+    agg), so the streaming form is the two-stage pattern: the
+    watermarked windowed COUNT runs as the streaming query, and the
+    per-window rank is applied in ``foreachBatch`` / on the sink read
+    (tests/test_behavior_ext.py runs the real stream and checks
+    equivalence with this batch twin).  Shuffle keys are (window,
+    type) — bounded cardinality; the rank window runs on the
+    aggregate, never the raw stream."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(F.window("ts", "15 minutes"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("win_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n",
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "win_start",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_gopher_rules",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws,
+             length(text) - length(replace(text, '#', '')) AS n_hash
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, len(ws) AS n_words, n_hash,
+             COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS swl,
+             len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+               AS n_alpha,
+             len(list_filter(list_transform(ws, w -> lower(w)),
+                 w -> list_contains(['the','and','of','to','a'], w)))
+               AS n_stop
+      FROM scored
+    ),
+    flags AS (
+      SELECT doc_id, n_words,
+             (n_words BETWEEN 50 AND 100000) AS ok_length,
+             (CASE WHEN n_words = 0 THEN FALSE
+                   ELSE CAST(swl AS DOUBLE) / n_words BETWEEN 3 AND 10 END)
+               AS ok_word_len,
+             (CASE WHEN n_words = 0 THEN FALSE
+                   ELSE CAST(n_hash AS DOUBLE) / n_words <= 0.1 END)
+               AS ok_symbols,
+             (CASE WHEN n_words = 0 THEN FALSE
+                   ELSE CAST(n_alpha AS DOUBLE) / n_words >= 0.8 END)
+               AS ok_alpha,
+             (n_stop >= 2) AS ok_stopwords
+      FROM counts
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           ok_length, ok_word_len, ok_symbols, ok_alpha, ok_stopwords,
+           (ok_length AND ok_word_len AND ok_symbols AND ok_alpha
+            AND ok_stopwords) AS keep
+    FROM flags
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021, table A1) as
+    per-document boolean flags plus the conjunctive keep decision —
+    the industry-standard pre-training filter that
+    quality_filter_pipeline approximates with a composite score;
+    here each rule is separately auditable so the filter's kill
+    reasons can be tallied: word count in [50, 100000], mean word
+    length in [3, 10], symbol-to-word ratio (# marks) ≤ 0.1,
+    ≥ 80% of words contain an alphabetic character, and ≥ 2 English
+    stopwords.  All rules are row-local JVM expressions over one
+    whitespace tokenization — single scan, zero shuffle, fully
+    pushdown-friendly."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = T.words(F.col("text"))
+    n_words = F.size(ws)
+    sum_word_len = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = sum_word_len.cast("double") / n_words
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    alpha_frac = (
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n_words
+    )
+    stop_hits = T.stopword_hits(F.transform(ws, F.lower), "en")
+    empty = n_words == 0
+    flags = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_words.between(50, 100000).alias("ok_length"),
+        F.when(empty, F.lit(False))
+        .otherwise((mean_wl >= 3) & (mean_wl <= 10))
+        .alias("ok_word_len"),
+        F.when(empty, F.lit(False))
+        .otherwise(n_hash.cast("double") / n_words <= 0.1)
+        .alias("ok_symbols"),
+        F.when(empty, F.lit(False))
+        .otherwise(alpha_frac >= 0.8)
+        .alias("ok_alpha"),
+        (stop_hits >= 2).alias("ok_stopwords"),
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("ok_length")
+        & F.col("ok_word_len")
+        & F.col("ok_symbols")
+        & F.col("ok_alpha")
+        & F.col("ok_stopwords"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE user_id % 10 = 0
+    ),
+    touched AS (
+      SELECT event_id, user_id, event_type, us,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN us END IGNORE NULLS) OVER w AS touch_us
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, touch_type,
+           CAST((us - touch_us) // 1000000 AS BIGINT) AS secs_since_touch
+    FROM touched
+    WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent NON-purchase interaction by the same user within the
+    preceding 24 hours — the marketing-analytics join that is really
+    a conditional carry-forward: ``last_value(... IGNORE NULLS)``
+    over a trailing epoch-microsecond RANGE frame (the
+    window_ignore_nulls_carry primitive pointed at the
+    ts_velocity_features frame — NOT an O(n·m) self-join).  One
+    shuffle by user; purchases with no touch in the window are
+    dropped (unattributable direct conversions)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 10 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    touched = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "us",
+        F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(not_purchase, F.col("us")), ignorenulls=True)
+        .over(w)
+        .alias("touch_us"),
+    )
+    return touched.where(
+        (F.col("event_type") == "purchase") & F.col("touch_type").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "touch_type",
+        F.expr("(us - touch_us) div 1000000").alias("secs_since_touch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding pairwise-distance histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_pairwise_histogram",
+    oracle="""
+    WITH vq AS (
+      SELECT vec_id, i AS p,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT)
+               AS q
+      FROM embeddings, UNNEST(range(1, 65)) t(i)
+      WHERE vec_id < 100
+    ),
+    vn AS (SELECT vec_id, SUM(q * q) AS nrm FROM vq GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.q * b.q) AS d
+      FROM vq a JOIN vq b ON a.p = b.p AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    cos AS (
+      SELECT CAST(d AS DOUBLE)
+               / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS c
+      FROM dots JOIN vn na ON na.vec_id = va JOIN vn nb ON nb.vec_id = vb
+    )
+    SELECT CAST(GREATEST(LEAST(CAST(FLOOR(c * 10) AS BIGINT), 9), -10)
+                AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM cos GROUP BY 1
+    """,
+)
+def embedding_pairwise_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine-similarity histogram over a bounded sample of
+    embeddings (vec_id < 100, 4,950 pairs) — the embedding-collapse
+    diagnostic: a healthy space puts mass near 0; mass piling up by
+    1.0 means the encoder collapsed (every similarity search returns
+    everything) and near-dup thresholds must be recalibrated.  The
+    all-pairs product is DELIBERATELY sample-bounded (the same
+    containment contract as dedup_connected_components' doc_id < 100
+    graph); the full-corpus version of this question is answered by
+    the LSH bucket statistics.  Dot products and norms are exact
+    int64 from quantized components; only the final cosine and its
+    decile bucket are doubles, floored identically in both engines."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    vq = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 10000, 0).cast("long"),
+            )
+        ).alias("p", "q"),
+    )
+    vn = vq.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("nrm"))
+    a, b = vq.alias("a"), vq.alias("b")
+    dots = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .groupBy(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("d"))
+    )
+    cos = (
+        dots.join(F.broadcast(vn.withColumnRenamed("vec_id", "va").withColumnRenamed("nrm", "na")), "va")
+        .join(F.broadcast(vn.withColumnRenamed("vec_id", "vb").withColumnRenamed("nrm", "nb")), "vb")
+        .select(
+            (
+                F.col("d").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("c")
+        )
+    )
+    bucket = F.greatest(
+        F.least(F.floor(F.col("c") * 10).cast("long"), F.lit(9).cast("long")),
+        F.lit(-10).cast("long"),
+    )
+    return cos.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )

@@ -75,6 +75,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.coverage_ext",
     "guidewire_spark.operators.evaluation_ext",
     "guidewire_spark.operators.fitting_ext",
+    "guidewire_spark.operators.behavior_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
