@@ -76,6 +76,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.evaluation_ext",
     "guidewire_spark.operators.fitting_ext",
     "guidewire_spark.operators.behavior_ext",
+    "guidewire_spark.operators.parity_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
