@@ -1,0 +1,239 @@
+"""Stateful-stream sampling (batch twin), ratio-metric inference, and
+interval merging.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.registry import query
+
+
+def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
+    """Engine-stable rounding: DECIMAL bridge then round, as double."""
+    return F.round(col.cast(prec), dp).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Earliest-k buffer (batch twin)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_buffered_earliest_k",
+    oracle="""
+    WITH keyed AS (
+      SELECT user_id, epoch_us(ts) // 21600000000 AS bucket,
+             epoch_us(ts) AS ts_us, event_id
+      FROM events WHERE user_id % 20 = 0
+    ),
+    ranked AS (
+      SELECT user_id, bucket, ts_us, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts_us, event_id) AS rn
+      FROM keyed
+    )
+    SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(ts_us AS BIGINT) AS ts_us, event_id
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def stream_buffered_earliest_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-3 events per (user, 6-hour bucket) — the batch twin of
+    ``streaming.jobs.buffered_earliest_k``, the custom
+    applyInPandasWithState operator whose per-key sorted buffer makes
+    the FINAL answer independent of arrival order (a first-k-SEEN
+    throttle is not replayable; earliest-k by event time is).  The
+    batch form is one rank window per (user, bucket); the streaming
+    form converges to exactly this set once the source drains
+    (asserted against a real stream run in
+    tests/test_streamstate_ext.py).  Use case: deterministic
+    per-entity sampling of a firehose down to a bounded per-window
+    quota before an expensive enrichment stage."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 20 == 0)
+    keyed = e.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 21600000000").alias("bucket"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "bucket").orderBy("ts_us", "event_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "user_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("ts_us").cast("long").alias("ts_us"),
+            "event_id",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-metric delta method
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_ratio_metric_delta",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS x,
+             COUNT(*) AS y
+      FROM events GROUP BY user_id
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(ROUND(CAST(CAST(sx AS DOUBLE) / sy / 1000.0
+                AS DECIMAL(24,10)), 6) AS DOUBLE) AS ratio,
+           CAST(ROUND(CAST(
+             sqrt(GREATEST(
+               ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+                - 2 * (CAST(sx AS DOUBLE) / sy)
+                    * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                       / (n - 1))
+                + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+                    * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                       / (n - 1)))
+               / n / ((CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)),
+               0)) / 1000.0
+           AS DECIMAL(24,10)), 6) AS DOUBLE) AS se
+    FROM sums
+    """,
+)
+def agg_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard error of a RATIO metric (value per event = Σx/Σy over
+    per-user totals) by the delta method:
+    var(R) ≈ [var(x) − 2R·cov(x,y) + R²·var(y)] / (n·ȳ²) — the
+    correction every experimentation platform needs because ratio
+    metrics violate the i.i.d.-row assumption (the unit is the USER,
+    not the event; naive per-event variance is anti-conservative
+    when per-user event counts vary).  Per-user totals reduce to
+    exact int64 in one pass; the five cross-moments reduce in a
+    second (user-cardinality) pass; the delta-method combination is
+    scalar arithmetic on exact integers."""
+    e = load_table(spark, sf_dir, "events")
+    milli = F.round(F.col("value") * 1000, 0).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(milli).alias("x"), F.count("*").alias("y")
+    )
+    sums = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    ratio = sx / F.col("sy")
+    var_x = (sxx - sx * F.col("sx") / n) / (n - 1)
+    var_y = (syy - sy * F.col("sy") / n) / (n - 1)
+    cov_xy = (sxy - sx * F.col("sy") / n) / (n - 1)
+    ybar = sy / n
+    var_r = (
+        (var_x - 2 * ratio * cov_xy + ratio * ratio * var_y)
+        / n
+        / (ybar * ybar)
+    )
+    return sums.select(
+        n.cast("long").alias("n_users"),
+        _r(ratio / F.lit(1000.0), 6).alias("ratio"),
+        _r(F.sqrt(F.greatest(var_r, F.lit(0.0))) / F.lit(1000.0), 6).alias(
+            "se"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval merge
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_intervals_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(ROUND(value, 0) AS BIGINT) * 1000000 AS e
+      FROM events WHERE user_id % 20 = 0
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_merged,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def ts_intervals_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals into maximal disjoint spans per
+    user (each event opens a [ts, ts + value-seconds] activity
+    interval): the interval form of gaps-and-islands — a new island
+    starts exactly when an interval's START clears the RUNNING MAX of
+    all earlier ENDS (max, not lag: an earlier long interval can
+    swallow several short ones, which plain lag(e) misses).  Output:
+    merged-span count and total covered microseconds per user —
+    dedup'd uptime/activity accounting.  ONE shuffle by user; both
+    windows and the final rollup share it; all epoch arithmetic
+    exact int64."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 20 == 0)
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value"), 0).cast("long") * 1_000_000
+        ).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_cum))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_merged"),
+        F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
+    )

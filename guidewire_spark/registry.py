@@ -79,6 +79,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.parity_ext",
     "guidewire_spark.operators.denoise_ext",
     "guidewire_spark.operators.pyds_ext",
+    "guidewire_spark.operators.streamstate_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]

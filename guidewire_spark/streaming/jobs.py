@@ -918,3 +918,63 @@ def stream_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
             & (F.coalesce(F.col("view_id"), F.lit(0)) >= 0)
         )  # drop sentinel rows post-stream (see docstring)
     )
+
+
+def buffered_earliest_k(stream: DataFrame, k: int = 3) -> DataFrame:
+    """Stateful earliest-k buffer via ``applyInPandasWithState``: per
+    (user, 6-hour bucket), keep only the k EARLIEST events by
+    (epoch-µs, event_id) — the deterministic stream sampler whose
+    final answer is arrival-order-INDEPENDENT (late or reordered
+    batches merge into the sorted buffer and fall out again if they
+    are not among the k earliest), unlike first-k-seen throttles.
+
+    State per key is the k-row buffer (bounded regardless of stream
+    length); every update re-emits the current buffer with a
+    per-key ``update_seq`` so a sink reader can select each key's
+    LATEST snapshot — which, once the source is drained, equals the
+    batch twin ``stream_buffered_earliest_k`` exactly (asserted in
+    tests/test_streamstate_ext.py).  NoTimeout for the same
+    processAllAvailable-harness reason as running_user_totals.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            seq, pairs = state.get
+            buf = list(zip(*[iter(pairs)] * 2)) if pairs else []
+        else:
+            seq, buf = 0, []
+        for pdf in pdfs:
+            us = (pdf["ts"].astype("int64") // 1000).tolist()
+            buf.extend(zip(us, pdf["event_id"].tolist()))
+        buf = sorted(buf)[:k]
+        seq += 1
+        state.update((seq, [x for pair in buf for x in pair]))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(buf),
+                "bucket": [key[1]] * len(buf),
+                "ts_us": [p[0] for p in buf],
+                "event_id": [p[1] for p in buf],
+                "update_seq": [seq] * len(buf),
+            }
+        )
+
+    keyed = stream.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 21600000000").alias("bucket"),
+        "ts",
+        "event_id",
+    )
+    return keyed.groupBy("user_id", "bucket").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, bucket long, ts_us long, event_id long, "
+            "update_seq long"
+        ),
+        stateStructType="seq long, pairs array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

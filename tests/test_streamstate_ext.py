@@ -1,0 +1,93 @@
+"""Quality gates for the streamstate_ext operators: a REAL
+applyInPandasWithState stream run converging to the batch twin,
+a numpy referee for the delta method, and interval-merge invariants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from guidewire_spark.operators.streamstate_ext import (
+    agg_ratio_metric_delta,
+    stream_buffered_earliest_k,
+    ts_intervals_merge,
+)
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.streaming import jobs
+
+
+def test_buffered_earliest_k_stream_converges_to_batch(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    batch = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") % 20 == 0
+    )
+    # several small files → several micro-batches → state merging is
+    # actually exercised (not a single-batch pass-through)
+    batch.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = jobs.events_stream(spark, src).where(F.col("user_id") % 20 == 0)
+    result = jobs.buffered_earliest_k(stream, k=3)
+    jobs.run_to_memory(result, "earliest_k_t", str(tmp_path / "ckpt"), mode="update")
+
+    sink = spark.table("earliest_k_t")
+    w = Window.partitionBy("user_id", "bucket")
+    final = (
+        sink.withColumn("max_seq", F.max("update_seq").over(w))
+        .where(F.col("update_seq") == F.col("max_seq"))
+        .select("user_id", "bucket", "ts_us", "event_id")
+    )
+    got = {tuple(r) for r in final.collect()}
+    expected = {
+        tuple(r)
+        for r in stream_buffered_earliest_k(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_ratio_delta_matches_numpy(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").toPandas()
+    milli = (e.value * 1000).round().astype("int64")
+    per_user = pd.DataFrame({"u": e.user_id, "x": milli}).groupby("u").agg(
+        x=("x", "sum"), y=("x", "size")
+    )
+    x, y = per_user.x.to_numpy(float), per_user.y.to_numpy(float)
+    n = len(per_user)
+    r = x.sum() / y.sum()
+    var_r = (
+        (x.var(ddof=1) - 2 * r * np.cov(x, y, ddof=1)[0, 1]
+         + r * r * y.var(ddof=1))
+        / n
+        / (y.mean() ** 2)
+    )
+    row = agg_ratio_metric_delta(spark, sf_dir).collect()[0]
+    assert row["n_users"] == n
+    assert abs(row["ratio"] - r / 1000) < 1e-5
+    assert abs(row["se"] - np.sqrt(var_r) / 1000) < 1e-5
+
+
+def test_intervals_merge_invariants(spark, sf_dir):
+    out = {r["user_id"]: r for r in ts_intervals_merge(spark, sf_dir).collect()}
+    pdf = load_table(spark, sf_dir, "events").toPandas()
+    pdf = pdf[pdf.user_id % 20 == 0].copy()
+    pdf["s"] = pdf.ts.astype("int64") // 1000
+    pdf["e"] = pdf.s + (pdf.value.round().astype("int64")) * 1_000_000
+    for uid, grp in pdf.groupby("user_id"):
+        ivs = sorted(zip(grp.s, grp.e))
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        r = out[uid]
+        assert r["n_merged"] == len(merged)
+        assert r["covered_us"] == sum(e - s for s, e in merged)
+        # merged spans can never exceed the raw interval count or
+        # cover less than the longest single interval
+        assert r["n_merged"] <= len(ivs)
+        assert r["covered_us"] >= max(e - s for s, e in ivs)
