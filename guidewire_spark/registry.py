@@ -186,7 +186,20 @@ def query(name: str, oracle: str | None = None):
 # text_sentence_boilerplate, embedding_kmeans_elbow,
 # delta_optimize_hilbert), evaluation_ext (agg_tukey_fences,
 # agg_lift_gains_table, agg_expected_calibration_error,
-# delta_deep_clone), plus r1-head re-checks
+# delta_deep_clone), fitting_ext (agg_ols_normal_equations,
+# tokenizer_char_coverage, multimodal_tile_plan, delta_wap_publish,
+# sql_window_interval_frame), behavior_ext (stream_windowed_topk,
+# text_gopher_rules, attribution_last_touch,
+# embedding_pairwise_histogram), parity_ext (sql_identifier_clause,
+# join_existence_mark, ts_poisson_rate_test, agg_power_analysis_mde),
+# denoise_ext (contamination_embedding_cosine,
+# doc_span_corruption_plan, ts_holt_winters_seasonal), pyds_ext
+# (pyds_partitioned_source, ts_peak_detection, agg_two_proportion_z),
+# streamstate_ext (stream_buffered_earliest_k, agg_ratio_metric_delta,
+# ts_intervals_merge), audit2_ext (text_unicode_script_profile,
+# skyline_pareto_frontier, dq_freshness_lag), mleval_ext
+# (window_exponential_decay_score, agg_auc_roc, agg_log_loss,
+# embedding_centroid_separation), plus r1-head re-checks
 # (scan_filter_project .. parquet_sink_roundtrip) as slots allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
