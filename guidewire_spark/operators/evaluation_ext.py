@@ -127,15 +127,47 @@ def agg_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     window_pareto_8020's single point.  NTILE semantics (equal
     buckets, remainder to the leading buckets) are identical in both
     engines given the fully deterministic (cents DESC, orderkey ASC)
-    order; revenue accumulates as exact int64 cents, and the two
-    cumulative windows run over the 10-row decile table."""
+    order.  Scale shape: the global rank is computed TWO-PHASE
+    (range-partition, partition-local row_number, partition-count
+    prefix offsets broadcast back — the skyline_pareto_frontier
+    pattern), and the NTILE bucket is derived from the rank by the
+    remainder-to-leading-buckets arithmetic — no single-partition
+    window over the data anywhere; revenue accumulates as exact
+    int64 cents, and the cumulative windows run over the 10-row
+    decile table."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    w = Window.orderBy(F.desc("cents"), F.asc("o_orderkey"))
-    ranked = o.select(cents.alias("cents"), "o_orderkey").withColumn(
-        "decile", F.ntile(10).over(w)
+    order_cols = [F.desc("cents"), F.asc("o_orderkey")]
+    parts = (
+        o.select(cents.alias("cents"), "o_orderkey")
+        .repartitionByRange(16, *order_cols)
+        .withColumn("pid", F.spark_partition_id())
     )
-    per = ranked.groupBy("decile").agg(
+    w_local = Window.partitionBy("pid").orderBy(*order_cols)
+    local = parts.withColumn("local_rn", F.row_number().over(w_local))
+    per_pid = local.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_prefix = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_pid.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_prefix), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n_total"),
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").withColumn(
+        "rnk", F.col("offset") + F.col("local_rn")
+    )
+    # NTILE(10) from the global rank: q = n div 10, r = n % 10; the
+    # first r buckets hold q+1 rows, the rest hold q
+    q = F.expr("n_total div 10")
+    r = F.col("n_total") % 10
+    big = r * (q + 1)
+    decile = F.when(
+        F.col("rnk") <= big, F.expr("(rnk - 1) div (n_total div 10 + 1) + 1")
+    ).otherwise(
+        r + F.expr("(rnk - (n_total % 10) * (n_total div 10 + 1) - 1) div (n_total div 10)") + 1
+    )
+    per = ranked.withColumn("decile", decile).groupBy("decile").agg(
         F.count("*").alias("n"), F.sum("cents").alias("revenue_cents")
     )
     wcum = Window.orderBy("decile").rowsBetween(

@@ -96,20 +96,22 @@ def window_exponential_decay_score(
 @query(
     "agg_auc_roc",
     oracle="""
-    WITH scored AS (
+    WITH vals AS (
       SELECT CAST(ROUND(value * 1000, 0) AS BIGINT) AS milli,
-             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-      FROM events
+             COUNT(*) AS c,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cp
+      FROM events GROUP BY 1
     ),
     ranked AS (
-      SELECT y,
-             2 * RANK() OVER (ORDER BY milli)
-               + COUNT(*) OVER (PARTITION BY milli) - 1 AS dr
-      FROM scored
+      SELECT cp, c,
+             COALESCE(SUM(c) OVER (ORDER BY milli
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM vals
     ),
     sums AS (
-      SELECT SUM(CASE WHEN y = 1 THEN dr ELSE 0 END) AS pos_rank2,
-             SUM(y) AS n_pos, COUNT(*) AS n
+      SELECT SUM(cp * (2 * cum_before + c + 1)) AS pos_rank2,
+             SUM(cp) AS n_pos, SUM(c) AS n
       FROM ranked
     )
     SELECT CAST(n_pos AS BIGINT) AS n_pos,
@@ -130,29 +132,33 @@ def agg_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_expected_calibration_error (a scorer can be perfectly
     calibrated yet rank no better than chance, and vice versa) and
     the normalized twin of agg_mann_whitney_u (AUC = U/(n₊n₋)).
-    Midranks stay integer by the ×2 doubling trick
-    (agg_spearman_rank_corr), so the distributed reduction is exact;
-    the one ordered pass collapses ties via the per-score count
-    window."""
+    The agg_ks_statistic scale discipline: the corpus reduces FIRST
+    to one row per distinct score with (count, positives), and the
+    inherently-global ordered pass runs over that distinct-value
+    aggregate, never raw rows — a tied group's doubled midrank sum
+    is cp·(2·cum_before + c + 1), so the whole positives' rank sum
+    is one exact int64 reduction."""
     e = load_table(spark, sf_dir, "events")
-    scored = e.select(
-        F.round(F.col("value") * 1000, 0).cast("long").alias("milli"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    vals = e.groupBy(
+        F.round(F.col("value") * 1000, 0).cast("long").alias("milli")
+    ).agg(
+        F.count("*").alias("c"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("cp"),
     )
-    w_rank = Window.orderBy("milli")
-    w_tie = Window.partitionBy("milli")
-    ranked = scored.select(
-        "y",
-        (2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1).alias(
-            "dr"
-        ),
+    w_cum = Window.orderBy("milli").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "cp",
+        "c",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("cum_before"),
     )
     sums = ranked.agg(
-        F.sum(F.when(F.col("y") == 1, F.col("dr")).otherwise(0)).alias(
-            "pos_rank2"
-        ),
-        F.sum("y").alias("n_pos"),
-        F.count("*").alias("n"),
+        F.sum(
+            F.col("cp") * (2 * F.col("cum_before") + F.col("c") + 1)
+        ).alias("pos_rank2"),
+        F.sum("cp").alias("n_pos"),
+        F.sum("c").alias("n"),
     )
     n_pos, n = F.col("n_pos"), F.col("n")
     auc = (

@@ -91,3 +91,16 @@ def test_deep_clone_preserves_partition_layout(spark, sf_dir, tmp_path):
     got = read_delta(spark, dst, partition_filter={"lang": "en"})
     ref = d.where("lang = 'en'")
     assert got.count() == ref.count()
+
+
+def test_lift_gains_rank_is_two_phase(spark, sf_dir):
+    # global rank via partition-local row_number + broadcast prefix
+    # offsets; NTILE derived arithmetically — no single-partition
+    # data-sized window, no ntile() in the plan
+    df = agg_lift_gains_table(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SPARK_PARTITION_ID()" in plan
+    assert "hashpartitioning(pid" in plan
+    assert "ntile" not in plan.lower()

@@ -75,3 +75,17 @@ def test_centroid_separation_matches_numpy(spark, sf_dir):
             np.linalg.norm(cents[a]) * np.linalg.norm(cents[b])
         )
         assert abs(cos - ref) < 1e-6
+
+
+def test_auc_ranks_over_distinct_value_aggregate(spark, sf_dir):
+    # the ordered pass must consume the per-distinct-score aggregate,
+    # never raw rows: the plan aggregates by milli BEFORE the window
+    from guidewire_spark.operators.mleval_ext import agg_auc_roc as q
+
+    df = q(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" in plan
+    # a single-key grouping (by the milli score) feeds the window
+    assert "Keys [1]: [_groupingexpression" in plan or "Keys [1]: [milli" in plan, plan
