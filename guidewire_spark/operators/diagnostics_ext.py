@@ -1,0 +1,268 @@
+"""Model-diagnostics tail: Ljung-Box whiteness test, tokenizer
+fertility, and the Markov stationary-distribution power step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from guidewire_spark.functions import text as T
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.registry import query
+
+
+def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
+    """Engine-stable rounding: DECIMAL bridge then round, as double."""
+    return F.round(col.cast(prec), dp).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box Q
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_ljung_box_q",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+      FROM events GROUP BY date_trunc('day', ts)
+    ),
+    lagged AS (
+      SELECT d.y AS y, l.lag AS lag,
+             LAG(d.y, l.lag) OVER (PARTITION BY l.lag ORDER BY d.day) AS yl
+      FROM daily d CROSS JOIN (SELECT CAST(range AS INT) AS lag
+                               FROM range(1, 8)) l
+    ),
+    pairs AS (SELECT lag, y, yl FROM lagged WHERE yl IS NOT NULL),
+    sums AS (
+      SELECT lag, COUNT(*) AS n, SUM(y) AS sy, SUM(yl) AS syl,
+             SUM(y * yl) AS syyl, SUM(y * y) AS syy, SUM(yl * yl) AS sylyl
+      FROM pairs GROUP BY lag
+    ),
+    nn AS (SELECT COUNT(*) AS n_days FROM daily),
+    terms AS (
+      SELECT CAST(ROUND(CAST(
+               (CAST(s.n * s.syyl - s.sy * s.syl AS DOUBLE)
+                * (s.n * s.syyl - s.sy * s.syl))
+               / (CAST(s.n * s.syy - s.sy * s.sy AS DOUBLE)
+                  * (s.n * s.sylyl - s.syl * s.syl))
+               / (nn.n_days - s.lag)
+             AS DECIMAL(20,12)), 10) AS DECIMAL(20,12)) AS term
+      FROM sums s CROSS JOIN nn
+      WHERE s.n * s.syy - s.sy * s.sy > 0
+        AND s.n * s.sylyl - s.syl * s.syl > 0
+    )
+    SELECT CAST(MAX(nn.n_days) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_lags,
+           CAST(ROUND(CAST(
+             MAX(nn.n_days) * (MAX(nn.n_days) + 2) * SUM(term)
+           AS DECIMAL(20,10)), 4) AS DOUBLE) AS lb_q
+    FROM terms CROSS JOIN nn
+    """,
+)
+def ts_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic over lags 1-7 of the daily
+    mean series: Q = n(n+2)·Σ r²ₖ/(n−k) — the whiteness test read
+    AFTER fitting (ts_holt_winters_seasonal residual diagnostics: a
+    large Q against χ²₇ says structure remains and the model
+    underfits; ts_autocorrelation_function SHOWS the correlogram,
+    this turns it into one test statistic).  r²ₖ comes from the same
+    exact int64 Pearson power sums as the ACF (here rₖ is the
+    per-lag sample correlation — the overlapping-pairs variant,
+    stated for parity with the ACF operator); per-lag terms are
+    decimal-rounded before the 7-term sum.  Calendar-bounded past
+    the daily aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+        ).alias("y")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    w = Window.partitionBy("lag").orderBy("day")
+    rows = daily.crossJoin(F.broadcast(lags)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    left = rows.select("lag", "rn", F.col("y").alias("y"))
+    right = rows.select(
+        "lag", (F.col("rn") + F.col("lag")).alias("rn"), F.col("y").alias("yl")
+    )
+    pairs = left.join(right, ["lag", "rn"])
+    sums = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("yl").alias("syl"),
+        F.sum(F.col("y") * F.col("yl")).alias("syyl"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("yl") * F.col("yl")).alias("sylyl"),
+    )
+    nn = daily.agg(F.count("*").alias("n_days"))
+    n, sy, syl = F.col("n"), F.col("sy"), F.col("syl")
+    syyl, syy, sylyl = F.col("syyl"), F.col("syy"), F.col("sylyl")
+    num = (n * syyl - sy * syl).cast("double")
+    var1 = (n * syy - sy * sy).cast("double")
+    var2 = (n * sylyl - syl * syl).cast("double")
+    term = F.round(
+        (
+            num * (n * syyl - sy * syl) / (var1 * var2)
+            / (F.col("n_days") - F.col("lag"))
+        ).cast("decimal(20,12)"),
+        10,
+    ).cast("decimal(20,12)")
+    filtered = (
+        sums.crossJoin(F.broadcast(nn))
+        .where(
+            ((n * syy - sy * sy) > 0) & ((n * sylyl - syl * syl) > 0)
+        )
+        .select(F.col("n_days"), term.alias("term"))
+    )
+    return filtered.agg(
+        F.max("n_days").cast("long").alias("n_days"),
+        F.count("*").cast("long").alias("n_lags"),
+        F.round(
+            (
+                F.max("n_days") * (F.max("n_days") + 2) * F.sum("term")
+            ).cast("decimal(20,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("lb_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vocab_subword_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                w -> w <> ''))) AS BIGINT) AS words,
+           CAST(SUM(len(regexp_extract_all(text,
+                '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))) AS BIGINT) AS bpe_tokens,
+           CAST(ROUND(CAST(
+             CAST(SUM(len(regexp_extract_all(text,
+                  '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))) AS DOUBLE)
+             / SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                  w -> w <> '')))
+           AS DECIMAL(24,10)), 6) AS DOUBLE) AS fertility
+    FROM documents GROUP BY lang
+    """,
+)
+def vocab_subword_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per
+    whitespace word — the metric that decides whether a tokenizer is
+    FAIR across languages (fertility 1.2 for English but 2.8 for
+    another language means that language pays 2.3× the context
+    budget per word; the input to mix_token_budget_allocation when
+    budgets are denominated in tokens but fairness in words).
+    Completes the vocab_* family: oov_rate measures coverage,
+    char_coverage the alphabet, fertility the segmentation cost.
+    Pure row-local JVM tokenization partial-aggregated to the lang
+    cardinality — one scan, one tiny shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    words = T.word_count(F.col("text"))
+    bpe = T.bpe_ish_token_count(F.col("text"))
+    g = d.groupBy("lang").agg(
+        F.sum(words).cast("long").alias("words"),
+        F.sum(bpe).cast("long").alias("bpe_tokens"),
+    )
+    return g.select(
+        "lang",
+        "words",
+        "bpe_tokens",
+        _r(F.col("bpe_tokens").cast("double") / F.col("words"), 6).alias(
+            "fertility"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary power step
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_markov_stationary_step",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type, event_type AS cur_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    p AS (
+      SELECT prev_type, cur_type,
+             (n * 1000000) // SUM(n) OVER (PARTITION BY prev_type) AS ppm
+      FROM cnt
+    ),
+    states AS (SELECT DISTINCT prev_type AS s FROM p),
+    k AS (SELECT COUNT(*) AS k FROM states),
+    v0 AS (SELECT s, 1000000 // (SELECT k FROM k) AS v FROM states),
+    v1 AS (
+      SELECT p.cur_type AS s, SUM(v0.v * p.ppm) // 1000000 AS v
+      FROM v0 JOIN p ON p.prev_type = v0.s GROUP BY p.cur_type
+    ),
+    v2 AS (
+      SELECT p.cur_type AS s, SUM(v1.v * p.ppm) // 1000000 AS v
+      FROM v1 JOIN p ON p.prev_type = v1.s GROUP BY p.cur_type
+    )
+    SELECT s AS state, CAST(v AS BIGINT) AS v2_ppm,
+           CAST(ROUND(CAST(CAST(v AS DOUBLE) / 1000000
+                AS DECIMAL(24,10)), 6) AS DOUBLE) AS prob
+    FROM v2
+    """,
+)
+def ts_markov_stationary_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power-iteration steps toward the Markov chain's stationary
+    distribution: start uniform, apply the ts_markov_transitions
+    matrix twice — the long-run behavior mix the one-step matrix
+    implies (where users SETTLE, vs where they go next), converging
+    geometrically in the spectral gap.  All arithmetic is exact
+    integer parts-per-million (probabilities floored at each step —
+    identical in both engines; the ≤ k·1e-6 mass lost per step is a
+    documented truncation, not float drift), and every join after
+    the lag pass runs on the state-cardinality matrix — the
+    graph_pagerank containment argument with a 5×5 graph."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy("prev_type", F.col("event_type").alias("cur_type")).agg(
+        F.count("*").alias("n")
+    )
+    p = cnt.select(
+        "prev_type",
+        "cur_type",
+        F.expr(
+            "(n * 1000000) div sum(n) OVER (PARTITION BY prev_type)"
+        ).alias("ppm"),
+    )
+    states = p.select(F.col("prev_type").alias("s")).distinct()
+    k = states.count()  # state-cardinality (bounded) driver value
+    v = states.select("s", F.lit(1_000_000 // k).cast("long").alias("v"))
+    for _ in range(2):
+        v = (
+            v.join(p, v.s == p.prev_type)
+            .groupBy(F.col("cur_type").alias("s"))
+            .agg(F.expr("sum(v * ppm) div 1000000").alias("v"))
+        )
+    return v.select(
+        F.col("s").alias("state"),
+        F.col("v").cast("long").alias("v2_ppm"),
+        _r(F.col("v").cast("double") / 1_000_000, 6).alias("prob"),
+    )
