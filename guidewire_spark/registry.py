@@ -201,8 +201,12 @@ def query(name: str, oracle: str | None = None):
 # ts_intervals_merge), audit2_ext (text_unicode_script_profile,
 # skyline_pareto_frontier, dq_freshness_lag), mleval_ext
 # (window_exponential_decay_score, agg_auc_roc, agg_log_loss,
-# embedding_centroid_separation), plus r1-head re-checks
-# (scan_filter_project .. parquet_sink_roundtrip) as slots allow.
+# embedding_centroid_separation), curriculum_ext
+# (ts_sax_symbolization, mix_curriculum_schedule,
+# sample_systematic_nth), diagnostics_ext (ts_ljung_box_q,
+# vocab_subword_fertility, ts_markov_stationary_step), plus r1-head
+# re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
+# allow.
 _FRONT = [
     # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
     "agg_approx_percentile",
