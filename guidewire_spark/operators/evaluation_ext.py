@@ -302,3 +302,53 @@ def delta_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_delta(s, src, mode="append")
     deep_clone(spark, src, dst)
     return read_delta(spark, dst)
+
+
+# ---------------------------------------------------------------------------
+# Symlink format manifest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "delta_symlink_manifest",
+    oracle="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+    """,
+)
+def delta_symlink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATE symlink_format_manifest: export the current snapshot
+    as a Hive-style ``_symlink_format_manifest`` tree (one manifest
+    text file per partition listing absolute parquet paths) — the
+    interop bridge that lets Presto/Trino/Athena/Hive query the Delta
+    table without a Delta reader.  This query closes the loop the way
+    an external engine would: it reads the manifest FILES (not the
+    log), loads exactly the listed parquet paths per partition, and
+    rematerializes the partition column from the manifest directory
+    name — row-identical to the table (the oracle scans the source).
+    Manifest generation is metadata-scale; the staleness caveat
+    (regenerate after each commit) is the same one Delta documents."""
+    import os
+
+    from functools import reduce
+
+    from guidewire_spark.sources.writer import (
+        generate_symlink_manifest,
+        write_delta,
+    )
+
+    table = tempfile.mkdtemp(prefix="gw_dsym_") + "/docs_delta"
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    write_delta(d, table, mode="append", partition_by=["lang"])
+    manifests = generate_symlink_manifest(table)
+    parts = []
+    for m in manifests:
+        lang = os.path.basename(os.path.dirname(m)).split("=", 1)[1]
+        with open(m, encoding="utf-8") as fh:
+            paths = [p for p in fh.read().splitlines() if p]
+        parts.append(
+            spark.read.parquet(*paths).withColumn("lang", F.lit(lang))
+        )
+    out = reduce(DataFrame.unionByName, parts)
+    return out.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))

@@ -1451,3 +1451,41 @@ def vacuum_table(
             if root != table_real and "_delta_log" not in root and not os.listdir(root):
                 shutil.rmtree(root, ignore_errors=True)
     return doomed
+
+
+def generate_symlink_manifest(table_path: str) -> list[str]:
+    """SparkGenerateManifest / GENERATE symlink_format_manifest: write
+    the Hive-style ``_symlink_format_manifest`` tree for the CURRENT
+    snapshot — one text file per partition listing the absolute data
+    file paths — the export that lets Presto/Trino/Athena/external
+    Hive readers query the Delta table as plain parquet without
+    understanding the log.  Stale-read caveat (same as Delta's):
+    the manifest is a point-in-time materialization; re-run after
+    every commit (or subscribe via read_delta_changes).  Driver cost
+    is metadata-scale (the file list); returns the manifest paths.
+    """
+    snap = load_snapshot(table_path)
+    root = os.path.join(table_path, "_symlink_format_manifest")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    groups: dict[str, list[str]] = {}
+    pcols = snap.partition_columns or []
+    for p in snap.files:
+        abs_path = p if os.path.isabs(p) else os.path.abspath(
+            os.path.join(table_path, p)
+        )
+        if pcols:
+            pv = snap.file_partitions.get(p, {})
+            sub = "/".join(f"{c}={pv.get(c)}" for c in pcols)
+        else:
+            sub = ""
+        groups.setdefault(sub, []).append(abs_path)
+    out = []
+    for sub, paths in sorted(groups.items()):
+        d = os.path.join(root, sub) if sub else root
+        os.makedirs(d, exist_ok=True)
+        manifest = os.path.join(d, "manifest")
+        with open(manifest, "w") as fh:
+            fh.write("\n".join(sorted(paths)) + "\n")
+        out.append(manifest)
+    return out

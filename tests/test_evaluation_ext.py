@@ -104,3 +104,42 @@ def test_lift_gains_rank_is_two_phase(spark, sf_dir):
     assert "SPARK_PARTITION_ID()" in plan
     assert "hashpartitioning(pid" in plan
     assert "ntile" not in plan.lower()
+
+
+def test_symlink_manifest_lists_exactly_the_snapshot(spark, sf_dir, tmp_path):
+    import os
+
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import (
+        generate_symlink_manifest,
+        write_delta,
+    )
+
+    table = str(tmp_path / "sym")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    write_delta(d, table, mode="append", partition_by=["lang"])
+    manifests = generate_symlink_manifest(table)
+    snap = load_snapshot(table)
+    listed = set()
+    for m in manifests:
+        with open(m) as fh:
+            listed |= {p for p in fh.read().splitlines() if p}
+    expected = {
+        p if os.path.isabs(p) else os.path.abspath(os.path.join(table, p))
+        for p in snap.files
+    }
+    assert listed == expected
+    # one manifest per lang partition
+    langs = {os.path.basename(os.path.dirname(m)) for m in manifests}
+    assert langs == {f"lang={v}" for v in ("en", "fr", "es", "de", "zh")}
+    # regeneration after a new commit replaces the tree atomically
+    write_delta(
+        d.limit(5).withColumn("lang", d.lang), table, mode="append",
+        partition_by=["lang"],
+    )
+    manifests2 = generate_symlink_manifest(table)
+    listed2 = set()
+    for m in manifests2:
+        with open(m) as fh:
+            listed2 |= {p for p in fh.read().splitlines() if p}
+    assert len(listed2) > len(listed)
