@@ -196,3 +196,69 @@ def agg_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             mde_milli / (F.col("s_all").cast("double") / F.col("n_total")), 6
         ).alias("mde_rel"),
     )
+
+
+@query(
+    "sql_analyze_table_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+           CAST(MIN(c_nationkey) AS BIGINT) AS nation_min,
+           CAST(MAX(c_nationkey) AS BIGINT) AS nation_max,
+           CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS nation_nulls
+    FROM customer
+    """,
+)
+def sql_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS (+ FOR COLUMNS): persist
+    table- and column-level statistics into the catalog and read them
+    back — the food for Spark's cost-based optimizer (join reordering
+    and compile-time broadcast decisions need rowCount/size; AQE only
+    fixes things at RUNTIME after a shuffle already materialized).
+    The query round-trips the catalog: saveAsTable → ANALYZE → pull
+    rowCount/min/max/nullCount from DESCRIBE EXTENDED and return them
+    AS DATA, verified against the oracle recomputing the same numbers
+    from the raw table — proving the persisted stats are exact, not
+    estimates (ndv, which IS an HLL estimate, is deliberately left
+    out of the contract).  ANALYZE itself is one aggregate-shaped
+    scan; everything else is catalog metadata."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    # a previous process may have left the managed location behind
+    # without a catalog entry (metastore and warehouse dir have
+    # independent lifetimes across sessions) — clear both first
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql("DROP TABLE IF EXISTS gw_stats_customer")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    leftover = f"{wh}/gw_stats_customer"
+    shutil.rmtree(leftover, ignore_errors=True)
+    c.write.mode("overwrite").saveAsTable("gw_stats_customer")
+    spark.sql(
+        "ANALYZE TABLE gw_stats_customer COMPUTE STATISTICS FOR COLUMNS c_nationkey"
+    )
+    tbl_stats = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql("DESCRIBE EXTENDED gw_stats_customer").collect()
+    }
+    # "N bytes, M rows"
+    row_count = int(tbl_stats["Statistics"].split(",")[1].strip().split()[0])
+    col = {
+        r["info_name"]: r["info_value"]
+        for r in spark.sql(
+            "DESCRIBE EXTENDED gw_stats_customer c_nationkey"
+        ).collect()
+    }
+    return spark.createDataFrame(
+        [
+            (
+                row_count,
+                int(col["min"]),
+                int(col["max"]),
+                int(col["num_nulls"]),
+            )
+        ],
+        "row_count long, nation_min long, nation_max long, nation_nulls long",
+    )
