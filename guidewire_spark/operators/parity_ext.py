@@ -262,3 +262,88 @@ def sql_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "row_count long, nation_min long, nation_max long, nation_nulls long",
     )
+
+
+@query(
+    "sql_scripting_threshold_search",
+    oracle="""
+    WITH candidates AS (
+      SELECT CAST(t AS BIGINT) * 50000 AS threshold
+      FROM UNNEST(range(1, 21)) u(t)
+    ),
+    counted AS (
+      SELECT threshold,
+             (SELECT COUNT(*) FROM orders
+              WHERE o_totalprice > threshold) AS n_above
+      FROM candidates
+    )
+    SELECT CAST(MIN(threshold) AS BIGINT) AS threshold,
+           CAST(MIN_BY(n_above, threshold) AS BIGINT) AS n_above
+    FROM counted WHERE n_above < 100
+    """,
+)
+def sql_scripting_threshold_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 BEGIN…END): a procedural WHILE loop with
+    DECLAREd variables runs INSIDE the SQL engine — here an iterative
+    threshold search (raise the price cutoff in 50k steps until fewer
+    than 100 orders exceed it), the shape every migration from stored
+    procedures needs.  Each loop iteration is one aggregate query
+    whose result feeds the loop condition via SET — control flow in
+    the engine, not the driver.  The oracle replays the search
+    declaratively (the closed form over the candidate grid), proving
+    the procedural and declarative answers agree."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE threshold BIGINT DEFAULT 0;
+          DECLARE n_above BIGINT DEFAULT 999999999;
+          WHILE n_above >= 100 DO
+            SET threshold = threshold + 50000;
+            SET n_above = (SELECT COUNT(*) FROM orders
+                           WHERE o_totalprice > threshold);
+          END WHILE;
+          SELECT threshold, n_above;
+        END
+        """
+    )
+
+
+@query(
+    "pandas_api_groupby",
+    oracle="""
+    SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(CAST(AVG(o_totalprice) AS DECIMAL(24,8)), 4)
+                AS DOUBLE) AS mean_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-on-Spark API (`pyspark.sql` ⇄ `pyspark.pandas`): the
+    pandas dialect compiling to the SAME Catalyst plans — a pandas
+    user writes groupby/agg/reset_index and gets distributed
+    execution with zero data movement at the API boundary
+    (to_pandas_on_spark/to_spark are plan wrappers, not collects).
+    This is an adoption surface, not a new operator: the point the
+    oracle checks is that the pandas-API pipeline is value-identical
+    to the SQL it compiles to."""
+    import pyspark.pandas as pso
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    psdf = o.pandas_api()
+    g = psdf.groupby("o_orderstatus")["o_totalprice"]
+    out = pso.concat(
+        [g.count().rename("n"), g.mean().rename("mean")], axis=1
+    ).reset_index()
+    sdf = out.to_spark()
+    return sdf.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("mean").cast("decimal(24,8)"), 4)
+        .cast("double")
+        .alias("mean_price"),
+    )

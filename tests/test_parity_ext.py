@@ -76,3 +76,32 @@ def test_power_analysis_matches_numpy(spark, sf_dir):
         (1.959963985 + 0.8416212336) * np.sqrt(2 * var / (4 * n_min)) / mde
         - 0.5
     ) < 1e-9
+
+
+def test_sql_scripting_loop_terminates_at_correct_threshold(spark, sf_dir):
+    from guidewire_spark.operators.parity_ext import (
+        sql_scripting_threshold_search,
+    )
+    from guidewire_spark.plans.catalog import load_table as _lt
+
+    row = sql_scripting_threshold_search(spark, sf_dir).collect()[0]
+    o = _lt(spark, sf_dir, "orders").toPandas()
+    # the returned threshold is the FIRST 50k multiple under 100
+    t = row["threshold"]
+    assert (o.o_totalprice > t).sum() == row["n_above"] < 100
+    assert t % 50000 == 0
+    if t > 50000:
+        assert (o.o_totalprice > t - 50000).sum() >= 100
+
+
+def test_pandas_api_stays_distributed(spark, sf_dir):
+    # the pandas-API pipeline must compile to a Spark plan, not
+    # collect: to_spark() exposes the logical plan with an aggregate
+    from guidewire_spark.operators.parity_ext import pandas_api_groupby
+
+    df = pandas_api_groupby(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert df.count() == 3
