@@ -319,3 +319,42 @@ def udtf_python_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM gw_udtf_docs, LATERAL gw_split_words(text) s
         """
     )
+
+
+@query(
+    "udf_sql_registered_python",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(CAST(o_totalprice * 1.07 AS DECIMAL(18,4)), 2)
+                AS DOUBLE) AS taxed
+    FROM orders WHERE o_orderkey % 40 = 0
+    """,
+)
+def udf_sql_registered_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Python (pandas, Arrow-vectorized) UDF REGISTERED into the SQL
+    function catalog and invoked from a SQL string — the path that
+    lets SQL-only consumers (BI tools, sql() scripts, the reference's
+    downstream SELECT users) call Python logic without touching the
+    DataFrame API.  Registration uses the vectorized form, so the SQL
+    call sites get Arrow batches, not row-at-a-time pickling; the
+    DECIMAL bridge inside the UDF mirrors the oracle's rounding
+    exactly (the scan_filter_project per-row-rounding rule)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from guidewire_spark.plans.catalog import register_views
+
+    @pandas_udf("double")
+    def gw_taxed(price: pd.Series) -> pd.Series:
+        return price * 1.07
+
+    spark.udf.register("gw_taxed", gw_taxed)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(ROUND(CAST(gw_taxed(o_totalprice) AS DECIMAL(18,4)), 2)
+                    AS DOUBLE) AS taxed
+        FROM orders WHERE o_orderkey % 40 = 0
+        """
+    )
