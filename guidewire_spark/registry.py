@@ -204,7 +204,10 @@ def query(name: str, oracle: str | None = None):
 # embedding_centroid_separation), curriculum_ext
 # (ts_sax_symbolization, mix_curriculum_schedule,
 # sample_systematic_nth), diagnostics_ext (ts_ljung_box_q,
-# vocab_subword_fertility, ts_markov_stationary_step), plus r1-head
+# vocab_subword_fertility, ts_markov_stationary_step), the interop /
+# catalog / scripting tail (delta_symlink_manifest,
+# sql_analyze_table_stats, sql_scripting_threshold_search,
+# pandas_api_groupby, udf_sql_registered_python), plus r1-head
 # re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
 # allow.
 _FRONT = [
