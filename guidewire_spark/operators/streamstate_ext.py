@@ -237,3 +237,71 @@ def ts_intervals_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_merged"),
         F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                                 THEN 2400000000 ELSE 900000000 END AS e
+      FROM events WHERE user_id % 15 = 0
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s >= MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT user_id, CAST(MIN(s) AS BIGINT) AS session_start_us,
+           CAST(MAX(e) AS BIGINT) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap expression
+    (``session_window(ts, CASE …)``, Spark 3.2+): a purchase holds
+    the session open 40 minutes, anything else 15 — the
+    intent-aware sessionization fixed-gap windows
+    (stream_session_window) cannot express, and the same API works
+    unchanged in Structured Streaming with state eviction by
+    watermark.  Semantics are exactly dynamic interval-merge: each
+    event spans [ts, ts+its_gap) and overlapping spans coalesce —
+    so the oracle is the ts_intervals_merge island construction with
+    a strict boundary (an event landing exactly at the session end
+    starts a NEW session, matching Spark's end-exclusive windows).
+    One shuffle by user."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 15 == 0)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("40 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    out = (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).cast("long").alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("w.end")).cast("long").alias(
+                "session_end_us"
+            ),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+    return out
