@@ -209,7 +209,11 @@ def query(name: str, oracle: str | None = None):
 # vocab_subword_fertility, ts_markov_stationary_step), the interop /
 # catalog / scripting tail (delta_symlink_manifest,
 # sql_analyze_table_stats, sql_scripting_threshold_search,
-# pandas_api_groupby, udf_sql_registered_python), plus r1-head
+# pandas_api_groupby, udf_sql_registered_python,
+# stream_session_dynamic_gap), lastmile_ext
+# (agg_quantile_treatment_effect, text_script_lang_mismatch,
+# agg_index_of_dispersion), shrinkage_ext
+# (agg_gamma_poisson_shrinkage, ts_retention_half_life), plus r1-head
 # re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
 # allow.
 _FRONT = [
