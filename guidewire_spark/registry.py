@@ -86,6 +86,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.diagnostics_ext",
     "guidewire_spark.operators.lastmile_ext",
     "guidewire_spark.operators.shrinkage_ext",
+    "guidewire_spark.operators.integrity_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
