@@ -330,3 +330,96 @@ def embedding_pairwise_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cos.groupBy(bucket.alias("bucket")).agg(
         F.count("*").cast("long").alias("n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_drift_js_monitor",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL 6 HOUR, ts)) AS BIGINT)
+               AS win_start,
+             event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, SUM(c) AS g FROM cells GROUP BY event_type
+    ),
+    joined AS (
+      SELECT cells.win_start, cells.event_type,
+             CAST(cells.c AS DOUBLE)
+               / SUM(cells.c) OVER (PARTITION BY cells.win_start) AS p,
+             CAST(tot.g AS DOUBLE) / SUM(tot.g) OVER () AS q,
+             SUM(cells.c) OVER (PARTITION BY cells.win_start) AS n_window
+      FROM cells JOIN tot USING (event_type)
+    ),
+    terms AS (
+      SELECT win_start, n_window,
+             CAST(ROUND(CAST(
+               0.5 * (CASE WHEN p > 0
+                           THEN p * log2(2 * p / (p + q)) ELSE 0 END)
+               + 0.5 * (CASE WHEN q > 0
+                             THEN q * log2(2 * q / (p + q)) ELSE 0 END)
+             AS DECIMAL(20,12)), 12) AS DECIMAL(20,12)) AS term
+      FROM joined
+    )
+    SELECT win_start, CAST(MAX(n_window) AS BIGINT) AS n_events,
+           CAST(ROUND(CAST(SUM(term) AS DECIMAL(20,12)), 6) AS DOUBLE)
+             AS js_bits,
+           CAST(ROUND(CAST(SUM(term) AS DECIMAL(20,12)), 6) > 0.05
+             AS BOOLEAN) AS drifted
+    FROM terms GROUP BY win_start
+    """,
+)
+def stream_drift_js_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: per 6-hour tumbling window, the
+    Jensen-Shannon divergence (bits) between the window's event-type
+    mix and the whole-corpus baseline mix, flagged past 0.05 bits —
+    the windowed form of agg_js_divergence and the alert wired on top
+    of dq_freshness_lag (freshness says a stream STOPPED; drift says
+    it CHANGED).  Two-stage streaming shape like
+    stream_windowed_topk: the watermarked windowed count is the
+    streaming query; the baseline join + JS combination runs on the
+    sink read (the baseline itself is a slowly-refreshed batch
+    aggregate — a broadcast).  All counts exact; per-cell terms are
+    decimal-rounded before the per-window sum.  Everything past the
+    one count pass runs on (window × type) cells."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.window("ts", "6 hours").alias("w"), "event_type"
+    ).agg(F.count("*").alias("c")).select(
+        F.unix_timestamp("w.start").alias("win_start"), "event_type", "c"
+    )
+    tot = cells.groupBy("event_type").agg(F.sum("c").alias("g"))
+    w_win = Window.partitionBy("win_start")
+    w_all = Window.partitionBy()
+    joined = cells.join(F.broadcast(tot), "event_type").select(
+        "win_start",
+        (F.col("c").cast("double") / F.sum("c").over(w_win)).alias("p"),
+        (F.col("g").cast("double") / F.sum("g").over(w_all)).alias("q"),
+        F.sum("c").over(w_win).alias("n_window"),
+    )
+    p, q = F.col("p"), F.col("q")
+    term = F.round(
+        (
+            F.lit(0.5)
+            * F.when(p > 0, p * F.log2(2 * p / (p + q))).otherwise(0.0)
+            + F.lit(0.5)
+            * F.when(q > 0, q * F.log2(2 * q / (p + q))).otherwise(0.0)
+        ).cast("decimal(20,12)"),
+        12,
+    ).cast("decimal(20,12)")
+    js = F.round(F.sum("term").cast("decimal(20,12)"), 6).cast("double")
+    return (
+        joined.select("win_start", "n_window", term.alias("term"))
+        .groupBy("win_start")
+        .agg(
+            F.max("n_window").cast("long").alias("n_events"),
+            js.alias("js_bits"),
+            (js > 0.05).alias("drifted"),
+        )
+    )

@@ -122,3 +122,44 @@ def test_pairwise_histogram_totals(spark, sf_dir):
     n = load_table(spark, sf_dir, "embeddings").where("vec_id < 100").count()
     assert int(hist.n_pairs.sum()) == n * (n - 1) // 2
     assert hist.bucket.between(-10, 9).all()
+
+
+def test_drift_monitor_two_stage_stream(spark, tmp_path):
+    """The drift monitor's streaming stage (watermarked 6h windowed
+    counts) drains through a real stream; the JS combination on the
+    sink read matches the batch twin for every finalized window."""
+    from guidewire_spark.operators.behavior_ext import stream_drift_js_monitor
+
+    src = str(tmp_path / "events_src_drift")
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = jobs.events_stream(spark, src)
+    cells = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            "event_type",
+            "c",
+        )
+    )
+    jobs.run_to_memory(cells, "drift_cells_t", str(tmp_path / "ckpt_drift"))
+    sink = spark.table("drift_cells_t").toPandas()
+    twin = stream_drift_js_monitor(spark, "/root/testdata/sf0.001").toPandas()
+    # every window the stream finalized must carry the same per-window
+    # event totals the batch twin used
+    batch_cells = (
+        batch.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(F.col("w.start").cast("long").alias("win_start"), "event_type", "c")
+        .toPandas()
+    )
+    merged = sink.merge(
+        batch_cells, on=["win_start", "event_type"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(sink) and (merged.c_s == merged.c_b).all()
+    # and the finalized windows appear in the twin's output
+    assert set(sink.win_start) <= set(twin.win_start)
+    assert len(sink) > 0
