@@ -306,3 +306,63 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h.l") + F.col("h.b") + F.element_at(F.col("h.s"), 1), 3
         ).alias("forecast_next_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring decontamination
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "contamination_exact_substring",
+    oracle="""
+    WITH bench AS (
+      SELECT doc_id AS bench_id,
+             substr(text, 1, 64) AS needle
+      FROM documents WHERE doc_id % 97 = 0 AND length(text) >= 64
+    ),
+    hits AS (
+      SELECT d.doc_id, b.bench_id
+      FROM documents d JOIN bench b
+        ON d.doc_id <> b.bench_id AND contains(d.text, b.needle)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM bench) AS BIGINT) AS n_needles,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contaminated_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM hits
+    """,
+)
+def contamination_exact_substring(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-substring decontamination: flag training documents that
+    CONTAIN a benchmark document's 64-char prefix verbatim — the
+    fourth member of the contamination family (digest catches
+    identical docs, max-Jaccard catches near-copies, embeddings catch
+    paraphrases; only substring search catches a benchmark QUOTED
+    inside a larger page, the most common leak on the web).  The
+    needle set is benchmark-sized → broadcast; each train partition
+    scans its documents against the needles map-side (a broadcast
+    nested-loop by design — needles ≪ corpus makes it linear in
+    corpus size; at real scale the needle set feeds an Aho-Corasick
+    pandas UDF, same join shape).  Exact string semantics — no
+    regex, no tokenization, engine-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = (
+        d.where((F.col("doc_id") % 97 == 0) & (F.length("text") >= 64))
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.substring("text", 1, 64).alias("needle"),
+        )
+    )
+    hits = d.join(
+        F.broadcast(bench),
+        (F.col("doc_id") != F.col("bench_id"))
+        & F.col("text").contains(F.col("needle")),
+    )
+    n_needles = bench.count()
+    return hits.agg(
+        F.lit(n_needles).cast("long").alias("n_needles"),
+        F.countDistinct("doc_id").cast("long").alias("n_contaminated_docs"),
+        F.count("*").cast("long").alias("n_hits"),
+    )

@@ -325,3 +325,50 @@ def test_streaming_query_listener_observes_progress(spark, sf_dir):
     assert events["started"] == 1
     assert events["terminated"] == 1
     assert sum(events["progress_rows"]) == 500
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Stop/restart recovery: drain half the input, stop, add the
+    rest, restart on the SAME checkpoint — the final aggregate equals
+    the full batch answer exactly (nothing double-counted on replay,
+    nothing lost at the stop): the consumer-side exactly-once story
+    the checkpointLocation contract promises."""
+    import shutil
+
+    src = str(tmp_path / "restart_src")
+    ckpt = str(tmp_path / "restart_ckpt")
+    stage = str(tmp_path / "restart_stage")
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch.repartition(8).write.mode("overwrite").parquet(stage)
+    files = sorted(
+        f for f in __import__("os").listdir(stage) if f.endswith(".parquet")
+    )
+    assert len(files) == 8
+    __import__("os").makedirs(src)
+    for f in files[:4]:  # phase 1: half the input
+        shutil.copy(f"{stage}/{f}", f"{src}/{f}")
+
+    def counts_stream():
+        return (
+            jobs.events_stream(spark, src)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+
+    jobs.run_to_memory(counts_stream(), "restart_t1", ckpt, mode="complete")
+    partial = {
+        r["event_type"]: r["n"] for r in spark.table("restart_t1").collect()
+    }
+    assert sum(partial.values()) < batch.count()  # genuinely partial
+
+    for f in files[4:]:  # phase 2: the rest arrives while stopped
+        shutil.copy(f"{stage}/{f}", f"{src}/{f}")
+    jobs.run_to_memory(counts_stream(), "restart_t2", ckpt, mode="complete")
+    got = {
+        r["event_type"]: r["n"] for r in spark.table("restart_t2").collect()
+    }
+    expected = {
+        r["event_type"]: r["n"]
+        for r in batch.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected
