@@ -215,7 +215,11 @@ def query(name: str, oracle: str | None = None):
 # stream_session_dynamic_gap), lastmile_ext
 # (agg_quantile_treatment_effect, text_script_lang_mismatch,
 # agg_index_of_dispersion), shrinkage_ext
-# (agg_gamma_poisson_shrinkage, ts_retention_half_life), plus r1-head
+# (agg_gamma_poisson_shrinkage, ts_retention_half_life),
+# integrity_ext (agg_median_ci_order_stat, multimodal_pair_coverage,
+# agg_mcc_threshold), resample_ext (agg_permutation_test,
+# window_target_encoding), stream_drift_js_monitor,
+# contamination_exact_substring, plus r1-head
 # re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
 # allow.
 _FRONT = [
