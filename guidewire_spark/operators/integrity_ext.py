@@ -7,8 +7,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyspark.sql import types as T
-
 from guidewire_spark.plans.catalog import load_table
 from guidewire_spark.registry import query
 
