@@ -305,3 +305,109 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Interval-intersection join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_interval_intersection",
+    oracle="""
+    WITH mk AS (
+      SELECT user_id, event_type, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(21600000000 AS BIGINT) AS e
+      FROM events
+      WHERE user_id % 25 = 0 AND event_type IN ('view', 'purchase')
+    ),
+    flagged AS (
+      SELECT user_id, event_type, s, e,
+             CASE WHEN s > MAX(e) OVER (
+               PARTITION BY user_id, event_type ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_island
+      FROM mk
+    ),
+    islands AS (
+      SELECT user_id, event_type, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id, event_type ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, event_type, island, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY user_id, event_type, island
+    ),
+    v AS (SELECT user_id, ms, me FROM merged WHERE event_type = 'view'),
+    p AS (SELECT user_id, ms, me FROM merged WHERE event_type = 'purchase')
+    SELECT v.user_id,
+           CAST(GREATEST(v.ms, p.ms) AS BIGINT) AS overlap_start_us,
+           CAST(LEAST(v.me, p.me) AS BIGINT) AS overlap_end_us,
+           CAST(LEAST(v.me, p.me) - GREATEST(v.ms, p.ms) AS BIGINT)
+             AS overlap_us
+    FROM v JOIN p ON p.user_id = v.user_id
+      AND v.ms < p.me AND p.ms < v.me
+    """,
+)
+def join_interval_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-INTERSECTION join: per user, overlap the merged
+    6-hour activity spans of two modalities (view sessions ×
+    purchase sessions) and emit the intersected windows — the
+    bitemporal/validity-overlap join that join_interval_overlap_bucketed
+    (events INTO intervals) and join_dim_asof_scd2 (point-in-time)
+    do not cover: BOTH sides are interval sets, and the result is
+    their pairwise intersection [max(starts), min(ends)).  Each side
+    is first compacted by the ts_intervals_merge island pass (so the
+    per-user interval counts are session-bounded, never event-bounded
+    — the containment that keeps the within-user pairing small), and
+    the join itself is equi on user + the standard half-open overlap
+    predicate, co-partitioned on the same user shuffle."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            (F.col("user_id") % 25 == 0)
+            & F.col("event_type").isin("view", "purchase")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + 21_600_000_000).alias("e"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_cum))
+    merged = flagged.groupBy("user_id", "event_type", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    v = merged.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ms").alias("v_ms"), F.col("me").alias("v_me")
+    )
+    p = merged.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ms").alias("p_ms"), F.col("me").alias("p_me")
+    )
+    joined = v.join(p, "user_id").where(
+        (F.col("v_ms") < F.col("p_me")) & (F.col("p_ms") < F.col("v_me"))
+    )
+    start = F.greatest("v_ms", "p_ms")
+    end = F.least("v_me", "p_me")
+    return joined.select(
+        "user_id",
+        start.cast("long").alias("overlap_start_us"),
+        end.cast("long").alias("overlap_end_us"),
+        (end - start).cast("long").alias("overlap_us"),
+    )

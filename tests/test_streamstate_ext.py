@@ -91,3 +91,45 @@ def test_intervals_merge_invariants(spark, sf_dir):
         # cover less than the longest single interval
         assert r["n_merged"] <= len(ivs)
         assert r["covered_us"] >= max(e - s for s, e in ivs)
+
+
+def test_interval_intersection_invariants(spark, sf_dir):
+    from guidewire_spark.operators.streamstate_ext import (
+        join_interval_intersection,
+    )
+
+    rows = join_interval_intersection(spark, sf_dir).collect()
+    for r in rows:
+        assert r["overlap_us"] > 0
+        assert r["overlap_end_us"] - r["overlap_start_us"] == r["overlap_us"]
+    # referee: recompute from pandas interval merging per modality
+    import pandas as pd
+
+    pdf = load_table(spark, sf_dir, "events").toPandas()
+    pdf = pdf[(pdf.user_id % 25 == 0) & pdf.event_type.isin(["view", "purchase"])]
+    pdf["s"] = pdf.ts.astype("int64") // 1000
+    pdf["e"] = pdf.s + 21_600_000_000
+
+    def merge(grp):
+        out = []
+        for s, e in sorted(zip(grp.s, grp.e)):
+            if out and s <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], e))
+            else:
+                out.append((s, e))
+        return out
+
+    expected = set()
+    for uid, grp in pdf.groupby("user_id"):
+        vs = merge(grp[grp.event_type == "view"])
+        ps = merge(grp[grp.event_type == "purchase"])
+        for v in vs:
+            for p in ps:
+                s, e = max(v[0], p[0]), min(v[1], p[1])
+                if v[0] < p[1] and p[0] < v[1]:
+                    expected.add((uid, s, e, e - s))
+    got = {
+        (r["user_id"], r["overlap_start_us"], r["overlap_end_us"], r["overlap_us"])
+        for r in rows
+    }
+    assert got == expected
