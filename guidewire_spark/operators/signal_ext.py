@@ -383,3 +383,108 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_strength"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SPC Western Electric rule 2
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_spc_rule_two_of_three",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS x,
+             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+      FROM events GROUP BY date_trunc('day', ts)
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(y) AS s, SUM(y * y) AS ss FROM daily
+    ),
+    z AS (
+      SELECT x, y,
+             (y - CAST(s AS DOUBLE) / n)
+               / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)
+               AS zval
+      FROM daily CROSS JOIN stats
+    ),
+    flags AS (
+      SELECT x, y, zval,
+             SUM(CASE WHEN zval > 2 THEN 1 ELSE 0 END) OVER w AS n_above,
+             SUM(CASE WHEN zval < -2 THEN 1 ELSE 0 END) OVER w AS n_below,
+             COUNT(*) OVER w AS win_n
+      FROM z
+      WINDOW w AS (ORDER BY x ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CAST(n_above AS BIGINT) AS n_above,
+           CAST(n_below AS BIGINT) AS n_below,
+           (n_above >= 2 OR n_below >= 2) AS alarm,
+           CASE WHEN n_above >= 2 THEN 'high'
+                WHEN n_below >= 2 THEN 'low' ELSE 'none' END AS side
+    FROM flags WHERE win_n = 3
+    """,
+)
+def ts_spc_rule_two_of_three(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric rule 2 on the daily mean series: alarm when 2
+    of 3 consecutive points sit beyond 2σ on the SAME side of the
+    center line — the SPC rule that catches sustained small shifts a
+    single-point 3σ rule (ts_rolling_zscore's regime) misses, while a
+    lone 2.5σ blip stays silent.  Center/σ are population moments
+    from exact int64 power sums; z-values are identical IEEE doubles;
+    the 3-point window runs over the calendar-bounded daily table,
+    emitting every complete window's rule state (n_above/n_below
+    and the alarm verdict — a quiet chart is itself the answer).
+    Completes the alarm family:
+    CUSUM (drift), MAD/Hampel (spikes), mean-shift (level breaks),
+    rule-2 (sustained small shifts)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+        ).alias("y")
+    ).select(
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).alias("x"),
+        "y",
+    )
+    stats = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s").cast("double"), F.col("ss").cast("double")
+    z = daily.crossJoin(F.broadcast(stats)).select(
+        "x",
+        "y",
+        (
+            (F.col("y") - s / n)
+            / F.sqrt((ss - s * F.col("s") / n) / n)
+        ).alias("zval"),
+    )
+    w = Window.orderBy("x").rowsBetween(-2, 0)
+    flags = z.select(
+        "x",
+        "y",
+        F.sum(F.when(F.col("zval") > 2, 1).otherwise(0)).over(w).alias(
+            "n_above"
+        ),
+        F.sum(F.when(F.col("zval") < -2, 1).otherwise(0)).over(w).alias(
+            "n_below"
+        ),
+        F.count("*").over(w).alias("win_n"),
+    )
+    alarm = (F.col("n_above") >= 2) | (F.col("n_below") >= 2)
+    return flags.where(F.col("win_n") == 3).select(
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.col("n_above").cast("long").alias("n_above"),
+        F.col("n_below").cast("long").alias("n_below"),
+        alarm.alias("alarm"),
+        F.when(F.col("n_above") >= 2, "high")
+        .when(F.col("n_below") >= 2, "low")
+        .otherwise("none")
+        .alias("side"),
+    )

@@ -85,3 +85,21 @@ def test_seasonal_strength_is_r_squared(spark, sf_dir):
     assert row["n_days"] == len(df)
     assert abs(row["seasonal_strength"] - (1 - sse / sst)) < 1e-5
     assert row["seasonal_strength"] <= 1.0
+
+
+def test_spc_rule_two_of_three_matches_numpy(spark, sf_dir):
+    from guidewire_spark.operators.signal_ext import ts_spc_rule_two_of_three
+
+    y = _daily_series(spark, sf_dir).to_numpy().astype(float)
+    mean, sd = y.mean(), y.std(ddof=0)
+    z = (y - mean) / sd
+    rows = sorted(
+        ts_spc_rule_two_of_three(spark, sf_dir).collect(), key=lambda r: r["x"]
+    )
+    assert len(rows) == len(y) - 2  # complete 3-windows only
+    for i, r in enumerate(rows):
+        win = z[i : i + 3]
+        na, nb = int((win > 2).sum()), int((win < -2).sum())
+        assert (r["n_above"], r["n_below"]) == (na, nb)
+        assert r["alarm"] == (na >= 2 or nb >= 2)
+        assert r["side"] == ("high" if na >= 2 else "low" if nb >= 2 else "none")
