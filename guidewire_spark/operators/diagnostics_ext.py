@@ -266,3 +266,121 @@ def ts_markov_stationary_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("long").alias("v2_ppm"),
         _r(F.col("v").cast("double") / 1_000_000, 6).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation (closed-form Durbin-Levinson, lags 1-3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_pacf_closed_form",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+      FROM events GROUP BY date_trunc('day', ts)
+    ),
+    lagged AS (
+      SELECT d.y AS y, l.lag AS lag,
+             LAG(d.y, l.lag) OVER (PARTITION BY l.lag ORDER BY d.day) AS yl
+      FROM daily d CROSS JOIN (SELECT CAST(range AS INT) AS lag
+                               FROM range(1, 4)) l
+    ),
+    pairs AS (SELECT lag, y, yl FROM lagged WHERE yl IS NOT NULL),
+    sums AS (
+      SELECT lag, COUNT(*) AS n, SUM(y) AS sy, SUM(yl) AS syl,
+             SUM(y * yl) AS syyl, SUM(y * y) AS syy, SUM(yl * yl) AS sylyl
+      FROM pairs GROUP BY lag
+    ),
+    acf AS (
+      SELECT lag,
+             (CAST(n * syyl - sy * syl AS DOUBLE))
+             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                    * CAST(n * sylyl - syl * syl AS DOUBLE)) AS r
+      FROM sums
+      WHERE n * syy - sy * sy > 0 AND n * sylyl - syl * syl > 0
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+             MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+             MAX(CASE WHEN lag = 3 THEN r END) AS r3
+      FROM acf
+    ),
+    dl AS (
+      SELECT r1, r2, r3,
+             (r2 - r1 * r1) / (1 - r1 * r1) AS p22
+      FROM w
+    ),
+    dl2 AS (
+      SELECT r1, r2, r3, p22, r1 * (1 - p22) AS p21 FROM dl
+    )
+    SELECT CAST(ROUND(CAST(r1 AS DECIMAL(24,10)), 6) AS DOUBLE) AS pacf1,
+           CAST(ROUND(CAST(p22 AS DECIMAL(24,10)), 6) AS DOUBLE) AS pacf2,
+           CAST(ROUND(CAST(
+             (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+           AS DECIMAL(24,10)), 6) AS DOUBLE) AS pacf3
+    FROM dl2
+    """,
+)
+def ts_pacf_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1-3 via the closed-form
+    Durbin-Levinson recursion on the sample ACF — the OTHER half of
+    the Box-Jenkins identification pair (ACF tails ⇒ MA order, PACF
+    cutoffs ⇒ AR order; ts_autocorrelation_function alone cannot
+    separate an AR(1) from an MA tail).  φ₁₁=r₁,
+    φ₂₂=(r₂−r₁²)/(1−r₁²), φ₃₃ from the unrolled level-3 step — pure
+    scalar algebra on the three ACF values, which themselves come
+    from the exact int64 power sums both engines share; the recursion
+    is unrolled because its per-level coefficient UPDATE is the
+    aggregate-inside-recursion shape WITH RECURSIVE disallows
+    (the graph_kcore_peel argument)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+        ).alias("y")
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    w_rn = Window.partitionBy("lag").orderBy("day")
+    rows = daily.crossJoin(F.broadcast(lags)).withColumn(
+        "rn", F.row_number().over(w_rn)
+    )
+    left = rows.select("lag", "rn", F.col("y").alias("y"))
+    right = rows.select(
+        "lag", (F.col("rn") + F.col("lag")).alias("rn"), F.col("y").alias("yl")
+    )
+    pairs = left.join(right, ["lag", "rn"])
+    sums = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("yl").alias("syl"),
+        F.sum(F.col("y") * F.col("yl")).alias("syyl"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("yl") * F.col("yl")).alias("sylyl"),
+    )
+    n, sy, syl = F.col("n"), F.col("sy"), F.col("syl")
+    r = (n * F.col("syyl") - sy * syl).cast("double") / F.sqrt(
+        (n * F.col("syy") - sy * sy).cast("double")
+        * (n * F.col("sylyl") - syl * syl).cast("double")
+    )
+    acf = sums.where(
+        ((n * F.col("syy") - sy * sy) > 0)
+        & ((n * F.col("sylyl") - syl * syl) > 0)
+    ).select("lag", r.alias("r"))
+    w = acf.agg(
+        F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("r"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    p21 = r1 * (1 - p22)
+    p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    return w.select(
+        _r(r1, 6).alias("pacf1"),
+        _r(p22, 6).alias("pacf2"),
+        _r(p33, 6).alias("pacf3"),
+    )

@@ -221,3 +221,67 @@ def agg_mcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         tn.cast("long").alias("tn"),
         _r(mcc, 6).alias("mcc"),
     )
+
+
+@query(
+    "agg_risk_odds_ratio",
+    oracle="""
+    WITH conf AS (
+      SELECT SUM(CASE WHEN value > 250 AND event_type = 'purchase'
+                 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN value > 250 AND event_type <> 'purchase'
+                 THEN 1 ELSE 0 END) AS b,
+             SUM(CASE WHEN value <= 250 AND event_type = 'purchase'
+                 THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN value <= 250 AND event_type <> 'purchase'
+                 THEN 1 ELSE 0 END) AS d
+      FROM events
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+           CAST(ROUND(CAST(
+             (CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d))
+           AS DECIMAL(24,10)), 6) AS DOUBLE) AS risk_ratio,
+           CAST(ROUND(CAST(
+             CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)
+           AS DECIMAL(24,10)), 6) AS DOUBLE) AS odds_ratio,
+           CAST(ROUND(CAST(
+             sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)
+           AS DECIMAL(24,10)), 6) AS DOUBLE) AS log_or_se
+    FROM conf
+    """,
+)
+def agg_risk_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk ratio and odds ratio of the 2×2 exposure table (value >
+    250 as exposure, purchase as outcome) with the Woolf standard
+    error of ln(OR) = √(1/a+1/b+1/c+1/d) — the epidemiology /
+    feature-association readout that turns agg_mcc_threshold's
+    confusion cells into INTERPRETABLE effect sizes ("exposed rows
+    are X× as likely to convert") with an error bar.  Same one-pass
+    four-cell reduction; everything after is scalar arithmetic on
+    exact integers."""
+    e = load_table(spark, sf_dir, "events")
+    exp_ = F.col("value") > 250
+    out_ = F.col("event_type") == "purchase"
+    conf = e.agg(
+        F.sum((exp_ & out_).cast("int")).alias("a"),
+        F.sum((exp_ & ~out_).cast("int")).alias("b"),
+        F.sum((~exp_ & out_).cast("int")).alias("c"),
+        F.sum((~exp_ & ~out_).cast("int")).alias("d"),
+    )
+    a, b = F.col("a"), F.col("b")
+    c, d = F.col("c"), F.col("d")
+    rr = (a.cast("double") / (a + b)) / (c.cast("double") / (c + d))
+    orr = a.cast("double") * d / (b.cast("double") * c)
+    se = F.sqrt(
+        1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d
+    )
+    return conf.select(
+        a.cast("long").alias("a"),
+        b.cast("long").alias("b"),
+        c.cast("long").alias("c"),
+        d.cast("long").alias("d"),
+        _r(rr, 6).alias("risk_ratio"),
+        _r(orr, 6).alias("odds_ratio"),
+        _r(se, 6).alias("log_or_se"),
+    )

@@ -79,3 +79,29 @@ def test_stationary_step_matches_numpy_ppm(spark, sf_dir):
     # mass stays within the documented floor-truncation loss
     total = sum(r["v2_ppm"] for r in got.values())
     assert 1_000_000 - 3 * k * k <= total <= 1_000_000
+
+
+def test_pacf_matches_numpy_durbin_levinson(spark, sf_dir):
+    import pandas as pd
+
+    from guidewire_spark.operators.diagnostics_ext import ts_pacf_closed_form
+
+    pdf = load_table(spark, sf_dir, "events").toPandas()
+    milli = (pdf.value * 1000).round().astype("int64")
+    y = (
+        pd.DataFrame({"day": pdf.ts.dt.floor("D"), "m": milli})
+        .groupby("day")["m"]
+        .agg(lambda s: int(s.sum()) // len(s))
+        .sort_index()
+        .to_numpy()
+        .astype(float)
+    )
+    rs = [np.corrcoef(y[k:], y[:-k])[0, 1] for k in (1, 2, 3)]
+    r1, r2, r3 = rs
+    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    p21 = r1 * (1 - p22)
+    p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    row = ts_pacf_closed_form(spark, sf_dir).collect()[0]
+    assert abs(row["pacf1"] - r1) < 1e-6
+    assert abs(row["pacf2"] - p22) < 1e-6
+    assert abs(row["pacf3"] - p33) < 1e-6

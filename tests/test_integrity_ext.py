@@ -56,3 +56,20 @@ def test_mcc_matches_numpy(spark, sf_dir):
     assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
     assert abs(row["mcc"] - mcc) < 1e-6
     assert -1.0 <= row["mcc"] <= 1.0
+
+
+def test_risk_odds_ratio_matches_numpy(spark, sf_dir):
+    from guidewire_spark.operators.integrity_ext import agg_risk_odds_ratio
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    exp = e.value > 250
+    out = e.event_type == "purchase"
+    a = int((exp & out).sum())
+    b = int((exp & ~out).sum())
+    c = int((~exp & out).sum())
+    d = int((~exp & ~out).sum())
+    row = agg_risk_odds_ratio(spark, sf_dir).collect()[0]
+    assert (row["a"], row["b"], row["c"], row["d"]) == (a, b, c, d)
+    assert abs(row["risk_ratio"] - (a / (a + b)) / (c / (c + d))) < 1e-6
+    assert abs(row["odds_ratio"] - a * d / (b * c)) < 1e-6
+    assert abs(row["log_or_se"] - np.sqrt(1 / a + 1 / b + 1 / c + 1 / d)) < 1e-6
