@@ -219,7 +219,9 @@ def query(name: str, oracle: str | None = None):
 # integrity_ext (agg_median_ci_order_stat, multimodal_pair_coverage,
 # agg_mcc_threshold), resample_ext (agg_permutation_test,
 # window_target_encoding), stream_drift_js_monitor,
-# contamination_exact_substring, plus r1-head
+# contamination_exact_substring, join_interval_intersection,
+# ts_spc_rule_two_of_three, agg_risk_odds_ratio,
+# ts_pacf_closed_form, plus r1-head
 # re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
 # allow.
 _FRONT = [
