@@ -158,3 +158,102 @@ def window_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sy") - F.col("y")).cast("double") / (F.col("cy") - 1),
     ).otherwise(F.lit(0.5))
     return enc.select("event_id", "event_type", _r(te, 6).alias("te_loo"))
+
+
+@query(
+    "agg_cohens_h",
+    oracle="""
+    WITH arms AS (
+      SELECT user_id % 2 AS arm, COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id % 2
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN CAST(conv AS DOUBLE) / n END) AS p0,
+             MAX(CASE WHEN arm = 1 THEN CAST(conv AS DOUBLE) / n END) AS p1
+      FROM arms
+    )
+    SELECT CAST(ROUND(CAST(p0 AS DECIMAL(24,10)), 6) AS DOUBLE) AS p0,
+           CAST(ROUND(CAST(p1 AS DECIMAL(24,10)), 6) AS DOUBLE) AS p1,
+           CAST(ROUND(CAST(
+             2 * asin(sqrt(p0)) - 2 * asin(sqrt(p1))
+           AS DECIMAL(24,10)), 6) AS DOUBLE) AS cohens_h
+    FROM w
+    """,
+)
+def agg_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's h effect size for the conversion-rate difference:
+    h = 2·asin(√p₀) − 2·asin(√p₁) — the variance-stabilized
+    proportions counterpart of agg_cohens_d_effect_size, and the
+    number agg_power_analysis_mde needs when the metric is a RATE
+    (a 1-point gap means h≈0.08 at p=0.5 but h≈0.23 at p=0.01; raw
+    differences are not comparable across baselines, h is).  One
+    count pass to two exact integer pairs; the arcsin transform is
+    the only libm call, applied to identical rationals on both
+    sides."""
+    e = load_table(spark, sf_dir, "events")
+    arms = e.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    p = F.col("conv").cast("double") / F.col("n")
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, p)).alias("p0"),
+        F.max(F.when(F.col("arm") == 1, p)).alias("p1"),
+    )
+    h = 2 * F.asin(F.sqrt(F.col("p0"))) - 2 * F.asin(F.sqrt(F.col("p1")))
+    return w.select(
+        _r(F.col("p0"), 6).alias("p0"),
+        _r(F.col("p1"), 6).alias("p1"),
+        _r(h, 6).alias("cohens_h"),
+    )
+
+
+@query(
+    "window_zscore_by_group",
+    oracle="""
+    WITH milli AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 1000, 0) AS BIGINT) AS m
+      FROM events WHERE event_id % 40 = 0
+    ),
+    stats AS (
+      SELECT event_type, COUNT(*) AS n, SUM(m) AS s, SUM(m * m) AS ss
+      FROM (SELECT event_type, CAST(ROUND(value * 1000, 0) AS BIGINT) AS m
+            FROM events) t
+      GROUP BY event_type
+    )
+    SELECT milli.event_id, milli.event_type,
+           CAST(ROUND(CAST(
+             (milli.m - CAST(s.s AS DOUBLE) / s.n)
+             / sqrt((CAST(s.ss AS DOUBLE) - CAST(s.s AS DOUBLE) * s.s / s.n)
+                    / (s.n - 1))
+           AS DECIMAL(24,10)), 6) AS DOUBLE) AS z
+    FROM milli JOIN stats s USING (event_type)
+    """,
+)
+def window_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization: each (sampled) event's value as a
+    z-score against ITS TYPE's full-population mean and sample SD —
+    the feature-normalization that makes a purchase amount and a view
+    dwell comparable in one model (ts_rolling_zscore standardizes
+    against a trailing window; this is the global per-entity form).
+    Group moments reduce to exact int64 power sums over the FULL
+    table in one pass (type-cardinality output, broadcast back onto
+    the sampled rows); the per-row z is one subtraction and divide."""
+    e = load_table(spark, sf_dir, "events")
+    milli = F.round(F.col("value") * 1000, 0).cast("long")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(milli).alias("s"),
+        F.sum(milli * milli).alias("ss"),
+    )
+    sampled = e.where(F.col("event_id") % 40 == 0).select(
+        "event_id", "event_type", milli.alias("m")
+    )
+    joined = sampled.join(F.broadcast(stats), "event_type")
+    n, s, ss = F.col("n"), F.col("s").cast("double"), F.col("ss").cast("double")
+    z = (F.col("m") - s / n) / F.sqrt((ss - s * F.col("s") / n) / (n - 1))
+    return joined.select("event_id", "event_type", _r(z, 6).alias("z"))

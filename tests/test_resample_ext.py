@@ -55,3 +55,32 @@ def test_target_encoding_loo_property(spark, sf_dir):
         ref = (s - y) / (c - 1) if c > 1 else 0.5
         assert abs(r["te_loo"] - ref) < 1e-6
         assert 0.0 <= r["te_loo"] <= 1.0
+
+
+def test_cohens_h_matches_numpy(spark, sf_dir):
+    from guidewire_spark.operators.resample_ext import agg_cohens_h
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    m = e.user_id % 2
+    conv = e.event_type == "purchase"
+    p0 = conv[m == 0].mean()
+    p1 = conv[m == 1].mean()
+    h = 2 * np.arcsin(np.sqrt(p0)) - 2 * np.arcsin(np.sqrt(p1))
+    row = agg_cohens_h(spark, sf_dir).collect()[0]
+    assert abs(row["p0"] - p0) < 1e-6 and abs(row["p1"] - p1) < 1e-6
+    assert abs(row["cohens_h"] - h) < 1e-6
+
+
+def test_group_zscore_matches_numpy(spark, sf_dir):
+    from guidewire_spark.operators.resample_ext import window_zscore_by_group
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    milli = (e.value * 1000).round().astype("int64")
+    df = e.assign(m=milli)
+    stats = df.groupby("event_type")["m"].agg(["mean", "std"])
+    got = {r["event_id"]: r for r in window_zscore_by_group(spark, sf_dir).collect()}
+    sub = df[df.event_id % 40 == 0]
+    assert len(got) == len(sub)
+    for _, r in sub.iterrows():
+        mu, sd = stats.loc[r.event_type]
+        assert abs(got[r.event_id]["z"] - (r.m - mu) / sd) < 1e-5
