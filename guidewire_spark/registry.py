@@ -221,7 +221,8 @@ def query(name: str, oracle: str | None = None):
 # window_target_encoding), stream_drift_js_monitor,
 # contamination_exact_substring, join_interval_intersection,
 # ts_spc_rule_two_of_three, agg_risk_odds_ratio,
-# ts_pacf_closed_form, plus r1-head
+# ts_pacf_closed_form, agg_cohens_h, window_zscore_by_group,
+# plus r1-head
 # re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
 # allow.
 _FRONT = [
