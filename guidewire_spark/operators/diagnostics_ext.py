@@ -384,3 +384,167 @@ def ts_pacf_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(p22, 6).alias("pacf2"),
         _r(p33, 6).alias("pacf3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dominant period
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_period_dominant",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+      FROM events GROUP BY date_trunc('day', ts)
+    ),
+    lagged AS (
+      SELECT d.y AS y, l.lag AS lag,
+             LAG(d.y, l.lag) OVER (PARTITION BY l.lag ORDER BY d.day) AS yl
+      FROM daily d CROSS JOIN (SELECT CAST(range AS INT) AS lag
+                               FROM range(2, 15)) l
+    ),
+    pairs AS (SELECT lag, y, yl FROM lagged WHERE yl IS NOT NULL),
+    sums AS (
+      SELECT lag, COUNT(*) AS n, SUM(y) AS sy, SUM(yl) AS syl,
+             SUM(y * yl) AS syyl, SUM(y * y) AS syy, SUM(yl * yl) AS sylyl
+      FROM pairs GROUP BY lag
+    ),
+    acf AS (
+      SELECT lag,
+             CAST(ROUND(CAST(
+               CAST(n * syyl - sy * syl AS DOUBLE)
+               / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                      * CAST(n * sylyl - syl * syl AS DOUBLE))
+             AS DECIMAL(24,10)), 6) AS DOUBLE) AS r
+      FROM sums
+      WHERE n * syy - sy * sy > 0 AND n * sylyl - syl * syl > 0
+    )
+    SELECT CAST(MIN(CASE WHEN r = (SELECT MAX(r) FROM acf)
+                    THEN lag END) AS BIGINT) AS dominant_period,
+           CAST(ROUND(CAST(MAX(r) AS DECIMAL(24,10)), 6) AS DOUBLE) AS acf_peak
+    FROM acf
+    """,
+)
+def ts_period_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant seasonality period: the lag (2-14) with the highest
+    sample autocorrelation — the single number that
+    ts_autocorrelation_function's correlogram is usually read FOR,
+    and the input ts_holt_winters_seasonal's m parameter should come
+    from instead of assuming weekly.  Same exact int64 Pearson
+    machinery per lag; the argmax is over the (ROUNDED) per-lag
+    values (compared for equality against the max — exact on the
+    6-dp-rounded doubles) with a smallest-lag tiebreak so both
+    engines select identically even on a tie.  Calendar-bounded past the daily
+    aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+        ).alias("y")
+    )
+    lags = spark.range(2, 15).select(F.col("id").cast("int").alias("lag"))
+    w_rn = Window.partitionBy("lag").orderBy("day")
+    rows = daily.crossJoin(F.broadcast(lags)).withColumn(
+        "rn", F.row_number().over(w_rn)
+    )
+    left = rows.select("lag", "rn", F.col("y").alias("y"))
+    right = rows.select(
+        "lag", (F.col("rn") + F.col("lag")).alias("rn"), F.col("y").alias("yl")
+    )
+    pairs = left.join(right, ["lag", "rn"])
+    sums = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("yl").alias("syl"),
+        F.sum(F.col("y") * F.col("yl")).alias("syyl"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("yl") * F.col("yl")).alias("sylyl"),
+    )
+    n, sy, syl = F.col("n"), F.col("sy"), F.col("syl")
+    r = _r(
+        (n * F.col("syyl") - sy * syl).cast("double")
+        / F.sqrt(
+            (n * F.col("syy") - sy * sy).cast("double")
+            * (n * F.col("sylyl") - syl * syl).cast("double")
+        ),
+        6,
+    )
+    acf = sums.where(
+        ((n * F.col("syy") - sy * sy) > 0)
+        & ((n * F.col("sylyl") - syl * syl) > 0)
+    ).select("lag", r.alias("r"))
+    mx = acf.agg(F.max("r").alias("max_r"))
+    return acf.crossJoin(F.broadcast(mx)).agg(
+        F.min(F.when(F.col("r") == F.col("max_r"), F.col("lag")))
+        .cast("long")
+        .alias("dominant_period"),
+        _r(F.max("r"), 6).alias("acf_peak"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hill diversity numbers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_diversity_hill_numbers",
+    oracle="""
+    WITH p AS (
+      SELECT source, COUNT(*) AS c,
+             CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS pi
+      FROM documents GROUP BY source
+    ),
+    terms AS (
+      SELECT c,
+             CAST(ROUND(CAST(pi * ln(pi) AS DECIMAL(20,12)), 12)
+                  AS DECIMAL(20,12)) AS sh_term,
+             CAST(ROUND(CAST(pi * pi AS DECIMAL(20,12)), 12)
+                  AS DECIMAL(20,12)) AS simp_term
+      FROM p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS hill_q0,
+           CAST(ROUND(CAST(exp(-CAST(SUM(sh_term) AS DOUBLE))
+                AS DECIMAL(24,10)), 4) AS DOUBLE) AS hill_q1,
+           CAST(ROUND(CAST(1.0 / CAST(SUM(simp_term) AS DOUBLE)
+                AS DECIMAL(24,10)), 4) AS DOUBLE) AS hill_q2
+    FROM terms
+    """,
+)
+def agg_diversity_hill_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill diversity numbers of the corpus source mix: q=0 richness
+    (source count), q=1 exp(Shannon) ("effective number of equally
+    common sources"), q=2 inverse Simpson (effective number weighted
+    toward the dominant ones) — the unified diversity ladder that
+    puts mix_kl_divergence's imbalance and agg_behavioral_entropy's
+    entropy on ONE interpretable scale: all three equal the source
+    count iff the mix is perfectly balanced, and the q1/q0 ratio is
+    the evenness.  One count pass; per-source terms decimal-rounded
+    before the order-free sum (the Shannon/Simpson sums are
+    category-sized)."""
+    d = load_table(spark, sf_dir, "documents")
+    p = d.groupBy("source").agg(F.count("*").alias("c")).withColumn(
+        "pi",
+        F.col("c").cast("double")
+        / F.sum("c").over(Window.partitionBy()),
+    )
+    sh_term = F.round(
+        (F.col("pi") * F.log(F.col("pi"))).cast("decimal(20,12)"), 12
+    ).cast("decimal(20,12)")
+    simp_term = F.round(
+        (F.col("pi") * F.col("pi")).cast("decimal(20,12)"), 12
+    ).cast("decimal(20,12)")
+    terms = p.select(sh_term.alias("sh_term"), simp_term.alias("simp_term"))
+    return terms.agg(
+        F.count("*").cast("long").alias("hill_q0"),
+        _r(F.exp(-F.sum("sh_term").cast("double")), 4, "decimal(24,10)").alias(
+            "hill_q1"
+        ),
+        _r(
+            F.lit(1.0) / F.sum("simp_term").cast("double"), 4, "decimal(24,10)"
+        ).alias("hill_q2"),
+    )

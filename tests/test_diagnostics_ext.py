@@ -105,3 +105,45 @@ def test_pacf_matches_numpy_durbin_levinson(spark, sf_dir):
     assert abs(row["pacf1"] - r1) < 1e-6
     assert abs(row["pacf2"] - p22) < 1e-6
     assert abs(row["pacf3"] - p33) < 1e-6
+
+
+def test_dominant_period_matches_numpy_argmax(spark, sf_dir):
+    import pandas as pd
+
+    from guidewire_spark.operators.diagnostics_ext import ts_period_dominant
+
+    pdf = load_table(spark, sf_dir, "events").toPandas()
+    milli = (pdf.value * 1000).round().astype("int64")
+    y = (
+        pd.DataFrame({"day": pdf.ts.dt.floor("D"), "m": milli})
+        .groupby("day")["m"]
+        .agg(lambda s: int(s.sum()) // len(s))
+        .sort_index()
+        .to_numpy()
+        .astype(float)
+    )
+    rs = {
+        k: round(float(np.corrcoef(y[k:], y[:-k])[0, 1]), 6)
+        for k in range(2, 15)
+        if len(y) > k
+    }
+    best = max(rs.values())
+    expected = min(k for k, r in rs.items() if r == best)
+    row = ts_period_dominant(spark, sf_dir).collect()[0]
+    assert row["dominant_period"] == expected
+    assert abs(row["acf_peak"] - best) < 1e-6
+
+
+def test_hill_numbers_ladder(spark, sf_dir):
+    from guidewire_spark.operators.diagnostics_ext import (
+        agg_diversity_hill_numbers,
+    )
+
+    d = load_table(spark, sf_dir, "documents").toPandas()
+    p = d.source.value_counts(normalize=True).to_numpy()
+    row = agg_diversity_hill_numbers(spark, sf_dir).collect()[0]
+    assert row["hill_q0"] == len(p)
+    assert abs(row["hill_q1"] - np.exp(-(p * np.log(p)).sum())) < 1e-3
+    assert abs(row["hill_q2"] - 1 / (p * p).sum()) < 1e-3
+    # the diversity ladder is non-increasing in q
+    assert row["hill_q0"] >= row["hill_q1"] >= row["hill_q2"] > 0
