@@ -548,3 +548,104 @@ def agg_diversity_hill_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) / F.sum("simp_term").cast("double"), 4, "decimal(24,10)"
         ).alias("hill_q2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type, event_type AS cur_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    p AS (
+      SELECT prev_type, cur_type,
+             (n * 1000000) // SUM(n) OVER (PARTITION BY prev_type) AS ppm
+      FROM cnt
+    ),
+    states AS (SELECT DISTINCT prev_type AS s FROM p),
+    k AS (SELECT COUNT(*) AS k FROM states),
+    v0 AS (SELECT s, 1000000 // (SELECT k FROM k) AS v FROM states),
+    v1 AS (
+      SELECT p.cur_type AS s, SUM(v0.v * p.ppm) // 1000000 AS v
+      FROM v0 JOIN p ON p.prev_type = v0.s GROUP BY p.cur_type
+    ),
+    v2 AS (
+      SELECT p.cur_type AS s, SUM(v1.v * p.ppm) // 1000000 AS v
+      FROM v1 JOIN p ON p.prev_type = v1.s GROUP BY p.cur_type
+    ),
+    terms AS (
+      SELECT CAST(ROUND(CAST(
+               -(CAST(v2.v AS DOUBLE) / 1000000)
+               * (CAST(p.ppm AS DOUBLE) / 1000000)
+               * log2(CAST(p.ppm AS DOUBLE) / 1000000)
+             AS DECIMAL(20,12)), 12) AS DECIMAL(20,12)) AS term
+      FROM p JOIN v2 ON v2.s = p.prev_type
+      WHERE p.ppm > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(ROUND(CAST(SUM(term) AS DECIMAL(20,12)), 6) AS DOUBLE)
+             AS entropy_rate_bits
+    FROM terms
+    """,
+)
+def agg_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the behavioral Markov chain:
+    H = −Σᵢ πᵢ Σⱼ pᵢⱼ log₂ pᵢⱼ, with π the
+    ts_markov_stationary_step two-iteration estimate and pᵢⱼ the
+    ts_markov_transitions matrix — bits of genuine surprise per
+    action once the current state is known: the PREDICTABILITY
+    ceiling of user behavior (agg_behavioral_entropy's marginal
+    entropy minus this is the information the previous action
+    carries).  All probabilities are exact integer ppm; each
+    π·p·log₂p cell term is decimal-rounded before the order-free
+    sum, and every frame after the lag pass is state-cardinality."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy("prev_type", F.col("event_type").alias("cur_type")).agg(
+        F.count("*").alias("n")
+    )
+    p = cnt.select(
+        "prev_type",
+        "cur_type",
+        F.expr(
+            "(n * 1000000) div sum(n) OVER (PARTITION BY prev_type)"
+        ).alias("ppm"),
+    )
+    states = p.select(F.col("prev_type").alias("s")).distinct()
+    k = states.count()
+    v = states.select("s", F.lit(1_000_000 // k).cast("long").alias("v"))
+    for _ in range(2):
+        v = (
+            v.join(p, v.s == p.prev_type)
+            .groupBy(F.col("cur_type").alias("s"))
+            .agg(F.expr("sum(v * ppm) div 1000000").alias("v"))
+        )
+    pi = F.col("v").cast("double") / 1_000_000
+    pij = F.col("ppm").cast("double") / 1_000_000
+    term = F.round(
+        (-pi * pij * F.log2(pij)).cast("decimal(20,12)"), 12
+    ).cast("decimal(20,12)")
+    joined = p.where(F.col("ppm") > 0).join(
+        F.broadcast(v.withColumnRenamed("s", "prev_type")), "prev_type"
+    )
+    return joined.select(term.alias("term")).agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.sum("term").cast("decimal(20,12)"), 6)
+        .cast("double")
+        .alias("entropy_rate_bits"),
+    )

@@ -285,3 +285,122 @@ def agg_risk_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(orr, 6).alias("odds_ratio"),
         _r(se, 6).alias("log_or_se"),
     )
+
+
+@query(
+    "agg_quantile_skewness",
+    oracle="""
+    WITH milli AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(CAST(
+             (quantile_cont(c, 0.75) + quantile_cont(c, 0.25)
+              - 2 * quantile_cont(c, 0.5))
+             / (quantile_cont(c, 0.75) - quantile_cont(c, 0.25))
+           AS DECIMAL(24,10)), 6) AS DOUBLE) AS bowley_skew
+    FROM milli GROUP BY l_returnflag
+    """,
+)
+def agg_quantile_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley (quartile) skewness per return flag:
+    (Q₃+Q₁−2·Q₂)/(Q₃−Q₁) ∈ [−1, 1] — the robust asymmetry measure
+    whose moment-based sibling (agg_higher_moments' skewness) a
+    single outlier can saturate; quartiles cannot be dragged, so this
+    is the skew number to trust on revenue-like long tails.  Pairs
+    with agg_tukey_fences (same quartiles, different question).
+    Quartiles interpolate exact int64 cents in one ordered-set
+    aggregate per group; the combination is scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    g = li.select("l_returnflag", cents.alias("c")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count("*").alias("n"),
+        F.percentile("c", F.lit(0.25)).alias("q1"),
+        F.percentile("c", F.lit(0.5)).alias("q2"),
+        F.percentile("c", F.lit(0.75)).alias("q3"),
+    )
+    skew = (F.col("q3") + F.col("q1") - 2 * F.col("q2")) / (
+        F.col("q3") - F.col("q1")
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        _r(skew, 6).alias("bowley_skew"),
+    )
+
+
+@query(
+    "ts_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS x,
+             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+      FROM events GROUP BY date_trunc('day', ts)
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON b.x > a.x
+    ),
+    s AS (SELECT SUM(sgn) AS s, COUNT(*) AS n_pairs FROM pairs),
+    nn AS (SELECT COUNT(*) AS n FROM daily)
+    SELECT CAST(s.s AS BIGINT) AS s,
+           CAST(s.n_pairs AS BIGINT) AS n_pairs,
+           CAST(ROUND(CAST(
+             (CASE WHEN s.s > 0 THEN s.s - 1
+                   WHEN s.s < 0 THEN s.s + 1 ELSE 0 END)
+             / sqrt(CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5) / 18)
+           AS DECIMAL(24,10)), 6) AS DOUBLE) AS z
+    FROM s CROSS JOIN nn
+    """,
+)
+def ts_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily series: S = Σ sign(yⱼ−yᵢ)
+    over all day pairs, z = (S∓1)/√(n(n−1)(2n+5)/18) — the
+    nonparametric SIGNIFICANCE companion to agg_theil_sen_slope's
+    magnitude (the pair every robust trend readout ships together:
+    Sen says HOW steep, Mann-Kendall says WHETHER it's real), immune
+    to outliers and any monotone transformation of y.  The pairwise
+    enumeration reuses the Theil-Sen containment: it runs on the
+    calendar-bounded daily aggregate, and S is an exact integer
+    sum — the only doubles are the final variance normalization
+    (the no-ties variance form, exact for this integer-mean series
+    where ties are rare and both engines drop them identically via
+    sign=0)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+        ).alias("y")
+    ).select(
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).alias("x"),
+        "y",
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("b.x") > F.col("a.x")).select(
+        F.when(F.col("b.y") > F.col("a.y"), 1)
+        .when(F.col("b.y") < F.col("a.y"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    s = pairs.agg(F.sum("sgn").alias("s"), F.count("*").alias("n_pairs"))
+    nn = daily.agg(F.count("*").alias("n"))
+    joined = s.crossJoin(F.broadcast(nn))
+    s_adj = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(0)
+    )
+    var = F.col("n").cast("double") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18
+    return joined.select(
+        F.col("s").cast("long").alias("s"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        _r(s_adj / F.sqrt(var), 6).alias("z"),
+    )

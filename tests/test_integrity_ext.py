@@ -73,3 +73,43 @@ def test_risk_odds_ratio_matches_numpy(spark, sf_dir):
     assert abs(row["risk_ratio"] - (a / (a + b)) / (c / (c + d))) < 1e-6
     assert abs(row["odds_ratio"] - a * d / (b * c)) < 1e-6
     assert abs(row["log_or_se"] - np.sqrt(1 / a + 1 / b + 1 / c + 1 / d)) < 1e-6
+
+
+def test_bowley_skew_matches_numpy(spark, sf_dir):
+    from guidewire_spark.operators.integrity_ext import agg_quantile_skewness
+
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    rows = {r["l_returnflag"]: r for r in agg_quantile_skewness(spark, sf_dir).collect()}
+    for flag, grp in li.groupby("l_returnflag"):
+        c = (grp.l_extendedprice * 100).round().astype("int64").to_numpy()
+        q1, q2, q3 = np.percentile(c, [25, 50, 75], method="linear")
+        ref = (q3 + q1 - 2 * q2) / (q3 - q1)
+        r = rows[flag]
+        assert r["n"] == len(c)
+        assert abs(r["bowley_skew"] - ref) < 1e-6
+        assert -1.0 <= r["bowley_skew"] <= 1.0
+
+
+def test_mann_kendall_matches_python(spark, sf_dir):
+    import pandas as pd
+
+    from guidewire_spark.operators.integrity_ext import ts_mann_kendall_trend
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    milli = (e.value * 1000).round().astype("int64")
+    y = (
+        pd.DataFrame({"day": e.ts.dt.floor("D"), "m": milli})
+        .groupby("day")["m"]
+        .agg(lambda s: int(s.sum()) // len(s))
+        .sort_index()
+        .to_numpy()
+    )
+    n = len(y)
+    s = sum(
+        int(np.sign(y[j] - y[i])) for i in range(n) for j in range(i + 1, n)
+    )
+    var = n * (n - 1) * (2 * n + 5) / 18
+    z = (s - np.sign(s)) / np.sqrt(var) if s != 0 else 0.0
+    row = ts_mann_kendall_trend(spark, sf_dir).collect()[0]
+    assert row["s"] == s and row["n_pairs"] == n * (n - 1) // 2
+    assert abs(row["z"] - z) < 1e-6
