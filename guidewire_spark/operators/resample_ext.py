@@ -257,3 +257,127 @@ def window_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, s, ss = F.col("n"), F.col("s").cast("double"), F.col("ss").cast("double")
     z = (F.col("m") - s / n) / F.sqrt((ss - s * F.col("s") / n) / (n - 1))
     return joined.select("event_id", "event_type", _r(z, 6).alias("z"))
+
+
+@query(
+    "agg_lognormal_fit",
+    oracle="""
+    WITH terms AS (
+      SELECT l_returnflag,
+             CAST(ROUND(CAST(ln(l_extendedprice) AS DECIMAL(26,16)), 12)
+                  AS DECIMAL(20,12)) AS lx
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    sums AS (
+      SELECT l_returnflag, COUNT(*) AS n, SUM(lx) AS s,
+             SUM(lx * lx) AS ss
+      FROM terms GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(ROUND(CAST(CAST(s AS DOUBLE) / n AS DECIMAL(24,10)), 6)
+                AS DOUBLE) AS mu_log,
+           CAST(ROUND(CAST(
+             sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+           AS DECIMAL(24,10)), 6) AS DOUBLE) AS sigma_log,
+           CAST(ROUND(CAST(
+             exp(CAST(s AS DOUBLE) / n
+                 + ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                    / (n - 1)) / 2)
+           AS DECIMAL(24,6)), 2) AS DOUBLE) AS implied_mean
+    FROM sums
+    """,
+)
+def agg_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal fit of extended price per return flag by log-moment
+    matching: μ̂ and σ̂ of ln(x), plus the implied arithmetic mean
+    exp(μ+σ²/2) — the distributional model revenue-like columns
+    usually follow, and the cross-check that exposes it: when the
+    implied mean disagrees with the actual mean, the lognormal
+    assumption (and every downstream percentile extrapolation built
+    on it) is wrong.  Each row's ln is decimal-rounded at 12 dp
+    BEFORE the power sums (ln is libm; cast-above-round-scale per
+    the verify-skill rule; narrow types keep lx·lx under the
+    precision-38 cap), so both engines reduce identical decimals
+    order-free."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice") > 0
+    )
+    lx = (
+        F.round(F.log(F.col("l_extendedprice")).cast("decimal(26,16)"), 12)
+        .cast("decimal(20,12)")
+    )
+    sums = li.select("l_returnflag", lx.alias("lx")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("s"),
+        F.sum(F.col("lx") * F.col("lx")).alias("ss"),
+    )
+    n = F.col("n")
+    s, ss = F.col("s").cast("double"), F.col("ss").cast("double")
+    mu = s / n
+    var = (ss - s * F.col("s").cast("double") / n) / (n - 1)
+    return sums.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        _r(mu, 6).alias("mu_log"),
+        _r(F.sqrt(var), 6).alias("sigma_log"),
+        F.round((F.exp(mu + var / 2)).cast("decimal(24,6)"), 2)
+        .cast("double")
+        .alias("implied_mean"),
+    )
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, COUNT(*) AS nh,
+             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS s,
+             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)
+                 * CAST(ROUND(value * 1000, 0) AS BIGINT)) AS ss
+      FROM events GROUP BY event_type
+    ),
+    w AS (
+      SELECT event_type, nh,
+             nh * sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / nh)
+                       / (nh - 1)) AS weight
+      FROM g
+    )
+    SELECT event_type, CAST(nh AS BIGINT) AS stratum_size,
+           CAST(FLOOR(1000 * weight / SUM(weight) OVER ()) AS BIGINT)
+             AS neyman_n,
+           CAST(ROUND(CAST(weight / SUM(weight) OVER ()
+                AS DECIMAL(24,10)), 6) AS DOUBLE) AS share
+    FROM w
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a 1000-row sampling budget across
+    event-type strata: nₕ·σₕ weighting — the survey-sampling design
+    that minimizes the estimator's variance for a fixed budget, vs
+    the proportional allocation sample_stratified uses (a small but
+    wildly-variable stratum DESERVES more than its population share;
+    Neyman gives it that).  Stratum SDs reduce to exact int64 power
+    sums in one pass; the allocation is scalar arithmetic on the
+    stratum-cardinality table, floored identically in both engines
+    (the remainder seats are a documented ≤ k-row undershoot)."""
+    e = load_table(spark, sf_dir, "events")
+    milli = F.round(F.col("value") * 1000, 0).cast("long")
+    g = e.groupBy("event_type").agg(
+        F.count("*").alias("nh"),
+        F.sum(milli).alias("s"),
+        F.sum(milli * milli).alias("ss"),
+    )
+    nh = F.col("nh")
+    s, ss = F.col("s").cast("double"), F.col("ss").cast("double")
+    sd = F.sqrt((ss - s * F.col("s").cast("double") / nh) / (nh - 1))
+    w = g.select("event_type", "nh", (nh * sd).alias("weight"))
+    wall = Window.partitionBy()
+    share = F.col("weight") / F.sum("weight").over(wall)
+    return w.select(
+        "event_type",
+        nh.cast("long").alias("stratum_size"),
+        F.floor(1000 * share).cast("long").alias("neyman_n"),
+        _r(share, 6).alias("share"),
+    )

@@ -84,3 +84,36 @@ def test_group_zscore_matches_numpy(spark, sf_dir):
     for _, r in sub.iterrows():
         mu, sd = stats.loc[r.event_type]
         assert abs(got[r.event_id]["z"] - (r.m - mu) / sd) < 1e-5
+
+
+def test_lognormal_fit_matches_numpy(spark, sf_dir):
+    from guidewire_spark.operators.resample_ext import agg_lognormal_fit
+
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    rows = {r["l_returnflag"]: r for r in agg_lognormal_fit(spark, sf_dir).collect()}
+    for flag, grp in li.groupby("l_returnflag"):
+        lx = np.round(np.log(grp.l_extendedprice.to_numpy()), 12)
+        r = rows[flag]
+        assert r["n"] == len(lx)
+        assert abs(r["mu_log"] - lx.mean()) < 1e-5
+        assert abs(r["sigma_log"] - lx.std(ddof=1)) < 1e-5
+        implied = np.exp(lx.mean() + lx.var(ddof=1) / 2)
+        assert abs(r["implied_mean"] - implied) < 1.0
+
+
+def test_neyman_allocation_properties(spark, sf_dir):
+    from guidewire_spark.operators.resample_ext import sample_neyman_allocation
+
+    rows = sample_neyman_allocation(spark, sf_dir).collect()
+    assert len(rows) == 5
+    total = sum(r["neyman_n"] for r in rows)
+    assert 1000 - 5 <= total <= 1000  # floor undershoot only
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-5
+    # referee on the weights
+    e = load_table(spark, sf_dir, "events").toPandas()
+    milli = (e.value * 1000).round().astype("int64")
+    g = e.assign(m=milli).groupby("event_type")["m"].agg(["size", "std"])
+    weights = g["size"] * g["std"]
+    for r in rows:
+        ref = weights[r["event_type"]] / weights.sum()
+        assert abs(r["share"] - ref) < 1e-5
