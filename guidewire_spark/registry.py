@@ -222,6 +222,9 @@ def query(name: str, oracle: str | None = None):
 # contamination_exact_substring, join_interval_intersection,
 # ts_spc_rule_two_of_three, agg_risk_odds_ratio,
 # ts_pacf_closed_form, agg_cohens_h, window_zscore_by_group,
+# ts_period_dominant, agg_diversity_hill_numbers,
+# agg_markov_entropy_rate, agg_quantile_skewness,
+# ts_mann_kendall_trend, agg_lognormal_fit, sample_neyman_allocation,
 # plus r1-head
 # re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
 # allow.
