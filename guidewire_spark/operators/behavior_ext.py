@@ -183,9 +183,18 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "attribution_last_touch",
     oracle="""
-    WITH e AS (
+    WITH e0 AS (
       SELECT event_id, user_id, event_type, epoch_us(ts) AS us
       FROM events WHERE user_id % 10 = 0
+    ),
+    e AS (
+      SELECT event_id, user_id, event_type, us FROM (
+        SELECT *,
+               MAX(CASE WHEN event_type <> 'purchase' THEN event_id END)
+                 OVER (PARTITION BY user_id, us) AS max_np_id
+        FROM e0
+      )
+      WHERE event_type = 'purchase' OR event_id = max_np_id
     ),
     touched AS (
       SELECT event_id, user_id, event_type, us,
@@ -213,7 +222,12 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     window_ignore_nulls_carry primitive pointed at the
     ts_velocity_features frame — NOT an O(n·m) self-join).  One
     shuffle by user; purchases with no touch in the window are
-    dropped (unattributable direct conversions)."""
+    dropped (unattributable direct conversions).  Ties are made
+    deterministic first: ``last(...)`` over RANGE-frame PEERS is
+    partition-order-dependent, so among non-purchase events sharing
+    the exact same (user, microsecond) only the max-event_id one
+    survives — via a peers-only ``rangeBetween(0, 0)`` frame that
+    reuses the SAME user-partitioned exchange (no second shuffle)."""
     e = (
         load_table(spark, sf_dir, "events")
         .where(F.col("user_id") % 10 == 0)
@@ -230,6 +244,13 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-86_400_000_000, 0)
     )
     not_purchase = F.col("event_type") != "purchase"
+    peers = Window.partitionBy("user_id").orderBy("us").rangeBetween(0, 0)
+    e = e.withColumn(
+        "max_np_id",
+        F.max(F.when(not_purchase, F.col("event_id"))).over(peers),
+    ).where(
+        ~not_purchase | (F.col("event_id") == F.col("max_np_id"))
+    ).drop("max_np_id")
     touched = e.select(
         "event_id",
         "user_id",

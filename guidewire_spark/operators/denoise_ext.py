@@ -256,7 +256,9 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-dp rounding on top).  Like ts_holt_linear_smoothing, the
     sequential fold runs AFTER the one distributed daily aggregate,
     on a calendar-bounded array.  Init: l = week-1 mean, b = (week-2
-    mean − week-1 mean)/7, s = week-1 deviations."""
+    mean − week-1 mean)/7, s = week-1 deviations.  Requires >= 14
+    daily points (two init weeks); shorter series yield zero rows
+    rather than a negative-length slice error."""
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
@@ -271,6 +273,11 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = daily.agg(
         F.sort_array(F.collect_list(F.struct("x", "y"))).alias("sxy")
     ).select(F.expr("transform(sxy, p -> CAST(p.y AS DOUBLE))").alias("ys"))
+    # Minimum-series requirement: the init consumes two full weeks
+    # (week-1 level/seasonals, week-2 trend), so with < 14 days the
+    # model is undefined — degrade to zero rows instead of letting
+    # slice(ys, 8, size - 7) throw on a negative length.
+    arr = arr.where(F.size("ys") >= 14)
     folded = arr.select(
         F.size("ys").alias("n_days"),
         F.expr(

@@ -31,7 +31,8 @@ def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
       FROM per_user
     ),
     reps AS (
-      SELECT b, (user_id * 2654435761 + b * 40503) % 2 AS flip, n, s
+      SELECT b, ((user_id * 2654435761 + b * 40503) // 65536) % 2 AS flip,
+             n, s
       FROM per_user, UNNEST(range(0, 64)) t(b)
     ),
     perm AS (
@@ -56,7 +57,10 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-respecting permutation test of the mean value
     difference between the parity cohorts: 64 label reassignments
     drawn from a DETERMINISTIC integer hash per (user, replica) —
-    flips happen at the USER level, never the event level, honoring
+    flips happen at the USER level, never the event level (the flip
+    is BIT 16 of the hash, not the low bit — with two odd multipliers
+    the low bit degenerates to (user_id + b) % 2, i.e. the identity
+    labeling or its complement on every replica), honoring
     the randomization unit exactly like agg_ratio_metric_delta does
     for variance — and the p-value is the add-one fraction of
     permuted |diffs| beating the observed one.  The agnostic test
@@ -82,7 +86,11 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
         "user_id",
     ).withColumn(
-        "flip", (F.col("user_id") * 2654435761 + F.col("b") * 40503) % 2
+        "flip",
+        F.shiftright(
+            F.col("user_id") * F.lit(2654435761) + F.col("b") * 40503, 16
+        )
+        % 2,
     )
     perm = reps.groupBy("b").agg(
         (side("flip", 0) - side("flip", 1)).alias("d_b")

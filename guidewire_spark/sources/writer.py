@@ -1476,7 +1476,12 @@ def generate_symlink_manifest(table_path: str) -> list[str]:
         )
         if pcols:
             pv = snap.file_partitions.get(p, {})
-            sub = "/".join(f"{c}={pv.get(c)}" for c in pcols)
+            # Hive/Presto/Trino spell a null partition value
+            # __HIVE_DEFAULT_PARTITION__, not the Python repr.
+            sub = "/".join(
+                f"{c}={pv.get(c) if pv.get(c) is not None else '__HIVE_DEFAULT_PARTITION__'}"
+                for c in pcols
+            )
         else:
             sub = ""
         groups.setdefault(sub, []).append(abs_path)

@@ -93,3 +93,27 @@ def test_holt_winters_matches_numpy_recurrence(spark, sf_dir):
     assert abs(row["level_milli"] - l) < 1e-2
     assert abs(row["trend_milli"] - b) < 1e-2
     assert abs(row["forecast_next_milli"] - (l + b + s[0])) < 1e-2
+
+
+def test_holt_winters_short_series_degrades_to_empty(spark, tmp_path):
+    """< 14 daily points: zero rows, never a negative-length slice
+    error (the init consumes two full weeks)."""
+    import datetime as dt
+
+    short = spark.createDataFrame(
+        [
+            (
+                i,
+                i,
+                "view",
+                dt.datetime(2024, 1, 1 + i, 12, 0, 0),
+                float(100 + i),
+            )
+            for i in range(10)
+        ],
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    d = str(tmp_path / "short_events")
+    short.write.parquet(d + "/events.parquet")
+    assert ts_holt_winters_seasonal(spark, str(tmp_path / "short_events")).count() == 0

@@ -143,3 +143,31 @@ def test_symlink_manifest_lists_exactly_the_snapshot(spark, sf_dir, tmp_path):
         with open(m) as fh:
             listed2 |= {p for p in fh.read().splitlines() if p}
     assert len(listed2) > len(listed)
+
+
+def test_symlink_manifest_null_partition_hive_default(spark, sf_dir, tmp_path):
+    """A null partition value must render as __HIVE_DEFAULT_PARTITION__
+    (the spelling Hive/Presto/Trino expect), never the Python 'None'."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from guidewire_spark.sources.writer import (
+        generate_symlink_manifest,
+        write_delta,
+    )
+
+    table = str(tmp_path / "symnull")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 0, F.col("lang")).alias("lang"),
+        )
+        .limit(40)
+    )
+    write_delta(d, table, mode="append", partition_by=["lang"])
+    manifests = generate_symlink_manifest(table)
+    dirs = {os.path.basename(os.path.dirname(m)) for m in manifests}
+    assert "lang=__HIVE_DEFAULT_PARTITION__" in dirs
+    assert "lang=None" not in dirs

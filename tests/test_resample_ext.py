@@ -29,15 +29,24 @@ def test_permutation_test_matches_python_replica(spark, sf_dir):
 
     d_obs = diff(per_user.user_id % 2)
     beats = 0
+    arm = per_user.user_id % 2
+    degenerate = 0
     for b in range(64):
-        flips = (per_user.user_id * 2654435761 + b * 40503) % 2
+        flips = ((per_user.user_id * 2654435761 + b * 40503) // 65536) % 2
+        # The old low-bit flip was ALWAYS the identity arm labeling or
+        # its complement (two odd multipliers mod 2), collapsing every
+        # replica onto |d_obs| and pinning p at 1.0.  Bit 16 must give
+        # genuinely reshuffled labelings.
+        if (flips == arm).all() or (flips == 1 - arm).all():
+            degenerate += 1
         if abs(diff(flips)) >= abs(d_obs):
             beats += 1
+    assert degenerate == 0
     p = (1 + beats) / 65
     row = agg_permutation_test(spark, sf_dir).collect()[0]
     assert row["n_perms"] == 64
     assert abs(row["observed_diff"] - d_obs / 1000) < 1e-5
-    assert abs(row["p_value"] - p) < 1e-9
+    assert abs(row["p_value"] - p) < 1e-6  # operator rounds to 6 dp
     assert 1 / 65 <= row["p_value"] <= 1.0
 
 
