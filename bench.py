@@ -37,7 +37,44 @@ HEADLINE = [
 ]
 
 
+def _ambient_load() -> dict:
+    """1-min load average + running-process count: the round-4 bench
+    ran concurrently with full-registry verification sweeps (load 2-4)
+    and drifted +6.5% uniformly, polluting the round-over-round
+    series.  Recording the ambient load with every run lets a reader
+    separate code regressions from machine noise; runs with load >~1
+    are additionally flagged ``ambient_load_high``."""
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = -1.0
+    try:
+        n_running = sum(
+            1
+            for pid in os.listdir("/proc")
+            if pid.isdigit()
+            and pid != str(os.getpid())
+            and _proc_state(pid) in ("R", "D")
+        )
+    except OSError:
+        n_running = -1
+    return {"load_1min": round(load1, 2), "procs_running": n_running}
+
+
+def _proc_state(pid: str) -> str:
+    try:
+        with open(f"/proc/{pid}/stat") as fh:
+            return fh.read().split(") ", 1)[1].split(" ", 1)[0]
+    except (OSError, IndexError):
+        return "?"
+
+
 def main() -> None:
+    # Sample ambient load FIRST — before the Spark JVM spins up, this
+    # reading reflects only OTHER processes competing for the cores
+    # (once warm-up starts, the bench's own 32 executor threads
+    # dominate the 1-min average and the reading means nothing).
+    load_before = _ambient_load()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="guidewire-spark-bench")
@@ -86,6 +123,17 @@ def main() -> None:
             file=sys.stderr,
         )
     total = round(sum(timings.values()), 3)
+    # load_after will always be high (it includes this bench's own
+    # executor threads); it's recorded for completeness but the
+    # ambient flag keys on the PRE-Spark sample only.
+    load_after = _ambient_load()
+    ambient_high = load_before["load_1min"] > 1.0
+    if ambient_high:
+        print(
+            "# WARNING: ambient load >1 during bench — timings include "
+            "machine noise; re-run idle for a trustworthy series",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -96,6 +144,9 @@ def main() -> None:
                 "queries_median": medians,
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load_before": load_before,
+                "load_after": load_after,
+                "ambient_load_high": ambient_high,
             }
         )
     )

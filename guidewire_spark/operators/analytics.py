@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from guidewire_spark.functions import text as T
+from guidewire_spark.operators.twophase import two_phase_ordered
 from guidewire_spark.plans.catalog import load_table
 from guidewire_spark.registry import query
 
@@ -1837,18 +1838,20 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Computed from the rank-weighted sum formula G = 2Σ(r·x)/(nΣx) −
     (n+1)/n over spend ranked ascending with a unique (x, user_id)
-    tiebreak: one aggregation for spend, one global window for ranks
-    (user-cardinality-sized input, not event-sized), one final fold."""
+    tiebreak: one aggregation for spend, then a TWO-PHASE global rank
+    (twophase.two_phase_ordered — user cardinality grows with the
+    data, so even the user-sized aggregate never funnels through one
+    task), one final fold."""
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
     )
     spend = e.groupBy("user_id").agg(F.sum("value").alias("x"))
-    ranked = spend.select(
-        "x",
-        F.row_number()
-        .over(Window.orderBy(F.col("x").asc(), F.col("user_id").asc()))
-        .alias("r"),
-    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    ranked = two_phase_ordered(
+        spend,
+        [F.asc("x"), F.asc("user_id")],
+        rank_name="r",
+        total_name="n",
+    ).select("x", "r", "n")
     gini = (
         F.lit(2.0) * F.sum(F.col("r") * F.col("x")) / (F.max("n") * F.sum("x"))
         - (F.max("n") + F.lit(1.0)) / F.max("n")

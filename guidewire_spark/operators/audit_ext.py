@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from guidewire_spark.operators.twophase import two_phase_lead
 from guidewire_spark.plans.catalog import load_table
 from guidewire_spark.registry import query
 
@@ -163,19 +164,17 @@ def ts_id_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID-sequence gap detection: key ranges where a filtered
     sequence (finished orders) goes silent for 12+ consecutive keys —
     lead-minus-current over the sorted keys. The same shape audits a
-    supposedly contiguous export for dropped batches. The ordered pass runs
-    over KEYS only (one column); at 100 TB the same shape runs
-    per-range-partition with boundary stitching, and the gap report
-    stays gap-cardinality-sized."""
+    supposedly contiguous export for dropped batches. The lead runs
+    TWO-PHASE (range-partition, partition-local lead, boundary
+    stitching via the broadcast parts-row first-key summary —
+    twophase.two_phase_lead), so no single task ever sees more than
+    its key slice and the gap report stays gap-cardinality-sized."""
     o = (
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
     )
-    w = Window.orderBy("o_orderkey")
-    ordered = o.select(
-        "o_orderkey", F.lead("o_orderkey").over(w).alias("next_key")
-    )
+    ordered = two_phase_lead(o, "o_orderkey", lead_name="next_key")
     gap = F.col("next_key") - F.col("o_orderkey") - 1
     return ordered.where(gap >= 12).select(
         (F.col("o_orderkey") + 1).alias("gap_start"),

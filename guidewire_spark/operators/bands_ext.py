@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from guidewire_spark.operators.twophase import two_phase_ordered
 from guidewire_spark.plans.catalog import load_table
 from guidewire_spark.registry import query
 
@@ -232,21 +233,23 @@ def window_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     of customers make 80% of revenue?" answer, exactly). The 80%
     threshold test is pure integer (cum·5 ≥ total·4); ranking and
     cumulative sums run over the customer-sized aggregate in exact
-    cents. Complements agg_top1pct_revenue_share (fixed-k share) with
-    the fixed-share k."""
+    cents — TWO-PHASE (twophase.two_phase_ordered): the global rank
+    AND the running revenue sum both come from partition-local
+    windows plus broadcast prefix offsets, so no single task ever
+    sorts the full customer set. Complements
+    agg_top1pct_revenue_share (fixed-k share) with the fixed-share
+    k."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     cust = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
-    order = Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
-    ranked = cust.select(
-        "cents",
-        F.row_number().over(order).alias("rnk"),
-        F.sum("cents").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "cum"
-        ),
-        F.sum("cents").over(Window.partitionBy()).alias("total"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    ranked = two_phase_ordered(
+        cust,
+        [F.desc("cents"), F.asc("o_custkey")],
+        rank_name="rnk",
+        total_name="n",
+        cumsums={"cum": "cents"},
+        sum_totals={"total": "cents"},
+    ).select("cents", "rnk", "cum", "total", "n")
     hit = ranked.where(F.col("cum") * 5 >= F.col("total") * 4)
     return hit.agg(
         F.min("rnk").alias("k_customers"),

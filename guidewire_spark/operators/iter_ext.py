@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from guidewire_spark.operators.twophase import ntile_from_rank, two_phase_ordered
 from guidewire_spark.plans.catalog import load_table, register_views
 from guidewire_spark.registry import query
 
@@ -291,7 +292,12 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment label (1-1-1 = best) with segment sizes — the marketing
     workhorse. NTILE ordering is made total with the user_id
     tie-break, so quartile boundaries are deterministic; everything
-    past the first aggregate is user-cardinality-sized."""
+    past the first aggregate is user-cardinality-sized — and user
+    cardinality grows with the data, so each of the three quartile
+    ranks runs TWO-PHASE (twophase.two_phase_ordered, NTILE derived
+    from the global rank by ntile_from_rank's exact
+    remainder-to-leading-buckets arithmetic): three parallel
+    range-shuffles, zero single-partition windows."""
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
     )
@@ -302,18 +308,20 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_q"
         ),
     )
-    scored = rfm.select(
-        "user_id",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("last_seen").desc(), F.col("user_id")))
-        .alias("r"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
-        .alias("f"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary_q").desc(), F.col("user_id")))
-        .alias("m"),
-    )
+    scored = rfm
+    for name, key in (
+        ("r", "last_seen"),
+        ("f", "frequency"),
+        ("m", "monetary_q"),
+    ):
+        scored = two_phase_ordered(
+            scored,
+            [F.desc(key), F.asc("user_id")],
+            rank_name="__rnk",
+            total_name="__nt",
+        ).withColumn(name, ntile_from_rank(4, "__rnk", "__nt")).drop(
+            "__rnk", "__nt"
+        )
     seg = F.concat_ws(
         "-",
         F.col("r").cast("long"),

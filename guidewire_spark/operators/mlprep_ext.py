@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from guidewire_spark.operators.twophase import two_phase_ordered
 from guidewire_spark.plans.catalog import load_table
 from guidewire_spark.registry import query
 
@@ -61,12 +62,14 @@ def mix_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The rank→rank mapping is the exact integer midpoint formula
     ((2r−1)·N + n_s) // (2·n_s), so the result is engine- and
-    order-proof. Exact quantile normalization inherently needs a
-    global rank over the pooled distribution; at 100 TB the
-    substitute is a percentile-grid approximation (interpolate into
-    ~1e4 pooled quantiles from approx_percentile) — this operator
-    implements the exact contract the grid approximates, and is the
-    oracle for it."""
+    order-proof. The pooled global rank is computed TWO-PHASE
+    (range-partition + partition-local row_number + broadcast prefix
+    offsets, twophase.two_phase_ordered) so no single task ever holds
+    the pooled corpus; the per-source ranks are ordinary partitioned
+    windows. The 100 TB sibling is mix_quantile_normalize_grid
+    (interpolate into ~1e4 pooled approx-percentile cuts) — this
+    operator implements the exact contract the grid approximates,
+    and serves as its accuracy oracle in pytest."""
     d = load_table(spark, sf_dir, "documents")
     ranked = d.select(
         "doc_id",
@@ -77,10 +80,11 @@ def mix_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r"),
         F.count("*").over(Window.partitionBy("source")).alias("ns"),
     )
-    pooled = d.select(
-        F.col("n_chars").alias("pooled_value"),
-        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("idx"),
-    )
+    pooled = two_phase_ordered(
+        d.select(F.col("n_chars").alias("pooled_value"), "doc_id"),
+        [F.asc("pooled_value"), F.asc("doc_id")],
+        rank_name="idx",
+    ).select("pooled_value", "idx")
     total = d.agg(F.count("*").alias("n"))
     mapped = ranked.crossJoin(F.broadcast(total)).select(
         "doc_id",
@@ -91,6 +95,52 @@ def mix_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.join(
         pooled, mapped.target_idx == pooled.idx
     ).select("doc_id", "source", "n_chars", F.col("pooled_value").alias("normalized"))
+
+
+@query("mix_quantile_normalize_grid")  # approx sketch → no SQL oracle;
+# accuracy is gated in pytest against the exact twin (rows-only check)
+def mix_quantile_normalize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for cross-source quantile normalization: instead
+    of an exact global rank over the pooled corpus, interpolate each
+    document's within-source midpoint quantile q = (2r−1)/(2·n_s) into
+    a ~1000-cut pooled percentile GRID from ``percentile_approx`` —
+    one distributed sketch aggregate (KLL/GK-style, mergeable, so it
+    partial-aggregates map-side), a single broadcast of the grid
+    array, and pure JVM ``element_at`` interpolation per row.  No
+    global window, no rank join; the per-source ranks stay ordinary
+    partitioned windows.  mix_quantile_normalize is the exact
+    contract this approximates and serves as its pytest accuracy
+    oracle (bounded relative error on the normalized values)."""
+    G = 1000
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("ns"),
+    )
+    grid = d.agg(
+        F.percentile_approx(
+            "n_chars", [i / G for i in range(G + 1)], 10_000
+        ).alias("cuts")
+    )
+    pos = (F.lit(2) * F.col("r") - 1) / (F.lit(2) * F.col("ns")) * G
+    lo = F.least(F.floor(pos).cast("int"), F.lit(G - 1))
+    frac = pos - lo
+    v_lo = F.element_at("cuts", lo + 1).cast("double")
+    v_hi = F.element_at("cuts", lo + 2).cast("double")
+    return (
+        ranked.crossJoin(F.broadcast(grid))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(v_lo + frac * (v_hi - v_lo), 3).alias("normalized"),
+        )
+    )
 
 
 @query(

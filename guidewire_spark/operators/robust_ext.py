@@ -13,6 +13,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from guidewire_spark.operators.twophase import two_phase_ordered
 from guidewire_spark.plans.catalog import load_table
 from guidewire_spark.registry import query
 
@@ -122,18 +123,20 @@ def agg_top1pct_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break) — the number every marketplace health dashboard leads
     with. Ranking and share arithmetic run on exact integer cents over
     the CUSTOMER-sized aggregate; the ordered pass never touches raw
-    orders."""
+    orders — and since customer cardinality grows with the data, the
+    rank itself is TWO-PHASE (twophase.two_phase_ordered: parallel
+    range-partitions, broadcast prefix offsets), with COUNT/SUM OVER()
+    folded into the same parts-row broadcast summary."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     cust = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
-    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
-    wall = Window.partitionBy()
-    ranked = cust.select(
-        "cents",
-        F.row_number().over(w).alias("rnk"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("cents").over(wall).alias("total"),
-    )
+    ranked = two_phase_ordered(
+        cust,
+        [F.desc("cents"), F.asc("o_custkey")],
+        rank_name="rnk",
+        total_name="n",
+        sum_totals={"total": "cents"},
+    ).select("cents", "rnk", "n", "total")
     n_top = F.expr("(n + 99) div 100")
     return ranked.agg(
         F.max("n").alias("n_customers"),

@@ -646,7 +646,22 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _component_labels(spark, sf_dir)
 
 
-def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup edge list (J ≥ 0.2 on 3-word shingles, docs 0..99),
+    derived the way the PRODUCTION dedup path derives it — minhash LSH
+    candidate pairs, exact-verified on the candidates only — never an
+    all-pairs shingle-equality self-join (the one shape that must
+    never run unbounded: its output is quadratic in the hottest
+    shingle's doc frequency).  Banding here is 32 bands × 1 row, the
+    recall-heavy tuning the 0.2 threshold demands (a J ≥ 0.2 pair is
+    missed with probability ≤ 0.8³² ≈ 8e-4; the 8×4 tuning
+    dedup_minhash_lsh uses targets J ≥ 0.7).  Candidates then verify
+    EXACTLY via array_intersect on the per-doc shingle sets, so
+    precision is exact and the DuckDB all-pairs oracle stays the
+    referee; tests/test_plans.py locks the no-self-join plan shape.
+    """
+    import random
+
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     shingles = (
         d.where(F.size(T.words(F.col("text"))) >= 3)
@@ -656,25 +671,81 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count("*").alias("bn"))
+    p = 2_147_483_647
+    n_hashes = 32
+    rng = random.Random(7)
+    A = [rng.randrange(1, p) for _ in range(n_hashes)]
+    B = [rng.randrange(0, p) for _ in range(n_hashes)]
+    xh = F.pmod(F.xxhash64("shingle"), F.lit(p))
+    sig = shingles.groupBy("doc_id").agg(
+        *[
+            F.min((xh * A[i] + B[i]) % p).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
     )
-    jacc = F.col("bn") / (F.col("sa.n") + F.col("sb.n") - F.col("bn"))
+    bands_long = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)])
+        ).alias("band", "bucket"),
+    )
+    buckets = (
+        bands_long.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(
+                                x.alias("da"), y.alias("db")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .select("pr.da", "pr.db")
+        .distinct()
+    )
+    # exact verification on candidates only (candidate-count-sized)
+    sets = shingles.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh")
+    )
+    # shuffle joins by design: the shingle-set side is corpus-sized at
+    # production scale, so it must never be broadcast (AQE may still
+    # choose BHJ at this bounded test size — that's its call, not ours)
     edges = (
-        inter.join(F.broadcast(sizes.alias("sa")), F.col("da") == F.col("sa.doc_id"))
-        .join(F.broadcast(sizes.alias("sb")), F.col("db") == F.col("sb.doc_id"))
-        .where(jacc >= 0.2)
+        cand.join(
+            sets.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha")),
+            "da",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb")),
+            "db",
+        )
+        .withColumn("bn", F.size(F.array_intersect("sha", "shb")))
+        .where(
+            F.col("bn")
+            / (F.size("sha") + F.size("shb") - F.col("bn"))
+            >= 0.2
+        )
         .select("da", "db")
     )
+    return edges
+
+
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation over the LSH-derived near-dup edges
+    (see :func:`_cc_edges` for the candidate/verify edge derivation).
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    edges = _cc_edges(spark, sf_dir)
     und = edges.union(edges.select(F.col("db"), F.col("da"))).toDF("src", "dst")
 
     labels = d.select(

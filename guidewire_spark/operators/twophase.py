@@ -1,0 +1,169 @@
+"""Two-phase global ordered computations — the scale-safe substitute
+for ``Window.orderBy(...)`` with no partition key.
+
+A global window funnels the whole input through ONE task; at 100 TB
+that single partition is the job.  The two-phase shape keeps every
+data-sized stage parallel:
+
+1. ``repartitionByRange(parts, *order_cols)`` — each partition holds a
+   contiguous slice of the global order (phase-1 shuffle, the only
+   data-sized movement).
+2. Partition-local window (row_number / running sum / lead) keyed by
+   ``spark_partition_id()`` — parallel across all ``parts`` tasks.
+3. A ``parts``-row per-partition summary (counts / sums / first keys)
+   is prefix-combined with a window over ``pid`` — trivially small —
+   and **broadcast** back as each partition's carry-in offset.
+
+The result is exactly the global window's answer because row counts,
+sums, and min/max are associative across the partition order.  This is
+the pattern agg_lift_gains_table and skyline_pareto_frontier
+introduced (evaluation_ext.py / audit2_ext.py, both plan-locked);
+this module is the shared implementation the rest of the registry
+retrofits onto.
+
+Plan signature (what the plan locks assert): ``SPARK_PARTITION_ID()``
+present, the data-sized window's exchange is ``hashpartitioning(__pid``
+(or the helper's pid alias), and a ``rangepartitioning(...)`` phase-1
+exchange; the only SinglePartition window left is the parts-row prefix
+combine.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__pid"
+_LOCAL_RN = "__local_rn"
+
+
+def two_phase_ordered(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    *,
+    parts: int = 16,
+    rank_name: str | None = "rnk",
+    total_name: str | None = None,
+    cumsums: Mapping[str, str] | None = None,
+    sum_totals: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Attach global-order columns to ``df`` without a global window.
+
+    ``order_cols``
+        The total order (include a unique tiebreaker — rank ties are
+        the one thing range partitioning cannot arbitrate
+        deterministically).
+    ``rank_name``
+        Name for the global ``row_number`` column (None to skip).
+    ``total_name``
+        Name for a broadcast COUNT(*) OVER () column (None to skip).
+    ``cumsums``
+        ``{out_name: value_col}`` inclusive running sums in the global
+        order (``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``).
+    ``sum_totals``
+        ``{out_name: value_col}`` grand totals (``SUM(v) OVER ()``),
+        computed on the parts-row summary and broadcast.
+
+    Returns ``df``'s columns plus the requested ones.  All data-sized
+    stages stay parallel; the only single-partition window runs over
+    the ``parts``-row summary.
+    """
+    cumsums = dict(cumsums or {})
+    sum_totals = dict(sum_totals or {})
+    parted = df.repartitionByRange(parts, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    w_local = Window.partitionBy(_PID).orderBy(*order_cols)
+    w_run = w_local.rowsBetween(Window.unboundedPreceding, 0)
+    local = parted.withColumn(_LOCAL_RN, F.row_number().over(w_local))
+    for out, src in cumsums.items():
+        local = local.withColumn(f"__run_{out}", F.sum(src).over(w_run))
+
+    aggs = [F.count("*").alias("__cnt")]
+    for out, src in cumsums.items():
+        aggs.append(F.sum(src).alias(f"__sum_{out}"))
+    for out, src in sum_totals.items():
+        if out not in cumsums:
+            aggs.append(F.sum(src).alias(f"__sum_{out}"))
+    per_pid = local.groupBy(_PID).agg(*aggs)
+
+    # parts-row prefix combine: exclusive prefix sums become each
+    # partition's carry-in; whole-table sums become broadcast totals
+    w_prefix = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    sel: list[Column] = [
+        F.col(_PID),
+        F.coalesce(F.sum("__cnt").over(w_prefix), F.lit(0)).alias("__offset"),
+    ]
+    if total_name is not None:
+        sel.append(F.sum("__cnt").over(w_all).alias(total_name))
+    for out in cumsums:
+        sel.append(
+            F.coalesce(F.sum(f"__sum_{out}").over(w_prefix), F.lit(0)).alias(
+                f"__off_{out}"
+            )
+        )
+    for out in sum_totals:
+        sel.append(F.sum(f"__sum_{out}").over(w_all).alias(out))
+    offsets = per_pid.select(*sel)
+
+    out_df = local.join(F.broadcast(offsets), _PID)
+    if rank_name is not None:
+        out_df = out_df.withColumn(
+            rank_name, F.col("__offset") + F.col(_LOCAL_RN)
+        )
+    for out in cumsums:
+        out_df = out_df.withColumn(
+            out, F.col(f"__off_{out}") + F.col(f"__run_{out}")
+        )
+    drop = [_PID, _LOCAL_RN, "__offset"]
+    drop += [f"__run_{o}" for o in cumsums] + [f"__off_{o}" for o in cumsums]
+    return out_df.drop(*drop)
+
+
+def ntile_from_rank(n: int, rank: str = "rnk", total: str = "n_total") -> Column:
+    """NTILE(n) derived from a global rank + total count — the exact
+    remainder-to-leading-buckets arithmetic (first ``total % n``
+    buckets hold ``total div n + 1`` rows, the rest ``total div n``),
+    so a two-phase rank reproduces the window function bit-for-bit.
+    The CASE guards the ``total < n`` corner (q = 0): every row lands
+    in the WHEN branch, so the ELSE's division by q never evaluates.
+    """
+    q = f"({total} div {n})"
+    r = f"({total} % {n})"
+    return F.expr(
+        f"CASE WHEN {rank} <= {r} * ({q} + 1) "
+        f"THEN ({rank} - 1) div ({q} + 1) + 1 "
+        f"ELSE {r} + ({rank} - {r} * ({q} + 1) - 1) div {q} + 1 END"
+    )
+
+
+def two_phase_lead(
+    df: DataFrame,
+    key_col: str,
+    *,
+    parts: int = 16,
+    lead_name: str = "next_key",
+) -> DataFrame:
+    """``LEAD(key) OVER (ORDER BY key)`` without a global window:
+    partition-local lead, then boundary stitching — each partition's
+    tail row takes the FIRST key of the next non-empty partition,
+    read from the broadcast parts-row summary (min key per pid,
+    lead-combined over the pid order).  The final global tail stays
+    NULL, exactly like the window form."""
+    parted = df.repartitionByRange(parts, F.asc(key_col)).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    w_local = Window.partitionBy(_PID).orderBy(key_col)
+    local = parted.withColumn("__local_lead", F.lead(key_col).over(w_local))
+    per_pid = parted.groupBy(_PID).agg(F.min(key_col).alias("__first"))
+    nxt = per_pid.select(
+        _PID,
+        F.lead("__first").over(Window.orderBy(_PID)).alias("__next_first"),
+    )
+    out = local.join(F.broadcast(nxt), _PID).withColumn(
+        lead_name, F.coalesce("__local_lead", "__next_first")
+    )
+    return out.drop(_PID, "__local_lead", "__next_first")

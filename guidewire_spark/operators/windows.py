@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from guidewire_spark.operators.twophase import ntile_from_rank, two_phase_ordered
 from guidewire_spark.plans.catalog import load_table
 from guidewire_spark.registry import query
 
@@ -53,14 +54,30 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile / percent_rank / cume_dist over a global ordering."""
+    """ntile / percent_rank / cume_dist over a global ordering —
+    computed TWO-PHASE (twophase.two_phase_ordered) rather than with
+    a single-partition window: the (c_acctbal, c_custkey) order is
+    total (unique tiebreak), so rank has no peers and
+    percent_rank = (rnk−1)/(n−1), cume_dist = rnk/n, and NTILE
+    follows from ntile_from_rank's remainder arithmetic — all exact
+    reproductions of the window functions, with every data-sized
+    stage parallel."""
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
-    return c.select(
+    ranked = two_phase_ordered(
+        c.select("c_custkey", "c_acctbal"),
+        [F.asc("c_acctbal"), F.asc("c_custkey")],
+        rank_name="rnk",
+        total_name="n",
+    )
+    pct = F.when(
+        F.col("n") > 1,
+        (F.col("rnk") - 1).cast("double") / (F.col("n") - 1),
+    ).otherwise(F.lit(0.0))
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ntile_from_rank(4, "rnk", "n").cast("long").alias("quartile"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(F.col("rnk").cast("double") / F.col("n"), 6).alias("cume"),
     )
 
 

@@ -34,6 +34,30 @@ def test_quantile_normalize_equalizes_distributions(spark, sf_dir):
     assert set(got["normalized"]) <= set(pooled)
 
 
+def test_quantile_normalize_grid_tracks_exact_twin(spark, sf_dir):
+    """The percentile-grid scale path must approximate the exact
+    operator: per-document relative error bounded, and the grid output
+    must preserve the exact twin's within-source ordering."""
+    from guidewire_spark.operators.mlprep_ext import mix_quantile_normalize_grid
+
+    exact = mix_quantile_normalize(spark, sf_dir).toPandas().set_index("doc_id")
+    grid = (
+        mix_quantile_normalize_grid(spark, sf_dir).toPandas().set_index("doc_id")
+    )
+    j = exact.join(grid, lsuffix="_e", rsuffix="_g")
+    rel = (
+        (j["normalized_g"] - j["normalized_e"]).abs()
+        / j["normalized_e"].clip(lower=1)
+    )
+    assert rel.median() < 0.02
+    assert rel.quantile(0.95) < 0.10
+    # monotone in rank within each source (interpolating a sorted grid
+    # at a monotone quantile cannot invert the order)
+    for _, g in j.reset_index().groupby("source_g"):
+        s = g.sort_values("normalized_e")["normalized_g"]
+        assert s.is_monotonic_increasing
+
+
 def test_ffd_packing_invariants(spark, sf_dir):
     got = pack_first_fit_decreasing(spark, sf_dir).toPandas()
     total_docs = load_table(spark, sf_dir, "documents").count()

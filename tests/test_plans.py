@@ -545,3 +545,58 @@ def test_bootstrap_partial_aggregates_before_shuffle(spark, sf_dir):
         if "HashAggregate" in l or "Exchange" in l
     )
     assert "HashAggregate" in nearest, nearest
+
+
+def test_two_phase_retrofits_never_use_global_data_windows(spark, sf_dir):
+    """The round-4 verdict's last scale-killer class: 7 queries ran
+    exact global ranks with Window.orderBy(...) and no partition key —
+    the whole input through ONE task.  All now route through
+    twophase.two_phase_ordered / two_phase_lead: the plan must show the
+    range-partitioned phase-1 exchange, the SPARK_PARTITION_ID() pid
+    derivation, and the data-sized window's hashpartitioning(__pid
+    exchange; the rank-derived ntile/percent_rank/cume_dist window
+    functions must be GONE (replaced by rank arithmetic)."""
+    from guidewire_spark.operators.analytics import agg_gini_concentration
+    from guidewire_spark.operators.audit_ext import ts_id_sequence_gaps
+    from guidewire_spark.operators.bands_ext import window_pareto_8020
+    from guidewire_spark.operators.iter_ext import agg_rfm_segmentation
+    from guidewire_spark.operators.mlprep_ext import mix_quantile_normalize
+    from guidewire_spark.operators.robust_ext import agg_top1pct_revenue_share
+    from guidewire_spark.operators.windows import window_ntile_percent
+
+    retrofits = [
+        ts_id_sequence_gaps,
+        mix_quantile_normalize,
+        agg_rfm_segmentation,
+        agg_top1pct_revenue_share,
+        window_pareto_8020,
+        agg_gini_concentration,
+        window_ntile_percent,
+    ]
+    for fn in retrofits:
+        plan = plan_of(fn(spark, sf_dir))
+        assert "SPARK_PARTITION_ID()" in plan, fn.__name__
+        assert "rangepartitioning(" in plan, fn.__name__
+        assert "hashpartitioning(__pid" in plan, fn.__name__
+        low = plan.lower()
+        for gone in ("ntile(", "percent_rank(", "cume_dist("):
+            assert gone not in low, (fn.__name__, gone)
+
+
+def test_cc_edges_come_from_lsh_candidates_not_shingle_self_join(spark, sf_dir):
+    """dedup_connected_components must derive its edge list the way
+    the production dedup path does — minhash-band candidate pairs,
+    exact-verified on the candidates — never an all-pairs
+    shingle-equality self-join (quadratic in the hottest shingle's
+    doc frequency).  No join condition on shingle = shingle may
+    appear anywhere in the plan."""
+    import re
+
+    from guidewire_spark.operators.training import _cc_edges
+
+    plan = plan_of(_cc_edges(spark, sf_dir))
+    assert re.search(r"shingle#\d+L? = shingle#", plan) is None
+    # the LSH machinery is present: xxhash64 shingle ids and the
+    # band/bucket pair expansion
+    assert "xxhash64" in plan
+    assert "posexplode" in plan or "Generate" in plan
