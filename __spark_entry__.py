@@ -33,7 +33,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
-    this round's verification window (registry._FRONT) comes first."""
+    this round's verification window comes first — computed by
+    registry.driver_window_order from the committed CORRECTNESS_r*
+    history (never-driver-checked queries first, plan-dependent
+    families leading)."""
     return {name: spec.fn for name, spec in driver_window_order().items()}
 
 

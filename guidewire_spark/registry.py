@@ -106,189 +106,45 @@ def query(name: str, oracle: str | None = None):
 
 
 # The grading driver verifies the FIRST 50 entries of the driver-facing
-# ordering per round.  Round 1 covered relational/joins/aggregates/windows
-# + 4 scalar families; round 2 covered llm/training/sql-head/udfs +
-# connector head; round 3 covered Delta maintenance, streaming windows,
-# the remaining scalar families and TPC-H tail.  Round 4 closes the gap:
-# the 34 queries with zero driver history (all green under the local
-# driver-replica oracle gate, tools/check_oracles.py), the re-fixed
-# agg_approx_percentile (r3's one red row — array<double> output now
-# three scalar columns), and 15 of this round's 32 new operators
-# (first-time signal beats re-checking r1 rows that already have driver
-# history).  Round 5 should front the remaining 51 round-4 additions
-# (sql_udf_create_function, sql_pivot_clause, sql_unpivot_clause,
-# udaf_apply_in_arrow, agg_listagg, vocab_bpe_merge_candidates,
-# agg_argminmax_family, agg_approx_top_k, er_blocked_fuzzy_match,
-# multimodal_audio_rms, stream_available_now_backfill,
-# stream_complete_mode_agg, udf_pandas_iterator, agg_grouping_id,
-# agg_weighted_stats, func_try_family, func_hash_family,
-# text_perplexity_proxy, embedding_dim_stats, ts_ewma_smoothing,
-# ts_anomaly_mad, text_overlap_stitch, join_asof_nearest,
-# text_ngram_containment, udtf_python_class, stream_update_mode_agg,
-# func_aes_roundtrip, agg_higher_moments, ts_autocorr_lag1,
-# join_interval_overlap_bucketed, similarity_ann_pq,
-# delta_partition_profile, ts_seasonal_profile, ts_resample_interpolate,
-# ts_changepoint_meanshift, training_hard_negatives,
-# dedup_source_priority, ts_burst_windows, agg_ab_welch_t,
-# agg_behavioral_entropy, delta_version_diff, agg_gini_concentration,
-# agg_chi_square_independence, mix_kl_divergence, func_format_family,
-# ts_velocity_features, stream_fanout_two_sinks,
-# text_lang_confusion_matrix, pack_shard_manifest,
-# agg_distinct_aggregates, window_ignore_nulls_carry), the stats_ext
-# additions (agg_bool_count_if, agg_bit_aggregates, ts_ohlc_bars,
-# window_rolling_median, agg_ks_statistic, agg_mann_whitney_u,
-# sql_group_by_all, func_inline_explode, anon_k_anonymity,
-# agg_benford_first_digit, ts_rolling_corr, embedding_quantize_int8),
-# the pipeline_ext additions (mix_token_budget_allocation,
-# func_url_family, text_sentence_stats, ts_pattern_three_rises,
-# embedding_assign_centroid, graph_label_propagation_step,
-# delta_scd2_merge, stream_stream_left_outer_join), the warehouse_ext
-# additions (delta_idempotent_writes, join_null_safe_equality,
-# ts_tumbling_vwap, agg_herfindahl_index, agg_poisson_bootstrap_ci,
-# stream_full_outer_interval_join), the advanced_ext additions
-# (embedding_covariance_matrix, ts_downsample_lttb,
-# tokenizer_bpe_apply_merge, obs_quality_gate,
-# sql_values_inline_table), the mlprep_ext additions
-# (mix_quantile_normalize, graph_jaccard_link_prediction,
-# agg_share_of_parent, pack_first_fit_decreasing,
-# agg_hll_intersection_estimate), the olap_ext additions
-# (func_bitmap_family, join_shuffle_hash_hint,
-# sql_distribute_cluster_by, window_period_over_period,
-# ts_decompose_trend_seasonal, agg_mutual_information), the
-# robust_ext additions (range_source_generate,
-# json_corrupt_records_scan, agg_top1pct_revenue_share,
-# join_dim_asof_scd2, stream_idempotent_foreachbatch), the
-# surface_ext additions (sql_lateral_view_explode, func_xpath_family,
-# func_to_from_csv, func_collation_groupby, corpus_incremental_ingest,
-# cda_manifest_drift_audit), the gaps_ext additions
-# (ts_calendar_spine_fill, ts_session_length_histogram,
-# window_count_distinct_trick, func_regexp_family,
-# sql_not_exists_antijoin, delta_replace_where), the iter_ext
-# additions (graph_bfs_distance, ts_cohort_ltv,
-# sql_parameterized_query, er_multi_key_blocking,
-# agg_rfm_segmentation), the dq_ext additions (dq_expectations_report,
-# agg_geo_harmonic_means, func_luhn_checksum,
-# join_runtime_bloom_filter), the audit_ext additions
-# (ts_longest_daily_streak, ts_stage_latency, func_char_family,
-# ts_id_sequence_gaps, training_epoch_shuffle_plan,
-# ts_markov_transitions, ts_bollinger_bands, agg_weighted_median,
-# dedup_dup_ratio_by_source, window_pareto_8020, ts_max_drawdown,
-# ts_cusum_alarm, sample_balanced_classes, ts_weekly_churn_rate,
-# text_zipf_slope, ts_kaplan_meier, dedup_threshold_sweep,
-# func_mask_family, delta_stats_skipping_scan,
-# ts_session_duration_stats, text_bigram_pmi, delta_cdf_net_changes,
-# ts_cumulative_distinct_users, ts_new_vs_returning, ts_rolling_wau,
-# agg_dau_mau_stickiness, ts_snaive_backtest, text_readability_fk,
-# anon_l_diversity, agg_ab_cuped_adjustment,
-# func_array_sort_comparator, delta_generated_partition_prune,
-# ts_autocorrelation_function, vocab_oov_rate), the late round-4
-# batches: inference_ext (agg_spearman_rank_corr, agg_cramers_v,
-# agg_cohens_d_effect_size, agg_js_divergence, agg_trimmed_winsorized,
-# agg_theil_sen_slope, agg_bayesian_ab_beta), signal_ext
-# (ts_holt_linear_smoothing, ts_cross_correlation, ts_hampel_outliers,
-# ts_seasonal_strength), graph_ext (graph_degree_distribution,
-# graph_kcore_peel, graph_bipartite_projection,
-# graph_degree_assortativity), coverage_ext (union_by_name_missing,
-# text_sentence_boilerplate, embedding_kmeans_elbow,
-# delta_optimize_hilbert), evaluation_ext (agg_tukey_fences,
-# agg_lift_gains_table, agg_expected_calibration_error,
-# delta_deep_clone), fitting_ext (agg_ols_normal_equations,
-# tokenizer_char_coverage, multimodal_tile_plan, delta_wap_publish,
-# sql_window_interval_frame), behavior_ext (stream_windowed_topk,
-# text_gopher_rules, attribution_last_touch,
-# embedding_pairwise_histogram), parity_ext (sql_identifier_clause,
-# join_existence_mark, ts_poisson_rate_test, agg_power_analysis_mde),
-# denoise_ext (contamination_embedding_cosine,
-# doc_span_corruption_plan, ts_holt_winters_seasonal), pyds_ext
-# (pyds_partitioned_source, ts_peak_detection, agg_two_proportion_z),
-# streamstate_ext (stream_buffered_earliest_k, agg_ratio_metric_delta,
-# ts_intervals_merge), audit2_ext (text_unicode_script_profile,
-# skyline_pareto_frontier, dq_freshness_lag), mleval_ext
-# (window_exponential_decay_score, agg_auc_roc, agg_log_loss,
-# embedding_centroid_separation), curriculum_ext
-# (ts_sax_symbolization, mix_curriculum_schedule,
-# sample_systematic_nth), diagnostics_ext (ts_ljung_box_q,
-# vocab_subword_fertility, ts_markov_stationary_step), the interop /
-# catalog / scripting tail (delta_symlink_manifest,
-# sql_analyze_table_stats, sql_scripting_threshold_search,
-# pandas_api_groupby, udf_sql_registered_python,
-# stream_session_dynamic_gap), lastmile_ext
-# (agg_quantile_treatment_effect, text_script_lang_mismatch,
-# agg_index_of_dispersion), shrinkage_ext
-# (agg_gamma_poisson_shrinkage, ts_retention_half_life),
-# integrity_ext (agg_median_ci_order_stat, multimodal_pair_coverage,
-# agg_mcc_threshold), resample_ext (agg_permutation_test,
-# window_target_encoding), stream_drift_js_monitor,
-# contamination_exact_substring, join_interval_intersection,
-# ts_spc_rule_two_of_three, agg_risk_odds_ratio,
-# ts_pacf_closed_form, agg_cohens_h, window_zscore_by_group,
-# ts_period_dominant, agg_diversity_hill_numbers,
-# agg_markov_entropy_rate, agg_quantile_skewness,
-# ts_mann_kendall_trend, agg_lognormal_fit, sample_neyman_allocation,
-# plus r1-head
-# re-checks (scan_filter_project .. parquet_sink_roundtrip) as slots
-# allow.
-_FRONT = [
-    # r3 red row, fixed: scalar p50/p90/p99 instead of array<double> (1)
-    "agg_approx_percentile",
-    # joins / udf tail never checked (4)
-    "join_asof_by_key",
-    "udtf_map_in_arrow",
-    "join_skew_salted",
-    "join_bucketed_colocated",
-    # TPC-H analogues added in r3, never in a window (7)
-    "sql_q2_min_cost_supplier",
-    "sql_q9_product_type_profit",
-    "sql_q11_important_stock",
-    "sql_q12_shipmode_priority",
-    "sql_q16_parts_supplier_relationship",
-    "sql_q20_potential_promotion",
-    "sql_q21_suppliers_kept_waiting",
-    # LLM/training pipeline ops, never in a window (9)
-    "embedding_normalize_stats",
-    "training_negative_pairs",
-    "sample_quality_weighted",
-    "mix_rebalance_sample",
-    "dedup_cluster_canonical",
-    "dedup_cross_corpus",
-    "doc_chunk_overlap",
-    "text_bigram_counts",
-    "graph_pagerank",
-    # decontamination scorer (de-broadcast fix this round) (1)
-    "contamination_max_jaccard",
-    # Delta maintenance tail (2)
-    "delta_vacuum_reclaim",
-    "delta_drop_column",
-    # set ops / time-series / profiling family, never in a window (9)
-    "intersect_all_multiset",
-    "ts_resample_ffill",
-    "ts_rolling_zscore",
-    "profile_table_columns",
-    "reshape_unpivot",
-    "ts_funnel_view_click_purchase",
-    "agg_histogram_width_bucket",
-    "ts_cohort_retention",
-    "ts_interval_join",
-    # streaming tail, never in a window (2)
-    "stream_merge_to_delta",
-    "stream_stream_interval_join",
-    # round-4 additions, first driver look (15 of 32)
-    "agg_median_mode",
-    "agg_regression_family",
-    "ts_gaps_islands",
-    "window_cume_dist_family",
-    "text_entropy_stats",
-    "text_duplicated_ngram_fraction",
-    "text_ngram_novelty",
-    "mix_temperature_sampling",
-    "stream_static_enrich",
-    "sql_recursive_cte",
-    "sql_lateral_topk",
-    "func_variant_family",
-    "graph_triangle_count",
-    "embedding_label_centroids",
-    "orc_roundtrip_scan",
-]
+# ordering per round.  Rounds 1-4 rotated a hand-maintained _FRONT list
+# (r1: relational/joins/aggregates/windows head; r2: llm/training/sql/
+# udfs/connector; r3: Delta maintenance, streaming windows, scalar tail;
+# r4: the zero-history backlog + the re-fixed agg_approx_percentile).
+# From round 5 on the window is COMPUTED from the committed
+# CORRECTNESS_r*.json history, so no future round can forget the
+# backlog: every registered query that has never appeared in a driver
+# window goes first, physical-plan-dependent families (streaming,
+# joins, Delta) leading because the local DuckDB replica protects their
+# correctness least — it validates values, not watermarks, hints, or
+# log protocol effects.
+
+_WINDOW = 50
+
+# Plan-dependent name prefixes, checked in order: queries whose
+# correctness depends on Spark's physical execution (stream semantics,
+# join strategies, Delta log mechanics) outrank value-only queries.
+_PLAN_DEPENDENT_PREFIXES = ("stream_", "join_", "delta_", "cda_", "udtf_", "udaf_", "udf_")
+
+
+def _driver_checked_names() -> set[str]:
+    """Names with driver history: the union of all committed
+    CORRECTNESS_r*.json keys (the grading driver writes one file per
+    round into the repo root)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names: set[str] = set()
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            names.update(data.keys())
+    return names
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -306,13 +162,19 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 def driver_window_order() -> dict[str, QuerySpec]:
-    """Queries reordered for the grading driver: the ``_FRONT`` rotation
-    (this round's 50-query verification window) first, then everything
-    else in registration order."""
+    """Queries reordered for the grading driver: this round's
+    verification window first (the next ``_WINDOW`` queries with no
+    driver history, plan-dependent families leading, registration
+    order within each class — all derived from the committed
+    CORRECTNESS_r*.json files), then everything else in registration
+    order."""
     registry = all_queries()
-    missing = [n for n in _FRONT if n not in registry]
-    if missing:
-        raise KeyError(f"_FRONT names not registered: {missing}")
-    ordered = {n: registry[n] for n in _FRONT}
+    checked = _driver_checked_names()
+    backlog = [n for n in registry if n not in checked]
+    backlog.sort(
+        key=lambda n: 0 if n.startswith(_PLAN_DEPENDENT_PREFIXES) else 1
+    )  # stable: registration order within each class
+    front = backlog[:_WINDOW]
+    ordered = {n: registry[n] for n in front}
     ordered.update((n, s) for n, s in registry.items() if n not in ordered)
     return ordered
