@@ -238,3 +238,26 @@ def test_pq_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.55, f"PQ ANN recall@5 collapsed: {recall:.2f}"
+
+
+def test_pq_recall_vs_bruteforce_sf01(spark):
+    """Same PQ recall gate at sf0.1 (the bench scale): codebooks are
+    trained on a larger vector population, so the quantization error
+    distribution differs from the tiny fixture — the gate must hold
+    where the bench runs, not only at sf0.001."""
+    from guidewire_spark.operators.llm import (
+        similarity_ann_pq,
+        similarity_topk_bruteforce,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_topk_bruteforce(spark, sf).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_ann_pq(spark, sf).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, f"PQ ANN recall@5 collapsed at sf0.1: {recall:.2f}"

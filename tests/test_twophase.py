@@ -1,0 +1,101 @@
+"""Property gates for the two-phase global-order helpers: random data
+and random partition counts must reproduce the single-window answer
+exactly — ranks, running sums, totals, and boundary-stitched leads.
+This is the boundary-stitch correctness the 7 round-5 retrofits lean
+on (partition cuts land in arbitrary places; offsets must compose).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from guidewire_spark.operators.twophase import (
+    ntile_from_rank,
+    two_phase_lead,
+    two_phase_ordered,
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),  # value (duplicates likely)
+        st.integers(min_value=-100, max_value=100),  # payload
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=rows_strategy, parts=st.integers(min_value=1, max_value=7))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_two_phase_ordered_matches_global_window(spark, rows, parts):
+    data = [(i, v, p) for i, (v, p) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, v long, p long")
+    got = (
+        two_phase_ordered(
+            df,
+            [F.asc("v"), F.asc("id")],
+            parts=parts,
+            rank_name="rnk",
+            total_name="n",
+            cumsums={"cum": "p"},
+            sum_totals={"tot": "p"},
+        )
+        .orderBy("rnk")
+        .collect()
+    )
+    ref = sorted(data, key=lambda t: (t[1], t[0]))
+    run = 0
+    total_p = sum(p for _, _, p in data)
+    assert len(got) == len(ref)
+    for rank0, ((rid, rv, rp), row) in enumerate(zip(ref, got)):
+        run += rp
+        assert (row["id"], row["v"], row["p"]) == (rid, rv, rp)
+        assert row["rnk"] == rank0 + 1
+        assert row["n"] == len(ref)
+        assert row["cum"] == run
+        assert row["tot"] == total_p
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=60
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_two_phase_lead_stitches_boundaries(spark, keys, parts):
+    keys = sorted(set(keys))
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["nk"]
+        for r in two_phase_lead(
+            df, "k", parts=parts, lead_name="nk"
+        ).collect()
+    }
+    for a, b in zip(keys, keys[1:]):
+        assert got[a] == b
+    assert got[keys[-1]] is None  # the global tail stays NULL
+
+
+def test_ntile_from_rank_matches_window_ntile(spark):
+    df = spark.range(0, 97).select(F.col("id"))
+    from pyspark.sql import Window
+
+    ref = df.select(
+        "id", F.ntile(7).over(Window.orderBy("id")).alias("want")
+    )
+    got = two_phase_ordered(
+        df, [F.asc("id")], rank_name="rnk", total_name="n"
+    ).withColumn("have", ntile_from_rank(7, "rnk", "n"))
+    j = ref.join(got, "id").where(F.col("want") != F.col("have"))
+    assert j.count() == 0
