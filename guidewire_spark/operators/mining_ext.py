@@ -1,0 +1,473 @@
+"""Mining-tier operators rounding out the LLM-pipeline surface:
+HITS hub/authority ranking (the PageRank sibling), distributed
+space-saving heavy hitters (the bounded-memory frequent-items
+sketch), tolerance-bounded as-of joins, deterministic per-source
+reservoir sampling, fractional-epoch mixture upsampling plans, and
+BM25 keyword extraction (the IR-standard TF-IDF successor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from guidewire_spark.functions import text as T
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.registry import query
+
+
+def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
+    """Engine-stable rounding: DECIMAL bridge then round, as double."""
+    return F.round(col.cast(prec), dp).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_hits_hub_authority",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey % 5 = 0
+    ),
+    a1 AS (SELECT s, COUNT(*) AS a FROM edges GROUP BY s),
+    h1 AS (
+      SELECT c, SUM(a) AS h FROM edges JOIN a1 USING (s) GROUP BY c
+    ),
+    a2 AS (
+      SELECT s, SUM(h) AS auth FROM edges JOIN h1 USING (c) GROUP BY s
+    )
+    SELECT CAST(a2.s AS BIGINT) AS supp_key,
+           CAST(a2.auth AS BIGINT) AS authority,
+           CAST(a1.a AS BIGINT) AS indegree
+    FROM a2 JOIN a1 ON a1.s = a2.s
+    ORDER BY authority DESC, supp_key ASC
+    LIMIT 20
+    """,
+)
+def graph_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hubs & authorities over the customer↔supplier
+    co-purchase bipartite graph, two unrolled mutual-reinforcement
+    iterations from a uniform hub init: a₁(s) = indegree,
+    h₁(c) = Σ a₁ over c's suppliers, a₂(s) = Σ h₁ over s's customers.
+    Top-20 authorities with a deterministic key tiebreak — the
+    "who do the best-connected buyers buy from" ranking PageRank's
+    single score can't separate.
+
+    Unnormalized iterations keep every score an EXACT int64 (the
+    normalization constant cancels in the ranking), so the result is
+    engine- and order-proof with no float bridge.  Scale shape is
+    graph_pagerank's (training.py): per iteration one equi-join of
+    the score table onto the edge list + one aggregation — only
+    (node, score) pairs shuffle; the edge list is materialized once
+    (localCheckpoint) because three passes reuse it."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 5 == 0)
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").cast("long").alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a1 = edges.groupBy("s").agg(F.count("*").alias("a"))
+    h1 = edges.join(a1, "s").groupBy("c").agg(F.sum("a").alias("h"))
+    a2 = edges.join(h1, "c").groupBy("s").agg(F.sum("h").alias("auth"))
+    return (
+        a2.join(a1, "s")
+        .select(
+            F.col("s").alias("supp_key"),
+            F.col("auth").cast("long").alias("authority"),
+            F.col("a").cast("long").alias("indegree"),
+        )
+        .orderBy(F.desc("authority"), F.asc("supp_key"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Space-saving / Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+@query("agg_heavy_hitters_spacesaving")  # partition-layout-dependent →
+# rows-only; the Misra-Gries merge guarantee is gated in pytest
+def agg_heavy_hitters_spacesaving(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 corpus words by a distributed Misra-Gries (space-saving)
+    sketch: each partition keeps at most k=100 counters over its word
+    stream (decrement-all on overflow), the per-partition summaries —
+    ≤ k rows each, never word-cardinality-sized — merge by summing.
+
+    The mergeable-summary guarantee (gated in pytest): each
+    partition's estimate undercounts by at most its decrement total
+    ≤ n_p/k, so the merged estimate e(w) satisfies
+    f(w) − n/k ≤ e(w) ≤ f(w) and every word with true frequency
+    > n/k survives into the output.  This is the bounded-memory
+    heavy-hitters shape for streams too large to exact-count: the
+    shuffle carries ≤ k·partitions rows however large the corpus.
+    Estimates depend on the partition layout → no SQL oracle."""
+    import pandas as pd
+
+    k = 100
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                for w in text.lower().split():
+                    if w in counters:
+                        counters[w] += 1
+                    elif len(counters) < k:
+                        counters[w] = 1
+                    else:
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+        yield pd.DataFrame(
+            {"word": list(counters), "est": list(counters.values())}
+        )
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    partials = d.mapInPandas(mg, "word string, est long")
+    return (
+        partials.groupBy("word")
+        .agg(F.sum("est").alias("est_count"))
+        .orderBy(F.desc("est_count"), F.asc("word"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tolerance-bounded as-of join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+             CAST(ROUND(value * 1000, 0) AS BIGINT) AS mval
+      FROM events
+      WHERE user_id % 5 = 0 AND event_type IN ('view', 'purchase')
+    ),
+    ded AS (
+      SELECT event_id, user_id, event_type, us, mval FROM (
+        SELECT *,
+               MAX(CASE WHEN event_type = 'view' THEN event_id END)
+                 OVER (PARTITION BY user_id, us) AS max_view_id
+        FROM e
+      )
+      WHERE event_type = 'purchase' OR event_id = max_view_id
+    ),
+    tagged AS (
+      SELECT event_id, user_id, us,
+             CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS isp,
+             CASE WHEN event_type = 'view' THEN us END AS vus,
+             CASE WHEN event_type = 'view' THEN mval END AS vval
+      FROM ded
+    ),
+    carried AS (
+      SELECT *,
+             last_value(vus IGNORE NULLS) OVER w AS lvus,
+             last_value(vval IGNORE NULLS) OVER w AS lvval
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, isp
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN lvus IS NOT NULL
+                 AND us - lvus <= CAST(3600000000 AS BIGINT)
+                THEN (us - lvus) // 1000000 END AS secs_since_view,
+           CASE WHEN lvus IS NOT NULL
+                 AND us - lvus <= CAST(3600000000 AS BIGINT)
+                THEN lvval END AS viewed_milli
+    FROM carried WHERE isp = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE (pandas merge_asof's
+    ``tolerance=`` contract): each purchase matches the latest
+    same-user view at-or-before it, but only if that view is ≤ 1 hour
+    old — older context is NULLed, not silently attached.  The
+    freshness-bounded feature join every serving pipeline needs
+    ("use the last click, unless it's stale").
+
+    Same scale shape as the keyed as-of merge: union the two streams,
+    ONE user-partitioned window carries the last view's (timestamp,
+    value) forward, the tolerance is a post-filter on the carried
+    timestamp — never a range self-join.  Determinism: views sort
+    before purchases at equal microseconds (inclusive <=), and
+    same-instant duplicate views pre-deduplicate to the max event_id
+    via a peers-only frame on the SAME user exchange (the
+    attribution_last_touch discipline)."""
+    tol_us = 3_600_000_000
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            (F.col("user_id") % 5 == 0)
+            & F.col("event_type").isin("view", "purchase")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            F.round(F.col("value") * 1000, 0).cast("long").alias("mval"),
+        )
+    )
+    is_view = F.col("event_type") == "view"
+    peers = Window.partitionBy("user_id").orderBy("us").rangeBetween(0, 0)
+    ded = (
+        e.withColumn(
+            "max_view_id",
+            F.max(F.when(is_view, F.col("event_id"))).over(peers),
+        )
+        .where(~is_view | (F.col("event_id") == F.col("max_view_id")))
+        .drop("max_view_id")
+    )
+    tagged = ded.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.when(is_view, 0).otherwise(1).alias("isp"),
+        F.when(is_view, F.col("us")).alias("vus"),
+        F.when(is_view, F.col("mval")).alias("vval"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "isp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "us",
+        "isp",
+        F.last("vus", ignorenulls=True).over(w).alias("lvus"),
+        F.last("vval", ignorenulls=True).over(w).alias("lvval"),
+    )
+    fresh = F.col("lvus").isNotNull() & (
+        F.col("us") - F.col("lvus") <= tol_us
+    )
+    return carried.where(F.col("isp") == 1).select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.expr("(us - lvus) div 1000000")).alias(
+            "secs_since_view"
+        ),
+        F.when(fresh, F.col("lvval")).alias("viewed_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-source reservoir sample
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_reservoir_per_source",
+    oracle="""
+    SELECT source, doc_id, CAST(rn AS BIGINT) AS draw_rank FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def sample_reservoir_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reservoir-k per stratum, deterministically: 5 documents per
+    source, drawn by ranking on a congruential hash of doc_id — the
+    replayable stand-in for per-group reservoir sampling (engine RNG
+    reservoirs are neither cross-run nor cross-engine stable; a hash
+    order IS a uniform random order for sampling purposes and
+    re-derives identically on every run/engine — the
+    training_epoch_shuffle_plan discipline).
+
+    One hash-partitioned window per source; the hash rank prefix is
+    the reservoir.  At 100 TB the same shape holds: the window is
+    keyed by stratum, and the output is k·strata rows."""
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * 2654435761) % 1000003
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+        .select("source", "doc_id", F.col("rn").cast("long").alias("draw_rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fractional-epoch mixture upsampling plan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mix_epoch_fractional_upsample",
+    oracle="""
+    WITH target AS (
+      SELECT doc_id, source,
+             500000 + (ascii(source) % 3) * 900000 AS w_ppm
+      FROM documents
+    ),
+    planned AS (
+      SELECT doc_id, source, w_ppm,
+             w_ppm // 1000000
+             + CASE WHEN (doc_id * 2654435761) % 1000000
+                         < w_ppm % 1000000 THEN 1 ELSE 0 END AS copies
+      FROM target
+    )
+    SELECT source,
+           CAST(MAX(w_ppm) AS BIGINT) AS target_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(copies) AS BIGINT) AS planned_samples
+    FROM planned GROUP BY source
+    """,
+)
+def mix_epoch_fractional_upsample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fractional-epoch upsampling plan: a source weighted 2.3 epochs
+    contributes every document twice plus a deterministic 30%
+    hash-draw third copy — the standard way training mixes realize
+    non-integer epoch multipliers without RNG drift (each document's
+    extra-copy decision replays identically across runs and engines).
+    Weights here derive from the source name (0.5 / 1.4 / 2.3
+    epochs); output is the per-source plan audit: target ppm, corpus
+    docs, planned samples.  Pure JVM expressions over one corpus
+    pass; the realized dataset would be the explode(sequence(1,
+    copies)) of the per-row plan, which is why the plan — not the
+    explosion — is what gets audited and checkpointed."""
+    d = load_table(spark, sf_dir, "documents")
+    w_ppm = 500000 + (F.ascii("source") % 3) * 900000
+    copies = F.expr(
+        "w_ppm div 1000000"
+    ) + F.when((F.col("doc_id") * 2654435761) % 1000000 < w_ppm % 1000000, 1).otherwise(0)
+    planned = d.select(
+        "doc_id", "source", w_ppm.alias("w_ppm")
+    ).withColumn("copies", copies)
+    return planned.groupBy("source").agg(
+        F.max("w_ppm").cast("long").alias("target_ppm"),
+        F.count("*").alias("n_docs"),
+        F.sum("copies").cast("long").alias("planned_samples"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bm25_topk",
+    oracle="""
+    WITH sub AS (
+      SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 50
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                    w -> w <> '')) AS tok
+      FROM sub
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT t.doc_id, t.tok,
+             ROUND(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl * n_docs / total_len)),
+               4) AS bm25
+      FROM tf t
+      JOIN dl ON dl.doc_id = t.doc_id
+      JOIN df ON df.tok = t.tok
+      CROSS JOIN stats
+    )
+    SELECT doc_id, tok, bm25 FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY bm25 DESC, tok) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 BM25 keywords per document (docs 0..49; k1=1.2, b=0.75)
+    — the IR-standard successor to text_tfidf_topk: term saturation
+    (tf/(tf+k1·…) caps repeated-word dominance) and document-length
+    normalization (long docs stop winning by volume).
+
+    Same one-pass scale shape as TF-IDF, taken further: the corpus is
+    scanned and tokenized ONCE into the (doc, token) tf aggregate,
+    and everything else derives from tf — df is a count window over
+    it, doc length is Σtf by doc, and the two corpus scalars (n_docs,
+    total length) fold from the doc-length aggregate and broadcast.
+    Ranking uses the ROUNDED score with a token tiebreak, so the
+    top-3 set is float-order-proof."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", F.lower(F.col("text")).alias("text"))
+    )
+    toks = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    df_w = Window.partitionBy("tok")
+    scored = (
+        tf.withColumn("df", F.count("*").over(df_w))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75
+                        * F.col("dl")
+                        * F.col("n_docs")
+                        / F.col("total_len")
+                    )
+                ),
+                4,
+            ).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "tok", "bm25")
+    )

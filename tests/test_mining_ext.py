@@ -1,0 +1,97 @@
+"""Quality gates for mining_ext: the Misra-Gries merge guarantee for
+the rows-only heavy-hitters sketch, as-of tolerance semantics against
+a pandas merge_asof-style replica, HITS score exactness, and the
+fractional-upsample plan arithmetic."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from guidewire_spark.operators.mining_ext import (
+    agg_heavy_hitters_spacesaving,
+    graph_hits_hub_authority,
+    join_asof_tolerance,
+    mix_epoch_fractional_upsample,
+)
+from guidewire_spark.plans.catalog import load_table
+
+
+def test_spacesaving_misra_gries_guarantee(spark, sf_dir):
+    """Merged MG estimates must satisfy f(w) − n/k ≤ e(w) ≤ f(w), and
+    the top of the estimate ranking must contain every word whose true
+    frequency clears the full error budget (n/k per partition stream,
+    summed across partitions ≤ n/k total)."""
+    texts = [
+        r["text"] for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    exact = Counter(w for t in texts for w in t.lower().split())
+    n = sum(exact.values())
+    budget = n / 100  # k = 100 counters per partition
+    got = {
+        r["word"]: r["est_count"]
+        for r in agg_heavy_hitters_spacesaving(spark, sf_dir).collect()
+    }
+    for w, e in got.items():
+        assert e <= exact[w], (w, e, exact[w])
+        assert e >= exact[w] - budget, (w, e, exact[w], budget)
+    # every sufficiently-heavy word must beat the estimate of every
+    # word in the output it truly outranks by > budget
+    top_estimates = sorted(got.values(), reverse=True)
+    for w, f in exact.items():
+        if f > budget and len(top_estimates) == 20:
+            # its estimate is >= f - budget; it can only miss the top-20
+            # if 20 other words estimated above that — each of those has
+            # true frequency >= its estimate > f - budget
+            assert f - budget <= top_estimates[19] or w in got
+
+
+def test_asof_tolerance_matches_pandas_replica(spark, sf_dir):
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    e = e[(e.user_id % 5 == 0) & e.event_type.isin(["view", "purchase"])]
+    e["us"] = e.ts.astype("int64") // 1000
+    e["mval"] = (e.value * 1000).round().astype("int64")
+    got = {
+        r["event_id"]: (r["secs_since_view"], r["viewed_milli"])
+        for r in join_asof_tolerance(spark, sf_dir).collect()
+    }
+    purchases = e[e.event_type == "purchase"]
+    assert len(got) == len(purchases)
+    views = e[e.event_type == "view"]
+    for _, p in purchases.iterrows():
+        uv = views[(views.user_id == p.user_id) & (views.us <= p.us)]
+        want = (None, None)
+        if len(uv):
+            # latest view; same-instant duplicates resolve to max event_id
+            best = uv.sort_values(["us", "event_id"]).iloc[-1]
+            if p.us - best.us <= 3_600_000_000:
+                want = ((p.us - best.us) // 1_000_000, best.mval)
+        assert got[p.event_id] == want, (p.event_id, got[p.event_id], want)
+
+
+def test_hits_scores_are_exact_integers(spark, sf_dir):
+    rows = graph_hits_hub_authority(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 20  # tiny fixture has < 20 suppliers
+    # authorities are sums of positive integer hub scores: strictly
+    # positive, and at least indegree (h1 >= 1 per in-neighbor)
+    for r in rows:
+        assert r["authority"] >= r["indegree"] >= 1
+    # descending with key tiebreak
+    keys = [(-r["authority"], r["supp_key"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_fractional_upsample_plan_bounds(spark, sf_dir):
+    rows = mix_epoch_fractional_upsample(spark, sf_dir).collect()
+    for r in rows:
+        w = r["target_ppm"] / 1e6
+        lo = int(w) * r["n_docs"]
+        hi = (int(w) + 1) * r["n_docs"]
+        assert lo <= r["planned_samples"] <= hi
+        # the hash draw realizes ~frac of the fractional part
+        frac = w - int(w)
+        extra = r["planned_samples"] - lo
+        assert abs(extra / r["n_docs"] - frac) < 0.25
