@@ -165,12 +165,24 @@ def window_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame (value-based): parts with size within 2 below."""
+    """RANGE frame (value-based): parts with size within 2 below.
+
+    Scale shape: a COUNT over a value-range frame only depends on the
+    frame KEY, so the window runs over the size-cardinality aggregate
+    (p_size has a bounded domain, ≤ 50 rows) — demonstrating the same
+    RANGE-frame API — and the per-size answer broadcast-joins back to
+    the parts.  The naive form (global RANGE window directly over the
+    part table) funnels every row through one task; this one shuffles
+    a 50-row table."""
     p = load_table(spark, sf_dir, "part")
+    by_size = p.groupBy("p_size").agg(F.count("*").alias("n"))
     w = Window.orderBy("p_size").rangeBetween(-2, Window.currentRow)
-    return p.select(
-        "p_partkey", "p_size", F.count("*").over(w).alias("peers_within_2")
+    peers = by_size.select(
+        "p_size", F.sum("n").over(w).alias("peers_within_2")
     )
+    return p.select("p_partkey", "p_size").join(
+        F.broadcast(peers), "p_size"
+    ).select("p_partkey", "p_size", "peers_within_2")
 
 
 @query(

@@ -600,3 +600,22 @@ def test_cc_edges_come_from_lsh_candidates_not_shingle_self_join(spark, sf_dir):
     # band/bucket pair expansion
     assert "xxhash64" in plan
     assert "posexplode" in plan or "Generate" in plan
+
+
+def test_range_frame_windows_over_domain_aggregate(spark, sf_dir):
+    """window_range_frame: the value-range COUNT depends only on the
+    frame key, so the window must run over the bounded p_size
+    aggregate and broadcast-join back — never a global RANGE window
+    over the raw part table (the plan shows the partial/final
+    HashAggregate pair feeding the Window, and a BroadcastHashJoin
+    back to the scan)."""
+    from guidewire_spark.operators.windows import window_range_frame
+
+    plan = plan_of(window_range_frame(spark, sf_dir))
+    tree = plan.split("== Physical Plan ==")[1].strip().split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    lines = tree.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    # everything BELOW the window (its input subtree renders after it
+    # in the indented tree) must include the size aggregate
+    assert any("HashAggregate" in l for l in lines[win:]), tree
