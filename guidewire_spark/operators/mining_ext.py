@@ -2,8 +2,10 @@
 HITS hub/authority ranking (the PageRank sibling), distributed
 space-saving heavy hitters (the bounded-memory frequent-items
 sketch), tolerance-bounded as-of joins, deterministic per-source
-reservoir sampling, fractional-epoch mixture upsampling plans, and
-BM25 keyword extraction (the IR-standard TF-IDF successor).
+reservoir sampling, fractional-epoch mixture upsampling plans, BM25 keyword
+extraction (the IR-standard TF-IDF successor), local clustering
+coefficients, pinball-loss forecast scoring, and delete-one-bucket
+jackknife variance.
 """
 
 from __future__ import annotations
@@ -470,4 +472,261 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("doc_id", "tok", "bm25")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+      FROM lineitem WHERE l_partkey % 100 = 0
+    ),
+    edges AS (
+      SELECT DISTINCT a.sk AS s1, b.sk AS s2
+      FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT s1 AS v FROM edges UNION ALL SELECT s2 AS v FROM edges
+      ) GROUP BY v
+    ),
+    tri AS (
+      SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.s2 = e2.s1
+      JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+    ),
+    tcnt AS (
+      SELECT v, COUNT(*) AS t FROM (
+        SELECT a AS v FROM tri UNION ALL
+        SELECT b AS v FROM tri UNION ALL
+        SELECT c AS v FROM tri
+      ) GROUP BY v
+    )
+    SELECT CAST(deg.v AS BIGINT) AS vertex,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS n_triangles,
+           CAST((2 * COALESCE(tcnt.t, 0) * 1000000)
+                // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
+    FROM deg LEFT JOIN tcnt ON tcnt.v = deg.v
+    WHERE deg.d >= 2
+    """,
+)
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local clustering coefficient per vertex of the supplier
+    co-supply graph: cc(v) = 2·T(v)/(d(v)·(d(v)−1)) — how close each
+    supplier's neighborhood is to a clique, the standard
+    community-structure signal that completes graph_triangle_count's
+    numerator with the wedge denominator.  Exact ppm integers (the
+    division is the only non-integer step, done as integer ppm), so
+    no float bridge anywhere.
+
+    Scale shape: degrees are one aggregation of the canonical edge
+    list; triangles reuse the canonical-orientation two-join
+    enumeration (each triangle found once); both join back on vertex
+    id — only (vertex, count) pairs shuffle beyond the edge list
+    itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.where(F.col("l_partkey") % 100 == 0)
+        .select(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_suppkey").cast("long").alias("sk"),
+        )
+        .distinct()
+    )
+    edges = (
+        ps.alias("a")
+        .join(ps.alias("b"), "pk")
+        .where(F.col("a.sk") < F.col("b.sk"))
+        .select(F.col("a.sk").alias("s1"), F.col("b.sk").alias("s2"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("s1").alias("v"))
+        .unionAll(edges.select(F.col("s2").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
+        .join(
+            e3,
+            (F.col("e3.s1") == F.col("e1.s1"))
+            & (F.col("e3.s2") == F.col("e2.s2")),
+        )
+        .select(
+            F.col("e1.s1").alias("a"),
+            F.col("e1.s2").alias("b"),
+            F.col("e2.s2").alias("c"),
+        )
+    )
+    tcnt = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("t"))
+    )
+    joined = deg.join(tcnt, "v", "left").where(F.col("d") >= 2)
+    return joined.select(
+        F.col("v").alias("vertex"),
+        F.col("d").cast("long").alias("degree"),
+        F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+        F.expr(
+            "(2 * coalesce(t, 0) * 1000000) div (d * (d - 1))"
+        ).cast("long").alias("cc_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pinball (quantile) loss of the seasonal-naive forecast
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_pinball_loss",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+      FROM events GROUP BY 1
+    ),
+    fc AS (
+      SELECT day, y,
+             LAG(y, 7) OVER (ORDER BY day) AS yhat
+      FROM daily
+    ),
+    terms AS (
+      SELECT y - yhat AS e FROM fc WHERE yhat IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(ROUND(CAST(
+             CAST(SUM(CASE WHEN e >= 0 THEN 9 * e
+                           ELSE -1 * e END) AS DOUBLE) / (10 * COUNT(*))
+             / 1000.0 AS DECIMAL(24,10)), 4) AS DOUBLE) AS pinball_q90,
+           CAST(ROUND(CAST(
+             CAST(SUM(CASE WHEN e >= 0 THEN 1 * e
+                           ELSE -9 * e END) AS DOUBLE) / (10 * COUNT(*))
+             / 1000.0 AS DECIMAL(24,10)), 4) AS DOUBLE) AS pinball_q10
+    FROM terms
+    """,
+)
+def agg_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the seasonal-naive daily forecast at
+    q=0.9 and q=0.1: L_q = mean(max(q·e, (q−1)·e)) with e = y − ŷ —
+    the scoring rule for quantile forecasts (asymmetric: q=0.9
+    penalizes under-forecasting 9×), the eval sibling of
+    ts_snaive_backtest's point-error metrics.  All terms are exact
+    integer tenths-of-milli (q expressed as 9/10 and 1/10), reduced
+    in one pass over the calendar-bounded daily aggregate; only the
+    final mean divides."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+        ).alias("y")
+    )
+    fc = daily.select(
+        "y", F.lag("y", 7).over(Window.orderBy("day")).alias("yhat")
+    ).where(F.col("yhat").isNotNull())
+    err = (F.col("y") - F.col("yhat")).alias("e")
+    terms = fc.select(err)
+    q90 = F.sum(
+        F.when(F.col("e") >= 0, 9 * F.col("e")).otherwise(-1 * F.col("e"))
+    )
+    q10 = F.sum(
+        F.when(F.col("e") >= 0, 1 * F.col("e")).otherwise(-9 * F.col("e"))
+    )
+    n = F.count("*")
+    return terms.agg(
+        n.cast("long").alias("n_days"),
+        _r(q90.cast("double") / (10 * n) / 1000.0, 4).alias("pinball_q90"),
+        _r(q10.cast("double") / (10 * n) / 1000.0, 4).alias("pinball_q10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jackknife (delete-one-bucket) variance of the mean
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_jackknife_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT (user_id * 2654435761) % 20 AS bucket,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS s
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS tn, SUM(s) AS ts, COUNT(*) AS k FROM b),
+    loo AS (
+      SELECT CAST(ts - s AS DOUBLE) / (tn - n) AS m_i, k,
+             CAST(ts AS DOUBLE) / tn AS m_all
+      FROM b CROSS JOIN tot
+    ),
+    dev AS (
+      SELECT k, m_all, m_i - AVG(m_i) OVER () AS d FROM loo
+    )
+    SELECT CAST(MAX(k) AS BIGINT) AS n_buckets,
+           CAST(ROUND(CAST(MAX(m_all) / 1000.0 AS DECIMAL(24,10)), 6)
+                AS DOUBLE) AS mean_value,
+           CAST(ROUND(CAST(
+             sqrt((MAX(k) - 1.0) / MAX(k) * SUM(d * d)) / 1000.0
+           AS DECIMAL(24,10)), 6) AS DOUBLE) AS jackknife_se
+    FROM dev
+    """,
+)
+def agg_jackknife_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife standard error of the mean event
+    value: users hash into 20 buckets (the randomization unit, like
+    agg_permutation_test), each leave-one-bucket-out mean m_i comes
+    from the EXACT integer bucket totals, and
+    SE² = (k−1)/k · Σ(m_i − m̄)² — the resampling-free variance
+    estimator big pipelines use when a closed-form SE is unavailable
+    (ratio metrics, post-stratified means), because it needs only
+    per-bucket partial sums: one pass, a 20-row summary, zero data
+    replication (contrast the 64× fan-out of the Poisson
+    bootstrap)."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy(
+        ((F.col("user_id") * 2654435761) % 20).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("s"),
+    )
+    tot = b.agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts"), F.count("*").alias("k")
+    )
+    loo = b.crossJoin(F.broadcast(tot)).select(
+        ((F.col("ts") - F.col("s")).cast("double") / (F.col("tn") - F.col("n"))).alias("m_i"),
+        "k",
+        (F.col("ts").cast("double") / F.col("tn")).alias("m_all"),
+    )
+    w_all = Window.partitionBy()
+    dev = F.col("m_i") - F.avg("m_i").over(w_all)
+    scored = loo.select("k", "m_all", dev.alias("dev"))
+    return scored.agg(
+        F.max("k").cast("long").alias("n_buckets"),
+        _r(F.max("m_all") / 1000.0, 6).alias("mean_value"),
+        _r(
+            F.sqrt(
+                (F.max("k") - 1.0) / F.max("k") * F.sum(F.col("dev") * F.col("dev"))
+            )
+            / 1000.0,
+            6,
+        ).alias("jackknife_se"),
     )

@@ -95,3 +95,50 @@ def test_fractional_upsample_plan_bounds(spark, sf_dir):
         frac = w - int(w)
         extra = r["planned_samples"] - lo
         assert abs(extra / r["n_docs"] - frac) < 0.25
+
+
+def test_jackknife_se_matches_numpy_replica(spark, sf_dir):
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    milli = (e.value * 1000).round().astype("int64")
+    b = (
+        e.assign(m=milli, bucket=(e.user_id * 2654435761) % 20)
+        .groupby("bucket")
+        .agg(n=("m", "size"), s=("m", "sum"))
+    )
+    tn, ts = b.n.sum(), b.s.sum()
+    m_i = (ts - b.s) / (tn - b.n)
+    k = len(b)
+    se = np.sqrt((k - 1) / k * ((m_i - m_i.mean()) ** 2).sum()) / 1000.0
+    from guidewire_spark.operators.mining_ext import agg_jackknife_buckets
+
+    row = agg_jackknife_buckets(spark, sf_dir).collect()[0]
+    assert row["n_buckets"] == k
+    assert abs(row["mean_value"] - ts / tn / 1000.0) < 1e-5
+    assert abs(row["jackknife_se"] - se) < 1e-5
+
+
+def test_clustering_coefficient_bounds_and_triangle_consistency(spark, sf_dir):
+    from guidewire_spark.operators.analytics import graph_triangle_count
+    from guidewire_spark.operators.mining_ext import graph_clustering_coefficient
+
+    cc = graph_clustering_coefficient(spark, sf_dir).collect()
+    tri = {
+        r["vertex"]: r["n_triangles"]
+        for r in graph_triangle_count(spark, sf_dir).collect()
+    }
+    assert cc
+    for r in cc:
+        assert 0 <= r["cc_ppm"] <= 1_000_000
+        assert r["n_triangles"] == tri.get(r["vertex"], 0)
+        # a vertex's triangles cannot exceed its wedge count
+        assert 2 * r["n_triangles"] <= r["degree"] * (r["degree"] - 1)
+
+
+def test_pinball_loss_is_nonnegative_and_asymmetric(spark, sf_dir):
+    from guidewire_spark.operators.mining_ext import agg_pinball_loss
+
+    row = agg_pinball_loss(spark, sf_dir).collect()[0]
+    assert row["n_days"] > 0
+    assert row["pinball_q90"] >= 0 and row["pinball_q10"] >= 0
