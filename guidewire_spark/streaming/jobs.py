@@ -978,3 +978,155 @@ def buffered_earliest_k(stream: DataFrame, k: int = 3) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_timeout_summaries(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session summaries emitted by STATE TIMEOUT — the one
+    stateful surface nothing else in the repo exercises:
+    ``GroupStateTimeout.EventTimeTimeout`` + ``state.hasTimedOut`` +
+    ``setTimeoutTimestamp``.  A session closes two ways: (a) a later
+    event from the same user arrives beyond the gap (emitted inline by
+    the update function), or (b) no event ever arrives and the
+    WATERMARK passes session-end + gap — then Spark invokes the
+    function with ``hasTimedOut`` and the summary flushes WITHOUT any
+    new input for that key.  (b) is what ``session_window``
+    aggregations give for free but custom session state (per-session
+    payloads, side effects) cannot get any other way.
+
+    Within a batch, sorted timestamps split into gap-separated runs;
+    completed runs emit immediately, the trailing run merges into (or
+    replaces, emitting) the carried state.  Converges to the batch
+    gap-sessionization twin (``stream_session_timeout_summary``) when
+    files arrive in event-time order — asserted against a real
+    multi-micro-batch stream in tests/test_streamstate_ext.py.  State
+    per key is one (start, end, n) triple: bounded however long the
+    stream."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        out: list[tuple[int, int, int, int]] = []
+        if state.hasTimedOut:
+            s, e, n = state.get
+            out.append((key[0], s, e, n))
+            state.remove()
+        else:
+            ts: list[int] = []
+            for pdf in pdfs:
+                ts.extend((pdf["ts"].astype("int64") // 1000).tolist())
+            ts.sort()
+            runs: list[list[int]] = []
+            for t in ts:
+                if runs and t - runs[-1][1] <= gap_us:
+                    runs[-1][1] = t
+                    runs[-1][2] += 1
+                else:
+                    runs.append([t, t, 1])
+            if runs:
+                if state.exists:
+                    s, e, n = state.get
+                    if runs[0][0] - e <= gap_us:
+                        runs[0] = [
+                            min(s, runs[0][0]),
+                            max(e, runs[0][1]),
+                            n + runs[0][2],
+                        ]
+                    else:
+                        out.append((key[0], s, e, n))
+                for s0, e0, n0 in runs[:-1]:
+                    out.append((key[0], s0, e0, n0))
+                s, e, n = runs[-1]
+                state.update((s, e, n))
+                # fire once the watermark clears session-end + gap; the
+                # timestamp must stay ahead of the current watermark
+                # (late-arriving keys would otherwise throw)
+                state.setTimeoutTimestamp(
+                    max((e + gap_us) // 1000, state.getCurrentWatermarkMs() + 1)
+                )
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([r[0] for r in out], dtype="int64"),
+                "start_us": pd.Series([r[1] for r in out], dtype="int64"),
+                "end_us": pd.Series([r[2] for r in out], dtype="int64"),
+                "n_events": pd.Series([r[3] for r in out], dtype="int64"),
+            }
+        )
+
+    keyed = stream.select("user_id", "ts")
+    return (
+        keyed.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, start_us long, end_us long, n_events long"
+            ),
+            stateStructType="s long, e long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+@query(
+    "stream_session_timeout_summary",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us
+      FROM events WHERE user_id % 20 = 0
+    ),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN us - LAG(us) OVER w > CAST(1800000000 AS BIGINT)
+                  OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sess AS (
+      SELECT user_id, us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) AS BIGINT) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_timeout_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch twin of :func:`session_timeout_summaries`: classic
+    lag-gap-flag → running-sum session ids → per-session summary
+    (30-minute gap, users % 20).  One user-partitioned shuffle; the
+    session id derivation and both summaries ride the same exchange.
+    The streaming form — including its watermark-TIMEOUT flush path —
+    must converge to exactly these rows once the source drains
+    (tests/test_streamstate_ext.py)."""
+    from guidewire_spark.plans.catalog import load_table
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 20 == 0)
+        .select("user_id", F.unix_micros("ts").alias("us"))
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap_us = 1_800_000_000
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.col("us") - F.lag("us").over(w) > gap_us, 1
+        ).when(F.lag("us").over(w).isNull(), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("us").cast("long").alias("start_us"),
+        F.max("us").cast("long").alias("end_us"),
+        F.count("*").alias("n_events"),
+    ).drop("sid")

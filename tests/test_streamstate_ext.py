@@ -133,3 +133,81 @@ def test_interval_intersection_invariants(spark, sf_dir):
         for r in rows
     }
     assert got == expected
+
+
+def test_session_timeout_stream_converges_to_batch(spark, tmp_path):
+    """The EventTimeTimeout flush path: stream time-ordered files, push
+    the watermark past every real session with a far-future sentinel,
+    and the emitted summaries (inline closes + timeout flushes) must
+    equal the batch gap-sessionization twin exactly.  The sentinel's
+    own open session stays in state (the watermark can never pass it)
+    and must NOT be emitted."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from guidewire_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        run_to_memory,
+        session_timeout_summaries,
+        stream_session_timeout_summary,
+    )
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    batch = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .where(F.col("user_id") % 20 == 0)
+        .orderBy("ts")
+    )
+    rows = batch.collect()
+    assert rows
+    n_files = 6
+    size = (len(rows) + n_files - 1) // n_files
+    max_ts = max(r["ts"] for r in rows)
+    sentinel = [
+        (
+            10_000_000,
+            max_ts + dt.timedelta(days=10),
+            0,
+            "view",
+            1.0,
+            None,
+        )
+    ]
+    parts = [rows[i * size : (i + 1) * size] for i in range(n_files)]
+    parts.append(sentinel)
+    mtime = 1_700_000_000
+    for i, part in enumerate(p for p in parts if p):
+        staging = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(
+            [tuple(r) for r in part], EVENTS_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        src_file = next(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        dest = os.path.join(src, f"{i:03d}.parquet")
+        shutil.move(os.path.join(staging, src_file), dest)
+        mtime += 10
+        os.utime(dest, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    result = session_timeout_summaries(stream, gap_minutes=30)
+    run_to_memory(result, "sess_timeout_t", str(tmp_path / "ckpt_sess"))
+
+    got = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in spark.table("sess_timeout_t").collect()
+    }
+    expected = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in stream_session_timeout_summary(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
