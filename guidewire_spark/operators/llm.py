@@ -1278,3 +1278,107 @@ def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_of_actual"
         ),
     )
+
+
+@query("multimodal_phash_neardup")  # python decode pipeline → rows-only
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate candidates for image-like binary
+    payloads: decode → 8×8 grayscale → 2-D DCT-II → 64-bit pHash
+    (sign of each low-frequency coefficient against the median), then
+    the standard banded-LSH dedup: 4 × 16-bit hash bands bucket the
+    corpus, in-bucket pairs verify by EXACT Hamming distance ≤ 10 —
+    computed JVM-side as ``bit_count(xor)``, so only the hash (8
+    bytes/doc) ever shuffles, never payload bytes.
+
+    The "decode" is the repo's documented deterministic fake (no
+    media libs in this container): the first 4 KiB of the payload
+    average-pool into the 8×8 tile grid.  Everything downstream of
+    the decode — Arrow batch shape, DCT, banding, bucket join,
+    Hamming verify — is the real production pipeline; swap the
+    pooling for a real image decode and nothing else changes.
+    Python-side hashing → rows-only; planted near-identical payloads
+    are recall-gated in tests/test_llm_quality.py."""
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    parallelism = spark.sparkContext.defaultParallelism
+    if len(d.inputFiles()) < parallelism:
+        d = d.repartition(parallelism)
+
+    n = 8
+    # DCT-II basis, built once per executor batch
+    k = np.arange(n)
+    C = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    C[0, :] /= np.sqrt(2.0)
+
+    def phash(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload)[:4096], dtype=np.uint8)
+                if buf.size == 0:
+                    buf = np.zeros(64, dtype=np.uint8)
+                # average-pool into 64 tiles (the deterministic fake
+                # stand-in for decode + resize)
+                cells = np.array_split(buf.astype(np.float64), 64)
+                tile = np.array([c.mean() if c.size else 0.0 for c in cells])
+                A = tile.reshape(n, n)
+                D = C @ A @ C.T
+                coeffs = D.flatten()
+                bits = (coeffs > np.median(coeffs)).astype(np.uint64)
+                h = np.uint64(0)
+                for b in bits:
+                    h = np.uint64(h << np.uint64(1)) | b
+                ids.append(doc_id)
+                hashes.append(np.int64(h.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    hashed = d.mapInPandas(phash, "doc_id long, phash long")
+    bands = hashed.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftrightunsigned("phash", 16 * i) % 65536).cast("int")
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct("doc_id", "phash"))
+            ).alias("ids")
+        )
+        .where(F.size("ids") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("doc_a"),
+                            y["doc_id"].alias("doc_b"),
+                            x["phash"].alias("ha"),
+                            y["phash"].alias("hb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select("pr.doc_a", "pr.doc_b", "pr.ha", "pr.hb").distinct()
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= 10)
+        .select("doc_a", "doc_b", "hamming")
+    )

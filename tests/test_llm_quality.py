@@ -261,3 +261,35 @@ def test_pq_recall_vs_bruteforce_sf01(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.55, f"PQ ANN recall@5 collapsed at sf0.1: {recall:.2f}"
+
+
+def test_phash_neardup_finds_planted_pairs(spark, tmp_path):
+    """Planted near-identical payloads must collide (tiny perturbation
+    → small Hamming distance → banded candidate + verify), and the
+    pipeline must be deterministic across runs."""
+    from guidewire_spark.operators.llm import multimodal_phash_neardup
+
+    base = ("the quick brown fox jumps over the lazy dog " * 60)[:2500]
+    perturbed = base[:1200] + "X" + base[1201:]
+    other = ("zzzz!!!!    0000AAAA####aaaa    " * 90)[:2500]
+    docs = [
+        (1, base, "en", "web", len(base)),
+        (2, perturbed, "en", "web", len(perturbed)),
+        (3, other, "en", "web", len(other)),
+        (4, other[::-1], "en", "web", len(other)),
+    ]
+    d = str(tmp_path / "phash_docs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in multimodal_phash_neardup(spark, d).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 10
+    assert (1, 3) not in pairs and (1, 4) not in pairs
+    again = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in multimodal_phash_neardup(spark, d).collect()
+    }
+    assert pairs == again
