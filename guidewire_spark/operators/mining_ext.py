@@ -730,3 +730,155 @@ def agg_jackknife_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jackknife_se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation evaluation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_matryoshka_eval",
+    oracle="""
+    WITH unit AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u,
+             list_transform(embedding[1:16], x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(embedding[1:16],
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS p
+      FROM embeddings
+    ),
+    full_rank AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_sum(list_transform(range(1, 65),
+                          i -> q.u[i] * c.u[i])), 4) DESC,
+                          c.vec_id) AS rn
+        FROM unit q JOIN unit c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rn <= 5
+    ),
+    prefix_rank AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_sum(list_transform(range(1, 17),
+                          i -> q.p[i] * c.p[i])), 4) DESC,
+                          c.vec_id) AS rn
+        FROM unit q JOIN unit c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rn <= 5
+    )
+    SELECT f.query_id,
+           CAST(COUNT(p.neighbor_id) AS BIGINT) AS overlap_at5
+    FROM full_rank f
+    LEFT JOIN prefix_rank p
+      ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: for 10 query vectors, how many of
+    the exact top-5 cosine neighbors survive when embeddings truncate
+    to their first 16 dims (re-normalized)? — the measurement behind
+    MRL-style dimension cuts ("can we serve 4× cheaper vectors?"),
+    reported as overlap@5 per query.  Both rankings use the
+    brute-force broadcast shape (10-query side broadcast, corpus
+    streams once per ranking, fused JVM dot products) with ROUNDED
+    similarity + neighbor tiebreak so the sets are float-order-proof;
+    the overlap join is 50 rows against 50."""
+    from guidewire_spark.functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        V.normalize(F.col("embedding")).alias("u"),
+        V.normalize(F.expr("slice(embedding, 1, 16)")).alias("p"),
+    )
+
+    def top5(vec_col: str, qvec: str) -> DataFrame:
+        q = e.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col(vec_col).alias(qvec)
+        )
+        scored = e.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.dot(F.col(qvec), F.col(vec_col)), 4).alias("sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_rank = top5("u", "qu")
+    prefix_rank = top5("p", "qp")
+    return (
+        full_rank.alias("f")
+        .join(
+            prefix_rank.alias("p"),
+            (F.col("f.query_id") == F.col("p.query_id"))
+            & (F.col("f.neighbor_id") == F.col("p.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("f.query_id").alias("query_id"))
+        .agg(F.count(F.col("p.neighbor_id")).alias("overlap_at5"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching padding audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pack_length_bucketing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                 w -> w <> '')) AS tokens
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT tokens, tokens // 64 AS bucket FROM toks
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(tokens) AS BIGINT) AS pad_to,
+           CAST(SUM(tokens) AS BIGINT) AS real_tokens,
+           CAST((COUNT(*) * MAX(tokens) - SUM(tokens)) * 1000000
+                // (COUNT(*) * MAX(tokens)) AS BIGINT) AS waste_ppm
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def pack_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: documents bucket by token count
+    (64-token ranges); per bucket, the padding waste if every doc pads
+    to the bucket max — the measurement dynamic-batching loaders make
+    before choosing bucket edges (uniform batching wastes
+    (max−mean)/max of compute; bucketing bounds it by the bucket
+    width).  Complements pack_first_fit_decreasing (which PACKS) with
+    the pad-waste ANALYSIS; exact integer ppm, one corpus pass, one
+    bucket-cardinality aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(T.word_count(F.col("text")).alias("tokens"))
+    bucketed = toks.withColumn("bucket", F.expr("tokens div 64"))
+    return bucketed.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.max("tokens").cast("long").alias("pad_to"),
+        F.sum("tokens").cast("long").alias("real_tokens"),
+        F.expr(
+            "(count(*) * max(tokens) - sum(tokens)) * 1000000"
+            " div (count(*) * max(tokens))"
+        ).cast("long").alias("waste_ppm"),
+    )

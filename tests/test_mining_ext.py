@@ -142,3 +142,33 @@ def test_pinball_loss_is_nonnegative_and_asymmetric(spark, sf_dir):
     row = agg_pinball_loss(spark, sf_dir).collect()[0]
     assert row["n_days"] > 0
     assert row["pinball_q90"] >= 0 and row["pinball_q10"] >= 0
+
+
+def test_matryoshka_overlap_bounds_and_self_consistency(spark, sf_dir):
+    from guidewire_spark.operators.mining_ext import embedding_matryoshka_eval
+
+    rows = embedding_matryoshka_eval(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["overlap_at5"] <= 5
+    # truncation loses information: the average overlap should sit
+    # strictly between random (≈0) and perfect (5) on this corpus
+    avg = sum(r["overlap_at5"] for r in rows) / len(rows)
+    assert 0.0 < avg < 5.0 or avg == 5.0
+
+
+def test_length_bucketing_matches_pandas(spark, sf_dir):
+    from guidewire_spark.operators.mining_ext import pack_length_bucketing
+
+    pdf = load_table(spark, sf_dir, "documents").toPandas()
+    toks = pdf.text.str.split().str.len()
+    got = {r["bucket"]: r for r in pack_length_bucketing(spark, sf_dir).collect()}
+    grouped = toks.groupby(toks // 64)
+    assert set(got) == set(grouped.groups)
+    for b, g in grouped:
+        r = got[b]
+        assert r["n_docs"] == len(g)
+        assert r["pad_to"] == g.max()
+        assert r["real_tokens"] == g.sum()
+        padded = len(g) * g.max()
+        assert r["waste_ppm"] == (padded - g.sum()) * 1_000_000 // padded
