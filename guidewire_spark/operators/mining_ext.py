@@ -882,3 +882,238 @@ def pack_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (count(*) * max(tokens))"
         ).cast("long").alias("waste_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness (privacy triad completion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "anon_t_closeness",
+    oracle="""
+    WITH banded AS (
+      SELECT s_nationkey,
+             CASE WHEN s_acctbal < 0 THEN 0
+                  WHEN s_acctbal < 5000 THEN 1 ELSE 2 END AS band
+      FROM supplier
+    ),
+    cls AS (
+      SELECT s_nationkey, band, COUNT(*) AS c FROM banded GROUP BY 1, 2
+    ),
+    n_cls AS (SELECT s_nationkey, SUM(c) AS n FROM cls GROUP BY 1),
+    gdist AS (SELECT band, COUNT(*) AS g FROM banded GROUP BY 1),
+    big_n AS (SELECT COUNT(*) AS pop_n FROM banded),
+    diffs AS (
+      SELECT nc.s_nationkey, b.band,
+             COALESCE(c.c, 0) * bn.pop_n - g.g * nc.n AS num,
+             nc.n, bn.pop_n
+      FROM n_cls nc
+      CROSS JOIN gdist b
+      CROSS JOIN big_n bn
+      JOIN gdist g ON g.band = b.band
+      LEFT JOIN cls c ON c.s_nationkey = nc.s_nationkey AND c.band = b.band
+    ),
+    cum AS (
+      SELECT s_nationkey, n, pop_n,
+             ABS(SUM(num) OVER (PARTITION BY s_nationkey ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS a
+      FROM diffs
+    )
+    SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           CAST(MAX(n) AS BIGINT) AS class_size,
+           CAST(SUM(a) * 1000000 // (MAX(n) * MAX(pop_n) * 2) AS BIGINT)
+             AS t_emd_ppm,
+           SUM(a) * 1000000 // (MAX(n) * MAX(pop_n) * 2) > 200000 AS at_risk
+    FROM cum GROUP BY s_nationkey
+    """,
+)
+def anon_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the attack l-diversity misses: a class can
+    hold l distinct sensitive values yet still leak if its
+    DISTRIBUTION skews far from the population's (a class that is 95%
+    'neg' reveals plenty even with 3 bands present).  Per
+    quasi-identifier class (nation), the ordered-attribute Earth
+    Mover's Distance between the class's account-band distribution
+    and the global one: EMD = Σ|cumulative(p−q)| / (m−1), computed in
+    EXACT integer arithmetic over the common denominator n·N (counts
+    cross-multiplied; no float division until the final ppm).
+    Classes with t > 0.2 flag.  Completes the k-anonymity /
+    l-diversity / t-closeness triad; everything past the one banded
+    aggregate is (class × band)-sized."""
+    s = load_table(spark, sf_dir, "supplier")
+    band = (
+        F.when(F.col("s_acctbal") < 0, 0)
+        .when(F.col("s_acctbal") < 5000, 1)
+        .otherwise(2)
+    )
+    banded = s.select(
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        band.alias("band"),
+    )
+    cls = banded.groupBy("s_nationkey", "band").agg(F.count("*").alias("c"))
+    n_cls = cls.groupBy("s_nationkey").agg(F.sum("c").alias("n"))
+    glob = banded.groupBy("band").agg(F.count("*").alias("g"))
+    big_n = banded.agg(F.count("*").alias("pop_n"))
+    diffs = (
+        n_cls.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(big_n))
+        .join(cls, ["s_nationkey", "band"], "left")
+        .select(
+            "s_nationkey",
+            "band",
+            "n",
+            "pop_n",
+            (
+                F.coalesce("c", F.lit(0)) * F.col("pop_n")
+                - F.col("g") * F.col("n")
+            ).alias("num"),
+        )
+    )
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = diffs.select(
+        "s_nationkey", "n", "pop_n", F.abs(F.sum("num").over(w)).alias("a")
+    )
+    t_ppm = F.expr("sum(a) * 1000000 div (max(n) * max(pop_n) * 2)")
+    return cum.groupBy("s_nationkey").agg(
+        F.max("n").cast("long").alias("class_size"),
+        t_ppm.cast("long").alias("t_emd_ppm"),
+        (t_ppm > 200000).alias("at_risk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# VaR / CVaR of per-user spend
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_var_cvar_spend",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id,
+             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS m
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, user_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM spend
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(ROUND(CAST(
+             MAX(CASE WHEN rnk = (95 * n + 99) // 100 THEN m END) / 1000.0
+           AS DECIMAL(24,10)), 3) AS DOUBLE) AS var95,
+           CAST(ROUND(CAST(
+             CAST(SUM(CASE WHEN rnk >= (95 * n + 99) // 100 THEN m END)
+                  AS DOUBLE)
+             / SUM(CASE WHEN rnk >= (95 * n + 99) // 100 THEN 1 ELSE 0 END)
+             / 1000.0
+           AS DECIMAL(24,10)), 3) AS DOUBLE) AS cvar95
+    FROM ranked
+    """,
+)
+def agg_var_cvar_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and Conditional VaR (expected shortfall) of
+    per-user purchase spend at the 95th percentile: VaR is the spend
+    at rank ⌈0.95·n⌉, CVaR the mean of the tail at-or-above it — the
+    risk pair every exposure dashboard reports (CVaR is the coherent
+    one; VaR alone ignores tail shape).  The user-cardinality rank is
+    TWO-PHASE (twophase.two_phase_ordered — user counts grow with the
+    data), spend stays exact int64 milli until the final division."""
+    from guidewire_spark.operators.twophase import two_phase_ordered
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    spend = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("m")
+    )
+    ranked = two_phase_ordered(
+        spend, [F.asc("m"), F.asc("user_id")], rank_name="rnk", total_name="n"
+    )
+    k = F.expr("(95 * n + 99) div 100")
+    tail = F.col("rnk") >= k
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_users"),
+        _r(F.max(F.when(F.col("rnk") == k, F.col("m"))) / 1000.0, 3).alias(
+            "var95"
+        ),
+        _r(
+            F.sum(F.when(tail, F.col("m"))).cast("double")
+            / F.sum(F.when(tail, 1).otherwise(0))
+            / 1000.0,
+            3,
+        ).alias("cvar95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered event-pair sequence support
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_sequence_pair_support",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, event_type,
+             MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+      FROM events GROUP BY user_id, event_type
+    ),
+    total AS (SELECT COUNT(DISTINCT user_id) AS tu FROM events),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_users
+      FROM spans a JOIN spans b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+       AND a.lo < b.hi
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_users * 1000000 // tu AS BIGINT) AS support_ppm
+    FROM pairs CROSS JOIN total
+    """,
+)
+def ts_sequence_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support for ordered event-type pairs: the
+    fraction of users with SOME occurrence of A strictly before some
+    occurrence of B (min_ts(A) < max_ts(B), A ≠ B) — the 2-item
+    PrefixSpan support table behind "do users view before they
+    purchase?" questions, the existence form ts_markov_transitions'
+    adjacent-transition counts can't answer.
+
+    Scale shape: one (user, type) aggregate collapses events to ≤
+    |types| span rows per user; the pair expansion self-joins that
+    tiny table ON user_id — co-partitioned, ≤ |types|² rows per user
+    — and reduces straight to the |types|²-sized support table."""
+    e = load_table(spark, sf_dir, "events")
+    spans = e.groupBy("user_id", "event_type").agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    total = e.agg(F.count_distinct("user_id").alias("tu"))
+    a, b = spans.alias("a"), spans.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.lo") < F.col("b.hi")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+    return pairs.crossJoin(F.broadcast(total)).select(
+        "type_a",
+        "type_b",
+        "n_users",
+        F.expr("n_users * 1000000 div tu").cast("long").alias("support_ppm"),
+    )

@@ -172,3 +172,74 @@ def test_length_bucketing_matches_pandas(spark, sf_dir):
         assert r["real_tokens"] == g.sum()
         padded = len(g) * g.max()
         assert r["waste_ppm"] == (padded - g.sum()) * 1_000_000 // padded
+
+
+def test_t_closeness_matches_python_emd(spark, sf_dir):
+    from guidewire_spark.operators.mining_ext import anon_t_closeness
+
+    s = load_table(spark, sf_dir, "supplier").toPandas()
+    band = s.s_acctbal.map(lambda v: 0 if v < 0 else (1 if v < 5000 else 2))
+    s = s.assign(band=band)
+    N = len(s)
+    gl = s.band.value_counts().reindex([0, 1, 2], fill_value=0)
+    got = {r["s_nationkey"]: r for r in anon_t_closeness(spark, sf_dir).collect()}
+    for nk, grp in s.groupby("s_nationkey"):
+        n = len(grp)
+        c = grp.band.value_counts().reindex([0, 1, 2], fill_value=0)
+        cum, acc = 0, 0
+        for b in (0, 1, 2):
+            cum += c[b] * N - gl[b] * n
+            acc += abs(cum)
+        want = acc * 1_000_000 // (n * N * 2)
+        r = got[nk]
+        assert r["class_size"] == n
+        assert r["t_emd_ppm"] == want
+        assert r["at_risk"] == (want > 200_000)
+
+
+def test_var_cvar_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from guidewire_spark.operators.mining_ext import agg_var_cvar_spend
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    p = e[e.event_type == "purchase"]
+    spend = (
+        p.assign(m=(p.value * 1000).round().astype("int64"))
+        .groupby("user_id")["m"]
+        .sum()
+        .sort_values()
+        .to_numpy()
+    )
+    n = len(spend)
+    k = (95 * n + 99) // 100
+    var95 = spend[k - 1] / 1000.0
+    cvar95 = spend[k - 1 :].mean() / 1000.0
+    row = agg_var_cvar_spend(spark, sf_dir).collect()[0]
+    assert row["n_users"] == n
+    assert abs(row["var95"] - var95) < 2e-3
+    assert abs(row["cvar95"] - cvar95) < 2e-3
+    assert row["cvar95"] >= row["var95"]  # expected shortfall dominates
+
+
+def test_sequence_pair_support_matches_pandas(spark, sf_dir):
+    from guidewire_spark.operators.mining_ext import ts_sequence_pair_support
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    e["us"] = e.ts.astype("int64") // 1000
+    spans = e.groupby(["user_id", "event_type"])["us"].agg(["min", "max"])
+    tu = e.user_id.nunique()
+    want: dict[tuple[str, str], int] = {}
+    for uid, grp in spans.groupby(level=0):
+        types = grp.droplevel(0)
+        for a in types.index:
+            for b in types.index:
+                if a != b and types.loc[a, "min"] < types.loc[b, "max"]:
+                    want[(a, b)] = want.get((a, b), 0) + 1
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_users"], r["support_ppm"])
+        for r in ts_sequence_pair_support(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for key, n_users in want.items():
+        assert got[key] == (n_users, n_users * 1_000_000 // tu)
