@@ -1117,3 +1117,82 @@ def ts_sequence_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.expr("n_users * 1000000 div tu").cast("long").alias("support_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DataFrameStatFunctions surface: crosstab / freqItems / sampleBy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_crosstab",
+    oracle="""
+    SELECT event_type AS event_type_cohort,
+           CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS "0",
+           CAST(SUM(CASE WHEN user_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS "1",
+           CAST(SUM(CASE WHEN user_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS "2"
+    FROM events GROUP BY event_type
+    """,
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.crosstab`` — the DataFrameStatFunctions contingency
+    table (pairwise frequency of two categorical columns, one row per
+    left value, one column per right value).  Same physical shape as
+    a pivot: one hash aggregate on the pair, then the bounded-domain
+    column expansion; the API exists because contingency tables are
+    the chi-square/Cramér's-V input.  Cohort = user_id % 3 keeps the
+    column set fixed so the schema is stable for the oracle."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 3).cast("string").alias("cohort")
+    )
+    ct = e.stat.crosstab("event_type", "cohort")
+    return ct.select(
+        "event_type_cohort",
+        F.col("0").cast("long").alias("0"),
+        F.col("1").cast("long").alias("1"),
+        F.col("2").cast("long").alias("2"),
+    )
+
+
+@query("stat_freq_items")  # single-pass sketch, partitioning-dependent
+# false positives allowed by contract → rows-only; superset guarantee
+# gated in pytest
+def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.freqItems`` — Spark's single-pass frequent-items
+    sketch (the Karp-Shenker-Papadimitriou counter algorithm, the same
+    family as agg_heavy_hitters_spacesaving but built in): items with
+    frequency ≥ support are GUARANTEED present; false positives are
+    allowed by contract (hence rows-only — the exact false-positive
+    set depends on partition layout).  Exploded and sorted so the row
+    set is canonical for the driver's rows-only check; the guarantee
+    is pytest-gated against exact counts."""
+    e = load_table(spark, sf_dir, "events").select("event_type")
+    fi = e.stat.freqItems(["event_type"], support=0.3)
+    return fi.select(
+        F.explode("event_type_freqItems").alias("frequent_event_type")
+    ).orderBy("frequent_event_type")
+
+
+@query("stat_sample_by")  # seeded Bernoulli draw → engine-specific →
+# rows-only; per-stratum fraction + determinism gated in pytest
+def stat_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.sampleBy`` — stratified sampling with per-stratum
+    fractions (purchase rows kept at 80%, views at 5%, clicks at
+    20%, everything else dropped): the class-rebalancing primitive
+    behind training-mix downsampling when the deterministic-hash
+    plans (mix_rebalance_sample) aren't required.  The draw is a
+    seeded per-row Bernoulli — reproducible within Spark (fixed
+    seed 7) but not across engines, so the check is rows-only;
+    pytest gates per-stratum realized fractions, stratum exclusivity,
+    and same-seed determinism.  Output is the per-stratum sample
+    count (the sampled rows themselves would be data-sized)."""
+    e = load_table(spark, sf_dir, "events").select("event_type")
+    sampled = e.stat.sampleBy(
+        "event_type", {"purchase": 0.8, "view": 0.05, "click": 0.2}, seed=7
+    )
+    return sampled.groupBy("event_type").agg(
+        F.count("*").alias("n_sampled")
+    )

@@ -243,3 +243,32 @@ def test_sequence_pair_support_matches_pandas(spark, sf_dir):
     assert set(got) == set(want)
     for key, n_users in want.items():
         assert got[key] == (n_users, n_users * 1_000_000 // tu)
+
+
+def test_freq_items_superset_guarantee(spark, sf_dir):
+    from guidewire_spark.operators.mining_ext import stat_freq_items
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    freqs = e.event_type.value_counts(normalize=True)
+    heavy = set(freqs[freqs >= 0.3].index)
+    got = {
+        r["frequent_event_type"]
+        for r in stat_freq_items(spark, sf_dir).collect()
+    }
+    assert heavy <= got  # every truly-frequent item MUST be present
+
+
+def test_sample_by_fractions_and_determinism(spark, sf_dir):
+    from guidewire_spark.operators.mining_ext import stat_sample_by
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    totals = e.event_type.value_counts()
+    want = {"purchase": 0.8, "view": 0.05, "click": 0.2}
+    got = {r["event_type"]: r["n_sampled"] for r in stat_sample_by(spark, sf_dir).collect()}
+    assert set(got) <= set(want)  # non-requested strata never appear
+    for t, frac in want.items():
+        if totals.get(t, 0) >= 100:
+            realized = got.get(t, 0) / totals[t]
+            assert abs(realized - frac) < 0.15, (t, realized, frac)
+    again = {r["event_type"]: r["n_sampled"] for r in stat_sample_by(spark, sf_dir).collect()}
+    assert got == again  # fixed seed → reproducible
