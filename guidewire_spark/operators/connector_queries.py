@@ -938,3 +938,35 @@ def delta_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("status") != "unchanged")
     )
+
+
+@query(
+    "delta_merge_schema_evolution",
+    oracle="""
+    SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal,
+           CASE WHEN s_suppkey % 10 = 0 THEN 'gold' END AS tier
+    FROM supplier WHERE s_suppkey % 10 = 0
+    UNION ALL
+    SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal,
+           CAST(NULL AS VARCHAR) AS tier
+    FROM supplier WHERE s_suppkey % 10 <> 0
+    """,
+)
+def delta_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION (Delta autoMerge): the update set
+    carries a NEW ``tier`` column; the merge appends it to the table
+    schema additively — kept rows read NULL, the metaData action and
+    the file swaps land atomically in ONE commit — then upserts the
+    gold tier onto every 10th supplier.  sources/writer.py::merge_into
+    with merge_schema=True; without the flag the same source raises
+    (drift must be opted into)."""
+    table = tempfile.mkdtemp(prefix="gw_dmse_") + "/supplier_delta"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    write_delta(s, table, mode="append")
+    updates = s.where(F.col("s_suppkey") % 10 == 0).withColumn(
+        "tier", F.lit("gold")
+    )
+    merge_into(spark, table, updates, on="s_suppkey", merge_schema=True)
+    return read_delta(spark, table)

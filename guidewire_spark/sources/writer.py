@@ -727,6 +727,8 @@ def merge_into(
     table_path: str,
     source: DataFrame,
     on: str | list[str],
+    *,
+    merge_schema: bool = False,
 ) -> int:
     """MERGE (upsert): update target rows matching ``source`` on the
     key column(s), insert source rows with no match. Source must be
@@ -739,6 +741,15 @@ def merge_into(
     whole table. Files without stats are conservatively rewritten
     (pruning must be sound). Matching itself is a left-anti join on
     the candidate subset — the classic copy-on-write MERGE.
+
+    ``merge_schema=True`` (Delta's MERGE WITH SCHEMA EVOLUTION /
+    autoMerge): source columns absent from the target append to the
+    schema additively (`_merged_schema` rules — shared columns must
+    agree on type); kept target rows read NULL for the new columns,
+    and the commit carries the metaData action alongside the file
+    swaps, so evolution and upsert land atomically in ONE version.
+    Without the flag, extra source columns raise (accidental drift
+    must not silently widen a table).
     """
     keys = [on] if isinstance(on, str) else list(on)
     snap = load_snapshot(table_path)
@@ -756,6 +767,19 @@ def merge_into(
     source = _apply_generated_columns(source, table_path)
     _enforce_constraints(source, table_path)
 
+    target_names = {f.name for f in snap.schema.fields}
+    extra = [f.name for f in source.schema.fields if f.name not in target_names]
+    evolved = None
+    if extra:
+        if not merge_schema:
+            raise ValueError(
+                f"source adds columns {sorted(extra)}; pass "
+                "merge_schema=True for additive MERGE schema evolution"
+            )
+        evolved = _merged_schema(snap.schema, source.schema)
+    out_schema = evolved or snap.schema
+    out_cols = [f.name for f in out_schema.fields]
+
     bounds = source.agg(
         F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
     ).collect()[0]
@@ -764,17 +788,40 @@ def merge_into(
     if candidates:
         target = _read_with_partitions(spark, snap, candidates)
         kept = target.join(source.select(*keys), keys, "left_anti")
-        merged = kept.unionByName(source.select(*target.columns))
+        if evolved is not None:
+            merged = kept.unionByName(
+                source, allowMissingColumns=True
+            ).select(*out_cols)
+        else:
+            merged = kept.unionByName(source.select(*target.columns))
     else:
         merged = source
+        if evolved is not None:
+            for f in out_schema.fields:
+                if f.name not in set(source.columns):
+                    merged = merged.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+            merged = merged.select(*out_cols)
     files, commit_dir = _stage_files(
-        _to_physical(merged, snap.schema), table_path, pcols or None
+        _to_physical(merged, out_schema), table_path, pcols or None
     )
 
     from guidewire_spark.sources.stats import footer_stats
 
     now = int(time.time() * 1000)
-    actions = [remove_action(p, now) for p in candidates]
+    actions = []
+    if evolved is not None:
+        actions.append(
+            metadata_action(
+                evolved,
+                partition_columns=snap.partition_columns or None,
+                created_time=now,
+                table_id=snap.metadata_id,
+                configuration=table_configuration(table_path),
+            )
+        )
+    actions += [remove_action(p, now) for p in candidates]
     actions += [
         add_action(
             f.path,

@@ -1045,3 +1045,50 @@ def test_change_data_feed_partitioned_materializes_partition_cols(
     ins = full.where("_change_type = 'insert' AND _commit_version = 0")
     assert ins.where(F.col("bucket") != F.col("n_nationkey") % 2).count() == 0
     assert ins.count() == n.count()
+
+
+def test_merge_schema_evolution_atomic_and_opt_in(spark, sf_dir, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION: extra source columns must be
+    rejected without merge_schema=True; with it, the new column
+    appends to the schema in the SAME commit as the upsert, kept and
+    non-rewritten rows read NULL for it, and key-disjoint files still
+    survive untouched (pruning composes with evolution)."""
+    import pytest as _pytest
+
+    from guidewire_spark.sources.writer import merge_into
+
+    table = str(tmp_path / "mrg_evo")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    keys = sorted(r.s_suppkey for r in s.select("s_suppkey").collect())
+    t1 = keys[len(keys) // 2]
+    lo = s.where(F.col("s_suppkey") < t1)
+    hi = s.where(F.col("s_suppkey") >= t1)
+    for part in (lo, hi):
+        write_delta(part.coalesce(1), table, mode="append")
+    before = load_snapshot(table).files
+    v_before = load_snapshot(table).version
+
+    source = lo.limit(3).withColumn("tier", F.lit("gold"))
+    with _pytest.raises(ValueError, match="merge_schema=True"):
+        merge_into(spark, table, source, on="s_suppkey")
+
+    v = merge_into(spark, table, source, on="s_suppkey", merge_schema=True)
+    snap = load_snapshot(table)
+    # ONE commit: evolution + upsert atomically
+    assert v == v_before + 1 == snap.version
+    assert [f.name for f in snap.schema.fields] == [
+        "s_suppkey",
+        "s_name",
+        "acctbal",
+        "tier",
+    ]
+    # the hi file is key-disjoint from the update → untouched
+    assert set(before) & set(snap.files)
+    got = read_delta(spark, table)
+    gold = {r.s_suppkey for r in source.select("s_suppkey").collect()}
+    rows = {r.s_suppkey: r.tier for r in got.collect()}
+    assert set(rows) == set(keys)
+    for k, tier in rows.items():
+        assert tier == ("gold" if k in gold else None)
