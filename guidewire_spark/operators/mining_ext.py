@@ -1196,3 +1196,64 @@ def stat_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("event_type").agg(
         F.count("*").alias("n_sampled")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "feature_hashing_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                    w -> w <> '')) AS w
+      FROM documents WHERE doc_id < 100
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(range(1, length(w) + 1),
+                   i -> CAST(ascii(w[i]) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 2147483647) % 64 AS bucket
+      FROM toks
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM hashed GROUP BY doc_id, bucket
+    """,
+)
+def feature_hashing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: each word maps to one of 64 feature buckets
+    through an explicit polynomial character hash
+    (acc·31 + ascii, seed 7, mod 2³¹−1) and the document becomes the
+    sparse (bucket → count) vector — the unbounded-vocabulary
+    featurizer (no dictionary to build, broadcast, or keep in sync;
+    collisions are the accepted trade).  The hash is spelled out
+    character-by-character IN BOTH ENGINES rather than borrowing an
+    engine hash, so the feature space is portable and the oracle is
+    exact.  One corpus pass (tokenize → JVM hash fold → count);
+    output is (docs × occupied buckets), never vocabulary-sized."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = d.select(
+        "doc_id",
+        F.explode(T.words(F.lower(F.col("text")))).alias("w"),
+    )
+    hashed = toks.select(
+        "doc_id",
+        (
+            F.expr(
+                "aggregate(transform(sequence(1, length(w)),"
+                " i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)),"
+                " CAST(7 AS BIGINT),"
+                " (acc, c) -> (acc * 31 + c) % 2147483647)"
+            )
+            % 64
+        ).alias("bucket"),
+    )
+    return hashed.groupBy("doc_id", F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
