@@ -1257,3 +1257,230 @@ def feature_hashing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.groupBy("doc_id", F.col("bucket").cast("long").alias("bucket")).agg(
         F.count("*").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (SPRT)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_sprt_conversion",
+    oracle="""
+    WITH counts AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+      FROM events WHERE user_id % 2 = 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_events, CAST(k AS BIGINT) AS n_conversions,
+           CAST(ROUND(CAST(
+             k * ln(0.22 / 0.18) + (n - k) * ln(0.78 / 0.82)
+           AS DECIMAL(24,10)), 6) AS DOUBLE) AS llr,
+           CASE
+             WHEN k * ln(0.22 / 0.18) + (n - k) * ln(0.78 / 0.82)
+                  >= ln(0.95 / 0.05) THEN 'accept_h1'
+             WHEN k * ln(0.22 / 0.18) + (n - k) * ln(0.78 / 0.82)
+                  <= ln(0.05 / 0.95) THEN 'accept_h0'
+             ELSE 'continue'
+           END AS decision
+    FROM counts
+    """,
+)
+def agg_sprt_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test on the treatment
+    cohort's conversion rate (H0: p = 0.18 vs H1: p = 0.22, α = β =
+    0.05): LLR = k·ln(p₁/p₀) + (n−k)·ln((1−p₁)/(1−p₀)) against the
+    ln((1−β)/α) decision thresholds — the always-valid sequential
+    test that lets an experiment STOP at any peek without inflating
+    error rates (the fixed-horizon tests agg_ab_welch_t /
+    agg_two_proportion_z must pre-commit their n).  The LLR is two
+    exact integer counts times log-CONSTANTS, so engine parity is
+    trivially exact at 6 dp; evaluation is one partial-aggregated
+    pass."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 2 == 1)
+    import math
+
+    la = math.log(0.22 / 0.18)
+    lb = math.log(0.78 / 0.82)
+    hi = math.log(0.95 / 0.05)
+    lo = math.log(0.05 / 0.95)
+    counts = e.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+    )
+    llr = F.col("k") * la + (F.col("n") - F.col("k")) * lb
+    return counts.select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("k").cast("long").alias("n_conversions"),
+        _r(llr, 6).alias("llr"),
+        F.when(llr >= hi, "accept_h1")
+        .when(llr <= lo, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph modularity of the nation partition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_modularity_nations",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+      FROM lineitem WHERE l_partkey % 100 = 0
+    ),
+    edges AS (
+      SELECT DISTINCT a.sk AS s1, b.sk AS s2
+      FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+    ),
+    comm AS (SELECT s_suppkey AS sk, s_nationkey AS c FROM supplier),
+    labeled AS (
+      SELECT e.s1, e.s2, c1.c AS ca, c2.c AS cb
+      FROM edges e JOIN comm c1 ON c1.sk = e.s1
+                   JOIN comm c2 ON c2.sk = e.s2
+    ),
+    m AS (SELECT COUNT(*) AS m FROM edges),
+    deg AS (
+      SELECT c, SUM(d) AS dc FROM (
+        SELECT c1.c AS c, COUNT(*) AS d FROM edges e
+        JOIN comm c1 ON c1.sk = e.s1 GROUP BY c1.c
+        UNION ALL
+        SELECT c2.c AS c, COUNT(*) AS d FROM edges e
+        JOIN comm c2 ON c2.sk = e.s2 GROUP BY c2.c
+      ) GROUP BY c
+    ),
+    intra AS (
+      SELECT ca AS c, COUNT(*) AS e_in FROM labeled WHERE ca = cb GROUP BY ca
+    )
+    SELECT CAST(MAX(m.m) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(
+             COALESCE(i.e_in, 0) * 4 * m.m - d.dc * d.dc
+           ) * 1000000 // (4 * MAX(m.m) * MAX(m.m)) AS BIGINT)
+             AS modularity_ppm
+    FROM deg d CROSS JOIN m LEFT JOIN intra i ON i.c = d.c
+    """,
+)
+def graph_modularity_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the nation partition over the supplier
+    co-supply graph: Q = Σ_c [e_c/m − (d_c/2m)²] — does same-nation
+    supply structure form real communities, or is the nation label
+    orthogonal to the topology?  (Q ≈ 0 → no better than random;
+    this is the objective Louvain/Leiden optimize, evaluated here for
+    a GIVEN labeling.)  Computed as one integer expression over the
+    common denominator 4m²: Σ(4m·e_c − d_c²)·10⁶ ÷ 4m² — exact ppm,
+    no float anywhere.  Scale shape: the canonical edge list joins
+    the (supplier → nation) dim twice (broadcast-sized), then two
+    community-cardinality aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("sk"),
+        F.col("s_nationkey").cast("long").alias("c"),
+    )
+    ps = (
+        li.where(F.col("l_partkey") % 100 == 0)
+        .select(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_suppkey").cast("long").alias("sk"),
+        )
+        .distinct()
+    )
+    edges = (
+        ps.alias("a")
+        .join(ps.alias("b"), "pk")
+        .where(F.col("a.sk") < F.col("b.sk"))
+        .select(F.col("a.sk").alias("s1"), F.col("b.sk").alias("s2"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    c1 = sup.select(F.col("sk").alias("s1"), F.col("c").alias("ca"))
+    c2 = sup.select(F.col("sk").alias("s2"), F.col("c").alias("cb"))
+    labeled = edges.join(F.broadcast(c1), "s1").join(F.broadcast(c2), "s2")
+    m = edges.count()
+    deg = (
+        labeled.select(F.col("ca").alias("c"))
+        .unionAll(labeled.select(F.col("cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count("*").alias("dc"))
+    )
+    intra = (
+        labeled.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    per_c = deg.join(intra, "c", "left").select(
+        "c",
+        "dc",
+        F.coalesce("e_in", F.lit(0)).alias("e_in"),
+    )
+    return per_c.agg(
+        F.lit(m).cast("long").alias("n_edges"),
+        F.count("*").alias("n_communities"),
+        F.expr(
+            f"sum(e_in * 4 * CAST({m} AS BIGINT) - dc * dc) * 1000000"
+            f" div (4 * CAST({m} AS BIGINT) * CAST({m} AS BIGINT))"
+        ).cast("long").alias("modularity_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal
+# ---------------------------------------------------------------------------
+
+
+@query("text_compression_ratio")  # library-implementation-defined byte
+# counts → rows-only; invariants + replica gated in pytest
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate compression ratio per document (zlib level 6) — the
+    corpus-quality signal C4/Gopher-class filters use alongside the
+    rule-based ones: highly compressible text is repetitive
+    boilerplate, incompressible text is often binary junk or
+    high-entropy noise; natural prose sits in a recognizable band.
+    Flags both tails (ratio < 25% or > 90%).
+
+    The compressed SIZE is deterministic for a given zlib build but
+    implementation-defined across libraries → rows-only; pytest
+    re-compresses with the same zlib and checks equality plus the
+    repetitive≪prose ordering property.  Scale shape: Arrow-batched
+    mapInPandas, compression runs where the text already lives, and
+    only (doc_id, 3 ints) ever shuffles — the multimodal decode
+    discipline applied to a CPU-bound text metric."""
+    import pandas as pd
+
+    def ratios(batches):
+        import zlib
+
+        for pdf in batches:
+            raw, comp = [], []
+            for text in pdf["text"]:
+                b = text.encode("utf-8")
+                raw.append(len(b))
+                comp.append(len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": pd.Series(raw, dtype="int64"),
+                    "compressed_bytes": pd.Series(comp, dtype="int64"),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    parallelism = spark.sparkContext.defaultParallelism
+    if len(d.inputFiles()) < parallelism:
+        d = d.repartition(parallelism)
+    r = d.mapInPandas(ratios, "doc_id long, raw_bytes long, compressed_bytes long")
+    ratio_ppm = F.expr(
+        "compressed_bytes * 1000000 div greatest(raw_bytes, 1)"
+    )
+    return r.select(
+        "doc_id",
+        "raw_bytes",
+        "compressed_bytes",
+        ratio_ppm.cast("long").alias("ratio_ppm"),
+        ((ratio_ppm < 250000) | (ratio_ppm > 900000)).alias("flagged"),
+    )

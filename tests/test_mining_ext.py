@@ -272,3 +272,58 @@ def test_sample_by_fractions_and_determinism(spark, sf_dir):
             assert abs(realized - frac) < 0.15, (t, realized, frac)
     again = {r["event_type"]: r["n_sampled"] for r in stat_sample_by(spark, sf_dir).collect()}
     assert got == again  # fixed seed → reproducible
+
+
+def test_sprt_llr_matches_python(spark, sf_dir):
+    import math
+
+    from guidewire_spark.operators.mining_ext import agg_sprt_conversion
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    t = e[e.user_id % 2 == 1]
+    n, k = len(t), (t.event_type == "purchase").sum()
+    llr = k * math.log(0.22 / 0.18) + (n - k) * math.log(0.78 / 0.82)
+    row = agg_sprt_conversion(spark, sf_dir).collect()[0]
+    assert (row["n_events"], row["n_conversions"]) == (n, k)
+    assert abs(row["llr"] - llr) < 1e-5
+    hi, lo = math.log(0.95 / 0.05), math.log(0.05 / 0.95)
+    want = "accept_h1" if llr >= hi else ("accept_h0" if llr <= lo else "continue")
+    assert row["decision"] == want
+
+
+def test_modularity_bounds_and_null_model(spark, sf_dir):
+    from guidewire_spark.operators.mining_ext import graph_modularity_nations
+
+    row = graph_modularity_nations(spark, sf_dir).collect()[0]
+    assert row["n_edges"] > 0 and row["n_communities"] >= 1
+    # Q in [-0.5, 1] by definition
+    assert -500_000 <= row["modularity_ppm"] <= 1_000_000
+
+
+def test_compression_ratio_matches_zlib_and_orders_quality(spark, tmp_path):
+    import zlib
+
+    from guidewire_spark.operators.mining_ext import text_compression_ratio
+
+    prose = (
+        "The committee reviewed seventeen distinct proposals during the "
+        "autumn session, weighing regional infrastructure needs against "
+        "available funding envelopes and long-term maintenance burdens. "
+    ) * 8
+    repetitive = "spam spam spam " * 120
+    docs = [
+        (1, prose, "en", "web", len(prose)),
+        (2, repetitive, "en", "web", len(repetitive)),
+    ]
+    d = str(tmp_path / "zr_docs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+    got = {r["doc_id"]: r for r in text_compression_ratio(spark, d).collect()}
+    for doc_id, text, *_ in docs:
+        b = text.encode()
+        assert got[doc_id]["raw_bytes"] == len(b)
+        assert got[doc_id]["compressed_bytes"] == len(zlib.compress(b, 6))
+    # boilerplate compresses far better than prose, and gets flagged
+    assert got[2]["ratio_ppm"] < got[1]["ratio_ppm"] / 2
+    assert bool(got[2]["flagged"]) is True
