@@ -1484,3 +1484,185 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_ppm.cast("long").alias("ratio_ppm"),
         ((ratio_ppm < 250000) | (ratio_ppm > 900000)).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# histogram_numeric (Spark's adaptive histogram aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query("agg_histogram_numeric")  # adaptive bin centroids depend on
+# merge order → rows-only; mass/range invariants gated in pytest
+def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``histogram_numeric(value, 12)`` — Spark's adaptive-bin
+    histogram aggregate (streaming centroid merge, the NumericHistogram
+    of Hive lineage): 12 (centroid, count) pairs whose bin EDGES adapt
+    to the data instead of the fixed-width width_bucket grid
+    (agg_histogram_width_bucket is the exact-oracle sibling).  Bin
+    placement depends on partial-aggregate merge order → rows-only;
+    pytest gates total mass, range containment, and centroid
+    monotonicity.  One partial-aggregated pass; the sketch is
+    constant-size per partition."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.agg(F.expr("histogram_numeric(value, 12)").alias("bins"))
+    return h.select(F.posexplode("bins").alias("bin_idx", "b")).select(
+        F.col("bin_idx").cast("long").alias("bin_idx"),
+        F.round(F.col("b.x"), 3).alias("centroid"),
+        F.col("b.y").cast("long").alias("mass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema drift audit between Delta versions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "delta_schema_drift_audit",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('n_nationkey', 'kept'),
+      ('n_name', 'kept'),
+      ('region_bucket', 'added')
+    ) AS t(column_name, change)
+    """,
+)
+def delta_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift between two Delta versions: build a table, evolve
+    it additively (merge_schema append with a new column), then diff
+    the VERSION 0 schema against the latest via time travel — the
+    audit a consumer pipeline runs before each sync to catch upstream
+    drift (the metadata sibling of delta_version_diff's data-level
+    reconciliation).  Pure log replay on both sides: no data files
+    open; output is schema-cardinality rows."""
+    import tempfile
+
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import write_delta
+
+    table = tempfile.mkdtemp(prefix="gw_drift_") + "/nation_delta"
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n, table, mode="append")
+    evolved = n.limit(5).withColumn(
+        "region_bucket", (F.col("n_nationkey") % 5).cast("long")
+    )
+    write_delta(evolved, table, mode="append", merge_schema=True)
+
+    old = [f.name for f in load_snapshot(table, version=0).schema.fields]
+    new = [f.name for f in load_snapshot(table).schema.fields]
+    rows = [(c, "kept" if c in new else "removed") for c in old]
+    rows += [(c, "added") for c in new if c not in old]
+    return spark.createDataFrame(rows, "column_name string, change string")
+
+
+# ---------------------------------------------------------------------------
+# Croston's method for intermittent demand
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_croston_intermittent",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS y
+      FROM events
+      WHERE event_type = 'purchase' AND user_id % 37 = 0
+      GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+    cal AS (
+      SELECT CAST(lo + INTERVAL (t.i) DAY AS DATE) AS day,
+             CAST(t.i + 1 AS BIGINT) AS rn
+      FROM bounds, UNNEST(range(0, datediff('day', lo, hi) + 1)) t(i)
+    ),
+    seq AS (
+      SELECT rn, CAST(COALESCE(d.y, 0) AS DOUBLE) AS y
+      FROM cal LEFT JOIN d USING (day)
+    ),
+    first_hit AS (SELECT MIN(rn) AS f FROM seq WHERE y > 0),
+    rec AS (
+      SELECT s.rn AS i, s.y AS z, CAST(f.f AS DOUBLE) AS p, 1.0 AS q
+      FROM seq s JOIN first_hit f ON s.rn = f.f
+      UNION ALL
+      SELECT s.rn,
+             CASE WHEN s.y > 0 THEN 0.5 * s.y + 0.5 * r.z ELSE r.z END,
+             CASE WHEN s.y > 0 THEN 0.5 * r.q + 0.5 * r.p ELSE r.p END,
+             CASE WHEN s.y > 0 THEN 1.0 ELSE r.q + 1.0 END
+      FROM rec r JOIN seq s ON s.rn = r.i + 1
+    )
+    SELECT CAST((SELECT MAX(rn) FROM seq) AS BIGINT) AS n_days,
+           CAST((SELECT COUNT(*) FROM seq WHERE y > 0) AS BIGINT)
+             AS n_demand_days,
+           CAST(ROUND(CAST(z AS DECIMAL(24,10)), 4) AS DOUBLE) AS level,
+           CAST(ROUND(CAST(p AS DECIMAL(24,10)), 4) AS DOUBLE)
+             AS mean_interval,
+           CAST(ROUND(CAST(z / p AS DECIMAL(24,10)), 4) AS DOUBLE)
+             AS demand_rate
+    FROM rec WHERE i = (SELECT MAX(rn) FROM seq)
+    """,
+)
+def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (α=1/2): separate SES
+    folds for the nonzero-demand LEVEL and the inter-demand INTERVAL,
+    forecast = level/interval — the canonical sparse-series model the
+    dense smoothers (Holt, SES) systematically bias on (they decay
+    toward zero through every empty period; Croston only updates when
+    demand occurs).  Series: daily purchase counts of a rare user
+    slice, CALENDAR-FILLED so empty days count into the intervals.
+
+    The fold runs AFTER the one distributed daily aggregate, on the
+    calendar-bounded array (the ts_holt_winters_seasonal discipline);
+    dyadic α keeps both engines on the same IEEE sequence, and the
+    recursive-CTE oracle replays the identical recurrence."""
+    e = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 37 == 0)
+    )
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("y"))
+    arr = (
+        daily.agg(
+            F.min("day").alias("lo"),
+            F.max("day").alias("hi"),
+            F.sort_array(F.collect_list(F.struct("day", "y"))).alias("obs"),
+        )
+        .select(
+            F.expr(
+                """
+                transform(sequence(lo, hi, interval 1 day),
+                  d -> CAST(coalesce(
+                    get(filter(obs, o -> o.day = d), 0).y, 0) AS DOUBLE))
+                """
+            ).alias("ys")
+        )
+    )
+    folded = arr.select(
+        F.size("ys").alias("n_days"),
+        F.expr("size(filter(ys, y -> y > 0D))").alias("n_demand_days"),
+        F.expr(
+            """
+            aggregate(
+              slice(ys, array_position(transform(ys, y -> y > 0D), true) + 1,
+                    size(ys)),
+              named_struct(
+                'z', ys[array_position(transform(ys, y -> y > 0D), true) - 1],
+                'p', CAST(array_position(transform(ys, y -> y > 0D), true)
+                          AS DOUBLE),
+                'q', 1.0D),
+              (acc, y) -> named_struct(
+                'z', CASE WHEN y > 0D THEN 0.5D * y + 0.5D * acc.z
+                          ELSE acc.z END,
+                'p', CASE WHEN y > 0D THEN 0.5D * acc.q + 0.5D * acc.p
+                          ELSE acc.p END,
+                'q', CASE WHEN y > 0D THEN 1.0D ELSE acc.q + 1.0D END)
+            )
+            """
+        ).alias("h"),
+    )
+    return folded.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_demand_days").cast("long").alias("n_demand_days"),
+        _r(F.col("h.z"), 4).alias("level"),
+        _r(F.col("h.p"), 4).alias("mean_interval"),
+        _r(F.col("h.z") / F.col("h.p"), 4).alias("demand_rate"),
+    )

@@ -327,3 +327,59 @@ def test_compression_ratio_matches_zlib_and_orders_quality(spark, tmp_path):
     # boilerplate compresses far better than prose, and gets flagged
     assert got[2]["ratio_ppm"] < got[1]["ratio_ppm"] / 2
     assert bool(got[2]["flagged"]) is True
+
+
+def test_histogram_numeric_invariants(spark, sf_dir):
+    from guidewire_spark.operators.mining_ext import agg_histogram_numeric
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    rows = sorted(
+        agg_histogram_numeric(spark, sf_dir).collect(),
+        key=lambda r: r["bin_idx"],
+    )
+    assert len(rows) == 12
+    assert sum(r["mass"] for r in rows) == len(e)
+    cents = [r["centroid"] for r in rows]
+    assert cents == sorted(cents)  # centroids monotone
+    assert e.value.min() <= cents[0] and cents[-1] <= e.value.max()
+
+
+def test_croston_matches_python_recurrence(spark, sf_dir):
+    import pandas as pd
+
+    from guidewire_spark.operators.mining_ext import ts_croston_intermittent
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    p = e[(e.event_type == "purchase") & (e.user_id % 37 == 0)]
+    daily = p.groupby(p.ts.dt.floor("D")).size()
+    cal = pd.date_range(daily.index.min(), daily.index.max(), freq="D")
+    y = daily.reindex(cal, fill_value=0).to_numpy(dtype=float)
+    first = next(i for i, v in enumerate(y) if v > 0)
+    z, pi, q = y[first], float(first + 1), 1.0
+    for v in y[first + 1 :]:
+        if v > 0:
+            z = 0.5 * v + 0.5 * z
+            pi = 0.5 * q + 0.5 * pi
+            q = 1.0
+        else:
+            q += 1.0
+    row = ts_croston_intermittent(spark, sf_dir).collect()[0]
+    assert row["n_days"] == len(y)
+    assert row["n_demand_days"] == int((y > 0).sum())
+    assert abs(row["level"] - z) < 1e-3
+    assert abs(row["mean_interval"] - pi) < 1e-3
+    assert abs(row["demand_rate"] - z / pi) < 1e-3
+
+
+def test_schema_drift_audit_detects_added_column(spark, sf_dir):
+    from guidewire_spark.operators.mining_ext import delta_schema_drift_audit
+
+    rows = {
+        r["column_name"]: r["change"]
+        for r in delta_schema_drift_audit(spark, sf_dir).collect()
+    }
+    assert rows == {
+        "n_nationkey": "kept",
+        "n_name": "kept",
+        "region_bucket": "added",
+    }
