@@ -1666,3 +1666,121 @@ def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.col("h.p"), 4).alias("mean_interval"),
         _r(F.col("h.z") / F.col("h.p"), 4).alias("demand_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark-4 SQL ergonomics: lateral column aliases + ORDER BY ALL
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_lateral_column_alias",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice * 1.07, 2) AS taxed,
+           ROUND(ROUND(o_totalprice * 1.07, 2) * 0.1, 2) AS fee,
+           ROUND(ROUND(o_totalprice * 1.07, 2)
+                 + ROUND(ROUND(o_totalprice * 1.07, 2) * 0.1, 2), 2)
+             AS total_due
+    FROM orders WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): a SELECT item referencing
+    an alias defined EARLIER IN THE SAME SELECT (`taxed` feeding
+    `fee` feeding `total_due`) — the ergonomics that kill the
+    nested-subquery boilerplate every derived-metric chain used to
+    need.  Catalyst inlines the chain into one projection (no extra
+    plan nodes); the oracle spells the expansion out explicitly,
+    proving the inlining semantics."""
+    from guidewire_spark.plans.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 1.07, 2) AS DOUBLE) AS taxed,
+               CAST(ROUND(taxed * 0.1, 2) AS DOUBLE) AS fee,
+               CAST(ROUND(taxed + fee, 2) AS DOUBLE) AS total_due
+        FROM orders WHERE o_orderkey % 100 = 0
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "sql_order_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL (the DuckDB-born shorthand, in
+    Spark 4): group by every non-aggregate select item, order by the
+    full select list left-to-right — the exploratory-SQL ergonomics
+    that make ad-hoc rollups one-liners.  DuckDB pioneered the
+    syntax, so the oracle runs IDENTICAL text — a literal dialect
+    -compatibility check."""
+    from guidewire_spark.plans.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@query(
+    "window_session_function_batch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us
+      FROM events WHERE user_id % 25 = 0
+    ),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN us - LAG(us) OVER w > CAST(1200000000 AS BIGINT)
+                  OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sess AS (
+      SELECT user_id, us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS session_start_us,
+           CAST(MAX(us) + CAST(1200000000 AS BIGINT) AS BIGINT)
+             AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def window_session_function_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``session_window()`` as a BATCH aggregation (20-minute gap):
+    the same session-assignment function the streaming jobs use,
+    applied to a static frame — proving batch/stream session
+    semantics are one function, not two implementations.  Spark's
+    session window end is last-event + gap (the window stays open a
+    full gap past the last event); the oracle derives identical
+    sessions from the classic lag-gap-cumsum form and adds the gap to
+    the close, pinning that convention."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 25 == 0)
+    sess = e.groupBy(
+        "user_id", F.session_window("ts", "20 minutes").alias("w")
+    ).agg(F.count("*").alias("n_events"))
+    return sess.select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        F.unix_micros("w.end").alias("session_end_us"),
+        "n_events",
+    )
