@@ -1677,11 +1677,17 @@ def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_lateral_column_alias",
     oracle="""
     SELECT o_orderkey,
-           ROUND(o_totalprice * 1.07, 2) AS taxed,
-           ROUND(ROUND(o_totalprice * 1.07, 2) * 0.1, 2) AS fee,
-           ROUND(ROUND(o_totalprice * 1.07, 2)
-                 + ROUND(ROUND(o_totalprice * 1.07, 2) * 0.1, 2), 2)
-             AS total_due
+           CAST(ROUND(CAST(o_totalprice * 1.07 AS DECIMAL(18,4)), 2)
+                AS DOUBLE) AS taxed,
+           CAST(ROUND(CAST(
+             ROUND(CAST(o_totalprice * 1.07 AS DECIMAL(18,4)), 2) * 0.1
+           AS DECIMAL(18,4)), 2) AS DOUBLE) AS fee,
+           CAST(ROUND(CAST(
+             ROUND(CAST(o_totalprice * 1.07 AS DECIMAL(18,4)), 2)
+             + ROUND(CAST(
+                 ROUND(CAST(o_totalprice * 1.07 AS DECIMAL(18,4)), 2) * 0.1
+               AS DECIMAL(18,4)), 2)
+           AS DECIMAL(18,4)), 2) AS DOUBLE) AS total_due
     FROM orders WHERE o_orderkey % 100 = 0
     ORDER BY o_orderkey
     """,
@@ -1700,9 +1706,12 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderkey,
-               CAST(ROUND(o_totalprice * 1.07, 2) AS DOUBLE) AS taxed,
-               CAST(ROUND(taxed * 0.1, 2) AS DOUBLE) AS fee,
-               CAST(ROUND(taxed + fee, 2) AS DOUBLE) AS total_due
+               CAST(ROUND(CAST(o_totalprice * 1.07 AS DECIMAL(18,4)), 2)
+                    AS DOUBLE) AS taxed,
+               CAST(ROUND(CAST(taxed * 0.1 AS DECIMAL(18,4)), 2)
+                    AS DOUBLE) AS fee,
+               CAST(ROUND(CAST(taxed + fee AS DECIMAL(18,4)), 2)
+                    AS DOUBLE) AS total_due
         FROM orders WHERE o_orderkey % 100 = 0
         ORDER BY o_orderkey
         """
