@@ -238,3 +238,95 @@ def agg_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         c1.cast("long").alias("c1"),
         _r(z, 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER (the other half of the Spark 4 API)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pyds_partitioned_sink",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS BIGINT)
+             AS milli_total
+    FROM events WHERE user_id % 40 = 0 GROUP BY user_id
+    """,
+)
+def pyds_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the Spark 4 Python DataSource API
+    (pyds_partitioned_source covers the read half): a custom sink
+    whose per-partition ``write(iterator)`` runs ON THE EXECUTORS
+    (each emits its own file + a WriterCommitMessage) and whose
+    ``commit(messages)`` finalizes on the driver — the two-phase
+    commit contract every production sink (JDBC, search index,
+    feature store) builds on.  The query writes a per-user aggregate
+    through the sink as CSV, reads the files back, and must
+    round-trip exactly (the oracle recomputes from source) — proving
+    executor-side writes, message collection, and commit all fire."""
+    import tempfile
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="gw_pyds_sink_")
+
+    class CsvWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import os
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            rows = 0
+            tmp = os.path.join(self.path, f"part-{pid:05d}.csv")
+            with open(tmp, "w") as fh:
+                for row in iterator:
+                    fh.write(f"{row.user_id},{row.n},{row.milli_total}\n")
+                    rows += 1
+            return WriterCommitMessage()
+
+        def commit(self, messages):
+            import os
+
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+                fh.write(f"{len(messages)} tasks\n")
+
+        def abort(self, messages):
+            pass
+
+    class CsvSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "gw_csv_sink"
+
+        def writer(self, schema, overwrite):
+            return CsvWriter(self.options)
+
+    try:
+        spark.dataSource.register(CsvSink)
+    except Exception:
+        pass  # already registered this session
+
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 40 == 0)
+    agg = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias(
+            "milli_total"
+        ),
+    )
+    agg.write.format("gw_csv_sink").option("path", out_dir).mode(
+        "append"
+    ).save()
+    back = spark.read.schema("user_id long, n long, milli_total long").csv(
+        out_dir
+    )
+    return back

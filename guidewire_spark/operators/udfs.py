@@ -392,3 +392,52 @@ def udf_arrow_optimized_python(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mixed_score"
         ),
     )
+
+
+@query(
+    "udtf_table_argument",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF consuming a TABLE(...) argument WITH PARTITION BY
+    (Spark 3.5+): the engine partitions the input by the key, streams
+    each partition's rows through ``eval``, and ``terminate`` emits
+    the per-partition summary — the SQL-surface form of
+    applyInPandas-style grouped processing, callable by pure-SQL
+    consumers.  The accumulate/terminate pair here reproduces a
+    GROUP BY exactly, so the oracle is the plain aggregate; real uses
+    put non-SQL per-group logic (sessionizers, parsers, model
+    scoring) in the same shape."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="source: string, n_docs: bigint, total_chars: bigint")
+    class PerSourceStats:
+        def __init__(self):
+            self._source = None
+            self._n = 0
+            self._chars = 0
+
+        def eval(self, row):
+            self._source = row["source"]
+            self._n += 1
+            self._chars += row["n_chars"]
+
+        def terminate(self):
+            if self._source is not None:
+                yield self._source, self._n, self._chars
+
+    spark.udtf.register("gw_per_source_stats", PerSourceStats)
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("gw_udtf_tablearg_docs")
+    return spark.sql(
+        """
+        SELECT * FROM gw_per_source_stats(
+          TABLE(gw_udtf_tablearg_docs) PARTITION BY source
+        )
+        """
+    )
