@@ -970,3 +970,72 @@ def delta_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_into(spark, table, updates, on="s_suppkey", merge_schema=True)
     return read_delta(spark, table)
+
+
+@query(
+    "delta_identity_column",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS total FROM nation)
+    SELECT CAST(total AS BIGINT) AS n_rows,
+           CAST(total AS BIGINT) AS n_distinct_ids,
+           TRUE AS ids_start_at_1000,
+           TRUE AS batches_disjoint,
+           TRUE AS high_water_monotone
+    FROM n
+    """,
+)
+def delta_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY: the writer assigns the surrogate
+    key (start 1000, step 2) from partition-prefixed counters — fully
+    parallel, no global ordering — and each append bumps the
+    high-water mark ATOMICALLY with its add actions.  Delta identity
+    guarantees uniqueness and batch-over-batch monotonicity, NOT
+    density, so the registered result reports the INVARIANTS (row
+    count, distinct count, floor, batch disjointness, monotone high
+    water) rather than the implementation-defined values themselves;
+    pytest additionally rejects writer-supplied identity values."""
+    import json as _json
+    import tempfile
+
+    from guidewire_spark.sources.writer import (
+        append_with_identity,
+        create_identity_table,
+        table_configuration,
+    )
+
+    table = tempfile.mkdtemp(prefix="gw_ident_") + "/nation_delta"
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    half1 = n.where(F.col("n_nationkey") < 12)
+    half2 = n.where(F.col("n_nationkey") >= 12)
+    create_identity_table(half1, table, "row_id", start=1000, step=2)
+    hw1 = _json.loads(
+        table_configuration(table)["delta.identity.row_id"]
+    )["highWaterMark"]
+    append_with_identity(half2, table)
+    hw2 = _json.loads(
+        table_configuration(table)["delta.identity.row_id"]
+    )["highWaterMark"]
+
+    got = read_delta(spark, table)
+    b1 = got.where(F.col("n_nationkey") < 12)
+    b2 = got.where(F.col("n_nationkey") >= 12)
+    row = got.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("row_id").alias("n_distinct_ids"),
+        (F.min("row_id") >= 1000).alias("ids_start_at_1000"),
+    ).collect()[0]
+    b1_max = b1.agg(F.max("row_id")).collect()[0][0]
+    b2_min = b2.agg(F.min("row_id")).collect()[0][0]
+    return spark.createDataFrame(
+        [
+            (
+                row["n_rows"],
+                row["n_distinct_ids"],
+                bool(row["ids_start_at_1000"]),
+                bool(b2_min > b1_max),
+                bool(hw2 > hw1),
+            )
+        ],
+        "n_rows long, n_distinct_ids long, ids_start_at_1000 boolean, "
+        "batches_disjoint boolean, high_water_monotone boolean",
+    )

@@ -1541,3 +1541,126 @@ def generate_symlink_manifest(table_path: str) -> list[str]:
             fh.write("\n".join(sorted(paths)) + "\n")
         out.append(manifest)
     return out
+
+
+def create_identity_table(
+    df: DataFrame,
+    table_path: str,
+    name: str,
+    start: int = 1,
+    step: int = 1,
+) -> int:
+    """CREATE TABLE with a GENERATED ALWAYS AS IDENTITY column: the
+    writer — never the user — assigns ``name``, starting at ``start``
+    with stride ``step``, and records the identity spec + high-water
+    mark in the table configuration (``delta.identity.<name>``), the
+    same metadata channel CHECK constraints and generated columns
+    use.  Delta identity guarantees UNIQUENESS and MONOTONIC
+    high-water progression, NOT density: values are derived from
+    ``monotonically_increasing_id`` (partition-local counters under a
+    partition-id prefix), so assignment is fully parallel — no global
+    ordering, no coordination — and gaps are expected, exactly like
+    Delta's.  Returns the created version."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name in df.columns:
+        raise ValueError(f"identity column {name!r} must not be supplied")
+    assigned = df.withColumn(
+        name, F.lit(start) + F.monotonically_increasing_id() * step
+    )
+    hw = assigned.agg(F.max(name)).collect()[0][0]
+    schema = T.StructType(
+        list(assigned.schema.fields)
+    )
+    files, commit_dir = _stage_files(assigned, table_path, None)
+
+    from guidewire_spark.sources.stats import footer_stats
+
+    now = int(time.time() * 1000)
+    spec = {"start": start, "step": step, "highWaterMark": int(hw)}
+    actions = [
+        protocol_action(),
+        metadata_action(
+            schema,
+            created_time=now,
+            configuration={f"delta.identity.{name}": _json.dumps(spec)},
+        ),
+    ]
+    actions += [
+        add_action(f.path, f.size, f.modification_time, stats=footer_stats(f.path))
+        for f in files
+    ]
+    actions.append(
+        commit_info_action(
+            "CREATE TABLE", "IdentityCreate", False, len(files),
+            sum(f.size for f in files), now,
+        )
+    )
+    write_commit(table_path, 0, actions)
+    return 0
+
+
+def append_with_identity(df: DataFrame, table_path: str) -> int:
+    """Append to an identity table: assign fresh identity values
+    strictly above the recorded high-water mark and bump the mark IN
+    THE SAME COMMIT (metaData + add actions land atomically — a crash
+    between them can't leak or reuse values).  Parallel assignment
+    via partition-prefixed counters; gaps allowed, uniqueness and
+    monotonic-above-previous-batch guaranteed."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    snap = load_snapshot(table_path)
+    config = table_configuration(table_path)
+    idents = {
+        k[len("delta.identity."):]: _json.loads(v)
+        for k, v in config.items()
+        if k.startswith("delta.identity.")
+    }
+    if not idents:
+        raise ValueError(f"{table_path} has no identity columns")
+    (name, spec), = idents.items()
+    if name in df.columns:
+        raise ValueError(
+            f"identity column {name!r} is GENERATED ALWAYS — writers "
+            "must not supply it"
+        )
+    base = spec["highWaterMark"] + spec["step"]
+    assigned = df.withColumn(
+        name, F.lit(base) + F.monotonically_increasing_id() * spec["step"]
+    ).select(*[f.name for f in snap.schema.fields])
+    hw = assigned.agg(F.max(name)).collect()[0][0]
+    files, commit_dir = _stage_files(
+        _to_physical(assigned, snap.schema), table_path, None
+    )
+
+    from guidewire_spark.sources.stats import footer_stats
+
+    now = int(time.time() * 1000)
+    new_spec = dict(spec, highWaterMark=int(hw))
+    config[f"delta.identity.{name}"] = _json.dumps(new_spec)
+    actions = [
+        metadata_action(
+            snap.schema,
+            partition_columns=snap.partition_columns or None,
+            created_time=now,
+            table_id=snap.metadata_id,
+            configuration=config,
+        )
+    ]
+    actions += [
+        add_action(f.path, f.size, f.modification_time, stats=footer_stats(f.path))
+        for f in files
+    ]
+    actions.append(
+        commit_info_action(
+            "WRITE", "IdentityAppend", False, len(files),
+            sum(f.size for f in files), now,
+        )
+    )
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1

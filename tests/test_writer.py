@@ -1092,3 +1092,35 @@ def test_merge_schema_evolution_atomic_and_opt_in(spark, sf_dir, tmp_path):
     assert set(rows) == set(keys)
     for k, tier in rows.items():
         assert tier == ("gold" if k in gold else None)
+
+
+def test_identity_column_rejects_supplied_values(spark, sf_dir, tmp_path):
+    """GENERATED ALWAYS: a writer supplying the identity column must be
+    rejected, on create and on append; appends without it succeed and
+    stay strictly above the prior high-water mark."""
+    import json
+    import pytest as _pytest
+
+    from guidewire_spark.sources.writer import (
+        append_with_identity,
+        create_identity_table,
+        table_configuration,
+    )
+
+    table = str(tmp_path / "ident")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    with _pytest.raises(ValueError, match="must not be supplied"):
+        create_identity_table(
+            n.withColumn("rid", F.lit(1)), table, "rid"
+        )
+    create_identity_table(n.limit(5), table, "rid", start=10, step=3)
+    spec = json.loads(table_configuration(table)["delta.identity.rid"])
+    assert spec["start"] == 10 and spec["step"] == 3
+    assert spec["highWaterMark"] >= 10
+    with _pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        append_with_identity(n.limit(2).withColumn("rid", F.lit(1)), table)
+    append_with_identity(n.limit(3), table)
+    got = read_delta(spark, table)
+    ids = [r.rid for r in got.select("rid").collect()]
+    assert len(ids) == len(set(ids)) == 8
+    assert all(i >= 10 and (i - 10) % 3 == 0 for i in ids)
