@@ -1793,3 +1793,68 @@ def window_session_function_batch(
         F.unix_micros("w.end").alias("session_end_us"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# XML ingestion functions (Spark 4 from_xml)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "func_xml_family",
+    oracle="""
+    WITH x AS (
+      SELECT n_nationkey,
+             '<nation><key>' || n_nationkey || '</key><name>' || n_name
+             || '</name><region>' || n_regionkey || '</region></nation>'
+               AS doc
+      FROM nation
+    )
+    SELECT n_nationkey,
+           CAST(regexp_extract(doc, '<key>(\\d+)</key>', 1) AS BIGINT)
+             AS parsed_key,
+           regexp_extract(doc, '<name>([^<]*)</name>', 1) AS parsed_name,
+           CAST(regexp_extract(doc, '<region>(\\d+)</region>', 1) AS BIGINT)
+             AS parsed_region,
+           length(doc) AS doc_len
+    FROM x
+    """,
+)
+def func_xml_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (Spark 4 native ``from_xml``): build an XML
+    document per nation row, then parse it back through the typed
+    schema — the ingestion path for the XML feeds that still dominate
+    insurance/finance B2B interchange (the reference's Guidewire
+    domain ships XML exports).  The oracle re-extracts the same
+    fields with regexes, proving the parser against a
+    parser-independent reading.  ``from_xml`` evaluates JVM-side in
+    the projection — no Python, no extra pass."""
+    from guidewire_spark.plans.catalog import register_views
+
+    n = load_table(spark, sf_dir, "nation")
+    x = n.select(
+        "n_nationkey",
+        F.concat(
+            F.lit("<nation><key>"),
+            F.col("n_nationkey"),
+            F.lit("</key><name>"),
+            F.col("n_name"),
+            F.lit("</name><region>"),
+            F.col("n_regionkey"),
+            F.lit("</region></nation>"),
+        ).alias("doc"),
+    )
+    parsed = x.select(
+        "n_nationkey",
+        F.from_xml(
+            "doc", "key BIGINT, name STRING, region BIGINT"
+        ).alias("p"),
+        F.length("doc").cast("long").alias("doc_len"),
+    )
+    return parsed.select(
+        "n_nationkey",
+        F.col("p.key").alias("parsed_key"),
+        F.col("p.name").alias("parsed_name"),
+        F.col("p.region").alias("parsed_region"),
+        "doc_len",
+    )
