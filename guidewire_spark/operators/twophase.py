@@ -39,11 +39,22 @@ _PID = "__pid"
 _LOCAL_RN = "__local_rn"
 
 
+def _default_parts(df: DataFrame) -> int:
+    """Partition count for the phase-1 range shuffle: follow the
+    cluster's parallelism (never fewer than 16) so the ordered pass
+    keeps every core busy at any scale — a fixed constant would be
+    right on local[32] and wrong on 1000 executors."""
+    try:
+        return max(16, df.sparkSession.sparkContext.defaultParallelism)
+    except Exception:
+        return 16
+
+
 def two_phase_ordered(
     df: DataFrame,
     order_cols: Sequence[Column],
     *,
-    parts: int = 16,
+    parts: int | None = None,
     rank_name: str | None = "rnk",
     total_name: str | None = None,
     cumsums: Mapping[str, str] | None = None,
@@ -72,6 +83,8 @@ def two_phase_ordered(
     """
     cumsums = dict(cumsums or {})
     sum_totals = dict(sum_totals or {})
+    if parts is None:
+        parts = _default_parts(df)
     parted = df.repartitionByRange(parts, *order_cols).withColumn(
         _PID, F.spark_partition_id()
     )
@@ -144,7 +157,7 @@ def two_phase_lead(
     df: DataFrame,
     key_col: str,
     *,
-    parts: int = 16,
+    parts: int | None = None,
     lead_name: str = "next_key",
 ) -> DataFrame:
     """``LEAD(key) OVER (ORDER BY key)`` without a global window:
@@ -153,6 +166,8 @@ def two_phase_lead(
     read from the broadcast parts-row summary (min key per pid,
     lead-combined over the pid order).  The final global tail stays
     NULL, exactly like the window form."""
+    if parts is None:
+        parts = _default_parts(df)
     parted = df.repartitionByRange(parts, F.asc(key_col)).withColumn(
         _PID, F.spark_partition_id()
     )
