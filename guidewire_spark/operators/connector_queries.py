@@ -1039,3 +1039,74 @@ def delta_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_distinct_ids long, ids_start_at_1000 boolean, "
         "batches_disjoint boolean, high_water_monotone boolean",
     )
+
+
+@query(
+    "delta_ivm_aggregate_refresh",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey % 4 = 0 GROUP BY o_orderpriority
+    """,
+)
+def delta_ivm_aggregate_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-priority (count, sum)
+    materialized view is REFRESHED from the base table's Change Data
+    Feed instead of recomputed — inserts add their partial aggregates,
+    deletes subtract (count/sum are Abelian-group aggregates, so the
+    delta apply is exact) — and the refreshed view must equal the
+    full recompute (the oracle).  This is the matview consumer the
+    reference's incremental-subscribe story feeds (README's poll-the-
+    log pattern): at 100 TB each refresh costs O(changes), not
+    O(table).  Base: two appends; the CDF between them drives the
+    second refresh."""
+    import tempfile
+
+    from guidewire_spark.sources.snapshot import read_delta_changes
+    from guidewire_spark.sources.writer import write_delta
+
+    table = tempfile.mkdtemp(prefix="gw_ivm_") + "/orders_delta"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    ).where(F.col("o_orderkey") % 4 == 0)
+    batch1 = o.where(F.col("o_orderkey") % 8 == 0)
+    batch2 = o.where(F.col("o_orderkey") % 8 != 0)
+    v1 = write_delta(batch1, table, mode="append")
+
+    # initial materialization from the v1 snapshot
+    matview = (
+        read_delta(spark, table)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.sum("cents").alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    v2 = write_delta(batch2, table, mode="append")
+
+    # refresh: fold ONLY the CDF delta into the view
+    changes = read_delta_changes(spark, table, from_version=v1, to_version=v2)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    delta = changes.groupBy("o_orderpriority").agg(
+        F.sum(sign).alias("d_n"),
+        F.sum(sign * F.col("cents")).alias("d_cents"),
+    )
+    refreshed = (
+        matview.alias("m")
+        .join(delta.alias("d"), "o_orderpriority", "full")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce("m.n_orders", F.lit(0))
+                + F.coalesce("d.d_n", F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce("m.cents", F.lit(0))
+                + F.coalesce("d.d_cents", F.lit(0))
+            ).alias("cents"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+    return refreshed
