@@ -634,6 +634,7 @@ def optimize_table(
     zorder_by: list[str] | None = None,
     min_file_size: int | None = None,
     hilbert_by: list[str] | None = None,
+    where_partitions: dict[str, str] | None = None,
 ) -> int:
     """Compact the current snapshot into ``target_files`` files.
 
@@ -663,14 +664,39 @@ def optimize_table(
     # files below the threshold are rewritten; already-compacted big
     # files stay in place — re-running OPTIMIZE on a maintained table
     # touches just the new small-file tail, not the whole history.
-    # zorder recluster needs every row, so it always takes all files.
+    # zorder recluster needs every row, so it always takes all files
+    # WITHIN the optimize scope.
     victims = snap.files
+    if where_partitions:
+        # OPTIMIZE ... WHERE partition predicate (Delta's partition-
+        # scoped compaction): restrict to files whose add.partitionValues
+        # match — metadata-only selection, the form every maintained
+        # 100 TB table uses (you compact yesterday's partition, never
+        # the table).
+        unknown = set(where_partitions) - set(snap.partition_columns or [])
+        if unknown:
+            raise ValueError(
+                f"where_partitions keys {sorted(unknown)} are not "
+                f"partition columns {snap.partition_columns}"
+            )
+        victims = [
+            p
+            for p in victims
+            if all(
+                (snap.file_partitions.get(p) or {}).get(c) == v
+                for c, v in where_partitions.items()
+            )
+        ]
+        if not victims:
+            return snap.version
     if min_file_size is not None and not zorder_by and not hilbert_by:
         victims = [
             p for p in snap.files if snap.file_sizes.get(p, 0) < min_file_size
         ]
         if len(victims) < 2:
             return snap.version  # nothing worth packing
+    if where_partitions and len(victims) < 2 and not zorder_by and not hilbert_by:
+        return snap.version  # a single in-scope file is already compact
     pcols = list(snap.partition_columns or [])
     df = _read_with_partitions(spark, snap, victims)
     if zorder_by:

@@ -1124,3 +1124,39 @@ def test_identity_column_rejects_supplied_values(spark, sf_dir, tmp_path):
     ids = [r.rid for r in got.select("rid").collect()]
     assert len(ids) == len(set(ids)) == 8
     assert all(i >= 10 and (i - 10) % 3 == 0 for i in ids)
+
+
+def test_optimize_where_partition_scoped(spark, sf_dir, tmp_path):
+    """OPTIMIZE ... WHERE: only the matching partition's files are
+    rewritten; other partitions' files survive by path, rows are
+    unchanged, and the commit stays dataChange=false."""
+    from guidewire_spark.sources.writer import optimize_table
+
+    table = str(tmp_path / "optw")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # two appends → ≥2 files per partition value
+    for _ in range(2):
+        write_delta(d, table, mode="append", partition_by=["lang"])
+    before = load_snapshot(table)
+    en_before = [
+        p for p in before.files
+        if (before.file_partitions.get(p) or {}).get("lang") == "en"
+    ]
+    other_before = set(before.files) - set(en_before)
+    assert len(en_before) >= 2
+
+    optimize_table(spark, table, where_partitions={"lang": "en"})
+    after = load_snapshot(table)
+    en_after = [
+        p for p in after.files
+        if (after.file_partitions.get(p) or {}).get("lang") == "en"
+    ]
+    assert set(en_after).isdisjoint(en_before)  # en compacted
+    assert other_before <= set(after.files)     # others untouched
+    assert len(en_after) < len(en_before)
+    assert read_delta(spark, table).count() == d.count() * 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not\\s+partition columns"):
+        optimize_table(spark, table, where_partitions={"doc_id": "1"})
