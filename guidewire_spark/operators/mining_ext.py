@@ -1858,3 +1858,150 @@ def func_xml_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.region").alias("parsed_region"),
         "doc_len",
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (completes the backward / nearest / tolerance set)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      FROM events
+      WHERE user_id % 6 = 0 AND event_type IN ('view', 'purchase')
+    ),
+    ded AS (
+      SELECT event_id, user_id, event_type, us FROM (
+        SELECT *,
+               MAX(CASE WHEN event_type = 'purchase' THEN event_id END)
+                 OVER (PARTITION BY user_id, us) AS max_p_id
+        FROM e
+      )
+      WHERE event_type = 'view' OR event_id = max_p_id
+    ),
+    tagged AS (
+      SELECT event_id, user_id, us,
+             CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS isp,
+             CASE WHEN event_type = 'purchase' THEN us END AS pus,
+             CASE WHEN event_type = 'purchase' THEN event_id END AS pid
+      FROM ded
+    ),
+    carried AS (
+      SELECT *,
+             first_value(pus IGNORE NULLS) OVER w AS npus,
+             first_value(pid IGNORE NULLS) OVER w AS npid
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, isp
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           npid AS next_purchase_id,
+           CASE WHEN npus IS NOT NULL THEN (npus - us) // 1000000 END
+             AS secs_to_purchase
+    FROM carried WHERE isp = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'):
+    each view matches the EARLIEST same-user purchase at-or-after it —
+    the time-to-conversion primitive (backward as-of answers "what
+    did they last see"; forward answers "how long until they buy").
+    Completes the as-of matrix: backward (join_asof_by_key), nearest
+    (join_asof_nearest), tolerance (join_asof_tolerance), forward.
+
+    Mirror of the backward shape: union-tag the streams, ONE
+    user-partitioned window — a ``first(... ignorenulls)`` over the
+    CURRENT-ROW-TO-FOLLOWING frame carries the next purchase
+    backwards; purchases sort before views at equal microseconds so
+    the at-or-after bound is inclusive, and same-instant duplicate
+    purchases pre-deduplicate to the max event_id on the same
+    exchange."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            (F.col("user_id") % 6 == 0)
+            & F.col("event_type").isin("view", "purchase")
+        )
+        .select(
+            "event_id", "user_id", "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    is_p = F.col("event_type") == "purchase"
+    peers = Window.partitionBy("user_id").orderBy("us").rangeBetween(0, 0)
+    ded = (
+        e.withColumn(
+            "max_p_id", F.max(F.when(is_p, F.col("event_id"))).over(peers)
+        )
+        .where(~is_p | (F.col("event_id") == F.col("max_p_id")))
+        .drop("max_p_id")
+    )
+    tagged = ded.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.when(is_p, 0).otherwise(1).alias("isp"),
+        F.when(is_p, F.col("us")).alias("pus"),
+        F.when(is_p, F.col("event_id")).alias("pid"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "isp")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "us",
+        "isp",
+        F.first("pus", ignorenulls=True).over(w).alias("npus"),
+        F.first("pid", ignorenulls=True).over(w).alias("npid"),
+    )
+    return carried.where(F.col("isp") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("npid").alias("next_purchase_id"),
+        F.when(
+            F.col("npus").isNotNull(),
+            F.expr("(npus - us) div 1000000"),
+        ).alias("secs_to_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXECUTE IMMEDIATE (dynamic SQL)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders WHERE o_totalprice > 200000
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4 dynamic SQL): a query held in a
+    string variable runs with named parameter binding (USING clause) —
+    the safe dynamic-SQL surface for metadata-driven pipelines that
+    assemble statements at runtime (table audits, generated quality
+    checks), with parameters bound as literals, never spliced.
+    Completes the scripting surface next to sql_parameterized_query
+    (API-level args) and sql_scripting_threshold_search
+    (BEGIN/WHILE)."""
+    from guidewire_spark.plans.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority, COUNT(*) AS n
+           FROM orders WHERE o_totalprice > :lim
+           GROUP BY o_orderpriority'
+          USING 200000 AS lim
+        """
+    )
