@@ -2005,3 +2005,100 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING 200000 AS lim
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-window funnel (windowFunnel semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_window_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    t1 AS (
+      SELECT user_id, MIN(us) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.us) AS t2
+      FROM e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.us > t1.t1
+        AND e.us <= t1.t1 + CAST(259200000000 AS BIGINT)
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.us) AS t3
+      FROM e JOIN t1 ON t1.user_id = e.user_id
+      JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.us > t2.t2
+        AND e.us <= t1.t1 + CAST(259200000000 AS BIGINT)
+      GROUP BY e.user_id
+    ),
+    depth AS (
+      SELECT t1.user_id,
+             CASE WHEN t3.user_id IS NOT NULL THEN 3
+                  WHEN t2.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS depth
+      FROM t1
+      LEFT JOIN t2 ON t2.user_id = t1.user_id
+      LEFT JOIN t3 ON t3.user_id = t1.user_id
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM depth GROUP BY depth
+    """,
+)
+def ts_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WINDOW funnel (the windowFunnel contract): the whole
+    view → click → purchase chain must complete within 3 DAYS of the
+    anchoring first view — stages reached later don't count, which is
+    what separates a campaign's conversion window from the unbounded
+    lifetime funnel (ts_funnel_view_click_purchase).  First-occurrence
+    chain semantics: t₁ = first view, t₂ = first click after t₁
+    within the window, t₃ = first purchase after t₂ within the same
+    t₁-anchored window; depth histogram out.
+
+    Same scale shape as the unbounded funnel: one min-aggregate per
+    stage with the stage predicate pushed into the scan, joined on
+    user_id — per-user-sized frames after the first aggregate, no
+    window over the event stream, no per-user collect."""
+    W = 259_200_000_000  # 3 days in microseconds
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    t1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    t2 = (
+        e.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + W))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    t3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(t1, "user_id")
+        .join(t2, "user_id")
+        .where((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t1") + W))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    depth = (
+        t1.join(t2.select("user_id", F.lit(True).alias("has2")), "user_id", "left")
+        .join(t3.select("user_id", F.lit(True).alias("has3")), "user_id", "left")
+        .select(
+            F.when(F.col("has3"), 3)
+            .when(F.col("has2"), 2)
+            .otherwise(1)
+            .alias("depth")
+        )
+    )
+    return depth.groupBy(F.col("depth").cast("long").alias("depth")).agg(
+        F.count("*").alias("n_users")
+    )
