@@ -1110,3 +1110,103 @@ def delta_ivm_aggregate_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_orders") > 0)
     )
     return refreshed
+
+
+@query(
+    "delta_file_size_histogram",
+    oracle="""
+    WITH files AS (
+      SELECT CAST(range AS BIGINT) AS i FROM range(0, 4)
+    )
+    SELECT CAST(4 AS BIGINT) AS n_files,
+           TRUE AS sizes_positive,
+           TRUE AS stats_complete,
+           CAST(100 AS BIGINT) AS records_from_metadata
+    """,
+)
+def delta_file_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-health audit answered ENTIRELY from the transaction log —
+    file count, size sanity, stats completeness, and the
+    metadata-only row count — zero data files opened (the
+    DESCRIBE-DETAIL-class operation that at 100 TB must never touch
+    parquet).  The fixture builds a 4-file table (4 single-partition
+    appends of 25 nation-derived rows each) so the expected numbers
+    are exact literals; the invariants generalize to any table the
+    writer produces (every add carries size + footer stats)."""
+    import tempfile
+
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import write_delta
+
+    table = tempfile.mkdtemp(prefix="gw_fsh_") + "/audit_delta"
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    for i in range(4):
+        write_delta(
+            n.withColumn("n_nationkey", F.col("n_nationkey") + i * 25)
+            .coalesce(1),
+            table,
+            mode="append",
+        )
+    snap = load_snapshot(table)
+    sizes = [snap.file_sizes.get(p, 0) for p in snap.files]
+    stats_complete = all(snap.file_stats.get(p) for p in snap.files)
+    return spark.createDataFrame(
+        [
+            (
+                snap.num_files,
+                all(s > 0 for s in sizes),
+                stats_complete,
+                snap.metadata_count(),
+            )
+        ],
+        "n_files long, sizes_positive boolean, stats_complete boolean, "
+        "records_from_metadata long",
+    )
+
+
+@query(
+    "delta_stats_null_rate_audit",
+    oracle="""
+    SELECT 'acctbal' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS null_ppm
+    FROM supplier
+    """,
+)
+def delta_stats_null_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null-rate audit answered from the log's
+    ``add.stats.nullCount`` — the writer records footer statistics on
+    every commit, so data-quality monitoring reads the LOG, not the
+    data (at 100 TB the difference between a metadata poll and a
+    table scan).  The fixture nulls negative balances on write; the
+    audit must reproduce the exact null count the full scan (oracle)
+    sees, proving the recorded statistics are trustworthy enough to
+    monitor from."""
+    import json as _json
+    import tempfile
+
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import write_delta
+
+    table = tempfile.mkdtemp(prefix="gw_nra_") + "/supplier_delta"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_acctbal") >= 0, F.round("s_acctbal", 2)).alias(
+            "acctbal"
+        ),
+    )
+    write_delta(s, table, mode="append")
+    snap = load_snapshot(table)
+    n_rows = 0
+    n_nulls = 0
+    for p in snap.files:
+        st = _json.loads(snap.file_stats[p])
+        n_rows += st["numRecords"]
+        n_nulls += st["nullCount"]["acctbal"]
+    return spark.createDataFrame(
+        [("acctbal", n_rows, n_nulls, n_nulls * 1_000_000 // n_rows)],
+        "column_name string, n_rows long, n_nulls long, null_ppm long",
+    )
