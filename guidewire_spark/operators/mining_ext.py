@@ -2102,3 +2102,24 @@ def ts_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return depth.groupBy(F.col("depth").cast("long").alias("depth")).agg(
         F.count("*").alias("n_users")
     )
+
+
+@query(
+    "sql_star_except",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    """,
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT * EXCEPT (cols)`` (Spark 4 star-except projection):
+    project everything but the named columns — the wide-table
+    ergonomic that saves spelling out 200-minus-2 column names when
+    dropping payloads/PII before export.  The EXCEPT list resolves at
+    analysis time, so column pruning still reaches the scan (the
+    excluded column never loads)."""
+    from guidewire_spark.plans.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT * EXCEPT (n_regionkey) FROM nation"
+    )
