@@ -2123,3 +2123,103 @@ def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * EXCEPT (n_regionkey) FROM nation"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mix_dataset_card",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, lang, n_chars,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                 w -> w <> '')) AS tokens,
+             md5(text) AS digest
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_unique_texts,
+           CAST((COUNT(*) - COUNT(DISTINCT digest)) * 1000000 // COUNT(*)
+                AS BIGINT) AS dup_ppm,
+           CAST(SUM(n_chars) // SUM(tokens) AS BIGINT)
+             AS mean_chars_per_token,
+           CAST(MIN(tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(tokens) AS BIGINT) AS max_tokens
+    FROM toks GROUP BY source
+    """,
+)
+def mix_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source DATASET CARD: one row per corpus source with the
+    numbers a training-mix decision needs — volume (docs, tokens),
+    language spread, exact-duplicate rate (md5 digests), token-length
+    range, chars-per-token (the tokenizer-pressure proxy) — the
+    summary every released dataset ships and every ingestion run
+    should regenerate.  One corpus pass: tokenize + digest in the
+    scan projection, then a source-cardinality aggregate (the two
+    COUNT DISTINCTs partial-aggregate per source).  Integer ppm/ratio
+    arithmetic; no floats anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        T.word_count(F.col("text")).alias("tokens"),
+        F.md5("text").alias("digest"),
+    )
+    return toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("digest").alias("n_unique_texts"),
+        F.expr(
+            "(count(*) - count(DISTINCT digest)) * 1000000 div count(*)"
+        ).cast("long").alias("dup_ppm"),
+        F.expr("sum(n_chars) div sum(tokens)").cast("long").alias(
+            "mean_chars_per_token"
+        ),
+        F.min("tokens").cast("long").alias("min_tokens"),
+        F.max("tokens").cast("long").alias("max_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Apdex score
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_apdex_score",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((SUM(CASE WHEN value <= 100 THEN 2
+                          WHEN value <= 400 THEN 1 ELSE 0 END)) * 1000000
+                // (2 * COUNT(*)) AS BIGINT) AS apdex_ppm
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex (Application Performance Index) per event type, reading
+    ``value`` as a latency: satisfied ≤ T=100 count 1, tolerating
+    ≤ 4T count ½, frustrated 0 — the industry-standard one-number SLO
+    summary (0.94+ excellent).  Computed in exact integer halves
+    (2/1/0 over 2n) to ppm; a single partial-aggregated pass."""
+    e = load_table(spark, sf_dir, "events")
+    half_units = F.sum(
+        F.when(F.col("value") <= 100, 2)
+        .when(F.col("value") <= 400, 1)
+        .otherwise(0)
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "sum(CASE WHEN value <= 100 THEN 2 WHEN value <= 400 THEN 1"
+            " ELSE 0 END) * 1000000 div (2 * count(*))"
+        ).cast("long").alias("apdex_ppm"),
+    )
