@@ -2223,3 +2223,143 @@ def agg_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END) * 1000000 div (2 * count(*))"
         ).cast("long").alias("apdex_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR correction
+# ---------------------------------------------------------------------------
+
+# Abramowitz-Stegun 26.2.17 rational tail of the standard normal CDF,
+# spelled identically in Spark SQL and DuckDB (neither ships erf):
+# both engines then run the same IEEE exp/'*'/'+' sequence.
+_PHI_TAIL = (
+    "(exp(-(az * az) / 2.0) / 2.5066282746310002)"
+    " * (((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t"
+    " - 0.356563782) * t + 0.319381530) * t)"
+)
+
+
+@query(
+    "agg_bh_fdr_correction",
+    oracle=f"""
+    WITH grp AS (
+      SELECT event_type, user_id % 2 AS arm,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS s,
+             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)
+                 * CAST(ROUND(value * 1000, 0) AS BIGINT)) AS ss
+      FROM events GROUP BY event_type, user_id % 2
+    ),
+    wide AS (
+      SELECT event_type,
+             MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+             MAX(CASE WHEN arm = 0 THEN ss END) AS ss0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+             MAX(CASE WHEN arm = 1 THEN ss END) AS ss1
+      FROM grp GROUP BY event_type
+    ),
+    zs AS (
+      SELECT event_type,
+             (CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1)
+             / sqrt(
+                 (CAST(ss0 AS DOUBLE) / n0
+                  - (CAST(s0 AS DOUBLE) / n0) * (CAST(s0 AS DOUBLE) / n0))
+                   / n0
+                 + (CAST(ss1 AS DOUBLE) / n1
+                    - (CAST(s1 AS DOUBLE) / n1) * (CAST(s1 AS DOUBLE) / n1))
+                   / n1
+               ) AS z
+      FROM wide
+    ),
+    ps AS (
+      SELECT event_type, z, az, t,
+             ROUND(2.0 * {_PHI_TAIL}, 6) AS p
+      FROM (
+        SELECT event_type, z, ABS(z) AS az,
+               1.0 / (1.0 + 0.2316419 * ABS(z)) AS t
+        FROM zs
+      )
+    ),
+    ranked AS (
+      SELECT event_type, z, p,
+             ROW_NUMBER() OVER (ORDER BY p, event_type) AS i,
+             COUNT(*) OVER () AS m
+      FROM ps
+    ),
+    cutoff AS (
+      SELECT COALESCE(MAX(CASE WHEN p * m <= i * 0.05 THEN i END), 0)
+               AS k
+      FROM ranked
+    )
+    SELECT event_type,
+           CAST(ROUND(CAST(z AS DECIMAL(24,10)), 4) AS DOUBLE) AS z,
+           CAST(p AS DOUBLE) AS p_value,
+           i <= k AS rejected
+    FROM ranked CROSS JOIN cutoff
+    """,
+)
+def agg_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over the per-event-type A/B
+    z-tests (mean value, parity cohorts): rank the p-values, find the
+    largest i with p_(i) ≤ (i/m)·α, reject ranks ≤ i — the
+    multiple-testing control every metrics platform applies when one
+    experiment reads out dozens of metrics (per-test α would inflate
+    family-wise false discoveries).  z comes from exact int64
+    moment sums; the normal tail is the Abramowitz-Stegun 26.2.17
+    rational form spelled IDENTICALLY in both engines (neither has
+    erf), rounded at 6 dp; the BH ranking runs over the
+    event-type-cardinality table."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.round(F.col("value") * 1000, 0).cast("long")
+    grp = e.groupBy("event_type", (F.col("user_id") % 2).alias("arm")).agg(
+        F.count("*").alias("n"),
+        F.sum(m).alias("s"),
+        F.sum(m * m).alias("ss"),
+    )
+    wide = grp.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}{a}")
+            for a in (0, 1)
+            for c in ("n", "s", "ss")
+        ]
+    )
+    mean = lambda a: F.col(f"s{a}").cast("double") / F.col(f"n{a}")
+    var = lambda a: (
+        F.col(f"ss{a}").cast("double") / F.col(f"n{a}") - mean(a) * mean(a)
+    )
+    z = (mean(0) - mean(1)) / F.sqrt(
+        var(0) / F.col("n0") + var(1) / F.col("n1")
+    )
+    zs = wide.select("event_type", z.alias("z"))
+    ps = zs.select(
+        "event_type",
+        "z",
+        F.abs("z").alias("az"),
+        (1.0 / (1.0 + 0.2316419 * F.abs("z"))).alias("t"),
+    ).select(
+        "event_type",
+        "z",
+        F.round(2.0 * F.expr(_PHI_TAIL), 6).alias("p"),
+    )
+    w = Window.orderBy("p", "event_type")
+    ranked = ps.select(
+        "event_type",
+        "z",
+        "p",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("m"),
+    )
+    cutoff = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("p") * F.col("m") <= F.col("i") * 0.05, F.col("i"))),
+            F.lit(0),
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(cutoff)).select(
+        "event_type",
+        _r(F.col("z"), 4).alias("z"),
+        F.col("p").alias("p_value"),
+        (F.col("i") <= F.col("k")).alias("rejected"),
+    )

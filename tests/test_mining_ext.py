@@ -383,3 +383,40 @@ def test_schema_drift_audit_detects_added_column(spark, sf_dir):
         "n_name": "kept",
         "region_bucket": "added",
     }
+
+
+def test_bh_fdr_matches_scipy_free_replica(spark, sf_dir):
+    """p-values within approximation error of the exact normal tail
+    (A&S 26.2.17 is good to ~7.5e-8), and the BH step-up decision
+    matches a python replica exactly."""
+    import math
+
+    from guidewire_spark.operators.mining_ext import agg_bh_fdr_correction
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    e["m"] = (e.value * 1000).round().astype("int64")
+    e["arm"] = e.user_id % 2
+    rows = {}
+    for t, g in e.groupby("event_type"):
+        a, b = g[g.arm == 0].m, g[g.arm == 1].m
+        va = (a**2).sum() / len(a) - (a.sum() / len(a)) ** 2
+        vb = (b**2).sum() / len(b) - (b.sum() / len(b)) ** 2
+        z = (a.sum() / len(a) - b.sum() / len(b)) / math.sqrt(
+            va / len(a) + vb / len(b)
+        )
+        p_exact = 2 * (1 - 0.5 * (1 + math.erf(abs(z) / math.sqrt(2))))
+        rows[t] = (z, p_exact)
+    got = {r["event_type"]: r for r in agg_bh_fdr_correction(spark, sf_dir).collect()}
+    assert set(got) == set(rows)
+    for t, (z, p_exact) in rows.items():
+        assert abs(got[t]["z"] - z) < 1e-3
+        assert abs(got[t]["p_value"] - p_exact) < 1e-5  # A&S error budget
+    # replica BH step-up on the SPARK p-values (decision parity)
+    ps = sorted((got[t]["p_value"], t) for t in got)
+    m_ = len(ps)
+    k = 0
+    for i, (p, _) in enumerate(ps, start=1):
+        if p * m_ <= i * 0.05:
+            k = i
+    should_reject = {t for i, (_, t) in enumerate(ps, start=1) if i <= k}
+    assert {t for t in got if got[t]["rejected"]} == should_reject
