@@ -2363,3 +2363,96 @@ def agg_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("p_value"),
         (F.col("i") <= F.col("k")).alias("rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall's tau-b from the banded contingency table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_kendall_tau_banded",
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS x,
+             user_id % 8 AS y
+      FROM events
+    ),
+    cells AS (SELECT x, y, COUNT(*) AS n FROM b GROUP BY x, y),
+    pairs AS (
+      SELECT SUM(a.n * c.n) AS conc
+      FROM cells a JOIN cells c ON c.x > a.x AND c.y > a.y
+    ),
+    dpairs AS (
+      SELECT SUM(a.n * c.n) AS disc
+      FROM cells a JOIN cells c ON c.x > a.x AND c.y < a.y
+    ),
+    tot AS (
+      SELECT SUM(n) AS t,
+             SUM(n * n) AS sq FROM cells
+    ),
+    tx AS (SELECT SUM(nx * nx) AS sx FROM (
+      SELECT SUM(n) AS nx FROM cells GROUP BY x)),
+    ty AS (SELECT SUM(ny * ny) AS sy FROM (
+      SELECT SUM(n) AS ny FROM cells GROUP BY y))
+    SELECT CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           CAST(ROUND(CAST(
+             (CAST(conc AS DOUBLE) - disc)
+             / sqrt((CAST(t AS DOUBLE) * t - sx) / 2.0
+                    * (CAST(t AS DOUBLE) * t - sy) / 2.0)
+           AS DECIMAL(24,10)), 6) AS DOUBLE) AS tau_b
+    FROM pairs CROSS JOIN dpairs CROSS JOIN tot CROSS JOIN tx CROSS JOIN ty
+    """,
+)
+def agg_kendall_tau_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between the value decile band and the user hash
+    band — the rank-correlation that counts CONCORDANT vs DISCORDANT
+    pairs (robust to any monotone transform; the pairs-based sibling
+    of agg_spearman_rank_corr's midranks).  Naively O(n²) in rows;
+    over BANDED domains it collapses to the contingency-cell identity:
+    C = Σ n_ij·N(>i,>j), D = Σ n_ij·N(>i,<j), with the tau-b tie
+    normalization √((T²−Σt_x²)/2·(T²−Σt_y²)/2) — the cell table is
+    80 rows, so the pair join is 80², never rows².  Exact int64
+    until the final normalization."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias("x"),
+        (F.col("user_id") % 8).alias("y"),
+    )
+    cells = b.groupBy("x", "y").agg(F.count("*").alias("n"))
+    a, c = cells.alias("a"), cells.alias("c")
+    conc = (
+        a.join(c, (F.col("c.x") > F.col("a.x")) & (F.col("c.y") > F.col("a.y")))
+        .agg(F.sum(F.col("a.n") * F.col("c.n")).alias("conc"))
+    )
+    disc = (
+        a.join(c, (F.col("c.x") > F.col("a.x")) & (F.col("c.y") < F.col("a.y")))
+        .agg(F.sum(F.col("a.n") * F.col("c.n")).alias("disc"))
+    )
+    tot = cells.agg(F.sum("n").alias("t"))
+    tx = (
+        cells.groupBy("x").agg(F.sum("n").alias("nx"))
+        .agg(F.sum(F.col("nx") * F.col("nx")).alias("sx"))
+    )
+    ty = (
+        cells.groupBy("y").agg(F.sum("n").alias("ny"))
+        .agg(F.sum(F.col("ny") * F.col("ny")).alias("sy"))
+    )
+    j = (
+        conc.crossJoin(F.broadcast(disc))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    tau = (F.col("conc").cast("double") - F.col("disc")) / F.sqrt(
+        (F.col("t").cast("double") * F.col("t") - F.col("sx"))
+        / 2.0
+        * (F.col("t").cast("double") * F.col("t") - F.col("sy"))
+        / 2.0
+    )
+    return j.select(
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        _r(tau, 6).alias("tau_b"),
+    )

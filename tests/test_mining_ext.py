@@ -420,3 +420,32 @@ def test_bh_fdr_matches_scipy_free_replica(spark, sf_dir):
             k = i
     should_reject = {t for i, (_, t) in enumerate(ps, start=1) if i <= k}
     assert {t for t in got if got[t]["rejected"]} == should_reject
+
+
+def test_kendall_tau_matches_scipy_free_replica(spark, sf_dir):
+    """tau-b over the banded pairs must match a brute-force O(cells^2)
+    python replica (same contingency identity, independently coded)."""
+    from guidewire_spark.operators.mining_ext import agg_kendall_tau_banded
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    x = (e.value // 50).clip(upper=9).astype(int)
+    y = (e.user_id % 8).astype(int)
+    import collections
+    import math
+
+    cells = collections.Counter(zip(x, y))
+    conc = disc = 0
+    items = list(cells.items())
+    for (xi, yi), ni in items:
+        for (xj, yj), nj in items:
+            if xj > xi and yj > yi:
+                conc += ni * nj
+            elif xj > xi and yj < yi:
+                disc += ni * nj
+    t = sum(cells.values())
+    sx = sum(v**2 for v in collections.Counter(x).values())
+    sy = sum(v**2 for v in collections.Counter(y).values())
+    tau = (conc - disc) / math.sqrt((t * t - sx) / 2 * (t * t - sy) / 2)
+    row = agg_kendall_tau_banded(spark, sf_dir).collect()[0]
+    assert row["concordant"] == conc and row["discordant"] == disc
+    assert abs(row["tau_b"] - tau) < 1e-5
