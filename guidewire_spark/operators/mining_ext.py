@@ -2387,10 +2387,7 @@ def agg_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT SUM(a.n * c.n) AS disc
       FROM cells a JOIN cells c ON c.x > a.x AND c.y < a.y
     ),
-    tot AS (
-      SELECT SUM(n) AS t,
-             SUM(n * n) AS sq FROM cells
-    ),
+    tot AS (SELECT SUM(n) AS t FROM cells),
     tx AS (SELECT SUM(nx * nx) AS sx FROM (
       SELECT SUM(n) AS nx FROM cells GROUP BY x)),
     ty AS (SELECT SUM(ny * ny) AS sy FROM (
@@ -2417,10 +2414,17 @@ def agg_kendall_tau_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the final normalization."""
     e = load_table(spark, sf_dir, "events")
     b = e.select(
-        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias("x"),
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).alias("x"),
         (F.col("user_id") % 8).alias("y"),
     )
-    cells = b.groupBy("x", "y").agg(F.count("*").alias("n"))
+    # materialize the 80-row cell table once: five branches (conc,
+    # disc, tot, tx, ty) consume it, and without truncation each
+    # branch re-scans and re-aggregates the events table
+    cells = (
+        b.groupBy("x", "y")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     a, c = cells.alias("a"), cells.alias("c")
     conc = (
         a.join(c, (F.col("c.x") > F.col("a.x")) & (F.col("c.y") > F.col("a.y")))
