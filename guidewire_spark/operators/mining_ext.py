@@ -951,10 +951,17 @@ def anon_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").cast("long").alias("s_nationkey"),
         band.alias("band"),
     )
-    cls = banded.groupBy("s_nationkey", "band").agg(F.count("*").alias("c"))
+    # one pass over the source: every other aggregate (class sizes,
+    # global band distribution, population) derives from the
+    # (class x band) cell table — materialized once, four consumers
+    cls = (
+        banded.groupBy("s_nationkey", "band")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     n_cls = cls.groupBy("s_nationkey").agg(F.sum("c").alias("n"))
-    glob = banded.groupBy("band").agg(F.count("*").alias("g"))
-    big_n = banded.agg(F.count("*").alias("pop_n"))
+    glob = cls.groupBy("band").agg(F.sum("c").alias("g"))
+    big_n = cls.agg(F.sum("c").alias("pop_n"))
     diffs = (
         n_cls.crossJoin(F.broadcast(glob))
         .crossJoin(F.broadcast(big_n))
@@ -1092,11 +1099,14 @@ def ts_sequence_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny table ON user_id — co-partitioned, ≤ |types|² rows per user
     — and reduces straight to the |types|²-sized support table."""
     e = load_table(spark, sf_dir, "events")
+    # spans covers every (user, type); the distinct-user total derives
+    # from it — one corpus scan total (materialized once for the
+    # self-join's two sides + the total)
     spans = e.groupBy("user_id", "event_type").agg(
         F.min(F.unix_micros("ts")).alias("lo"),
         F.max(F.unix_micros("ts")).alias("hi"),
-    )
-    total = e.agg(F.count_distinct("user_id").alias("tu"))
+    ).localCheckpoint(eager=True)
+    total = spans.agg(F.count_distinct("user_id").alias("tu"))
     a, b = spans.alias("a"), spans.alias("b")
     pairs = (
         a.join(
