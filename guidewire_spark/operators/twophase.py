@@ -37,17 +37,40 @@ from pyspark.sql import functions as F
 
 _PID = "__pid"
 _LOCAL_RN = "__local_rn"
+_RESERVED_PREFIXES = ("__pid", "__local_rn", "__offset", "__run_", "__off_",
+                      "__sum_", "__cnt", "__local_lead", "__first",
+                      "__next_first")
 
 
 def _default_parts(df: DataFrame) -> int:
-    """Partition count for the phase-1 range shuffle: follow the
-    cluster's parallelism (never fewer than 16) so the ordered pass
-    keeps every core busy at any scale — a fixed constant would be
-    right on local[32] and wrong on 1000 executors."""
+    """Partition count for the phase-1 range shuffle: the larger of the
+    cluster's parallelism and the session's configured shuffle
+    partitions (never fewer than 16).  ``spark.sql.shuffle.partitions``
+    is the knob operators already size to their data volume (a 100 TB
+    job runs with thousands), so tracking it keeps per-partition bytes
+    bounded the same way every other shuffle in the job is bounded;
+    callers with unusual inputs can still pass ``parts`` explicitly."""
     try:
-        return max(16, df.sparkSession.sparkContext.defaultParallelism)
+        spark = df.sparkSession
+        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "16"))
+        cores = spark.sparkContext.defaultParallelism
+        return max(16, cores, shuffle)
     except Exception:
         return 16
+
+
+def _check_columns(df: DataFrame) -> None:
+    """Reject inputs whose columns collide with the helper's internal
+    names — a pre-existing ``__offset``/``__run_*`` would be silently
+    overwritten or raise AMBIGUOUS_REFERENCE deep inside the plan."""
+    bad = [
+        c for c in df.columns if any(c.startswith(p) for p in _RESERVED_PREFIXES)
+    ]
+    if bad:
+        raise ValueError(
+            f"input columns {bad} collide with two-phase internal names "
+            f"(reserved prefixes: {_RESERVED_PREFIXES})"
+        )
 
 
 def two_phase_ordered(
@@ -72,10 +95,14 @@ def two_phase_ordered(
         Name for a broadcast COUNT(*) OVER () column (None to skip).
     ``cumsums``
         ``{out_name: value_col}`` inclusive running sums in the global
-        order (``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``).
+        order (``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``),
+        with exact NULL semantics: the sum is NULL only while NO
+        non-null value has appeared yet in the global prefix.
     ``sum_totals``
         ``{out_name: value_col}`` grand totals (``SUM(v) OVER ()``),
-        computed on the parts-row summary and broadcast.
+        computed on the parts-row summary and broadcast.  Output names
+        must not overlap ``cumsums`` (rejected — the two would
+        silently shadow each other).
 
     Returns ``df``'s columns plus the requested ones.  All data-sized
     stages stay parallel; the only single-partition window runs over
@@ -83,6 +110,13 @@ def two_phase_ordered(
     """
     cumsums = dict(cumsums or {})
     sum_totals = dict(sum_totals or {})
+    overlap = set(cumsums) & set(sum_totals)
+    if overlap:
+        raise ValueError(
+            f"cumsums and sum_totals share output names {sorted(overlap)}; "
+            "give the running sum and the grand total distinct names"
+        )
+    _check_columns(df)
     if parts is None:
         parts = _default_parts(df)
     parted = df.repartitionByRange(parts, *order_cols).withColumn(
@@ -93,13 +127,16 @@ def two_phase_ordered(
     local = parted.withColumn(_LOCAL_RN, F.row_number().over(w_local))
     for out, src in cumsums.items():
         local = local.withColumn(f"__run_{out}", F.sum(src).over(w_run))
+        # non-null count in the local prefix: distinguishes "no values
+        # yet" (window answer NULL) from "values summed so far"
+        local = local.withColumn(f"__runc_{out}", F.count(src).over(w_run))
 
     aggs = [F.count("*").alias("__cnt")]
     for out, src in cumsums.items():
         aggs.append(F.sum(src).alias(f"__sum_{out}"))
+        aggs.append(F.count(src).alias(f"__sumc_{out}"))
     for out, src in sum_totals.items():
-        if out not in cumsums:
-            aggs.append(F.sum(src).alias(f"__sum_{out}"))
+        aggs.append(F.sum(src).alias(f"__sum_{out}"))
     per_pid = local.groupBy(_PID).agg(*aggs)
 
     # parts-row prefix combine: exclusive prefix sums become each
@@ -118,6 +155,11 @@ def two_phase_ordered(
                 f"__off_{out}"
             )
         )
+        sel.append(
+            F.coalesce(F.sum(f"__sumc_{out}").over(w_prefix), F.lit(0)).alias(
+                f"__offc_{out}"
+            )
+        )
     for out in sum_totals:
         sel.append(F.sum(f"__sum_{out}").over(w_all).alias(out))
     offsets = per_pid.select(*sel)
@@ -128,11 +170,21 @@ def two_phase_ordered(
             rank_name, F.col("__offset") + F.col(_LOCAL_RN)
         )
     for out in cumsums:
+        # SUM over a window frame is NULL iff the frame holds no
+        # non-null value; otherwise nulls are ignored — reproduce that
+        # exactly across the partition boundary
+        seen = F.col(f"__runc_{out}") + F.col(f"__offc_{out}")
         out_df = out_df.withColumn(
-            out, F.col(f"__off_{out}") + F.col(f"__run_{out}")
+            out,
+            F.when(
+                seen > 0,
+                F.coalesce(F.col(f"__off_{out}"), F.lit(0))
+                + F.coalesce(F.col(f"__run_{out}"), F.lit(0)),
+            ),
         )
     drop = [_PID, _LOCAL_RN, "__offset"]
-    drop += [f"__run_{o}" for o in cumsums] + [f"__off_{o}" for o in cumsums]
+    for o in cumsums:
+        drop += [f"__run_{o}", f"__runc_{o}", f"__off_{o}", f"__offc_{o}"]
     return out_df.drop(*drop)
 
 
@@ -165,7 +217,15 @@ def two_phase_lead(
     tail row takes the FIRST key of the next non-empty partition,
     read from the broadcast parts-row summary (min key per pid,
     lead-combined over the pid order).  The final global tail stays
-    NULL, exactly like the window form."""
+    NULL, exactly like the window form.
+
+    NULL keys are EXCLUDED from the sequence (filtered before
+    partitioning): the coalesce-based boundary stitch cannot
+    distinguish "partition tail" from "successor's key is NULL", and
+    for the ID-sequence audits this helper serves, a NULL id is an
+    absent id, not a sequence member."""
+    _check_columns(df)
+    df = df.where(F.col(key_col).isNotNull())
     if parts is None:
         parts = _default_parts(df)
     parted = df.repartitionByRange(parts, F.asc(key_col)).withColumn(

@@ -20,7 +20,9 @@ from guidewire_spark.operators.twophase import (
 rows_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=50),  # value (duplicates likely)
-        st.integers(min_value=-100, max_value=100),  # payload
+        st.one_of(  # payload, with NULLs (the window-NULL semantics path)
+            st.none(), st.integers(min_value=-100, max_value=100)
+        ),
     ),
     min_size=1,
     max_size=60,
@@ -50,15 +52,20 @@ def test_two_phase_ordered_matches_global_window(spark, rows, parts):
         .collect()
     )
     ref = sorted(data, key=lambda t: (t[1], t[0]))
-    run = 0
-    total_p = sum(p for _, _, p in data)
+    non_null = [p for _, _, p in data if p is not None]
+    total_p = sum(non_null) if non_null else None
+    run, seen = 0, 0
     assert len(got) == len(ref)
     for rank0, ((rid, rv, rp), row) in enumerate(zip(ref, got)):
-        run += rp
+        if rp is not None:
+            run += rp
+            seen += 1
         assert (row["id"], row["v"], row["p"]) == (rid, rv, rp)
         assert row["rnk"] == rank0 + 1
         assert row["n"] == len(ref)
-        assert row["cum"] == run
+        # SUM window semantics: NULL until the first non-null, then
+        # nulls ignored
+        assert row["cum"] == (run if seen else None)
         assert row["tot"] == total_p
 
 
@@ -99,3 +106,31 @@ def test_ntile_from_rank_matches_window_ntile(spark):
     ).withColumn("have", ntile_from_rank(7, "rnk", "n"))
     j = ref.join(got, "id").where(F.col("want") != F.col("have"))
     assert j.count() == 0
+
+
+def test_two_phase_guards(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    df = spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    with _pytest.raises(ValueError, match="share output names"):
+        two_phase_ordered(
+            df, [F.asc("id")], cumsums={"x": "v"}, sum_totals={"x": "v"}
+        )
+    clash = df.withColumn("__offset", F.lit(1))
+    with _pytest.raises(ValueError, match="collide"):
+        two_phase_ordered(clash, [F.asc("id")])
+    with _pytest.raises(ValueError, match="collide"):
+        two_phase_lead(clash, "id")
+
+
+def test_two_phase_lead_excludes_null_keys(spark):
+    df = spark.createDataFrame(
+        [(None,), (1,), (3,), (None,), (7,)], "k int"
+    )
+    got = {
+        r["k"]: r["nk"]
+        for r in two_phase_lead(df, "k", parts=3, lead_name="nk").collect()
+    }
+    # NULL keys are absent ids, not sequence members
+    assert got == {1: 3, 3: 7, 7: None}
