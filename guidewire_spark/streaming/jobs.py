@@ -980,7 +980,9 @@ def buffered_earliest_k(stream: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def session_timeout_summaries(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def session_timeout_summaries(
+    stream: DataFrame, gap_minutes: int = 30, watermark: str = "0 seconds"
+) -> DataFrame:
     """Per-user session summaries emitted by STATE TIMEOUT — the one
     stateful surface nothing else in the repo exercises:
     ``GroupStateTimeout.EventTimeTimeout`` + ``state.hasTimedOut`` +
@@ -1000,7 +1002,19 @@ def session_timeout_summaries(stream: DataFrame, gap_minutes: int = 30) -> DataF
     files arrive in event-time order — asserted against a real
     multi-micro-batch stream in tests/test_streamstate_ext.py.  State
     per key is one (start, end, n) triple: bounded however long the
-    stream."""
+    stream.
+
+    Flush contract (standard watermark semantics, same as
+    ``session_window`` aggregations in append mode): a session only
+    emits once the WATERMARK passes its end + gap.  On a bounded
+    source that simply drains, the watermark stops at the max event
+    time, so each user's LAST open session stays in state — emitting
+    it would be premature (a restart with more data could extend it).
+    Consumers that want a hard flush append a watermark-advancing
+    sentinel (what the test does) or read the final state directly.
+    ``watermark`` sets the lateness tolerance; events older than the
+    current watermark are dropped by Spark before reaching the state
+    function, so out-of-order sources need a non-zero delay."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
@@ -1016,7 +1030,8 @@ def session_timeout_summaries(stream: DataFrame, gap_minutes: int = 30) -> DataF
         else:
             ts: list[int] = []
             for pdf in pdfs:
-                ts.extend((pdf["ts"].astype("int64") // 1000).tolist())
+                col = pdf["ts"].dropna()  # a NULL event time is no event
+                ts.extend((col.astype("int64") // 1000).tolist())
             ts.sort()
             runs: list[list[int]] = []
             for t in ts:
@@ -1028,7 +1043,16 @@ def session_timeout_summaries(stream: DataFrame, gap_minutes: int = 30) -> DataF
             if runs:
                 if state.exists:
                     s, e, n = state.get
-                    if runs[0][0] - e <= gap_us:
+                    # merge only when the batch's first run genuinely
+                    # touches the stored session (within gap of either
+                    # end) — an event far BEFORE the stored start must
+                    # not swallow it (reachable once `watermark` allows
+                    # lateness; fail-safe as two sessions, like the
+                    # batch twin)
+                    if (
+                        runs[0][0] - e <= gap_us
+                        and runs[0][1] >= s - gap_us
+                    ):
                         runs[0] = [
                             min(s, runs[0][0]),
                             max(e, runs[0][1]),
@@ -1055,9 +1079,9 @@ def session_timeout_summaries(stream: DataFrame, gap_minutes: int = 30) -> DataF
             }
         )
 
-    keyed = stream.select("user_id", "ts")
+    keyed = stream.select("user_id", "ts").where(F.col("ts").isNotNull())
     return (
-        keyed.withWatermark("ts", "0 seconds")
+        keyed.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
@@ -1104,8 +1128,11 @@ def stream_session_timeout_summary(
     (30-minute gap, users % 20).  One user-partitioned shuffle; the
     session id derivation and both summaries ride the same exchange.
     The streaming form — including its watermark-TIMEOUT flush path —
-    must converge to exactly these rows once the source drains
-    (tests/test_streamstate_ext.py)."""
+    must converge to exactly these rows once the watermark passes every
+    session (tests/test_streamstate_ext.py drives that with a sentinel).
+    The lag-gap-cumsum derivation is intentionally self-contained per
+    registered query (each carries its own oracle); the session-gap
+    siblings are streaming/windowed.py and session_ext.py."""
     from guidewire_spark.plans.catalog import load_table
 
     e = (
