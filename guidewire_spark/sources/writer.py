@@ -496,6 +496,16 @@ def write_delta(
         # semantics: the table definition outlives its data), so both
         # are enforced on every write into an existing table before any
         # file is staged.
+        idents = _identity_specs(table_path)
+        if idents:
+            # GENERATED ALWAYS AS IDENTITY: only the identity writer
+            # may append (it assigns values and bumps the high-water
+            # mark atomically); a plain write would commit NULL or
+            # user-chosen identities and break uniqueness
+            raise ValueError(
+                f"table has identity column(s) {sorted(idents)}; write "
+                "through append_with_identity, not write_delta"
+            )
         df = _apply_generated_columns(df, table_path)
         _enforce_constraints(df, table_path)
     if prev is not None:
@@ -690,8 +700,11 @@ def optimize_table(
         if not victims:
             return snap.version
     if min_file_size is not None and not zorder_by and not hilbert_by:
+        # filter WITHIN the (possibly partition-scoped) victim set —
+        # rebuilding from snap.files would silently escape the
+        # where_partitions scope
         victims = [
-            p for p in snap.files if snap.file_sizes.get(p, 0) < min_file_size
+            p for p in victims if snap.file_sizes.get(p, 0) < min_file_size
         ]
         if len(victims) < 2:
             return snap.version  # nothing worth packing
@@ -801,6 +814,19 @@ def merge_into(
             raise ValueError(
                 f"source adds columns {sorted(extra)}; pass "
                 "merge_schema=True for additive MERGE schema evolution"
+            )
+        # evolution adds NEW columns; it must never silently NULL
+        # EXISTING target columns on updated rows (this merge replaces
+        # matched rows wholesale, so a source missing a target column
+        # would destroy its values — Delta's autoMerge preserves them)
+        missing = sorted(
+            target_names - {f.name for f in source.schema.fields}
+        )
+        if missing:
+            raise ValueError(
+                f"merge_schema source must carry every target column; "
+                f"missing {missing} (their values on updated rows would "
+                "be lost)"
             )
         evolved = _merged_schema(snap.schema, source.schema)
     out_schema = evolved or snap.schema
@@ -1569,6 +1595,37 @@ def generate_symlink_manifest(table_path: str) -> list[str]:
     return out
 
 
+def _identity_specs(table_path: str) -> dict[str, dict]:
+    """Identity column specs recorded in the table configuration."""
+    import json as _json
+
+    prefix = "delta.identity."
+    return {
+        k[len(prefix):]: _json.loads(v)
+        for k, v in table_configuration(table_path).items()
+        if k.startswith(prefix)
+    }
+
+
+def _staged_identity_max(files, name: str) -> int | None:
+    """High-water mark from the STAGED files' footer statistics — read
+    after the physical write, so the recorded mark always reflects the
+    values actually on disk (a driver-side pre-computation would both
+    re-execute the plan and race nondeterministic inputs)."""
+    import json as _json
+
+    from guidewire_spark.sources.stats import footer_stats
+
+    hw = None
+    for f in files:
+        raw = footer_stats(f.path)
+        if raw:
+            v = _json.loads(raw).get("maxValues", {}).get(name)
+            if v is not None:
+                hw = v if hw is None else max(hw, int(v))
+    return None if hw is None else int(hw)
+
+
 def create_identity_table(
     df: DataFrame,
     table_path: str,
@@ -1578,30 +1635,34 @@ def create_identity_table(
 ) -> int:
     """CREATE TABLE with a GENERATED ALWAYS AS IDENTITY column: the
     writer — never the user — assigns ``name``, starting at ``start``
-    with stride ``step``, and records the identity spec + high-water
-    mark in the table configuration (``delta.identity.<name>``), the
-    same metadata channel CHECK constraints and generated columns
-    use.  Delta identity guarantees UNIQUENESS and MONOTONIC
-    high-water progression, NOT density: values are derived from
-    ``monotonically_increasing_id`` (partition-local counters under a
-    partition-id prefix), so assignment is fully parallel — no global
-    ordering, no coordination — and gaps are expected, exactly like
-    Delta's.  Returns the created version."""
+    with stride ``step`` (``step >= 1``; descending identities would
+    make the high-water mark meaningless), and records the identity
+    spec + high-water mark in the table configuration
+    (``delta.identity.<name>``), the same metadata channel CHECK
+    constraints and generated columns use.  Delta identity guarantees
+    UNIQUENESS and MONOTONIC high-water progression, NOT density:
+    values are derived from ``monotonically_increasing_id``
+    (partition-local counters under a partition-id prefix), so
+    assignment is fully parallel — no global ordering, no
+    coordination — and gaps are expected, exactly like Delta's.  The
+    recorded mark is read back from the STAGED files' footer stats,
+    so it reflects exactly what landed on disk.  Returns the created
+    version."""
     import json as _json
 
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
+    if step < 1:
+        raise ValueError(f"identity step must be >= 1, got {step}")
     if name in df.columns:
         raise ValueError(f"identity column {name!r} must not be supplied")
     assigned = df.withColumn(
         name, F.lit(start) + F.monotonically_increasing_id() * step
     )
-    hw = assigned.agg(F.max(name)).collect()[0][0]
-    schema = T.StructType(
-        list(assigned.schema.fields)
-    )
     files, commit_dir = _stage_files(assigned, table_path, None)
+    hw = _staged_identity_max(files, name)
+    if hw is None:
+        hw = start - step  # empty create: the first append starts at start
 
     from guidewire_spark.sources.stats import footer_stats
 
@@ -1610,7 +1671,7 @@ def create_identity_table(
     actions = [
         protocol_action(),
         metadata_action(
-            schema,
+            assigned.schema,
             created_time=now,
             configuration={f"delta.identity.{name}": _json.dumps(spec)},
         ),
@@ -1635,18 +1696,20 @@ def append_with_identity(df: DataFrame, table_path: str) -> int:
     THE SAME COMMIT (metaData + add actions land atomically — a crash
     between them can't leak or reuse values).  Parallel assignment
     via partition-prefixed counters; gaps allowed, uniqueness and
-    monotonic-above-previous-batch guaranteed."""
+    monotonic-above-previous-batch guaranteed (the new mark is read
+    from the staged files' footer stats, so nondeterministic inputs
+    cannot write above it).  Enforces the same invariants as every
+    other write path — generated columns materialize, CHECK
+    constraints reject, extra input columns raise (the write_delta
+    schema-drift contract) — and supports partitioned tables (files
+    land hive-layout with their partitionValues recorded)."""
     import json as _json
 
     from pyspark.sql import functions as F
 
     snap = load_snapshot(table_path)
     config = table_configuration(table_path)
-    idents = {
-        k[len("delta.identity."):]: _json.loads(v)
-        for k, v in config.items()
-        if k.startswith("delta.identity.")
-    }
+    idents = _identity_specs(table_path)
     if not idents:
         raise ValueError(f"{table_path} has no identity columns")
     (name, spec), = idents.items()
@@ -1655,14 +1718,25 @@ def append_with_identity(df: DataFrame, table_path: str) -> int:
             f"identity column {name!r} is GENERATED ALWAYS — writers "
             "must not supply it"
         )
+    allowed = {f.name for f in snap.schema.fields} - {name}
+    extra = sorted(set(df.columns) - allowed)
+    if extra:
+        raise ValueError(
+            f"schema mismatch on identity append (extra={extra})"
+        )
+    df = _apply_generated_columns(df, table_path)
+    _enforce_constraints(df, table_path)
+    pcols = list(snap.partition_columns or [])
     base = spec["highWaterMark"] + spec["step"]
     assigned = df.withColumn(
         name, F.lit(base) + F.monotonically_increasing_id() * spec["step"]
     ).select(*[f.name for f in snap.schema.fields])
-    hw = assigned.agg(F.max(name)).collect()[0][0]
     files, commit_dir = _stage_files(
-        _to_physical(assigned, snap.schema), table_path, None
+        _to_physical(assigned, snap.schema), table_path, pcols or None
     )
+    hw = _staged_identity_max(files, name)
+    if hw is None:
+        hw = spec["highWaterMark"]  # empty batch: mark unchanged
 
     from guidewire_spark.sources.stats import footer_stats
 
@@ -1679,7 +1753,15 @@ def append_with_identity(df: DataFrame, table_path: str) -> int:
         )
     ]
     actions += [
-        add_action(f.path, f.size, f.modification_time, stats=footer_stats(f.path))
+        add_action(
+            f.path,
+            f.size,
+            f.modification_time,
+            stats=footer_stats(f.path),
+            partition_values=(
+                _partition_values(f.path, commit_dir, pcols) if pcols else None
+            ),
+        )
         for f in files
     ]
     actions.append(

@@ -1160,3 +1160,59 @@ def test_optimize_where_partition_scoped(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="not\\s+partition columns"):
         optimize_table(spark, table, where_partitions={"doc_id": "1"})
+
+
+def test_identity_guards_and_empty_batch(spark, sf_dir, tmp_path):
+    """Round-5 review hardening: step >= 1 enforced; plain write_delta
+    is rejected on identity tables; empty appends no-op the mark; the
+    recorded mark always equals the on-disk max (footer stats)."""
+    import json
+    import pytest as _pytest
+
+    from guidewire_spark.sources.writer import (
+        append_with_identity,
+        create_identity_table,
+        table_configuration,
+    )
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    with _pytest.raises(ValueError, match="step must be >= 1"):
+        create_identity_table(n, str(tmp_path / "bad"), "rid", step=0)
+
+    table = str(tmp_path / "ident2")
+    create_identity_table(n.limit(4), table, "rid", start=5, step=5)
+    spec = json.loads(table_configuration(table)["delta.identity.rid"])
+    got = read_delta(spark, table)
+    assert spec["highWaterMark"] == max(r.rid for r in got.collect())
+
+    with _pytest.raises(ValueError, match="append_with_identity"):
+        write_delta(n.limit(2), table, mode="append")
+    with _pytest.raises(ValueError, match="extra"):
+        append_with_identity(
+            n.limit(2).withColumn("drift", F.lit(1)), table
+        )
+    # empty batch: commits, mark unchanged
+    v = append_with_identity(n.limit(0), table)
+    spec2 = json.loads(table_configuration(table)["delta.identity.rid"])
+    assert spec2["highWaterMark"] == spec["highWaterMark"]
+    assert v > 0
+
+
+def test_merge_schema_evolution_rejects_missing_target_columns(
+    spark, sf_dir, tmp_path
+):
+    """A merge_schema source missing an EXISTING target column must be
+    rejected — matched rows are replaced wholesale, so the column's
+    values would be silently NULLed."""
+    import pytest as _pytest
+
+    from guidewire_spark.sources.writer import merge_into
+
+    table = str(tmp_path / "mrg_evo2")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    write_delta(s, table, mode="append")
+    bad_source = s.limit(3).drop("acctbal").withColumn("tier", F.lit("gold"))
+    with _pytest.raises(ValueError, match="missing \\['acctbal'\\]"):
+        merge_into(spark, table, bad_source, on="s_suppkey", merge_schema=True)
