@@ -2470,3 +2470,123 @@ def agg_kendall_tau_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("disc").cast("long").alias("discordant"),
         _r(tau, 6).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LIMIT ... OFFSET pagination
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders ORDER BY o_orderkey
+    LIMIT 15 OFFSET 40
+    """,
+)
+def sql_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LIMIT n OFFSET m`` (Spark 3.4+): keyset-free pagination over
+    a deterministic ORDER BY.  Spark executes it as a global
+    TakeOrdered of the first m+n rows then drops m — fine for
+    page-1-style offsets, and precisely why deep pagination should
+    use keyset predicates instead (the m+n cost is linear in the
+    offset); this query covers the surface and the plan shape."""
+    from guidewire_spark.plans.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority
+        FROM orders ORDER BY o_orderkey
+        LIMIT 15 OFFSET 40
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical forecast reconciliation (bottom-up vs proportional)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_hierarchical_reconciliation",
+    oracle="""
+    WITH joined AS (
+      SELECT n.n_regionkey AS region, o.o_custkey % 10 AS segment,
+             SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    parent AS (
+      SELECT region, SUM(cents) AS parent_cents FROM joined GROUP BY region
+    ),
+    grand AS (SELECT SUM(cents) AS total FROM joined)
+    SELECT j.region, j.segment,
+           CAST(j.cents AS BIGINT) AS bottom_cents,
+           CAST(p.parent_cents AS BIGINT) AS parent_cents,
+           CAST(j.cents * 1000000 // p.parent_cents AS BIGINT)
+             AS share_of_parent_ppm,
+           CAST((g.total * (j.cents * 1000000 // p.parent_cents))
+                // 1000000 // (SELECT COUNT(DISTINCT region) FROM joined)
+                AS BIGINT) AS topdown_alloc_cents
+    FROM joined j
+    JOIN parent p ON p.region = j.region
+    CROSS JOIN grand g
+    """,
+)
+def ts_hierarchical_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hierarchical reconciliation inputs for a region → segment
+    hierarchy: each leaf's bottom-up total, its parent total, its
+    exact ppm share of parent (the proportions top-down
+    reconciliation distributes by), and the naive equal-region
+    top-down allocation — the coherency workbench for hierarchical
+    forecasting (bottom-up sums are coherent by construction;
+    top-down needs these shares).  All exact integer cents/ppm; the
+    leaf table is (regions × segments)-sized after one
+    fact-dim-broadcast aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("region"),
+            (F.col("o_custkey") % 10).alias("segment"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    parent = joined.groupBy("region").agg(
+        F.sum("cents").alias("parent_cents")
+    )
+    grand = joined.agg(F.sum("cents").alias("total"))
+    n_regions = joined.agg(
+        F.count_distinct("region").alias("nr")
+    )
+    out = (
+        joined.join(parent, "region")
+        .crossJoin(F.broadcast(grand))
+        .crossJoin(F.broadcast(n_regions))
+    )
+    share = F.expr("cents * 1000000 div parent_cents")
+    return out.select(
+        "region",
+        "segment",
+        F.col("cents").cast("long").alias("bottom_cents"),
+        F.col("parent_cents").cast("long").alias("parent_cents"),
+        share.cast("long").alias("share_of_parent_ppm"),
+        F.expr(
+            "(total * (cents * 1000000 div parent_cents)) div 1000000 div nr"
+        ).cast("long").alias("topdown_alloc_cents"),
+    )
