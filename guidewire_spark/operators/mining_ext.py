@@ -2590,3 +2590,256 @@ def ts_hierarchical_reconciliation(
             "(total * (cents * 1000000 div parent_cents)) div 1000000 div nr"
         ).cast("long").alias("topdown_alloc_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-hard triplet mining over labeled embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_triplet_mining",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+      FROM embeddings
+    ),
+    anchors AS (SELECT * FROM q WHERE vec_id < 10),
+    pos AS (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS pos_id,
+             ROUND(list_sum(list_transform(range(1, 65),
+                   i -> a.u[i] * c.u[i])), 4) AS pos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY ROUND(list_sum(list_transform(range(1, 65),
+                        i -> a.u[i] * c.u[i])), 4) DESC, c.vec_id) AS rn
+      FROM anchors a JOIN q c
+        ON c.label = a.label AND c.vec_id <> a.vec_id
+    ),
+    best_pos AS (SELECT anchor_id, pos_id, pos_sim FROM pos WHERE rn = 1),
+    neg AS (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS neg_id,
+             ROUND(list_sum(list_transform(range(1, 65),
+                   i -> a.u[i] * c.u[i])), 4) AS neg_sim
+      FROM anchors a JOIN q c ON c.label <> a.label
+    ),
+    semi_hard AS (
+      SELECT n.anchor_id, b.pos_id, n.neg_id, b.pos_sim, n.neg_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY n.anchor_id
+               ORDER BY n.neg_sim DESC, n.neg_id) AS rn
+      FROM neg n JOIN best_pos b ON b.anchor_id = n.anchor_id
+      WHERE n.neg_sim < b.pos_sim AND n.neg_sim > b.pos_sim - 0.2
+    )
+    SELECT anchor_id, pos_id, neg_id,
+           CAST(pos_sim AS DOUBLE) AS pos_sim,
+           CAST(neg_sim AS DOUBLE) AS neg_sim
+    FROM semi_hard WHERE rn <= 3
+    """,
+)
+def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-HARD triplet mining for metric learning: per anchor, the
+    closest same-label positive, then up to 3 negatives whose
+    similarity falls INSIDE (pos_sim − margin, pos_sim) — harder than
+    trivial negatives (which contribute no gradient) but not so hard
+    they're likely label noise; the FaceNet recipe every contrastive
+    fine-tune uses.  Margin 0.2 in cosine space.
+
+    Scale shape: the 10-anchor side broadcasts against one corpus
+    stream per role (positives, negatives) — fused JVM dot products,
+    rounded-sim + id tiebreaks so the mined set is
+    float-order-proof; the semi-hard window ranks the
+    per-anchor-sized candidate table."""
+    from guidewire_spark.functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.normalize(F.col("embedding")).alias("u")
+    )
+    anchors = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("u").alias("au"),
+    )
+    sim = F.round(V.dot(F.col("au"), F.col("u")), 4)
+    pos = (
+        e.join(
+            F.broadcast(anchors),
+            (F.col("label") == F.col("a_label"))
+            & (F.col("vec_id") != F.col("anchor_id")),
+        )
+        .select("anchor_id", F.col("vec_id").alias("pos_id"), sim.alias("pos_sim"))
+    )
+    w_pos = Window.partitionBy("anchor_id").orderBy(
+        F.col("pos_sim").desc(), F.col("pos_id")
+    )
+    best_pos = (
+        pos.withColumn("rn", F.row_number().over(w_pos))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    neg = (
+        e.join(F.broadcast(anchors), F.col("label") != F.col("a_label"))
+        .select("anchor_id", F.col("vec_id").alias("neg_id"), sim.alias("neg_sim"))
+    )
+    cand = neg.join(best_pos, "anchor_id").where(
+        (F.col("neg_sim") < F.col("pos_sim"))
+        & (F.col("neg_sim") > F.col("pos_sim") - 0.2)
+    )
+    w_neg = Window.partitionBy("anchor_id").orderBy(
+        F.col("neg_sim").desc(), F.col("neg_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w_neg))
+        .where(F.col("rn") <= 3)
+        .select("anchor_id", "pos_id", "neg_id", "pos_sim", "neg_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture population estimate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_capture_recapture",
+    oracle="""
+    WITH w1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE epoch_us(ts) % 7 < 3
+    ),
+    w2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE epoch_us(ts) % 7 >= 4
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM w1) AS n1,
+             (SELECT COUNT(*) FROM w2) AS n2,
+             (SELECT COUNT(*) FROM w1 JOIN w2 USING (user_id)) AS m
+    )
+    SELECT CAST(n1 AS BIGINT) AS captured_1,
+           CAST(n2 AS BIGINT) AS captured_2,
+           CAST(m AS BIGINT) AS recaptured,
+           CAST(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS BIGINT)
+             AS chapman_estimate,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+             AS true_population
+    FROM counts
+    """,
+)
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Chapman-corrected Lincoln-Petersen)
+    population estimate: two independent observation windows (a
+    deterministic microsecond-residue split), the overlap sizes the
+    estimate N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — the ecology technique data
+    teams reuse to size populations only partially observed by any
+    one pipeline (bot audiences, unlogged users, dedup-miss rates).
+    The true distinct count rides along as the referee.  Three
+    distinct-aggregates plus one co-partitioned semi-join; all
+    integer."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    w1 = e.where(F.col("us") % 7 < 3).select("user_id").distinct()
+    w2 = e.where(F.col("us") % 7 >= 4).select("user_id").distinct()
+    n1 = w1.count()
+    n2 = w2.count()
+    m = w1.join(w2, "user_id").count()
+    truth = e.select("user_id").distinct().count()
+    chapman = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    return spark.createDataFrame(
+        [(n1, n2, m, chapman, truth)],
+        "captured_1 long, captured_2 long, recaptured long, "
+        "chapman_estimate long, true_population long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Survey design effect (clustered sampling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_design_effect_clustered",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS m,
+             AVG(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS ybar,
+             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS s,
+             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)
+                 * CAST(ROUND(value * 1000, 0) AS BIGINT)) AS ss
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT COUNT(*) AS k, SUM(m) AS n, SUM(s) AS ts, SUM(ss) AS tss,
+             CAST(SUM(s) AS DOUBLE) / SUM(m) AS gbar
+      FROM per_user
+    ),
+    comps AS (
+      SELECT k, n, gbar,
+             (SELECT SUM(m * (ybar - t.gbar) * (ybar - t.gbar))
+              FROM per_user) AS ssb,
+             CAST(tss AS DOUBLE) - 2 * gbar * ts + gbar * gbar * n AS sst
+      FROM tot t
+    )
+    SELECT CAST(k AS BIGINT) AS n_clusters,
+           CAST(n AS BIGINT) AS n_obs,
+           CAST(ROUND(CAST(ssb / sst AS DECIMAL(24,10)), 6) AS DOUBLE)
+             AS eta_squared,
+           CAST(ROUND(CAST(
+             1.0 + (CAST(n AS DOUBLE) / k - 1.0) * (ssb / sst)
+           AS DECIMAL(24,10)), 6) AS DOUBLE) AS design_effect
+    FROM comps
+    """,
+)
+def agg_design_effect_clustered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survey design effect for USER-clustered sampling: DEFF ≈ 1 +
+    (m̄−1)·η², with η² the between-cluster share of total variance —
+    how much larger a cluster sample's variance is than a simple
+    random sample of equal size, i.e. the factor your effective
+    sample size shrinks by when you sample users and take all their
+    events (the experimentation sibling of agg_ratio_metric_delta's
+    SE correction, answering the DESIGN question before the
+    experiment runs).  All moments reduce from exact int64 sums in
+    one pass over the user aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    mval = F.round(F.col("value") * 1000, 0).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").alias("m"),
+        F.avg(mval).alias("ybar"),
+        F.sum(mval).alias("s"),
+        F.sum(mval * mval).alias("ss"),
+    )
+    tot = per_user.agg(
+        F.count("*").alias("k"),
+        F.sum("m").alias("n"),
+        F.sum("s").alias("ts_"),
+        F.sum("ss").alias("tss"),
+        (F.sum("s").cast("double") / F.sum("m")).alias("gbar"),
+    )
+    joined = per_user.crossJoin(F.broadcast(tot))
+    comps = joined.agg(
+        F.max("k").alias("k"),
+        F.max("n").alias("n"),
+        F.sum(
+            F.col("m") * (F.col("ybar") - F.col("gbar")) * (F.col("ybar") - F.col("gbar"))
+        ).alias("ssb"),
+        (
+            F.max("tss").cast("double")
+            - 2 * F.max("gbar") * F.max("ts_")
+            + F.max("gbar") * F.max("gbar") * F.max("n")
+        ).alias("sst"),
+    )
+    eta2 = F.col("ssb") / F.col("sst")
+    return comps.select(
+        F.col("k").cast("long").alias("n_clusters"),
+        F.col("n").cast("long").alias("n_obs"),
+        _r(eta2, 6).alias("eta_squared"),
+        _r(
+            1.0 + (F.col("n").cast("double") / F.col("k") - 1.0) * eta2, 6
+        ).alias("design_effect"),
+    )
