@@ -2843,3 +2843,203 @@ def agg_design_effect_clustered(
             1.0 + (F.col("n").cast("double") / F.col("k") - 1.0) * eta2, 6
         ).alias("design_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-origin forecast backtest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_backtest_rolling_origin",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+      FROM events GROUP BY 1
+    ),
+    fc AS (
+      SELECT day, y,
+             LAG(y, 7) OVER (ORDER BY day) AS yhat,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER () AS nd
+      FROM daily
+    ),
+    folds AS (
+      SELECT CAST((nd - rn) // 7 AS BIGINT) AS fold_back, y, yhat
+      FROM fc WHERE yhat IS NOT NULL AND (nd - rn) // 7 < 3
+    )
+    SELECT fold_back,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(ROUND(CAST(
+             CAST(SUM(ABS(y - yhat)) AS DOUBLE) / COUNT(*) / 1000.0
+           AS DECIMAL(24,10)), 4) AS DOUBLE) AS mae,
+           CAST(ROUND(CAST(
+             sqrt(CAST(SUM((y - yhat) * (y - yhat)) AS DOUBLE) / COUNT(*))
+             / 1000.0
+           AS DECIMAL(24,10)), 4) AS DOUBLE) AS rmse
+    FROM folds GROUP BY fold_back
+    """,
+)
+def ts_backtest_rolling_origin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROLLING-ORIGIN backtest of the seasonal-naive forecast: the
+    last three 7-day folds each score MAE/RMSE independently — the
+    forecasting cross-validation that exposes error DRIFT over time,
+    which ts_snaive_backtest's single pooled window averages away
+    (a model can look fine pooled while its recent fold degrades).
+    Exact integer errors; fold assignment is pure rank arithmetic
+    over the calendar-bounded daily aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+        ).alias("y")
+    )
+    w = Window.orderBy("day")
+    fc = daily.select(
+        "y",
+        F.lag("y", 7).over(w).alias("yhat"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("nd"),
+    ).where(F.col("yhat").isNotNull())
+    folds = fc.select(
+        F.expr("(nd - rn) div 7").cast("long").alias("fold_back"),
+        "y",
+        "yhat",
+    ).where(F.expr("(nd - rn) div 7 < 3"))
+    err = F.col("y") - F.col("yhat")
+    return folds.groupBy("fold_back").agg(
+        F.count("*").alias("n_days"),
+        _r(F.sum(F.abs(err)).cast("double") / F.count("*") / 1000.0, 4).alias(
+            "mae"
+        ),
+        _r(
+            F.sqrt(F.sum(err * err).cast("double") / F.count("*")) / 1000.0,
+            4,
+        ).alias("rmse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose detection heuristic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_code_detection",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n,
+             length(text)
+               - length(replace(replace(replace(replace(replace(replace(
+                   text, '{', ''), '}', ''), ';', ''), '=', ''), '(', ''),
+                   ')', '')) AS n_sym,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                 w -> w IN ('def', 'return', 'import', 'class', 'for',
+                            'while', 'if', 'else', 'function', 'var',
+                            'const', 'int', 'void'))) AS n_kw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_sym * 1000000 // GREATEST(n, 1) AS BIGINT) AS sym_ppm,
+           CAST(n_kw AS BIGINT) AS n_keywords,
+           n_sym * 1000000 // GREATEST(n, 1) > 20000 OR n_kw >= 3
+             AS looks_like_code
+    FROM feats
+    """,
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection heuristic: symbol density ({};=() per
+    char, in exact ppm) plus programming-keyword hits — the cheap
+    first-pass router every mixed web corpus needs before choosing a
+    code-aware tokenizer / filtering pipeline (prose pipelines mangle
+    code and vice versa).  Pure JVM string expressions, one pass; the
+    thresholds are the tunable policy, the features are the point.
+    On this synthetic prose corpus every document should classify as
+    NOT code — asserted in pytest, which also plants a code document
+    and requires it to flag."""
+    d = load_table(spark, sf_dir, "documents")
+    stripped = F.col("text")
+    for ch in ("{", "}", ";", "=", "(", ")"):
+        stripped = F.replace(stripped, F.lit(ch), F.lit(""))
+    kw = (
+        "('def', 'return', 'import', 'class', 'for', 'while', 'if', "
+        "'else', 'function', 'var', 'const', 'int', 'void')"
+    )
+    feats = d.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        (F.length("text") - F.length(stripped)).alias("n_sym"),
+        F.expr(
+            f"size(filter(split(text, '\\\\s+'), w -> w IN {kw}))"
+        ).alias("n_kw"),
+    )
+    sym_ppm = F.expr("n_sym * 1000000 div greatest(n, 1)")
+    return feats.select(
+        "doc_id",
+        sym_ppm.cast("long").alias("sym_ppm"),
+        F.col("n_kw").cast("long").alias("n_keywords"),
+        ((sym_ppm > 20000) | (F.col("n_kw") >= 3)).alias("looks_like_code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal embargo split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "split_temporal_embargo",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+    ),
+    cut AS (
+      SELECT lo + CAST((hi - lo) * 0.8 AS BIGINT) AS t_cut,
+             CAST(86400000000 AS BIGINT) AS buffer
+      FROM bounds
+    ),
+    tagged AS (
+      SELECT CASE
+               WHEN epoch_us(ts) < t_cut - buffer THEN 'train'
+               WHEN epoch_us(ts) >= t_cut THEN 'test'
+               ELSE 'embargo'
+             END AS split
+      FROM events CROSS JOIN cut
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM tagged GROUP BY split
+    """,
+)
+def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with an EMBARGO buffer: train ends a
+    full day before the 80% time cut, test starts at it, and the day
+    between is DISCARDED — the leakage guard time-series ML needs
+    that the hash splits (training.py's content-hash splits) don't
+    address: features computed with lookback windows would otherwise
+    let train rows see test-period signal.  Pure timestamp
+    arithmetic off the broadcast (lo, hi) aggregate; the report is
+    the 3-way census the pipeline asserts on before training."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us")
+    )
+    bounds = e.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    cut = bounds.select(
+        (
+            F.col("lo")
+            + ((F.col("hi") - F.col("lo")) * 0.8).cast("long")
+        ).alias("t_cut"),
+        F.lit(86_400_000_000).alias("buffer"),
+    )
+    tagged = e.crossJoin(F.broadcast(cut)).select(
+        F.when(F.col("us") < F.col("t_cut") - F.col("buffer"), "train")
+        .when(F.col("us") >= F.col("t_cut"), "test")
+        .otherwise("embargo")
+        .alias("split")
+    )
+    return tagged.groupBy("split").agg(F.count("*").alias("n_events"))

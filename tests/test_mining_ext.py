@@ -449,3 +449,33 @@ def test_kendall_tau_matches_scipy_free_replica(spark, sf_dir):
     row = agg_kendall_tau_banded(spark, sf_dir).collect()[0]
     assert row["concordant"] == conc and row["discordant"] == disc
     assert abs(row["tau_b"] - tau) < 1e-5
+
+
+def test_code_detection_flags_planted_code(spark, tmp_path):
+    from guidewire_spark.operators.mining_ext import text_code_detection
+
+    code = (
+        "def main(argv):\n"
+        "    import os\n"
+        "    for i in range(10):\n"
+        "        if i % 2 == 0:\n"
+        "            total = total + compute(i);\n"
+        "    return total\n"
+        "class Runner:\n"
+        "    def run(self): return {'x': 1}\n"
+    ) * 3
+    prose = (
+        "The village market opened early while traders arranged "
+        "baskets of fruit along the narrow street. "
+    ) * 10
+    d = str(tmp_path / "code_docs")
+    spark.createDataFrame(
+        [
+            (1, code, "en", "web", len(code)),
+            (2, prose, "en", "web", len(prose)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    got = {r["doc_id"]: r for r in text_code_detection(spark, d).collect()}
+    assert bool(got[1]["looks_like_code"]) is True
+    assert bool(got[2]["looks_like_code"]) is False
