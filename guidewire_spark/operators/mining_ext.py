@@ -2940,9 +2940,9 @@ def ts_backtest_rolling_origin(
                    text, '{', ''), '}', ''), ';', ''), '=', ''), '(', ''),
                    ')', '')) AS n_sym,
              len(list_filter(string_split_regex(text, '\\s+'),
-                 w -> w IN ('def', 'return', 'import', 'class', 'for',
-                            'while', 'if', 'else', 'function', 'var',
-                            'const', 'int', 'void'))) AS n_kw
+                 w -> w IN ('def', 'return', 'import', 'class',
+                            'function', 'var', 'const', 'void', 'elif',
+                            'lambda', 'printf', 'println'))) AS n_kw
       FROM documents
     )
     SELECT doc_id,
@@ -2967,9 +2967,11 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripped = F.col("text")
     for ch in ("{", "}", ";", "=", "(", ")"):
         stripped = F.replace(stripped, F.lit(ch), F.lit(""))
+    # code-SPECIFIC tokens only: common English words that double as
+    # keywords (for/while/if/else) would flag ordinary prose
     kw = (
-        "('def', 'return', 'import', 'class', 'for', 'while', 'if', "
-        "'else', 'function', 'var', 'const', 'int', 'void')"
+        "('def', 'return', 'import', 'class', 'function', 'var', "
+        "'const', 'void', 'elif', 'lambda', 'printf', 'println')"
     )
     feats = d.select(
         "doc_id",
