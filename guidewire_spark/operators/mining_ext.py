@@ -3045,3 +3045,135 @@ def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split")
     )
     return tagged.groupBy("split").agg(F.count("*").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# Extreme-value (Gumbel) fit on block maxima
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_gumbel_block_maxima",
+    oracle="""
+    WITH daily_max AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             MAX(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS mx
+      FROM events GROUP BY 1
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n, AVG(CAST(mx AS DOUBLE)) AS mu,
+             stddev_samp(CAST(mx AS DOUBLE)) AS sd
+      FROM daily_max
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           CAST(ROUND(CAST(mu / 1000.0 AS DECIMAL(24,10)), 4) AS DOUBLE)
+             AS mean_block_max,
+           CAST(ROUND(CAST(
+             (sd * 0.7796968012336609) / 1000.0
+           AS DECIMAL(24,10)), 4) AS DOUBLE) AS gumbel_scale,
+           CAST(ROUND(CAST(
+             (mu - 0.5772156649015329 * sd * 0.7796968012336609) / 1000.0
+           AS DECIMAL(24,10)), 4) AS DOUBLE) AS gumbel_location,
+           CAST(ROUND(CAST(
+             (mu - 0.5772156649015329 * sd * 0.7796968012336609
+              - sd * 0.7796968012336609 * ln(-ln(1.0 - 1.0 / 30.0)))
+             / 1000.0
+           AS DECIMAL(24,10)), 4) AS DOUBLE) AS return_level_30d
+    FROM mom
+    """,
+)
+def agg_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis: fit a Gumbel distribution to the DAILY
+    BLOCK MAXIMA of event value by the method of moments
+    (scale = σ·√6/π, location = μ − γ·scale) and report the 30-day
+    return level — "the value exceeded about once a month" — the EVT
+    question (peak load, max claim, worst latency) that quantiles of
+    the RAW distribution systematically underestimate (maxima follow
+    a different law than the body; Fisher-Tippett).  One daily
+    max-aggregate, then closed-form constants; √6/π and
+    Euler-Mascheroni are spelled as literals so both engines run
+    identical arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    daily_max = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.max(F.round(F.col("value") * 1000, 0).cast("long")).alias("mx"))
+    mom = daily_max.agg(
+        F.count("*").alias("n"),
+        F.avg(F.col("mx").cast("double")).alias("mu"),
+        F.stddev_samp(F.col("mx").cast("double")).alias("sd"),
+    )
+    sqrt6_over_pi = 0.7796968012336609
+    euler_gamma = 0.5772156649015329
+    scale = F.col("sd") * sqrt6_over_pi
+    loc = F.col("mu") - euler_gamma * scale
+    import math
+
+    gumbel_q = math.log(-math.log(1.0 - 1.0 / 30.0))
+    return mom.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        _r(F.col("mu") / 1000.0, 4).alias("mean_block_max"),
+        _r(scale / 1000.0, 4).alias("gumbel_scale"),
+        _r(loc / 1000.0, 4).alias("gumbel_location"),
+        _r((loc - scale * gumbel_q) / 1000.0, 4).alias("return_level_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Record-breaking days
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_record_days",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS total
+      FROM events GROUP BY 1
+    ),
+    flagged AS (
+      SELECT day, total,
+             CASE WHEN total > COALESCE(MAX(total) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS is_record
+      FROM daily
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(is_record) AS BIGINT) AS n_records,
+           strftime(MAX(CASE WHEN is_record = 1 THEN day END),
+                    '%Y-%m-%d') AS last_record_day
+    FROM flagged
+    """,
+)
+def ts_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-breaking days: how many days set a new all-time high of
+    daily revenue, and when the last record fell — the
+    streak-adjacent audit whose EXPECTED count under exchangeability
+    is H(n) ≈ ln n (the harmonic number): materially more records
+    than ln n means genuine growth, not luck.  A running-max window
+    over the calendar-bounded daily aggregate (never raw events);
+    exact integer totals."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("total"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    flagged = daily.select(
+        "day",
+        "total",
+        F.when(
+            F.col("total")
+            > F.coalesce(F.max("total").over(w), F.lit(-1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_record"),
+    )
+    return flagged.agg(
+        F.count("*").alias("n_days"),
+        F.sum("is_record").cast("long").alias("n_records"),
+        F.date_format(
+            F.max(F.when(F.col("is_record") == 1, F.col("day"))),
+            "yyyy-MM-dd",
+        ).alias("last_record_day"),
+    )
