@@ -150,3 +150,148 @@ def text_template_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.col("exemplar_doc").cast("long").alias("exemplar_doc"),
     )
+
+
+@query(
+    "agg_diff_in_diff",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+    ),
+    tagged AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN epoch_us(ts) >= lo + (hi - lo) / 2 THEN 1 ELSE 0 END
+               AS post,
+             CAST(ROUND(value * 1000, 0) AS BIGINT) AS m
+      FROM events CROSS JOIN bounds
+    ),
+    cells AS (
+      SELECT treated, post, COUNT(*) AS n, SUM(m) AS s
+      FROM tagged GROUP BY treated, post
+    ),
+    means AS (
+      SELECT MAX(CASE WHEN treated = 1 AND post = 1
+                      THEN CAST(s AS DOUBLE) / n END) AS t1,
+             MAX(CASE WHEN treated = 1 AND post = 0
+                      THEN CAST(s AS DOUBLE) / n END) AS t0,
+             MAX(CASE WHEN treated = 0 AND post = 1
+                      THEN CAST(s AS DOUBLE) / n END) AS c1,
+             MAX(CASE WHEN treated = 0 AND post = 0
+                      THEN CAST(s AS DOUBLE) / n END) AS c0
+      FROM cells
+    )
+    SELECT CAST(ROUND(CAST((t1 - t0) / 1000.0 AS DECIMAL(24,10)), 6)
+                AS DOUBLE) AS treated_delta,
+           CAST(ROUND(CAST((c1 - c0) / 1000.0 AS DECIMAL(24,10)), 6)
+                AS DOUBLE) AS control_delta,
+           CAST(ROUND(CAST(
+             ((t1 - t0) - (c1 - c0)) / 1000.0
+           AS DECIMAL(24,10)), 6) AS DOUBLE) AS did_estimate
+    FROM means
+    """,
+)
+def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the 2×2 (treated × pre/post) mean
+    table and the interaction contrast (Δtreated − Δcontrol) — the
+    workhorse causal estimate when treatment wasn't randomized but a
+    parallel-trends control exists (the secular drift both groups
+    share cancels in the double difference).  Cohorts by user parity,
+    the period cut at the time-range midpoint; four exact integer
+    cell sums from ONE pass, the contrast is arithmetic on the 4-row
+    cell table."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("m"),
+    )
+    bounds = e.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    tagged = e.crossJoin(F.broadcast(bounds)).select(
+        (F.col("user_id") % 2 == 1).cast("int").alias("treated"),
+        (
+            F.col("us") >= F.col("lo") + (F.col("hi") - F.col("lo")) / 2
+        ).cast("int").alias("post"),
+        "m",
+    )
+    cells = tagged.groupBy("treated", "post").agg(
+        F.count("*").alias("n"), F.sum("m").alias("s")
+    )
+    mean_of = lambda t, p: F.max(
+        F.when(
+            (F.col("treated") == t) & (F.col("post") == p),
+            F.col("s").cast("double") / F.col("n"),
+        )
+    )
+    means = cells.agg(
+        mean_of(1, 1).alias("t1"),
+        mean_of(1, 0).alias("t0"),
+        mean_of(0, 1).alias("c1"),
+        mean_of(0, 0).alias("c0"),
+    )
+    return means.select(
+        _r((F.col("t1") - F.col("t0")) / 1000.0, 6).alias("treated_delta"),
+        _r((F.col("c1") - F.col("c0")) / 1000.0, 6).alias("control_delta"),
+        _r(
+            ((F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")))
+            / 1000.0,
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+@query(
+    "dq_pii_pattern_scan",
+    oracle="""
+    SELECT 'email' AS pattern, CAST(COALESCE(SUM(
+             len(regexp_extract_all(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+           ), 0) AS BIGINT) AS n_hits,
+           CAST(COUNT(CASE WHEN regexp_matches(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')
+               THEN 1 END) AS BIGINT) AS n_docs
+    FROM documents
+    UNION ALL
+    SELECT 'phone_us', CAST(COALESCE(SUM(
+             len(regexp_extract_all(text,
+                 '\\(\\d{3}\\) \\d{3}-\\d{4}'))), 0) AS BIGINT),
+           CAST(COUNT(CASE WHEN regexp_matches(text,
+                 '\\(\\d{3}\\) \\d{3}-\\d{4}') THEN 1 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'ssn_like', CAST(COALESCE(SUM(
+             len(regexp_extract_all(text,
+                 '\\d{3}-\\d{2}-\\d{4}'))), 0) AS BIGINT),
+           CAST(COUNT(CASE WHEN regexp_matches(text,
+                 '\\d{3}-\\d{2}-\\d{4}') THEN 1 END) AS BIGINT)
+    FROM documents
+    """,
+)
+def dq_pii_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern scan: per high-risk pattern (email, US phone,
+    SSN-shaped), total hits and documents containing at least one —
+    the data-governance gate every corpus release runs before
+    publishing (and the reference's insurance domain regulates
+    hardest).  On the clean synthetic corpus all counts are zero —
+    which is precisely the audit's passing state; pytest plants PII
+    in a fixture and requires detection.  One corpus pass, three JVM
+    regex extractions; the report is patterns-cardinality-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    patterns = {
+        "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+        "phone_us": r"\(\d{3}\) \d{3}-\d{4}",
+        "ssn_like": r"\d{3}-\d{2}-\d{4}",
+    }
+    parts = []
+    for name, rx in patterns.items():
+        hits = F.size(F.regexp_extract_all("text", F.lit(rx), F.lit(0)))
+        parts.append(
+            d.agg(
+                F.lit(name).alias("pattern"),
+                F.coalesce(F.sum(hits), F.lit(0)).cast("long").alias("n_hits"),
+                F.sum(F.when(hits > 0, 1).otherwise(0))
+                .cast("long")
+                .alias("n_docs"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
