@@ -295,3 +295,181 @@ def dq_pii_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "agg_shapley_channel_attribution",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+             MAX(CASE WHEN event_type = 'share' THEN 1 ELSE 0 END) AS s,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    coalitions AS (
+      SELECT v, c, s,
+             CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS cr,
+             COUNT(*) AS n
+      FROM per_user GROUP BY v, c, s
+    ),
+    -- v(S) = conversion rate of users exposed to EXACTLY coalition S
+    vals AS (
+      SELECT
+        MAX(CASE WHEN v=0 AND c=0 AND s=0 THEN cr ELSE 0 END) AS v000,
+        MAX(CASE WHEN v=1 AND c=0 AND s=0 THEN cr ELSE 0 END) AS v100,
+        MAX(CASE WHEN v=0 AND c=1 AND s=0 THEN cr ELSE 0 END) AS v010,
+        MAX(CASE WHEN v=0 AND c=0 AND s=1 THEN cr ELSE 0 END) AS v001,
+        MAX(CASE WHEN v=1 AND c=1 AND s=0 THEN cr ELSE 0 END) AS v110,
+        MAX(CASE WHEN v=1 AND c=0 AND s=1 THEN cr ELSE 0 END) AS v101,
+        MAX(CASE WHEN v=0 AND c=1 AND s=1 THEN cr ELSE 0 END) AS v011,
+        MAX(CASE WHEN v=1 AND c=1 AND s=1 THEN cr ELSE 0 END) AS v111
+      FROM coalitions
+    )
+    SELECT 'view' AS channel, CAST(ROUND(CAST(
+      ((v100 - v000) * 2 + (v110 - v010) + (v101 - v001)
+       + (v111 - v011) * 2) / 6.0 AS DECIMAL(24,10)), 6) AS DOUBLE)
+      AS shapley_value
+    FROM vals
+    UNION ALL
+    SELECT 'click', CAST(ROUND(CAST(
+      ((v010 - v000) * 2 + (v110 - v100) + (v011 - v001)
+       + (v111 - v101) * 2) / 6.0 AS DECIMAL(24,10)), 6) AS DOUBLE)
+    FROM vals
+    UNION ALL
+    SELECT 'share', CAST(ROUND(CAST(
+      ((v001 - v000) * 2 + (v101 - v100) + (v011 - v010)
+       + (v111 - v110) * 2) / 6.0 AS DECIMAL(24,10)), 6) AS DOUBLE)
+    FROM vals
+    """,
+)
+def agg_shapley_channel_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT Shapley-value attribution over the 3-channel exposure
+    game (view / click / share → purchase): the characteristic
+    function v(S) is the conversion rate of users exposed to exactly
+    coalition S, and each channel's credit is the Shapley average of
+    its marginal contributions over all 3! orderings — the only
+    attribution scheme that is efficient, symmetric, and
+    null-player-consistent, which last-touch heuristics
+    (attribution_last_touch) are not.  With 3 channels the 2³
+    coalition table is exact and tiny: one user-level exposure
+    aggregate (data-sized pass), an 8-row coalition table, and
+    closed-form weights 2/1/1/2 over 6."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        F.max((F.col("event_type") == "share").cast("int")).alias("s"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        ),
+    )
+    coalitions = per_user.groupBy("v", "c", "s").agg(
+        (F.sum("converted").cast("double") / F.count("*")).alias("cr")
+    )
+
+    def vof(v, c, s):
+        return F.max(
+            F.when(
+                (F.col("v") == v) & (F.col("c") == c) & (F.col("s") == s),
+                F.col("cr"),
+            ).otherwise(0.0)
+        )
+
+    vals = coalitions.agg(
+        *[
+            vof(a, b, g).alias(f"v{a}{b}{g}")
+            for a in (0, 1)
+            for b in (0, 1)
+            for g in (0, 1)
+        ]
+    )
+    V = lambda k: F.col(f"v{k}")
+    shap_view = (
+        (V("100") - V("000")) * 2
+        + (V("110") - V("010"))
+        + (V("101") - V("001"))
+        + (V("111") - V("011")) * 2
+    ) / 6.0
+    shap_click = (
+        (V("010") - V("000")) * 2
+        + (V("110") - V("100"))
+        + (V("011") - V("001"))
+        + (V("111") - V("101")) * 2
+    ) / 6.0
+    shap_share = (
+        (V("001") - V("000")) * 2
+        + (V("101") - V("100"))
+        + (V("011") - V("010"))
+        + (V("111") - V("110")) * 2
+    ) / 6.0
+    out = (
+        vals.select(F.lit("view").alias("channel"), _r(shap_view, 6).alias("shapley_value"))
+        .unionByName(
+            vals.select(F.lit("click").alias("channel"), _r(shap_click, 6).alias("shapley_value"))
+        )
+        .unionByName(
+            vals.select(F.lit("share").alias("channel"), _r(shap_share, 6).alias("shapley_value"))
+        )
+    )
+    return out
+
+
+@query(
+    "mix_tokenizer_compare",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                 w -> w <> '')) AS ws,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS bpe,
+             length(text) AS chars
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(chars) * 1000 // SUM(ws) AS BIGINT)
+             AS chars_per_ws_token_milli,
+           CAST(SUM(chars) * 1000 // SUM(bpe) AS BIGINT)
+             AS chars_per_bpe_token_milli,
+           CAST(SUM(bpe) * 1000000 // SUM(ws) AS BIGINT)
+             AS bpe_inflation_ppm
+    FROM toks GROUP BY source
+    """,
+)
+def mix_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer comparison per source: whitespace vs BPE-ish token
+    totals, chars-per-token under each, and the inflation ratio —
+    the budgeting table you build before committing a token budget
+    to a mix (the same text costs different token counts under
+    different tokenizers; a source that inflates 40% under the real
+    tokenizer eats its budget early).  One corpus pass, two JVM
+    tokenizations sharing the scan, exact integer milli/ppm."""
+    from guidewire_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        T.word_count(F.col("text")).alias("ws"),
+        T.bpe_ish_token_count(F.col("text")).alias("bpe"),
+        F.length("text").alias("chars"),
+    )
+    return toks.groupBy("source").agg(
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.expr("sum(chars) * 1000 div sum(ws)").cast("long").alias(
+            "chars_per_ws_token_milli"
+        ),
+        F.expr("sum(chars) * 1000 div sum(bpe)").cast("long").alias(
+            "chars_per_bpe_token_milli"
+        ),
+        F.expr("sum(bpe) * 1000000 div sum(ws)").cast("long").alias(
+            "bpe_inflation_ppm"
+        ),
+    )

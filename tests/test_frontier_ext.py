@@ -58,3 +58,33 @@ def test_elasticity_matches_numpy_fit(spark, sf_dir):
     assert row["n_parts"] == len(pq)
     assert abs(row["elasticity"] - slope) < 1e-4
     assert abs(row["log_intercept"] - intercept) < 1e-3
+
+
+def test_shapley_efficiency_property(spark, sf_dir):
+    """Shapley values must satisfy efficiency: they sum to
+    v(grand coalition) - v(empty coalition) exactly (up to per-term
+    rounding)."""
+    from guidewire_spark.operators.frontier_ext import (
+        agg_shapley_channel_attribution,
+    )
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    per_user = e.pivot_table(
+        index="user_id",
+        values="event_id",
+        columns="event_type",
+        aggfunc="count",
+    ).notna()
+    for col in ("view", "click", "share", "purchase"):
+        if col not in per_user:
+            per_user[col] = False
+    grp = per_user.groupby(["view", "click", "share"])["purchase"].mean()
+
+    def v(key):
+        return grp.get(key, 0.0)
+
+    total = v((True, True, True)) - v((False, False, False))
+    rows = {r["channel"]: r["shapley_value"]
+            for r in agg_shapley_channel_attribution(spark, sf_dir).collect()}
+    assert set(rows) == {"view", "click", "share"}
+    assert abs(sum(rows.values()) - total) < 5e-6
