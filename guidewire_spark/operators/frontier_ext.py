@@ -473,3 +473,55 @@ def mix_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bpe_inflation_ppm"
         ),
     )
+
+
+@query(
+    "join_null_aware_anti",
+    oracle="""
+    WITH probe AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                  ELSE o_custkey END AS custkey
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    blocked AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    )
+    SELECT o_orderkey
+    FROM probe
+    WHERE custkey NOT IN (SELECT c_custkey FROM blocked)
+    """,
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-AWARE anti join — ``NOT IN (subquery)`` with a NULLABLE
+    probe key, the SQL trap with different physics: three-valued
+    logic makes a NULL probe key compare UNKNOWN against every
+    element, so NULL-keyed rows NEVER qualify (and if the subquery
+    contained a NULL, NO row would) — semantics a plain left-anti
+    join gets wrong.  Spark 4 plans the single-column case as a
+    NULL-AWARE BroadcastHashJoin(LeftAnti) — the NAAJ optimization
+    that replaced the old BroadcastNestedLoopJoin fallback — keeping
+    the three-valued contract at hash-join speed.  Every 50th probe
+    key is
+    NULLed to force the path; the blocked set is dim-sized
+    (broadcastable — exactly when NOT IN is safe at scale; on a
+    data-sized subquery, rewrite to NOT EXISTS)."""
+    from guidewire_spark.plans.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                      ELSE o_custkey END AS custkey
+          FROM orders WHERE o_orderkey % 7 = 0
+        ),
+        blocked AS (
+          SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        )
+        SELECT o_orderkey
+        FROM probe
+        WHERE custkey NOT IN (SELECT c_custkey FROM blocked)
+        """
+    )
