@@ -1763,6 +1763,10 @@ def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE user_id % 25 = 0
     ),
     flagged AS (
+      -- > gap, NOT >= gap: an event at EXACTLY last+gap still MERGES
+      -- into the session (Spark merges when new start <= current
+      -- session end; pinned by
+      -- test_session_window_exact_gap_boundary_merges)
       SELECT user_id, us,
              CASE WHEN us - LAG(us) OVER w > CAST(1200000000 AS BIGINT)
                   OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
@@ -1894,7 +1898,7 @@ def func_xml_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tagged AS (
       SELECT event_id, user_id, us,
-             CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS isp,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp,
              CASE WHEN event_type = 'purchase' THEN us END AS pus,
              CASE WHEN event_type = 'purchase' THEN event_id END AS pid
       FROM ded
@@ -1911,7 +1915,7 @@ def func_xml_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            npid AS next_purchase_id,
            CASE WHEN npus IS NOT NULL THEN (npus - us) // 1000000 END
              AS secs_to_purchase
-    FROM carried WHERE isp = 1
+    FROM carried WHERE isp = 0
     """,
 )
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1925,8 +1929,11 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirror of the backward shape: union-tag the streams, ONE
     user-partitioned window — a ``first(... ignorenulls)`` over the
     CURRENT-ROW-TO-FOLLOWING frame carries the next purchase
-    backwards; purchases sort before views at equal microseconds so
-    the at-or-after bound is inclusive, and same-instant duplicate
+    backwards; purchases sort AFTER views at equal microseconds
+    (view isp=0, purchase isp=1, ORDER BY us, isp) so a same-instant
+    purchase lands inside the view's forward frame — the at-or-after
+    bound is inclusive, matching pandas merge_asof(direction=
+    'forward', allow_exact_matches=True).  Same-instant duplicate
     purchases pre-deduplicate to the max event_id on the same
     exchange."""
     e = (
@@ -1953,7 +1960,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "us",
-        F.when(is_p, 0).otherwise(1).alias("isp"),
+        F.when(is_p, 1).otherwise(0).alias("isp"),
         F.when(is_p, F.col("us")).alias("pus"),
         F.when(is_p, F.col("event_id")).alias("pid"),
     )
@@ -1970,7 +1977,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("pus", ignorenulls=True).over(w).alias("npus"),
         F.first("pid", ignorenulls=True).over(w).alias("npid"),
     )
-    return carried.where(F.col("isp") == 1).select(
+    return carried.where(F.col("isp") == 0).select(
         "event_id",
         "user_id",
         F.col("npid").alias("next_purchase_id"),

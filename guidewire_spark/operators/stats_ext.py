@@ -10,11 +10,11 @@ pruning free via Catalyst); float outputs cross a DECIMAL bridge
 before rounding so the value-hash is engine-stable (per-row ROUND of
 raw doubles diverges between engines on ties).
 
-Scale notes are per-operator docstrings; the one deliberate global
-pass is the ECDF prefix-sum inside KS/MWU, which runs over the
-DISTINCT-VALUE-sized aggregate (not the raw fact table) — the
-rank/prefix structure of those statistics is inherently a single
-ordered pass, so the design bounds its input instead.
+Scale notes are per-operator docstrings; the ECDF prefix-sums inside
+KS/MWU run over the DISTINCT-VALUE-sized aggregate (not the raw fact
+table) AND two-phase (twophase.two_phase_ordered) — distinct
+cardinality of a continuous double grows with data volume, so even
+the bounded aggregate never funnels through a single task.
 """
 
 from __future__ import annotations
@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from guidewire_spark.operators.twophase import two_phase_ordered
 from guidewire_spark.plans.catalog import load_table, register_views
 from guidewire_spark.registry import query
 
@@ -206,10 +207,14 @@ def agg_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 'view' and 'click' value distributions.
 
     The raw fact rows are first collapsed to one row per DISTINCT
-    value (partial+final hash agg), and only that value-cardinality
-    table enters the ordered prefix-sum — KS is inherently a global
-    ordered pass, so the design bounds its input instead of avoiding
-    it. Evaluating the ECDF gap at each distinct value AFTER counting
+    value (partial+final hash agg); the ECDF prefix sums over that
+    table then run TWO-PHASE (twophase.two_phase_ordered: range
+    partition on value → partition-local running sums → broadcast
+    parts-row carry-in offsets), so no single task ever holds the
+    distinct-value table — its cardinality grows ~linearly with data
+    for a continuous double.  The grand totals ride the same broadcast
+    parts-row summary (sum_totals), replacing the old crossJoin.
+    Evaluating the ECDF gap at each distinct value AFTER counting
     ties is exactly the right-continuous ECDF, so ties are handled
     identically on both engines."""
     e = load_table(spark, sf_dir, "events").where(
@@ -219,15 +224,14 @@ def agg_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("event_type") == "view").alias("a_c"),
         F.count_if(F.col("event_type") == "click").alias("b_c"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cum = pv.select(
-        F.sum("a_c").over(w).alias("ca"),
-        F.sum("b_c").over(w).alias("cb"),
+    cum = two_phase_ordered(
+        pv,
+        [F.asc("value")],
+        rank_name=None,
+        cumsums={"ca": "a_c", "cb": "b_c"},
+        sum_totals={"n_a": "a_c", "n_b": "b_c"},
     )
-    tot = pv.agg(
-        F.sum("a_c").alias("n_a"), F.sum("b_c").alias("n_b")
-    )
-    gap = cum.crossJoin(F.broadcast(tot)).select(
+    gap = cum.select(
         "n_a",
         "n_b",
         F.abs(
@@ -276,7 +280,10 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Midranks come from the cumulative count over the DISTINCT-value
     table: midrank(v) = count_below(v) + (count_at(v)+1)/2 — this is
-    exact under ties without ever materializing per-row ranks, so the
+    exact under ties without ever materializing per-row ranks.  The
+    cumulative count itself runs TWO-PHASE
+    (twophase.two_phase_ordered: range partition → local running sum
+    → broadcast carry-in), so the
     ordered pass again runs over value cardinality, not raw rows."""
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "click")
@@ -285,12 +292,17 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("event_type") == "view").alias("a_c"),
         F.count_if(F.col("event_type") == "click").alias("b_c"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
     both = F.col("a_c") + F.col("b_c")
-    ranked = pv.select(
+    cum = two_phase_ordered(
+        pv.withColumn("t_c", both),
+        [F.asc("value")],
+        rank_name=None,
+        cumsums={"ct": "t_c"},
+    )
+    ranked = cum.select(
         "a_c",
         "b_c",
-        (F.sum(both).over(w) - both + (both + 1) / 2.0).alias("midrank"),
+        (F.col("ct") - both + (both + 1) / 2.0).alias("midrank"),
     )
     agg = ranked.agg(
         F.sum("a_c").alias("n_a"),

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from guidewire_spark.functions import text as T
+from guidewire_spark.operators.twophase import two_phase_ordered
 from guidewire_spark.plans.catalog import load_table
 from guidewire_spark.registry import query
 
@@ -72,7 +73,12 @@ def ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutual-information discipline applied to a cumulative product).
     Everything after the per-user span aggregate runs over the
     distinct-duration table; n-at-risk is a reverse cumulative sum,
-    not a self-join."""
+    not a self-join — and BOTH cumulative passes (the descending
+    n-at-risk sum and the ascending survival log-sum) run TWO-PHASE
+    (twophase.two_phase_ordered: range partition on t_hours →
+    partition-local running sums → broadcast carry-in offsets), so
+    the distinct-duration table, which grows with the observation
+    span, never funnels through one task."""
     e = load_table(spark, sf_dir, "events")
     us = F.unix_micros("ts")
     spans = e.groupBy("user_id").agg(
@@ -92,26 +98,26 @@ def ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = durations.groupBy("t_hours").agg(
         F.count_if("converted").alias("d"), F.count("*").alias("leaving")
     )
-    n_at_risk = F.sum("leaving").over(
-        Window.orderBy(F.col("t_hours").desc()).rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-    )
-    risk = counts.select("t_hours", "d", n_at_risk.alias("n_at_risk"))
+    risk = two_phase_ordered(
+        counts,
+        [F.desc("t_hours")],
+        rank_name=None,
+        cumsums={"n_at_risk": "leaving"},
+    ).select("t_hours", "d", "n_at_risk")
     ln_term = F.round(
         F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk")).cast(
             "decimal(20,12)"
         ),
         12,
     ).cast("decimal(20,12)")
-    terms = risk.where(
-        (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk"))
-    ).select("t_hours", "d", "n_at_risk", ln_term.alias("ln_term"))
-    surv = F.exp(
-        F.sum("ln_term")
-        .over(Window.orderBy("t_hours").rowsBetween(Window.unboundedPreceding, 0))
-        .cast("double")
+    terms = two_phase_ordered(
+        risk.where((F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")))
+        .select("t_hours", "d", "n_at_risk", ln_term.alias("ln_term")),
+        [F.asc("t_hours")],
+        rank_name=None,
+        cumsums={"ln_sum": "ln_term"},
     )
+    surv = F.exp(F.col("ln_sum").cast("double"))
     return terms.select(
         F.col("t_hours").cast("long").alias("t_hours"),
         F.col("d").cast("long").alias("d"),

@@ -128,25 +128,47 @@ _WINDOW = 50
 _PLAN_DEPENDENT_PREFIXES = ("stream_", "join_", "delta_", "cda_", "udtf_", "udaf_", "udf_")
 
 
+def _entry_passed(v) -> bool:
+    """A CORRECTNESS entry counts as a PASS only when it ran clean
+    (no err) and neither of the recorded comparisons is False — a
+    query that errored or mismatched in some round must re-enter the
+    verification window after its fix (the old hand-maintained _FRONT
+    re-fronted red rows explicitly; the computed rotation must too)."""
+    if not isinstance(v, dict):
+        return True  # unknown shape: don't re-front what we can't read
+    if v.get("err"):
+        return False
+    if v.get("rows_match") is False or v.get("hash_match") is False:
+        return False
+    return True
+
+
 def _driver_checked_names() -> set[str]:
-    """Names with driver history: the union of all committed
-    CORRECTNESS_r*.json keys (the grading driver writes one file per
-    round into the repo root)."""
+    """Names with GREEN driver history: keys of committed
+    CORRECTNESS_r*.json entries whose LATEST record passed (the
+    grading driver writes one file per round into the repo root).
+    Failed-then-fixed queries are absent, so they re-front
+    automatically."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    names: set[str] = set()
+    latest: dict[str, tuple[int, bool]] = {}
     for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(p) as fh:
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
         if isinstance(data, dict):
-            names.update(data.keys())
-    return names
+            for k, v in data.items():
+                if k not in latest or rnd >= latest[k][0]:
+                    latest[k] = (rnd, _entry_passed(v))
+    return {k for k, (_, ok) in latest.items() if ok}
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -791,6 +791,7 @@ def merge_into(
     must not silently widen a table).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    _reject_identity_dml(table_path, "MERGE")
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to merge into at {table_path}")
@@ -992,6 +993,7 @@ def replace_where(
     copy-on-write as ``delete_from``: untouched files stay metadata-
     only; only files actually containing matches are rewritten.
     """
+    _reject_identity_dml(table_path, "replaceWhere")
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to replace at {table_path}")
@@ -1080,6 +1082,16 @@ def update_table(
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to update at {table_path}")
+    # UPDATE of non-identity columns preserves the existing identity
+    # values (copy-on-write rewrites rows wholesale), so uniqueness
+    # holds; only an assignment TARGETING the identity column could
+    # mint duplicates — reject exactly that.
+    ident_hit = set(assignments) & set(_identity_specs(table_path))
+    if ident_hit:
+        raise ValueError(
+            f"identity column(s) {sorted(ident_hit)} are GENERATED "
+            "ALWAYS — UPDATE may not assign them"
+        )
     for col in assignments:
         if col in (snap.partition_columns or []):
             raise ValueError(
@@ -1322,6 +1334,7 @@ def overwrite_partitions(df: DataFrame, table_path: str) -> int:
     """
     import time as _time
 
+    _reject_identity_dml(table_path, "dynamic partition overwrite")
     snap = load_snapshot(table_path)
     pcols = list(snap.partition_columns or [])
     if not pcols:
@@ -1595,6 +1608,25 @@ def generate_symlink_manifest(table_path: str) -> list[str]:
     return out
 
 
+def _reject_identity_dml(table_path: str, op: str) -> None:
+    """GENERATED ALWAYS AS IDENTITY uniqueness guard for the DML
+    writers that INSERT rows (merge / replaceWhere / dynamic partition
+    overwrite): they would accept user-supplied identity values and
+    never bump ``delta.identity.<name>.highWaterMark``, so a later
+    ``append_with_identity`` could assign duplicates.  Mirrors the
+    ``write_delta`` guard — identity tables take new rows only through
+    ``append_with_identity``.  (DELETE stays allowed — removing rows
+    cannot duplicate values; UPDATE is guarded per-assignment at its
+    call site.)"""
+    idents = _identity_specs(table_path)
+    if idents:
+        raise ValueError(
+            f"table has identity column(s) {sorted(idents)}; {op} would "
+            "accept user-supplied identity values without bumping the "
+            "high-water mark — insert rows through append_with_identity"
+        )
+
+
 def _identity_specs(table_path: str) -> dict[str, dict]:
     """Identity column specs recorded in the table configuration."""
     import json as _json
@@ -1611,7 +1643,14 @@ def _staged_identity_max(files, name: str) -> int | None:
     """High-water mark from the STAGED files' footer statistics — read
     after the physical write, so the recorded mark always reflects the
     values actually on disk (a driver-side pre-computation would both
-    re-execute the plan and race nondeterministic inputs)."""
+    re-execute the plan and race nondeterministic inputs).
+
+    FAILS LOUDLY when a staged file carries rows but no min/max stats
+    for the identity column (unreadable footer, or has_min_max false):
+    silently skipping it would record a stale high-water mark and let
+    the NEXT append reuse identity values — a correctness bug far
+    worse than an aborted write.  Returns None only when every staged
+    file is genuinely empty (numRecords == 0)."""
     import json as _json
 
     from guidewire_spark.sources.stats import footer_stats
@@ -1619,10 +1658,18 @@ def _staged_identity_max(files, name: str) -> int | None:
     hw = None
     for f in files:
         raw = footer_stats(f.path)
-        if raw:
-            v = _json.loads(raw).get("maxValues", {}).get(name)
-            if v is not None:
-                hw = v if hw is None else max(hw, int(v))
+        stats = _json.loads(raw) if raw else {}
+        v = stats.get("maxValues", {}).get(name)
+        if v is None:
+            if raw is None or stats.get("numRecords", 0) > 0:
+                raise ValueError(
+                    f"staged file {f.path} has rows but no max statistic "
+                    f"for identity column {name!r}; refusing to record a "
+                    "stale high-water mark (next append would reuse "
+                    "identity values)"
+                )
+            continue  # truly empty file: no contribution to the mark
+        hw = v if hw is None else max(hw, int(v))
     return None if hw is None else int(hw)
 
 

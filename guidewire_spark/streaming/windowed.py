@@ -98,6 +98,10 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle="""
     WITH ordered AS (
+      -- > gap, NOT >= gap: an event at EXACTLY last+gap still MERGES
+      -- into the session (Spark merges when new start <= current
+      -- session end; pinned by
+      -- test_session_window_exact_gap_boundary_merges)
       SELECT user_id, ts, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        > INTERVAL 30 MINUTE

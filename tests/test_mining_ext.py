@@ -479,3 +479,92 @@ def test_code_detection_flags_planted_code(spark, tmp_path):
     got = {r["doc_id"]: r for r in text_code_detection(spark, d).collect()}
     assert bool(got[1]["looks_like_code"]) is True
     assert bool(got[2]["looks_like_code"]) is False
+
+
+def test_asof_forward_same_instant_purchase_is_inclusive(spark, tmp_path):
+    """pandas merge_asof(direction='forward', allow_exact_matches=True)
+    semantics: a purchase at EXACTLY the view's timestamp matches with
+    secs_to_purchase = 0 (round-5 advisor finding — the old view-last
+    tie ordering pushed the same-instant purchase outside the view's
+    CURRENT ROW→FOLLOWING frame), and same-instant duplicate purchases
+    resolve to the max event_id."""
+    import datetime as dt
+
+    from guidewire_spark.operators.mining_ext import join_asof_forward
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda n: t0 + dt.timedelta(seconds=n)
+    rows = [
+        # user 6: view + purchase at the SAME instant → inclusive match
+        (1, s(0), 6, "view", 1.0, None),
+        (2, s(0), 6, "purchase", 1.0, None),
+        # user 6: ordinary forward match 15 s later
+        (3, s(10), 6, "view", 1.0, None),
+        (4, s(25), 6, "purchase", 1.0, None),
+        # user 12: view with no later purchase → NULLs
+        (5, s(0), 12, "view", 1.0, None),
+        # user 18: same-instant DUPLICATE purchases dedup to max id
+        (6, s(5), 18, "view", 1.0, None),
+        (7, s(5), 18, "purchase", 1.0, None),
+        (8, s(5), 18, "purchase", 1.0, None),
+        # filtered out: wrong user residue and wrong event type
+        (9, s(0), 7, "view", 1.0, None),
+        (10, s(0), 6, "click", 1.0, None),
+    ]
+    d = str(tmp_path / "asof_fwd")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    got = {
+        r["event_id"]: (r["next_purchase_id"], r["secs_to_purchase"])
+        for r in join_asof_forward(spark, d).collect()
+    }
+    assert got == {
+        1: (2, 0),       # same-instant purchase IS the match
+        3: (4, 15),
+        5: (None, None),
+        6: (8, 0),       # max event_id of the duplicate pair
+    }
+
+
+def test_session_window_exact_gap_boundary_merges(spark, tmp_path):
+    """Boundary semantics of Spark's session_window, pinned
+    empirically (round-5 advisor raised the question): an event at
+    EXACTLY last+gap MERGES into the session — Spark coalesces when
+    the new event's start is <= the current session end, so a new
+    session requires diff STRICTLY GREATER than the gap.  The
+    registered oracles (window_session_function_batch,
+    stream_session_window) flag new sessions on diff > gap, matching
+    exactly."""
+    import datetime as dt
+
+    from guidewire_spark.operators.mining_ext import (
+        window_session_function_batch,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    m = lambda n: t0 + dt.timedelta(minutes=n)
+    rows = [
+        # user 25: events at t0 and t0+20min — EXACTLY the gap → MERGE
+        (1, m(0), 25, "view", 1.0, None),
+        (2, m(20), 25, "view", 1.0, None),
+        # user 50: events 20m01s apart → strictly past the gap → split
+        (3, m(0), 50, "view", 1.0, None),
+        (4, t0 + dt.timedelta(minutes=20, seconds=1), 50, "view", 1.0, None),
+    ]
+    d = str(tmp_path / "sess_gap")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(d + "/events.parquet")
+    got = window_session_function_batch(spark, d).collect()
+    per_user = {}
+    for r in got:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert len(per_user[25]) == 1          # exact-gap pair MERGES
+    assert per_user[25][0]["n_events"] == 2
+    assert len(per_user[50]) == 2          # strictly-past-gap pair splits
+    assert all(r["n_events"] == 1 for r in per_user[50])

@@ -562,6 +562,11 @@ def test_two_phase_retrofits_never_use_global_data_windows(spark, sf_dir):
     from guidewire_spark.operators.iter_ext import agg_rfm_segmentation
     from guidewire_spark.operators.mlprep_ext import mix_quantile_normalize
     from guidewire_spark.operators.robust_ext import agg_top1pct_revenue_share
+    from guidewire_spark.operators.stats_ext import (
+        agg_ks_statistic,
+        agg_mann_whitney_u,
+    )
+    from guidewire_spark.operators.survival_ext import ts_kaplan_meier
     from guidewire_spark.operators.windows import window_ntile_percent
 
     retrofits = [
@@ -572,6 +577,13 @@ def test_two_phase_retrofits_never_use_global_data_windows(spark, sf_dir):
         window_pareto_8020,
         agg_gini_concentration,
         window_ntile_percent,
+        # round 6: the ECDF pair — prefix sums over the distinct-value
+        # aggregate now carry across partitions via broadcast offsets
+        agg_ks_statistic,
+        agg_mann_whitney_u,
+        # round 6: Kaplan-Meier — reverse (n-at-risk) and forward
+        # (survival log-sum) cumulative passes both two-phase
+        ts_kaplan_meier,
     ]
     for fn in retrofits:
         plan = plan_of(fn(spark, sf_dir))
