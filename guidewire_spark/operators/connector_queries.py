@@ -1210,3 +1210,136 @@ def delta_stats_null_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("acctbal", n_rows, n_nulls, n_nulls * 1_000_000 // n_rows)],
         "column_name string, n_rows long, n_nulls long, null_ppm long",
     )
+
+
+@query(
+    "delta_dv_delete",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 7 <> 2
+    """,
+)
+def delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (sources/dv.py): the
+    matching row indexes land in ``add.deletionVector`` descriptors —
+    a metadata-sized commit with ZERO files rewritten — and the read
+    path subtracts them with a broadcast anti-join on the parquet
+    scan's ``_metadata.row_index``.  The public Delta protocol's
+    merge-on-read trade: copy-on-write ``delete_from`` rewrites every
+    touched file (right when whole files die); DVs win when a
+    predicate clips a few rows from many files (GDPR erasure over a
+    100 TB table commits in milliseconds).  The query asserts the
+    no-rewrite property before returning rows: the live file set is
+    IDENTICAL before and after the delete."""
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import delete_from_mor
+
+    table = tempfile.mkdtemp(prefix="gw_dvd_") + "/supplier_delta"
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    write_delta(s, table, mode="append")
+    before = set(load_snapshot(table).files)
+    delete_from_mor(spark, table, "s_suppkey % 7 = 2")
+    after = load_snapshot(table)
+    if set(after.files) != before or not after.file_dvs:
+        raise AssertionError("MOR delete must not rewrite data files")
+    return read_delta(spark, table)
+
+
+@query(
+    "delta_dv_purge",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_nationkey % 5 <> 1 AND n_nationkey % 5 <> 3
+    """,
+)
+def delta_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG ... APPLY (PURGE): two merge-on-read deletes accumulate
+    into ONE merged deletion vector per file, then the purge rewrites
+    the vectored files WITHOUT their dead rows in a dataChange=false
+    commit (logically a no-op — CDF consumers don't re-fire) and
+    clears every descriptor.  The maintenance half of the DV
+    lifecycle: vectors keep deletes cheap, OPTIMIZE-time purging
+    keeps scans from dragging an ever-growing dead set through the
+    anti-join."""
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import (
+        delete_from_mor,
+        purge_deletion_vectors,
+    )
+
+    table = tempfile.mkdtemp(prefix="gw_dvp_") + "/nation_delta"
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n, table, mode="append")
+    delete_from_mor(spark, table, "n_nationkey % 5 = 1")
+    delete_from_mor(spark, table, "n_nationkey % 5 = 3")
+    purge_deletion_vectors(spark, table)
+    if load_snapshot(table).file_dvs:
+        raise AssertionError("purge must clear every deletion vector")
+    return read_delta(spark, table)
+
+
+@query(
+    "delta_dv_change_feed",
+    oracle="""
+    SELECT s_suppkey, 'delete' AS _change_type,
+           CAST(CASE WHEN s_suppkey % 10 = 3 THEN 1 ELSE 2 END AS BIGINT)
+             AS _commit_version
+    FROM supplier WHERE s_suppkey % 10 = 3 OR s_suppkey % 5 = 4
+    """,
+)
+def delta_dv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDF under merge-on-read deletes: a DV commit is
+    remove(path)+add(path, vector), but the change feed must emit
+    ONLY the NEWLY dead rows of each version as 'delete' events —
+    never a whole-file delete+insert pair, and never a row a PRIOR
+    vector already killed (the second delete's predicate overlaps the
+    first; only the fresh deaths appear under version 2).  This is
+    the semantics Delta's CDF reader materializes from DV diffs."""
+    from guidewire_spark.sources.snapshot import read_delta_changes
+    from guidewire_spark.sources.writer import delete_from_mor
+
+    table = tempfile.mkdtemp(prefix="gw_dvc_") + "/supplier_delta"
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    write_delta(s, table, mode="append")
+    delete_from_mor(spark, table, "s_suppkey % 10 = 3")
+    # the second predicate re-covers every %10=3 row: those are
+    # already dead, so version 2 must emit only the %5=4 rows
+    delete_from_mor(spark, table, "s_suppkey % 5 = 4 OR s_suppkey % 10 = 3")
+    return read_delta_changes(spark, table, from_version=0).select(
+        "s_suppkey", "_change_type", "_commit_version"
+    )
+
+
+@query(
+    "delta_dv_update",
+    oracle="""
+    SELECT s_suppkey,
+           CASE WHEN s_suppkey % 6 = 5 THEN s_name || '-AUDITED'
+                ELSE s_name END AS s_name
+    FROM supplier
+    """,
+)
+def delta_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE (Delta's DV-backed UPDATE): matched rows
+    die via per-file deletion vectors and their updated images append
+    as ONE new file in the same commit — no touched file is
+    rewritten.  The query asserts the no-rewrite property (every
+    pre-update file survives by path; exactly one file is added)
+    before returning the table, whose rows must equal the
+    copy-on-write UPDATE's answer."""
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import update_table_mor
+
+    table = tempfile.mkdtemp(prefix="gw_dvu_") + "/supplier_delta"
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    write_delta(s, table, mode="append")
+    before = set(load_snapshot(table).files)
+    update_table_mor(
+        spark,
+        table,
+        "s_suppkey % 6 = 5",
+        {"s_name": "concat(s_name, '-AUDITED')"},
+    )
+    after = load_snapshot(table)
+    if not before <= set(after.files) or len(after.files) != len(before) + 1:
+        raise AssertionError("MOR update must not rewrite touched files")
+    return read_delta(spark, table)

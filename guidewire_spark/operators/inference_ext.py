@@ -75,17 +75,61 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group; the cross-row SUM — the first term to overflow at
     scale — is decimal-protected), so the reduction is exact and
     order-free; doubles appear only in the final per-group ratio.
-    Two windows over the same partition key = one shuffle by flag,
-    then a partial-aggregated group-by."""
-    li = load_table(spark, sf_dir, "lineitem")
-    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    wq_t = Window.partitionBy("l_returnflag", "l_quantity")
-    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wp_t = Window.partitionBy("l_returnflag", "l_extendedprice")
-    ranked = li.select(
-        "l_returnflag",
-        (2 * F.rank().over(wq) + F.count("*").over(wq_t) - 1).alias("dx"),
-        (2 * F.rank().over(wp) + F.count("*").over(wp_t) - 1).alias("dy"),
+
+    Scale shape (round-6 retrofit): ranking the RAW fact inside a
+    3-value flag partition funnels a third of the table through one
+    window task.  Midranks only depend on the (flag, value) pair, so
+    they are computed on the DISTINCT-VALUE tables instead —
+    dx = 2·count_below + tie + 1, with count_below from a TWO-PHASE
+    cumulative sum over (flag, value) order minus a broadcast 3-row
+    per-flag prefix offset — and joined back to the fact (quantity
+    side broadcast, ~150 rows; price side a parallel shuffle join).
+    No data-sized single-task stage anywhere."""
+    from guidewire_spark.operators.twophase import two_phase_ordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+    def midranks(col: str, out: str) -> DataFrame:
+        pv = li.groupBy("l_returnflag", col).agg(F.count("*").alias("c"))
+        tp = two_phase_ordered(
+            pv,
+            [F.asc("l_returnflag"), F.asc(col)],
+            rank_name=None,
+            cumsums={"cumc": "c"},
+        )
+        offs = (
+            pv.groupBy("l_returnflag")
+            .agg(F.sum("c").alias("tot"))
+            .select(
+                "l_returnflag",
+                F.coalesce(
+                    F.sum("tot").over(
+                        Window.orderBy("l_returnflag").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("off"),
+            )
+        )
+        return tp.join(F.broadcast(offs), "l_returnflag").select(
+            "l_returnflag",
+            col,
+            (
+                2 * (F.col("cumc") - F.col("c") - F.col("off"))
+                + F.col("c")
+                + 1
+            ).alias(out),
+        )
+
+    dxs = midranks("l_quantity", "dx")
+    dys = midranks("l_extendedprice", "dy")
+    ranked = (
+        li.join(F.broadcast(dxs), ["l_returnflag", "l_quantity"])
+        .join(dys, ["l_returnflag", "l_extendedprice"])
+        .select("l_returnflag", "dx", "dy")
     )
     dec = "decimal(38,0)"
     sums = ranked.groupBy("l_returnflag").agg(

@@ -154,27 +154,79 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling order statistics: exact interpolated median and
-    quartiles over a 7-row trailing window per series.
+    quartiles over a 7-row trailing window per series (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, both linear
+    interpolation).
 
-    ``percentile`` is a declarative aggregate in Spark, so it runs as
-    a window function with a ROWS frame — no UDF, no collect_list.
-    Both engines use linear interpolation (Spark ``percentile`` ≡
-    DuckDB ``quantile_cont``). Per-series partitioning keeps every
-    frame on one executor; state per frame is 7 doubles."""
+    Scale shape (round-6 retrofit): the series key (event_type) has
+    ~5 values, so a per-series ROWS window funnels whole series
+    through single tasks.  Instead, each row's per-series position
+    comes from a TWO-PHASE global rank (twophase.two_phase_ordered
+    over (event_type, ts, event_id) minus a broadcast per-type prefix
+    offset — the Spearman-retrofit arithmetic), then every row
+    EXPLODES into the ≤7 frames it participates in and the frame
+    aggregate GROUPs per (event_type, frame) — the covering-windows
+    identity ts_rolling_wau already uses.  7× map-side expansion, all
+    stages parallel at any scale.
+
+    SINGLE-CONSUMER invariant: the ranked frame feeds exactly ONE
+    downstream branch.  The anchor row's event_id rides INTO the
+    frame aggregate (max over the seq-element == own-position
+    contribution) instead of joining the row table back afterwards —
+    a two-branch consumption of a two-phase subtree re-evaluates the
+    range-partitioned lineage per branch and spark_partition_id() is
+    not stable across evaluations, which intermittently desynced the
+    two sides (caught at sf0.1); the fold-in removes the second
+    consumer AND a shuffle join."""
+    from guidewire_spark.operators.twophase import two_phase_ordered
+
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "purchase")
+    ).select("event_id", "event_type", "ts", "value")
+    ranked = two_phase_ordered(
+        e,
+        [F.asc("event_type"), F.asc("ts"), F.asc("event_id")],
+        rank_name="gr",
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-6, 0)
+    offs = (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("tot"))
+        .select(
+            "event_type",
+            F.coalesce(
+                F.sum("tot").over(
+                    Window.orderBy("event_type").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("off"),
+        )
     )
-    return e.select(
+    rows = ranked.join(F.broadcast(offs), "event_type").select(
         "event_id",
         "event_type",
-        _r(F.percentile("value", F.lit(0.5)).over(w), 4).alias("med7"),
-        _r(F.percentile("value", F.lit(0.25)).over(w), 4).alias("p25_7"),
-        _r(F.percentile("value", F.lit(0.75)).over(w), 4).alias("p75_7"),
+        "value",
+        (F.col("gr") - F.col("off")).alias("rs"),
+    )
+    contrib = rows.select(
+        "event_type",
+        "value",
+        "rs",
+        "event_id",
+        F.explode(F.sequence(F.col("rs"), F.col("rs") + 6)).alias("frame"),
+    )
+    frames = contrib.groupBy("event_type", "frame").agg(
+        F.max(
+            F.when(F.col("frame") == F.col("rs"), F.col("event_id"))
+        ).alias("event_id"),
+        _r(F.percentile("value", F.lit(0.5)), 4).alias("med7"),
+        _r(F.percentile("value", F.lit(0.25)), 4).alias("p25_7"),
+        _r(F.percentile("value", F.lit(0.75)), 4).alias("p75_7"),
+    )
+    # frames past the series end have no anchor row: drop them
+    return frames.where(F.col("event_id").isNotNull()).select(
+        "event_id", "event_type", "med7", "p25_7", "p75_7"
     )
 
 

@@ -39,7 +39,7 @@ _PID = "__pid"
 _LOCAL_RN = "__local_rn"
 _RESERVED_PREFIXES = ("__pid", "__local_rn", "__offset", "__run_", "__off_",
                       "__sum_", "__cnt", "__local_lead", "__first",
-                      "__next_first")
+                      "__next_first", "__keep_")
 
 
 def _default_parts(df: DataFrame) -> int:
@@ -57,6 +57,32 @@ def _default_parts(df: DataFrame) -> int:
         return max(16, cores, shuffle)
     except Exception:
         return 16
+
+
+def _pin_partitioning(parted: DataFrame) -> DataFrame:
+    """Pin the range-partitioned, pid-stamped frame so its TWO
+    consumers (the partition-local window and the parts-row summary)
+    observe the SAME partition boundaries.
+
+    Why this is load-bearing: the range exchange SAMPLES its
+    boundaries, and when column pruning narrows one consumer's scan
+    the two below-exchange plans stop being canonically equal — each
+    branch then gets its OWN independently-sampled exchange, whose
+    boundaries can disagree.  Local ranks computed under boundary set
+    A combined with broadcast offsets computed under boundary set B
+    produce duplicate/gapped global ranks (caught intermittently at
+    sf0.1 by window_rolling_median; invisible in narrow queries where
+    both branches prune to identical columns and the exchange IS
+    reused).  ``persist()`` routes both consumers through one
+    InMemoryRelation — the frame is computed once per partition and
+    the pid assignment is shared.  MEMORY_AND_DISK, so at scale this
+    degrades to a disk materialization (the same order of cost as the
+    range shuffle itself, and the price of a deterministic boundary);
+    the SQL plan keeps the rangepartitioning exchange visible inside
+    the InMemoryRelation, which the plan locks assert on."""
+    from pyspark import StorageLevel
+
+    return parted.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _check_columns(df: DataFrame) -> None:
@@ -119,8 +145,10 @@ def two_phase_ordered(
     _check_columns(df)
     if parts is None:
         parts = _default_parts(df)
-    parted = df.repartitionByRange(parts, *order_cols).withColumn(
-        _PID, F.spark_partition_id()
+    parted = _pin_partitioning(
+        df.repartitionByRange(parts, *order_cols).withColumn(
+            _PID, F.spark_partition_id()
+        )
     )
     w_local = Window.partitionBy(_PID).orderBy(*order_cols)
     w_run = w_local.rowsBetween(Window.unboundedPreceding, 0)
@@ -137,7 +165,7 @@ def two_phase_ordered(
         aggs.append(F.count(src).alias(f"__sumc_{out}"))
     for out, src in sum_totals.items():
         aggs.append(F.sum(src).alias(f"__sum_{out}"))
-    per_pid = local.groupBy(_PID).agg(*aggs)
+    per_pid = parted.groupBy(_PID).agg(*aggs)
 
     # parts-row prefix combine: exclusive prefix sums become each
     # partition's carry-in; whole-table sums become broadcast totals
@@ -228,8 +256,10 @@ def two_phase_lead(
     df = df.where(F.col(key_col).isNotNull())
     if parts is None:
         parts = _default_parts(df)
-    parted = df.repartitionByRange(parts, F.asc(key_col)).withColumn(
-        _PID, F.spark_partition_id()
+    parted = _pin_partitioning(
+        df.repartitionByRange(parts, F.asc(key_col)).withColumn(
+            _PID, F.spark_partition_id()
+        )
     )
     w_local = Window.partitionBy(_PID).orderBy(key_col)
     local = parted.withColumn("__local_lead", F.lead(key_col).over(w_local))

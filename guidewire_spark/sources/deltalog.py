@@ -78,6 +78,7 @@ def add_action(
     modification_time: int,
     stats: str | None = None,
     partition_values: dict | None = None,
+    deletion_vector: dict | None = None,
 ) -> dict:
     action = {
         "add": {
@@ -90,6 +91,10 @@ def add_action(
     }
     if stats is not None:
         action["add"]["stats"] = stats
+    if deletion_vector is not None:
+        # merge-on-read: the public Delta protocol's deletionVector
+        # descriptor rides the add action (sources/dv.py)
+        action["add"]["deletionVector"] = deletion_vector
     return action
 
 

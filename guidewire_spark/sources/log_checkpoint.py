@@ -69,6 +69,17 @@ _CHECKPOINT_SCHEMA = pa.schema(
                     pa.field(
                         "partitionValues", pa.map_(pa.string(), pa.string())
                     ),
+                    pa.field(
+                        "deletionVector",
+                        pa.struct(
+                            [
+                                pa.field("storageType", pa.string()),
+                                pa.field("pathOrInlineDv", pa.string()),
+                                pa.field("sizeInBytes", pa.int64()),
+                                pa.field("cardinality", pa.int64()),
+                            ]
+                        ),
+                    ),
                 ]
             ),
         ),
@@ -140,6 +151,7 @@ def write_log_checkpoint(table_path: str, version: int | None = None) -> str:
                         (k, v)
                         for k, v in (snap.file_partitions.get(path) or {}).items()
                     ],
+                    "deletionVector": snap.file_dvs.get(path),
                 }
             }
         )
@@ -158,17 +170,19 @@ def load_checkpoint_state(
     dict[str, str | None],
     dict[str, int],
     dict[str, dict],
+    dict[str, dict],
     T.StructType | None,
     str | None,
     list[str],
 ]:
     """Read ``<version>.checkpoint.parquet`` → (active file → stats,
-    file → size, file → partitionValues, schema, metadata id,
-    partition columns) to seed log replay."""
+    file → size, file → partitionValues, file → deletionVector,
+    schema, metadata id, partition columns) to seed log replay."""
     table = pq.read_table(checkpoint_path(table_path, version))
     active: dict[str, str | None] = {}
     sizes: dict[str, int] = {}
     partitions: dict[str, dict] = {}
+    dvs: dict[str, dict] = {}
     schema: T.StructType | None = None
     meta_id: str | None = None
     part_cols: list[str] = []
@@ -178,9 +192,12 @@ def load_checkpoint_state(
             active[add["path"]] = add.get("stats")
             sizes[add["path"]] = add.get("size") or 0
             partitions[add["path"]] = dict(add.get("partitionValues") or [])
+            dv = add.get("deletionVector")
+            if dv and dv.get("storageType"):
+                dvs[add["path"]] = dv
         meta = row.get("metaData")
         if meta and meta.get("schemaString"):
             schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
             meta_id = meta.get("id") or None
             part_cols = list(meta.get("partitionColumns") or [])
-    return active, sizes, partitions, schema, meta_id, part_cols
+    return active, sizes, partitions, dvs, schema, meta_id, part_cols

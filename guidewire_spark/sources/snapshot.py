@@ -67,6 +67,8 @@ class DeltaSnapshot:
     metadata_id: str | None = None
     partition_columns: list[str] = field(default_factory=list)
     file_partitions: dict[str, dict] = field(default_factory=dict)
+    # merge-on-read: live add.deletionVector descriptors by file path
+    file_dvs: dict[str, dict] = field(default_factory=dict)
 
     @property
     def num_files(self) -> int:
@@ -77,7 +79,9 @@ class DeltaSnapshot:
         Returns None when any live file lacks numRecords (the count
         must then fall back to a scan; never guess). At 100 TB this is
         the difference between instant and a full-table scan — the
-        same metadata-only count optimization Delta performs."""
+        same metadata-only count optimization Delta performs.
+        Deletion-vector rows are subtracted via the descriptor's
+        cardinality — still metadata-only."""
         total = 0
         import json as _json
 
@@ -89,6 +93,8 @@ class DeltaSnapshot:
             if n is None:
                 return None
             total += n
+        for dv in self.file_dvs.values():
+            total -= int(dv.get("cardinality", 0))
         return total
 
     def pruned_files(self, column: str, lo=None, hi=None) -> list[str]:
@@ -152,6 +158,7 @@ def load_snapshot(
     active: dict[str, str | None] = {}
     sizes: dict[str, int] = {}
     partitions: dict[str, dict] = {}
+    dvs: dict[str, dict] = {}
     schema: T.StructType | None = None
     meta_id: str | None = None
     part_cols: list[str] = []
@@ -160,7 +167,7 @@ def load_snapshot(
     if ckpt_version is not None and ckpt_version <= version:
         # O(1) replay: seed from the checkpoint parquet, then apply
         # only the JSON tail — instead of O(versions) JSON reads.
-        active, sizes, partitions, schema, meta_id, part_cols = (
+        active, sizes, partitions, dvs, schema, meta_id, part_cols = (
             load_checkpoint_state(table_path, ckpt_version)
         )
         replay_after = ckpt_version
@@ -175,10 +182,19 @@ def load_snapshot(
                 active[path] = action["add"].get("stats")
                 sizes[path] = action["add"].get("size", 0)
                 partitions[path] = action["add"].get("partitionValues") or {}
+                # re-adding a path REPLACES its DV state (a MOR delete
+                # carries the merged descriptor; a plain re-add after
+                # OPTIMIZE/purge carries none and clears it)
+                dv = action["add"].get("deletionVector")
+                if dv is not None:
+                    dvs[path] = dv
+                else:
+                    dvs.pop(path, None)
             elif "remove" in action:
                 active.pop(action["remove"]["path"], None)
                 sizes.pop(action["remove"]["path"], None)
                 partitions.pop(action["remove"]["path"], None)
+                dvs.pop(action["remove"]["path"], None)
             elif "metaData" in action:
                 schema = T.StructType.fromJson(
                     json.loads(action["metaData"]["schemaString"])
@@ -198,6 +214,7 @@ def load_snapshot(
         metadata_id=meta_id,
         partition_columns=part_cols,
         file_partitions=partitions,
+        file_dvs=dvs,
     )
 
 
@@ -242,27 +259,66 @@ def read_delta_changes(
     # truncation of that version degrades to the latest snapshot's map,
     # which still covers every currently-live file).
     pv_map: dict[str, dict] = dict(latest.file_partitions)
-    if pcols:
+    dv_state: dict[str, dict] = {}
+    if pcols or True:
         try:
-            pv_map.update(
-                load_snapshot(table_path, version=from_version).file_partitions
-            )
+            start_snap = load_snapshot(table_path, version=from_version)
+            pv_map.update(start_snap.file_partitions)
+            dv_state = dict(start_snap.file_dvs)
         except (ValueError, FileNotFoundError):
             pass
 
+    # Each frame: (version, change kind, file path, dead-index subtract
+    # list or None, only-index list or None).  A merge-on-read DELETE
+    # commits remove(path) + add(path, deletionVector): the CDF must
+    # emit ONLY the newly dead rows as deletes — never a whole-file
+    # delete+insert pair for rows that didn't change.
     frames = []
     for v in versions:
+        adds: dict[str, dict] = {}
+        removes: dict[str, dict] = {}
         for action in _read_commit(table_path, v):
             if "add" in action and action["add"].get("dataChange", True):
-                path = action["add"]["path"]
-                pv_map[path] = action["add"].get("partitionValues") or {}
-                frames.append((v, "insert", path))
+                adds[action["add"]["path"]] = action["add"]
             elif "remove" in action and action["remove"].get("dataChange", True):
-                frames.append((v, "delete", action["remove"]["path"]))
+                removes[action["remove"]["path"]] = action["remove"]
             elif "metaData" in action:
                 schema = T.StructType.fromJson(
                     json.loads(action["metaData"]["schemaString"])
                 )
+        from guidewire_spark.sources.dv import decode_dv
+
+        for path, add in adds.items():
+            pv_map[path] = add.get("partitionValues") or {}
+            dv = add.get("deletionVector")
+            if path in removes and dv is not None:
+                # MOR delete: the change set is new_dv − old_dv
+                old = (
+                    set(decode_dv(dv_state[path]))
+                    if path in dv_state
+                    else set()
+                )
+                fresh = sorted(set(decode_dv(dv)) - old)
+                if fresh:
+                    frames.append((v, "delete", path, None, fresh))
+                removes.pop(path)
+            else:
+                # plain insert; rows dead under a carried DV never
+                # existed logically and are excluded
+                frames.append(
+                    (v, "insert", path, sorted(decode_dv(dv)) if dv else None,
+                     None)
+                )
+            if dv is not None:
+                dv_state[path] = dv
+            else:
+                dv_state.pop(path, None)
+        for path, rm in removes.items():
+            old = dv_state.pop(path, None)
+            frames.append(
+                (v, "delete", path, sorted(decode_dv(old)) if old else None,
+                 None)
+            )
 
     if not frames:
         base = schema or T.StructType([])
@@ -276,13 +332,30 @@ def read_delta_changes(
         return spark.createDataFrame([], out_schema)
 
     dfs = []
-    for v, kind, path in frames:
+    for v, kind, path, subtract, only in frames:
         base_schema = schema
         if pcols and schema is not None:
             base_schema = T.StructType(
                 [f for f in schema.fields if f.name not in pcols]
             )
-        df = read_files_with_schema(spark, base_schema, [path])
+        if subtract is None and only is None:
+            df = read_files_with_schema(spark, base_schema, [path])
+        else:
+            from guidewire_spark.sources.dv import (
+                META_FILE,
+                META_ROW,
+                scan_with_row_index,
+            )
+
+            scan = scan_with_row_index(spark, base_schema, [path])
+            idx = spark.createDataFrame(
+                [(int(i),) for i in (subtract if only is None else only)],
+                f"{META_ROW} long",
+            )
+            how = "left_anti" if only is None else "left_semi"
+            df = scan.join(F.broadcast(idx), [META_ROW], how).drop(
+                META_FILE, META_ROW
+            )
         if pcols and schema is not None:
             pv = pv_map.get(path, {})
             for col in pcols:
@@ -321,7 +394,23 @@ def read_delta(
     if not snap.partition_columns:
         if not snap.files:
             return spark.createDataFrame([], snap.schema or T.StructType([]))
-        return read_files_with_schema(spark, snap.schema, snap.files)
+        if not snap.file_dvs:
+            return read_files_with_schema(spark, snap.schema, snap.files)
+        # merge-on-read: plain files scan as usual; DV'd files scan
+        # with (file, row_index) metadata and broadcast-anti-join the
+        # dead set (bounded by deleted-row count) out
+        from guidewire_spark.sources.dv import apply_dv, scan_with_row_index
+
+        plain = [p for p in snap.files if p not in snap.file_dvs]
+        dvd = [p for p in snap.files if p in snap.file_dvs]
+        live = apply_dv(
+            scan_with_row_index(spark, snap.schema, dvd), spark, snap.file_dvs
+        )
+        if plain:
+            live = read_files_with_schema(spark, snap.schema, plain).unionByName(
+                live
+            )
+        return live
 
     from functools import reduce
 
@@ -348,7 +437,27 @@ def read_delta(
     for pv, files in sorted(
         groups.items(), key=lambda kv: tuple((v is None, v or "") for v in kv[0])
     ):
-        df = read_files_with_schema(spark, data_schema, files)
+        plain = [p for p in files if p not in snap.file_dvs]
+        dvd = [p for p in files if p in snap.file_dvs]
+        group_parts = []
+        if plain:
+            group_parts.append(
+                read_files_with_schema(spark, data_schema, plain)
+            )
+        if dvd:
+            from guidewire_spark.sources.dv import (
+                apply_dv,
+                scan_with_row_index,
+            )
+
+            group_parts.append(
+                apply_dv(
+                    scan_with_row_index(spark, data_schema, dvd),
+                    spark,
+                    {p: snap.file_dvs[p] for p in dvd},
+                )
+            )
+        df = reduce(lambda a, b: a.unionByName(b), group_parts)
         for col, val in zip(pcols, pv):
             dtype = schema[col].dataType if col in schema.fieldNames() else T.StringType()
             df = df.withColumn(col, F.lit(val).cast(dtype))

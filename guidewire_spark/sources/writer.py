@@ -98,7 +98,13 @@ def _read_with_partitions(spark: SparkSession, snap, paths: list[str]) -> DataFr
     Files are grouped by partition tuple and each group's columns are
     filled with cast literals, then unioned — the plan has one scan per
     touched partition, which matches the copy-on-write contract (MERGE/
-    DELETE/OPTIMIZE read only the partitions they rewrite)."""
+    DELETE/OPTIMIZE read only the partitions they rewrite).
+
+    Deletion-vector aware: files carrying a live DV scan through the
+    row-index anti-join, so every copy-on-write rewrite (DELETE /
+    UPDATE / MERGE / OPTIMIZE) reads only LIVE rows — a rewrite of a
+    DV'd file folds the vector in and must never resurrect dead
+    rows."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -106,8 +112,24 @@ def _read_with_partitions(spark: SparkSession, snap, paths: list[str]) -> DataFr
 
     from guidewire_spark.sources.snapshot import read_files_with_schema
 
+    def read_live(schema, ps):
+        dvd = {p: snap.file_dvs[p] for p in ps if p in snap.file_dvs}
+        plain = [p for p in ps if p not in dvd]
+        frames = []
+        if plain:
+            frames.append(read_files_with_schema(spark, schema, plain))
+        if dvd:
+            from guidewire_spark.sources.dv import apply_dv, scan_with_row_index
+
+            frames.append(
+                apply_dv(
+                    scan_with_row_index(spark, schema, list(dvd)), spark, dvd
+                )
+            )
+        return reduce(DataFrame.unionByName, frames)
+
     if not snap.partition_columns:
-        return read_files_with_schema(spark, snap.schema, paths)
+        return read_live(snap.schema, paths)
     pcols = list(snap.partition_columns)
     data_schema = T.StructType(
         [f for f in snap.schema.fields if f.name not in set(pcols)]
@@ -118,7 +140,7 @@ def _read_with_partitions(spark: SparkSession, snap, paths: list[str]) -> DataFr
         groups.setdefault(tuple(pv.get(c) for c in pcols), []).append(p)
     parts = []
     for key, ps in groups.items():
-        df = read_files_with_schema(spark, data_schema, ps)
+        df = read_live(data_schema, ps)
         for c, v in zip(pcols, key):
             df = df.withColumn(c, F.lit(v).cast(snap.schema[c].dataType))
         parts.append(df.select([f.name for f in snap.schema.fields]))
@@ -971,6 +993,288 @@ def delete_from(
         )
     )
     # snapshot-version commit: intervening writers collide, not clobber
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
+def _scan_rowindex_with_partitions(
+    spark: SparkSession, snap, paths: list[str]
+) -> DataFrame:
+    """Scan ``paths`` carrying (file base name, row index) metadata
+    (dv.scan_with_row_index) with the table's partition columns
+    materialized from the log, so DML predicates may reference
+    them."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from guidewire_spark.sources.dv import scan_with_row_index
+
+    if not snap.partition_columns:
+        return scan_with_row_index(spark, snap.schema, paths)
+    pcols = list(snap.partition_columns)
+    data_schema = T.StructType(
+        [f for f in snap.schema.fields if f.name not in set(pcols)]
+    )
+    groups: dict[tuple, list[str]] = {}
+    for p in paths:
+        pv = snap.file_partitions.get(p) or {}
+        groups.setdefault(tuple(pv.get(c) for c in pcols), []).append(p)
+    parts = []
+    for key, ps in groups.items():
+        df = scan_with_row_index(spark, data_schema, ps)
+        for c, v in zip(pcols, key):
+            df = df.withColumn(c, F.lit(v).cast(snap.schema[c].dataType))
+        parts.append(df)
+    return reduce(DataFrame.unionByName, parts)
+
+
+def delete_from_mor(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    prune_column: str | None = None,
+    prune_lo=None,
+    prune_hi=None,
+) -> int:
+    """DELETE FROM ... WHERE — MERGE-ON-READ: record the matching row
+    indexes as per-file deletion vectors (``add.deletionVector``,
+    sources/dv.py) instead of rewriting files.  The commit is
+    metadata-sized no matter how many files are touched — the shape
+    Delta ships as deletion vectors, and the right tool when a
+    predicate clips a few rows from MANY files (copy-on-write
+    ``delete_from`` wins when whole files die, and
+    ``purge_deletion_vectors`` / OPTIMIZE folds vectors back into
+    physical files once they accumulate).
+
+    Successive MOR deletes on one file MERGE into a single descriptor;
+    rows already dead under an existing vector are invisible to the
+    predicate scan (no double counting, and a predicate matching only
+    dead rows raises like any no-op DELETE).  Stats stay attached to
+    the add (the protocol's tightBounds=false reading: min/max remain
+    valid bounds, numRecords is corrected by cardinality at
+    ``metadata_count``)."""
+    from pyspark.sql import functions as F
+
+    from guidewire_spark.sources.dv import (
+        META_FILE,
+        META_ROW,
+        deleted_rows_frame,
+        merge_dv,
+    )
+
+    snap = load_snapshot(table_path)
+    if not snap.files:
+        raise ValueError(f"nothing to delete from at {table_path}")
+    candidates = (
+        snap.pruned_files(prune_column, prune_lo, prune_hi)
+        if prune_column
+        else list(snap.files)
+    )
+    scan = _scan_rowindex_with_partitions(spark, snap, candidates)
+    existing = {p: snap.file_dvs[p] for p in candidates if p in snap.file_dvs}
+    if existing:
+        scan = scan.join(
+            F.broadcast(deleted_rows_frame(spark, existing)),
+            [META_FILE, META_ROW],
+            "left_anti",
+        )
+    hits = (
+        scan.where(predicate)
+        .select(META_FILE, META_ROW)
+        .collect()
+    )
+    if not hits:
+        raise ValueError("predicate matches no rows; nothing to delete")
+    by_file: dict[str, list[int]] = {}
+    for r in hits:
+        by_file.setdefault(r[META_FILE], []).append(r[META_ROW])
+    from guidewire_spark.sources.dv import normalize_path
+
+    by_path = {normalize_path(p): p for p in candidates}
+
+    now = int(time.time() * 1000)
+    actions = []
+    for key, idxs in sorted(by_file.items()):
+        path = by_path[key]
+        actions.append(remove_action(path, now, size=snap.file_sizes.get(path)))
+        actions.append(
+            add_action(
+                path,
+                snap.file_sizes.get(path, 0),
+                now,
+                stats=snap.file_stats.get(path),
+                partition_values=snap.file_partitions.get(path) or None,
+                deletion_vector=merge_dv(snap.file_dvs.get(path), idxs),
+            )
+        )
+    actions.append(
+        commit_info_action(
+            "DELETE", f"MOR {predicate}", False, len(by_file), 0, now
+        )
+    )
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
+def purge_deletion_vectors(spark: SparkSession, table_path: str) -> int:
+    """REORG TABLE ... APPLY (PURGE): physically rewrite every file
+    carrying a deletion vector WITHOUT its dead rows and drop the
+    vectors — ``dataChange=false`` (the logical table is unchanged;
+    CDF consumers don't re-fire), exactly Delta's purge contract.
+    Files without vectors are untouched (metadata-only)."""
+    snap = load_snapshot(table_path)
+    if not snap.file_dvs:
+        raise ValueError(f"no deletion vectors to purge at {table_path}")
+    rewrite = [p for p in snap.files if p in snap.file_dvs]
+    pcols = list(snap.partition_columns or [])
+    survivors = _read_with_partitions(spark, snap, rewrite)  # DV-aware
+    files, commit_dir = _stage_files(
+        _to_physical(survivors, snap.schema), table_path, pcols or None
+    )
+
+    from guidewire_spark.sources.stats import footer_stats
+
+    now = int(time.time() * 1000)
+    actions = [remove_action(p, now) for p in rewrite]
+    actions += [
+        add_action(
+            f.path,
+            f.size,
+            f.modification_time,
+            stats=footer_stats(f.path),
+            partition_values=(
+                _partition_values(f.path, commit_dir, pcols) if pcols else None
+            ),
+        )
+        for f in files
+    ]
+    for a in actions:
+        key = "add" if "add" in a else "remove"
+        a[key]["dataChange"] = False
+    actions.append(
+        commit_info_action(
+            "REORG", "PURGE", False, len(files), sum(f.size for f in files), now
+        )
+    )
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
+def update_table_mor(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    assignments: dict[str, str],
+) -> int:
+    """UPDATE ... SET — MERGE-ON-READ: the matching rows' indexes land
+    in per-file deletion vectors and their UPDATED images append as a
+    NEW file, one atomic commit — no touched file is rewritten (Delta's
+    DV-backed UPDATE).  Copy-on-write ``update_table`` rewrites every
+    file containing a match; this writes only the changed rows plus
+    metadata, the winning trade when an UPDATE clips a few rows from
+    many files of a 100 TB table.
+
+    Same guards as the copy-on-write form: identity-column and
+    partition-column assignments are rejected, updated rows re-check
+    CHECK constraints.  Under the change feed the update reads as
+    delete (the dead indexes) + insert (the new file) — the
+    file-granularity CDF representation of an update."""
+    from pyspark.sql import functions as F
+
+    from guidewire_spark.sources.dv import (
+        META_FILE,
+        META_ROW,
+        deleted_rows_frame,
+        merge_dv,
+        normalize_path,
+    )
+
+    snap = load_snapshot(table_path)
+    if not snap.files:
+        raise ValueError(f"nothing to update at {table_path}")
+    ident_hit = set(assignments) & set(_identity_specs(table_path))
+    if ident_hit:
+        raise ValueError(
+            f"identity column(s) {sorted(ident_hit)} are GENERATED "
+            "ALWAYS — UPDATE may not assign them"
+        )
+    pcols = list(snap.partition_columns or [])
+    for col in assignments:
+        if col in pcols:
+            raise ValueError(
+                f"updating partition column {col!r} is not supported; "
+                "use MERGE to move rows between partitions"
+            )
+    candidates = list(snap.files)
+    scan = _scan_rowindex_with_partitions(spark, snap, candidates)
+    existing = {p: snap.file_dvs[p] for p in candidates if p in snap.file_dvs}
+    if existing:
+        scan = scan.join(
+            F.broadcast(deleted_rows_frame(spark, existing)),
+            [META_FILE, META_ROW],
+            "left_anti",
+        )
+    matched = scan.where(predicate)
+    data_cols = [f.name for f in snap.schema.fields]
+    updated = matched.select(
+        *[
+            F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
+            for c in data_cols
+        ]
+    )
+    _enforce_constraints(updated, table_path)
+    hits = matched.select(META_FILE, META_ROW).collect()
+    if not hits:
+        raise ValueError("predicate matches no rows; nothing to update")
+    files, commit_dir = _stage_files(
+        _to_physical(updated, snap.schema), table_path, pcols or None
+    )
+    by_file: dict[str, list[int]] = {}
+    for r in hits:
+        by_file.setdefault(r[META_FILE], []).append(r[META_ROW])
+    by_path = {normalize_path(p): p for p in candidates}
+
+    from guidewire_spark.sources.stats import footer_stats
+
+    now = int(time.time() * 1000)
+    actions = []
+    for key, idxs in sorted(by_file.items()):
+        path = by_path[key]
+        actions.append(remove_action(path, now, size=snap.file_sizes.get(path)))
+        actions.append(
+            add_action(
+                path,
+                snap.file_sizes.get(path, 0),
+                now,
+                stats=snap.file_stats.get(path),
+                partition_values=snap.file_partitions.get(path) or None,
+                deletion_vector=merge_dv(snap.file_dvs.get(path), idxs),
+            )
+        )
+    actions += [
+        add_action(
+            f.path,
+            f.size,
+            f.modification_time,
+            stats=footer_stats(f.path),
+            partition_values=(
+                _partition_values(f.path, commit_dir, pcols) if pcols else None
+            ),
+        )
+        for f in files
+    ]
+    actions.append(
+        commit_info_action(
+            "UPDATE",
+            f"MOR {predicate}",
+            False,
+            len(files),
+            sum(f.size for f in files),
+            now,
+        )
+    )
     write_commit(table_path, snap.version + 1, actions)
     return snap.version + 1
 

@@ -565,6 +565,10 @@ def test_two_phase_retrofits_never_use_global_data_windows(spark, sf_dir):
     from guidewire_spark.operators.stats_ext import (
         agg_ks_statistic,
         agg_mann_whitney_u,
+        window_rolling_median,
+    )
+    from guidewire_spark.operators.inference_ext import (
+        agg_spearman_rank_corr,
     )
     from guidewire_spark.operators.survival_ext import ts_kaplan_meier
     from guidewire_spark.operators.windows import window_ntile_percent
@@ -584,14 +588,24 @@ def test_two_phase_retrofits_never_use_global_data_windows(spark, sf_dir):
         # round 6: Kaplan-Meier — reverse (n-at-risk) and forward
         # (survival log-sum) cumulative passes both two-phase
         ts_kaplan_meier,
+        # round 6: Spearman — midranks from two-phase distinct-value
+        # cumsums joined back, never a raw-fact rank window
+        agg_spearman_rank_corr,
+        # round 6: rolling median — two-phase rank + explode-into-
+        # frames, never a per-event-type ROWS window over raw rows
+        window_rolling_median,
     ]
+    import re
+
     for fn in retrofits:
         plan = plan_of(fn(spark, sf_dir))
         assert "SPARK_PARTITION_ID()" in plan, fn.__name__
         assert "rangepartitioning(" in plan, fn.__name__
         assert "hashpartitioning(__pid" in plan, fn.__name__
         low = plan.lower()
-        for gone in ("ntile(", "percent_rank(", "cume_dist("):
+        # (?<!perce) — "percentile(" must not trip the ntile( check
+        assert not re.search(r"(?<!perce)ntile\(", low), fn.__name__
+        for gone in ("percent_rank(", "cume_dist("):
             assert gone not in low, (fn.__name__, gone)
 
 

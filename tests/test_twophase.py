@@ -134,3 +134,30 @@ def test_two_phase_lead_excludes_null_keys(spark):
     }
     # NULL keys are absent ids, not sequence members
     assert got == {1: 3, 3: 7, 7: None}
+
+
+def test_two_phase_partitioning_is_pinned_for_both_consumers(spark, sf_dir):
+    """Round-6 latent-bug regression: the parts-row summary is a
+    SECOND consumer of the sampled range exchange.  When column
+    pruning makes the two consumers' scans differ, the exchange is
+    not reused and each branch samples its OWN boundaries — local
+    ranks under boundary set A plus offsets under set B produce
+    duplicate/gapped global ranks.  _pin_partitioning (persist) must
+    keep the pid assignment shared: a wide downstream (per-frame
+    percentile aggregation that prunes differently per branch) must
+    yield exactly one row per input row, every time."""
+    from guidewire_spark.operators.stats_ext import window_rolling_median
+    from guidewire_spark.plans.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    want = e.count()
+    for _ in range(3):
+        got = window_rolling_median(spark, sf_dir).collect()
+        assert len(got) == want
+        assert len({r["event_id"] for r in got}) == want
+    # the plan carries the cache pin and the range exchange inside it
+    plan = window_rolling_median(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
