@@ -1343,3 +1343,42 @@ def delta_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not before <= set(after.files) or len(after.files) != len(before) + 1:
         raise AssertionError("MOR update must not rewrite touched files")
     return read_delta(spark, table)
+
+
+@query(
+    "delta_type_widening",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS k, n_name FROM nation
+    UNION ALL
+    SELECT CAST(4294967296 + r_regionkey AS BIGINT) AS k,
+           'R' || r_regionkey AS n_name
+    FROM region
+    """,
+)
+def delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER COLUMN TYPE widening (int → bigint): a METADATA-ONLY
+    commit — the pre-widen files stay byte-identical on disk and the
+    parquet reader upcasts their INT32 values into the wider logical
+    type at scan time — after which appends may exceed the old
+    int range.  The schema-evolution story for a long-lived CDA table
+    whose upstream key outgrows its original type, with zero rewrite
+    cost at any table size.  The query asserts the no-rewrite
+    property before returning the mixed-physical-type table."""
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import widen_column_type
+
+    table = tempfile.mkdtemp(prefix="gw_twid_") + "/nation_delta"
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("k"), "n_name"
+    )
+    write_delta(n, table, mode="append")
+    before = set(load_snapshot(table).files)
+    widen_column_type(table, "k", "bigint")
+    if set(load_snapshot(table).files) != before:
+        raise AssertionError("type widening must not rewrite files")
+    beyond_int = load_table(spark, sf_dir, "region").select(
+        (F.lit(4294967296) + F.col("r_regionkey")).cast("long").alias("k"),
+        F.concat(F.lit("R"), F.col("r_regionkey")).alias("n_name"),
+    )
+    write_delta(beyond_int, table, mode="append")
+    return read_delta(spark, table)

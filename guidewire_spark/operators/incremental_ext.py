@@ -1,0 +1,260 @@
+"""Round-6 frontier: INCREMENTAL dedup-against-history — the shape a
+production training-data pipeline actually runs.  One-shot corpus
+dedup (dedup_minhash_lsh / dedup_connected_components) answers "which
+of these N documents duplicate each other"; a crawling pipeline needs
+"is this NEW batch a duplicate of anything we have EVER accepted",
+without re-scanning history per batch.
+
+The design is the standard LSH-store architecture: a Delta table
+holds the band membership (band, bucket, doc_id) plus the full
+minhash signature of every ACCEPTED document.  Each arriving batch
+
+1. computes its signatures (the same deterministic seed as the
+   one-shot operator — signatures from different runs are comparable),
+2. joins its band hashes against the store → candidate (new, old)
+   pairs — the only history touched is the matching buckets,
+3. verifies candidates by estimated Jaccard (fraction of agreeing
+   minhash components ≥ threshold — no historical TEXT is ever read,
+   only the signature store),
+4. also self-dedups within the batch (earlier doc_id wins),
+5. MERGEs the accepted docs' bands + signatures into the store and
+   appends the per-doc decisions.
+
+At 100 TB: per-batch cost is proportional to the batch plus the
+touched buckets, never to history; the store is a Delta table so the
+whole loop is restartable and the accept/reject log is itself a
+queryable table.  The batch loop body is exactly what a
+``foreachBatch`` sink runs in the streaming form (the CDC-apply
+pattern, streaming/jobs.py) — registered as the deterministic batch
+twin so the driver can execute it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from guidewire_spark.operators.llm import (
+    MINHASH_N,
+    band_hashes,
+    minhash_signatures,
+)
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.registry import query
+
+_SIG_COLS = [f"mh_{i}" for i in range(MINHASH_N)]
+
+
+def dedup_batch_against_store(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_path: str,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """One incremental-dedup step (the ``foreachBatch`` body): returns
+    (decisions, accepted_signatures).  ``decisions`` has one row per
+    batch doc: (doc_id, is_duplicate, matched_doc_id); accepted docs'
+    signatures are what the caller merges into the store."""
+    from guidewire_spark.sources.snapshot import read_delta
+
+    sigs = minhash_signatures(batch)
+    bands = band_hashes(sigs)
+
+    # --- within-batch self-dedup: earlier (lower) doc_id wins -------
+    a, b = bands.alias("a"), bands.alias("b")
+    self_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("cand_id"),
+        )
+        .distinct()
+    )
+
+    # --- against-history candidates ---------------------------------
+    try:
+        store = read_delta(spark, store_path)
+        have_store = store.limit(1).count() > 0
+    except FileNotFoundError:
+        store, have_store = None, False
+    if have_store:
+        hist_pairs = (
+            bands.alias("n")
+            .join(
+                store.select("band", "bucket", F.col("doc_id").alias("cand_id"))
+                .alias("h"),
+                ["band", "bucket"],
+            )
+            .select("doc_id", "cand_id")
+            .distinct()
+        )
+        cand = self_pairs.unionByName(hist_pairs).distinct()
+        # store ids and batch ids are disjoint (a doc is processed
+        # once), so plain union; the store side is filtered to the
+        # CANDIDATE ids map-side via a broadcast semi-join BEFORE the
+        # verify join — the signature store is O(history) and only
+        # bucket-matched rows may shuffle
+        cand_ids = F.broadcast(
+            cand.select(F.col("cand_id").alias("doc_id")).distinct()
+        )
+        cand_sigs = (
+            read_delta(spark, store_path + "_sigs")
+            .join(cand_ids, "doc_id", "left_semi")
+            .unionByName(sigs)
+        )
+    else:
+        cand = self_pairs
+        cand_sigs = sigs
+
+    # --- verify by estimated Jaccard over signatures -----------------
+    agree = sum(
+        F.when(F.col(f"n_{c}") == F.col(f"c_{c}"), 1).otherwise(0)
+        for c in _SIG_COLS
+    )
+    n_side = sigs.select(
+        F.col("doc_id"), *[F.col(c).alias(f"n_{c}") for c in _SIG_COLS]
+    )
+    c_side = cand_sigs.select(
+        F.col("doc_id").alias("cand_id"),
+        *[F.col(c).alias(f"c_{c}") for c in _SIG_COLS],
+    )
+    verified = (
+        cand.join(n_side, "doc_id")
+        .join(c_side, "cand_id")
+        .where(agree >= int(threshold * MINHASH_N))
+        .select("doc_id", "cand_id")
+    )
+    # Duplicate convention (documented, deterministic, exactly
+    # replicable): a doc is a duplicate iff it is similar to ANY
+    # earlier doc of the same batch (lower doc_id) or to ANY accepted
+    # doc of an earlier batch — the transitive-chain convention
+    # (similar-to-a-duplicate still counts, like connected-component
+    # dedup), so no kept/duplicate fixed point is needed and batch
+    # processing provably matches the sequential replay.
+    best = verified.groupBy("doc_id").agg(F.min("cand_id").alias("matched_doc_id"))
+    decisions = (
+        batch.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("matched_doc_id").isNotNull().alias("is_duplicate"),
+            "matched_doc_id",
+        )
+    )
+    accepted = sigs.join(
+        decisions.where("is_duplicate").select("doc_id"), "doc_id", "left_anti"
+    )
+    return decisions, accepted
+
+
+@query("dedup_incremental_minhash")  # engine-hash-dependent → rows-only;
+# order-equivalence vs the one-shot replica is gated in pytest
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-against-history over three arrival batches (doc_id % 3 as
+    the simulated crawl order): every batch is checked against the
+    accumulated LSH store of previously ACCEPTED documents plus
+    itself, and only accepted docs extend the store.  The duplicate
+    verdicts must be exactly what a single-pass dedup in arrival
+    order produces (pytest replica gate) — the property that makes
+    incremental processing trustworthy: processing in batches must
+    not change the answer."""
+    import tempfile
+
+    from guidewire_spark.sources.writer import write_delta
+
+    root = tempfile.mkdtemp(prefix="gw_incdedup_")
+    store_path = root + "/lsh_store"
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = None
+    for chunk in range(3):
+        batch = d.where(F.col("doc_id") % 3 == chunk)
+        decisions, accepted = dedup_batch_against_store(
+            spark, batch, store_path
+        )
+        decisions = decisions.withColumn("batch", F.lit(chunk).cast("long"))
+        write_delta(band_hashes(accepted), store_path, mode="append")
+        write_delta(accepted, store_path + "_sigs", mode="append")
+        out = decisions if out is None else out.unionByName(decisions)
+    return out.select("doc_id", "batch", "is_duplicate", "matched_doc_id")
+
+
+@query(
+    "dedup_incremental_exact",
+    oracle="""
+    WITH o AS (
+      SELECT doc_id, doc_id % 3 AS batch, sha256(text) AS h FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, batch, h,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY batch, doc_id) AS rn,
+             FIRST_VALUE(doc_id) OVER (PARTITION BY h ORDER BY batch, doc_id)
+               AS keeper
+      FROM o
+    )
+    SELECT doc_id, CAST(batch AS BIGINT) AS batch,
+           rn > 1 AS is_duplicate,
+           CASE WHEN rn > 1 THEN keeper END AS matched_doc_id
+    FROM ranked
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT dedup-against-history (the oracle-verified twin of the
+    minhash pipeline): three arrival batches check their sha256 text
+    digests against a Delta digest store of previously accepted
+    documents; within a batch the lowest doc_id wins.  Per-batch cost
+    is digest-join-sized (32-byte digests + ids shuffle, never text);
+    the store is a restartable Delta table.  Because exact identity
+    is transitive for free, the incremental verdicts provably equal
+    the one-shot GROUP BY — which is exactly what the oracle computes
+    with a single window over arrival order."""
+    import tempfile
+
+    from guidewire_spark.sources.snapshot import read_delta
+    from guidewire_spark.sources.writer import write_delta
+
+    store_path = tempfile.mkdtemp(prefix="gw_incexact_") + "/digests"
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    out = None
+    for chunk in range(3):
+        batch = d.where(F.col("doc_id") % 3 == chunk)
+        # within-batch keeper: lowest doc_id per digest
+        w_min = batch.groupBy("h").agg(F.min("doc_id").alias("batch_keeper"))
+        try:
+            store = read_delta(spark, store_path).select(
+                "h", F.col("keeper").alias("hist_keeper")
+            )
+        except FileNotFoundError:
+            store = None
+        scored = batch.join(F.broadcast(w_min), "h")
+        if store is not None:
+            scored = scored.join(store, "h", "left")
+        else:
+            scored = scored.withColumn("hist_keeper", F.lit(None).cast("long"))
+        matched = F.coalesce("hist_keeper", "batch_keeper")
+        decisions = scored.select(
+            "doc_id",
+            F.lit(chunk).cast("long").alias("batch"),
+            (matched != F.col("doc_id")).alias("is_duplicate"),
+            F.when(matched != F.col("doc_id"), matched).alias(
+                "matched_doc_id"
+            ),
+            "h",
+            "batch_keeper",
+            "hist_keeper",
+        )
+        accepted = decisions.where(~F.col("is_duplicate")).select(
+            "h", F.col("doc_id").alias("keeper")
+        )
+        write_delta(accepted, store_path, mode="append")
+        keep = decisions.select(
+            "doc_id", "batch", "is_duplicate", "matched_doc_id"
+        )
+        out = keep if out is None else out.unionByName(keep)
+    return out

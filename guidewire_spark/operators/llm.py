@@ -32,6 +32,79 @@ from guidewire_spark.registry import query
 # Deduplication
 # --------------------------------------------------------------------------
 
+MINHASH_P = 2_147_483_647
+MINHASH_N = 32
+MINHASH_BANDS = 8
+
+
+def minhash_signatures(
+    d: DataFrame, n_hashes: int = MINHASH_N, seed: int = 42
+) -> DataFrame:
+    """(doc_id, text) → (doc_id, mh_0..mh_{n-1}) minhash signatures —
+    the Arrow-batched ``mapInPandas`` signature stage shared by
+    dedup_minhash_lsh and the incremental dedup pipeline (one corpus
+    pass, vectorized siphash + one numpy broadcast-min per doc).
+    Deterministic for a (seed, n_hashes) pair, so signatures computed
+    in different batches/runs are comparable — the property the
+    dedup-against-history store depends on."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(seed)
+    p = MINHASH_P
+    A = np.array([rng.randrange(1, p) for _ in range(n_hashes)], dtype=np.int64)
+    B = np.array([rng.randrange(0, p) for _ in range(n_hashes)], dtype=np.int64)
+
+    def sigs(batches):
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = np.array(text.split() or [""], dtype=object)
+                h = pd.util.hash_array(words).view(np.int64) % p
+                if len(h) >= 3:
+                    sh = np.unique(((h[:-2] * 31 + h[1:-1]) % p * 31 + h[2:]) % p)
+                else:
+                    sh = np.unique(h)
+                out_ids.append(doc_id)
+                out_sigs.append(
+                    ((sh[None, :] * A[:, None] + B[:, None]) % p).min(axis=1)
+                )
+            M = np.stack(out_sigs)
+            yield pd.DataFrame(
+                {"doc_id": out_ids, **{f"mh_{i}": M[:, i] for i in range(n_hashes)}}
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        sigs, "doc_id long, " + ", ".join(f"mh_{i} long" for i in range(n_hashes))
+    )
+
+
+def band_hashes(
+    minhashes: DataFrame,
+    n_hashes: int = MINHASH_N,
+    n_bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Signature frame → (doc_id, band, bucket) LSH band membership
+    (JVM-side ``F.hash`` over each band's rows)."""
+    rows_per_band = n_hashes // n_bands
+    return minhashes.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        *[
+                            F.col(f"mh_{band * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
 
 @query(
     "dedup_exact_groups",
@@ -177,17 +250,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     would re-execute the signature pipeline for both sides); the only
     shuffle carries tiny (band, bucket, doc_id) rows.
     """
-    import random
-
-    import numpy as np
-
-    rng = random.Random(42)
-    p = 2_147_483_647
-    n_hashes, n_bands = 32, 8
-    rows_per_band = n_hashes // n_bands
-    A = np.array([rng.randrange(1, p) for _ in range(n_hashes)], dtype=np.int64)
-    B = np.array([rng.randrange(0, p) for _ in range(n_hashes)], dtype=np.int64)
-
     # The documents table arrives as one small parquet file = one scan
     # partition; fan out before the (CPU-heavy) shingling stage so it
     # uses every core.  Guard the fan-out: repartition always moves
@@ -199,42 +261,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if len(d.inputFiles()) < parallelism:
         d = d.repartition(parallelism)
 
-    def sigs(batches):
-        for pdf in batches:
-            out_ids, out_sigs = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = np.array(text.split() or [""], dtype=object)
-                h = pd.util.hash_array(words).view(np.int64) % p
-                if len(h) >= 3:
-                    sh = np.unique(((h[:-2] * 31 + h[1:-1]) % p * 31 + h[2:]) % p)
-                else:
-                    sh = np.unique(h)
-                out_ids.append(doc_id)
-                out_sigs.append(((sh[None, :] * A[:, None] + B[:, None]) % p).min(axis=1))
-            M = np.stack(out_sigs)
-            yield pd.DataFrame(
-                {"doc_id": out_ids, **{f"mh_{i}": M[:, i] for i in range(n_hashes)}}
-            )
-
-    minhashes = d.select("doc_id", "text").mapInPandas(
-        sigs, "doc_id long, " + ", ".join(f"mh_{i} long" for i in range(n_hashes))
-    )
-    bands_long = minhashes.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(
-                        *[
-                            F.col(f"mh_{band * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ]
-                    )
-                    for band in range(n_bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    minhashes = minhash_signatures(d)
+    bands_long = band_hashes(minhashes)
     buckets = (
         bands_long.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))

@@ -147,18 +147,53 @@ def _read_with_partitions(spark: SparkSession, snap, paths: list[str]) -> DataFr
     return reduce(DataFrame.unionByName, parts)
 
 
+def _is_widening(frm, to) -> bool:
+    """True when ``frm`` → ``to`` is a lossless type widening the
+    parquet reader resolves at scan time (Delta's type widening table
+    feature): byte→short→int→long, float→double, and decimal growth
+    that keeps both the scale and the integer-digit budget
+    non-decreasing.  Old files stay byte-identical — Spark 4's parquet
+    reader upcasts INT32/FLOAT/DECIMAL physical types into the wider
+    requested schema natively."""
+    from pyspark.sql import types as T
+
+    ints = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if isinstance(frm, ints) and isinstance(to, ints):
+        return ints.index(type(frm)) < ints.index(type(to))
+    if isinstance(frm, T.FloatType) and isinstance(to, T.DoubleType):
+        return True
+    if isinstance(frm, T.DecimalType) and isinstance(to, T.DecimalType):
+        return (
+            to.scale >= frm.scale
+            and to.precision - to.scale >= frm.precision - frm.scale
+            and (to.precision, to.scale) != (frm.precision, frm.scale)
+        )
+    return False
+
+
 def _merged_schema(old, new):
     """Additive schema merge (Delta mergeSchema semantics): new fields
-    append after existing ones; shared fields must agree on type."""
+    append after existing ones; shared fields must agree on type OR
+    differ by a legal type widening (the wider of the two wins —
+    incoming long into an int table widens the table; incoming int
+    into a long table upcasts at read time)."""
     from pyspark.sql import types as T
 
     by_name = {f.name: f for f in old.fields}
     for f in new.fields:
         if f.name in by_name:
-            if by_name[f.name].dataType != f.dataType:
-                raise ValueError(
-                    f"column {f.name!r}: {by_name[f.name].dataType} != {f.dataType}"
-                )
+            have = by_name[f.name]
+            if have.dataType != f.dataType:
+                if _is_widening(have.dataType, f.dataType):
+                    by_name[f.name] = T.StructField(
+                        have.name, f.dataType, have.nullable, have.metadata
+                    )
+                elif _is_widening(f.dataType, have.dataType):
+                    pass  # incoming is narrower: reader upcasts its files
+                else:
+                    raise ValueError(
+                        f"column {f.name!r}: {have.dataType} != {f.dataType}"
+                    )
         else:
             by_name[f.name] = f
     ordered = [f.name for f in old.fields] + [
@@ -347,6 +382,60 @@ def rename_column(table_path: str, old: str, new: str) -> int:
             configuration=config,
         ),
         commit_info_action("RENAME COLUMN", f"{old} -> {new}", False, 0, 0, now),
+    ]
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
+def widen_column_type(table_path: str, column: str, new_type: str) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... TYPE — Delta TYPE WIDENING:
+    a metadata-only commit swaps the column to a strictly wider type
+    (byte→short→int→long, float→double, decimal growth); existing
+    files stay byte-identical and the parquet reader upcasts their
+    physical values into the new logical type at scan time.  The
+    schema-evolution story for long-lived CDA tables whose upstream
+    key outgrows INT — no table rewrite, old versions still time
+    travel with the old type.  Narrowing and cross-family changes
+    raise."""
+    from pyspark.sql import types as T
+
+    snap = load_snapshot(table_path)
+    names = [f.name for f in snap.schema.fields]
+    if column not in names:
+        raise KeyError(f"no column {column!r} in {names}")
+    if column in (snap.partition_columns or []):
+        raise ValueError("widening a partition column is not supported")
+    target = T._parse_datatype_string(new_type)
+    old_f = snap.schema[column]
+    if not _is_widening(old_f.dataType, target):
+        raise ValueError(
+            f"{old_f.dataType.simpleString()} -> {target.simpleString()} "
+            "is not a legal type widening"
+        )
+    fields = [
+        T.StructField(f.name, target, f.nullable, f.metadata)
+        if f.name == column
+        else f
+        for f in snap.schema.fields
+    ]
+    now = int(time.time() * 1000)
+    actions = [
+        metadata_action(
+            T.StructType(fields),
+            partition_columns=snap.partition_columns or None,
+            created_time=now,
+            table_id=snap.metadata_id,
+            configuration=table_configuration(table_path),
+        ),
+        commit_info_action(
+            "ALTER COLUMN",
+            f"{column}: {old_f.dataType.simpleString()} -> "
+            f"{target.simpleString()}",
+            False,
+            0,
+            0,
+            now,
+        ),
     ]
     write_commit(table_path, snap.version + 1, actions)
     return snap.version + 1
@@ -586,9 +675,15 @@ def write_delta(
                 extra = {f.name for f in incoming_schema.fields} - {
                     f.name for f in snap.schema.fields
                 }
+                # narrower incoming types into a previously-widened
+                # table are fine without merge_schema (read-time
+                # upcast); anything else mismatched still raises
                 if extra or any(
                     f.name not in missing
                     and snap.schema[f.name].dataType != f.dataType
+                    and not _is_widening(
+                        f.dataType, snap.schema[f.name].dataType
+                    )
                     for f in incoming_schema.fields
                     if f.name in {g.name for g in snap.schema.fields}
                 ):

@@ -229,3 +229,25 @@ def test_mor_update_guards(spark, sf_dir, tmp_path):
     assert (
         got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     )
+
+
+def test_optimize_folds_deletion_vectors_in(spark, sf_dir, tmp_path):
+    """OPTIMIZE compaction reads live rows only (DV-aware), so
+    compacting a vectored table folds the vectors into the rewritten
+    files and clears them — logically a no-op (dataChange=false), same
+    as REORG PURGE but as a side effect of ordinary maintenance."""
+    from guidewire_spark.sources.writer import optimize_table
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    t = str(tmp_path / "opt_dv")
+    # two appends → ≥2 files so OPTIMIZE has something to compact
+    write_delta(s.where("s_suppkey % 2 = 0"), t, mode="append")
+    write_delta(s.where("s_suppkey % 2 = 1"), t, mode="append")
+    delete_from_mor(spark, t, "s_suppkey % 5 = 2")
+    want = {r.s_suppkey for r in s.where("s_suppkey % 5 <> 2").collect()}
+    optimize_table(spark, t)
+    snap = load_snapshot(t)
+    assert not snap.file_dvs
+    assert {r.s_suppkey for r in read_delta(spark, t).collect()} == want
+    ch = read_delta_changes(spark, t, from_version=snap.version - 1)
+    assert ch.count() == 0  # compaction emits no change events

@@ -1257,3 +1257,57 @@ def test_identity_dml_guards_close_the_side_doors(spark, sf_dir, tmp_path):
     append_with_identity(n.limit(3), table)
     ids = [r.rid for r in read_delta(spark, table).select("rid").collect()]
     assert len(ids) == len(set(ids))
+
+
+def test_type_widening_metadata_only_and_time_travel(spark, sf_dir, tmp_path):
+    """Delta TYPE WIDENING: int→long is a metadata-only commit (files
+    untouched, reader upcasts); long appends beyond int range land
+    fine; appending the old narrow type still works WITHOUT
+    merge_schema; version-of time travel keeps the old type; and
+    mergeSchema auto-widens when the incoming type is wider."""
+    from guidewire_spark.sources.writer import widen_column_type
+
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("k"), "n_name"
+    )
+    t = str(tmp_path / "widen")
+    write_delta(n, t, mode="append")
+    files_before = set(load_snapshot(t).files)
+    widen_column_type(t, "k", "bigint")
+    snap = load_snapshot(t)
+    assert set(snap.files) == files_before            # metadata-only
+    assert dict(read_delta(spark, t).dtypes)["k"] == "bigint"
+    big = spark.createDataFrame([(9_999_999_999, "BIG")], "k long, n_name string")
+    write_delta(big, t, mode="append")
+    got = read_delta(spark, t)
+    assert got.agg(F.max("k")).first()[0] == 9_999_999_999
+    # narrow (int) append into the widened table: read-time upcast
+    write_delta(
+        n.limit(2).select((F.col("k") + 100).cast("int").alias("k"), "n_name"),
+        t,
+        mode="append",
+    )
+    assert read_delta(spark, t).count() == n.count() + 3
+    assert dict(read_delta(spark, t, version=0).dtypes)["k"] == "int"
+    with pytest.raises(ValueError, match="not a legal type widening"):
+        widen_column_type(t, "k", "int")
+    with pytest.raises(ValueError, match="not a legal type widening"):
+        widen_column_type(t, "n_name", "bigint")
+
+    # mergeSchema auto-widening: wider incoming type widens the table
+    t2 = str(tmp_path / "autowiden")
+    write_delta(
+        n.select("k", F.col("k").cast("float").alias("w")), t2, mode="append"
+    )
+    write_delta(
+        n.select(
+            F.col("k").cast("long").alias("k"),
+            F.col("k").cast("double").alias("w"),
+        ),
+        t2,
+        mode="append",
+        merge_schema=True,
+    )
+    dts = dict(read_delta(spark, t2).dtypes)
+    assert dts == {"k": "bigint", "w": "double"}
+    assert read_delta(spark, t2).count() == n.count() * 2
