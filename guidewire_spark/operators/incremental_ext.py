@@ -258,3 +258,131 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = keep if out is None else out.unionByName(keep)
     return out
+
+
+@query("dedup_incremental_embedding")  # hyperplane-LSH candidates →
+# rows-only; batching-invariance replica gate in pytest
+def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING dedup-against-history — the semantic sibling of
+    dedup_incremental_minhash: three arrival batches of unit vectors
+    check their random-hyperplane LSH buckets against a Delta store of
+    previously ACCEPTED vectors, candidates verify by EXACT fused
+    cosine (zip_with dot on the unit vectors, ≥ 0.95), and only
+    accepted vectors extend the store.  Exact copies of every 10th
+    vector are planted one batch later (vec_id + 1,000,000), so the
+    pipeline demonstrably catches semantic re-crawls of accepted
+    content.  Same documented convention as the minhash form: a
+    vector is a duplicate iff cosine-similar to a lower-id same-batch
+    vector or to any accepted earlier-batch vector sharing a bucket;
+    duplicate verdicts must equal the sequential replay (pytest).
+
+    Scale: per-batch cost ∝ batch + touched buckets; the vector store
+    joins filter map-side on broadcast candidate ids; vectors shuffle
+    only for verified candidates, never all-pairs."""
+    import tempfile
+
+    from guidewire_spark.functions import vectors as V
+    from guidewire_spark.operators.llm import _hyperplane_bucket_udf
+    from guidewire_spark.sources.snapshot import read_delta
+    from guidewire_spark.sources.writer import write_delta
+
+    store_path = tempfile.mkdtemp(prefix="gw_incemb_") + "/buckets"
+    band_buckets = _hyperplane_bucket_udf(n_bands=32, bits=12, dim=64)
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.normalize(F.col("embedding")).alias("u")
+    )
+    planted = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "u"
+    )
+    corpus = base.unionByName(planted)
+
+    dot = F.aggregate(
+        F.zip_with("n_u", "c_u", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    out = None
+    for chunk in range(3):
+        batch = corpus.where(F.col("vec_id") % 3 == chunk)
+        bands = batch.select(
+            "vec_id", F.posexplode(band_buckets("u")).alias("band", "bucket")
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        self_pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") > F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_id"),
+                F.col("b.vec_id").alias("cand_id"),
+            )
+            .distinct()
+        )
+        try:
+            store = read_delta(spark, store_path)
+            have = store.limit(1).count() > 0
+        except FileNotFoundError:
+            store, have = None, False
+        if have:
+            hist_pairs = (
+                bands.join(
+                    store.select(
+                        "band", "bucket", F.col("vec_id").alias("cand_id")
+                    ),
+                    ["band", "bucket"],
+                )
+                .select("vec_id", "cand_id")
+                .distinct()
+            )
+            cand = self_pairs.unionByName(hist_pairs).distinct()
+            cand_ids = F.broadcast(
+                cand.select(F.col("cand_id").alias("vec_id")).distinct()
+            )
+            cand_vecs = (
+                read_delta(spark, store_path + "_vecs")
+                .join(cand_ids, "vec_id", "left_semi")
+                .unionByName(batch)
+            )
+        else:
+            cand = self_pairs
+            cand_vecs = batch
+        verified = (
+            cand.join(batch.select("vec_id", F.col("u").alias("n_u")), "vec_id")
+            .join(
+                cand_vecs.select(
+                    F.col("vec_id").alias("cand_id"), F.col("u").alias("c_u")
+                ),
+                "cand_id",
+            )
+            .where(dot >= 0.95)
+            .select("vec_id", "cand_id")
+        )
+        best = verified.groupBy("vec_id").agg(
+            F.min("cand_id").alias("matched_vec_id")
+        )
+        decisions = (
+            batch.select("vec_id")
+            .join(best, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.lit(chunk).cast("long").alias("batch"),
+                F.col("matched_vec_id").isNotNull().alias("is_duplicate"),
+                "matched_vec_id",
+            )
+        )
+        accepted = batch.join(
+            decisions.where("is_duplicate").select("vec_id"),
+            "vec_id",
+            "left_anti",
+        )
+        acc_bands = accepted.select(
+            "vec_id", F.posexplode(band_buckets("u")).alias("band", "bucket")
+        )
+        write_delta(acc_bands, store_path, mode="append")
+        write_delta(accepted, store_path + "_vecs", mode="append")
+        out = decisions if out is None else out.unionByName(decisions)
+    return out
