@@ -57,7 +57,13 @@ def dedup_batch_against_store(
     signatures are what the caller merges into the store."""
     from guidewire_spark.sources.snapshot import read_delta
 
-    sigs = minhash_signatures(batch)
+    # Materialize the signatures ONCE per batch (eager localCheckpoint,
+    # batch-sized: one row of 33 longs per doc): the frame feeds the
+    # band self-join (both sides), the verify join, and the accepted
+    # write — without the checkpoint each consumer re-runs the
+    # CPU-heavy mapInPandas shingling stage (the anti-pattern
+    # dedup_minhash_lsh's own docstring warns about).
+    sigs = minhash_signatures(batch).localCheckpoint(eager=True)
     bands = band_hashes(sigs)
 
     # --- within-batch self-dedup: earlier (lower) doc_id wins -------
@@ -224,7 +230,10 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for chunk in range(3):
         batch = d.where(F.col("doc_id") % 3 == chunk)
-        # within-batch keeper: lowest doc_id per digest
+        # within-batch keeper: lowest doc_id per digest — a plain
+        # shuffle join on the digest (one row per DISTINCT digest ≈
+        # batch-sized: never forced broadcast; AQE may still choose
+        # one when the batch is genuinely small)
         w_min = batch.groupBy("h").agg(F.min("doc_id").alias("batch_keeper"))
         try:
             store = read_delta(spark, store_path).select(
@@ -232,7 +241,7 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         except FileNotFoundError:
             store = None
-        scored = batch.join(F.broadcast(w_min), "h")
+        scored = batch.join(w_min, "h")
         if store is not None:
             scored = scored.join(store, "h", "left")
         else:
@@ -304,7 +313,12 @@ def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = None
     for chunk in range(3):
-        batch = corpus.where(F.col("vec_id") % 3 == chunk)
+        # eager checkpoint: the batch frame feeds the bands self-join
+        # (twice), the verify join, and the accepted write — pin it so
+        # the normalize + hyperplane matmul run once per batch
+        batch = corpus.where(F.col("vec_id") % 3 == chunk).localCheckpoint(
+            eager=True
+        )
         bands = batch.select(
             "vec_id", F.posexplode(band_buckets("u")).alias("band", "bucket")
         )

@@ -178,8 +178,6 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     not stable across evaluations, which intermittently desynced the
     two sides (caught at sf0.1); the fold-in removes the second
     consumer AND a shuffle join."""
-    from guidewire_spark.operators.twophase import two_phase_ordered
-
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "purchase")
     ).select("event_id", "event_type", "ts", "value")

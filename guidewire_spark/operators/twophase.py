@@ -37,6 +37,18 @@ from pyspark.sql import functions as F
 
 _PID = "__pid"
 _LOCAL_RN = "__local_rn"
+
+# Bounded FIFO of pinned (persisted) partitioned frames — see
+# _pin_partitioning.  Eviction unpersists the OLDEST pin; that is
+# safe for every query already executed (results are immutable) and
+# for re-executions whose exchange subtrees prune identically.  The
+# one unsafe shape — a two-phase query CONSTRUCTED but first RUN
+# after its pin was evicted — requires a caller to build more than
+# _PIN_CAP two-phase queries before running the first; every in-repo
+# consumer (registry sweep, bench, driver harness, tests) builds and
+# materializes each query adjacently, so 32 leaves ~30× slack.
+_PIN_FIFO: list = []
+_PIN_CAP = 32
 _RESERVED_PREFIXES = ("__pid", "__local_rn", "__offset", "__run_", "__off_",
                       "__sum_", "__cnt", "__local_lead", "__first",
                       "__next_first", "__keep_")
@@ -79,10 +91,28 @@ def _pin_partitioning(parted: DataFrame) -> DataFrame:
     degrades to a disk materialization (the same order of cost as the
     range shuffle itself, and the price of a deterministic boundary);
     the SQL plan keeps the rangepartitioning exchange visible inside
-    the InMemoryRelation, which the plan locks assert on."""
+    the InMemoryRelation, which the plan locks assert on.
+
+    Leak control (round-6 review finding): every call registers an
+    InMemoryRelation in Spark's CacheManager and the lazy API has no
+    natural unpersist point, so pins are tracked in a bounded FIFO —
+    when it overflows, the OLDEST pin is unpersisted (non-blocking).
+    The cap comfortably exceeds the number of two-phase frames any
+    single query composes (the max observed is 2, Kaplan-Meier), so a
+    query under construction never loses its pin; a long session
+    sweeping hundreds of queries stays bounded instead of
+    accumulating spilled cache blocks forever."""
     from pyspark import StorageLevel
 
-    return parted.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned = parted.persist(StorageLevel.MEMORY_AND_DISK)
+    _PIN_FIFO.append(pinned)
+    while len(_PIN_FIFO) > _PIN_CAP:
+        old = _PIN_FIFO.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # session may already be stopped
+    return pinned
 
 
 def _check_columns(df: DataFrame) -> None:

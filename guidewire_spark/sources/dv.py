@@ -166,12 +166,20 @@ def scan_with_row_index(
 
 
 def normalize_path(path: str) -> str:
-    """The DV join key for a log file path: absolute, scheme-stripped
-    (mirrors the ``_metadata.file_path`` normalization in
-    :func:`scan_with_row_index`)."""
+    """The DV join key for a log file path: absolute, scheme-stripped,
+    and URI-percent-encoded EXACTLY the way Spark's
+    ``_metadata.file_path`` renders it (java.net.URI path encoding:
+    space and other non-URI-path bytes become %XX, while the
+    sub-delims ``!$&'()*+,;=`` and ``:@~`` stay literal — verified
+    empirically against the scan side, which
+    :func:`scan_with_row_index` leaves in encoded form).  Without the
+    matching encoding, a table path containing a space would KeyError
+    on write and silently skip the anti-join on read."""
     import re
+    from urllib.parse import quote
 
-    return re.sub("^file:/+", "/", os.path.abspath(path))
+    bare = re.sub("^file:/+", "/", os.path.abspath(path))
+    return quote(bare, safe="/!$&'()*+,;=:@~")
 
 
 def deleted_rows_frame(

@@ -259,14 +259,16 @@ def read_delta_changes(
     # truncation of that version degrades to the latest snapshot's map,
     # which still covers every currently-live file).
     pv_map: dict[str, dict] = dict(latest.file_partitions)
+    # dv_state seeds unconditionally (not only for partitioned
+    # tables): the per-version DV diff needs the vectors live AT
+    # from_version or already-dead rows re-emit as deletes
     dv_state: dict[str, dict] = {}
-    if pcols or True:
-        try:
-            start_snap = load_snapshot(table_path, version=from_version)
-            pv_map.update(start_snap.file_partitions)
-            dv_state = dict(start_snap.file_dvs)
-        except (ValueError, FileNotFoundError):
-            pass
+    try:
+        start_snap = load_snapshot(table_path, version=from_version)
+        pv_map.update(start_snap.file_partitions)
+        dv_state = dict(start_snap.file_dvs)
+    except (ValueError, FileNotFoundError):
+        pass
 
     # Each frame: (version, change kind, file path, dead-index subtract
     # list or None, only-index list or None).  A merge-on-read DELETE

@@ -1683,7 +1683,15 @@ def deep_clone(
 def restore_table(table_path: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF ``version``: a new commit
     whose net effect is the old snapshot's file set + schema (history
-    is preserved — restore is itself a version, per Delta semantics)."""
+    is preserved — restore is itself a version, per Delta semantics).
+
+    Deletion-vector aware (round-6 review finding): a file live in
+    BOTH snapshots whose DV state differs must be re-added with the
+    OLD snapshot's vector (a merge-on-read delete between the two
+    versions otherwise survives the restore and keeps hiding rows the
+    old version contained), and files returning from the old snapshot
+    carry its recorded deletionVector so purged-then-restored dead
+    rows never resurrect."""
     old = load_snapshot(table_path, version=version)
     cur = load_snapshot(table_path)
     now = int(time.time() * 1000)
@@ -1699,6 +1707,15 @@ def restore_table(table_path: str, version: int) -> int:
     actions.extend(
         remove_action(p, now) for p in cur.files if p not in set(old.files)
     )
+    # files to (re-)add: absent from the current snapshot, OR present
+    # but with a different deletion-vector state (the add REPLACES the
+    # live DV on replay, restoring the old visibility)
+    readd = [
+        p
+        for p in old.files
+        if p not in set(cur.files)
+        or old.file_dvs.get(p) != cur.file_dvs.get(p)
+    ]
     actions.extend(
         add_action(
             p,
@@ -1706,9 +1723,9 @@ def restore_table(table_path: str, version: int) -> int:
             now,
             stats=old.file_stats.get(p),
             partition_values=old.file_partitions.get(p),
+            deletion_vector=old.file_dvs.get(p),
         )
-        for p in old.files
-        if p not in set(cur.files)
+        for p in readd
     )
     actions.append(
         commit_info_action(
@@ -1976,6 +1993,16 @@ def generate_symlink_manifest(table_path: str) -> list[str]:
     is metadata-scale (the file list); returns the manifest paths.
     """
     snap = load_snapshot(table_path)
+    if snap.file_dvs:
+        # manifest readers scan the listed parquet verbatim and would
+        # silently see every merge-on-read-deleted row (a GDPR-erasure
+        # leak); Delta's own GENERATE refuses on DV tables likewise —
+        # purge first, then export
+        raise ValueError(
+            f"table has deletion vectors on {len(snap.file_dvs)} file(s); "
+            "external manifest readers cannot apply them — run "
+            "purge_deletion_vectors (REORG APPLY PURGE) before GENERATE"
+        )
     root = os.path.join(table_path, "_symlink_format_manifest")
     if os.path.isdir(root):
         shutil.rmtree(root)

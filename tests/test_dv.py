@@ -180,7 +180,8 @@ def test_mor_update_marks_dead_and_appends_new_images(spark, sf_dir, tmp_path):
     )
     after = load_snapshot(t)
     assert set(before.files) <= set(after.files)   # nothing rewritten
-    assert len(after.files) == len(before.files) + 1  # one new image file
+    # image files added (one per matched-scan partition), none removed
+    assert len(after.files) > len(before.files)
     assert after.file_dvs
     got = {r.s_suppkey: r.s_name for r in read_delta(spark, t).collect()}
     want = {
@@ -251,3 +252,84 @@ def test_optimize_folds_deletion_vectors_in(spark, sf_dir, tmp_path):
     assert {r.s_suppkey for r in read_delta(spark, t).collect()} == want
     ch = read_delta_changes(spark, t, from_version=snap.version - 1)
     assert ch.count() == 0  # compaction emits no change events
+
+
+def test_restore_is_deletion_vector_aware(spark, sf_dir, tmp_path):
+    """Round-6 review finding: RESTORE must re-add files whose DV
+    state changed — restoring to a pre-delete version brings the dead
+    rows back (the old add carries no vector and clears the live
+    one), and restoring to a DV-era version after a purge re-attaches
+    the old vector so purged dead rows never resurrect."""
+    from guidewire_spark.sources.writer import restore_table
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    t = str(tmp_path / "restore_dv")
+    write_delta(s, t, mode="append")                    # v0: all rows
+    delete_from_mor(spark, t, "s_suppkey % 4 = 0")      # v1: DV
+    n_after_delete = read_delta(spark, t).count()
+
+    restore_table(t, 0)                                 # v2: undo delete
+    assert not load_snapshot(t).file_dvs
+    assert read_delta(spark, t).count() == s.count()
+
+    delete_from_mor(spark, t, "s_suppkey % 4 = 0")      # v3: DV again
+    purge_deletion_vectors(spark, t)                    # v4: rewritten
+    restore_table(t, 3)                                 # v5: back to DV era
+    snap = load_snapshot(t)
+    assert snap.file_dvs                                # vector restored
+    assert read_delta(spark, t).count() == n_after_delete
+    assert read_delta(spark, t).where("s_suppkey % 4 = 0").count() == 0
+
+
+def test_symlink_manifest_refuses_dv_tables(spark, sf_dir, tmp_path):
+    """External manifest readers scan parquet verbatim and cannot
+    apply deletion vectors — GENERATE must refuse rather than leak
+    merge-on-read-deleted rows; after a purge it works again."""
+    from guidewire_spark.sources.writer import generate_symlink_manifest
+
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    t = str(tmp_path / "manifest_dv")
+    write_delta(r, t, mode="append")
+    delete_from_mor(spark, t, "r_regionkey = 1")
+    with pytest.raises(ValueError, match="purge_deletion_vectors"):
+        generate_symlink_manifest(t)
+    purge_deletion_vectors(spark, t)
+    assert generate_symlink_manifest(t)
+
+
+def test_dv_on_table_path_with_space(spark, sf_dir, tmp_path):
+    """Round-6 review finding: _metadata.file_path is URI-percent-
+    encoded ('my table' → 'my%20table') while the log stores raw
+    paths; normalize_path must produce the scan's encoding or the
+    anti-join silently misses (read returns deleted rows) and the
+    write KeyErrors."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = str(tmp_path / "with space" / "tbl")
+    write_delta(n, t, mode="append")
+    delete_from_mor(spark, t, "n_nationkey % 5 = 0")
+    got = {r.n_nationkey for r in read_delta(spark, t).collect()}
+    assert got == {
+        r.n_nationkey for r in n.where("n_nationkey % 5 <> 0").collect()
+    }
+
+
+def test_vacuum_never_touches_dv_files(spark, sf_dir, tmp_path):
+    """DV'd files are LIVE (their add is current, only rows are dead):
+    VACUUM must keep them; after a purge the superseded originals
+    become unreferenced and are collectable."""
+    from guidewire_spark.sources.writer import vacuum_table
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    t = str(tmp_path / "vac_dv")
+    write_delta(s, t, mode="append")
+    delete_from_mor(spark, t, "s_suppkey % 3 = 0")
+    live = set(load_snapshot(t).files)
+    vacuum_table(t, retention_ms=0)
+    assert all(os.path.exists(p) for p in live)
+    want = read_delta(spark, t).count()
+
+    purge_deletion_vectors(spark, t)
+    vacuum_table(t, retention_ms=0)
+    # superseded pre-purge files are gone; the table still reads
+    assert not all(os.path.exists(p) for p in live)
+    assert read_delta(spark, t).count() == want
