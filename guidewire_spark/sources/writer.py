@@ -1213,6 +1213,80 @@ def delete_from_mor(
     return snap.version + 1
 
 
+def delete_auto(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    *,
+    mor_threshold: float = 0.3,
+    prune_column: str | None = None,
+    prune_lo=None,
+    prune_hi=None,
+) -> tuple[int, str]:
+    """Cost-based DELETE: pick copy-on-write vs merge-on-read from the
+    MEASURED damage ratio — matched rows over total rows in the files
+    that contain matches (file totals from add.stats, matched counts
+    from one predicate scan).  A dense delete (most rows of the
+    touched files die) rewrites those files once and keeps the read
+    path vector-free; a sparse delete (a few rows across many files —
+    the GDPR-erasure shape) records deletion vectors and rewrites
+    nothing.  This is the strategy selection Delta's DELETE performs
+    when deletion vectors are enabled.  Returns (new version,
+    'cow' | 'mor')."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    snap = load_snapshot(table_path)
+    if not snap.files:
+        raise ValueError(f"nothing to delete from at {table_path}")
+    candidates = (
+        snap.pruned_files(prune_column, prune_lo, prune_hi)
+        if prune_column
+        else list(snap.files)
+    )
+    with_file = _read_with_partitions(spark, snap, candidates).withColumn(
+        "__file", F.input_file_name()
+    )
+    per_file = {
+        os.path.realpath(r["__file"].replace("file://", "")): r["n"]
+        for r in with_file.where(predicate)
+        .groupBy("__file")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if not per_file:
+        raise ValueError("predicate matches no rows; nothing to delete")
+    matched = sum(per_file.values())
+    total = 0
+    for p in candidates:
+        if os.path.realpath(p) in per_file:
+            raw = snap.file_stats.get(p)
+            n = _json.loads(raw).get("numRecords") if raw else None
+            if n is None:
+                # stats missing: be conservative, assume dense (CoW)
+                total = matched
+                break
+            total += n
+    ratio = matched / max(total, 1)
+    if ratio >= mor_threshold:
+        return (
+            delete_from(
+                spark, table_path, predicate,
+                prune_column=prune_column, prune_lo=prune_lo,
+                prune_hi=prune_hi,
+            ),
+            "cow",
+        )
+    return (
+        delete_from_mor(
+            spark, table_path, predicate,
+            prune_column=prune_column, prune_lo=prune_lo, prune_hi=prune_hi,
+        ),
+        "mor",
+    )
+
+
 def purge_deletion_vectors(spark: SparkSession, table_path: str) -> int:
     """REORG TABLE ... APPLY (PURGE): physically rewrite every file
     carrying a deletion vector WITHOUT its dead rows and drop the

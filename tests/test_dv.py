@@ -333,3 +333,28 @@ def test_vacuum_never_touches_dv_files(spark, sf_dir, tmp_path):
     # superseded pre-purge files are gone; the table still reads
     assert not all(os.path.exists(p) for p in live)
     assert read_delta(spark, t).count() == want
+
+
+def test_delete_auto_picks_strategy_by_damage_ratio(spark, sf_dir, tmp_path):
+    """Cost-based DELETE: a sparse predicate (few rows of many) routes
+    merge-on-read (vectors, no rewrite); a dense one (most rows of the
+    touched files) routes copy-on-write (rewrite, no vectors).  Both
+    produce the same logical answer as a plain filter."""
+    from guidewire_spark.sources.writer import delete_auto
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    t1 = str(tmp_path / "auto_sparse")
+    write_delta(d, t1, mode="append")
+    files_before = set(load_snapshot(t1).files)
+    v, strat = delete_auto(spark, t1, "doc_id % 50 = 7")  # ~2% of rows
+    assert strat == "mor"
+    assert set(load_snapshot(t1).files) == files_before
+    assert load_snapshot(t1).file_dvs
+    assert read_delta(spark, t1).count() == d.where("doc_id % 50 <> 7").count()
+
+    t2 = str(tmp_path / "auto_dense")
+    write_delta(d, t2, mode="append")
+    v, strat = delete_auto(spark, t2, "doc_id % 10 <> 3")  # ~90% of rows
+    assert strat == "cow"
+    assert not load_snapshot(t2).file_dvs
+    assert read_delta(spark, t2).count() == d.where("doc_id % 10 = 3").count()

@@ -645,3 +645,24 @@ def test_range_frame_windows_over_domain_aggregate(spark, sf_dir):
     # everything BELOW the window (its input subtree renders after it
     # in the indented tree) must include the size aggregate
     assert any("HashAggregate" in l for l in lines[win:]), tree
+
+
+def test_dv_read_is_broadcast_anti_join_with_row_index(spark, sf_dir, tmp_path):
+    """The deletion-vector read path must subtract dead rows with a
+    BROADCAST anti-join keyed on the scan's generated row index —
+    never a shuffle of the data side (the DV side is bounded by
+    deleted-row count) and never a Python stage."""
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.snapshot import read_delta
+    from guidewire_spark.sources.writer import delete_from_mor, write_delta
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    t = str(tmp_path / "dv_plan")
+    write_delta(s, t, mode="append")
+    delete_from_mor(spark, t, "s_suppkey % 3 = 0")
+    plan = plan_of(read_delta(spark, t))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "__dv_row" in plan and "row_index" in plan, plan
+    # no Python evaluation anywhere in the read path
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, bad

@@ -30,6 +30,9 @@ def test_entry_passed_semantics():
     )
     # absent comparison keys (weaker driver record shapes) still pass
     assert _entry_passed({"err": None})
+    # the driver's CLEAN rows-only record: err='no_oracle' + row count
+    assert _entry_passed({"err": "no_oracle", "spark_rows": 25})
+    assert not _entry_passed({"err": "no_oracle", "spark_rows": None})
 
 
 def test_checked_names_match_committed_green_history():
