@@ -101,9 +101,12 @@ def main() -> None:
     # the median is kept alongside to expose variance.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    from guidewire_spark.operators.twophase import clear_two_phase_pins
+
     for _ in range(runs):
         for name in HEADLINE:
             spec = specs[name]
+            clear_two_phase_pins()  # release the previous query's pins
             start = time.perf_counter()
             n = spec.fn(spark, sf_dir).count()
             samples[name].append(round(time.perf_counter() - start, 3))

@@ -1389,7 +1389,7 @@ def delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     "delta_delete_auto",
     oracle="""
     SELECT doc_id, lang FROM documents
-    WHERE doc_id % 40 <> 11 AND doc_id % 4 <> 2
+    WHERE doc_id % 40 <> 11 AND doc_id % 4 = 2
     """,
 )
 def delta_delete_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1398,8 +1398,11 @@ def delta_delete_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches, file totals from add.stats) and routes a SPARSE delete to
     merge-on-read deletion vectors (zero rewrite) and a DENSE one to
     copy-on-write (rewrite, vector-free reads) — the selection Delta
-    performs when DVs are enabled.  The query runs one of each,
-    asserts the routing, and returns the doubly-deleted table."""
+    performs when DVs are enabled.  The query runs ONE OF EACH and
+    asserts both routings: the sparse pass leaves files untouched
+    with a vector attached; the dense pass (≈75% of live rows,
+    measured against the DV-corrected live count) rewrites and folds
+    the earlier vector in."""
     from guidewire_spark.sources.snapshot import load_snapshot
     from guidewire_spark.sources.writer import delete_auto
 
@@ -1408,13 +1411,13 @@ def delta_delete_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_delta(d, table, mode="append")
     before = set(load_snapshot(table).files)
     _, strat1 = delete_auto(spark, table, "doc_id % 40 = 11")   # ~2.5%
-    if strat1 != "mor" or set(load_snapshot(table).files) != before:
+    mid = load_snapshot(table)
+    if strat1 != "mor" or set(mid.files) != before or not mid.file_dvs:
         raise AssertionError("sparse delete must route merge-on-read")
-    _, strat2 = delete_auto(spark, table, "doc_id % 4 = 2")     # ~25% + DV'd
-    if strat2 != "mor":
-        # 25% < the 30% threshold → still MOR; tighten the check to
-        # whatever the measured ratio produced rather than guessing
-        raise AssertionError(f"expected mor for 25% damage, got {strat2}")
+    _, strat2 = delete_auto(spark, table, "doc_id % 4 <> 2")    # ~75%
+    after = load_snapshot(table)
+    if strat2 != "cow" or after.file_dvs:
+        raise AssertionError("dense delete must route copy-on-write")
     return read_delta(spark, table)
 
 

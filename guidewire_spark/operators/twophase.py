@@ -107,12 +107,42 @@ def _pin_partitioning(parted: DataFrame) -> DataFrame:
     pinned = parted.persist(StorageLevel.MEMORY_AND_DISK)
     _PIN_FIFO.append(pinned)
     while len(_PIN_FIFO) > _PIN_CAP:
+        import warnings
+
         old = _PIN_FIFO.pop(0)
+        warnings.warn(
+            "two-phase pin FIFO overflow: unpersisting the oldest "
+            "pinned frame — if that query has NOT yet been executed, "
+            "its range-partition boundaries may desync between "
+            "consumers; call clear_two_phase_pins() between query "
+            "executions instead of constructing >32 two-phase queries "
+            "up front",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         try:
             old.unpersist(blocking=False)
         except Exception:
             pass  # session may already be stopped
     return pinned
+
+
+def clear_two_phase_pins() -> int:
+    """Unpersist every pinned two-phase frame — the explicit cleanup
+    hook for long-lived sessions that execute many two-phase queries
+    (the registry sweep and bench call this between queries, so pins
+    never approach the FIFO cap and the eviction warning stays
+    theoretical).  SAFE only between query executions: a constructed-
+    but-not-yet-run two-phase DataFrame loses its boundary pin.
+    Returns the number of pins released."""
+    n = len(_PIN_FIFO)
+    while _PIN_FIFO:
+        df = _PIN_FIFO.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+    return n
 
 
 def _check_columns(df: DataFrame) -> None:

@@ -294,15 +294,31 @@ def read_delta_changes(
             pv_map[path] = add.get("partitionValues") or {}
             dv = add.get("deletionVector")
             if path in removes and dv is not None:
-                # MOR delete: the change set is new_dv − old_dv
+                # in-place DV-state change (MOR delete, or a RESTORE
+                # re-attaching a vector): the change set is the
+                # row-level diff in BOTH directions — new deaths emit
+                # as deletes, resurrected rows (a restore shrinking
+                # the vector) as inserts
                 old = (
                     set(decode_dv(dv_state[path]))
                     if path in dv_state
                     else set()
                 )
-                fresh = sorted(set(decode_dv(dv)) - old)
+                new = set(decode_dv(dv))
+                fresh = sorted(new - old)
+                revived = sorted(old - new)
                 if fresh:
                     frames.append((v, "delete", path, None, fresh))
+                if revived:
+                    frames.append((v, "insert", path, None, revived))
+                removes.pop(path)
+            elif path in removes and path in dv_state:
+                # in-place vector REMOVAL (RESTORE to a pre-delete
+                # version): only the previously-dead rows change —
+                # they come back as inserts
+                revived = sorted(decode_dv(dv_state[path]))
+                if revived:
+                    frames.append((v, "insert", path, None, revived))
                 removes.pop(path)
             else:
                 # plain insert; rows dead under a carried DV never

@@ -91,6 +91,19 @@ def _partition_values(
     return {c: values.get(c) for c in partition_by}
 
 
+
+def _uri_file_key(uri: str) -> str:
+    """Match key for ``input_file_name()`` output: scheme stripped,
+    URI percent-encoding KEPT (input_file_name renders paths encoded —
+    'my table' appears as 'my%20table' — so the log-path side must be
+    encoded identically via dv.normalize_path, never realpath'd raw;
+    the old raw-realpath compare silently matched nothing on any table
+    path containing an encodable character)."""
+    import re
+
+    return re.sub("^file:/+", "/", uri)
+
+
 def _read_with_partitions(spark: SparkSession, snap, paths: list[str]) -> DataFrame:
     """Read data files, materializing partition columns from the log's
     ``add.partitionValues`` (hive-layout files don't store them).
@@ -1052,11 +1065,13 @@ def delete_from(
     with_file = _read_with_partitions(spark, snap, candidates).withColumn(
         "__file", F.input_file_name()
     )
+    from guidewire_spark.sources.dv import normalize_path
+
     hit_files = {
-        os.path.realpath(r["__file"].replace("file://", ""))
+        _uri_file_key(r["__file"])
         for r in with_file.where(predicate).select("__file").distinct().collect()
     }
-    rewrite = [p for p in candidates if os.path.realpath(p) in hit_files]
+    rewrite = [p for p in candidates if normalize_path(p) in hit_files]
     if not rewrite:
         raise ValueError("predicate matches no rows; nothing to delete")
     survivors = _read_with_partitions(spark, snap, rewrite).where(
@@ -1232,7 +1247,14 @@ def delete_auto(
     the GDPR-erasure shape) records deletion vectors and rewrites
     nothing.  This is the strategy selection Delta's DELETE performs
     when deletion vectors are enabled.  Returns (new version,
-    'cow' | 'mor')."""
+    'cow' | 'mor').
+
+    Cost note: the routing measurement is itself a predicate scan of
+    the candidate files, and the routed DELETE scans them again — the
+    decision costs one extra pass over the touched files' matching
+    columns.  Callers that already know their delete shape should
+    call delete_from / delete_from_mor directly; this router is for
+    the generic entry point where the shape is unknown."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -1248,8 +1270,10 @@ def delete_auto(
     with_file = _read_with_partitions(spark, snap, candidates).withColumn(
         "__file", F.input_file_name()
     )
+    from guidewire_spark.sources.dv import normalize_path
+
     per_file = {
-        os.path.realpath(r["__file"].replace("file://", "")): r["n"]
+        _uri_file_key(r["__file"]): r["n"]
         for r in with_file.where(predicate)
         .groupBy("__file")
         .agg(F.count("*").alias("n"))
@@ -1260,14 +1284,22 @@ def delete_auto(
     matched = sum(per_file.values())
     total = 0
     for p in candidates:
-        if os.path.realpath(p) in per_file:
+        if normalize_path(p) in per_file:
             raw = snap.file_stats.get(p)
             n = _json.loads(raw).get("numRecords") if raw else None
             if n is None:
                 # stats missing: be conservative, assume dense (CoW)
                 total = matched
                 break
-            total += n
+            # the denominator must be LIVE rows: stats count physical
+            # rows, but the matched side scanned DV-subtracted rows —
+            # without the correction a previously-vectored file's
+            # density is understated and dense deletes keep stacking
+            # vectors on exactly the files that most need a rewrite
+            dv = snap.file_dvs.get(p)
+            if dv:
+                n -= int(dv.get("cardinality", 0))
+            total += max(n, 0)
     ratio = matched / max(total, 1)
     if ratio >= mor_threshold:
         return (
@@ -1481,11 +1513,13 @@ def replace_where(
     with_file = _read_with_partitions(spark, snap, list(snap.files)).withColumn(
         "__file", F.input_file_name()
     )
+    from guidewire_spark.sources.dv import normalize_path
+
     hit_files = {
-        os.path.realpath(r["__file"].replace("file://", ""))
+        _uri_file_key(r["__file"])
         for r in with_file.where(predicate).select("__file").distinct().collect()
     }
-    rewrite = [p for p in snap.files if os.path.realpath(p) in hit_files]
+    rewrite = [p for p in snap.files if normalize_path(p) in hit_files]
     staged = []
     commit_dirs = []
     if rewrite:
@@ -1582,11 +1616,13 @@ def update_table(
     with_file = _read_with_partitions(spark, snap, candidates).withColumn(
         "__file", F.input_file_name()
     )
+    from guidewire_spark.sources.dv import normalize_path
+
     hit_files = {
-        os.path.realpath(r["__file"].replace("file://", ""))
+        _uri_file_key(r["__file"])
         for r in with_file.where(predicate).select("__file").distinct().collect()
     }
-    rewrite = [p for p in candidates if os.path.realpath(p) in hit_files]
+    rewrite = [p for p in candidates if normalize_path(p) in hit_files]
     if not rewrite:
         raise ValueError("predicate matches no rows; nothing to update")
     base = _read_with_partitions(spark, snap, rewrite)
@@ -1778,18 +1814,26 @@ def restore_table(table_path: str, version: int) -> int:
                 created_time=now,
             )
         )
+    old_set, cur_set = set(old.files), set(cur.files)
     actions.extend(
-        remove_action(p, now) for p in cur.files if p not in set(old.files)
+        remove_action(p, now) for p in cur.files if p not in old_set
     )
     # files to (re-)add: absent from the current snapshot, OR present
-    # but with a different deletion-vector state (the add REPLACES the
-    # live DV on replay, restoring the old visibility)
+    # but with a different deletion-vector state.  The DV-change case
+    # commits as a remove+add PAIR of the same path: a bare add would
+    # read as a brand-new file in the change feed and re-emit the
+    # whole file as inserts; the pair lets read_delta_changes compute
+    # the row-level DV diff (deaths AND resurrections) instead.
     readd = [
         p
         for p in old.files
-        if p not in set(cur.files)
-        or old.file_dvs.get(p) != cur.file_dvs.get(p)
+        if p not in cur_set or old.file_dvs.get(p) != cur.file_dvs.get(p)
     ]
+    actions.extend(
+        remove_action(p, now)
+        for p in readd
+        if p in cur_set  # in-place DV-state change: pair the add
+    )
     actions.extend(
         add_action(
             p,

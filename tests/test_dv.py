@@ -358,3 +358,78 @@ def test_delete_auto_picks_strategy_by_damage_ratio(spark, sf_dir, tmp_path):
     assert strat == "cow"
     assert not load_snapshot(t2).file_dvs
     assert read_delta(spark, t2).count() == d.where("doc_id % 10 = 3").count()
+
+
+def test_restore_cdf_emits_row_level_diffs_not_whole_files(
+    spark, sf_dir, tmp_path
+):
+    """Round-6 second-review finding: RESTORE's DV-state change must
+    read as ROW-LEVEL events in the change feed — resurrected rows as
+    inserts, never the whole file re-inserted (which would double
+    every untouched row for a CDF consumer)."""
+    from guidewire_spark.sources.writer import restore_table
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    t = str(tmp_path / "restore_cdf")
+    write_delta(s, t, mode="append")                 # v0
+    delete_from_mor(spark, t, "s_suppkey % 4 = 0")   # v1: deletes
+    v2 = restore_table(t, 0)                         # v2: resurrection
+    ch = [
+        (r.s_suppkey, r._change_type)
+        for r in read_delta_changes(spark, t, from_version=v2 - 1).collect()
+    ]
+    dead = {r.s_suppkey for r in s.where("s_suppkey % 4 = 0").collect()}
+    # ONLY the resurrected rows appear, all as inserts
+    assert set(ch) == {(k, "insert") for k in dead}
+
+    # restore BACK to the post-delete version: the same rows re-die
+    v3 = restore_table(t, 1)
+    ch2 = [
+        (r.s_suppkey, r._change_type)
+        for r in read_delta_changes(spark, t, from_version=v3 - 1).collect()
+    ]
+    assert set(ch2) == {(k, "delete") for k in dead}
+    # full-feed materialization nets to the v1 state
+    assert read_delta(spark, t).count() == s.count() - len(dead)
+
+
+def test_cow_dml_on_table_path_with_space(spark, sf_dir, tmp_path):
+    """The copy-on-write hit-file detection compares input_file_name()
+    (URI-encoded) against log paths — with the normalize_path key both
+    sides agree on encodable table paths (second-review finding: the
+    old raw-realpath compare matched nothing and the DELETE raised)."""
+    from guidewire_spark.sources.writer import delete_from, update_table
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = str(tmp_path / "spa ced" / "cow")
+    write_delta(n, t, mode="append")
+    delete_from(spark, t, "n_nationkey % 5 = 0")
+    update_table(spark, t, "n_nationkey = 3", {"n_name": "'PATCHED'"})
+    got = {r.n_nationkey: r.n_name for r in read_delta(spark, t).collect()}
+    assert set(got) == {
+        r.n_nationkey for r in n.where("n_nationkey % 5 <> 0").collect()
+    }
+    assert got[3] == "PATCHED"
+
+
+def test_delete_auto_ratio_uses_live_rows_on_vectored_files(
+    spark, sf_dir, tmp_path
+):
+    """Second-review finding: the damage-ratio denominator must count
+    LIVE rows (physical numRecords minus DV cardinality).  After a MOR
+    delete kills 60%+ of a file, a predicate matching most of the
+    REMAINING rows is dense and must route copy-on-write — the
+    physical-count ratio would understate it and stack vectors
+    forever."""
+    from guidewire_spark.sources.writer import delete_auto
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = str(tmp_path / "ratio_live")
+    write_delta(n, t, mode="append")
+    delete_from_mor(spark, t, "n_nationkey % 5 <> 0")  # kill 80%
+    # of the 5 live rows (0,5,10,15,20), delete 4 → 80% of LIVE but
+    # only 16% of PHYSICAL: must still route CoW
+    _, strat = delete_auto(spark, t, "n_nationkey IN (0, 5, 10, 15)")
+    assert strat == "cow"
+    assert not load_snapshot(t).file_dvs
+    assert {r.n_nationkey for r in read_delta(spark, t).collect()} == {20}

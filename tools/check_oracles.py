@@ -64,11 +64,14 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
+    from guidewire_spark.operators.twophase import clear_two_phase_pins
+
     specs = all_queries()
     passed = failed = rows_only = 0
     for name, spec in sorted(specs.items()):
         if only and name not in only:
             continue
+        clear_two_phase_pins()  # release the previous query's pins
         try:
             sdf = spec.fn(spark, SF_DIR)
             srows = sdf.collect()
