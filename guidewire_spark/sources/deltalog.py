@@ -79,6 +79,7 @@ def add_action(
     stats: str | None = None,
     partition_values: dict | None = None,
     deletion_vector: dict | None = None,
+    base_row_id: int | None = None,
 ) -> dict:
     action = {
         "add": {
@@ -95,6 +96,10 @@ def add_action(
         # merge-on-read: the public Delta protocol's deletionVector
         # descriptor rides the add action (sources/dv.py)
         action["add"]["deletionVector"] = deletion_vector
+    if base_row_id is not None:
+        # row tracking: the public Delta protocol's baseRowId — a
+        # file row's stable id is baseRowId + its position in the file
+        action["add"]["baseRowId"] = int(base_row_id)
     return action
 
 

@@ -80,6 +80,7 @@ _CHECKPOINT_SCHEMA = pa.schema(
                             ]
                         ),
                     ),
+                    pa.field("baseRowId", pa.int64()),
                 ]
             ),
         ),
@@ -152,6 +153,7 @@ def write_log_checkpoint(table_path: str, version: int | None = None) -> str:
                         for k, v in (snap.file_partitions.get(path) or {}).items()
                     ],
                     "deletionVector": snap.file_dvs.get(path),
+                    "baseRowId": snap.file_base_rows.get(path),
                 }
             }
         )
@@ -171,18 +173,21 @@ def load_checkpoint_state(
     dict[str, int],
     dict[str, dict],
     dict[str, dict],
+    dict[str, int],
     T.StructType | None,
     str | None,
     list[str],
 ]:
     """Read ``<version>.checkpoint.parquet`` → (active file → stats,
     file → size, file → partitionValues, file → deletionVector,
-    schema, metadata id, partition columns) to seed log replay."""
+    file → baseRowId, schema, metadata id, partition columns) to seed
+    log replay."""
     table = pq.read_table(checkpoint_path(table_path, version))
     active: dict[str, str | None] = {}
     sizes: dict[str, int] = {}
     partitions: dict[str, dict] = {}
     dvs: dict[str, dict] = {}
+    base_rows: dict[str, int] = {}
     schema: T.StructType | None = None
     meta_id: str | None = None
     part_cols: list[str] = []
@@ -195,9 +200,11 @@ def load_checkpoint_state(
             dv = add.get("deletionVector")
             if dv and dv.get("storageType"):
                 dvs[add["path"]] = dv
+            if add.get("baseRowId") is not None:
+                base_rows[add["path"]] = int(add["baseRowId"])
         meta = row.get("metaData")
         if meta and meta.get("schemaString"):
             schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
             meta_id = meta.get("id") or None
             part_cols = list(meta.get("partitionColumns") or [])
-    return active, sizes, partitions, dvs, schema, meta_id, part_cols
+    return active, sizes, partitions, dvs, base_rows, schema, meta_id, part_cols

@@ -69,6 +69,8 @@ class DeltaSnapshot:
     file_partitions: dict[str, dict] = field(default_factory=dict)
     # merge-on-read: live add.deletionVector descriptors by file path
     file_dvs: dict[str, dict] = field(default_factory=dict)
+    # row tracking: live add.baseRowId per file path
+    file_base_rows: dict[str, int] = field(default_factory=dict)
 
     @property
     def num_files(self) -> int:
@@ -159,6 +161,7 @@ def load_snapshot(
     sizes: dict[str, int] = {}
     partitions: dict[str, dict] = {}
     dvs: dict[str, dict] = {}
+    base_rows: dict[str, int] = {}
     schema: T.StructType | None = None
     meta_id: str | None = None
     part_cols: list[str] = []
@@ -167,7 +170,7 @@ def load_snapshot(
     if ckpt_version is not None and ckpt_version <= version:
         # O(1) replay: seed from the checkpoint parquet, then apply
         # only the JSON tail — instead of O(versions) JSON reads.
-        active, sizes, partitions, dvs, schema, meta_id, part_cols = (
+        active, sizes, partitions, dvs, base_rows, schema, meta_id, part_cols = (
             load_checkpoint_state(table_path, ckpt_version)
         )
         replay_after = ckpt_version
@@ -190,11 +193,17 @@ def load_snapshot(
                     dvs[path] = dv
                 else:
                     dvs.pop(path, None)
+                brid = action["add"].get("baseRowId")
+                if brid is not None:
+                    base_rows[path] = int(brid)
+                else:
+                    base_rows.pop(path, None)
             elif "remove" in action:
                 active.pop(action["remove"]["path"], None)
                 sizes.pop(action["remove"]["path"], None)
                 partitions.pop(action["remove"]["path"], None)
                 dvs.pop(action["remove"]["path"], None)
+                base_rows.pop(action["remove"]["path"], None)
             elif "metaData" in action:
                 schema = T.StructType.fromJson(
                     json.loads(action["metaData"]["schemaString"])
@@ -215,6 +224,7 @@ def load_snapshot(
         partition_columns=part_cols,
         file_partitions=partitions,
         file_dvs=dvs,
+        file_base_rows=base_rows,
     )
 
 
@@ -391,12 +401,49 @@ def read_delta_changes(
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
 
 
+
+def _scan_with_row_ids(spark, snap, files, schema):
+    """Scan ``files`` carrying the stable ``_row_id`` column
+    (baseRowId + parquet row index, the public Delta row-tracking
+    identity), with deletion vectors applied — dead rows' ids simply
+    never appear.  Requires every file to carry a base (tracking must
+    be fully enabled)."""
+    from pyspark.sql import functions as F
+
+    from guidewire_spark.sources.dv import (
+        META_FILE,
+        META_ROW,
+        apply_dv,
+        normalize_path,
+        scan_with_row_index,
+    )
+
+    missing = [p for p in files if p not in snap.file_base_rows]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} file(s) have no baseRowId — enable row "
+            "tracking (enable_row_tracking) before reading row ids"
+        )
+    df = scan_with_row_index(spark, schema, files)
+    bases = spark.createDataFrame(
+        [(normalize_path(p), int(snap.file_base_rows[p])) for p in files],
+        f"{META_FILE} string, __base long",
+    )
+    df = (
+        df.join(F.broadcast(bases), META_FILE)
+        .withColumn("_row_id", F.col("__base") + F.col(META_ROW))
+        .drop("__base")
+    )
+    return apply_dv(df, spark, {p: snap.file_dvs[p] for p in files if p in snap.file_dvs})
+
+
 def read_delta(
     spark: SparkSession,
     table_path: str,
     version: int | None = None,
     timestamp: int | None = None,
     partition_filter: dict | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Snapshot → DataFrame. The explicit schema makes the scan skip
     footer inference, and empty snapshots yield a typed empty frame.
@@ -411,7 +458,15 @@ def read_delta(
     snap = load_snapshot(table_path, version=version, timestamp=timestamp)
     if not snap.partition_columns:
         if not snap.files:
-            return spark.createDataFrame([], snap.schema or T.StructType([]))
+            base = snap.schema or T.StructType([])
+            if with_row_ids:
+                base = T.StructType(
+                    list(base.fields)
+                    + [T.StructField("_row_id", T.LongType(), True)]
+                )
+            return spark.createDataFrame([], base)
+        if with_row_ids:
+            return _scan_with_row_ids(spark, snap, snap.files, snap.schema)
         if not snap.file_dvs:
             return read_files_with_schema(spark, snap.schema, snap.files)
         # merge-on-read: plain files scan as usual; DV'd files scan
@@ -455,30 +510,38 @@ def read_delta(
     for pv, files in sorted(
         groups.items(), key=lambda kv: tuple((v is None, v or "") for v in kv[0])
     ):
-        plain = [p for p in files if p not in snap.file_dvs]
-        dvd = [p for p in files if p in snap.file_dvs]
-        group_parts = []
-        if plain:
-            group_parts.append(
-                read_files_with_schema(spark, data_schema, plain)
-            )
-        if dvd:
-            from guidewire_spark.sources.dv import (
-                apply_dv,
-                scan_with_row_index,
-            )
-
-            group_parts.append(
-                apply_dv(
-                    scan_with_row_index(spark, data_schema, dvd),
-                    spark,
-                    {p: snap.file_dvs[p] for p in dvd},
+        if with_row_ids:
+            group_parts = [
+                _scan_with_row_ids(spark, snap, files, data_schema)
+            ]
+        else:
+            plain = [p for p in files if p not in snap.file_dvs]
+            dvd = [p for p in files if p in snap.file_dvs]
+            group_parts = []
+            if plain:
+                group_parts.append(
+                    read_files_with_schema(spark, data_schema, plain)
                 )
-            )
+            if dvd:
+                from guidewire_spark.sources.dv import (
+                    apply_dv,
+                    scan_with_row_index,
+                )
+
+                group_parts.append(
+                    apply_dv(
+                        scan_with_row_index(spark, data_schema, dvd),
+                        spark,
+                        {p: snap.file_dvs[p] for p in dvd},
+                    )
+                )
         df = reduce(lambda a, b: a.unionByName(b), group_parts)
         for col, val in zip(pcols, pv):
             dtype = schema[col].dataType if col in schema.fieldNames() else T.StringType()
             df = df.withColumn(col, F.lit(val).cast(dtype))
         parts.append(df)
     out = reduce(lambda a, b: a.unionByName(b), parts)
-    return out.select(*schema.fieldNames()) if schema.fields else out
+    if not schema.fields:
+        return out
+    keep = list(schema.fieldNames()) + (["_row_id"] if with_row_ids else [])
+    return out.select(*keep)

@@ -720,6 +720,34 @@ def write_delta(
         version, op_mode, blind = prev + 1, "Append", not actions
     from guidewire_spark.sources.stats import footer_stats
 
+    base_ids: dict[str, int] = {}
+    if prev is not None and _row_tracking_enabled(table_path):
+        # row tracking: fresh ids above the high-water mark, assigned
+        # in the same commit that adds the files; the bumped mark
+        # rides a metadata action, and the commit pins the snapshot
+        # version (blind-append retry could interleave two writers'
+        # id ranges)
+        config = table_configuration(table_path)
+        base_ids, config = _assign_base_row_ids(table_path, files, config)
+        existing_meta = next((a for a in actions if "metaData" in a), None)
+        if existing_meta is not None:
+            # a schema-evolution metadata action is already in this
+            # commit: carry the bumped mark on IT (a second metaData
+            # would win the replay and clobber the evolved schema)
+            existing_meta["metaData"]["configuration"] = config
+        else:
+            snap2 = load_snapshot(table_path)
+            actions.append(
+                metadata_action(
+                    snap2.schema,
+                    partition_columns=snap2.partition_columns or None,
+                    created_time=now,
+                    table_id=snap2.metadata_id,
+                    configuration=config,
+                )
+            )
+        blind = False
+
     actions.extend(
         add_action(
             f.path,
@@ -731,6 +759,7 @@ def write_delta(
                 if partition_by
                 else None
             ),
+            base_row_id=base_ids.get(f.path),
         )
         for f in files
     )
@@ -797,6 +826,7 @@ def optimize_table(
     """
     if zorder_by and hilbert_by:
         raise ValueError("zorder_by and hilbert_by are mutually exclusive")
+    _reject_rewrite_on_row_tracking(table_path, "OPTIMIZE")
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to optimize at {table_path}")
@@ -922,6 +952,7 @@ def merge_into(
     """
     keys = [on] if isinstance(on, str) else list(on)
     _reject_identity_dml(table_path, "MERGE")
+    _reject_rewrite_on_row_tracking(table_path, "MERGE")
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to merge into at {table_path}")
@@ -1047,6 +1078,7 @@ def delete_from(
     At 100 TB a targeted delete (GDPR erasure, bad-batch rollback)
     rewrites a handful of files, never the table.
     """
+    _reject_rewrite_on_row_tracking(table_path, "copy-on-write DELETE")
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to delete from at {table_path}")
@@ -1217,6 +1249,7 @@ def delete_from_mor(
                 stats=snap.file_stats.get(path),
                 partition_values=snap.file_partitions.get(path) or None,
                 deletion_vector=merge_dv(snap.file_dvs.get(path), idxs),
+                base_row_id=snap.file_base_rows.get(path),
             )
         )
     actions.append(
@@ -1226,6 +1259,123 @@ def delete_from_mor(
     )
     write_commit(table_path, snap.version + 1, actions)
     return snap.version + 1
+
+
+_ROW_TRACKING_KEY = "delta.enableRowTracking"
+_ROW_HWM_KEY = "delta.rowTracking.rowIdHighWaterMark"
+
+
+def _row_tracking_enabled(table_path: str) -> bool:
+    return table_configuration(table_path).get(_ROW_TRACKING_KEY) == "true"
+
+
+def _reject_rewrite_on_row_tracking(table_path: str, op: str) -> None:
+    """Row-tracked tables accept merge-on-read DML only: a rewrite
+    (OPTIMIZE / purge / copy-on-write DELETE/UPDATE/MERGE /
+    replaceWhere / partition overwrite) moves rows to new files and
+    would reassign their stable ids.  Delta proper materializes row
+    ids into the files before rewriting; this engine documents the
+    restriction instead (deletion vectors make MOR the natural DML on
+    tracked tables anyway)."""
+    if _row_tracking_enabled(table_path):
+        raise ValueError(
+            f"{op} would reassign stable row ids on a row-tracked table; "
+            "use merge-on-read DML (delete_from_mor / update_table_mor)"
+        )
+
+
+def _file_record_counts(files_or_paths, name_hint: str) -> list[tuple[str, int]]:
+    """(path, numRecords) per staged/live file from footer stats,
+    sorted by path for a deterministic base-row-id assignment order.
+    Raises when a footer carries no count — silent guessing would
+    alias row ids."""
+    import json as _json
+
+    from guidewire_spark.sources.stats import footer_stats
+
+    out = []
+    for p in sorted(files_or_paths):
+        raw = footer_stats(p)
+        n = _json.loads(raw).get("numRecords") if raw else None
+        if n is None:
+            raise ValueError(
+                f"{name_hint}: no numRecords in footer stats for {p}; "
+                "cannot assign base row ids"
+            )
+        out.append((p, int(n)))
+    return out
+
+
+def enable_row_tracking(table_path: str) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES delta.enableRowTracking=true:
+    assign each LIVE file a ``baseRowId`` (cumulative record counts in
+    sorted-path order — a file row's stable id is baseRowId + its
+    position in the file, the public Delta protocol's row-tracking
+    identity) and record the fresh-id high-water mark.  Metadata-only
+    (dataChange=false — enabling tracking changes no data; the change
+    feed stays silent); subsequent appends assign ids above the mark
+    in the same commit that adds the files."""
+    snap = load_snapshot(table_path)
+    if _row_tracking_enabled(table_path):
+        raise ValueError(f"row tracking already enabled at {table_path}")
+    counts = _file_record_counts(snap.files, "enable_row_tracking")
+    now = int(time.time() * 1000)
+    config = table_configuration(table_path)
+    config[_ROW_TRACKING_KEY] = "true"
+    base = 0
+    adds = []
+    for p, n in counts:
+        adds.append(
+            add_action(
+                p,
+                snap.file_sizes.get(p, 0),
+                now,
+                stats=snap.file_stats.get(p),
+                partition_values=snap.file_partitions.get(p) or None,
+                deletion_vector=snap.file_dvs.get(p),
+                base_row_id=base,
+            )
+        )
+        base += n
+    config[_ROW_HWM_KEY] = str(base - 1)
+    actions = [
+        metadata_action(
+            snap.schema,
+            partition_columns=snap.partition_columns or None,
+            created_time=now,
+            table_id=snap.metadata_id,
+            configuration=config,
+        )
+    ]
+    for a in adds:
+        a["add"]["dataChange"] = False
+    actions += adds
+    actions.append(
+        commit_info_action(
+            "SET TBLPROPERTIES", "rowTracking", False, 0, 0, now
+        )
+    )
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
+def _assign_base_row_ids(
+    table_path: str, files, config: dict
+) -> tuple[dict[str, int], dict]:
+    """Base row ids for newly staged files, above the recorded
+    high-water mark; returns ({path: base}, updated config).  The
+    caller must commit the updated config's metadata action in the
+    SAME commit as the adds (id assignment and the mark move
+    atomically, the identity-column discipline)."""
+    counts = _file_record_counts((f.path for f in files), "row tracking")
+    base = int(config.get(_ROW_HWM_KEY, "-1")) + 1
+    assignment = {}
+    for p, n in counts:
+        assignment[p] = base
+        base += n
+    config = dict(config)
+    config[_ROW_HWM_KEY] = str(base - 1)
+    return assignment, config
 
 
 def delete_auto(
@@ -1259,6 +1409,18 @@ def delete_auto(
 
     from pyspark.sql import functions as F
 
+    if _row_tracking_enabled(table_path):
+        # forced routing: copy-on-write would reassign stable row ids,
+        # so a row-tracked table always takes merge-on-read — and the
+        # damage-ratio measurement pass is skipped (outcome is fixed)
+        return (
+            delete_from_mor(
+                spark, table_path, predicate,
+                prune_column=prune_column, prune_lo=prune_lo,
+                prune_hi=prune_hi,
+            ),
+            "mor",
+        )
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to delete from at {table_path}")
@@ -1325,6 +1487,7 @@ def purge_deletion_vectors(spark: SparkSession, table_path: str) -> int:
     vectors — ``dataChange=false`` (the logical table is unchanged;
     CDF consumers don't re-fire), exactly Delta's purge contract.
     Files without vectors are untouched (metadata-only)."""
+    _reject_rewrite_on_row_tracking(table_path, "REORG APPLY (PURGE)")
     snap = load_snapshot(table_path)
     if not snap.file_dvs:
         raise ValueError(f"no deletion vectors to purge at {table_path}")
@@ -1441,6 +1604,23 @@ def update_table_mor(
 
     now = int(time.time() * 1000)
     actions = []
+    base_ids: dict[str, int] = {}
+    if _row_tracking_enabled(table_path):
+        # updated images are re-inserts: they take FRESH row ids above
+        # the mark (documented deviation from Delta proper, which
+        # preserves ids by materializing them — the old image's id
+        # dies with its DV'd row); untouched files keep their bases
+        config = table_configuration(table_path)
+        base_ids, config = _assign_base_row_ids(table_path, files, config)
+        actions.append(
+            metadata_action(
+                snap.schema,
+                partition_columns=snap.partition_columns or None,
+                created_time=now,
+                table_id=snap.metadata_id,
+                configuration=config,
+            )
+        )
     for key, idxs in sorted(by_file.items()):
         path = by_path[key]
         actions.append(remove_action(path, now, size=snap.file_sizes.get(path)))
@@ -1452,6 +1632,7 @@ def update_table_mor(
                 stats=snap.file_stats.get(path),
                 partition_values=snap.file_partitions.get(path) or None,
                 deletion_vector=merge_dv(snap.file_dvs.get(path), idxs),
+                base_row_id=snap.file_base_rows.get(path),
             )
         )
     actions += [
@@ -1463,6 +1644,7 @@ def update_table_mor(
             partition_values=(
                 _partition_values(f.path, commit_dir, pcols) if pcols else None
             ),
+            base_row_id=base_ids.get(f.path),
         )
         for f in files
     ]
@@ -1499,6 +1681,7 @@ def replace_where(
     only; only files actually containing matches are rewritten.
     """
     _reject_identity_dml(table_path, "replaceWhere")
+    _reject_rewrite_on_row_tracking(table_path, "replaceWhere")
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to replace at {table_path}")
@@ -1586,6 +1769,7 @@ def update_table(
     Updated rows re-check CHECK constraints — an UPDATE may not
     invalidate the table's invariants.
     """
+    _reject_rewrite_on_row_tracking(table_path, "copy-on-write UPDATE")
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to update at {table_path}")
@@ -1827,7 +2011,9 @@ def restore_table(table_path: str, version: int) -> int:
     readd = [
         p
         for p in old.files
-        if p not in cur_set or old.file_dvs.get(p) != cur.file_dvs.get(p)
+        if p not in cur_set
+        or old.file_dvs.get(p) != cur.file_dvs.get(p)
+        or old.file_base_rows.get(p) != cur.file_base_rows.get(p)
     ]
     actions.extend(
         remove_action(p, now)
@@ -1842,6 +2028,7 @@ def restore_table(table_path: str, version: int) -> int:
             stats=old.file_stats.get(p),
             partition_values=old.file_partitions.get(p),
             deletion_vector=old.file_dvs.get(p),
+            base_row_id=old.file_base_rows.get(p),
         )
         for p in readd
     )
@@ -1869,6 +2056,7 @@ def overwrite_partitions(df: DataFrame, table_path: str) -> int:
     import time as _time
 
     _reject_identity_dml(table_path, "dynamic partition overwrite")
+    _reject_rewrite_on_row_tracking(table_path, "dynamic partition overwrite")
     snap = load_snapshot(table_path)
     pcols = list(snap.partition_columns or [])
     if not pcols:
