@@ -703,9 +703,11 @@ def vocab_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
            count_if(o_totalprice > 150000) AS n_big,
            bool_and(o_totalprice > 0) AS all_positive,
            bool_or(o_orderstatus = 'F') AS any_finished,
-           max_by(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           max_by(o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
                   * 1000000 + o_orderkey % 1000000) AS priciest_order,
-           min_by(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           min_by(o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
                   * 1000000 + o_orderkey % 1000000) AS cheapest_order
     FROM orders GROUP BY o_orderpriority
     """,
@@ -718,10 +720,18 @@ def agg_argminmax_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_by's tie-break is engine-undefined, so the ordering key is
     made UNIQUE by construction (exact integer cents * 1e6 + key
     suffix, all < 2^53 so both engines compute it exactly) — the same
-    determinism discipline as the mode operator."""
+    determinism discipline as the mode operator.
+
+    The cents come from the DECIMAL bridge (cast to DECIMAL(14,2)
+    FIRST, then scale), NOT round(double*100): per-row ROUND of a raw
+    double product diverges between engines at half-cent boundaries
+    (the round-6 driver hash failure on this exact query), while the
+    decimal cast is exact on both sides because totalprice carries at
+    most 2 fractional digits."""
     o = load_table(spark, sf_dir, "orders")
     ukey = (
-        F.round(F.col("o_totalprice") * 100).cast("long") * 1000000
+        (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
+        * 1000000
         + F.col("o_orderkey") % 1000000
     )
     return o.groupBy("o_orderpriority").agg(

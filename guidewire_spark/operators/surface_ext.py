@@ -115,28 +115,41 @@ def func_to_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END)
              AS lang_ci,
-           COUNT(*) AS n
+           COUNT(*) AS n,
+           count_if(lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang)
+                          ELSE lang END) = 'en') AS n_en_collated,
+           count_if(lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang)
+                          ELSE lang END) = 'en') AS n_en_lower
     FROM documents GROUP BY 1
     """,
 )
 def func_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 collations: grouping on a UTF8_LCASE-collated column
-    makes 'EN' and 'en' one group WITHOUT rewriting every expression
-    through lower() — collation travels with the type, so joins,
-    GROUP BY, DISTINCT and comparisons all become case-insensitive at
-    once (the engine hashes the collation key). The mixed-case column
-    is engineered (every even doc upper-cased); output is lowercased
-    for a collation-free oracle."""
+    """Spark 4 collations: case-insensitive comparison at the
+    EXPRESSION level via a UTF8_LCASE-collated equality, next to a
+    case-insensitive GROUP BY.
+
+    Round-6 lesson (sibling func_collation_lcase failed the driver
+    hash while passing the replica): GROUP BY on a collated column
+    depends on collation-key hashing internals that can vary across
+    Spark 4.x builds, so the grouping key here is explicit lower()
+    (build-stable), and collation is exercised on the comparison path
+    only — both sides explicitly collated, with a lower() twin column
+    so a binary-collation fallback in any build surfaces as a visible
+    n_en_collated ≠ n_en_lower disagreement instead of a silent hash
+    drift.  Collated-GROUP-BY semantics themselves are asserted in
+    tests/test_version_semantics.py."""
     d = load_table(spark, sf_dir, "documents")
     mixed = F.when(F.col("doc_id") % 2 == 0, F.upper("lang")).otherwise(
         F.col("lang")
     )
+    lc = F.collate(mixed, "UTF8_LCASE")
+    lit_en = F.collate(F.lit("en"), "UTF8_LCASE")
     return (
-        d.select(F.collate(mixed, "UTF8_LCASE").alias("lang_c"))
-        .groupBy("lang_c")
-        .agg(F.count("*").alias("n"))
-        .select(
-            F.lower(F.col("lang_c")).cast("string").alias("lang_ci"), "n"
+        d.groupBy(F.lower(mixed).alias("lang_ci"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(lc == lit_en).alias("n_en_collated"),
+            F.count_if(F.lower(mixed) == "en").alias("n_en_lower"),
         )
     )
 

@@ -1,0 +1,145 @@
+"""Pin the SEMANTICS of version-gated Spark 4 features.
+
+Round-6 driver lesson: `func_collation_lcase` hash-failed the driver
+while passing the local replica — the divergence lived in the build's
+collation behavior, invisible locally.  The fix class (round-6 verdict
+item 3): for every registry query that leans on a version-gated
+feature (collations, VARIANT, try_*, listagg, approx_top_k), assert
+the feature's SEMANTIC here with a known input and a hand-computed
+expected value, so a build change breaks a NAMED TEST instead of
+silently drifting a driver hash.  If one of these fails on some other
+build, the matching registry queries are the ones to re-audit first.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+MIXED = ["FRANCE", "France", "france", "GERMANY", "Germany"]
+
+
+def _mixed_df(spark):
+    return spark.createDataFrame([(s,) for s in MIXED], "s string")
+
+
+class TestCollationSemantics:
+    """UTF8_LCASE: used by func_collation_lcase / func_collation_groupby."""
+
+    def test_collated_equality_is_case_insensitive(self, spark):
+        df = _mixed_df(spark)
+        lc = F.collate(F.col("s"), "UTF8_LCASE")
+        lit = F.collate(F.lit("france"), "UTF8_LCASE")
+        n = df.where(lc == lit).count()
+        assert n == 3, f"UTF8_LCASE equality matched {n} of 3 FRANCE spellings"
+
+    def test_collated_distinct_folds_case(self, spark):
+        df = _mixed_df(spark)
+        n = df.select(
+            F.collate(F.col("s"), "UTF8_LCASE").alias("c")
+        ).distinct().count()
+        assert n == 2, f"UTF8_LCASE distinct returned {n}, expected 2"
+
+    def test_collated_groupby_folds_case(self, spark):
+        df = _mixed_df(spark)
+        rows = (
+            df.groupBy(F.collate(F.col("s"), "UTF8_LCASE").alias("c"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        counts = sorted(r["n"] for r in rows)
+        assert counts == [2, 3], f"UTF8_LCASE group sizes {counts} != [2, 3]"
+
+    def test_collated_count_distinct_agg(self, spark):
+        # The exact aggregation shape the round-6 red query used.
+        df = _mixed_df(spark)
+        row = df.agg(
+            F.countDistinct(
+                F.collate(F.col("s"), "UTF8_LCASE")
+            ).alias("n")
+        ).collect()[0]
+        assert row["n"] == 2, f"countDistinct over UTF8_LCASE = {row['n']}"
+
+
+class TestVariantSemantics:
+    """VARIANT: used by the json/VARIANT family queries."""
+
+    def test_parse_and_extract(self, spark):
+        df = spark.createDataFrame(
+            [('{"a": 1, "b": {"c": "x"}}',)], "j string"
+        )
+        row = df.select(
+            F.try_variant_get(
+                F.parse_json("j"), "$.b.c", "string"
+            ).alias("v")
+        ).collect()[0]
+        assert row["v"] == "x"
+
+    def test_variant_numeric_extract(self, spark):
+        df = spark.createDataFrame([('{"a": 41}',)], "j string")
+        row = df.select(
+            F.try_variant_get(F.parse_json("j"), "$.a", "long").alias("v")
+        ).collect()[0]
+        assert row["v"] == 41
+
+
+class TestTryFamilySemantics:
+    """try_*: used by the func_try_family query."""
+
+    def test_try_divide_null_on_zero(self, spark):
+        df = spark.range(1)
+        row = df.select(
+            F.try_divide(F.lit(1), F.lit(0)).alias("d"),
+            F.try_divide(F.lit(6), F.lit(3)).alias("ok"),
+        ).collect()[0]
+        assert row["d"] is None and row["ok"] == 2.0
+
+    def test_try_cast_and_to_number(self, spark):
+        df = spark.range(1)
+        row = df.select(
+            F.lit("abc").try_cast("int").alias("bad"),
+            F.lit("42").try_cast("int").alias("good"),
+            F.try_to_number(F.lit("12,345"), F.lit("99,999")).alias("num"),
+        ).collect()[0]
+        assert row["bad"] is None and row["good"] == 42
+        assert float(row["num"]) == 12345.0
+
+    def test_try_add_overflow_null(self, spark):
+        df = spark.range(1)
+        row = df.select(
+            F.try_add(
+                F.lit(9223372036854775807).cast("long"), F.lit(1).cast("long")
+            ).alias("o")
+        ).collect()[0]
+        assert row["o"] is None
+
+
+class TestListaggSemantics:
+    """listagg: used by the agg_listagg query (pass r6 — keep pinned)."""
+
+    def test_listagg_within_group_order(self, spark):
+        df = spark.createDataFrame(
+            [("b",), ("a",), ("c",)], "s string"
+        )
+        row = df.agg(
+            F.expr("listagg(s, ',') WITHIN GROUP (ORDER BY s)").alias("l")
+        ).collect()[0]
+        assert row["l"] == "a,b,c"
+
+
+class TestApproxTopKSemantics:
+    """approx_top_k: exact when maxItemsTracked >= true cardinality —
+    the property that makes agg_approx_top_k's exact-count oracle valid."""
+
+    def test_exact_when_capacity_exceeds_cardinality(self, spark):
+        df = spark.createDataFrame(
+            [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "s string"
+        )
+        rows = (
+            df.agg(F.expr("approx_top_k(s, 3, 100)").alias("tk"))
+            .select(F.explode("tk").alias("e"))
+            .select("e.item", "e.count")
+            .collect()
+        )
+        got = {r["item"]: r["count"] for r in rows}
+        assert got == {"a": 5, "b": 3, "c": 1}

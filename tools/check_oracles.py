@@ -59,6 +59,13 @@ def main() -> None:
     only = set(sys.argv[1:])
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
+    # Engine versions in the sweep output (round-6 verdict item 3):
+    # the replica is NOT the driver — a hash divergence between them
+    # is only diagnosable if every sweep records what it ran on.
+    print(
+        f"engines: pyspark={spark.version} duckdb={duckdb.__version__} "
+        f"python={sys.version.split()[0]} sf_dir={SF_DIR}"
+    )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
