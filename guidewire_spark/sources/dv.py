@@ -26,11 +26,23 @@ byte per row; random indexes in ~2-5 bytes per row.
 
 Scale design of the READ side: deleted (file, row_index) pairs join
 against the scan on Spark's parquet ``_metadata.row_index`` /
-``_metadata.file_path`` columns (JVM-generated, no Python), as a
-BROADCAST anti-join — a deletion vector is by construction small
-relative to the data (else copy-on-write wins and ``delete_from`` is
-the right tool), so the broadcast is bounded by deleted-row count,
-never table size.
+``_metadata.file_path`` columns (JVM-generated, no Python).  The join
+strategy is CARDINALITY-GUARDED (round-6 verdict): below
+``BROADCAST_DV_MAX_ROWS`` total cardinality (summed from descriptor
+metadata, no decode needed) the vectors are decoded on the driver and
+broadcast — the cheap path while ``delete_auto`` keeps MOR deletes
+sparse.  Above it (direct ``delete_from_mor`` calls accumulate
+unboundedly via ``merge_dv``; at 100 TB a 0.1% MOR-deleted fraction
+is ~1e8 indexes), the inline payloads are decoded EXECUTOR-SIDE — a
+``mapInPandas`` over the one-row-per-file descriptor frame — and the
+anti-join shuffles, so no index list ever materializes on the driver.
+
+Scale design of the WRITE side: newly deleted row indexes are
+aggregated and varint-ENCODED executor-side (``applyInPandas`` per
+file); the driver collects one (path, payload, cardinality) row per
+touched file — compressed bytes (~1-5 B/row), never Python row
+objects — because the inline descriptor does ultimately live in the
+commit JSON.
 """
 
 from __future__ import annotations
@@ -165,6 +177,15 @@ def scan_with_row_index(
     return df
 
 
+# Above this many total deleted row indexes (summed descriptor
+# cardinality), the read path stops decoding vectors on the driver and
+# decodes them executor-side with a shuffle anti-join instead.  2e6
+# (path, long) rows is ~100 MB of broadcast — comfortably under the
+# 8 GB broadcast cap with headroom for wide paths.  Module-level so
+# tests (and operators) can tighten it.
+BROADCAST_DV_MAX_ROWS = 2_000_000
+
+
 def normalize_path(path: str) -> str:
     """The DV join key for a log file path: absolute, scheme-stripped,
     and URI-percent-encoded EXACTLY the way Spark's
@@ -178,7 +199,10 @@ def normalize_path(path: str) -> str:
     import re
     from urllib.parse import quote
 
-    bare = re.sub("^file:/+", "/", os.path.abspath(path))
+    # Strip the file: scheme BEFORE abspath: abspath of a still-
+    # schemed 'file:///tmp/x' would glue it under the cwd
+    # ('<cwd>/file:/tmp/x') and the regex would never fire.
+    bare = os.path.abspath(re.sub("^file:/+", "/", path))
     return quote(bare, safe="/!$&'()*+,;=:@~")
 
 
@@ -199,15 +223,161 @@ def deleted_rows_frame(
     )
 
 
+def dv_total_cardinality(dvs: dict[str, dict]) -> int:
+    """Total deleted-row count across descriptors — read straight off
+    the descriptor metadata, NO payload decode (that is the point: the
+    routing decision must be free)."""
+    return sum(int(d.get("cardinality", 0)) for d in dvs.values())
+
+
+def deleted_rows_frame_distributed(
+    spark: SparkSession, dvs: dict[str, dict]
+) -> DataFrame:
+    """Executor-side twin of :func:`deleted_rows_frame`: the driver
+    ships only the (path, base85 payload) descriptor rows — one per
+    file, compressed bytes — and each executor decodes its files'
+    varint payloads inside an Arrow-batched ``mapInPandas``.  No
+    row-index list ever materializes on the driver, so total DV
+    cardinality is bounded by cluster memory, not driver memory.
+    Decoded output is chunked so a single dense vector (one file, many
+    millions of dead rows) still yields bounded Arrow batches."""
+    import pandas as pd
+
+    desc_rows = [
+        (normalize_path(p), d["pathOrInlineDv"]) for p, d in dvs.items()
+    ]
+    n_part = max(
+        1, min(len(desc_rows), spark.sparkContext.defaultParallelism)
+    )
+    desc = spark.createDataFrame(
+        desc_rows, f"{META_FILE} string, __payload string"
+    ).repartition(n_part, META_FILE)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(META_FILE, T.StringType()),
+            T.StructField(META_ROW, T.LongType()),
+        ]
+    )
+    chunk = 1 << 20
+
+    def _decode(batches):
+        for pdf in batches:
+            for path, payload in zip(pdf[META_FILE], pdf["__payload"]):
+                idx = decode_dv(
+                    {"storageType": _STORAGE_INLINE,
+                     "pathOrInlineDv": payload}
+                )
+                for lo in range(0, len(idx), chunk):
+                    part = idx[lo : lo + chunk]
+                    yield pd.DataFrame(
+                        {META_FILE: [path] * len(part), META_ROW: part}
+                    )
+
+    return desc.mapInPandas(_decode, out_schema)
+
+
+def dead_rows_for_join(
+    spark: SparkSession, dvs: dict[str, dict]
+) -> tuple[DataFrame, bool]:
+    """Route the anti-join side by total cardinality: (frame,
+    broadcastable).  Small vectors decode on the driver and broadcast;
+    large ones decode executor-side and shuffle."""
+    if dv_total_cardinality(dvs) <= BROADCAST_DV_MAX_ROWS:
+        return deleted_rows_frame(spark, dvs), True
+    return deleted_rows_frame_distributed(spark, dvs), False
+
+
+def subtract_dead_rows(
+    df: DataFrame, spark: SparkSession, dvs: dict[str, dict]
+) -> DataFrame:
+    """LEFT ANTI the dead (file, row) pairs out of a
+    :func:`scan_with_row_index`-shaped frame, keeping the metadata
+    columns.  The one DV-subtraction code path for every reader and
+    MOR writer — so the cardinality guard holds everywhere."""
+    if not dvs:
+        return df
+    dead, small = dead_rows_for_join(spark, dvs)
+    dead = F.broadcast(dead) if small else dead
+    return df.join(dead, [META_FILE, META_ROW], "left_anti")
+
+
 def apply_dv(
     df: DataFrame, spark: SparkSession, dvs: dict[str, dict]
 ) -> DataFrame:
     """Subtract dead rows from a :func:`scan_with_row_index` frame and
-    strip the metadata columns.  Broadcast LEFT ANTI on
-    (file base name, row index)."""
-    if not dvs:
-        return df.drop(META_FILE, META_ROW)
-    dead = deleted_rows_frame(spark, dvs)
-    return df.join(
-        F.broadcast(dead), [META_FILE, META_ROW], "left_anti"
-    ).drop(META_FILE, META_ROW)
+    strip the metadata columns.  LEFT ANTI on (file path, row index),
+    broadcast below the cardinality guard, shuffled above it."""
+    return subtract_dead_rows(df, spark, dvs).drop(META_FILE, META_ROW)
+
+
+def encode_dead_rows(
+    spark: SparkSession, hits: DataFrame, existing: dict[str, dict]
+) -> dict[str, dict]:
+    """Newly dead (``META_FILE``, ``META_ROW``) rows + the table's
+    existing descriptors → ``{normalized path: merged inline
+    descriptor}`` for every TOUCHED file.
+
+    The union-with-existing and the varint/base85 encode both run
+    EXECUTOR-side (``applyInPandas`` keyed by file), so the driver
+    never holds a Python list of row indexes — it collects one
+    (path, payload, cardinality) row per touched file, compressed
+    bytes only.  This is the write-path half of the DV scale guard:
+    a 1e8-row MOR delete moves ~1e8 longs through a shuffle and
+    ~100-500 MB of payload to the driver, not ~10 GB of Row objects.
+    Files with an existing vector but no new hits are left alone
+    (the left join keys off the hits side)."""
+    import pandas as pd
+
+    exist_rows = [
+        (normalize_path(p), d["pathOrInlineDv"]) for p, d in existing.items()
+    ]
+    if exist_rows:
+        ex = spark.createDataFrame(
+            exist_rows, f"{META_FILE} string, __existing string"
+        )
+        joined = hits.join(F.broadcast(ex), META_FILE, "left")
+    else:
+        joined = hits.withColumn("__existing", F.lit(None).cast("string"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(META_FILE, T.StringType()),
+            T.StructField("__payload", T.StringType()),
+            T.StructField("__size", T.LongType()),
+            T.StructField("__card", T.LongType()),
+        ]
+    )
+
+    def _encode(key, pdf):
+        idx = set(int(i) for i in pdf[META_ROW])
+        prior = pdf["__existing"].dropna().unique()
+        if len(prior):
+            idx.update(
+                decode_dv(
+                    {"storageType": _STORAGE_INLINE,
+                     "pathOrInlineDv": prior[0]}
+                )
+            )
+        d = encode_dv(idx)
+        return pd.DataFrame(
+            {
+                META_FILE: [key[0]],
+                "__payload": [d["pathOrInlineDv"]],
+                "__size": [d["sizeInBytes"]],
+                "__card": [d["cardinality"]],
+            }
+        )
+
+    collected = (
+        joined.groupBy(META_FILE).applyInPandas(_encode, out_schema).collect()
+    )
+    return {
+        r[META_FILE]: {
+            "storageType": _STORAGE_INLINE,
+            "pathOrInlineDv": r["__payload"],
+            "sizeInBytes": int(r["__size"]),
+            "cardinality": int(r["__card"]),
+        }
+        for r in collected
+    }

@@ -1197,13 +1197,12 @@ def delete_from_mor(
     the add (the protocol's tightBounds=false reading: min/max remain
     valid bounds, numRecords is corrected by cardinality at
     ``metadata_count``)."""
-    from pyspark.sql import functions as F
-
     from guidewire_spark.sources.dv import (
         META_FILE,
         META_ROW,
-        deleted_rows_frame,
-        merge_dv,
+        encode_dead_rows,
+        normalize_path,
+        subtract_dead_rows,
     )
 
     snap = load_snapshot(table_path)
@@ -1216,29 +1215,18 @@ def delete_from_mor(
     )
     scan = _scan_rowindex_with_partitions(spark, snap, candidates)
     existing = {p: snap.file_dvs[p] for p in candidates if p in snap.file_dvs}
-    if existing:
-        scan = scan.join(
-            F.broadcast(deleted_rows_frame(spark, existing)),
-            [META_FILE, META_ROW],
-            "left_anti",
-        )
-    hits = (
-        scan.where(predicate)
-        .select(META_FILE, META_ROW)
-        .collect()
-    )
-    if not hits:
+    scan = subtract_dead_rows(scan, spark, existing)
+    # Indexes aggregate + encode executor-side; the driver sees one
+    # (path, payload) descriptor per touched file, never a row list.
+    hits = scan.where(predicate).select(META_FILE, META_ROW)
+    merged = encode_dead_rows(spark, hits, existing)
+    if not merged:
         raise ValueError("predicate matches no rows; nothing to delete")
-    by_file: dict[str, list[int]] = {}
-    for r in hits:
-        by_file.setdefault(r[META_FILE], []).append(r[META_ROW])
-    from guidewire_spark.sources.dv import normalize_path
-
     by_path = {normalize_path(p): p for p in candidates}
 
     now = int(time.time() * 1000)
     actions = []
-    for key, idxs in sorted(by_file.items()):
+    for key, descriptor in sorted(merged.items()):
         path = by_path[key]
         actions.append(remove_action(path, now, size=snap.file_sizes.get(path)))
         actions.append(
@@ -1248,13 +1236,13 @@ def delete_from_mor(
                 now,
                 stats=snap.file_stats.get(path),
                 partition_values=snap.file_partitions.get(path) or None,
-                deletion_vector=merge_dv(snap.file_dvs.get(path), idxs),
+                deletion_vector=descriptor,
                 base_row_id=snap.file_base_rows.get(path),
             )
         )
     actions.append(
         commit_info_action(
-            "DELETE", f"MOR {predicate}", False, len(by_file), 0, now
+            "DELETE", f"MOR {predicate}", False, len(merged), 0, now
         )
     )
     write_commit(table_path, snap.version + 1, actions)
@@ -1550,9 +1538,9 @@ def update_table_mor(
     from guidewire_spark.sources.dv import (
         META_FILE,
         META_ROW,
-        deleted_rows_frame,
-        merge_dv,
+        encode_dead_rows,
         normalize_path,
+        subtract_dead_rows,
     )
 
     snap = load_snapshot(table_path)
@@ -1574,12 +1562,7 @@ def update_table_mor(
     candidates = list(snap.files)
     scan = _scan_rowindex_with_partitions(spark, snap, candidates)
     existing = {p: snap.file_dvs[p] for p in candidates if p in snap.file_dvs}
-    if existing:
-        scan = scan.join(
-            F.broadcast(deleted_rows_frame(spark, existing)),
-            [META_FILE, META_ROW],
-            "left_anti",
-        )
+    scan = subtract_dead_rows(scan, spark, existing)
     matched = scan.where(predicate)
     data_cols = [f.name for f in snap.schema.fields]
     updated = matched.select(
@@ -1589,15 +1572,16 @@ def update_table_mor(
         ]
     )
     _enforce_constraints(updated, table_path)
-    hits = matched.select(META_FILE, META_ROW).collect()
-    if not hits:
+    # Indexes aggregate + encode executor-side (dv.encode_dead_rows):
+    # the driver collects one descriptor per touched file, not rows.
+    merged = encode_dead_rows(
+        spark, matched.select(META_FILE, META_ROW), existing
+    )
+    if not merged:
         raise ValueError("predicate matches no rows; nothing to update")
     files, commit_dir = _stage_files(
         _to_physical(updated, snap.schema), table_path, pcols or None
     )
-    by_file: dict[str, list[int]] = {}
-    for r in hits:
-        by_file.setdefault(r[META_FILE], []).append(r[META_ROW])
     by_path = {normalize_path(p): p for p in candidates}
 
     from guidewire_spark.sources.stats import footer_stats
@@ -1621,7 +1605,7 @@ def update_table_mor(
                 configuration=config,
             )
         )
-    for key, idxs in sorted(by_file.items()):
+    for key, descriptor in sorted(merged.items()):
         path = by_path[key]
         actions.append(remove_action(path, now, size=snap.file_sizes.get(path)))
         actions.append(
@@ -1631,7 +1615,7 @@ def update_table_mor(
                 now,
                 stats=snap.file_stats.get(path),
                 partition_values=snap.file_partitions.get(path) or None,
-                deletion_vector=merge_dv(snap.file_dvs.get(path), idxs),
+                deletion_vector=descriptor,
                 base_row_id=snap.file_base_rows.get(path),
             )
         )
