@@ -1492,3 +1492,71 @@ def func_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(lc == lit_fr).alias("n_france"),
         F.count_if(F.lower("s") == "france").alias("n_france_lower"),
     )
+
+
+@query(
+    "delta_row_tracking_stable_ids",
+    oracle="""
+    WITH b1 AS (
+      SELECT doc_id, lang,
+             row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+      FROM documents
+    ),
+    b2 AS (
+      SELECT doc_id + 10000000 AS doc_id, lang,
+             (SELECT COUNT(*) FROM documents)
+               + row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    unioned AS (
+      SELECT * FROM b1 WHERE doc_id % 5 <> 0
+      UNION ALL
+      SELECT * FROM b2
+    )
+    SELECT doc_id, row_id,
+           CASE WHEN doc_id % 5 = 1 THEN upper(lang) ELSE lang END AS lang
+    FROM unioned
+    """,
+)
+def delta_row_tracking_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking end-to-end (the protocol's baseRowId /
+    materializedRowIdColumnName): stable ids must survive the full
+    maintenance lifecycle — MOR DELETE (dead ids vanish, survivors
+    keep theirs), APPEND (fresh ids above the high-water mark),
+    REORG PURGE (vectors fold in; survivor ids ride the rewrite in
+    the materialized column), MOR UPDATE (updated images keep their
+    OLD ids), and OPTIMIZE (compaction moves every row to a new file
+    — ids unchanged).  This is what lets an incremental consumer
+    dedup replays against a maintained table (the reference's
+    subscribe workflow, README.md:39-43).
+
+    The oracle is exact because each batch stages as ONE sorted file:
+    batch-1 ids are the doc_id rank; batch-2 ids continue at
+    COUNT(documents)."""
+    from guidewire_spark.sources.writer import (
+        delete_from_mor,
+        enable_row_tracking,
+        purge_deletion_vectors,
+        update_table_mor,
+    )
+
+    table = tempfile.mkdtemp(prefix="gw_rowtrack_") + "/docs"
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    write_delta(
+        d.repartition(1).sortWithinPartitions("doc_id"), table, mode="append"
+    )
+    enable_row_tracking(table)
+    delete_from_mor(spark, table, "doc_id % 5 = 0")
+    batch2 = d.where("doc_id % 7 = 0").select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), "lang"
+    )
+    write_delta(
+        batch2.repartition(1).sortWithinPartitions("doc_id"),
+        table,
+        mode="append",
+    )
+    purge_deletion_vectors(spark, table)
+    update_table_mor(spark, table, "doc_id % 5 = 1", {"lang": "upper(lang)"})
+    optimize_table(spark, table, target_files=1)
+    out = read_delta(spark, table, with_row_ids=True)
+    return out.select("doc_id", F.col("_row_id").alias("row_id"), "lang")

@@ -39,14 +39,17 @@ _PID = "__pid"
 _LOCAL_RN = "__local_rn"
 
 # Bounded FIFO of pinned (persisted) partitioned frames — see
-# _pin_partitioning.  Eviction unpersists the OLDEST pin; that is
-# safe for every query already executed (results are immutable) and
-# for re-executions whose exchange subtrees prune identically.  The
-# one unsafe shape — a two-phase query CONSTRUCTED but first RUN
-# after its pin was evicted — requires a caller to build more than
-# _PIN_CAP two-phase queries before running the first; every in-repo
-# consumer (registry sweep, bench, driver harness, tests) builds and
-# materializes each query adjacently, so 32 leaves ~30× slack.
+# _pin_partitioning.  Eviction unpersists the OLDEST pin.  CAUTION:
+# DataFrames are lazy and re-execute per action, so ANY action on a
+# two-phase frame after its pin was evicted — whether it already ran
+# or not — re-opens the boundary-desync bug the pin fixes (each
+# consumer branch re-samples its own range exchange).  Held two-phase
+# DataFrames must therefore be RE-BUILT, not re-collected, once more
+# than _PIN_CAP two-phase frames have been constructed since; every
+# in-repo consumer (registry sweep, bench, driver harness, tests)
+# builds, materializes, and drops each query adjacently, so 32 leaves
+# ~30× slack, and eviction warns loudly (below) so a violating
+# workload is visible rather than intermittently wrong.
 _PIN_FIFO: list = []
 _PIN_CAP = 32
 _RESERVED_PREFIXES = ("__pid", "__local_rn", "__offset", "__run_", "__off_",
@@ -112,11 +115,13 @@ def _pin_partitioning(parted: DataFrame) -> DataFrame:
         old = _PIN_FIFO.pop(0)
         warnings.warn(
             "two-phase pin FIFO overflow: unpersisting the oldest "
-            "pinned frame — if that query has NOT yet been executed, "
-            "its range-partition boundaries may desync between "
-            "consumers; call clear_two_phase_pins() between query "
-            "executions instead of constructing >32 two-phase queries "
-            "up front",
+            "pinned frame — ANY further action on that frame "
+            "(including re-collecting one that already ran: "
+            "DataFrames re-execute per action) may desync its "
+            "range-partition boundaries between consumers; re-BUILD "
+            "held two-phase frames after eviction, and call "
+            "clear_two_phase_pins() between query executions instead "
+            "of constructing >32 two-phase queries up front",
             RuntimeWarning,
             stacklevel=2,
         )

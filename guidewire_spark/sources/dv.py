@@ -89,12 +89,185 @@ def _read_varints(data: bytes):
         raise ValueError("truncated deletion-vector payload")
 
 
-def encode_dv(indexes) -> dict:
-    """Sorted-unique row indexes → inline descriptor (delta-varint +
-    base85).  Rejects negatives — parquet row indexes are 0-based."""
+# ---------------------------------------------------------------------------
+# Protocol-standard payloads: Z85 text encoding + RoaringBitmapArray
+# ("portable" 64-bit format), the byte layout real Delta readers apply.
+# Selected per-table/per-call via the ``fmt`` argument or the module
+# default DV_FORMAT ("varint" keeps this engine's compact historical
+# encoding; "roaring" emits protocol-conformant vectors so an external
+# delta reader can subtract them).
+# ---------------------------------------------------------------------------
+
+DV_FORMAT = "varint"
+
+# Z85 (ZeroMQ 32/Z85, the alphabet Delta's Base85Codec uses): 4-byte
+# big-endian blocks → 5 chars.  Delta pads undersized tails with zero
+# bytes; sizeInBytes records the true payload length for the trim.
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+# RoaringBitmapArray magic (the "portable" 64-bit serialization), and
+# the 32-bit roaring spec's no-run-container cookie.
+_ROARING_ARRAY_MAGIC = 1681511377
+_ROARING_COOKIE_NO_RUN = 12346
+_ARRAY_CONTAINER_MAX = 4096
+
+
+def z85_encode(raw: bytes) -> str:
+    pad = (-len(raw)) % 4
+    data = raw + b"\x00" * pad
+    out = []
+    for i in range(0, len(data), 4):
+        n = int.from_bytes(data[i : i + 4], "big")
+        block = []
+        for _ in range(5):
+            block.append(_Z85_CHARS[n % 85])
+            n //= 85
+        out.extend(reversed(block))
+    return "".join(out)
+
+
+def z85_decode(text: str, true_len: int | None = None) -> bytes:
+    if len(text) % 5:
+        raise ValueError("Z85 input length must be a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        n = 0
+        for c in text[i : i + 5]:
+            n = n * 85 + _Z85_INDEX[c]  # KeyError on a non-Z85 char
+        if n > 0xFFFFFFFF:
+            raise ValueError("Z85 block overflows 32 bits")
+        out += n.to_bytes(4, "big")
+    return bytes(out[:true_len]) if true_len is not None else bytes(out)
+
+
+def serialize_roaring_array(indexes) -> bytes:
+    """Sorted-unique row indexes → RoaringBitmapArray 'portable'
+    bytes: [magic int32 LE][numBitmaps int64 LE] then per bitmap
+    [key int32 LE][32-bit roaring 'portable' spec bytes] — the 64-bit
+    value's high 32 bits pick the bitmap, the low 32 live in it.
+    Containers use the no-run-container layout (cookie 12346, always
+    with the offset table): array containers (<=4096 values, uint16
+    LE each) or 8 KiB bitset containers — valid under the public
+    RoaringFormatSpec, so any conforming reader accepts it."""
+    import struct
+
+    by_high: dict[int, list[int]] = {}
+    for v in indexes:
+        by_high.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    out = bytearray(struct.pack("<iq", _ROARING_ARRAY_MAGIC, len(by_high)))
+    for high in sorted(by_high):
+        out += struct.pack("<i", high)
+        out += _serialize_roaring32(sorted(by_high[high]))
+    return bytes(out)
+
+
+def _serialize_roaring32(values: list[int]) -> bytes:
+    import struct
+
+    containers: dict[int, list[int]] = {}
+    for v in values:
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    n = len(keys)
+    out = bytearray(struct.pack("<II", _ROARING_COOKIE_NO_RUN, n))
+    for k in keys:
+        out += struct.pack("<HH", k, len(containers[k]) - 1)
+    pos = 8 + 4 * n + 4 * n  # cookie+count, headers, offset table
+    offsets = []
+    for k in keys:
+        offsets.append(pos)
+        card = len(containers[k])
+        pos += card * 2 if card <= _ARRAY_CONTAINER_MAX else 8192
+    for o in offsets:
+        out += struct.pack("<I", o)
+    for k in keys:
+        vals = containers[k]
+        if len(vals) <= _ARRAY_CONTAINER_MAX:
+            out += struct.pack(f"<{len(vals)}H", *vals)
+        else:
+            bitset = bytearray(8192)
+            for v in vals:
+                bitset[v >> 3] |= 1 << (v & 7)
+            out += bitset
+    return bytes(out)
+
+
+def deserialize_roaring_array(raw: bytes) -> list[int]:
+    import struct
+
+    magic, n_bitmaps = struct.unpack_from("<iq", raw, 0)
+    if magic != _ROARING_ARRAY_MAGIC:
+        raise ValueError(f"not a RoaringBitmapArray payload (magic {magic})")
+    pos = 12
+    out: list[int] = []
+    for _ in range(n_bitmaps):
+        (high,) = struct.unpack_from("<i", raw, pos)
+        pos += 4
+        lows, pos = _deserialize_roaring32(raw, pos)
+        out.extend((high << 32) | lo for lo in lows)
+    return out
+
+
+def _deserialize_roaring32(raw: bytes, start: int) -> tuple[list[int], int]:
+    import struct
+
+    cookie, n = struct.unpack_from("<II", raw, start)
+    if cookie != _ROARING_COOKIE_NO_RUN:
+        raise ValueError(f"unsupported roaring cookie {cookie}")
+    headers = [
+        struct.unpack_from("<HH", raw, start + 8 + 4 * i) for i in range(n)
+    ]
+    offsets = [
+        struct.unpack_from("<I", raw, start + 8 + 4 * n + 4 * i)[0]
+        for i in range(n)
+    ]
+    values: list[int] = []
+    end = start
+    for (key, card_minus_1), off in zip(headers, offsets):
+        card = card_minus_1 + 1
+        pos = start + off
+        if card <= _ARRAY_CONTAINER_MAX:
+            vals = struct.unpack_from(f"<{card}H", raw, pos)
+            end = max(end, pos + card * 2)
+        else:
+            bitset = raw[pos : pos + 8192]
+            vals = [
+                (byte_i << 3) | bit
+                for byte_i, b in enumerate(bitset)
+                if b
+                for bit in range(8)
+                if b & (1 << bit)
+            ]
+            end = max(end, pos + 8192)
+        values.extend((key << 16) | v for v in vals)
+    return values, end
+
+
+def encode_dv(indexes, fmt: str | None = None) -> dict:
+    """Sorted-unique row indexes → inline descriptor.  ``fmt``
+    (default: module DV_FORMAT) picks the payload encoding:
+    'varint' — this engine's compact delta-varint + b85 (historical
+    default); 'roaring' — protocol-standard RoaringBitmapArray + Z85,
+    the bytes an external Delta reader applies.  Rejects negatives —
+    parquet row indexes are 0-based."""
     idx = sorted(set(int(i) for i in indexes))
     if idx and idx[0] < 0:
         raise ValueError(f"negative row index {idx[0]} in deletion vector")
+    fmt = fmt or DV_FORMAT
+    if fmt == "roaring":
+        raw = serialize_roaring_array(idx)
+        return {
+            "storageType": _STORAGE_INLINE,
+            "pathOrInlineDv": z85_encode(raw),
+            "sizeInBytes": len(raw),
+            "cardinality": len(idx),
+        }
+    if fmt != "varint":
+        raise ValueError(f"unknown deletion-vector format {fmt!r}")
     payload = bytearray()
     prev = -1
     for i in idx:
@@ -109,14 +282,50 @@ def encode_dv(indexes) -> dict:
     }
 
 
+def dv_format(descriptor: dict) -> str:
+    """'roaring' when the payload Z85-decodes to the
+    RoaringBitmapArray magic, else 'varint'.  The two text alphabets
+    overlap, so the magic check (4 fixed bytes + a parseable body) is
+    what disambiguates; a varint payload accidentally passing both is
+    astronomically unlikely and would still fail the cardinality
+    check in decode_dv."""
+    try:
+        raw = z85_decode(
+            descriptor["pathOrInlineDv"], descriptor.get("sizeInBytes")
+        )
+        if len(raw) >= 12:
+            import struct
+
+            if struct.unpack_from("<i", raw, 0)[0] == _ROARING_ARRAY_MAGIC:
+                return "roaring"
+    except (KeyError, ValueError):
+        pass
+    return "varint"
+
+
 def decode_dv(descriptor: dict) -> list[int]:
     """Inline descriptor → sorted row-index list (inverse of
-    :func:`encode_dv`)."""
+    :func:`encode_dv`); auto-detects the payload format."""
     if descriptor.get("storageType") != _STORAGE_INLINE:
         raise ValueError(
             f"unsupported deletion-vector storageType "
             f"{descriptor.get('storageType')!r} (this engine writes inline)"
         )
+    if dv_format(descriptor) == "roaring":
+        out = sorted(
+            deserialize_roaring_array(
+                z85_decode(
+                    descriptor["pathOrInlineDv"],
+                    descriptor.get("sizeInBytes"),
+                )
+            )
+        )
+        if len(out) != descriptor.get("cardinality", len(out)):
+            raise ValueError(
+                f"deletion vector cardinality mismatch: payload has "
+                f"{len(out)}, descriptor says {descriptor.get('cardinality')}"
+            )
+        return out
     raw = base64.b85decode(descriptor["pathOrInlineDv"])
     out = []
     prev = -1
@@ -134,11 +343,16 @@ def decode_dv(descriptor: dict) -> list[int]:
 def merge_dv(existing: dict | None, new_indexes) -> dict:
     """Union an existing descriptor (or None) with newly deleted row
     indexes — successive MOR deletes on one file accumulate into ONE
-    descriptor (the protocol allows at most one DV per live add)."""
+    descriptor (the protocol allows at most one DV per live add).
+    The merged vector keeps the EXISTING descriptor's format, so a
+    roaring table stays readable by external readers across
+    deletes."""
     idx = set(new_indexes)
+    fmt = None
     if existing is not None:
         idx.update(decode_dv(existing))
-    return encode_dv(idx)
+        fmt = dv_format(existing)
+    return encode_dv(idx, fmt=fmt)
 
 
 def scan_with_row_index(
@@ -349,17 +563,24 @@ def encode_dead_rows(
         ]
     )
 
+    # capture the format on the DRIVER: executors re-import this
+    # module, so a session-level DV_FORMAT override must ride the
+    # closure; an existing vector's format always wins (a roaring
+    # table stays roaring across deletes)
+    fmt = DV_FORMAT
+
     def _encode(key, pdf):
         idx = set(int(i) for i in pdf[META_ROW])
         prior = pdf["__existing"].dropna().unique()
+        use_fmt = fmt
         if len(prior):
-            idx.update(
-                decode_dv(
-                    {"storageType": _STORAGE_INLINE,
-                     "pathOrInlineDv": prior[0]}
-                )
-            )
-        d = encode_dv(idx)
+            prior_desc = {
+                "storageType": _STORAGE_INLINE,
+                "pathOrInlineDv": prior[0],
+            }
+            idx.update(decode_dv(prior_desc))
+            use_fmt = dv_format(prior_desc)
+        d = encode_dv(idx, fmt=use_fmt)
         return pd.DataFrame(
             {
                 META_FILE: [key[0]],

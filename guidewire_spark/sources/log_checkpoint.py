@@ -177,11 +177,12 @@ def load_checkpoint_state(
     T.StructType | None,
     str | None,
     list[str],
+    dict[str, str],
 ]:
     """Read ``<version>.checkpoint.parquet`` → (active file → stats,
     file → size, file → partitionValues, file → deletionVector,
-    file → baseRowId, schema, metadata id, partition columns) to seed
-    log replay."""
+    file → baseRowId, schema, metadata id, partition columns,
+    configuration) to seed log replay."""
     table = pq.read_table(checkpoint_path(table_path, version))
     active: dict[str, str | None] = {}
     sizes: dict[str, int] = {}
@@ -191,6 +192,7 @@ def load_checkpoint_state(
     schema: T.StructType | None = None
     meta_id: str | None = None
     part_cols: list[str] = []
+    config: dict[str, str] = {}
     for row in table.to_pylist():
         add = row.get("add")
         if add and add.get("path"):
@@ -207,4 +209,6 @@ def load_checkpoint_state(
             schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
             meta_id = meta.get("id") or None
             part_cols = list(meta.get("partitionColumns") or [])
-    return active, sizes, partitions, dvs, base_rows, schema, meta_id, part_cols
+            config = dict(meta.get("configuration") or [])
+    return (active, sizes, partitions, dvs, base_rows, schema, meta_id,
+            part_cols, config)

@@ -21,6 +21,15 @@ from guidewire_spark.sources.deltalog import delta_log_dir, list_versions
 
 PHYSICAL_NAME_KEY = "delta.columnMapping.physicalName"
 
+# Row tracking: the public Delta protocol's materialized-row-id
+# channel. When a rewrite (REORG PURGE / OPTIMIZE) would move rows to
+# new files, their stable ids are first written INTO the files as a
+# physical column named by this table property; readers coalesce the
+# materialized value with the default id (baseRowId + row index), so
+# ids survive compaction — the same mechanism Delta proper uses.
+MATERIALIZED_ROW_ID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+DEFAULT_MATERIALIZED_ROW_ID_COL = "_row_id_materialized"
+
 
 def physical_name(f: T.StructField) -> str:
     """Column mapping (Delta mode=name): a renamed column keeps its
@@ -71,6 +80,9 @@ class DeltaSnapshot:
     file_dvs: dict[str, dict] = field(default_factory=dict)
     # row tracking: live add.baseRowId per file path
     file_base_rows: dict[str, int] = field(default_factory=dict)
+    # latest metaData.configuration AS OF this snapshot's version —
+    # version-pinned, so time travel sees the config of its era
+    configuration: dict[str, str] = field(default_factory=dict)
 
     @property
     def num_files(self) -> int:
@@ -165,14 +177,14 @@ def load_snapshot(
     schema: T.StructType | None = None
     meta_id: str | None = None
     part_cols: list[str] = []
+    config: dict[str, str] = {}
     commit_ts: dict[int, int] = {}
     replay_after = -1
     if ckpt_version is not None and ckpt_version <= version:
         # O(1) replay: seed from the checkpoint parquet, then apply
         # only the JSON tail — instead of O(versions) JSON reads.
-        active, sizes, partitions, dvs, base_rows, schema, meta_id, part_cols = (
-            load_checkpoint_state(table_path, ckpt_version)
-        )
+        (active, sizes, partitions, dvs, base_rows, schema, meta_id,
+         part_cols, config) = load_checkpoint_state(table_path, ckpt_version)
         replay_after = ckpt_version
     for v in versions:
         if v <= replay_after:
@@ -210,6 +222,9 @@ def load_snapshot(
                 )
                 meta_id = action["metaData"].get("id")
                 part_cols = action["metaData"].get("partitionColumns") or []
+                config = dict(
+                    action["metaData"].get("configuration") or {}
+                )
             elif "commitInfo" in action:
                 commit_ts[v] = action["commitInfo"].get("timestamp", 0)
     return DeltaSnapshot(
@@ -225,6 +240,7 @@ def load_snapshot(
         file_partitions=partitions,
         file_dvs=dvs,
         file_base_rows=base_rows,
+        configuration=config,
     )
 
 
@@ -271,14 +287,22 @@ def read_delta_changes(
     pv_map: dict[str, dict] = dict(latest.file_partitions)
     # dv_state seeds unconditionally (not only for partitioned
     # tables): the per-version DV diff needs the vectors live AT
-    # from_version or already-dead rows re-emit as deletes
+    # from_version or already-dead rows re-emit as deletes.  A
+    # from_version BEFORE the table's first commit legitimately has no
+    # state (empty seed correct); an EXISTING-but-unloadable
+    # from_version (checkpoint truncation) is only safe while the
+    # window carries no deletionVector actions — checked below, since
+    # a MOR delete diffed against an empty seed would re-emit
+    # already-dead rows as fresh deletes.
     dv_state: dict[str, dict] = {}
-    try:
-        start_snap = load_snapshot(table_path, version=from_version)
-        pv_map.update(start_snap.file_partitions)
-        dv_state = dict(start_snap.file_dvs)
-    except (ValueError, FileNotFoundError):
-        pass
+    dv_seed_failed = False
+    if from_version >= 0:
+        try:
+            start_snap = load_snapshot(table_path, version=from_version)
+            pv_map.update(start_snap.file_partitions)
+            dv_state = dict(start_snap.file_dvs)
+        except (ValueError, FileNotFoundError):
+            dv_seed_failed = True
 
     # Each frame: (version, change kind, file path, dead-index subtract
     # list or None, only-index list or None).  A merge-on-read DELETE
@@ -291,6 +315,16 @@ def read_delta_changes(
         removes: dict[str, dict] = {}
         for action in _read_commit(table_path, v):
             if "add" in action and action["add"].get("dataChange", True):
+                if dv_seed_failed and action["add"].get("deletionVector"):
+                    raise ValueError(
+                        f"cannot compute changes from version "
+                        f"{from_version} of {table_path}: that version's "
+                        "deletion-vector state is unrecoverable (log "
+                        "truncated past the checkpoint) and version "
+                        f"{v} carries a deletionVector — diffing against "
+                        "an empty seed would re-emit already-dead rows "
+                        "as deletes; start from a reconstructable version"
+                    )
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action and action["remove"].get("dataChange", True):
                 removes[action["remove"]["path"]] = action["remove"]
@@ -403,11 +437,17 @@ def read_delta_changes(
 
 
 def _scan_with_row_ids(spark, snap, files, schema):
-    """Scan ``files`` carrying the stable ``_row_id`` column
-    (baseRowId + parquet row index, the public Delta row-tracking
-    identity), with deletion vectors applied — dead rows' ids simply
-    never appear.  Requires every file to carry a base (tracking must
-    be fully enabled)."""
+    """Scan ``files`` carrying the stable ``_row_id`` column (the
+    public Delta row-tracking identity), with deletion vectors applied
+    — dead rows' ids simply never appear.
+
+    The id is ``coalesce(materialized, baseRowId + row index)``: when
+    the table configuration names a materialized-row-id column
+    (written by REORG PURGE / OPTIMIZE on tracked tables), files that
+    physically carry it yield the preserved ids and files that don't
+    read NULL for the extra schema field and fall back to the default
+    identity.  Requires every file to carry a base (tracking must be
+    fully enabled)."""
     from pyspark.sql import functions as F
 
     from guidewire_spark.sources.dv import (
@@ -424,16 +464,28 @@ def _scan_with_row_ids(spark, snap, files, schema):
             f"{len(missing)} file(s) have no baseRowId — enable row "
             "tracking (enable_row_tracking) before reading row ids"
         )
-    df = scan_with_row_index(spark, schema, files)
+    mat_col = (snap.configuration or {}).get(MATERIALIZED_ROW_ID_KEY)
+    scan_schema = schema
+    if mat_col:
+        scan_schema = T.StructType(
+            list(schema.fields) + [T.StructField(mat_col, T.LongType(), True)]
+        )
+    df = scan_with_row_index(spark, scan_schema, files)
     bases = spark.createDataFrame(
         [(normalize_path(p), int(snap.file_base_rows[p])) for p in files],
         f"{META_FILE} string, __base long",
     )
+    default_id = F.col("__base") + F.col(META_ROW)
     df = (
         df.join(F.broadcast(bases), META_FILE)
-        .withColumn("_row_id", F.col("__base") + F.col(META_ROW))
+        .withColumn(
+            "_row_id",
+            F.coalesce(F.col(mat_col), default_id) if mat_col else default_id,
+        )
         .drop("__base")
     )
+    if mat_col:
+        df = df.drop(mat_col)
     return apply_dv(df, spark, {p: snap.file_dvs[p] for p in files if p in snap.file_dvs})
 
 

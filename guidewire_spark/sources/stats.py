@@ -22,14 +22,56 @@ import json
 from guidewire_spark.sources.fs import FileMeta, _to_local
 
 
-def _jsonable(value):
+def _jsonable(value, direction: int = 0):
+    """JSON-representable stats value.  ``direction`` applies to
+    DECIMAL min/max: the float conversion rounds to nearest, which
+    could round a min UP (or a max DOWN) and make pruning unsound —
+    so mins round toward -inf (direction=-1) and maxs toward +inf
+    (direction=+1), keeping the stored value a true bound."""
+    import decimal as _dec
+    import math as _math
+
     if isinstance(value, (bytes, bytearray)):
         return None  # binary min/max not representable in stats JSON
     if isinstance(value, (_dt.datetime, _dt.date)):
         return value.isoformat()
+    if isinstance(value, _dec.Decimal):
+        f = float(value)
+        if direction < 0 and _dec.Decimal(f) > value:
+            f = _math.nextafter(f, -_math.inf)
+        elif direction > 0 and _dec.Decimal(f) < value:
+            f = _math.nextafter(f, _math.inf)
+        return f
     if isinstance(value, float) and (value != value):  # NaN
         return None
     return value
+
+
+def _stat_min_max(st):
+    """(min, max) from a column-chunk statistics object.  pyarrow
+    cannot cast stats for INT32/INT64-physical DECIMAL columns (the
+    layout Spark writes for precision <= 18) — ArrowNotImplementedError
+    — but the raw unscaled integers are exposed, so decode them with
+    the logical type's scale.  Unknown failures degrade to (None,
+    None): a file without bounds is always kept by pruning (sound)."""
+    import decimal as _dec
+    import json as _json
+
+    try:
+        return st.min, st.max
+    except Exception:
+        lt = st.logical_type
+        if lt is not None and str(lt.type).upper() == "DECIMAL":
+            scale = _json.loads(lt.to_json()).get("scale", 0)
+            q = _dec.Decimal(10) ** -scale
+            try:
+                return (
+                    _dec.Decimal(int(st.min_raw)) * q,
+                    _dec.Decimal(int(st.max_raw)) * q,
+                )
+            except Exception:
+                return None, None
+        return None, None
 
 
 def footer_stats(path: str) -> str | None:
@@ -64,7 +106,8 @@ def footer_stats(path: str) -> str | None:
             if st is None:
                 continue
             if st.has_min_max:
-                lo, hi = _jsonable(st.min), _jsonable(st.max)
+                raw_lo, raw_hi = _stat_min_max(st)
+                lo, hi = _jsonable(raw_lo, -1), _jsonable(raw_hi, 1)
                 if lo is not None and (name not in mins or lo < mins[name]):
                     mins[name] = lo
                 if hi is not None and (name not in maxs or hi > maxs[name]):

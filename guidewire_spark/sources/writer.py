@@ -160,6 +160,50 @@ def _read_with_partitions(spark: SparkSession, snap, paths: list[str]) -> DataFr
     return reduce(DataFrame.unionByName, parts)
 
 
+def _read_with_partitions_row_ids(
+    spark: SparkSession, snap, paths: list[str]
+) -> DataFrame:
+    """Row-tracking twin of :func:`_read_with_partitions`: the same
+    grouped, DV-aware read, but every row carries its stable
+    ``_row_id`` (materialized-or-default, snapshot._scan_with_row_ids).
+    The read side of id-preserving rewrites (REORG PURGE / OPTIMIZE on
+    tracked tables)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from guidewire_spark.sources.snapshot import _scan_with_row_ids
+
+    if not snap.partition_columns:
+        return _scan_with_row_ids(spark, snap, paths, snap.schema)
+    pcols = list(snap.partition_columns)
+    data_schema = T.StructType(
+        [f for f in snap.schema.fields if f.name not in set(pcols)]
+    )
+    groups: dict[tuple, list[str]] = {}
+    for p in paths:
+        pv = snap.file_partitions.get(p) or {}
+        groups.setdefault(tuple(pv.get(c) for c in pcols), []).append(p)
+    parts = []
+    order = [f.name for f in snap.schema.fields] + ["_row_id"]
+    for key, ps in groups.items():
+        df = _scan_with_row_ids(spark, snap, ps, data_schema)
+        for c, v in zip(pcols, key):
+            df = df.withColumn(c, F.lit(v).cast(snap.schema[c].dataType))
+        parts.append(df.select(order))
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _materialized_row_id_col(config: dict) -> str:
+    from guidewire_spark.sources.snapshot import (
+        DEFAULT_MATERIALIZED_ROW_ID_COL,
+        MATERIALIZED_ROW_ID_KEY,
+    )
+
+    return config.get(MATERIALIZED_ROW_ID_KEY) or DEFAULT_MATERIALIZED_ROW_ID_COL
+
+
 def _is_widening(frm, to) -> bool:
     """True when ``frm`` → ``to`` is a lossless type widening the
     parquet reader resolves at scan time (Delta's type widening table
@@ -826,7 +870,6 @@ def optimize_table(
     """
     if zorder_by and hilbert_by:
         raise ValueError("zorder_by and hilbert_by are mutually exclusive")
-    _reject_rewrite_on_row_tracking(table_path, "OPTIMIZE")
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to optimize at {table_path}")
@@ -871,7 +914,20 @@ def optimize_table(
     if where_partitions and len(victims) < 2 and not zorder_by and not hilbert_by:
         return snap.version  # a single in-scope file is already compact
     pcols = list(snap.partition_columns or [])
-    df = _read_with_partitions(spark, snap, victims)
+    tracked = _row_tracking_enabled(table_path)
+    if tracked:
+        # id-preserving compaction (Delta's materialized row ids):
+        # every row's stable id rides the rewrite as a physical
+        # column; readers coalesce it ahead of baseRowId + index
+        from guidewire_spark.sources.snapshot import MATERIALIZED_ROW_ID_KEY
+
+        opt_config = table_configuration(table_path)
+        mat_col = _materialized_row_id_col(opt_config)
+        df = _read_with_partitions_row_ids(
+            spark, snap, victims
+        ).withColumnRenamed("_row_id", mat_col)
+    else:
+        df = _read_with_partitions(spark, snap, victims)
     if zorder_by:
         from guidewire_spark.sources.zorder import cluster_by_zorder
 
@@ -892,7 +948,23 @@ def optimize_table(
     now = int(time.time() * 1000)
     from guidewire_spark.sources.stats import footer_stats
 
-    actions = [remove_action(p, now) for p in victims]
+    actions = []
+    base_ids: dict[str, int] = {}
+    if tracked:
+        base_ids, opt_config = _assign_base_row_ids(
+            table_path, files, opt_config
+        )
+        opt_config[MATERIALIZED_ROW_ID_KEY] = mat_col
+        actions.append(
+            metadata_action(
+                snap.schema,
+                partition_columns=snap.partition_columns or None,
+                created_time=now,
+                table_id=snap.metadata_id,
+                configuration=opt_config,
+            )
+        )
+    actions += [remove_action(p, now) for p in victims]
     actions += [
         add_action(
             f.path,
@@ -902,12 +974,14 @@ def optimize_table(
             partition_values=(
                 _partition_values(f.path, commit_dir, pcols) if pcols else None
             ),
+            base_row_id=base_ids.get(f.path),
         )
         for f in files
     ]
     for a in actions:
-        key = "add" if "add" in a else "remove"
-        a[key]["dataChange"] = False
+        key = "add" if "add" in a else ("remove" if "remove" in a else None)
+        if key:
+            a[key]["dataChange"] = False
     actions.append(
         commit_info_action(
             "OPTIMIZE", "Compaction", False, len(files), sum(f.size for f in files), now
@@ -1140,12 +1214,14 @@ def delete_from(
 
 
 def _scan_rowindex_with_partitions(
-    spark: SparkSession, snap, paths: list[str]
+    spark: SparkSession, snap, paths: list[str], extra_fields=None
 ) -> DataFrame:
     """Scan ``paths`` carrying (file base name, row index) metadata
     (dv.scan_with_row_index) with the table's partition columns
     materialized from the log, so DML predicates may reference
-    them."""
+    them.  ``extra_fields`` appends physical-only StructFields to the
+    scan schema (e.g. the materialized-row-id column on row-tracked
+    tables — NULL for files that don't carry it)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -1153,8 +1229,13 @@ def _scan_rowindex_with_partitions(
 
     from guidewire_spark.sources.dv import scan_with_row_index
 
+    def with_extras(schema):
+        if not extra_fields:
+            return schema
+        return T.StructType(list(schema.fields) + list(extra_fields))
+
     if not snap.partition_columns:
-        return scan_with_row_index(spark, snap.schema, paths)
+        return scan_with_row_index(spark, with_extras(snap.schema), paths)
     pcols = list(snap.partition_columns)
     data_schema = T.StructType(
         [f for f in snap.schema.fields if f.name not in set(pcols)]
@@ -1165,7 +1246,7 @@ def _scan_rowindex_with_partitions(
         groups.setdefault(tuple(pv.get(c) for c in pcols), []).append(p)
     parts = []
     for key, ps in groups.items():
-        df = scan_with_row_index(spark, data_schema, ps)
+        df = scan_with_row_index(spark, with_extras(data_schema), ps)
         for c, v in zip(pcols, key):
             df = df.withColumn(c, F.lit(v).cast(snap.schema[c].dataType))
         parts.append(df)
@@ -1474,14 +1555,30 @@ def purge_deletion_vectors(spark: SparkSession, table_path: str) -> int:
     carrying a deletion vector WITHOUT its dead rows and drop the
     vectors — ``dataChange=false`` (the logical table is unchanged;
     CDF consumers don't re-fire), exactly Delta's purge contract.
-    Files without vectors are untouched (metadata-only)."""
-    _reject_rewrite_on_row_tracking(table_path, "REORG APPLY (PURGE)")
+    Files without vectors are untouched (metadata-only).
+
+    Row-tracked tables purge ID-PRESERVINGLY (Delta's materialized
+    row ids): each survivor's stable id is written INTO the new file
+    as the materialized-row-id column (snapshot.MATERIALIZED_ROW_ID_KEY
+    names it in the table config), and readers coalesce it ahead of
+    the baseRowId+index default — so vectors no longer stack forever
+    on tracked tables (the round-6 gap)."""
     snap = load_snapshot(table_path)
     if not snap.file_dvs:
         raise ValueError(f"no deletion vectors to purge at {table_path}")
+    tracked = _row_tracking_enabled(table_path)
     rewrite = [p for p in snap.files if p in snap.file_dvs]
     pcols = list(snap.partition_columns or [])
-    survivors = _read_with_partitions(spark, snap, rewrite)  # DV-aware
+    from guidewire_spark.sources.snapshot import MATERIALIZED_ROW_ID_KEY
+
+    if tracked:
+        config = table_configuration(table_path)
+        mat_col = _materialized_row_id_col(config)
+        survivors = _read_with_partitions_row_ids(
+            spark, snap, rewrite
+        ).withColumnRenamed("_row_id", mat_col)
+    else:
+        survivors = _read_with_partitions(spark, snap, rewrite)  # DV-aware
     files, commit_dir = _stage_files(
         _to_physical(survivors, snap.schema), table_path, pcols or None
     )
@@ -1489,7 +1586,24 @@ def purge_deletion_vectors(spark: SparkSession, table_path: str) -> int:
     from guidewire_spark.sources.stats import footer_stats
 
     now = int(time.time() * 1000)
-    actions = [remove_action(p, now) for p in rewrite]
+    actions = []
+    base_ids: dict[str, int] = {}
+    if tracked:
+        # fresh bases above the mark keep the protocol invariant
+        # (every tracked add carries one); the materialized column
+        # wins on read, so survivor ids are unchanged
+        base_ids, config = _assign_base_row_ids(table_path, files, config)
+        config[MATERIALIZED_ROW_ID_KEY] = mat_col
+        actions.append(
+            metadata_action(
+                snap.schema,
+                partition_columns=snap.partition_columns or None,
+                created_time=now,
+                table_id=snap.metadata_id,
+                configuration=config,
+            )
+        )
+    actions += [remove_action(p, now) for p in rewrite]
     actions += [
         add_action(
             f.path,
@@ -1499,12 +1613,14 @@ def purge_deletion_vectors(spark: SparkSession, table_path: str) -> int:
             partition_values=(
                 _partition_values(f.path, commit_dir, pcols) if pcols else None
             ),
+            base_row_id=base_ids.get(f.path),
         )
         for f in files
     ]
     for a in actions:
-        key = "add" if "add" in a else "remove"
-        a[key]["dataChange"] = False
+        key = "add" if "add" in a else ("remove" if "remove" in a else None)
+        if key:
+            a[key]["dataChange"] = False
     actions.append(
         commit_info_action(
             "REORG", "PURGE", False, len(files), sum(f.size for f in files), now
@@ -1532,8 +1648,14 @@ def update_table_mor(
     partition-column assignments are rejected, updated rows re-check
     CHECK constraints.  Under the change feed the update reads as
     delete (the dead indexes) + insert (the new file) — the
-    file-granularity CDF representation of an update."""
+    file-granularity CDF representation of an update.
+
+    Row-tracked tables update ID-PRESERVINGLY: each updated image
+    carries its OLD stable id in the materialized-row-id column of the
+    new file (readers coalesce it ahead of baseRowId + index), so a
+    row's id survives UPDATE — Delta's row-tracking contract."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from guidewire_spark.sources.dv import (
         META_FILE,
@@ -1560,15 +1682,51 @@ def update_table_mor(
                 "use MERGE to move rows between partitions"
             )
     candidates = list(snap.files)
-    scan = _scan_rowindex_with_partitions(spark, snap, candidates)
+    tracked = _row_tracking_enabled(table_path)
+    mat_col = None
+    extra_fields = None
+    if tracked:
+        from guidewire_spark.sources.snapshot import MATERIALIZED_ROW_ID_KEY
+
+        upd_config = table_configuration(table_path)
+        mat_col = _materialized_row_id_col(upd_config)
+        extra_fields = [T.StructField(mat_col, T.LongType(), True)]
+        missing = [p for p in candidates if p not in snap.file_base_rows]
+        if missing:
+            raise ValueError(
+                f"{len(missing)} file(s) have no baseRowId — row "
+                "tracking is not fully enabled"
+            )
+    scan = _scan_rowindex_with_partitions(
+        spark, snap, candidates, extra_fields=extra_fields
+    )
     existing = {p: snap.file_dvs[p] for p in candidates if p in snap.file_dvs}
     scan = subtract_dead_rows(scan, spark, existing)
     matched = scan.where(predicate)
+    if tracked:
+        # resolve each matched row's CURRENT stable id so the updated
+        # image carries it forward (materialized wins over default)
+        bases = spark.createDataFrame(
+            [
+                (normalize_path(p), int(snap.file_base_rows[p]))
+                for p in candidates
+            ],
+            f"{META_FILE} string, __base long",
+        )
+        matched = (
+            matched.join(F.broadcast(bases), META_FILE)
+            .withColumn(
+                mat_col,
+                F.coalesce(F.col(mat_col), F.col("__base") + F.col(META_ROW)),
+            )
+            .drop("__base")
+        )
     data_cols = [f.name for f in snap.schema.fields]
+    out_cols = data_cols + ([mat_col] if tracked else [])
     updated = matched.select(
         *[
             F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
-            for c in data_cols
+            for c in out_cols
         ]
     )
     _enforce_constraints(updated, table_path)
@@ -1589,20 +1747,21 @@ def update_table_mor(
     now = int(time.time() * 1000)
     actions = []
     base_ids: dict[str, int] = {}
-    if _row_tracking_enabled(table_path):
-        # updated images are re-inserts: they take FRESH row ids above
-        # the mark (documented deviation from Delta proper, which
-        # preserves ids by materializing them — the old image's id
-        # dies with its DV'd row); untouched files keep their bases
-        config = table_configuration(table_path)
-        base_ids, config = _assign_base_row_ids(table_path, files, config)
+    if tracked:
+        # the updated images carry their OLD ids in the materialized
+        # column (read-side coalesce wins); the fresh bases below only
+        # keep the every-tracked-add-has-a-base protocol invariant
+        base_ids, upd_config = _assign_base_row_ids(
+            table_path, files, upd_config
+        )
+        upd_config[MATERIALIZED_ROW_ID_KEY] = mat_col
         actions.append(
             metadata_action(
                 snap.schema,
                 partition_columns=snap.partition_columns or None,
                 created_time=now,
                 table_id=snap.metadata_id,
-                configuration=config,
+                configuration=upd_config,
             )
         )
     for key, descriptor in sorted(merged.items()):

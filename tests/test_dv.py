@@ -520,3 +520,89 @@ def test_mor_write_path_encodes_executor_side(spark, sf_dir, tmp_path):
         assert idx <= merged[p]
     want = {r.s_suppkey for r in s.where("s_suppkey % 5 >= 2").collect()}
     assert {r.s_suppkey for r in read_delta(spark, t).collect()} == want
+
+
+def test_z85_spec_vector_and_roundtrip():
+    """The canonical Z85 spec vector (0x864FD26FB559F75B ↔
+    'HelloWorld') pins the alphabet and block math to the public
+    spec — the encoding Delta's Base85Codec uses."""
+    from guidewire_spark.sources.dv import z85_decode, z85_encode
+
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert z85_encode(raw) == "HelloWorld"
+    assert z85_decode("HelloWorld") == raw
+    # padding: true length rides the descriptor's sizeInBytes
+    assert z85_decode(z85_encode(b"abc"), 3) == b"abc"
+
+
+def test_roaring_bitmap_array_conformance():
+    """Byte-level conformance of the RoaringBitmapArray 'portable'
+    serialization: magic, bitmap count, per-bitmap key, 32-bit roaring
+    cookie/headers/offsets, array + bitset containers, 64-bit split."""
+    import struct
+
+    from guidewire_spark.sources.dv import (
+        deserialize_roaring_array,
+        serialize_roaring_array,
+    )
+
+    vals = [0, 1, 5, 70000, (1 << 33) + 7]
+    raw = serialize_roaring_array(vals)
+    magic, n_bitmaps = struct.unpack_from("<iq", raw, 0)
+    assert magic == 1681511377          # portable-format magic
+    assert n_bitmaps == 2               # high-32 keys 0 and 2
+    (key0,) = struct.unpack_from("<i", raw, 12)
+    assert key0 == 0
+    cookie, n_containers = struct.unpack_from("<II", raw, 16)
+    assert cookie == 12346              # SERIAL_COOKIE_NO_RUNCONTAINER
+    assert n_containers == 2            # low-16 keys 0 and 1 (70000>>16)
+    k, card_m1 = struct.unpack_from("<HH", raw, 24)
+    assert (k, card_m1) == (0, 2)       # container 0 holds {0,1,5}
+    assert sorted(deserialize_roaring_array(raw)) == vals
+
+    # a >4096-cardinality container serializes as an 8 KiB bitset
+    dense = list(range(5000))
+    raw2 = serialize_roaring_array(dense)
+    assert sorted(deserialize_roaring_array(raw2)) == dense
+    assert len(raw2) == 12 + 4 + 8 + 4 + 4 + 8192
+
+
+def test_roaring_dv_flag_end_to_end(spark, sf_dir, tmp_path, monkeypatch):
+    """DV_FORMAT='roaring' emits protocol-standard vectors; merges
+    keep the format; reads subtract identically to varint tables."""
+    from guidewire_spark.sources import dv as dv_mod
+
+    monkeypatch.setattr(dv_mod, "DV_FORMAT", "roaring")
+    t = str(tmp_path / "roaring")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    write_delta(s, t, mode="append")
+    delete_from_mor(spark, t, "s_suppkey % 3 = 1")
+    snap = load_snapshot(t)
+    assert snap.file_dvs
+    for d in snap.file_dvs.values():
+        assert dv_mod.dv_format(d) == "roaring"
+    # merge across a second delete stays roaring — even if the session
+    # default flips back (existing format wins)
+    monkeypatch.setattr(dv_mod, "DV_FORMAT", "varint")
+    delete_from_mor(spark, t, "s_suppkey % 3 = 2")
+    snap2 = load_snapshot(t)
+    for d in snap2.file_dvs.values():
+        assert dv_mod.dv_format(d) == "roaring"
+    want = {r.s_suppkey for r in s.where("s_suppkey % 3 = 0").collect()}
+    assert {r.s_suppkey for r in read_delta(spark, t).collect()} == want
+
+
+def test_varint_and_roaring_descriptors_interoperate():
+    from guidewire_spark.sources.dv import decode_dv, encode_dv, merge_dv
+
+    idx = [3, 7, 11, 100, 65536, 2**33]
+    v = encode_dv(idx, fmt="varint")
+    r = encode_dv(idx, fmt="roaring")
+    assert decode_dv(v) == decode_dv(r) == sorted(idx)
+    # merging new indexes into each keeps its own format
+    mv = merge_dv(v, [1])
+    mr = merge_dv(r, [1])
+    assert decode_dv(mv) == decode_dv(mr) == sorted(idx + [1])
+    from guidewire_spark.sources.dv import dv_format
+
+    assert dv_format(mv) == "varint" and dv_format(mr) == "roaring"

@@ -2,9 +2,15 @@
 ``rowIdHighWaterMark``): stable row identities that survive
 merge-on-read DML.  Enabling assigns every live file a base; a row's
 stable id is base + its position in the file; appends take fresh ids
-above the high-water mark in the SAME commit that adds the files;
-rewrites are rejected (this engine documents MOR-only DML on tracked
-tables instead of materializing ids the way Delta proper does)."""
+above the high-water mark in the SAME commit that adds the files.
+
+Id-preserving rewrites (round 7): REORG PURGE, OPTIMIZE, and MOR
+UPDATE carry each row's stable id through the rewrite by
+MATERIALIZING it into the new files (the protocol's
+materializedRowIdColumnName channel — readers coalesce the physical
+column ahead of baseRowId + index).  Copy-on-write DML and MERGE stay
+rejected on tracked tables: MOR is the natural DML there, and the
+purge path now provides the vector fold-in."""
 
 from __future__ import annotations
 
@@ -97,29 +103,32 @@ def test_mor_delete_preserves_survivor_ids(spark, sf_dir, tmp_path):
     assert all(after[k] == before[k] for k in after)
 
 
-def test_mor_update_kills_old_id_and_assigns_fresh(spark, sf_dir, tmp_path):
+def test_mor_update_preserves_every_row_id(spark, sf_dir, tmp_path):
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     t = str(tmp_path / "rt_upd")
     write_delta(_one_file(s, "s_suppkey"), t, mode="append")
     enable_row_tracking(t)
     before = _ids(spark, t)
-    hwm_before = max(before.values())
     update_table_mor(
         spark, t, "s_suppkey % 4 = 1", {"s_name": "concat(s_name, '!')"}
     )
     after = _ids(spark, t)
-    touched = {k for k in before if k % 4 == 1}
-    # untouched rows keep ids; updated images take FRESH ids above the
-    # old mark (documented deviation: the old image's id dies with its
-    # DV'd row — Delta proper preserves ids by materializing them)
-    assert all(after[k] == before[k] for k in after if k not in touched)
-    assert all(after[k] > hwm_before for k in touched)
-    assert len(set(after.values())) == len(after)
+    # EVERY row keeps its id across UPDATE — the updated images carry
+    # their old ids in the materialized column (Delta's row-tracking
+    # contract), untouched rows keep the baseRowId + index default
+    assert after == before
     # the new names actually landed
     names = {
         r.s_suppkey: r.s_name for r in read_delta(spark, t).collect()
     }
+    touched = {k for k in before if k % 4 == 1}
     assert all(names[k].endswith("!") for k in touched)
+    # a second update on already-rewritten rows keeps ids AGAIN
+    # (materialized ids survive the next materialization)
+    update_table_mor(
+        spark, t, "s_suppkey % 4 = 1", {"s_name": "concat(s_name, '?')"}
+    )
+    assert _ids(spark, t) == before
 
 
 def test_rewrites_are_rejected_on_tracked_tables(spark, sf_dir, tmp_path):
@@ -138,7 +147,6 @@ def test_rewrites_are_rejected_on_tracked_tables(spark, sf_dir, tmp_path):
     enable_row_tracking(t)
     src = n.limit(3)
     for op, call in [
-        ("OPTIMIZE", lambda: optimize_table(spark, t)),
         ("DELETE", lambda: delete_from(spark, t, "n_nationkey = 1")),
         (
             "UPDATE",
@@ -151,10 +159,12 @@ def test_rewrites_are_rejected_on_tracked_tables(spark, sf_dir, tmp_path):
             "replaceWhere",
             lambda: replace_where(spark, t, "n_nationkey < 3", src),
         ),
-        ("PURGE", lambda: purge_deletion_vectors(spark, t)),
     ]:
         with pytest.raises(ValueError, match="row-tracked|row ids"):
             call()
+    # OPTIMIZE and REORG PURGE are id-preserving rewrites now — they
+    # must NOT raise (purge needs a vector to purge first)
+    assert optimize_table is not None and purge_deletion_vectors is not None
 
 
 def test_delete_auto_forces_mor_on_tracked_tables(spark, sf_dir, tmp_path):
@@ -278,3 +288,77 @@ def test_schema_evolution_append_keeps_one_metadata_action(
     ]
     # both copies are live: 2N rows, all ids distinct and dense
     assert sorted(ids) == list(range(2 * r.count()))
+
+
+def test_purge_preserves_ids_on_tracked_tables(spark, sf_dir, tmp_path):
+    from guidewire_spark.sources.writer import purge_deletion_vectors
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    t = str(tmp_path / "rt_purge")
+    write_delta(_one_file(s, "s_suppkey"), t, mode="append")
+    enable_row_tracking(t)
+    before = _ids(spark, t)
+    delete_from_mor(spark, t, "s_suppkey % 3 = 1")
+    purge_deletion_vectors(spark, t)
+    snap = load_snapshot(t)
+    # vectors folded in, survivors keep their EXACT stable ids
+    assert not snap.file_dvs
+    after = _ids(spark, t)
+    assert after == {k: v for k, v in before.items() if k % 3 != 1}
+    # purge stays dataChange=false: the change feed is silent
+    changes = read_delta_changes(
+        spark, t, from_version=snap.version, to_version=snap.version
+    )
+    assert changes.count() == 0
+    # a second MOR delete + purge cycle keeps preserving
+    delete_from_mor(spark, t, "s_suppkey % 3 = 2")
+    purge_deletion_vectors(spark, t)
+    assert _ids(spark, t) == {
+        k: v for k, v in before.items() if k % 3 == 0
+    }
+
+
+def test_optimize_preserves_ids_on_tracked_tables(spark, sf_dir, tmp_path):
+    from guidewire_spark.sources.writer import optimize_table
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = str(tmp_path / "rt_opt")
+    # three appends → three files → something to compact
+    for m in range(3):
+        part = n.where(f"n_nationkey % 3 = {m}")
+        write_delta(_one_file(part, "n_nationkey"), t, mode="append")
+    enable_row_tracking(t)
+    before = _ids(spark, t)
+    v = optimize_table(spark, t, target_files=1)
+    snap = load_snapshot(t)
+    assert snap.version == v and len(snap.files) == 1
+    # compaction moved every row to a new file; ids are unchanged
+    assert _ids(spark, t) == before
+    # and MOR DML keeps working on the compacted, materialized file
+    delete_from_mor(spark, t, "n_nationkey = 0")
+    after = _ids(spark, t)
+    assert after == {k: v for k, v in before.items() if k != 0}
+
+
+def test_materialized_ids_survive_log_checkpoint(spark, sf_dir, tmp_path):
+    from guidewire_spark.sources.log_checkpoint import write_log_checkpoint
+    from guidewire_spark.sources.writer import purge_deletion_vectors
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = str(tmp_path / "rt_ckpt_mat")
+    write_delta(_one_file(n, "n_nationkey"), t, mode="append")
+    enable_row_tracking(t)
+    before = _ids(spark, t)
+    delete_from_mor(spark, t, "n_nationkey % 5 = 0")
+    purge_deletion_vectors(spark, t)
+    snap = load_snapshot(t)
+    write_log_checkpoint(t, snap.version)
+    # config (incl. the materialized-column name) must survive the
+    # checkpoint seed — else post-checkpoint readers lose the coalesce
+    reloaded = load_snapshot(t)
+    from guidewire_spark.sources.snapshot import MATERIALIZED_ROW_ID_KEY
+
+    assert MATERIALIZED_ROW_ID_KEY in reloaded.configuration
+    assert _ids(spark, t) == {
+        k: v for k, v in before.items() if k % 5 != 0
+    }

@@ -1311,3 +1311,68 @@ def test_type_widening_metadata_only_and_time_travel(spark, sf_dir, tmp_path):
     dts = dict(read_delta(spark, t2).dtypes)
     assert dts == {"k": "bigint", "w": "double"}
     assert read_delta(spark, t2).count() == n.count() * 2
+
+
+def test_decimal_widening_end_to_end(spark, sf_dir, tmp_path):
+    """Decimal footer stats are writable (directed-rounding floats in
+    the stats JSON) and the decimal branch of type widening works end
+    to end: decimal(10,2) → decimal(14,2) is metadata-only, old files
+    read back upcast, wider appends land, and data skipping on the
+    decimal column prunes soundly."""
+    import json as _json
+    from decimal import Decimal
+
+    from guidewire_spark.sources.writer import widen_column_type
+
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        (F.col("n_nationkey") * 100 + 0.25)
+        .cast("decimal(10,2)")
+        .alias("amt"),
+    )
+    t = str(tmp_path / "dec_widen")
+    write_delta(n, t, mode="append")
+    snap = load_snapshot(t)
+    # stats exist and carry numeric decimal bounds
+    stats = _json.loads(next(iter(snap.file_stats.values())))
+    assert stats["minValues"]["amt"] <= 0.25
+    assert stats["maxValues"]["amt"] >= 2400.25
+    files_before = set(snap.files)
+    widen_column_type(t, "amt", "decimal(14,2)")
+    snap2 = load_snapshot(t)
+    assert set(snap2.files) == files_before           # metadata-only
+    got = read_delta(spark, t)
+    assert dict(got.dtypes)["amt"] == "decimal(14,2)"
+    assert got.where("n_nationkey = 7").first()["amt"] == Decimal("700.25")
+    # an append beyond decimal(10,2) range lands under the wide type
+    big = spark.createDataFrame(
+        [(99, Decimal("999999999999.99"))], "n_nationkey long, amt decimal(14,2)"
+    )
+    write_delta(big, t, mode="append")
+    assert read_delta(spark, t).agg(F.max("amt")).first()[0] == Decimal(
+        "999999999999.99"
+    )
+    # pruning on the decimal column keeps the file containing the hit
+    pruned = load_snapshot(t).pruned_files("amt", 999999999999.0, None)
+    assert len(pruned) >= 1
+    # scale growth without integer-digit growth is rejected as before
+    with pytest.raises(ValueError, match="not a legal type widening"):
+        widen_column_type(t, "amt", "decimal(14,4)")
+
+
+def test_decimal_widening_scale_and_digits_grow(spark, sf_dir, tmp_path):
+    """decimal(10,2) → decimal(16,4): scale AND integer digits both
+    grow — legal per the widening table; values read back exactly."""
+    from decimal import Decimal
+
+    from guidewire_spark.sources.writer import widen_column_type
+
+    df = spark.createDataFrame(
+        [(1, Decimal("12.34")), (2, Decimal("0.05"))],
+        "id long, amt decimal(10,2)",
+    )
+    t = str(tmp_path / "dec_widen2")
+    write_delta(df, t, mode="append")
+    widen_column_type(t, "amt", "decimal(16,4)")
+    got = {r.id: r.amt for r in read_delta(spark, t).collect()}
+    assert got == {1: Decimal("12.3400"), 2: Decimal("0.0500")}
