@@ -1560,3 +1560,59 @@ def delta_row_tracking_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame
     optimize_table(spark, table, target_files=1)
     out = read_delta(spark, table, with_row_ids=True)
     return out.select("doc_id", F.col("_row_id").alias("row_id"), "lang")
+
+
+@query(
+    "delta_cdf_row_ids",
+    oracle="""
+    WITH b1 AS (
+      SELECT s_suppkey, s_name,
+             row_number() OVER (ORDER BY s_suppkey) - 1 AS rid
+      FROM supplier
+    )
+    SELECT s_suppkey, s_name, 'delete' AS change_type,
+           CAST(2 AS BIGINT) AS commit_version, rid AS row_id
+    FROM b1 WHERE s_suppkey % 4 = 0
+    UNION ALL
+    SELECT s_suppkey, s_name, 'delete', 3, rid
+    FROM b1 WHERE s_suppkey % 4 = 1
+    UNION ALL
+    SELECT s_suppkey, upper(s_name), 'insert', 3, rid
+    FROM b1 WHERE s_suppkey % 4 = 1
+    """,
+)
+def delta_cdf_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed with STABLE ROW IDS (row tracking × CDF — the
+    replay-dedup contract): a MOR DELETE's change rows carry the dead
+    rows' ids, and a MOR UPDATE reads as a delete/insert pair bound by
+    the SAME id (the updated image carries its old id in the
+    materialized column), so an incremental consumer can key its state
+    store on _row_id and survive replays/reorders.  Exact oracle via
+    the one-sorted-file id assignment (id = rank - 1)."""
+    from guidewire_spark.sources.snapshot import read_delta_changes
+    from guidewire_spark.sources.writer import (
+        delete_from_mor,
+        enable_row_tracking,
+        update_table_mor,
+    )
+
+    table = tempfile.mkdtemp(prefix="gw_cdfrid_") + "/sup"
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    write_delta(
+        s.repartition(1).sortWithinPartitions("s_suppkey"),
+        table,
+        mode="append",
+    )
+    enable_row_tracking(table)                                      # v1
+    delete_from_mor(spark, table, "s_suppkey % 4 = 0")              # v2
+    update_table_mor(                                               # v3
+        spark, table, "s_suppkey % 4 = 1", {"s_name": "upper(s_name)"}
+    )
+    ch = read_delta_changes(spark, table, from_version=1, with_row_ids=True)
+    return ch.select(
+        "s_suppkey",
+        "s_name",
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_row_id").alias("row_id"),
+    )

@@ -1410,3 +1410,96 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 10)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@query(
+    "dedup_semdedup",
+    oracle="""
+    WITH unit AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, u AS cu FROM unit WHERE vec_id < 8),
+    scored AS (
+      SELECT v.vec_id, v.u, c.cid,
+             list_sum(list_transform(range(1, 65),
+                      i -> v.u[i] * c.cu[i])) AS cos
+      FROM unit v CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, u, cid AS cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a
+      JOIN assigned b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, 65),
+                     i -> a.u[i] * b.u[i])) >= 0.42
+    )
+    SELECT a.vec_id, a.cluster_id, (d.vec_id IS NOT NULL) AS dropped
+    FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic dedup by
+    CLUSTER-then-pairwise — k-means-style clusters bound the
+    quadratic pair space (the same role LSH bands play for minhash),
+    then within-cluster cosine above a threshold drops all but the
+    lowest-id member of each near-dup set.
+
+    Determinism choices that make an exact oracle possible: centroids
+    are the unit embeddings of vec_id 0..7 (a seeded k-means++ would
+    be engine-ambiguous), assignment is argmax cosine with
+    lowest-centroid-id tie-break, and the keep rule is keep-first by
+    id.  Scale shape: the 8 centroids broadcast (k-sized, never
+    data-sized), assignment is one map-side pass + an argmax window
+    keyed by vec_id, and the pairwise stage shuffles on cluster_id —
+    per-cluster quadratic, corpus-linear overall when clusters are
+    balanced (skewed clusters are the thing to monitor, exactly like
+    skewed LSH buckets; AQE skew-join covers moderate cases).  At
+    100 TB you raise k so cluster size stays bounded; the plan is
+    unchanged."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.normalize(F.col("embedding")).alias("u")
+    )
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("u").alias("cu")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "u", "cid", V.dot(F.col("u"), F.col("cu")).alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("vec_id", "u", F.col("cid").alias("cluster_id"))
+    )
+    a = assigned.select(
+        "cluster_id", F.col("vec_id").alias("a_id"), F.col("u").alias("a_u")
+    )
+    b = assigned.select(
+        "cluster_id", F.col("vec_id").alias("b_id"), F.col("u").alias("b_u")
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(V.dot(F.col("a_u"), F.col("b_u")) >= 0.42)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("d", F.lit(True))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce("d", F.lit(False)).alias("dropped"),
+    )

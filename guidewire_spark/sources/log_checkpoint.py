@@ -94,6 +94,44 @@ def checkpoint_path(table_path: str, version: int) -> str:
     )
 
 
+def checkpoint_part_path(
+    table_path: str, version: int, part: int, parts: int
+) -> str:
+    """Multi-part checkpoint file name per the public Delta protocol:
+    ``<v>.checkpoint.<part>.<parts>.parquet``, 1-based, 10-digit
+    zero-padded part numbers."""
+    return os.path.join(
+        delta_log_dir(table_path),
+        f"{version:020d}.checkpoint.{part:010d}.{parts:010d}.parquet",
+    )
+
+
+def checkpoint_files(table_path: str, version: int) -> list[str]:
+    """Existing checkpoint file(s) for ``version``: the single-file
+    form, or all parts of the multi-part form (every part must be
+    present — a partial multi-part checkpoint is unusable and is
+    reported as absent, so replay falls back to the JSON log)."""
+    single = checkpoint_path(table_path, version)
+    if os.path.isfile(single):
+        return [single]
+    import glob as _glob
+
+    parts = sorted(
+        _glob.glob(
+            os.path.join(
+                delta_log_dir(table_path),
+                f"{version:020d}.checkpoint.*.*.parquet",
+            )
+        )
+    )
+    if not parts:
+        return []
+    declared = int(parts[0].rsplit(".", 2)[-2])
+    if len(parts) != declared:
+        return []  # incomplete upload — protocol says ignore it
+    return parts
+
+
 def read_last_checkpoint(table_path: str) -> int | None:
     """Version of the newest checkpoint, per ``_last_checkpoint``."""
     marker = os.path.join(delta_log_dir(table_path), LAST_CHECKPOINT)
@@ -103,9 +141,23 @@ def read_last_checkpoint(table_path: str) -> int | None:
         return int(json.load(f)["version"])
 
 
-def write_log_checkpoint(table_path: str, version: int | None = None) -> str:
+def write_log_checkpoint(
+    table_path: str,
+    version: int | None = None,
+    max_actions_per_part: int | None = None,
+) -> str:
     """Materialize the snapshot state at ``version`` (default: latest)
-    as a checkpoint parquet and point ``_last_checkpoint`` at it."""
+    as a checkpoint parquet and point ``_last_checkpoint`` at it.
+
+    ``max_actions_per_part`` enables the protocol's MULTI-PART form
+    (``<v>.checkpoint.<i>.<n>.parquet``): at 100 TB a table holds
+    millions of live add actions, and one giant checkpoint parquet
+    becomes both a single-writer bottleneck and an all-or-nothing
+    read; parts cap each file's action count so writes parallelize
+    and readers stream part-by-part.  Parts land BEFORE the
+    ``_last_checkpoint`` marker flips, and an incomplete part set is
+    ignored by discovery — the crash-safety order the protocol
+    requires."""
     # Local import: snapshot imports this module for the read path.
     from guidewire_spark.sources.snapshot import load_snapshot
 
@@ -157,10 +209,29 @@ def write_log_checkpoint(table_path: str, version: int | None = None) -> str:
                 }
             }
         )
+    marker = os.path.join(delta_log_dir(table_path), LAST_CHECKPOINT)
+    if max_actions_per_part is not None and len(rows) > max_actions_per_part:
+        n_parts = -(-len(rows) // max_actions_per_part)
+        targets = []
+        for i in range(n_parts):
+            chunk = rows[i * max_actions_per_part : (i + 1) * max_actions_per_part]
+            part_file = checkpoint_part_path(
+                table_path, snap.version, i + 1, n_parts
+            )
+            pq.write_table(
+                pa.Table.from_pylist(chunk, schema=_CHECKPOINT_SCHEMA),
+                part_file,
+            )
+            targets.append(part_file)
+        with open(marker, "w", encoding="utf-8") as f:
+            json.dump(
+                {"version": snap.version, "size": len(rows), "parts": n_parts},
+                f,
+            )
+        return targets[0]
     table = pa.Table.from_pylist(rows, schema=_CHECKPOINT_SCHEMA)
     target = checkpoint_path(table_path, snap.version)
     pq.write_table(table, target)
-    marker = os.path.join(delta_log_dir(table_path), LAST_CHECKPOINT)
     with open(marker, "w", encoding="utf-8") as f:
         json.dump({"version": snap.version, "size": len(rows)}, f)
     return target
@@ -179,11 +250,17 @@ def load_checkpoint_state(
     list[str],
     dict[str, str],
 ]:
-    """Read ``<version>.checkpoint.parquet`` → (active file → stats,
-    file → size, file → partitionValues, file → deletionVector,
-    file → baseRowId, schema, metadata id, partition columns,
-    configuration) to seed log replay."""
-    table = pq.read_table(checkpoint_path(table_path, version))
+    """Read ``<version>.checkpoint.parquet`` (single-file or all
+    parts of the multi-part form) → (active file → stats, file →
+    size, file → partitionValues, file → deletionVector, file →
+    baseRowId, schema, metadata id, partition columns, configuration)
+    to seed log replay."""
+    files = checkpoint_files(table_path, version)
+    if not files:
+        raise FileNotFoundError(
+            f"no checkpoint file(s) at version {version} of {table_path}"
+        )
+    table = pa.concat_tables(pq.read_table(f) for f in files)
     active: dict[str, str | None] = {}
     sizes: dict[str, int] = {}
     partitions: dict[str, dict] = {}

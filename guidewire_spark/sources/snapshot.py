@@ -139,17 +139,17 @@ def load_snapshot(
     """Replay the log up to ``version`` (or the last commit whose
     commitInfo timestamp is <= ``timestamp``; default: latest)."""
     from guidewire_spark.sources.log_checkpoint import (
-        checkpoint_path,
+        checkpoint_files,
         load_checkpoint_state,
         read_last_checkpoint,
     )
 
     versions = list_versions(table_path)
     ckpt_version = read_last_checkpoint(table_path)
-    if ckpt_version is not None and not os.path.isfile(
-        checkpoint_path(table_path, ckpt_version)
+    if ckpt_version is not None and not checkpoint_files(
+        table_path, ckpt_version
     ):
-        ckpt_version = None  # stale marker; fall back to full replay
+        ckpt_version = None  # stale marker / partial parts; full replay
     if not versions and ckpt_version is None:
         raise FileNotFoundError(f"no Delta log at {table_path}")
 
@@ -249,6 +249,7 @@ def read_delta_changes(
     table_path: str,
     from_version: int,
     to_version: int | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Change Data Feed, file-granularity: every row added or removed
     in versions (from_version, to_version], tagged ``_change_type``
@@ -262,6 +263,13 @@ def read_delta_changes(
     This is the incremental-subscribe story (reference README.md:39-43)
     without an always-on stream: consumers poll the log's version
     counter and read exactly the delta.
+
+    ``with_row_ids=True`` (row-tracked tables only) adds the stable
+    ``_row_id`` to every change row — the key that lets an incremental
+    consumer correlate a MOR UPDATE's delete/insert pair (same id on
+    both sides) and dedup replays.  Ids resolve exactly like the read
+    path: the file's materialized column when present, else
+    baseRowId + row index.
     """
     from functools import reduce
 
@@ -296,11 +304,17 @@ def read_delta_changes(
     # already-dead rows as fresh deletes.
     dv_state: dict[str, dict] = {}
     dv_seed_failed = False
+    # base-row-id state replays alongside dv_state so every frame can
+    # resolve ids as of ITS version; pre-window removes fall back to
+    # the latest snapshot's map the same way pv_map does
+    base_map: dict[str, int] = dict(latest.file_base_rows)
+    mat_col = (latest.configuration or {}).get(MATERIALIZED_ROW_ID_KEY)
     if from_version >= 0:
         try:
             start_snap = load_snapshot(table_path, version=from_version)
             pv_map.update(start_snap.file_partitions)
             dv_state = dict(start_snap.file_dvs)
+            base_map.update(start_snap.file_base_rows)
         except (ValueError, FileNotFoundError):
             dv_seed_failed = True
 
@@ -336,6 +350,8 @@ def read_delta_changes(
 
         for path, add in adds.items():
             pv_map[path] = add.get("partitionValues") or {}
+            if add.get("baseRowId") is not None:
+                base_map[path] = int(add["baseRowId"])
             dv = add.get("deletionVector")
             if path in removes and dv is not None:
                 # in-place DV-state change (MOR delete, or a RESTORE
@@ -352,9 +368,13 @@ def read_delta_changes(
                 fresh = sorted(new - old)
                 revived = sorted(old - new)
                 if fresh:
-                    frames.append((v, "delete", path, None, fresh))
+                    frames.append(
+                        (v, "delete", path, None, fresh, base_map.get(path))
+                    )
                 if revived:
-                    frames.append((v, "insert", path, None, revived))
+                    frames.append(
+                        (v, "insert", path, None, revived, base_map.get(path))
+                    )
                 removes.pop(path)
             elif path in removes and path in dv_state:
                 # in-place vector REMOVAL (RESTORE to a pre-delete
@@ -362,14 +382,16 @@ def read_delta_changes(
                 # they come back as inserts
                 revived = sorted(decode_dv(dv_state[path]))
                 if revived:
-                    frames.append((v, "insert", path, None, revived))
+                    frames.append(
+                        (v, "insert", path, None, revived, base_map.get(path))
+                    )
                 removes.pop(path)
             else:
                 # plain insert; rows dead under a carried DV never
                 # existed logically and are excluded
                 frames.append(
                     (v, "insert", path, sorted(decode_dv(dv)) if dv else None,
-                     None)
+                     None, base_map.get(path))
                 )
             if dv is not None:
                 dv_state[path] = dv
@@ -379,28 +401,33 @@ def read_delta_changes(
             old = dv_state.pop(path, None)
             frames.append(
                 (v, "delete", path, sorted(decode_dv(old)) if old else None,
-                 None)
+                 None, base_map.get(path))
             )
 
     if not frames:
         base = schema or T.StructType([])
-        out_schema = T.StructType(
-            list(base.fields)
-            + [
-                T.StructField("_change_type", T.StringType(), True),
-                T.StructField("_commit_version", T.LongType(), True),
-            ]
-        )
+        extra = [
+            T.StructField("_change_type", T.StringType(), True),
+            T.StructField("_commit_version", T.LongType(), True),
+        ]
+        if with_row_ids:
+            extra.append(T.StructField("_row_id", T.LongType(), True))
+        out_schema = T.StructType(list(base.fields) + extra)
         return spark.createDataFrame([], out_schema)
 
     dfs = []
-    for v, kind, path, subtract, only in frames:
+    for v, kind, path, subtract, only, base_id in frames:
         base_schema = schema
         if pcols and schema is not None:
             base_schema = T.StructType(
                 [f for f in schema.fields if f.name not in pcols]
             )
-        if subtract is None and only is None:
+        if with_row_ids and base_id is None:
+            raise ValueError(
+                f"with_row_ids: file {path} (version {v}) has no "
+                "baseRowId — row tracking is not enabled on this table"
+            )
+        if subtract is None and only is None and not with_row_ids:
             df = read_files_with_schema(spark, base_schema, [path])
         else:
             from guidewire_spark.sources.dv import (
@@ -409,15 +436,34 @@ def read_delta_changes(
                 scan_with_row_index,
             )
 
-            scan = scan_with_row_index(spark, base_schema, [path])
-            idx = spark.createDataFrame(
-                [(int(i),) for i in (subtract if only is None else only)],
-                f"{META_ROW} long",
-            )
-            how = "left_anti" if only is None else "left_semi"
-            df = scan.join(F.broadcast(idx), [META_ROW], how).drop(
-                META_FILE, META_ROW
-            )
+            scan_schema = base_schema
+            if with_row_ids and mat_col and base_schema is not None:
+                scan_schema = T.StructType(
+                    list(base_schema.fields)
+                    + [T.StructField(mat_col, T.LongType(), True)]
+                )
+            scan = scan_with_row_index(spark, scan_schema, [path])
+            if with_row_ids:
+                default_id = F.lit(int(base_id)) + F.col(META_ROW)
+                scan = scan.withColumn(
+                    "_row_id",
+                    F.coalesce(F.col(mat_col), default_id)
+                    if mat_col
+                    else default_id,
+                )
+                if mat_col:
+                    scan = scan.drop(mat_col)
+            if subtract is None and only is None:
+                df = scan.drop(META_FILE, META_ROW)
+            else:
+                idx = spark.createDataFrame(
+                    [(int(i),) for i in (subtract if only is None else only)],
+                    f"{META_ROW} long",
+                )
+                how = "left_anti" if only is None else "left_semi"
+                df = scan.join(F.broadcast(idx), [META_ROW], how).drop(
+                    META_FILE, META_ROW
+                )
         if pcols and schema is not None:
             pv = pv_map.get(path, {})
             for col in pcols:
@@ -427,7 +473,10 @@ def read_delta_changes(
                     else T.StringType()
                 )
                 df = df.withColumn(col, F.lit(pv.get(col)).cast(dtype))
-            df = df.select(*schema.fieldNames())
+            keep = list(schema.fieldNames())
+            if with_row_ids:
+                keep.append("_row_id")
+            df = df.select(*keep)
         dfs.append(
             df.withColumn("_change_type", F.lit(kind))
             .withColumn("_commit_version", F.lit(v).cast("long"))

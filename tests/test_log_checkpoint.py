@@ -293,3 +293,64 @@ def test_checkpoint_carries_configuration_and_protocol_bump(
     assert (proto["minReaderVersion"], proto["minWriterVersion"]) == (2, 5)
     cfg = dict(meta["configuration"])
     assert cfg.get("delta.columnMapping.mode") == "name"
+
+
+def test_multipart_checkpoint_roundtrip(spark, sf_dir, tmp_path):
+    """Protocol multi-part checkpoints: parts named
+    <v>.checkpoint.<i>.<n>.parquet, _last_checkpoint records parts,
+    and the seeded snapshot is identical to the single-file form."""
+    import glob
+    import json as _json
+    import os
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.deltalog import delta_log_dir
+    from guidewire_spark.sources.log_checkpoint import write_log_checkpoint
+    from guidewire_spark.sources.snapshot import load_snapshot, read_delta
+    from guidewire_spark.sources.writer import delete_from_mor, write_delta
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    t = str(tmp_path / "multi")
+    # several files so the checkpoint has enough add actions to split
+    write_delta(s.repartition(4), t, mode="append")
+    delete_from_mor(spark, t, "s_suppkey % 2 = 0")
+    snap_before = load_snapshot(t)
+    write_log_checkpoint(t, max_actions_per_part=2)
+    parts = glob.glob(
+        os.path.join(delta_log_dir(t), "*.checkpoint.*.*.parquet")
+    )
+    assert len(parts) >= 3  # protocol+meta+4 adds at <=2 actions/part
+    marker = _json.load(
+        open(os.path.join(delta_log_dir(t), "_last_checkpoint"))
+    )
+    assert marker["parts"] == len(parts)
+    # seeded replay equals the pre-checkpoint state, DVs included
+    snap = load_snapshot(t)
+    assert set(snap.files) == set(snap_before.files)
+    assert snap.file_dvs == snap_before.file_dvs
+    want = {r.s_suppkey for r in s.where("s_suppkey % 2 <> 0").collect()}
+    assert {r.s_suppkey for r in read_delta(spark, t).collect()} == want
+
+
+def test_partial_multipart_checkpoint_is_ignored(spark, sf_dir, tmp_path):
+    """An incomplete part set (crashed upload) must be treated as
+    absent — replay falls back to the JSON log, never half-seeds."""
+    import glob
+    import os
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.deltalog import delta_log_dir
+    from guidewire_spark.sources.log_checkpoint import write_log_checkpoint
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import write_delta
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = str(tmp_path / "partial")
+    write_delta(n.repartition(3), t, mode="append")
+    write_log_checkpoint(t, max_actions_per_part=2)
+    parts = sorted(
+        glob.glob(os.path.join(delta_log_dir(t), "*.checkpoint.*.*.parquet"))
+    )
+    os.remove(parts[-1])  # simulate a lost part
+    snap = load_snapshot(t)  # must NOT raise — JSON replay covers it
+    assert len(snap.files) == 3

@@ -362,3 +362,40 @@ def test_materialized_ids_survive_log_checkpoint(spark, sf_dir, tmp_path):
     assert _ids(spark, t) == {
         k: v for k, v in before.items() if k % 5 != 0
     }
+
+
+def test_cdf_with_row_ids_correlates_update_pairs(spark, sf_dir, tmp_path):
+    """CDF with stable ids: a MOR UPDATE's delete/insert pair carries
+    the SAME _row_id on both sides, MOR-delete events carry the dead
+    rows' ids, and appends take fresh ids — the replay-dedup contract
+    for incremental consumers."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    t = str(tmp_path / "rt_cdf")
+    write_delta(_one_file(s, "s_suppkey"), t, mode="append")
+    enable_row_tracking(t)
+    ids = _ids(spark, t)
+    delete_from_mor(spark, t, "s_suppkey % 4 = 0")            # v2
+    update_table_mor(                                          # v3
+        spark, t, "s_suppkey % 4 = 1", {"s_name": "upper(s_name)"}
+    )
+    ch = read_delta_changes(spark, t, from_version=1, with_row_ids=True)
+    rows = [
+        (r.s_suppkey, r._change_type, r._commit_version, r._row_id)
+        for r in ch.collect()
+    ]
+    v2 = {(k, c, rid) for k, c, v, rid in rows if v == 2}
+    assert v2 == {
+        (k, "delete", ids[k]) for k in ids if k % 4 == 0
+    }
+    v3_del = {(k, rid) for k, c, v, rid in rows if v == 3 and c == "delete"}
+    v3_ins = {(k, rid) for k, c, v, rid in rows if v == 3 and c == "insert"}
+    want = {(k, ids[k]) for k in ids if k % 4 == 1}
+    assert v3_del == want and v3_ins == want   # same id both sides
+    # untracked table: asking for ids fails loudly
+    t2 = str(tmp_path / "untracked")
+    write_delta(s, t2, mode="append")
+    delete_from_mor(spark, t2, "s_suppkey % 2 = 0")
+    with pytest.raises(ValueError, match="baseRowId"):
+        read_delta_changes(
+            spark, t2, from_version=0, with_row_ids=True
+        ).collect()
