@@ -1616,3 +1616,45 @@ def delta_cdf_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_commit_version").alias("commit_version"),
         F.col("_row_id").alias("row_id"),
     )
+
+
+@query(
+    "delta_liquid_clustering",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(14,2)) AS price
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def delta_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liquid clustering end-to-end: CLUSTER BY declares the columns
+    (metadata-only), a later PLAIN ``optimize_table`` call reclusters
+    on them automatically (2 columns ride the Hilbert curve, Delta's
+    liquid curve), and the query asserts the maintenance actually
+    bought skipping power — a narrow range on EITHER clustered column
+    must prune to at most half the files (raises otherwise).  The
+    returned rows prove row fidelity through declare + recluster."""
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import (
+        optimize_table as _opt,
+        set_clustering_columns,
+    )
+
+    table = tempfile.mkdtemp(prefix="gw_liquid_") + "/orders"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(14,2)").alias("price")
+    )
+    for i in range(4):  # hash-sliced appends: no natural clustering
+        write_delta(o.where(F.col("o_orderkey") % 4 == i), table, mode="append")
+    set_clustering_columns(table, ["o_orderkey", "price"])
+    _opt(spark, table, target_files=16)
+    snap = load_snapshot(table)
+    row = o.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"), F.min("price")
+    ).first()
+    lo, span_hi, plo = row[0], row[1], row[2]
+    hi = lo + (span_hi - lo) // 20
+    if len(snap.pruned_files("o_orderkey", lo, hi)) > snap.num_files // 2:
+        raise AssertionError("clustering bought no o_orderkey skipping")
+    if len(snap.pruned_files("price", plo, plo)) > snap.num_files // 2:
+        raise AssertionError("clustering bought no price skipping")
+    return read_delta(spark, table).where("o_orderkey % 2 = 0")

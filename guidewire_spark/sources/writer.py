@@ -867,9 +867,24 @@ def optimize_table(
     instead (``sources/hilbert.py``): strictly better locality than
     Morton — no diagonal jumps — which is the curve Delta's liquid
     clustering uses; mutually exclusive with ``zorder_by``.
+
+    A table with declared clustering columns
+    (:func:`set_clustering_columns`, Delta's CLUSTER BY) reclusters on
+    them AUTOMATICALLY when neither ``zorder_by`` nor ``hilbert_by``
+    is passed — plain ``OPTIMIZE`` maintains the declared layout, the
+    liquid-clustering maintenance contract (2 columns ride the Hilbert
+    curve like Delta's liquid; 1 or 3+ use range/Morton).
     """
     if zorder_by and hilbert_by:
         raise ValueError("zorder_by and hilbert_by are mutually exclusive")
+    if not zorder_by and not hilbert_by:
+        declared = table_configuration(table_path).get(_CLUSTERING_KEY)
+        if declared:
+            cols = [c for c in declared.split(",") if c]
+            if len(cols) == 2:
+                hilbert_by = cols
+            else:
+                zorder_by = cols
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to optimize at {table_path}")
@@ -1373,6 +1388,61 @@ def _file_record_counts(files_or_paths, name_hint: str) -> list[tuple[str, int]]
             )
         out.append((p, int(n)))
     return out
+
+
+_CLUSTERING_KEY = "delta.clusteringColumns"
+
+
+def set_clustering_columns(table_path: str, columns: list[str]) -> int:
+    """ALTER TABLE ... CLUSTER BY (Delta liquid clustering's
+    declaration half): record the clustering columns as a table
+    property in a metadata-only commit.  Existing files are NOT
+    rewritten — clustering is maintained lazily by ``optimize_table``,
+    which reclusters on the declared columns whenever it runs without
+    explicit ``zorder_by``/``hilbert_by`` (Delta's own contract:
+    CLUSTER BY declares, OPTIMIZE maintains).  Pass an empty list to
+    drop clustering (ALTER TABLE ... CLUSTER BY NONE).
+
+    Documented deviation: Delta proper stores clustering in a
+    domainMetadata action; this log emitter records it in
+    ``metaData.configuration`` (this engine both writes and reads its
+    own logs, and external readers ignore unknown config keys)."""
+    snap = load_snapshot(table_path)
+    pcols = set(snap.partition_columns or [])
+    known = set(snap.schema.fieldNames()) if snap.schema else set()
+    for c in columns:
+        if c not in known:
+            raise ValueError(f"clustering column {c!r} not in table schema")
+        if c in pcols:
+            raise ValueError(
+                f"clustering column {c!r} is a partition column — "
+                "cluster within partitions on data columns instead"
+            )
+    if len(columns) > 4:
+        raise ValueError(
+            "at most 4 clustering columns (beyond that, per-column "
+            "skipping power collapses — the same cap Delta applies)"
+        )
+    config = table_configuration(table_path)
+    if columns:
+        config[_CLUSTERING_KEY] = ",".join(columns)
+    else:
+        config.pop(_CLUSTERING_KEY, None)
+    now = int(time.time() * 1000)
+    actions = [
+        metadata_action(
+            snap.schema,
+            partition_columns=snap.partition_columns or None,
+            created_time=now,
+            table_id=snap.metadata_id,
+            configuration=config,
+        ),
+        commit_info_action(
+            "CLUSTER BY", ",".join(columns) or "NONE", False, 0, 0, now
+        ),
+    ]
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
 
 
 def enable_row_tracking(table_path: str) -> int:

@@ -1376,3 +1376,48 @@ def test_decimal_widening_scale_and_digits_grow(spark, sf_dir, tmp_path):
     widen_column_type(t, "amt", "decimal(16,4)")
     got = {r.id: r.amt for r in read_delta(spark, t).collect()}
     assert got == {1: Decimal("12.3400"), 2: Decimal("0.0500")}
+
+
+def test_cluster_by_declares_and_optimize_maintains(spark, sf_dir, tmp_path):
+    """Liquid-clustering contract: CLUSTER BY is a metadata-only
+    declaration; a later plain OPTIMIZE reclusters on the declared
+    columns automatically (2 columns → Hilbert), tightening skipping
+    on BOTH dimensions; CLUSTER BY NONE drops the behavior."""
+    from guidewire_spark.sources.writer import set_clustering_columns
+
+    table = str(tmp_path / "liquid")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    for i in range(4):
+        write_delta(o.where(F.col("o_orderkey") % 4 == i), table, mode="append")
+    before = load_snapshot(table)
+    v = set_clustering_columns(table, ["o_orderkey", "o_totalprice"])
+    mid = load_snapshot(table)
+    assert set(mid.files) == set(before.files)          # metadata-only
+    assert mid.version == v
+    assert mid.configuration["delta.clusteringColumns"] == (
+        "o_orderkey,o_totalprice"
+    )
+    optimize_table(spark, table, target_files=16)       # no explicit cols
+    after = load_snapshot(table)
+    assert read_delta(spark, table).count() == o.count()
+    keys = [r.o_orderkey for r in o.select("o_orderkey").collect()]
+    lo = min(keys)
+    hi = lo + (max(keys) - min(keys)) // 20
+    pruned = after.pruned_files("o_orderkey", lo, hi)
+    assert len(pruned) <= after.num_files // 2          # skipping works
+    prices = [r.o_totalprice for r in o.select("o_totalprice").collect()]
+    plo = min(prices)
+    phi = plo + (max(prices) - min(prices)) / 20
+    assert len(after.pruned_files("o_totalprice", plo, phi)) <= (
+        after.num_files // 2
+    )
+    # CLUSTER BY NONE: the next OPTIMIZE is a plain compaction again
+    set_clustering_columns(table, [])
+    assert "delta.clusteringColumns" not in load_snapshot(table).configuration
+    # validation: unknown / partition columns rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in table schema"):
+        set_clustering_columns(table, ["nope"])
