@@ -360,3 +360,83 @@ def sql_values_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.code, n.n_name
         """
     )
+
+
+@query("vocab_bpe_train_merges")  # iterative: no single-SQL oracle;
+# exact-equivalence to a pure-Python reference BPE is gated in
+# tests/test_advanced_ext.py::test_bpe_train_matches_reference
+def vocab_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge TRAINING, eight rounds (tokenizer_bpe_apply_merge
+    runs one): learn the ordered merge list the way Sennrich et al.'s
+    public algorithm does — per round, count adjacent symbol pairs,
+    take the argmax (frequency desc, pair asc — exact integer counts,
+    no float argmax), merge it greedily left-to-right, repeat.
+
+    THE scale trick is classic BPE's own: after ONE corpus pass that
+    aggregates words into a (word, count) vocabulary, every training
+    round runs on the VOCAB table (distinct words — bounded by
+    language, not corpus size), so 100 TB of text costs one shuffle up
+    front and then k tiny vocab-sized jobs.  The driver loop carries
+    only the 1-row argmax per round; the greedy merge itself is a
+    JVM-side array fold (aggregate HOF), no Python in the per-word
+    path.  Left-to-right greedy needs no overlap flag: a merged token
+    A||B can never equal its own left side A (B is non-empty), so the
+    fold's last-element check is exactly the non-overlapping rule."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(T.words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.filter(F.split("w", ""), lambda c: c != "").alias("symbols"),
+            "n",
+        )
+    )
+    vocab = vocab.persist()
+    merges = []
+    for rnd in range(8):
+        pairs = vocab.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("symbols"), 1, F.size("symbols") - 1),
+                    F.slice(F.col("symbols"), 2, F.size("symbols") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "n",
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("n").alias("freq"))
+            .orderBy(
+                F.col("freq").desc(), F.col("p.l").asc(), F.col("p.r").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["freq"] < 2:
+            break
+        left, right, freq = top[0]["p"]["l"], top[0]["p"]["r"], top[0]["freq"]
+        merges.append((rnd, left, right, left + right, int(freq)))
+        lw, rw, mw = F.lit(left), F.lit(right), F.lit(left + right)
+        merged_syms = F.aggregate(
+            "symbols",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lw)
+                & (x == rw),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(mw)
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        nxt = vocab.select(merged_syms.alias("symbols"), "n").persist()
+        nxt.count()  # materialize before dropping the parent pin
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left string, right string, merged string, freq long",
+    )

@@ -95,3 +95,55 @@ def test_observation_metrics_ride_the_same_job(spark, sf_dir):
     assert metrics["n_total"] == total
     assert metrics["n_dropped"] == total - kept
     assert metrics["dropped_chars"] >= 0
+
+
+def test_bpe_train_matches_reference(spark, sf_dir):
+    """vocab_bpe_train_merges must reproduce EXACTLY the merge list a
+    pure-Python reference BPE (Sennrich-style: word-frequency vocab,
+    argmax by (freq, pair) with lexicographic tie-break, greedy
+    left-to-right application) learns on the same corpus."""
+    import re
+    from collections import Counter
+
+    from guidewire_spark.operators.advanced_ext import vocab_bpe_train_merges
+    from guidewire_spark.plans.catalog import load_table
+
+    docs = [
+        r.text
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    words = Counter()
+    for t in docs:
+        for w in re.findall(r"\S+", t):  # mirrors T.words
+            words[w] += 1
+    vocab = {tuple(w): n for w, n in words.items()}
+    expected = []
+    for rnd in range(8):
+        pair_counts = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += n
+        if not pair_counts:
+            break
+        (l, r), freq = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if freq < 2:
+            break
+        expected.append((rnd, l, r, l + r, freq))
+        merged_vocab = {}
+        for syms, n in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            merged_vocab[tuple(out)] = merged_vocab.get(tuple(out), 0) + n
+        vocab = merged_vocab
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.freq)
+        for r in vocab_bpe_train_merges(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    assert len(got) == 8  # this corpus sustains all 8 rounds

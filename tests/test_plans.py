@@ -666,3 +666,80 @@ def test_dv_read_is_broadcast_anti_join_with_row_index(spark, sf_dir, tmp_path):
     # no Python evaluation anywhere in the read path
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan, bad
+
+
+def test_semdedup_broadcasts_centroids_and_shuffles_on_cluster(spark, sf_dir):
+    """SemDeDup's scale contract: the k centroids BROADCAST (k-sized,
+    never data-sized), the within-cluster pair stage joins on
+    cluster_id (the bucket that bounds the quadratic), and no
+    all-pairs cross join of the corpus appears."""
+    from guidewire_spark.operators.llm import dedup_semdedup
+
+    plan = plan_of(dedup_semdedup(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only cartesian-ish node is the centroid broadcast (8 rows);
+    # the pair stage must be an equi-join on cluster_id
+    assert "CartesianProduct" not in plan, plan
+    assert "cluster_id" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
+
+
+def test_dv_distributed_decode_plan_shape(spark, sf_dir, tmp_path, monkeypatch):
+    """Above the cardinality guard the dead side is an Arrow-batched
+    MapInPandas over the per-file descriptor frame and the anti-join
+    carries no broadcast hint — the shape that never materializes a
+    1e8-row vector on the driver."""
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources import dv as dv_mod
+    from guidewire_spark.sources.snapshot import load_snapshot, read_delta
+    from guidewire_spark.sources.writer import delete_from_mor, write_delta
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    t = str(tmp_path / "dv_dist_plan")
+    write_delta(s, t, mode="append")
+    delete_from_mor(spark, t, "s_suppkey % 3 = 0")
+    monkeypatch.setattr(dv_mod, "BROADCAST_DV_MAX_ROWS", 0)
+    snap = load_snapshot(t)
+    dead, small = dv_mod.dead_rows_for_join(spark, snap.file_dvs)
+    assert not small
+    assert "MapInPandas" in plan_of(dead)
+    plan = plan_of(read_delta(spark, t))
+    assert "LeftAnti" in plan and "MapInPandas" in plan, plan
+
+
+def test_mor_write_encode_is_executor_side(spark, sf_dir, tmp_path):
+    """The MOR write path's descriptor build is an applyInPandas
+    (FlatMapGroupsInPandas) keyed by file — indexes aggregate and
+    varint-encode on executors; the driver never receives row lists."""
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.dv import META_FILE, META_ROW
+    from guidewire_spark.sources.writer import (
+        _scan_rowindex_with_partitions,
+        write_delta,
+    )
+    from guidewire_spark.sources.snapshot import load_snapshot
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    t = str(tmp_path / "enc_plan")
+    write_delta(s, t, mode="append")
+    snap = load_snapshot(t)
+    scan = _scan_rowindex_with_partitions(spark, snap, list(snap.files))
+    hits = scan.where("s_suppkey % 3 = 0").select(META_FILE, META_ROW)
+    # build the encode stage exactly as encode_dead_rows does and
+    # assert its plan shape without collecting
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(META_FILE, T.StringType()),
+            T.StructField("__payload", T.StringType()),
+        ]
+    )
+
+    def _enc(key, pdf):
+        return pd.DataFrame({META_FILE: [key[0]], "__payload": ["x"]})
+
+    staged = hits.groupBy(META_FILE).applyInPandas(_enc, out_schema)
+    assert "FlatMapGroupsInPandas" in plan_of(staged)
