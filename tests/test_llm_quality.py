@@ -293,3 +293,26 @@ def test_phash_neardup_finds_planted_pairs(spark, tmp_path):
         for r in multimodal_phash_neardup(spark, d).collect()
     }
     assert pairs == again
+
+
+def test_ivfpq_recall_vs_bruteforce(spark):
+    """IVF-PQ composite: probing 2/8 cells with residual-PQ ADC and
+    exact rerank must recover a solid fraction of the exact top-5.
+    The coarse probe is the recall ceiling (a true neighbor in an
+    unprobed cell is unreachable); residual PQ + 100-deep rerank
+    recovers nearly everything inside the probed cells."""
+    from guidewire_spark.operators.llm import (
+        similarity_ann_ivfpq,
+        similarity_topk_bruteforce,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_topk_bruteforce(spark, SF).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_ann_ivfpq(spark, SF).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF-PQ recall@5 collapsed: {recall:.2f}"
