@@ -440,3 +440,64 @@ def vocab_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "merge_rank int, left string, right string, merged string, freq long",
     )
+
+
+@query("vocab_bpe_encode_corpus")  # learned merges are corpus-derived →
+# no static SQL oracle; exact equivalence to the pure-Python encoder is
+# gated in tests/test_advanced_ext.py::test_bpe_encode_matches_reference
+def vocab_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 8 learned BPE merges (vocab_bpe_train_merges) to the
+    WHOLE corpus and account per-document token counts — the encode
+    half of tokenizer training, and the real budget number a training
+    pipeline reports (tokens-after-BPE, not characters).
+
+    The merge list is learned once (vocab-table-sized work), collected
+    (8 rows), and applied as 8 CHAINED JVM array folds over each
+    word's symbol sequence in ONE corpus pass — merges must apply in
+    learned order (merge k can consume tokens merge k-1 created:
+    that is what makes BPE multiplicative), so the folds compose
+    rather than union.  No Python touches the per-word path; at
+    100 TB this is one map-side pass over text with an 8-step
+    expression pipeline."""
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in vocab_bpe_train_merges(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("w")
+    ).select(
+        "doc_id",
+        F.filter(F.split("w", ""), lambda c: c != "").alias("symbols"),
+    )
+    def fold_merge(col, left, right, merged):
+        lw, rw, mw = F.lit(left), F.lit(right), F.lit(merged)
+
+        def step(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lw)
+                & (x == rw),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(mw)),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return F.aggregate(col, F.array().cast("array<string>"), step)
+
+    col = F.col("symbols")
+    for left, right, merged in merges:
+        col = fold_merge(col, left, right, merged)
+    return (
+        words.select(
+            "doc_id",
+            F.size("symbols").alias("chars"),
+            F.size(col).alias("toks"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("chars").alias("tokens_char"),
+            F.sum("toks").alias("tokens_bpe"),
+        )
+        .orderBy("doc_id")
+    )

@@ -147,3 +147,53 @@ def test_bpe_train_matches_reference(spark, sf_dir):
     ]
     assert got == expected
     assert len(got) == 8  # this corpus sustains all 8 rounds
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    """vocab_bpe_encode_corpus must report EXACTLY the per-doc token
+    counts the pure-Python encoder produces when applying the same
+    learned merges in order."""
+    import re
+
+    from guidewire_spark.operators.advanced_ext import (
+        vocab_bpe_encode_corpus,
+        vocab_bpe_train_merges,
+    )
+    from guidewire_spark.plans.catalog import load_table
+
+    merges = [
+        (r.left, r.right, r.merged)
+        for r in vocab_bpe_train_merges(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+    def encode(word):
+        syms = list(word)
+        for l, r, m in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = m
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    expected = {}
+    for row in docs:
+        chars = toks = 0
+        for w in re.findall(r"\S+", row.text):
+            chars += len(w)
+            toks += len(encode(w))
+        expected[row.doc_id] = (chars, toks)
+    got = {
+        r.doc_id: (r.tokens_char, r.tokens_bpe)
+        for r in vocab_bpe_encode_corpus(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # BPE must actually compress: every document shrinks
+    assert all(t < c for c, t in got.values())
