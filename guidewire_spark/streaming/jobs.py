@@ -1157,3 +1157,120 @@ def stream_session_timeout_summary(
         F.max("us").cast("long").alias("end_us"),
         F.count("*").alias("n_events"),
     ).drop("sid")
+
+
+@query(
+    "stream_cdf_rowid_replay",
+    oracle="""
+    WITH b AS (
+      SELECT s_suppkey, s_name,
+             row_number() OVER (ORDER BY s_suppkey) - 1 AS row_id
+      FROM supplier
+    )
+    SELECT row_id, s_suppkey,
+           CASE WHEN s_suppkey % 4 = 1 THEN upper(s_name)
+                ELSE s_name END AS s_name
+    FROM b WHERE s_suppkey % 4 <> 0
+    """,
+)
+def stream_cdf_rowid_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay-safe incremental consumption, end to end: a row-tracked
+    Delta table's change feed (WITH stable row ids) is exported TWICE
+    — a full at-least-once replay — streamed file-per-microbatch, and
+    applied to a downstream state table KEYED ON _row_id.  Because
+    the id is stable across MOR UPDATE (the delete/insert pair shares
+    one id), the apply is a pure keyed upsert/delete and the duplicate
+    delivery changes nothing: the final state equals the direct table
+    read.  This is the contract the reference's subscribe workflow
+    needs from consumers (README.md:39-43), made testable.
+
+    The per-batch apply is fully distributed: last change per row_id
+    via a keyed window ('insert' sorts after 'delete', so an update's
+    pair nets to its insert), then state := (state ANTI-JOIN deletes)
+    ∪ upserts — no driver-side row loops, state rewritten per batch
+    (at 100 TB you swap the rewrite for a MERGE on the same keys; the
+    dedup logic is unchanged)."""
+    import tempfile
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.snapshot import (
+        read_delta,
+        read_delta_changes,
+    )
+    from guidewire_spark.sources.writer import (
+        delete_from_mor,
+        enable_row_tracking,
+        update_table_mor,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="gw_cdfreplay_")
+    table = root + "/src_table"
+    src = root + "/changes"
+    state = root + "/state"
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    write_delta(
+        s.repartition(1).sortWithinPartitions("s_suppkey"),
+        table,
+        mode="append",
+    )
+    enable_row_tracking(table)                                     # v1
+    delete_from_mor(spark, table, "s_suppkey % 4 = 0")             # v2
+    update_table_mor(                                              # v3
+        spark, table, "s_suppkey % 4 = 1", {"s_name": "upper(s_name)"}
+    )
+    changes = read_delta_changes(
+        spark, table, from_version=1, with_row_ids=True
+    ).select("_row_id", "s_suppkey", "s_name", "_change_type",
+             "_commit_version")
+    # export the SAME window twice — an at-least-once replay
+    changes.coalesce(1).write.mode("append").parquet(src)
+    changes.coalesce(1).write.mode("append").parquet(src)
+
+    # seed the state with the pre-change snapshot (version 1, with ids)
+    seed = read_delta(spark, table, version=1, with_row_ids=True).select(
+        F.col("_row_id"), "s_suppkey", "s_name"
+    )
+    write_delta(seed, state, mode="append")
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sess = batch_df.sparkSession
+        w = Window.partitionBy("_row_id").orderBy(
+            F.col("_commit_version").desc(), F.col("_change_type").desc()
+        )
+        last = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1")
+            .drop("_rn")
+        )
+        cur = read_delta(sess, state)
+        survived = cur.join(
+            last.select("_row_id"), "_row_id", "left_anti"
+        )
+        upserts = last.where(F.col("_change_type") == "insert").select(
+            "_row_id", "s_suppkey", "s_name"
+        )
+        write_delta(survived.unionByName(upserts), state, mode="overwrite")
+
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", root + "/ckpt")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    return read_delta(spark, state).select(
+        F.col("_row_id").alias("row_id"), "s_suppkey", "s_name"
+    )
