@@ -399,3 +399,40 @@ def test_cdf_with_row_ids_correlates_update_pairs(spark, sf_dir, tmp_path):
         read_delta_changes(
             spark, t2, from_version=0, with_row_ids=True
         ).collect()
+
+
+def test_id_preserving_rewrites_on_partitioned_and_zordered_tables(
+    spark, sf_dir, tmp_path
+):
+    """The materialized-row-id path must survive the two rewrite
+    shapes the simple tests skip: hive-partitioned purge (grouped
+    scans + partition-literal columns) and OPTIMIZE ZORDER (the mat
+    column rides the cluster reshuffle)."""
+    from guidewire_spark.sources.writer import (
+        optimize_table,
+        purge_deletion_vectors,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = str(tmp_path / "rt_part")
+    write_delta(
+        d.repartition(1).sortWithinPartitions("doc_id"),
+        t,
+        mode="append",
+        partition_by=["lang"],
+    )
+    enable_row_tracking(t)
+    before = _ids(spark, t)
+    delete_from_mor(spark, t, "doc_id % 3 = 0")
+    purge_deletion_vectors(spark, t)            # partitioned + tracked
+    after = _ids(spark, t)
+    assert after == {k: v for k, v in before.items() if k % 3 != 0}
+
+    t2 = str(tmp_path / "rt_zorder")
+    write_delta(d.repartition(3), t2, mode="append")
+    enable_row_tracking(t2)
+    before2 = _ids(spark, t2)
+    optimize_table(spark, t2, target_files=4, zorder_by=["n_chars"])
+    assert _ids(spark, t2) == before2           # reshuffled, ids intact
