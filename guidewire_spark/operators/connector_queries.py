@@ -1658,3 +1658,35 @@ def delta_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     if len(snap.pruned_files("price", plo, plo)) > snap.num_files // 2:
         raise AssertionError("clustering bought no price skipping")
     return read_delta(spark, table).where("o_orderkey % 2 = 0")
+
+
+@query(
+    "delta_ict_time_travel",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10
+    """,
+)
+def delta_ict_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-commit timestamps (Delta table feature): after enablement
+    every commit carries a monotonic inCommitTimestamp — written as
+    max(now, prev+1) at the write_commit chokepoint — and TIMESTAMP
+    AS OF resolves against that chain instead of wall-clock fields, so
+    writer clock skew cannot reorder history.  The query commits three
+    versions, asserts the chain is strictly increasing, then time
+    travels to the middle version's exact instant and returns it."""
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import enable_in_commit_timestamps
+
+    table = tempfile.mkdtemp(prefix="gw_ict_") + "/nat"
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n.where("n_nationkey < 10"), table, mode="append")   # v0
+    enable_in_commit_timestamps(table)                               # v1
+    write_delta(n.where("n_nationkey >= 10"), table, mode="append")  # v2
+    snap = load_snapshot(table)
+    ts = snap.commit_timestamps
+    if not (ts[1] < ts[2]):
+        raise AssertionError(f"ICT chain not increasing: {ts}")
+    at_v1 = load_snapshot(table, timestamp=ts[1])
+    if at_v1.version != 1:
+        raise AssertionError(f"TIMESTAMP AS OF picked v{at_v1.version}")
+    return read_delta(spark, table, timestamp=ts[1])

@@ -141,6 +141,60 @@ def commit_info_action(
     }
 
 
+ICT_KEY = "delta.enableInCommitTimestamps"
+
+
+def _prev_commit_info(table_path: str, version: int) -> dict | None:
+    """commitInfo of ``version - 1``, or None when that JSON is absent
+    (first commit, or checkpoint-truncated log)."""
+    prev = os.path.join(delta_log_dir(table_path), f"{version - 1:020d}.json")
+    if version <= 0 or not os.path.isfile(prev):
+        return None
+    with open(prev, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    return action["commitInfo"]
+    return None
+
+
+def _apply_in_commit_timestamp(
+    table_path: str, version: int, actions: list[dict]
+) -> list[dict]:
+    """In-commit timestamps (public Delta table feature): when the
+    chain is live, stamp this commit's ``commitInfo`` with a
+    MONOTONIC ``inCommitTimestamp`` (max(now, prev + 1) — immune to
+    wall-clock skew/rollback between writers) and move commitInfo to
+    the FRONT of the action list, both per the protocol.  The chain is
+    detected from the PREVIOUS commit's commitInfo carrying the field
+    (one file read — never a log replay per commit); a truncated
+    predecessor falls back to the metadata configuration flag."""
+    prev_info = _prev_commit_info(table_path, version)
+    if prev_info is not None:
+        if "inCommitTimestamp" not in prev_info:
+            return actions
+        prev_ict = int(prev_info["inCommitTimestamp"])
+    else:
+        from guidewire_spark.sources.writer import table_configuration
+
+        try:
+            if table_configuration(table_path).get(ICT_KEY) != "true":
+                return actions
+        except Exception:
+            return actions
+        prev_ict = -1
+    info = next((a for a in actions if "commitInfo" in a), None)
+    if info is None:
+        info = {"commitInfo": {"timestamp": int(time.time() * 1000)}}
+        actions = list(actions) + [info]
+    ict = max(int(time.time() * 1000), prev_ict + 1)
+    info["commitInfo"]["inCommitTimestamp"] = ict
+    info["commitInfo"]["timestamp"] = ict
+    return [info] + [a for a in actions if a is not info]
+
+
 def write_commit(table_path: str, version: int, actions: list[dict]) -> str:
     """Atomically write one commit file ``_delta_log/<v>.json``.
 
@@ -148,6 +202,7 @@ def write_commit(table_path: str, version: int, actions: list[dict]) -> str:
     raises FileExistsError — optimistic concurrency, resolved by the
     caller (the indexer serializes per table, so this only fires on
     misuse)."""
+    actions = _apply_in_commit_timestamp(table_path, version, actions)
     log_dir = delta_log_dir(table_path)
     os.makedirs(log_dir, exist_ok=True)
     target = os.path.join(log_dir, f"{version:020d}.json")

@@ -158,7 +158,13 @@ def load_snapshot(
         for v in versions:
             for action in _read_commit(table_path, v):
                 if "commitInfo" in action:
-                    if action["commitInfo"].get("timestamp", 0) <= timestamp:
+                    # in-commit timestamps (monotonic, clock-skew-proof)
+                    # take precedence over the wall-clock field
+                    ts = action["commitInfo"].get(
+                        "inCommitTimestamp",
+                        action["commitInfo"].get("timestamp", 0),
+                    )
+                    if ts <= timestamp:
                         chosen = v
         if chosen is None:
             raise ValueError(f"no version at or before timestamp {timestamp}")
@@ -226,7 +232,10 @@ def load_snapshot(
                     action["metaData"].get("configuration") or {}
                 )
             elif "commitInfo" in action:
-                commit_ts[v] = action["commitInfo"].get("timestamp", 0)
+                commit_ts[v] = action["commitInfo"].get(
+                    "inCommitTimestamp",
+                    action["commitInfo"].get("timestamp", 0),
+                )
     return DeltaSnapshot(
         table_path=table_path,
         version=version,

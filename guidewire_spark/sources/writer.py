@@ -1393,6 +1393,49 @@ def _file_record_counts(files_or_paths, name_hint: str) -> list[tuple[str, int]]
 _CLUSTERING_KEY = "delta.clusteringColumns"
 
 
+def enable_in_commit_timestamps(table_path: str) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES delta.enableInCommitTimestamps
+    (the public Delta table feature): from this commit on, every
+    commitInfo carries a MONOTONIC ``inCommitTimestamp`` (computed at
+    commit time as max(now, previous + 1) in deltalog.write_commit)
+    and timestamp time travel resolves against it instead of the
+    wall-clock ``timestamp`` — so a writer with a skewed or
+    rolled-back clock can no longer make ``TIMESTAMP AS OF`` pick the
+    wrong version.  The enablement version/timestamp land in the
+    configuration per the protocol, letting readers know timestamps
+    before that point are NOT monotonic."""
+    from guidewire_spark.sources.deltalog import ICT_KEY
+
+    snap = load_snapshot(table_path)
+    config = table_configuration(table_path)
+    if config.get(ICT_KEY) == "true":
+        raise ValueError(f"in-commit timestamps already enabled at {table_path}")
+    now = int(time.time() * 1000)
+    ict = max(now, max(snap.commit_timestamps.values(), default=-1) + 1)
+    config[ICT_KEY] = "true"
+    config["delta.inCommitTimestampEnablementVersion"] = str(snap.version + 1)
+    config["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
+    info = commit_info_action(
+        "SET TBLPROPERTIES", "inCommitTimestamps", False, 0, 0, now
+    )
+    # seed the chain: the enabling commit stamps itself (write_commit
+    # chains every LATER commit off the predecessor's field)
+    info["commitInfo"]["inCommitTimestamp"] = ict
+    info["commitInfo"]["timestamp"] = ict
+    actions = [
+        info,
+        metadata_action(
+            snap.schema,
+            partition_columns=snap.partition_columns or None,
+            created_time=now,
+            table_id=snap.metadata_id,
+            configuration=config,
+        ),
+    ]
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
 def set_clustering_columns(table_path: str, columns: list[str]) -> int:
     """ALTER TABLE ... CLUSTER BY (Delta liquid clustering's
     declaration half): record the clustering columns as a table

@@ -1421,3 +1421,49 @@ def test_cluster_by_declares_and_optimize_maintains(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="not in table schema"):
         set_clustering_columns(table, ["nope"])
+
+
+def test_in_commit_timestamps_are_monotonic_under_clock_skew(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ICT contract: once enabled, every commit's inCommitTimestamp is
+    strictly increasing even when the wall clock ROLLS BACKWARD
+    between commits, commitInfo is the first action of each commit,
+    and TIMESTAMP AS OF resolves against the monotonic chain."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from guidewire_spark.sources.deltalog import delta_log_dir
+    from guidewire_spark.sources.writer import enable_in_commit_timestamps
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = str(tmp_path / "ict")
+    write_delta(n, t, mode="append")                                 # v0
+    enable_in_commit_timestamps(t)                                   # v1
+    with pytest.raises(ValueError, match="already enabled"):
+        enable_in_commit_timestamps(t)
+
+    # skew the clock BACKWARD for the next commit
+    real_time = _time.time
+    monkeypatch.setattr(_time, "time", lambda: real_time() - 3600)
+    write_delta(n.limit(3), t, mode="append")                        # v2
+    monkeypatch.setattr(_time, "time", real_time)
+    write_delta(n.limit(2), t, mode="append")                        # v3
+
+    icts = {}
+    for v in range(1, 4):
+        path = _os.path.join(delta_log_dir(t), f"{v:020d}.json")
+        with open(path, encoding="utf-8") as f:
+            first = _json.loads(f.readline())
+        assert "commitInfo" in first, f"v{v}: commitInfo must lead"
+        icts[v] = first["commitInfo"]["inCommitTimestamp"]
+    assert icts[1] < icts[2] < icts[3], icts
+    # the skewed commit's ict is pinned to prev+1, not the bogus clock
+    assert icts[2] == icts[1] + 1
+
+    # TIMESTAMP AS OF against the monotonic chain: asking for the
+    # instant of v2 returns v2, not a skew-confused neighbor
+    snap = load_snapshot(t, timestamp=icts[2])
+    assert snap.version == 2
+    assert load_snapshot(t, timestamp=icts[2] - 1).version == 1
