@@ -1690,3 +1690,45 @@ def delta_ict_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     if at_v1.version != 1:
         raise AssertionError(f"TIMESTAMP AS OF picked v{at_v1.version}")
     return read_delta(spark, table, timestamp=ts[1])
+
+
+@query(
+    "delta_column_defaults",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(42 AS INTEGER) AS tier FROM nation
+    UNION ALL
+    SELECT CAST(90 AS INTEGER), 'OMITTED', CAST(42 AS INTEGER)
+    UNION ALL
+    SELECT CAST(91 AS INTEGER), 'EXPLICIT', CAST(NULL AS INTEGER)
+    """,
+)
+def delta_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULT values (Delta's allowColumnDefaults, stored as
+    Spark's EXISTS_DEFAULT / CURRENT_DEFAULT schema-metadata keys — in
+    the LOG, not engine state): ADD COLUMN with a default is
+    metadata-only; pre-existing files read the default from the scan
+    itself, a later write omitting the column inserts it, and an
+    EXPLICIT NULL stays NULL — the three-way distinction a blanket
+    coalesce would destroy."""
+    from guidewire_spark.sources.writer import add_column
+
+    table = tempfile.mkdtemp(prefix="gw_defaults_") + "/nat"
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n, table, mode="append")
+    add_column(table, "tier", "int", default="42")
+    write_delta(
+        spark.createDataFrame(
+            [(90, "OMITTED")], "n_nationkey int, n_name string"
+        ),
+        table,
+        mode="append",
+    )
+    write_delta(
+        spark.createDataFrame(
+            [(91, "EXPLICIT", None)],
+            "n_nationkey int, n_name string, tier int",
+        ),
+        table,
+        mode="append",
+    )
+    return read_delta(spark, table)

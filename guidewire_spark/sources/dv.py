@@ -371,7 +371,15 @@ def scan_with_row_index(
     if schema is not None:
         phys = T.StructType(
             [
-                T.StructField(physical_name(f), f.dataType, f.nullable)
+                # keep field metadata (EXISTS_DEFAULT et al.) visible
+                # to the reader — defaulted columns must fill on DV'd
+                # files exactly as on plain ones
+                T.StructField(
+                    physical_name(f),
+                    f.dataType,
+                    f.nullable,
+                    metadata=f.metadata,
+                )
                 for f in schema.fields
             ]
         )

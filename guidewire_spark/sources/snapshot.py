@@ -55,7 +55,11 @@ def read_files_with_schema(
 
     phys = T.StructType(
         [
-            T.StructField(physical_name(f), f.dataType, f.nullable)
+            # field metadata rides along: EXISTS_DEFAULT must reach the
+            # parquet reader for files missing a defaulted column
+            T.StructField(
+                physical_name(f), f.dataType, f.nullable, metadata=f.metadata
+            )
             for f in schema.fields
         ]
     )

@@ -444,6 +444,77 @@ def rename_column(table_path: str, old: str, new: str) -> int:
     return snap.version + 1
 
 
+def _apply_column_defaults(df: DataFrame, table_path: str) -> DataFrame:
+    """Write-time half of column DEFAULTs: any table column the
+    incoming frame OMITS that declares a ``CURRENT_DEFAULT`` is
+    materialized from its default expression before staging (Spark's
+    own INSERT-with-defaults contract)."""
+    from pyspark.sql import functions as F
+
+    snap = load_snapshot(table_path)
+    if snap.schema is None:
+        return df
+    for f in snap.schema.fields:
+        meta = f.metadata or {}
+        if f.name not in df.columns and "CURRENT_DEFAULT" in meta:
+            df = df.withColumn(
+                f.name, F.expr(meta["CURRENT_DEFAULT"]).cast(f.dataType)
+            )
+    return df
+
+
+def add_column(
+    table_path: str,
+    name: str,
+    type_str: str,
+    default: str | None = None,
+    after_metadata: dict | None = None,
+) -> int:
+    """ALTER TABLE ... ADD COLUMN — metadata-only (no file rewrite).
+
+    Without ``default``, pre-existing files read NULL for the new
+    column (plain additive evolution).  With ``default`` (a SQL
+    expression string), the field carries Spark's two default-value
+    metadata keys — ``EXISTS_DEFAULT`` (what pre-existing rows read:
+    the parquet scan itself fills it for files missing the column,
+    while explicit NULLs in newer files stay NULL) and
+    ``CURRENT_DEFAULT`` (what writes that omit the column insert,
+    applied in ``write_delta``) — the same keys Delta's
+    allowColumnDefaults feature stores in the schema string, so the
+    semantics ride the log, not engine-side bookkeeping."""
+    from pyspark.sql import types as T
+
+    snap = load_snapshot(table_path)
+    if snap.schema is None:
+        raise ValueError(f"{table_path} has no schema to evolve")
+    if name in snap.schema.fieldNames():
+        raise ValueError(f"column {name!r} already exists")
+    meta = dict(after_metadata or {})
+    if default is not None:
+        meta["CURRENT_DEFAULT"] = default
+        meta["EXISTS_DEFAULT"] = default
+    dtype = T._parse_datatype_string(type_str)
+    new_schema = T.StructType(
+        list(snap.schema.fields)
+        + [T.StructField(name, dtype, True, metadata=meta or None)]
+    )
+    now = int(time.time() * 1000)
+    actions = [
+        metadata_action(
+            new_schema,
+            partition_columns=snap.partition_columns or None,
+            created_time=now,
+            table_id=snap.metadata_id,
+            configuration=table_configuration(table_path),
+        ),
+        commit_info_action(
+            "ADD COLUMNS", f"{name} {type_str}", False, 0, 0, now
+        ),
+    ]
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
 def widen_column_type(table_path: str, column: str, new_type: str) -> int:
     """ALTER TABLE ... ALTER COLUMN ... TYPE — Delta TYPE WIDENING:
     a metadata-only commit swaps the column to a strictly wider type
@@ -675,6 +746,7 @@ def write_delta(
                 "through append_with_identity, not write_delta"
             )
         df = _apply_generated_columns(df, table_path)
+        df = _apply_column_defaults(df, table_path)
         _enforce_constraints(df, table_path)
     if prev is not None:
         existing = load_snapshot(table_path).partition_columns

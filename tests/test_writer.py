@@ -1467,3 +1467,47 @@ def test_in_commit_timestamps_are_monotonic_under_clock_skew(
     snap = load_snapshot(t, timestamp=icts[2])
     assert snap.version == 2
     assert load_snapshot(t, timestamp=icts[2] - 1).version == 1
+
+
+def test_add_column_with_default_semantics(spark, sf_dir, tmp_path):
+    """Column DEFAULTs, both halves: EXISTS_DEFAULT fills the new
+    column for PRE-EXISTING files at scan time (while an explicit NULL
+    written later stays NULL — the distinction a blanket coalesce
+    would destroy), and CURRENT_DEFAULT fills writes that omit the
+    column. Plain add_column without default reads NULL. All
+    metadata-only; works through the DV read path too."""
+    from guidewire_spark.sources.writer import add_column, delete_from_mor
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = str(tmp_path / "defaults")
+    write_delta(n, t, mode="append")                                # v0
+    files_before = set(load_snapshot(t).files)
+    add_column(t, "tier", "int", default="42")                      # v1
+    assert set(load_snapshot(t).files) == files_before  # metadata-only
+    got = read_delta(spark, t)
+    assert got.where("tier = 42").count() == n.count()  # backfilled at scan
+    # a write omitting the column takes CURRENT_DEFAULT
+    write_delta(
+        spark.createDataFrame([(90, "OMITTED")], "n_nationkey int, n_name string"),
+        t,
+        mode="append",
+    )                                                                # v2
+    assert read_delta(spark, t).where(
+        "n_nationkey = 90 AND tier = 42"
+    ).count() == 1
+    # an EXPLICIT NULL stays NULL — defaults are not coalesce
+    null_row = spark.createDataFrame(
+        [(91, "EXPLICIT", None)], "n_nationkey int, n_name string, tier int"
+    )
+    write_delta(null_row, t, mode="append")                          # v3
+    final = {r.n_nationkey: r.tier for r in read_delta(spark, t).collect()}
+    assert final[91] is None and final[90] == 42 and final[0] == 42
+    # defaults survive the DV read path (MOR delete → anti-join scan)
+    delete_from_mor(spark, t, "n_nationkey = 3")
+    after = {r.n_nationkey: r.tier for r in read_delta(spark, t).collect()}
+    assert 3 not in after and after[5] == 42 and after[91] is None
+    # no-default add_column reads NULL
+    add_column(t, "note", "string")
+    assert read_delta(spark, t).where("note IS NULL").count() == len(after)
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(t, "tier", "int")
