@@ -121,7 +121,7 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pts AS (
       SELECT event_id,
              CAST(FLOOR(epoch(ts)) AS BIGINT) AS x,
-             CAST(ROUND(value * 1000, 0) AS BIGINT) AS y,
+             CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT) AS y,
              CAST(FLOOR(epoch(date_trunc('hour', ts)) / 21600) AS BIGINT) AS bucket
       FROM events WHERE event_type = 'view'
     ),
@@ -169,7 +169,9 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = e.select(
         "event_id",
         F.floor(F.unix_timestamp("ts")).cast("long").alias("x"),
-        F.round(F.col("value") * 1000, 0).cast("long").alias("y"),
+        F.round(F.col("value").cast("decimal(24,10)") * 1000, 0)
+        .cast("long")
+        .alias("y"),
         F.floor(
             F.unix_timestamp(F.date_trunc("hour", "ts")) / 21600
         ).cast("long").alias("bucket"),

@@ -1561,7 +1561,7 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
       SELECT user_id,
-             CAST(ROUND(value * 100) AS BIGINT) AS val_c,
+             CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 100, 0) AS BIGINT) AS val_c,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS k
       FROM events WHERE user_id % 15 = 0
@@ -1605,7 +1605,9 @@ def ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = e.select(
         "user_id",
-        F.round(F.col("value") * 100).cast("long").alias("val_c"),
+        F.round(F.col("value").cast("decimal(24,10)") * 100, 0)
+        .cast("long")
+        .alias("val_c"),
         F.row_number().over(order).alias("k"),
     )
     per_user = Window.partitionBy("user_id")

@@ -82,7 +82,7 @@ def text_unicode_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH scored AS (
       SELECT o_orderkey,
-             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS price_cents,
              epoch_us(o_orderdate) AS odate_us
       FROM orders
     ),
@@ -119,9 +119,9 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     scored = o.select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
-            "price_cents"
-        ),
+        (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
         # o_orderdate loads as TIMESTAMP_NTZ; the session timezone is
         # pinned UTC (plans/catalog.py), so the cast is instant-exact
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(

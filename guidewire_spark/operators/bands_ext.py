@@ -23,7 +23,7 @@ def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
     oracle="""
     WITH ints AS (
       SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
-             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS y
       FROM lineitem WHERE l_suppkey % 20 = 0
     ),
     sums AS (
@@ -65,7 +65,7 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_suppkey") % 20 == 0
     )
-    y = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    y = (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
     ints = li.select(
         "l_suppkey",
         "l_orderkey",
@@ -106,7 +106,7 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH vals AS (
       SELECT l_returnflag,
-             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS price_c,
              CAST(ROUND(l_quantity, 0) AS BIGINT) AS wt
       FROM lineitem
     ),
@@ -139,7 +139,9 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     grouped = li.groupBy(
         "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("price_c"),
+        (F.col("l_extendedprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
     ).agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("w"))
     cw = F.sum("w").over(
         Window.partitionBy("l_returnflag")
@@ -206,7 +208,7 @@ def dedup_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cust AS (
       SELECT o_custkey,
-             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS cents
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
@@ -240,7 +242,7 @@ def window_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_top1pct_revenue_share (fixed-k share) with the fixed-share
     k."""
     o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
     cust = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
     ranked = two_phase_ordered(
         cust,
