@@ -23,7 +23,7 @@ def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
     oracle="""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) // COUNT(*) AS y
       FROM events GROUP BY date_trunc('day', ts)
     ),
     lagged AS (
@@ -67,7 +67,7 @@ def ts_autocorrelation_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
         F.expr(
-            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+            "sum(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) div count(*)"
         ).alias("y")
     )
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))

@@ -1046,7 +1046,7 @@ def delta_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
              AS cents
     FROM orders WHERE o_orderkey % 4 = 0 GROUP BY o_orderpriority
     """,
@@ -1071,7 +1071,7 @@ def delta_ivm_aggregate_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long").alias("cents"),
     ).where(F.col("o_orderkey") % 4 == 0)
     batch1 = o.where(F.col("o_orderkey") % 8 == 0)
     batch2 = o.where(F.col("o_orderkey") % 8 != 0)

@@ -26,7 +26,7 @@ def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
     WITH daily AS (
       SELECT date_diff('day', DATE '2024-01-01',
                        CAST(date_trunc('day', ts) AS DATE)) AS x,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) // COUNT(*) AS y
       FROM events GROUP BY date_trunc('day', ts)
     ),
     idx AS (
@@ -73,7 +73,7 @@ def ts_sax_symbolization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
         F.expr(
-            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+            "sum(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) div count(*)"
         ).alias("y")
     ).select(
         F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).alias("x"),

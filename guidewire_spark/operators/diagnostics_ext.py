@@ -27,7 +27,7 @@ def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
     oracle="""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) // COUNT(*) AS y
       FROM events GROUP BY date_trunc('day', ts)
     ),
     lagged AS (
@@ -80,7 +80,7 @@ def ts_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
         F.expr(
-            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+            "sum(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) div count(*)"
         ).alias("y")
     )
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
@@ -278,7 +278,7 @@ def ts_markov_stationary_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) // COUNT(*) AS y
       FROM events GROUP BY date_trunc('day', ts)
     ),
     lagged AS (
@@ -340,7 +340,7 @@ def ts_pacf_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
         F.expr(
-            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+            "sum(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) div count(*)"
         ).alias("y")
     )
     lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
@@ -396,7 +396,7 @@ def ts_pacf_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) // COUNT(*) AS y
       FROM events GROUP BY date_trunc('day', ts)
     ),
     lagged AS (
@@ -443,7 +443,7 @@ def ts_period_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
         F.expr(
-            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+            "sum(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) div count(*)"
         ).alias("y")
     )
     lags = spark.range(2, 15).select(F.col("id").cast("int").alias("lag"))

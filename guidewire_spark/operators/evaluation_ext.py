@@ -29,7 +29,7 @@ def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
     oracle="""
     WITH cents AS (
       SELECT l_returnflag,
-             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
       FROM lineitem
     ),
     q AS (
@@ -64,7 +64,7 @@ def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cents = li.select(
         "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("c"),
+        (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long").alias("c"),
     )
     q = cents.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
@@ -99,9 +99,9 @@ def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_lift_gains_table",
     oracle="""
     WITH ranked AS (
-      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
              NTILE(10) OVER (
-               ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) DESC,
+               ORDER BY CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) DESC,
                         o_orderkey ASC) AS decile
       FROM orders
     ),
@@ -136,7 +136,7 @@ def agg_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 cents, and the cumulative windows run over the 10-row
     decile table."""
     o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
     order_cols = [F.desc("cents"), F.asc("o_orderkey")]
     parts = (
         o.select(cents.alias("cents"), "o_orderkey")
@@ -196,7 +196,7 @@ def agg_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH scored AS (
       SELECT LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bin,
-             CAST(ROUND(value * 1000, 0) AS BIGINT) AS milli,
+             CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT) AS milli,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
       FROM events
     ),
@@ -240,7 +240,7 @@ def agg_expected_calibration_error(
         F.least(
             F.floor(F.col("value") / 50).cast("long"), F.lit(9).cast("long")
         ).alias("bin"),
-        F.round(F.col("value") * 1000, 0).cast("long").alias("milli"),
+        F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long").alias("milli"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("hit"),
     )
     wall = Window.partitionBy()

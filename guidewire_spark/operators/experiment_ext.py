@@ -27,9 +27,9 @@ def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
       SELECT user_id,
              user_id % 2 = 0 AS treated,
              SUM(CASE WHEN ts <  TIMESTAMP '2024-01-16'
-                      THEN CAST(ROUND(value * 1000, 0) AS BIGINT) ELSE 0 END) AS x,
+                      THEN CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT) ELSE 0 END) AS x,
              SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
-                      THEN CAST(ROUND(value * 1000, 0) AS BIGINT) ELSE 0 END) AS y
+                      THEN CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT) ELSE 0 END) AS y
       FROM events GROUP BY user_id
     ),
     moments AS (
@@ -69,7 +69,7 @@ def agg_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically-valued doubles agrees across engines at the 4dp
     output rounding)."""
     e = load_table(spark, sf_dir, "events")
-    q = F.round(F.col("value") * 1000, 0).cast("long")
+    q = F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")
     cut = F.lit("2024-01-16").cast("timestamp")
     per_user = e.groupBy("user_id").agg(
         F.sum(F.when(F.col("ts") < cut, q).otherwise(0)).alias("x"),

@@ -32,7 +32,7 @@ def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
                        CAST(date_trunc('day', ts) AS DATE)) AS x,
              CAST(date_part('dow', CAST(date_trunc('day', ts) AS DATE))
                   AS BIGINT) AS dow,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) // COUNT(*) AS y
       FROM events GROUP BY date_trunc('day', ts)
     ),
     feat AS (
@@ -70,7 +70,7 @@ def agg_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
         F.expr(
-            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+            "sum(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) div count(*)"
         ).alias("y")
     )
     dow = F.dayofweek("day") - 1  # 0=Sunday, matching date_part('dow')
@@ -294,7 +294,7 @@ def delta_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_window_interval_frame",
     oracle="""
     SELECT user_id, epoch_us(ts) AS ts_us,
-           CAST(SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) OVER (
+           CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS trailing_day_milli
@@ -316,7 +316,7 @@ def sql_window_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT user_id, unix_micros(ts) AS ts_us,
-               CAST(SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) OVER (
+               CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) OVER (
                  PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS trailing_day_milli

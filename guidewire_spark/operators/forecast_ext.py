@@ -22,7 +22,7 @@ def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
     oracle="""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS y
       FROM events GROUP BY date_trunc('day', ts)
     ),
     fc AS (
@@ -50,7 +50,7 @@ def ts_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("y"))
+    ).agg(F.sum(F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")).alias("y"))
     fc = daily.select(
         "day", "y", F.lag("y", 7).over(Window.orderBy("day")).alias("yhat")
     ).where(F.col("yhat").isNotNull() & (F.col("y") > 0))

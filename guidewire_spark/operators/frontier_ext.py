@@ -162,7 +162,7 @@ def text_template_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated,
              CASE WHEN epoch_us(ts) >= lo + (hi - lo) / 2 THEN 1 ELSE 0 END
                AS post,
-             CAST(ROUND(value * 1000, 0) AS BIGINT) AS m
+             CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT) AS m
       FROM events CROSS JOIN bounds
     ),
     cells AS (
@@ -201,7 +201,7 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell table."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("us"),
-        F.round(F.col("value") * 1000, 0).cast("long").alias("m"),
+        F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long").alias("m"),
     )
     bounds = e.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
     tagged = e.crossJoin(F.broadcast(bounds)).select(

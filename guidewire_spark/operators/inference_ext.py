@@ -256,9 +256,9 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT event_type,
              COUNT(*) AS n,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS s,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)
-                 * CAST(ROUND(value * 1000, 0) AS BIGINT)) AS ss
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS s,
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)
+                 * CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS ss
       FROM events WHERE event_type IN ('click', 'view')
       GROUP BY event_type
     ),
@@ -296,7 +296,7 @@ def agg_cohens_d_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated pass (two rows out), and every double appears
     after the reduction."""
     e = load_table(spark, sf_dir, "events")
-    milli = F.round(F.col("value") * 1000, 0).cast("long")
+    milli = F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")
     g = (
         e.where(F.col("event_type").isin("click", "view"))
         .groupBy("event_type")
@@ -415,10 +415,10 @@ def agg_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ranked AS (
       SELECT l_returnflag,
-             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
              ROW_NUMBER() OVER (
                PARTITION BY l_returnflag
-               ORDER BY CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT),
+               ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT),
                         l_orderkey, l_linenumber) AS rn,
              COUNT(*) OVER (PARTITION BY l_returnflag) AS n
       FROM lineitem
@@ -454,7 +454,7 @@ def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group division.  One shuffle by flag for the rank window, then
     a partial-aggregated group-by."""
     li = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    cents = (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
     w = Window.partitionBy("l_returnflag").orderBy(
         "cents", "l_orderkey", "l_linenumber"
     )
@@ -510,7 +510,7 @@ def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT date_diff('day', DATE '2024-01-01',
                        CAST(date_trunc('day', ts) AS DATE)) AS x,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) // COUNT(*) AS y
       FROM events GROUP BY date_trunc('day', ts)
     ),
     slopes AS (
@@ -540,7 +540,7 @@ def agg_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
         F.expr(
-            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+            "sum(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) div count(*)"
         ).alias("y")
     ).select(
         F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).alias("x"),

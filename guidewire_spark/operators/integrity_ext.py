@@ -20,7 +20,7 @@ def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
     "agg_median_ci_order_stat",
     oracle="""
     WITH vals AS (
-      SELECT CAST(ROUND(value * 1000, 0) AS BIGINT) AS m, COUNT(*) AS c
+      SELECT CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT) AS m, COUNT(*) AS c
       FROM events GROUP BY 1
     ),
     cum AS (
@@ -37,7 +37,7 @@ def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
       FROM cum
     ),
     med AS (
-      SELECT quantile_cont(CAST(ROUND(value * 1000, 0) AS BIGINT), 0.5)
+      SELECT quantile_cont(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT), 0.5)
                AS med_milli
       FROM events
     )
@@ -67,7 +67,7 @@ def agg_median_ci_order_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking anywhere."""
     e = load_table(spark, sf_dir, "events")
     vals = e.groupBy(
-        F.round(F.col("value") * 1000, 0).cast("long").alias("m")
+        F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long").alias("m")
     ).agg(F.count("*").alias("c"))
     w_cum = Window.orderBy("m").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -88,7 +88,7 @@ def agg_median_ci_order_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     med = e.agg(
         F.percentile(
-            F.round(F.col("value") * 1000, 0).cast("long"), F.lit(0.5)
+            F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long"), F.lit(0.5)
         ).alias("med_milli")
     )
     joined = (
@@ -292,7 +292,7 @@ def agg_risk_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH milli AS (
       SELECT l_returnflag,
-             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
       FROM lineitem
     )
     SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
@@ -314,7 +314,7 @@ def agg_quantile_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quartiles interpolate exact int64 cents in one ordered-set
     aggregate per group; the combination is scalar."""
     li = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    cents = (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
     g = li.select("l_returnflag", cents.alias("c")).groupBy(
         "l_returnflag"
     ).agg(
@@ -339,7 +339,7 @@ def agg_quantile_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT date_diff('day', DATE '2024-01-01',
                        CAST(date_trunc('day', ts) AS DATE)) AS x,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) // COUNT(*) AS y
       FROM events GROUP BY date_trunc('day', ts)
     ),
     pairs AS (
@@ -377,7 +377,7 @@ def ts_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
         F.expr(
-            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+            "sum(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) div count(*)"
         ).alias("y")
     ).select(
         F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).alias("x"),

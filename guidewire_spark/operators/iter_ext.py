@@ -106,7 +106,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT f.cohort,
              CAST((epoch(date_trunc('week', e.ts)) - epoch(f.cohort))
                   // 604800 AS BIGINT) AS age_weeks,
-             SUM(CAST(ROUND(e.value * 1000, 0) AS BIGINT)) AS rev_q
+             SUM(CAST(ROUND(CAST(e.value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS rev_q
       FROM events e JOIN first_seen f ON e.user_id = f.user_id
       WHERE e.event_type = 'purchase'
       GROUP BY f.cohort, age_weeks
@@ -129,7 +129,7 @@ def ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_seen = e.groupBy("user_id").agg(
         F.min(F.date_trunc("week", "ts").cast("date")).alias("cohort")
     )
-    rev_q = F.round(F.col("value") * 1000, 0).cast("long")
+    rev_q = F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")
     weekly = (
         e.where(F.col("event_type") == "purchase")
         .join(first_seen, "user_id")
@@ -270,7 +270,7 @@ def er_multi_key_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              MAX(ts) AS last_seen,
              COUNT(*) AS frequency,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS monetary_q
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS monetary_q
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ),
     scored AS (
@@ -304,7 +304,7 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rfm = e.groupBy("user_id").agg(
         F.max("ts").alias("last_seen"),
         F.count("*").alias("frequency"),
-        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias(
+        F.sum(F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")).alias(
             "monetary_q"
         ),
     )

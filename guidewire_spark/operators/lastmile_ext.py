@@ -21,7 +21,7 @@ def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
     oracle="""
     WITH milli AS (
       SELECT user_id % 2 AS arm,
-             CAST(ROUND(value * 1000, 0) AS BIGINT) AS m
+             CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT) AS m
       FROM events
     ),
     q AS (
@@ -57,7 +57,7 @@ def agg_quantile_treatment_effect(
     quantile_cont); one partial-aggregated pass per arm; the effect
     is scalar arithmetic on four numbers."""
     e = load_table(spark, sf_dir, "events")
-    milli = F.round(F.col("value") * 1000, 0).cast("long")
+    milli = F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")
     q = e.select((F.col("user_id") % 2).alias("arm"), milli.alias("m")).groupBy(
         "arm"
     ).agg(

@@ -25,7 +25,7 @@ def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
     oracle="""
     WITH ints AS (
       SELECT user_id, ts, event_id,
-             CAST(ROUND(value * 1000, 0) AS BIGINT)
+             CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)
                - 500000 AS delta_q  -- signed flow: values re-centered
       FROM events WHERE user_id % 25 = 0
     ),
@@ -55,7 +55,7 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     user partition and ordering, so the three windows share one
     shuffle and the result is engine-order-proof."""
     e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 25 == 0)
-    delta = (F.round(F.col("value") * 1000, 0).cast("long") - 500000).alias(
+    delta = (F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long") - 500000).alias(
         "delta_q"
     )
     ints = e.select("user_id", "ts", "event_id", delta)
@@ -81,13 +81,13 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_cusum_alarm",
     oracle="""
     WITH base AS (
-      SELECT CAST(SUM(CAST(ROUND(value * 1000, 0) AS BIGINT))
+      SELECT CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT))
                   // COUNT(*) AS BIGINT) AS mu_q
       FROM events
     ),
     dev AS (
       SELECT user_id, ts, event_id,
-             CAST(ROUND(value * 1000, 0) AS BIGINT) - mu_q AS d
+             CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT) - mu_q AS d
       FROM events, base WHERE user_id % 25 = 0
     ),
     cusum AS (
@@ -112,8 +112,8 @@ def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     division mean (one scalar broadcast); deviations and their running
     sums are exact int64 per user partition."""
     e = load_table(spark, sf_dir, "events")
-    q = F.round(F.col("value") * 1000, 0).cast("long")
-    base = e.agg(F.expr("sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)").alias("mu_q"))
+    q = F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")
+    base = e.agg(F.expr("sum(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) div count(*)").alias("mu_q"))
     dev = (
         e.where(F.col("user_id") % 25 == 0)
         .crossJoin(F.broadcast(base))

@@ -161,7 +161,7 @@ def agg_heavy_hitters_spacesaving(
     oracle="""
     WITH e AS (
       SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
-             CAST(ROUND(value * 1000, 0) AS BIGINT) AS mval
+             CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT) AS mval
       FROM events
       WHERE user_id % 5 = 0 AND event_type IN ('view', 'purchase')
     ),
@@ -227,7 +227,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             F.unix_micros("ts").alias("us"),
-            F.round(F.col("value") * 1000, 0).cast("long").alias("mval"),
+            F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long").alias("mval"),
         )
     )
     is_view = F.col("event_type") == "view"
@@ -599,7 +599,7 @@ def graph_clustering_coefficient(
     oracle="""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) // COUNT(*) AS y
       FROM events GROUP BY 1
     ),
     fc AS (
@@ -636,7 +636,7 @@ def agg_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
         F.expr(
-            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+            "sum(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) div count(*)"
         ).alias("y")
     )
     fc = daily.select(
@@ -669,7 +669,7 @@ def agg_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT (user_id * 2654435761) % 20 AS bucket,
              COUNT(*) AS n,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS s
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS s
       FROM events GROUP BY 1
     ),
     tot AS (SELECT SUM(n) AS tn, SUM(s) AS ts, COUNT(*) AS k FROM b),
@@ -706,7 +706,7 @@ def agg_jackknife_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("user_id") * 2654435761) % 20).alias("bucket")
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("s"),
+        F.sum(F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")).alias("s"),
     )
     tot = b.agg(
         F.sum("n").alias("tn"), F.sum("s").alias("ts"), F.count("*").alias("k")
@@ -1003,7 +1003,7 @@ def anon_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spend AS (
       SELECT user_id,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS m
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS m
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ),
     ranked AS (
@@ -1038,7 +1038,7 @@ def agg_var_cvar_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase"
     )
     spend = e.groupBy("user_id").agg(
-        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("m")
+        F.sum(F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")).alias("m")
     )
     ranked = two_phase_ordered(
         spend, [F.asc("m"), F.asc("user_id")], rank_name="rnk", total_name="n"
@@ -2262,9 +2262,9 @@ _PHI_TAIL = (
     WITH grp AS (
       SELECT event_type, user_id % 2 AS arm,
              COUNT(*) AS n,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS s,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)
-                 * CAST(ROUND(value * 1000, 0) AS BIGINT)) AS ss
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS s,
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)
+                 * CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS ss
       FROM events GROUP BY event_type, user_id % 2
     ),
     wide AS (
@@ -2329,7 +2329,7 @@ def agg_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     erf), rounded at 6 dp; the BH ranking runs over the
     event-type-cardinality table."""
     e = load_table(spark, sf_dir, "events")
-    m = F.round(F.col("value") * 1000, 0).cast("long")
+    m = F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")
     grp = e.groupBy("event_type", (F.col("user_id") % 2).alias("arm")).agg(
         F.count("*").alias("n"),
         F.sum(m).alias("s"),
@@ -2521,7 +2521,7 @@ def sql_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH joined AS (
       SELECT n.n_regionkey AS region, o.o_custkey % 10 AS segment,
-             SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS cents
+             SUM(CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS cents
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -2563,7 +2563,7 @@ def ts_hierarchical_reconciliation(
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_regionkey"
     )
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
     joined = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -2773,10 +2773,10 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_user AS (
       SELECT user_id, COUNT(*) AS m,
-             AVG(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS ybar,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS s,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)
-                 * CAST(ROUND(value * 1000, 0) AS BIGINT)) AS ss
+             AVG(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS ybar,
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS s,
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)
+                 * CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS ss
       FROM events GROUP BY user_id
     ),
     tot AS (
@@ -2814,7 +2814,7 @@ def agg_design_effect_clustered(
     experiment runs).  All moments reduce from exact int64 sums in
     one pass over the user aggregate."""
     e = load_table(spark, sf_dir, "events")
-    mval = F.round(F.col("value") * 1000, 0).cast("long")
+    mval = F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")
     per_user = e.groupBy("user_id").agg(
         F.count("*").alias("m"),
         F.avg(mval).alias("ybar"),
@@ -2862,7 +2862,7 @@ def agg_design_effect_clustered(
     oracle="""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) // COUNT(*) AS y
       FROM events GROUP BY 1
     ),
     fc AS (
@@ -2903,7 +2903,7 @@ def ts_backtest_rolling_origin(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
         F.expr(
-            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+            "sum(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) div count(*)"
         ).alias("y")
     )
     w = Window.orderBy("day")
@@ -3064,7 +3064,7 @@ def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily_max AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             MAX(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS mx
+             MAX(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS mx
       FROM events GROUP BY 1
     ),
     mom AS (
@@ -3103,7 +3103,7 @@ def agg_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     daily_max = e.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(F.max(F.round(F.col("value") * 1000, 0).cast("long")).alias("mx"))
+    ).agg(F.max(F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")).alias("mx"))
     mom = daily_max.agg(
         F.count("*").alias("n"),
         F.avg(F.col("mx").cast("double")).alias("mu"),
@@ -3135,7 +3135,7 @@ def agg_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS total
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS total
       FROM events GROUP BY 1
     ),
     flagged AS (
@@ -3163,7 +3163,7 @@ def ts_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("total"))
+    ).agg(F.sum(F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")).alias("total"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
     flagged = daily.select(
         "day",

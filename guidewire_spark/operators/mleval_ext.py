@@ -27,7 +27,7 @@ def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
     oracle="""
     WITH anchored AS (
       SELECT user_id,
-             CAST(ROUND(value * 1000, 0) AS BIGINT) AS milli,
+             CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT) AS milli,
              (SELECT MAX(epoch_us(ts)) FROM events) - epoch_us(ts) AS age_us
       FROM events WHERE user_id % 25 = 0
     ),
@@ -63,7 +63,7 @@ def window_exponential_decay_score(
     )
     anchored = e.crossJoin(F.broadcast(anchor)).select(
         "user_id",
-        F.round(F.col("value") * 1000, 0).cast("long").alias("milli"),
+        F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long").alias("milli"),
         (F.col("max_us") - F.unix_micros("ts")).alias("age_us"),
     )
     term = F.round(
@@ -97,7 +97,7 @@ def window_exponential_decay_score(
     "agg_auc_roc",
     oracle="""
     WITH vals AS (
-      SELECT CAST(ROUND(value * 1000, 0) AS BIGINT) AS milli,
+      SELECT CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT) AS milli,
              COUNT(*) AS c,
              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cp
       FROM events GROUP BY 1
@@ -140,7 +140,7 @@ def agg_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one exact int64 reduction."""
     e = load_table(spark, sf_dir, "events")
     vals = e.groupBy(
-        F.round(F.col("value") * 1000, 0).cast("long").alias("milli")
+        F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long").alias("milli")
     ).agg(
         F.count("*").alias("c"),
         F.sum(

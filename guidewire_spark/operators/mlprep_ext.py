@@ -226,7 +226,7 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH nat AS (
       SELECT n_regionkey AS rk, n_nationkey AS nk, n_name,
-             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS cents
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
@@ -256,7 +256,7 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     )
     r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
     nat = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)

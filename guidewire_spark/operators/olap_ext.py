@@ -62,7 +62,7 @@ def func_bitmap_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_shuffle_hash_hint",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_orders,
-           CAST(ROUND(CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+           CAST(ROUND(CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
                                 AS DOUBLE) / 100.0
                            AS DECIMAL(24,10)), 2) AS DOUBLE) AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
@@ -78,7 +78,7 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
     locked to ShuffledHashJoin in tests/test_plans.py."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
     return (
         o.join(c.hint("SHUFFLE_HASH"), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
@@ -120,7 +120,7 @@ def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH monthly AS (
       SELECT l_returnflag,
              strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
-             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS cents
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS cents
       FROM lineitem GROUP BY l_returnflag, date_trunc('month', l_shipdate)
     )
     SELECT l_returnflag, month,
@@ -142,7 +142,7 @@ def window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are exact cents; the growth ratio is a per-row double from
     two exact integers — no float accumulates across rows."""
     li = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    cents = (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
     monthly = li.groupBy(
         "l_returnflag",
         F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
@@ -166,7 +166,7 @@ def window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(date_part('dow', ts) AS BIGINT) AS dow,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS total_q
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS total_q
       FROM events GROUP BY date_trunc('day', ts), date_part('dow', ts)
     ),
     trended AS (
@@ -214,7 +214,7 @@ def ts_decompose_trend_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers. Every window/aggregate runs over the DAY-sized table —
     raw events are touched exactly once."""
     e = load_table(spark, sf_dir, "events")
-    q = F.round(F.col("value") * 1000, 0).cast("long")
+    q = F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")
     daily = e.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day"),
         (F.dayofweek("ts") - 1).cast("long").alias("dow"),

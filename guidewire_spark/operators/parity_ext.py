@@ -130,9 +130,9 @@ def ts_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
       SELECT user_id % 2 AS arm, COUNT(*) AS n,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS s,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)
-                 * CAST(ROUND(value * 1000, 0) AS BIGINT)) AS ss
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS s,
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)
+                 * CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS ss
       FROM events GROUP BY user_id % 2
     ),
     pooled AS (
@@ -168,7 +168,7 @@ def agg_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals on both sides, so the only floats are the final scalar
     combination."""
     e = load_table(spark, sf_dir, "events")
-    milli = F.round(F.col("value") * 1000, 0).cast("long")
+    milli = F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")
     g = e.groupBy((F.col("user_id") % 2).alias("arm")).agg(
         F.count("*").alias("n"),
         F.sum(milli).alias("s"),

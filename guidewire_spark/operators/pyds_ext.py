@@ -114,7 +114,7 @@ def pyds_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT date_diff('day', DATE '2024-01-01',
                        CAST(date_trunc('day', ts) AS DATE)) AS x,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) // COUNT(*) AS y
       FROM events GROUP BY date_trunc('day', ts)
     ),
     nbr AS (
@@ -145,7 +145,7 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
         F.expr(
-            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+            "sum(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) div count(*)"
         ).alias("y")
     ).select(
         F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).alias("x"),
@@ -250,7 +250,7 @@ def agg_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS BIGINT)
              AS milli_total
     FROM events WHERE user_id % 40 = 0 GROUP BY user_id
     """,
@@ -319,7 +319,7 @@ def pyds_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 40 == 0)
     agg = e.groupBy("user_id").agg(
         F.count("*").alias("n"),
-        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias(
+        F.sum(F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")).alias(
             "milli_total"
         ),
     )

@@ -20,7 +20,7 @@ def _r(col: F.Column, dp: int, prec: str = "decimal(24,10)") -> F.Column:
     oracle="""
     WITH per_user AS (
       SELECT user_id, user_id % 2 AS arm, COUNT(*) AS n,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS s
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS s
       FROM events GROUP BY user_id
     ),
     obs AS (
@@ -70,7 +70,7 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplies the USER-cardinality table, not events, and
     partial-aggregates straight back down."""
     e = load_table(spark, sf_dir, "events")
-    milli = F.round(F.col("value") * 1000, 0).cast("long")
+    milli = F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")
     per_user = e.groupBy("user_id").agg(
         F.count("*").alias("n"), F.sum(milli).alias("s")
     ).withColumn("arm", F.col("user_id") % 2)
@@ -224,12 +224,12 @@ def agg_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH milli AS (
       SELECT event_id, event_type,
-             CAST(ROUND(value * 1000, 0) AS BIGINT) AS m
+             CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT) AS m
       FROM events WHERE event_id % 40 = 0
     ),
     stats AS (
       SELECT event_type, COUNT(*) AS n, SUM(m) AS s, SUM(m * m) AS ss
-      FROM (SELECT event_type, CAST(ROUND(value * 1000, 0) AS BIGINT) AS m
+      FROM (SELECT event_type, CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT) AS m
             FROM events) t
       GROUP BY event_type
     )
@@ -252,7 +252,7 @@ def window_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     table in one pass (type-cardinality output, broadcast back onto
     the sampled rows); the per-row z is one subtraction and divide."""
     e = load_table(spark, sf_dir, "events")
-    milli = F.round(F.col("value") * 1000, 0).cast("long")
+    milli = F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")
     stats = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(milli).alias("s"),
@@ -341,9 +341,9 @@ def agg_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
       SELECT event_type, COUNT(*) AS nh,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS s,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)
-                 * CAST(ROUND(value * 1000, 0) AS BIGINT)) AS ss
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS s,
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)
+                 * CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS ss
       FROM events GROUP BY event_type
     ),
     w AS (
@@ -371,7 +371,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratum-cardinality table, floored identically in both engines
     (the remainder seats are a documented ≤ k-row undershoot)."""
     e = load_table(spark, sf_dir, "events")
-    milli = F.round(F.col("value") * 1000, 0).cast("long")
+    milli = F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")
     g = e.groupBy("event_type").agg(
         F.count("*").alias("nh"),
         F.sum(milli).alias("s"),

@@ -98,7 +98,7 @@ def json_corrupt_records_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cust AS (
       SELECT o_custkey,
-             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS cents
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
@@ -128,7 +128,7 @@ def agg_top1pct_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitions, broadcast prefix offsets), with COUNT/SUM OVER()
     folded into the same parts-row broadcast summary."""
     o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
     cust = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
     ranked = two_phase_ordered(
         cust,
@@ -166,7 +166,7 @@ def agg_top1pct_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer WHERE c_custkey % 10 = 0
     )
     SELECT segment, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
              AS cents
     FROM orders o JOIN hist h
       ON o.o_custkey = h.c_custkey
@@ -205,7 +205,7 @@ def join_dim_asof_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("valid_to"),
     )
     hist = base.unionByName(upgraded)
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
     joined = o.join(
         F.broadcast(hist),
         (o.o_custkey == hist.c_custkey)

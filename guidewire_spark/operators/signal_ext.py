@@ -33,7 +33,7 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
         .agg(
             F.expr(
-                "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+                "sum(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) div count(*)"
             ).alias("y")
         )
         .select(
@@ -48,7 +48,7 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DAILY_SQL = """
       SELECT date_diff('day', DATE '2024-01-01',
                        CAST(date_trunc('day', ts) AS DATE)) AS x,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) // COUNT(*) AS y
       FROM events GROUP BY date_trunc('day', ts)
 """
 
@@ -136,14 +136,14 @@ def ts_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT date_diff('day', DATE '2024-01-01',
                        CAST(date_trunc('day', ts) AS DATE)) AS x,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) // COUNT(*) AS y
       FROM events WHERE event_type = 'view'
       GROUP BY date_trunc('day', ts)
     ),
     p AS (
       SELECT date_diff('day', DATE '2024-01-01',
                        CAST(date_trunc('day', ts) AS DATE)) AS x,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) // COUNT(*) AS y
       FROM events WHERE event_type = 'purchase'
       GROUP BY date_trunc('day', ts)
     ),
@@ -185,7 +185,7 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
             .agg(
                 F.expr(
-                    "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+                    "sum(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) div count(*)"
                 ).alias("y")
             )
             .select(
@@ -238,7 +238,7 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT date_diff('day', DATE '2024-01-01',
                        CAST(date_trunc('day', ts) AS DATE)) AS x,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) // COUNT(*) AS y
       FROM events GROUP BY date_trunc('day', ts)
     ),
     w1 AS (
@@ -311,7 +311,7 @@ def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) // COUNT(*) AS y
       FROM events GROUP BY date_trunc('day', ts)
     ),
     keyed AS (
@@ -353,7 +353,7 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
         .agg(
             F.expr(
-                "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+                "sum(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) div count(*)"
             ).alias("y")
         )
     )
@@ -396,7 +396,7 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT date_diff('day', DATE '2024-01-01',
                        CAST(date_trunc('day', ts) AS DATE)) AS x,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) // COUNT(*) AS y
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) // COUNT(*) AS y
       FROM events GROUP BY date_trunc('day', ts)
     ),
     stats AS (
@@ -444,7 +444,7 @@ def ts_spc_rule_two_of_three(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
         F.expr(
-            "sum(CAST(ROUND(value * 1000, 0) AS BIGINT)) div count(*)"
+            "sum(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) div count(*)"
         ).alias("y")
     ).select(
         F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).alias("x"),

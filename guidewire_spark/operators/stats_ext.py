@@ -450,7 +450,7 @@ def anon_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_benford_first_digit",
     oracle="""
     WITH digits AS (
-      SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+      SELECT CAST(SUBSTRING(CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
                                  AS VARCHAR), 1, 1) AS INT) AS d
       FROM orders WHERE o_totalprice > 0
     ),
@@ -475,7 +475,7 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
     digit = (
         F.substring(
-            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long").cast("string"),
             1,
             1,
         )
@@ -498,7 +498,7 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ints AS (
       SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
              CAST(ROUND(l_quantity, 0) AS BIGINT) AS x,
-             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS y
       FROM lineitem WHERE l_returnflag = 'R'
     ),
     sums AS (
@@ -544,7 +544,7 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n=1 or constant) emit NULL on both sides."""
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     x = F.round("l_quantity", 0).cast("long")
-    y = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    y = (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
     ints = li.select(
         "l_suppkey",
         "l_orderkey",

@@ -82,7 +82,7 @@ def stream_buffered_earliest_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_user AS (
       SELECT user_id,
-             SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS x,
+             SUM(CAST(ROUND(CAST(value AS DECIMAL(24,10)) * 1000, 0) AS BIGINT)) AS x,
              COUNT(*) AS y
       FROM events GROUP BY user_id
     ),
@@ -121,7 +121,7 @@ def agg_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     second (user-cardinality) pass; the delta-method combination is
     scalar arithmetic on exact integers."""
     e = load_table(spark, sf_dir, "events")
-    milli = F.round(F.col("value") * 1000, 0).cast("long")
+    milli = F.round(F.col("value").cast("decimal(24,10)") * 1000, 0).cast("long")
     per_user = e.groupBy("user_id").agg(
         F.sum(milli).alias("x"), F.count("*").alias("y")
     )
@@ -169,7 +169,7 @@ def agg_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH iv AS (
       SELECT user_id, epoch_us(ts) AS s,
-             epoch_us(ts) + CAST(ROUND(value, 0) AS BIGINT) * 1000000 AS e
+             epoch_us(ts) + CAST(ROUND(CAST(value AS DECIMAL(24,10)), 0) AS BIGINT) * 1000000 AS e
       FROM events WHERE user_id % 20 = 0
     ),
     flagged AS (
@@ -212,7 +212,8 @@ def ts_intervals_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("s"),
         (
             F.unix_micros("ts")
-            + F.round(F.col("value"), 0).cast("long") * 1_000_000
+            + F.round(F.col("value").cast("decimal(24,10)"), 0).cast("long")
+            * 1_000_000
         ).alias("e"),
     )
     w_prev = (

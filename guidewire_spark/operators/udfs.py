@@ -104,7 +104,7 @@ def udaf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(c) // COUNT(*) AS BIGINT) AS avg_cents,
            CAST(MAX(c) - MIN(c) AS BIGINT) AS range_cents
     FROM (SELECT o_custkey,
-                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
           FROM orders)
     GROUP BY o_custkey
     """,
@@ -178,7 +178,7 @@ def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_map_in_arrow",
     oracle="""
     SELECT o_orderkey,
-           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+           CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS price_cents
     FROM orders WHERE o_orderkey % 20 = 0
     """,
 )

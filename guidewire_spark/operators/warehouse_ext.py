@@ -106,7 +106,7 @@ def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
            CAST(ROUND(CAST(
-             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS DOUBLE)
              / 100.0 / SUM(CAST(ROUND(l_quantity, 0) AS BIGINT))
            AS DECIMAL(24,10)), 4) AS DOUBLE) AS vwap,
            CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS volume
@@ -122,7 +122,7 @@ def ts_tumbling_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, so the result is order-independent. One partial+final hash
     aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    cents = (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
     qty = F.round("l_quantity", 0).cast("long")
     return li.groupBy(
         "l_returnflag",
@@ -143,7 +143,7 @@ def ts_tumbling_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cust AS (
       SELECT o_orderpriority, o_custkey,
-             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS c_cents
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS c_cents
       FROM orders GROUP BY o_orderpriority, o_custkey
     ),
     tot AS (
@@ -177,7 +177,7 @@ def agg_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     window for the concentration rank — the squared-share sum never
     sees raw orders."""
     o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
     cust = o.groupBy("o_orderpriority", "o_custkey").agg(
         F.sum(cents).alias("c_cents")
     )
@@ -224,7 +224,7 @@ def agg_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted AS (
       SELECT r,
              (o_orderkey * 2654435761 + r * 40503) % 1000000 AS h,
-             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
       FROM orders, reps
     ),
     w AS (
@@ -239,7 +239,7 @@ def agg_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w GROUP BY r HAVING SUM(wt) > 0
     ),
     pt AS (
-      SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+      SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS DOUBLE)
                / 100.0 / COUNT(*) AS mean_est,
              COUNT(*) AS n
       FROM orders
@@ -268,7 +268,7 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles are 64 final divisions and the interpolated percentile
     over 64 points."""
     o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
     reps = o.select(
         F.col("o_orderkey"),
         cents.alias("cents"),
