@@ -225,6 +225,123 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_substring_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS start,
+             array_to_string(words[i : i + 4], ' ') AS shingle
+      FROM toks, UNNEST(range(1, len(words) - 3)) AS t(i)
+      WHERE len(words) >= 5
+    ),
+    dup AS (SELECT shingle FROM occ GROUP BY shingle HAVING COUNT(*) >= 2),
+    hits AS (SELECT o.doc_id, o.start FROM occ o JOIN dup d USING (shingle)),
+    isl AS (
+      SELECT doc_id, start,
+             SUM(CASE WHEN prev_max_end IS NULL OR start > prev_max_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM (
+        SELECT doc_id, start,
+               MAX(start + 5) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max_end
+        FROM hits)
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(start) AS s, MAX(start) + 5 AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    sizes AS (SELECT doc_id, len(words) AS n_tokens FROM toks)
+    SELECT d.doc_id,
+           COUNT(*) AS n_spans,
+           SUM(e - s) AS dup_tokens,
+           ANY_VALUE(z.n_tokens) AS n_tokens,
+           CAST(ROUND(CAST(SUM(e - s) / CAST(ANY_VALUE(z.n_tokens) AS DOUBLE)
+                 AS DECIMAL(24,10)), 6) AS DOUBLE) AS dup_frac
+    FROM spans d JOIN sizes z ON d.doc_id = z.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (the Lee et al. 2022 'Deduplicating
+    Training Data' shape): any 5-token window whose exact text occurs
+    ≥2 times anywhere in the corpus marks its span duplicated; per
+    document, overlapping/adjacent marked windows are interval-merged
+    into maximal spans (the regions a trim pass would cut), and the
+    output reports span count, duplicated-token mass, and the
+    duplicated fraction per affected document.
+
+    Scale design: one corpus tokenize; window occurrences shuffle once
+    on the shingle for the global count (partial-agg groupBy — NOT a
+    count-window, so a pathologically hot shingle is a skew-join
+    problem AQE can split rather than a single-partition window), then
+    hit positions shuffle once on doc_id for the interval merge
+    (running-max island pattern, same as ts_intervals_merge). Nothing
+    is quadratic: a shingle with c occurrences contributes c rows, not
+    c² pairs — the property that distinguishes this from the Jaccard
+    pair expansion. At 100 TB the shingle key would be xxhash64-packed
+    to 8 bytes before the shuffle; the string key is kept here so the
+    DuckDB oracle can verify the pipeline end-to-end."""
+    k = 5
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.words(F.col("text")).alias("words"))
+    occ = (
+        toks.where(F.size("words") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("words") - k),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("words"), i + 1, k)),
+                )
+            ).alias("start", "shingle"),
+        )
+    )
+    dup = (
+        occ.groupBy("shingle")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+        .select("shingle")
+    )
+    hits = occ.join(dup, "shingle").select("doc_id", "start")
+    w_ord = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_end = F.max(F.col("start") + k).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = hits.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                prev_max_end.isNull() | (F.col("start") > prev_max_end), 1
+            ).otherwise(0)
+        ).over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("start").alias("s"), (F.max("start") + k).alias("e")
+    )
+    sizes = toks.select("doc_id", F.size("words").alias("n_tokens"))
+    frac = F.sum(F.col("e") - F.col("s")) / F.first("n_tokens").cast("double")
+    return (
+        spans.join(sizes, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+            F.first("n_tokens").alias("n_tokens"),
+            F.round(frac.cast("decimal(24,10)"), 6)
+            .cast("double")
+            .alias("dup_frac"),
+        )
+    )
+
+
 @query("dedup_minhash_lsh")  # engine-hash-dependent → rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates.

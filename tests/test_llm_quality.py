@@ -316,3 +316,30 @@ def test_ivfpq_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF-PQ recall@5 collapsed: {recall:.2f}"
+
+
+def test_substring_spans_interval_merge_on_planted_corpus(spark, tmp_path):
+    """dedup_substring_spans on a planted corpus: a 6-token run shared
+    by two documents produces two overlapping duplicated 5-windows per
+    document that must interval-merge into ONE maximal span of exactly
+    6 tokens; a unique document must not appear at all."""
+    from guidewire_spark.operators.llm import dedup_substring_spans
+
+    rows = [
+        (1, "a b c d e f g h", "en", "t", 15),
+        (2, "x x a b c d e f y", "en", "t", 17),
+        (3, "p q r s t unique1 only1", "en", "t", 23),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = {r.doc_id: r for r in dedup_substring_spans(spark, sf).collect()}
+    assert set(got) == {1, 2}, f"unexpected docs: {sorted(got)}"
+    for doc_id, n_tokens in ((1, 8), (2, 9)):
+        r = got[doc_id]
+        assert r.n_spans == 1, f"doc {doc_id}: windows did not merge: {r}"
+        assert r.dup_tokens == 6, f"doc {doc_id}: span mass wrong: {r}"
+        assert r.n_tokens == n_tokens
+        assert abs(r.dup_frac - round(6 / n_tokens, 6)) < 1e-9
