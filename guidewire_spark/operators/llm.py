@@ -342,6 +342,147 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_substring_trim",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS start,
+             CAST(doc_id AS BIGINT) * 100000 + (i - 1) AS okey,
+             array_to_string(words[i : i + 4], ' ') AS shingle
+      FROM toks, UNNEST(range(1, len(words) - 3)) AS t(i)
+      WHERE len(words) >= 5
+    ),
+    keeper AS (
+      SELECT shingle, COUNT(*) AS c, MIN(okey) AS keep_key
+      FROM occ GROUP BY shingle HAVING COUNT(*) >= 2
+    ),
+    marked AS (
+      SELECT o.doc_id, o.start
+      FROM occ o JOIN keeper k USING (shingle)
+      WHERE o.okey <> k.keep_key
+    ),
+    isl AS (
+      SELECT doc_id, start,
+             SUM(CASE WHEN prev_max_end IS NULL OR start > prev_max_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM (
+        SELECT doc_id, start,
+               MAX(start + 5) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max_end
+        FROM marked)
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(start) AS s, MAX(start) + 5 AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    tokpos AS (
+      SELECT doc_id, i - 1 AS pos, words[i] AS tok
+      FROM toks, UNNEST(range(1, len(words) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM tokpos tp LEFT JOIN spans s
+        ON tp.doc_id = s.doc_id AND tp.pos >= s.s AND tp.pos < s.e
+      WHERE s.doc_id IS NULL
+    )
+    SELECT doc_id,
+           COUNT(*) AS retained_tokens,
+           string_agg(tok, ' ' ORDER BY pos) AS retained_text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first substring trim — the materializing half of
+    dedup_substring_spans, with the Lee et al. keep-one-copy rule:
+    for every duplicated 5-token window, the globally first occurrence
+    (min (doc_id, start)) SURVIVES and every later occurrence is cut;
+    per document the cut windows interval-merge into maximal spans and
+    the retained text is re-assembled from the surviving tokens, so
+    the output IS the trimmed corpus (plus a retained-token audit
+    count). Documents trimmed to nothing drop out entirely.
+
+    Scale design: the keep-first winner comes from a partial-agg
+    ``groupBy(shingle).min(okey)`` (okey = doc_id·10⁵ + start packs
+    the lexicographic (doc, pos) order into one BIGINT so min() IS
+    argmin — no window over a possibly-hot shingle key, no
+    tie-ambiguity for the driver to break differently); marked
+    positions then shuffle once on doc_id for the interval merge, and
+    reassembly joins token positions against the merged spans (equi on
+    doc_id + range residual — never a cross join). Text payloads move
+    through exactly two narrow shuffles (tokenize→positions,
+    group→reassemble); the shingle shuffle carries positions only."""
+    k = 5
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.words(F.col("text")).alias("words"))
+    occ = (
+        toks.where(F.size("words") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("words") - k),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("words"), i + 1, k)),
+                )
+            ).alias("start", "shingle"),
+        )
+        .withColumn(
+            "okey", F.col("doc_id").cast("bigint") * 100000 + F.col("start")
+        )
+    )
+    keeper = (
+        occ.groupBy("shingle")
+        .agg(F.count("*").alias("c"), F.min("okey").alias("keep_key"))
+        .where(F.col("c") >= 2)
+    )
+    marked = (
+        occ.join(keeper, "shingle")
+        .where(F.col("okey") != F.col("keep_key"))
+        .select("doc_id", "start")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_end = F.max(F.col("start") + k).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        marked.withColumn(
+            "island",
+            F.sum(
+                F.when(
+                    prev_max_end.isNull() | (F.col("start") > prev_max_end), 1
+                ).otherwise(0)
+            ).over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("start").alias("s"), (F.max("start") + k).alias("e"))
+    )
+    tokpos = toks.select(
+        "doc_id",
+        F.posexplode("words").alias("pos", "tok"),
+    )
+    kept = tokpos.join(
+        spans,
+        (tokpos["doc_id"] == spans["doc_id"])
+        & (tokpos["pos"] >= spans["s"])
+        & (tokpos["pos"] < spans["e"]),
+        "left_anti",
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda x: x["tok"]
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("retained_tokens"),
+        F.concat_ws(" ", ordered).alias("retained_text"),
+    )
+
+
 @query("dedup_minhash_lsh")  # engine-hash-dependent → rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates.

@@ -343,3 +343,30 @@ def test_substring_spans_interval_merge_on_planted_corpus(spark, tmp_path):
         assert r.dup_tokens == 6, f"doc {doc_id}: span mass wrong: {r}"
         assert r.n_tokens == n_tokens
         assert abs(r.dup_frac - round(6 / n_tokens, 6)) < 1e-9
+
+
+def test_substring_trim_keep_first_semantics(spark, tmp_path):
+    """dedup_substring_trim keeps the globally FIRST occurrence of a
+    duplicated window and cuts the later ones: with the same 6-token
+    run in docs 1 and 2, doc 1 (earlier (doc_id, start)) survives
+    intact while doc 2 loses exactly the merged 6-token span; an exact
+    duplicate of a whole document is trimmed to nothing and drops out."""
+    from guidewire_spark.operators.llm import dedup_substring_trim
+
+    rows = [
+        (1, "a b c d e f g h", "en", "t", 15),
+        (2, "x x a b c d e f y", "en", "t", 17),
+        (3, "m n o p q r", "en", "t", 11),
+        (4, "m n o p q r", "en", "t", 11),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = {r.doc_id: r for r in dedup_substring_trim(spark, sf).collect()}
+    assert got[1].retained_text == "a b c d e f g h"
+    assert got[2].retained_text == "x x y"
+    assert got[2].retained_tokens == 3
+    assert got[3].retained_text == "m n o p q r"
+    assert 4 not in got, f"exact dup should trim to nothing: {got.get(4)}"
