@@ -467,11 +467,14 @@ def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode("words").alias("pos", "tok"),
     )
+    cuts = spans.select(
+        F.col("doc_id").alias("cut_doc"), "s", "e"
+    )
     kept = tokpos.join(
-        spans,
-        (tokpos["doc_id"] == spans["doc_id"])
-        & (tokpos["pos"] >= spans["s"])
-        & (tokpos["pos"] < spans["e"]),
+        cuts,
+        (tokpos["doc_id"] == cuts["cut_doc"])
+        & (tokpos["pos"] >= cuts["s"])
+        & (tokpos["pos"] < cuts["e"]),
         "left_anti",
     )
     ordered = F.transform(
