@@ -249,6 +249,37 @@ def delta_log_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_checkpoint_v2_replay",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 3 <> 0
+    """,
+)
+def delta_checkpoint_v2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol V2 checkpoint end-to-end: append commits + a MOR
+    DELETE (so deletion vectors must survive the sidecar round-trip),
+    then a UUID-manifest + _sidecars checkpoint, then every covered
+    JSON commit removed — the snapshot must reconstruct from the
+    manifest and its sidecars alone.  V2 is the 100 TB checkpoint
+    shape: sidecars are immutable and individually re-linkable, so an
+    incremental checkpointer pays for churn, not table size (see
+    sources/log_checkpoint.py::write_log_checkpoint_v2)."""
+    from guidewire_spark.sources.deltalog import delta_log_dir, list_versions
+    from guidewire_spark.sources.log_checkpoint import write_log_checkpoint_v2
+    from guidewire_spark.sources.writer import delete_from_mor
+
+    table = tempfile.mkdtemp(prefix="gw_dckpt2_") + "/supplier_delta"
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    for i in range(4):
+        write_delta(s.where(F.col("s_suppkey") % 4 == i), table, mode="append")
+    delete_from_mor(spark, table, "s_suppkey % 3 = 0")
+    write_log_checkpoint_v2(table, max_adds_per_sidecar=2)
+    log = delta_log_dir(table)
+    for v in list_versions(table):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    return read_delta(spark, table)
+
+
+@query(
     "delta_partitioned_scan",
     oracle="""
     SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'

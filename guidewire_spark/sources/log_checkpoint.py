@@ -88,10 +88,56 @@ _CHECKPOINT_SCHEMA = pa.schema(
 )
 
 
+_SIDECAR_SCHEMA = pa.schema([_CHECKPOINT_SCHEMA.field("add")])
+
+_V2_MANIFEST_SCHEMA = pa.schema(
+    list(_CHECKPOINT_SCHEMA)
+    + [
+        pa.field(
+            "checkpointMetadata",
+            pa.struct([pa.field("version", pa.int64())]),
+        ),
+        pa.field(
+            "sidecar",
+            pa.struct(
+                [
+                    pa.field("path", pa.string()),
+                    pa.field("sizeInBytes", pa.int64()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
 def checkpoint_path(table_path: str, version: int) -> str:
     return os.path.join(
         delta_log_dir(table_path), f"{version:020d}.checkpoint.parquet"
     )
+
+
+def sidecar_dir(table_path: str) -> str:
+    """``_delta_log/_sidecars`` — where V2-checkpoint sidecar files
+    live per the public protocol."""
+    return os.path.join(delta_log_dir(table_path), "_sidecars")
+
+
+def _is_v2_manifest(path: str) -> bool:
+    """``<v>.checkpoint.<uniqueStr>.parquet`` (4 dot-tokens) vs the
+    multi-part ``<v>.checkpoint.<i>.<n>.parquet`` (5) and classic
+    ``<v>.checkpoint.parquet`` (3)."""
+    return len(os.path.basename(path).split(".")) == 4
+
+
+def _v2_sidecar_paths(table_path: str, manifest: str) -> list[str]:
+    """Absolute paths of every sidecar the manifest references."""
+    table = pq.read_table(manifest, columns=["sidecar"])
+    out = []
+    for row in table.to_pylist():
+        sc = row.get("sidecar")
+        if sc and sc.get("path"):
+            out.append(os.path.join(sidecar_dir(table_path), sc["path"]))
+    return out
 
 
 def checkpoint_part_path(
@@ -115,6 +161,23 @@ def checkpoint_files(table_path: str, version: int) -> list[str]:
     if os.path.isfile(single):
         return [single]
     import glob as _glob
+
+    manifests = sorted(
+        p
+        for p in _glob.glob(
+            os.path.join(
+                delta_log_dir(table_path),
+                f"{version:020d}.checkpoint.*.parquet",
+            )
+        )
+        if _is_v2_manifest(p)
+    )
+    for manifest in manifests:
+        # a manifest whose sidecars are incomplete (crashed upload with
+        # a stale marker) is unusable — same ignore rule as a partial
+        # multi-part set
+        if all(os.path.isfile(s) for s in _v2_sidecar_paths(table_path, manifest)):
+            return [manifest]
 
     parts = sorted(
         _glob.glob(
@@ -141,6 +204,128 @@ def read_last_checkpoint(table_path: str) -> int | None:
         return int(json.load(f)["version"])
 
 
+def _state_rows(table_path: str, version: int | None):
+    """(snapshot, header action rows, add action rows) for a
+    checkpoint of ``version`` — shared by the classic/multi-part and
+    V2 writers."""
+    # Local import: snapshot imports this module for the read path.
+    from guidewire_spark.sources.snapshot import load_snapshot
+
+    from guidewire_spark.sources.writer import table_configuration
+
+    snap = load_snapshot(table_path, version=version)
+    config = table_configuration(table_path)
+    # Column mapping requires a protocol upgrade for external Delta
+    # readers (minReader 2 / minWriter 5 per the protocol spec) —
+    # advertising (1, 2) would let a reader bind post-RENAME files by
+    # logical name and read nulls.
+    mapped = config.get("delta.columnMapping.mode") not in (None, "none")
+    header: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": 2 if mapped else 1,
+                "minWriterVersion": 5 if mapped else 2,
+            }
+        }
+    ]
+    if snap.schema is not None:
+        header.append(
+            {
+                "metaData": {
+                    "id": snap.metadata_id or "",
+                    "format": {"provider": "parquet"},
+                    "schemaString": snap.schema.json(),
+                    "partitionColumns": snap.partition_columns,
+                    "configuration": list(config.items()),
+                    "createdTime": None,
+                }
+            }
+        )
+    adds: list[dict] = []
+    for path in snap.files:
+        adds.append(
+            {
+                "add": {
+                    "path": path,
+                    "size": snap.file_sizes.get(path, 0),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": snap.file_stats.get(path),
+                    "partitionValues": [
+                        (k, v)
+                        for k, v in (snap.file_partitions.get(path) or {}).items()
+                    ],
+                    "deletionVector": snap.file_dvs.get(path),
+                    "baseRowId": snap.file_base_rows.get(path),
+                }
+            }
+        )
+    return snap, header, adds
+
+
+def write_log_checkpoint_v2(
+    table_path: str,
+    version: int | None = None,
+    max_adds_per_sidecar: int = 10000,
+) -> str:
+    """Protocol V2 checkpoint: a UUID-named manifest
+    (``<v>.checkpoint.<uuid>.parquet`` holding protocol/metaData, a
+    checkpointMetadata action and ``sidecar`` references) plus add
+    actions split across ``_delta_log/_sidecars/*.parquet``.
+
+    Why V2 over multi-part at 100 TB: multi-part parts are a single
+    atomic SET (all-or-nothing, one naming scheme per attempt), while
+    V2 sidecars are independently written immutable files a later
+    checkpoint can REUSE — an incremental checkpointer re-links
+    unchanged sidecars and writes only the delta, so checkpoint cost
+    tracks churn, not table size.  Crash-safety order: sidecars land
+    first, then the manifest, then ``_last_checkpoint`` flips; a
+    manifest referencing a missing sidecar is ignored by discovery
+    (checkpoint_files) exactly like a partial multi-part set."""
+    import uuid as _uuid
+
+    snap, header, adds = _state_rows(table_path, version)
+    scdir = sidecar_dir(table_path)
+    os.makedirs(scdir, exist_ok=True)
+    token = _uuid.uuid4().hex
+    sidecars: list[dict] = []
+    n_chunks = max(1, -(-len(adds) // max_adds_per_sidecar))
+    for i in range(n_chunks):
+        chunk = adds[i * max_adds_per_sidecar : (i + 1) * max_adds_per_sidecar]
+        name = f"{token}-{i:05d}.parquet"
+        target = os.path.join(scdir, name)
+        pq.write_table(
+            pa.Table.from_pylist(chunk, schema=_SIDECAR_SCHEMA), target
+        )
+        sidecars.append(
+            {"sidecar": {"path": name, "sizeInBytes": os.path.getsize(target)}}
+        )
+    manifest_rows = (
+        header
+        + [{"checkpointMetadata": {"version": snap.version}}]
+        + sidecars
+    )
+    manifest = os.path.join(
+        delta_log_dir(table_path),
+        f"{snap.version:020d}.checkpoint.{token}.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pylist(manifest_rows, schema=_V2_MANIFEST_SCHEMA),
+        manifest,
+    )
+    marker = os.path.join(delta_log_dir(table_path), LAST_CHECKPOINT)
+    with open(marker, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "version": snap.version,
+                "size": len(header) + 1 + len(adds),
+                "v2Checkpoint": os.path.basename(manifest),
+            },
+            f,
+        )
+    return manifest
+
+
 def write_log_checkpoint(
     table_path: str,
     version: int | None = None,
@@ -158,57 +343,8 @@ def write_log_checkpoint(
     ``_last_checkpoint`` marker flips, and an incomplete part set is
     ignored by discovery — the crash-safety order the protocol
     requires."""
-    # Local import: snapshot imports this module for the read path.
-    from guidewire_spark.sources.snapshot import load_snapshot
-
-    from guidewire_spark.sources.writer import table_configuration
-
-    snap = load_snapshot(table_path, version=version)
-    config = table_configuration(table_path)
-    # Column mapping requires a protocol upgrade for external Delta
-    # readers (minReader 2 / minWriter 5 per the protocol spec) —
-    # advertising (1, 2) would let a reader bind post-RENAME files by
-    # logical name and read nulls.
-    mapped = config.get("delta.columnMapping.mode") not in (None, "none")
-    rows: list[dict] = [
-        {
-            "protocol": {
-                "minReaderVersion": 2 if mapped else 1,
-                "minWriterVersion": 5 if mapped else 2,
-            }
-        }
-    ]
-    if snap.schema is not None:
-        rows.append(
-            {
-                "metaData": {
-                    "id": snap.metadata_id or "",
-                    "format": {"provider": "parquet"},
-                    "schemaString": snap.schema.json(),
-                    "partitionColumns": snap.partition_columns,
-                    "configuration": list(config.items()),
-                    "createdTime": None,
-                }
-            }
-        )
-    for path in snap.files:
-        rows.append(
-            {
-                "add": {
-                    "path": path,
-                    "size": snap.file_sizes.get(path, 0),
-                    "modificationTime": 0,
-                    "dataChange": True,
-                    "stats": snap.file_stats.get(path),
-                    "partitionValues": [
-                        (k, v)
-                        for k, v in (snap.file_partitions.get(path) or {}).items()
-                    ],
-                    "deletionVector": snap.file_dvs.get(path),
-                    "baseRowId": snap.file_base_rows.get(path),
-                }
-            }
-        )
+    snap, header, adds = _state_rows(table_path, version)
+    rows = header + adds
     marker = os.path.join(delta_log_dir(table_path), LAST_CHECKPOINT)
     if max_actions_per_part is not None and len(rows) > max_actions_per_part:
         n_parts = -(-len(rows) // max_actions_per_part)
@@ -260,7 +396,17 @@ def load_checkpoint_state(
         raise FileNotFoundError(
             f"no checkpoint file(s) at version {version} of {table_path}"
         )
-    table = pa.concat_tables(pq.read_table(f) for f in files)
+    if len(files) == 1 and _is_v2_manifest(files[0]):
+        # V2: header/checkpointMetadata rows live in the manifest, the
+        # add actions in the referenced sidecars (existence already
+        # validated by checkpoint_files).
+        action_rows = pq.read_table(files[0]).to_pylist()
+        for sc in _v2_sidecar_paths(table_path, files[0]):
+            action_rows.extend(pq.read_table(sc).to_pylist())
+    else:
+        action_rows = []
+        for f in files:
+            action_rows.extend(pq.read_table(f).to_pylist())
     active: dict[str, str | None] = {}
     sizes: dict[str, int] = {}
     partitions: dict[str, dict] = {}
@@ -270,7 +416,7 @@ def load_checkpoint_state(
     meta_id: str | None = None
     part_cols: list[str] = []
     config: dict[str, str] = {}
-    for row in table.to_pylist():
+    for row in action_rows:
         add = row.get("add")
         if add and add.get("path"):
             active[add["path"]] = add.get("stats")

@@ -354,3 +354,72 @@ def test_partial_multipart_checkpoint_is_ignored(spark, sf_dir, tmp_path):
     os.remove(parts[-1])  # simulate a lost part
     snap = load_snapshot(t)  # must NOT raise — JSON replay covers it
     assert len(snap.files) == 3
+
+
+def test_v2_checkpoint_roundtrip(spark, sf_dir, tmp_path):
+    """Protocol V2 checkpoints: UUID-named manifest + _sidecars/
+    parquet files; the seeded snapshot must equal the pre-checkpoint
+    state including deletion vectors carried through sidecars."""
+    import glob
+    import json as _json
+    import os
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.deltalog import delta_log_dir
+    from guidewire_spark.sources.log_checkpoint import (
+        sidecar_dir,
+        write_log_checkpoint_v2,
+    )
+    from guidewire_spark.sources.snapshot import load_snapshot, read_delta
+    from guidewire_spark.sources.writer import delete_from_mor, write_delta
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    t = str(tmp_path / "v2")
+    write_delta(s.repartition(4), t, mode="append")
+    delete_from_mor(spark, t, "s_suppkey % 2 = 0")
+    snap_before = load_snapshot(t)
+    write_log_checkpoint_v2(t, max_adds_per_sidecar=2)
+    manifests = [
+        p
+        for p in glob.glob(os.path.join(delta_log_dir(t), "*.checkpoint.*.parquet"))
+        if len(os.path.basename(p).split(".")) == 4
+    ]
+    assert len(manifests) == 1
+    sidecars = glob.glob(os.path.join(sidecar_dir(t), "*.parquet"))
+    assert len(sidecars) == 2  # 4 adds at <=2 per sidecar
+    marker = _json.load(open(os.path.join(delta_log_dir(t), "_last_checkpoint")))
+    assert marker["v2Checkpoint"] == os.path.basename(manifests[0])
+    # replay must seed from manifest+sidecars alone
+    for v in range(snap_before.version + 1):
+        commit = os.path.join(delta_log_dir(t), f"{v:020d}.json")
+        if os.path.isfile(commit):
+            os.remove(commit)
+    snap = load_snapshot(t)
+    assert set(snap.files) == set(snap_before.files)
+    assert snap.file_dvs == snap_before.file_dvs
+    want = {r.s_suppkey for r in s.where("s_suppkey % 2 <> 0").collect()}
+    assert {r.s_suppkey for r in read_delta(spark, t).collect()} == want
+
+
+def test_v2_checkpoint_missing_sidecar_is_ignored(spark, sf_dir, tmp_path):
+    """A manifest referencing a lost sidecar must be treated as absent
+    (fall back to JSON replay), mirroring the partial-multi-part rule."""
+    import glob
+    import os
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.log_checkpoint import (
+        sidecar_dir,
+        write_log_checkpoint_v2,
+    )
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import write_delta
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = str(tmp_path / "v2partial")
+    write_delta(n.repartition(3), t, mode="append")
+    write_log_checkpoint_v2(t, max_adds_per_sidecar=2)
+    lost = sorted(glob.glob(os.path.join(sidecar_dir(t), "*.parquet")))[-1]
+    os.remove(lost)
+    snap = load_snapshot(t)  # must NOT raise — JSON replay covers it
+    assert len(snap.files) == 3
