@@ -743,3 +743,24 @@ def test_mor_write_encode_is_executor_side(spark, sf_dir, tmp_path):
 
     staged = hits.groupBy(META_FILE).applyInPandas(_enc, out_schema)
     assert "FlatMapGroupsInPandas" in plan_of(staged)
+
+
+def test_substring_dedup_plan_is_linear_and_pruned(spark, sf_dir):
+    """dedup_substring_spans must stay linear in window occurrences:
+    no CartesianProduct anywhere, the corpus-global duplicate test is
+    a partial-then-final hash aggregate on the shingle (map-side
+    combine before the shuffle), and the documents scan reads only
+    doc_id + text."""
+    from guidewire_spark.operators.llm import (
+        dedup_substring_spans,
+        dedup_substring_trim,
+    )
+
+    for fn in (dedup_substring_spans, dedup_substring_trim):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "partial_count" in plan, fn.__name__  # map-side combine
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "lang" not in read_schema and "source" not in read_schema, (
+            fn.__name__
+        )
