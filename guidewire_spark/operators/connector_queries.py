@@ -280,6 +280,44 @@ def delta_checkpoint_v2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_version_checksum",
+    oracle="""
+    SELECT CAST(v AS BIGINT) AS version,
+           CAST(f AS BIGINT) AS num_files,
+           CAST(d AS BIGINT) AS num_deleted
+    FROM (VALUES (0, 2, 0), (1, 5, 0), (2, 5, 10)) AS t(v, f, d)
+    """,
+)
+def delta_version_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-version .crc checksums (sources/checksum.py): two appends
+    with controlled file counts, a MOR DELETE that kills 10 rows via
+    deletion vectors, then a checksum written AND validated at every
+    version — the query's rows are the validated invariants, so a
+    replay drift (lost commit, truncated log, DV miscount) fails the
+    oracle compare by construction."""
+    from guidewire_spark.sources.checksum import (
+        validate_version_checksum,
+        write_version_checksum,
+    )
+
+    table = tempfile.mkdtemp(prefix="gw_dcrc_") + "/nation_delta"
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n.repartition(2), table, mode="append")
+    write_delta(n.repartition(3), table, mode="append")
+    from guidewire_spark.sources.writer import delete_from_mor
+
+    delete_from_mor(spark, table, "n_nationkey % 5 = 0")
+    rows = []
+    for v in (0, 1, 2):
+        write_version_checksum(table, version=v)
+        crc = validate_version_checksum(table, version=v)
+        rows.append((v, crc["numFiles"], crc["numDeletedRecordsOpt"]))
+    return spark.createDataFrame(
+        rows, "version long, num_files long, num_deleted long"
+    )
+
+
+@query(
     "delta_partitioned_scan",
     oracle="""
     SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'

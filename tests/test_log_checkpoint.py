@@ -423,3 +423,43 @@ def test_v2_checkpoint_missing_sidecar_is_ignored(spark, sf_dir, tmp_path):
     os.remove(lost)
     snap = load_snapshot(t)  # must NOT raise — JSON replay covers it
     assert len(snap.files) == 3
+import json
+import os
+
+import pytest
+
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.sources.checksum import (
+    ChecksumMismatch,
+    validate_version_checksum,
+    write_version_checksum,
+)
+from guidewire_spark.sources.deltalog import delta_log_dir
+from guidewire_spark.sources.writer import delete_from_mor, write_delta
+
+
+def test_checksum_roundtrip_and_drift_detection(spark, sf_dir, tmp_path):
+    """write → validate passes at every version incl. a DV version;
+    a tampered .crc (or equivalently a drifted log) raises with the
+    named invariant that diverged."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = str(tmp_path / "crc")
+    write_delta(n.repartition(2), t, mode="append")
+    write_delta(n.repartition(3), t, mode="append")
+    delete_from_mor(spark, t, "n_nationkey % 5 = 0")
+    for v in (0, 1, 2):
+        write_version_checksum(t, version=v)
+        crc = validate_version_checksum(t, version=v)
+        assert crc is not None
+    assert crc["numFiles"] == 5
+    assert crc["numDeletedRecordsOpt"] == 10  # 5 dead rows x 2 appends
+    assert crc["numDeletionVectorsOpt"] >= 1
+    # unrecorded version -> None, never a false alarm
+    assert validate_version_checksum(str(tmp_path / "crc"), version=0)
+    # tamper: numFiles off by one must raise ChecksumMismatch
+    path = os.path.join(delta_log_dir(t), f"{2:020d}.crc")
+    rec = json.load(open(path))
+    rec["numFiles"] += 1
+    json.dump(rec, open(path, "w"))
+    with pytest.raises(ChecksumMismatch, match="numFiles"):
+        validate_version_checksum(t, version=2)
