@@ -212,4 +212,35 @@ def write_commit(table_path: str, version: int, actions: list[dict]) -> str:
         os.write(fd, payload.encode("utf-8"))
     finally:
         os.close(fd)
+    _maybe_auto_checkpoint(table_path, version)
     return target
+
+
+def _maybe_auto_checkpoint(table_path: str, version: int) -> None:
+    """``delta.checkpointInterval`` (public Delta table property):
+    after every Nth commit, materialize a log checkpoint so replay
+    cost stays O(interval) instead of O(versions) — at CDA cadence a
+    year-old table is ~10⁴ commits, and without this every cold read
+    pays the whole JSON tail. Failure here never fails the commit
+    (the commit is already durable; a missed checkpoint only defers
+    the optimization to the next interval)."""
+    from guidewire_spark.sources.writer import table_configuration
+
+    try:
+        interval = int(
+            table_configuration(table_path).get("delta.checkpointInterval", 0)
+        )
+        if interval > 0 and (version + 1) % interval == 0:
+            from guidewire_spark.sources.log_checkpoint import (
+                write_log_checkpoint,
+            )
+
+            write_log_checkpoint(table_path, version=version)
+    except Exception:  # pragma: no cover — never poison a durable commit
+        import warnings
+
+        warnings.warn(
+            f"auto-checkpoint at version {version} of {table_path} failed; "
+            "replay falls back to the JSON log",
+            stacklevel=2,
+        )

@@ -1508,6 +1508,53 @@ def enable_in_commit_timestamps(table_path: str) -> int:
     return snap.version + 1
 
 
+_FEATURE_MANAGED_KEYS = {
+    "delta.enableInCommitTimestamps": "enable_in_commit_timestamps",
+    "delta.enableRowTracking": "enable_row_tracking",
+    "delta.columnMapping.mode": "rename_column/drop_column",
+    "delta.clusteringColumns": "set_clustering_columns",
+}
+
+
+def set_table_properties(table_path: str, props: dict[str, str]) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES (generic): merge ``props``
+    into the table configuration in a metadata-only commit. Keys whose
+    enablement has protocol side effects beyond the key itself
+    (in-commit timestamps seed a clock chain, row tracking assigns
+    base ids, column mapping rewrites the physical schema binding)
+    are refused with a pointer at their dedicated path — a raw
+    property write would advertise a feature whose invariants were
+    never established.  A ``None``/empty value UNSETS the key."""
+    for key in props:
+        if key in _FEATURE_MANAGED_KEYS:
+            raise ValueError(
+                f"{key} is feature-managed; use "
+                f"writer.{_FEATURE_MANAGED_KEYS[key]}() instead"
+            )
+    snap = load_snapshot(table_path)
+    if snap.schema is None:
+        raise ValueError(f"no table at {table_path}")
+    config = table_configuration(table_path)
+    for key, value in props.items():
+        if value in (None, ""):
+            config.pop(key, None)
+        else:
+            config[key] = str(value)
+    now = int(time.time() * 1000)
+    actions = [
+        commit_info_action("SET TBLPROPERTIES", "setProperties", False, 0, 0, now),
+        metadata_action(
+            snap.schema,
+            partition_columns=snap.partition_columns or None,
+            created_time=now,
+            table_id=snap.metadata_id,
+            configuration=config,
+        ),
+    ]
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
 def set_clustering_columns(table_path: str, columns: list[str]) -> int:
     """ALTER TABLE ... CLUSTER BY (Delta liquid clustering's
     declaration half): record the clustering columns as a table

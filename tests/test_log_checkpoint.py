@@ -463,3 +463,38 @@ def test_checksum_roundtrip_and_drift_detection(spark, sf_dir, tmp_path):
     json.dump(rec, open(path, "w"))
     with pytest.raises(ChecksumMismatch, match="numFiles"):
         validate_version_checksum(t, version=2)
+
+
+def test_auto_checkpoint_interval(spark, sf_dir, tmp_path):
+    """delta.checkpointInterval=4: commits 0..n auto-materialize a
+    checkpoint after every 4th version with no explicit call, and the
+    marker tracks the newest one; generic SET TBLPROPERTIES refuses
+    feature-managed keys."""
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.log_checkpoint import (
+        checkpoint_files,
+        read_last_checkpoint,
+    )
+    from guidewire_spark.sources.writer import set_table_properties, write_delta
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = str(tmp_path / "autockpt")
+    write_delta(n, t, mode="append")  # v0
+    set_table_properties(t, {"delta.checkpointInterval": "4"})  # v1
+    for i in range(5):  # v2..v6
+        write_delta(n.where(F.col("n_nationkey") % 5 == i), t, mode="append")
+    # versions 3 (4th commit) and 7 don't exist yet; interval fires at
+    # (v+1) % 4 == 0 -> v3 only among 0..6
+    assert checkpoint_files(t, 3), "no checkpoint at v3"
+    assert read_last_checkpoint(t) == 3
+    write_delta(n.limit(1), t, mode="append")  # v7 -> fires again
+    assert checkpoint_files(t, 7)
+    assert read_last_checkpoint(t) == 7
+    with _pytest.raises(ValueError, match="feature-managed"):
+        set_table_properties(t, {"delta.enableRowTracking": "true"})
