@@ -150,12 +150,10 @@ def _entry_passed(v) -> bool:
     return True
 
 
-def _driver_checked_names() -> set[str]:
-    """Names with GREEN driver history: keys of committed
-    CORRECTNESS_r*.json entries whose LATEST record passed (the
-    grading driver writes one file per round into the repo root).
-    Failed-then-fixed queries are absent, so they re-front
-    automatically."""
+def _driver_history() -> dict[str, bool]:
+    """name → did its LATEST committed CORRECTNESS_r*.json record
+    pass (the grading driver writes one file per round into the repo
+    root)."""
     import glob
     import json
     import os
@@ -175,7 +173,13 @@ def _driver_checked_names() -> set[str]:
             for k, v in data.items():
                 if k not in latest or rnd >= latest[k][0]:
                     latest[k] = (rnd, _entry_passed(v))
-    return {k for k, (_, ok) in latest.items() if ok}
+    return {k: ok for k, (_, ok) in latest.items()}
+
+
+def _driver_checked_names() -> set[str]:
+    """Names with GREEN driver history. Failed-then-fixed queries are
+    absent, so they re-enter the verification window automatically."""
+    return {k for k, ok in _driver_history().items() if ok}
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -200,10 +204,17 @@ def driver_window_order() -> dict[str, QuerySpec]:
     CORRECTNESS_r*.json files), then everything else in registration
     order."""
     registry = all_queries()
-    checked = _driver_checked_names()
+    history = _driver_history()
+    checked = {k for k, ok in history.items() if ok}
     backlog = [n for n in registry if n not in checked]
+    # Three classes, each in registration order: (0) failed-then-fixed
+    # rows re-verify FIRST — a red must never slip out of the window
+    # because new registrations crowded it; (1) plan-dependent
+    # families; (2) value-only queries.
     backlog.sort(
-        key=lambda n: 0 if n.startswith(_PLAN_DEPENDENT_PREFIXES) else 1
+        key=lambda n: 0
+        if history.get(n) is False
+        else (1 if n.startswith(_PLAN_DEPENDENT_PREFIXES) else 2)
     )  # stable: registration order within each class
     front = backlog[:_WINDOW]
     ordered = {n: registry[n] for n in front}

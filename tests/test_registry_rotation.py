@@ -48,8 +48,11 @@ def test_checked_names_match_committed_green_history():
     assert _driver_checked_names() == want
 
 
-def test_window_is_zero_history_plan_dependent_first():
+def test_window_is_zero_history_failed_then_plan_dependent_first():
+    from guidewire_spark.registry import _driver_history
+
     registry = all_queries()
+    history = _driver_history()
     checked = _driver_checked_names()
     ordered = list(driver_window_order())
     assert set(ordered) == set(registry)
@@ -58,14 +61,24 @@ def test_window_is_zero_history_plan_dependent_first():
     assert set(front) <= set(backlog)
     if len(backlog) >= _WINDOW:
         assert len(front) == _WINDOW
-    # no plan-dependent backlog query may trail a value-only one
-    # inside the front window
-    seen_value_only = False
-    for n in front:
-        plan_dep = n.startswith(
-            ("stream_", "join_", "delta_", "cda_", "udtf_", "udaf_", "udf_")
+    # class order inside the window: failed-then-fixed rows lead
+    # unconditionally (a red must never be crowded out by new
+    # registrations), then plan-dependent families, then value-only
+    def klass(n: str) -> int:
+        if history.get(n) is False:
+            return 0
+        return (
+            1
+            if n.startswith(
+                ("stream_", "join_", "delta_", "cda_", "udtf_", "udaf_", "udf_")
+            )
+            else 2
         )
-        if not plan_dep:
-            seen_value_only = True
-        elif seen_value_only:
-            raise AssertionError(f"plan-dependent {n} after value-only")
+
+    classes = [klass(n) for n in front]
+    assert classes == sorted(classes), (
+        f"window class order broken: {list(zip(front, classes))}"
+    )
+    # every currently-red row re-verifies inside the window
+    red = [n for n in registry if history.get(n) is False]
+    assert set(red) <= set(front[: len(red)])
