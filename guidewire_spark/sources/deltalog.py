@@ -103,6 +103,22 @@ def add_action(
     return action
 
 
+def domain_metadata_action(
+    domain: str, configuration: str, removed: bool = False
+) -> dict:
+    """``domainMetadata`` action per the public Delta protocol:
+    named-domain key/value state that rides the log (clustering
+    columns, app-specific domains). Later actions for the same domain
+    replace earlier ones; ``removed=True`` deletes the domain."""
+    return {
+        "domainMetadata": {
+            "domain": domain,
+            "configuration": configuration,
+            "removed": removed,
+        }
+    }
+
+
 def remove_action(
     path: str, deletion_timestamp: int | None = None, size: int | None = None
 ) -> dict:

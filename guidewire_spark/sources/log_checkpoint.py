@@ -84,6 +84,16 @@ _CHECKPOINT_SCHEMA = pa.schema(
                 ]
             ),
         ),
+        pa.field(
+            "domainMetadata",
+            pa.struct(
+                [
+                    pa.field("domain", pa.string()),
+                    pa.field("configuration", pa.string()),
+                    pa.field("removed", pa.bool_()),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -241,6 +251,16 @@ def _state_rows(table_path: str, version: int | None):
                 }
             }
         )
+    for domain, dconf in sorted(snap.domains.items()):
+        header.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": dconf,
+                    "removed": False,
+                }
+            }
+        )
     adds: list[dict] = []
     for path in snap.files:
         adds.append(
@@ -385,12 +405,13 @@ def load_checkpoint_state(
     str | None,
     list[str],
     dict[str, str],
+    dict[str, str],
 ]:
     """Read ``<version>.checkpoint.parquet`` (single-file or all
     parts of the multi-part form) → (active file → stats, file →
     size, file → partitionValues, file → deletionVector, file →
-    baseRowId, schema, metadata id, partition columns, configuration)
-    to seed log replay."""
+    baseRowId, schema, metadata id, partition columns, configuration,
+    live domainMetadata) to seed log replay."""
     files = checkpoint_files(table_path, version)
     if not files:
         raise FileNotFoundError(
@@ -416,7 +437,12 @@ def load_checkpoint_state(
     meta_id: str | None = None
     part_cols: list[str] = []
     config: dict[str, str] = {}
+    domains: dict[str, str] = {}
     for row in action_rows:
+        dm = row.get("domainMetadata")
+        if dm and dm.get("domain") and not dm.get("removed"):
+            domains[dm["domain"]] = dm.get("configuration") or ""
+
         add = row.get("add")
         if add and add.get("path"):
             active[add["path"]] = add.get("stats")
@@ -434,4 +460,4 @@ def load_checkpoint_state(
             part_cols = list(meta.get("partitionColumns") or [])
             config = dict(meta.get("configuration") or [])
     return (active, sizes, partitions, dvs, base_rows, schema, meta_id,
-            part_cols, config)
+            part_cols, config, domains)

@@ -87,6 +87,9 @@ class DeltaSnapshot:
     # latest metaData.configuration AS OF this snapshot's version —
     # version-pinned, so time travel sees the config of its era
     configuration: dict[str, str] = field(default_factory=dict)
+    # live domainMetadata actions: domain name → configuration string
+    # (a removed=true action deletes its domain)
+    domains: dict[str, str] = field(default_factory=dict)
 
     @property
     def num_files(self) -> int:
@@ -188,13 +191,16 @@ def load_snapshot(
     meta_id: str | None = None
     part_cols: list[str] = []
     config: dict[str, str] = {}
+    domains: dict[str, str] = {}
     commit_ts: dict[int, int] = {}
     replay_after = -1
     if ckpt_version is not None and ckpt_version <= version:
         # O(1) replay: seed from the checkpoint parquet, then apply
         # only the JSON tail — instead of O(versions) JSON reads.
         (active, sizes, partitions, dvs, base_rows, schema, meta_id,
-         part_cols, config) = load_checkpoint_state(table_path, ckpt_version)
+         part_cols, config, domains) = load_checkpoint_state(
+            table_path, ckpt_version
+        )
         replay_after = ckpt_version
     for v in versions:
         if v <= replay_after:
@@ -235,6 +241,12 @@ def load_snapshot(
                 config = dict(
                     action["metaData"].get("configuration") or {}
                 )
+            elif "domainMetadata" in action:
+                dm = action["domainMetadata"]
+                if dm.get("removed"):
+                    domains.pop(dm["domain"], None)
+                else:
+                    domains[dm["domain"]] = dm.get("configuration") or ""
             elif "commitInfo" in action:
                 commit_ts[v] = action["commitInfo"].get(
                     "inCommitTimestamp",
@@ -254,6 +266,7 @@ def load_snapshot(
         file_dvs=dvs,
         file_base_rows=base_rows,
         configuration=config,
+        domains=domains,
     )
 
 

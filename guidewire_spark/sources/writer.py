@@ -950,9 +950,8 @@ def optimize_table(
     if zorder_by and hilbert_by:
         raise ValueError("zorder_by and hilbert_by are mutually exclusive")
     if not zorder_by and not hilbert_by:
-        declared = table_configuration(table_path).get(_CLUSTERING_KEY)
-        if declared:
-            cols = [c for c in declared.split(",") if c]
+        cols = clustering_columns(table_path)
+        if cols:
             if len(cols) == 2:
                 hilbert_by = cols
             else:
@@ -1462,7 +1461,26 @@ def _file_record_counts(files_or_paths, name_hint: str) -> list[tuple[str, int]]
     return out
 
 
-_CLUSTERING_KEY = "delta.clusteringColumns"
+_CLUSTERING_KEY = "delta.clusteringColumns"  # legacy config spelling
+_CLUSTERING_DOMAIN = "delta.clustering"  # protocol domainMetadata domain
+
+
+def clustering_columns(table_path: str) -> list[str]:
+    """Declared liquid-clustering columns: the protocol's
+    ``delta.clustering`` domainMetadata (current writer), falling back
+    to the legacy ``delta.clusteringColumns`` config key so tables
+    written before the domain migration keep their layout contract."""
+    import json as _json
+
+    snap = load_snapshot(table_path)
+    dconf = snap.domains.get(_CLUSTERING_DOMAIN)
+    if dconf:
+        try:
+            return list(_json.loads(dconf).get("clusteringColumns") or [])
+        except ValueError:
+            pass
+    declared = snap.configuration.get(_CLUSTERING_KEY, "")
+    return [c for c in declared.split(",") if c]
 
 
 def enable_in_commit_timestamps(table_path: str) -> int:
@@ -1565,10 +1583,10 @@ def set_clustering_columns(table_path: str, columns: list[str]) -> int:
     CLUSTER BY declares, OPTIMIZE maintains).  Pass an empty list to
     drop clustering (ALTER TABLE ... CLUSTER BY NONE).
 
-    Documented deviation: Delta proper stores clustering in a
-    domainMetadata action; this log emitter records it in
-    ``metaData.configuration`` (this engine both writes and reads its
-    own logs, and external readers ignore unknown config keys)."""
+    Stored as the protocol's ``delta.clustering`` domainMetadata
+    action (CLUSTER BY NONE removes the domain); tables written before
+    the domain migration are still honored via the legacy
+    configuration key (see ``clustering_columns``)."""
     snap = load_snapshot(table_path)
     pcols = set(snap.partition_columns or [])
     known = set(snap.schema.fieldNames()) if snap.schema else set()
@@ -1585,19 +1603,16 @@ def set_clustering_columns(table_path: str, columns: list[str]) -> int:
             "at most 4 clustering columns (beyond that, per-column "
             "skipping power collapses — the same cap Delta applies)"
         )
-    config = table_configuration(table_path)
-    if columns:
-        config[_CLUSTERING_KEY] = ",".join(columns)
-    else:
-        config.pop(_CLUSTERING_KEY, None)
+    import json as _json
+
+    from guidewire_spark.sources.deltalog import domain_metadata_action
+
     now = int(time.time() * 1000)
     actions = [
-        metadata_action(
-            snap.schema,
-            partition_columns=snap.partition_columns or None,
-            created_time=now,
-            table_id=snap.metadata_id,
-            configuration=config,
+        domain_metadata_action(
+            _CLUSTERING_DOMAIN,
+            _json.dumps({"clusteringColumns": columns}, separators=(",", ":")),
+            removed=not columns,
         ),
         commit_info_action(
             "CLUSTER BY", ",".join(columns) or "NONE", False, 0, 0, now

@@ -1396,9 +1396,15 @@ def test_cluster_by_declares_and_optimize_maintains(spark, sf_dir, tmp_path):
     mid = load_snapshot(table)
     assert set(mid.files) == set(before.files)          # metadata-only
     assert mid.version == v
-    assert mid.configuration["delta.clusteringColumns"] == (
-        "o_orderkey,o_totalprice"
-    )
+    # protocol storage: the delta.clustering domainMetadata action
+    import json as _json
+
+    from guidewire_spark.sources.writer import clustering_columns
+
+    assert _json.loads(mid.domains["delta.clustering"]) == {
+        "clusteringColumns": ["o_orderkey", "o_totalprice"]
+    }
+    assert clustering_columns(table) == ["o_orderkey", "o_totalprice"]
     optimize_table(spark, table, target_files=16)       # no explicit cols
     after = load_snapshot(table)
     assert read_delta(spark, table).count() == o.count()
@@ -1415,7 +1421,8 @@ def test_cluster_by_declares_and_optimize_maintains(spark, sf_dir, tmp_path):
     )
     # CLUSTER BY NONE: the next OPTIMIZE is a plain compaction again
     set_clustering_columns(table, [])
-    assert "delta.clusteringColumns" not in load_snapshot(table).configuration
+    assert "delta.clustering" not in load_snapshot(table).domains
+    assert clustering_columns(table) == []
     # validation: unknown / partition columns rejected
     import pytest as _pytest
 
@@ -1511,3 +1518,56 @@ def test_add_column_with_default_semantics(spark, sf_dir, tmp_path):
     assert read_delta(spark, t).where("note IS NULL").count() == len(after)
     with pytest.raises(ValueError, match="already exists"):
         add_column(t, "tier", "int")
+
+
+def test_clustering_domain_survives_checkpoint_and_legacy_key_honored(
+    spark, sf_dir, tmp_path
+):
+    """domainMetadata round-trips through a log checkpoint (seeded
+    replay must preserve the clustering declaration), and a table
+    written with the LEGACY delta.clusteringColumns config key is
+    still honored by clustering_columns()."""
+    import json as _json
+    import os as _os
+
+    from guidewire_spark.sources.deltalog import delta_log_dir, list_versions
+    from guidewire_spark.sources.log_checkpoint import write_log_checkpoint
+    from guidewire_spark.sources.writer import (
+        clustering_columns,
+        set_clustering_columns,
+    )
+
+    table = str(tmp_path / "domckpt")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n, table, mode="append")
+    set_clustering_columns(table, ["n_nationkey"])
+    write_log_checkpoint(table)
+    log = delta_log_dir(table)
+    for v in list_versions(table):
+        _os.remove(_os.path.join(log, f"{v:020d}.json"))
+    snap = load_snapshot(table)  # seeded purely from the checkpoint
+    assert _json.loads(snap.domains["delta.clustering"]) == {
+        "clusteringColumns": ["n_nationkey"]
+    }
+    assert clustering_columns(table) == ["n_nationkey"]
+
+    # legacy spelling: config key only, no domain
+    legacy = str(tmp_path / "legacy")
+    write_delta(n, legacy, mode="append")
+    from guidewire_spark.sources.writer import set_table_properties
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="feature-managed"):
+        set_table_properties(legacy, {"delta.clusteringColumns": "n_nationkey"})
+    # forge the legacy table the way a pre-migration writer would have
+    import guidewire_spark.sources.writer as W
+
+    W._FEATURE_MANAGED_KEYS.pop("delta.clusteringColumns")
+    try:
+        set_table_properties(legacy, {"delta.clusteringColumns": "n_nationkey"})
+    finally:
+        W._FEATURE_MANAGED_KEYS["delta.clusteringColumns"] = (
+            "set_clustering_columns"
+        )
+    assert clustering_columns(legacy) == ["n_nationkey"]
