@@ -1190,6 +1190,62 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize_pool",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, i,
+             CAST((doc_id * 7 + i) % 256 AS DOUBLE) AS v,
+             ((i // 16) // 2) * 8 + ((i % 16) // 2) AS cell
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+           UNNEST(range(0, 256)) AS t(i)
+    ),
+    cells AS (
+      SELECT doc_id, cell, AVG(v) AS m FROM px GROUP BY doc_id, cell
+    )
+    SELECT doc_id, list(m ORDER BY cell) AS pooled
+    FROM cells GROUP BY doc_id
+    """,
+)
+def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize as 2×2 mean-pooling (16×16 → 8×8) through the REAL
+    media pipeline shape: Arrow-batched ``mapInPandas``, numpy strided
+    reshape per frame, fixed-shape ``array<double>`` out. The frame
+    itself is a deterministic synthetic (pixel = (doc_id·7+i) mod 256
+    — no codecs in this container), which is exactly what lets the
+    DuckDB oracle verify the POOLING ARITHMETIC AND the Arrow
+    round-trip bit-for-bit (quarter-integer means are exact doubles)
+    instead of settling for a rows-only check like the decode stub.
+
+    At 100 TB: pooling multiplies nothing — each payload row maps to
+    one fixed-64-float feature row inside its executor's Arrow batch;
+    no shuffle is introduced at all."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+
+    def pool(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            pooled = []
+            for did in ids:
+                img = (
+                    ((did * 7 + np.arange(256)) % 256)
+                    .astype(np.float64)
+                    .reshape(16, 16)
+                )
+                pooled.append(
+                    img.reshape(8, 2, 8, 2).mean(axis=(1, 3)).reshape(64).tolist()
+                )
+            yield pd.DataFrame({"doc_id": ids, "pooled": pooled})
+
+    return d.select("doc_id").mapInPandas(
+        pool, "doc_id long, pooled array<double>"
+    )
+
+
+@query(
     "embedding_normalize_stats",
     oracle="""
     SELECT vec_id,
