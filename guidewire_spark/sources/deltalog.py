@@ -49,6 +49,49 @@ def last_version(table_path: str) -> int | None:
     return versions[-1] if versions else None
 
 
+# Reader-side protocol support (the table-features form, reader v3):
+# every capability this engine's read path actually implements. A
+# protocol action demanding anything else must REFUSE the read — the
+# alternative is silently-wrong results (deleted rows resurfacing,
+# columns bound by the wrong name), the worst failure mode a reader
+# has.
+SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "timestampNtz",
+    "v2Checkpoint",
+    "inCommitTimestamp",
+    "rowTracking",
+    "typeWidening",
+    "typeWidening-preview",
+    "domainMetadata",
+    "vacuumProtocolCheck",
+}
+MAX_READER_VERSION = 3
+
+
+def check_reader_protocol(protocol: dict, table_path: str) -> None:
+    """Refuse reads the protocol action says we cannot do correctly
+    (the public Delta contract: a reader honors minReaderVersion and,
+    at version 3, the readerFeatures list)."""
+    mrv = int(protocol.get("minReaderVersion", 1))
+    if mrv > MAX_READER_VERSION:
+        raise ValueError(
+            f"{table_path} requires reader version {mrv}; this engine "
+            f"supports <= {MAX_READER_VERSION} — refusing to misread"
+        )
+    unsupported = [
+        f
+        for f in (protocol.get("readerFeatures") or [])
+        if f not in SUPPORTED_READER_FEATURES
+    ]
+    if unsupported:
+        raise ValueError(
+            f"{table_path} requires reader features {unsupported} this "
+            "engine does not implement — refusing to misread"
+        )
+
+
 def protocol_action(min_reader: int = 1, min_writer: int = 2) -> dict:
     return {"protocol": {"minReaderVersion": min_reader, "minWriterVersion": min_writer}}
 

@@ -439,6 +439,11 @@ def load_checkpoint_state(
     config: dict[str, str] = {}
     domains: dict[str, str] = {}
     for row in action_rows:
+        proto = row.get("protocol")
+        if proto and proto.get("minReaderVersion") is not None:
+            from guidewire_spark.sources.deltalog import check_reader_protocol
+
+            check_reader_protocol(proto, table_path)
         dm = row.get("domainMetadata")
         if dm and dm.get("domain") and not dm.get("removed"):
             domains[dm["domain"]] = dm.get("configuration") or ""

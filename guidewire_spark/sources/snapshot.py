@@ -241,6 +241,12 @@ def load_snapshot(
                 config = dict(
                     action["metaData"].get("configuration") or {}
                 )
+            elif "protocol" in action:
+                from guidewire_spark.sources.deltalog import (
+                    check_reader_protocol,
+                )
+
+                check_reader_protocol(action["protocol"], table_path)
             elif "domainMetadata" in action:
                 dm = action["domainMetadata"]
                 if dm.get("removed"):

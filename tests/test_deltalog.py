@@ -116,3 +116,67 @@ def test_version_monotonic_and_file_accounting(tmp_path_factory, n_appends, file
     snap = load_snapshot(table)
     assert snap.version == n_appends
     assert set(snap.files) == expected
+
+
+def test_reader_protocol_gating(tmp_path):
+    """A protocol action demanding an unsupported reader version or an
+    unknown readerFeature must REFUSE the read (never silently
+    misread); every feature this engine implements passes."""
+    import json
+
+    import pytest as _pytest
+
+    from guidewire_spark.sources.deltalog import (
+        SUPPORTED_READER_FEATURES,
+        delta_log_dir,
+    )
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("x", T.LongType())])
+
+    def forge(name, protocol):
+        t = str(tmp_path / name)
+        log = delta_log_dir(t)
+        os.makedirs(log)
+        actions = [
+            {"protocol": protocol},
+            {
+                "metaData": {
+                    "id": "t",
+                    "format": {"provider": "parquet"},
+                    "schemaString": schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+        ]
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        return t
+
+    ok = forge(
+        "ok",
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(SUPPORTED_READER_FEATURES),
+        },
+    )
+    assert load_snapshot(ok).version == 0
+
+    too_new = forge("toonew", {"minReaderVersion": 4, "minWriterVersion": 8})
+    with _pytest.raises(ValueError, match="reader version 4"):
+        load_snapshot(too_new)
+
+    unknown = forge(
+        "unknown",
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "someFutureFeature"],
+        },
+    )
+    with _pytest.raises(ValueError, match="someFutureFeature"):
+        load_snapshot(unknown)
