@@ -400,3 +400,123 @@ def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_delta(accepted, store_path + "_vecs", mode="append")
         out = decisions if out is None else out.unionByName(decisions)
     return out
+
+
+@query(
+    "dedup_incremental_substring",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, doc_id % 3 AS batch, i - 1 AS start,
+             array_to_string(words[i : i + 4], ' ') AS shingle
+      FROM toks, UNNEST(range(1, len(words) - 3)) AS t(i)
+      WHERE len(words) >= 5
+    ),
+    ranked AS (
+      SELECT doc_id, batch, start,
+             ROW_NUMBER() OVER (PARTITION BY shingle
+                                ORDER BY batch, doc_id, start) AS rn
+      FROM occ
+    ),
+    hits AS (SELECT doc_id, batch, start FROM ranked WHERE rn > 1),
+    isl AS (
+      SELECT doc_id, batch, start,
+             SUM(CASE WHEN prev_max_end IS NULL OR start > prev_max_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM (
+        SELECT doc_id, batch, start,
+               MAX(start + 5) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max_end
+        FROM hits)
+    ),
+    spans AS (
+      SELECT doc_id, ANY_VALUE(batch) AS batch, island,
+             MIN(start) AS s, MAX(start) + 5 AS e
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id, CAST(batch AS BIGINT) AS batch,
+           COUNT(*) AS n_spans, SUM(e - s) AS dup_tokens
+    FROM spans GROUP BY doc_id, batch
+    """,
+)
+def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-SPAN dedup-against-history: three arrival batches
+    check their 5-token windows against a Delta SHINGLE STORE of every
+    window previously accepted; a window whose shingle is stored (or
+    repeats a within-batch arrival-earlier window) is cut, cut windows
+    interval-merge per document, and only first-arrival shingles
+    extend the store.  First-ARRIVAL-wins is exactly keep-first under
+    the arrival order, so the incremental verdicts provably equal a
+    single window over (batch, doc_id, start) — which is what the
+    oracle computes; the batched pipeline is therefore oracle-verified
+    end-to-end, unlike the minhash/embedding siblings whose candidate
+    hashes force rows-only checks.
+
+    Scale: per-batch cost ∝ batch occurrences + matched store rows
+    (the store join is shingle-keyed and AQE-skew-splittable); the
+    store grows by distinct NEW shingles only and history text is
+    never re-read.  At 100 TB the store key would be an xxhash64 of
+    the shingle; the string key is kept so the oracle can verify."""
+    import tempfile
+
+    from guidewire_spark.operators.llm import (
+        SUBSTRING_K,
+        merge_cut_spans,
+        substring_occurrences,
+    )
+    from guidewire_spark.sources.snapshot import read_delta
+    from guidewire_spark.sources.writer import write_delta
+
+    k = SUBSTRING_K
+    store_path = tempfile.mkdtemp(prefix="gw_incsub_") + "/shingles"
+    d = load_table(spark, sf_dir, "documents")
+    out = None
+    for chunk in range(3):
+        _, occ = substring_occurrences(
+            d.where(F.col("doc_id") % 3 == chunk), k
+        )
+        occ = occ.withColumn(
+            "okey", F.col("doc_id").cast("bigint") * 100000 + F.col("start")
+        )
+        keeper = occ.groupBy("shingle").agg(F.min("okey").alias("batch_keep"))
+        try:
+            store = read_delta(spark, store_path).withColumn(
+                "in_store", F.lit(True)
+            )
+        except FileNotFoundError:
+            store = None
+        scored = occ.join(keeper, "shingle")
+        if store is not None:
+            scored = scored.join(store, "shingle", "left")
+        else:
+            scored = scored.withColumn("in_store", F.lit(None).cast("boolean"))
+        cut = F.coalesce("in_store", F.lit(False)) | (
+            F.col("okey") != F.col("batch_keep")
+        )
+        hits = scored.where(cut).select("doc_id", "start")
+        stats = (
+            merge_cut_spans(hits, k)
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_spans"),
+                F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+            )
+            .withColumn("batch", F.lit(chunk).cast("long"))
+            .select("doc_id", "batch", "n_spans", "dup_tokens")
+        )
+        out = stats if out is None else out.unionByName(stats)
+        fresh = keeper.select("shingle")
+        if store is not None:
+            fresh = fresh.join(store.select("shingle"), "shingle", "left_anti")
+        write_delta(fresh, store_path, mode="append")
+        # force this batch's decisions before the store advances (the
+        # sequential-replay contract the oracle encodes)
+        out = out.localCheckpoint(eager=True)
+    return out

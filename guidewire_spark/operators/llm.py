@@ -225,6 +225,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTRING_K = 5
+
+
+def substring_occurrences(d: DataFrame, k: int = SUBSTRING_K):
+    """(tokens frame, window-occurrence frame) shared by the substring
+    dedup family: ``toks`` = (doc_id, words array), ``occ`` = one row
+    per k-token window (doc_id, start, shingle)."""
+    toks = d.select("doc_id", T.words(F.col("text")).alias("words"))
+    occ = toks.where(F.size("words") >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("words") - k),
+                lambda i: F.concat_ws(" ", F.slice(F.col("words"), i + 1, k)),
+            )
+        ).alias("start", "shingle"),
+    )
+    return toks, occ
+
+
+def merge_cut_spans(hits: DataFrame, k: int = SUBSTRING_K) -> DataFrame:
+    """(doc_id, start) duplicated windows → maximal merged spans
+    (doc_id, island, s, e) via the running-max island pattern: one
+    doc_id shuffle, partition-local windows only."""
+    w_ord = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_end = F.max(F.col("start") + k).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        hits.withColumn(
+            "island",
+            F.sum(
+                F.when(
+                    prev_max_end.isNull() | (F.col("start") > prev_max_end), 1
+                ).otherwise(0)
+            ).over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("start").alias("s"), (F.max("start") + k).alias("e"))
+    )
+
+
 @query(
     "dedup_substring_spans",
     oracle="""
@@ -289,21 +331,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair expansion. At 100 TB the shingle key would be xxhash64-packed
     to 8 bytes before the shuffle; the string key is kept here so the
     DuckDB oracle can verify the pipeline end-to-end."""
-    k = 5
+    k = SUBSTRING_K
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", T.words(F.col("text")).alias("words"))
-    occ = (
-        toks.where(F.size("words") >= k)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("words") - k),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("words"), i + 1, k)),
-                )
-            ).alias("start", "shingle"),
-        )
-    )
+    toks, occ = substring_occurrences(d, k)
     dup = (
         occ.groupBy("shingle")
         .agg(F.count("*").alias("c"))
@@ -311,21 +341,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
     )
     hits = occ.join(dup, "shingle").select("doc_id", "start")
-    w_ord = Window.partitionBy("doc_id").orderBy("start")
-    prev_max_end = F.max(F.col("start") + k).over(
-        w_ord.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    isl = hits.withColumn(
-        "island",
-        F.sum(
-            F.when(
-                prev_max_end.isNull() | (F.col("start") > prev_max_end), 1
-            ).otherwise(0)
-        ).over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.min("start").alias("s"), (F.max("start") + k).alias("e")
-    )
+    spans = merge_cut_spans(hits, k)
     sizes = toks.select("doc_id", F.size("words").alias("n_tokens"))
     frac = F.sum(F.col("e") - F.col("s")) / F.first("n_tokens").cast("double")
     return (
@@ -419,23 +435,11 @@ def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id + range residual — never a cross join). Text payloads move
     through exactly two narrow shuffles (tokenize→positions,
     group→reassemble); the shingle shuffle carries positions only."""
-    k = 5
+    k = SUBSTRING_K
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", T.words(F.col("text")).alias("words"))
-    occ = (
-        toks.where(F.size("words") >= k)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("words") - k),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("words"), i + 1, k)),
-                )
-            ).alias("start", "shingle"),
-        )
-        .withColumn(
-            "okey", F.col("doc_id").cast("bigint") * 100000 + F.col("start")
-        )
+    toks, occ0 = substring_occurrences(d, k)
+    occ = occ0.withColumn(
+        "okey", F.col("doc_id").cast("bigint") * 100000 + F.col("start")
     )
     keeper = (
         occ.groupBy("shingle")
@@ -447,22 +451,7 @@ def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("okey") != F.col("keep_key"))
         .select("doc_id", "start")
     )
-    w_ord = Window.partitionBy("doc_id").orderBy("start")
-    prev_max_end = F.max(F.col("start") + k).over(
-        w_ord.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    spans = (
-        marked.withColumn(
-            "island",
-            F.sum(
-                F.when(
-                    prev_max_end.isNull() | (F.col("start") > prev_max_end), 1
-                ).otherwise(0)
-            ).over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .groupBy("doc_id", "island")
-        .agg(F.min("start").alias("s"), (F.max("start") + k).alias("e"))
-    )
+    spans = merge_cut_spans(marked, k)
     tokpos = toks.select(
         "doc_id",
         F.posexplode("words").alias("pos", "tok"),
