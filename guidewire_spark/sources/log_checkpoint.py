@@ -466,3 +466,70 @@ def load_checkpoint_state(
             config = dict(meta.get("configuration") or [])
     return (active, sizes, partitions, dvs, base_rows, schema, meta_id,
             part_cols, config, domains)
+
+
+def expire_log(table_path: str, keep_versions: int) -> dict:
+    """Metadata cleanup (Delta's ``delta.logRetentionDuration``
+    mechanic, version-count form): delete JSON commits older than the
+    newest checkpoint that still protects ``keep_versions`` trailing
+    versions, plus superseded checkpoint files and any V2 sidecars no
+    surviving manifest references.
+
+    Without this, a 100 TB table at CDA cadence accumulates an
+    unbounded ``_delta_log`` — tens of thousands of tiny JSON files
+    and a parquet checkpoint per interval — and LISTING the log
+    becomes the slowest part of every read.  Rules, in protocol
+    spirit:
+
+    * a commit may only be deleted if a checkpoint at or after it
+      exists (replayability is never lost);
+    * the newest checkpoint is always retained; older checkpoint
+      files (all forms) are deleted;
+    * sidecars are garbage-collected by reference, not by age —
+      a surviving manifest keeps its sidecars;
+    * time travel to expired versions now raises (the documented
+      cost of log retention, same as Delta proper).
+
+    Returns {"commits": n, "checkpoints": n, "sidecars": n} deleted.
+    """
+    import glob as _glob
+
+    from guidewire_spark.sources.deltalog import list_versions
+
+    versions = list_versions(table_path)
+    ckpt = read_last_checkpoint(table_path)
+    if ckpt is None or not checkpoint_files(table_path, ckpt):
+        raise ValueError(
+            f"no usable checkpoint at {table_path}; checkpoint before "
+            "expiring the log (replayability would be lost)"
+        )
+    latest = versions[-1] if versions else ckpt
+    cutoff = min(ckpt, latest - keep_versions + 1 if keep_versions > 0 else ckpt)
+    log = delta_log_dir(table_path)
+    deleted = {"commits": 0, "checkpoints": 0, "sidecars": 0}
+    for v in versions:
+        if v < cutoff:
+            os.remove(os.path.join(log, f"{v:020d}.json"))
+            crc = os.path.join(log, f"{v:020d}.crc")
+            if os.path.isfile(crc):
+                os.remove(crc)
+            deleted["commits"] += 1
+    # superseded checkpoints: every checkpoint file not belonging to
+    # the newest checkpoint version
+    keep = set(checkpoint_files(table_path, ckpt))
+    for p in _glob.glob(os.path.join(log, "*.checkpoint.*")):
+        if p not in keep:
+            os.remove(p)
+            deleted["checkpoints"] += 1
+    # sidecar GC by reference
+    referenced: set[str] = set()
+    for manifest in keep:
+        if _is_v2_manifest(manifest):
+            referenced.update(_v2_sidecar_paths(table_path, manifest))
+    scdir = sidecar_dir(table_path)
+    if os.path.isdir(scdir):
+        for p in _glob.glob(os.path.join(scdir, "*.parquet")):
+            if p not in referenced:
+                os.remove(p)
+                deleted["sidecars"] += 1
+    return deleted

@@ -498,3 +498,52 @@ def test_auto_checkpoint_interval(spark, sf_dir, tmp_path):
     assert read_last_checkpoint(t) == 7
     with _pytest.raises(ValueError, match="feature-managed"):
         set_table_properties(t, {"delta.enableRowTracking": "true"})
+
+
+def test_expire_log_retains_replayability_and_gcs_sidecars(spark, sf_dir, tmp_path):
+    """expire_log: old commits + superseded checkpoints go, the newest
+    checkpoint and its referenced sidecars stay, orphan sidecars are
+    GC'd by reference, latest state still reads, and expired-version
+    time travel raises instead of misreading."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.deltalog import delta_log_dir, list_versions
+    from guidewire_spark.sources.log_checkpoint import (
+        expire_log,
+        sidecar_dir,
+        write_log_checkpoint,
+        write_log_checkpoint_v2,
+    )
+    from guidewire_spark.sources.snapshot import load_snapshot, read_delta
+    from guidewire_spark.sources.writer import write_delta
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = str(tmp_path / "expire")
+    for i in range(6):
+        write_delta(n.where(F.col("n_nationkey") % 6 == i), t, mode="append")
+    write_log_checkpoint(t)  # classic checkpoint at v5 (superseded later)
+    write_delta(n.limit(0), t, mode="append")  # v6
+    write_log_checkpoint_v2(t, max_adds_per_sidecar=3)  # newest, at v6
+    orphan = os.path.join(sidecar_dir(t), "orphan-00000.parquet")
+    open(orphan, "wb").write(b"not a real sidecar")
+    write_delta(n.limit(0), t, mode="append")  # v7 (JSON tail)
+
+    want = {r.n_nationkey for r in read_delta(spark, t).collect()}
+    deleted = expire_log(t, keep_versions=2)
+    assert deleted["commits"] >= 5
+    assert deleted["checkpoints"] >= 1  # the superseded classic file
+    assert deleted["sidecars"] == 1  # only the orphan
+    assert not os.path.isfile(orphan)
+    assert glob.glob(os.path.join(sidecar_dir(t), "*.parquet"))  # kept
+    assert {r.n_nationkey for r in read_delta(spark, t).collect()} == want
+    assert list_versions(t) == [6, 7]
+    with _pytest.raises(ValueError, match="not in"):
+        load_snapshot(t, version=2)
+    with _pytest.raises(ValueError):
+        expire_log(str(tmp_path / "nockpt"), keep_versions=1)
