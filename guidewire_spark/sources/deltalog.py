@@ -303,3 +303,90 @@ def _maybe_auto_checkpoint(table_path: str, version: int) -> None:
             "replay falls back to the JSON log",
             stacklevel=2,
         )
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency (the public Delta commit contract)
+# ---------------------------------------------------------------------------
+
+
+class ConcurrentModificationException(Exception):
+    """A conflicting commit won the race and rebasing is not safe."""
+
+
+class MetadataChangedException(ConcurrentModificationException):
+    """A concurrent commit changed metadata/protocol under us."""
+
+
+class ConcurrentDeleteException(ConcurrentModificationException):
+    """A concurrent commit removed (or re-wrote) a file we depend on."""
+
+
+def commit_transaction(table_path, build_actions, max_retries: int = 5) -> int:
+    """Commit with Delta's optimistic-concurrency loop: attempt at
+    snapshot+1; on losing the race (O_EXCL FileExistsError from
+    ``write_commit``), examine every commit that landed since our
+    snapshot and either REBASE (rebuild actions against the new
+    snapshot and retry) or raise a typed conflict:
+
+    * winner changed ``metaData``/``protocol`` → MetadataChangedException
+      (our actions were built against a schema that no longer holds);
+    * winner ``remove``d or re-``add``ed a file our transaction
+      removes → ConcurrentDeleteException (classic write-write
+      conflict: both transactions rewrote the same file);
+    * otherwise (concurrent blind appends, disjoint removes) → rebase
+      and retry, the same resolution delta-spark applies.
+
+    ``build_actions(snapshot)`` is called fresh per attempt so the
+    rebase re-reads current state — the caller's logic must be a pure
+    function of the snapshot.  The reference connector sidesteps all
+    of this by serializing one writer per table; a 1000-executor
+    pipeline cannot."""
+    from guidewire_spark.sources.snapshot import _read_commit, load_snapshot
+
+    for _ in range(max_retries + 1):
+        try:
+            snap = load_snapshot(table_path)
+            base_version = snap.version
+        except FileNotFoundError:
+            snap, base_version = None, -1
+        actions = build_actions(snap)
+        attempt = base_version + 1
+        try:
+            write_commit(table_path, attempt, actions)
+            return attempt
+        except FileExistsError:
+            ours_removes = {
+                a["remove"]["path"] for a in actions if "remove" in a
+            }
+            ours_meta = any(
+                "metaData" in a or "protocol" in a for a in actions
+            )
+            current = last_version(table_path)
+            for v in range(attempt, (current or attempt) + 1):
+                for won in _read_commit(table_path, v):
+                    if "metaData" in won or "protocol" in won:
+                        raise MetadataChangedException(
+                            f"version {v} changed table metadata during "
+                            f"our transaction at {table_path}"
+                        )
+                    if ours_meta:
+                        raise MetadataChangedException(
+                            f"metadata transaction lost the race to "
+                            f"version {v} at {table_path}; not rebasing "
+                            "schema changes automatically"
+                        )
+                    touched = None
+                    if "remove" in won:
+                        touched = won["remove"]["path"]
+                    elif "add" in won:
+                        touched = won["add"]["path"]
+                    if touched is not None and touched in ours_removes:
+                        raise ConcurrentDeleteException(
+                            f"version {v} rewrote {touched!r}, which our "
+                            f"transaction removes, at {table_path}"
+                        )
+            continue  # disjoint: rebase and retry
+    raise ConcurrentModificationException(
+        f"could not commit to {table_path} after {max_retries + 1} attempts"
+    )

@@ -180,3 +180,104 @@ def test_reader_protocol_gating(tmp_path):
     )
     with _pytest.raises(ValueError, match="someFutureFeature"):
         load_snapshot(unknown)
+
+
+def test_optimistic_commit_rebases_appends_and_types_conflicts(spark, sf_dir, tmp_path):
+    """commit_transaction: a lost race over a blind append REBASES and
+    lands at winner+1; a race where the winner rewrote a file our
+    transaction removes raises ConcurrentDeleteException; a winner
+    that changed metadata raises MetadataChangedException."""
+    import pytest as _pytest
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.deltalog import (
+        ConcurrentDeleteException,
+        MetadataChangedException,
+        add_action,
+        commit_info_action,
+        commit_transaction,
+        remove_action,
+        write_commit,
+    )
+    from guidewire_spark.sources.snapshot import load_snapshot, read_delta
+    from guidewire_spark.sources.writer import write_delta
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = str(tmp_path / "occ")
+    write_delta(n, t, mode="append")  # v0: one base file
+    base = load_snapshot(t)
+    data_file = base.files[0]
+
+    calls = {"n": 0}
+
+    def append_with_race(snap):
+        calls["n"] += 1
+        if calls["n"] == 1:  # sneak a competing blind append in first
+            write_commit(
+                t,
+                snap.version + 1,
+                [
+                    commit_info_action("WRITE", "Append", True, 1, 0),
+                    add_action("/elsewhere/winner.parquet", 1, 0),
+                ],
+            )
+        return [
+            commit_info_action("WRITE", "Append", True, 1, 0),
+            add_action("/elsewhere/ours.parquet", 1, 0),
+        ]
+
+    v = commit_transaction(t, append_with_race)
+    assert v == base.version + 2  # rebased past the winner
+    assert calls["n"] == 2  # actions rebuilt against the fresh snapshot
+    snap = load_snapshot(t)
+    assert "/elsewhere/ours.parquet" in snap.files
+    assert "/elsewhere/winner.parquet" in snap.files
+
+    def remove_with_conflict(snap):
+        write_commit(
+            t,
+            snap.version + 1,
+            [
+                commit_info_action("DELETE", "Delete", False, 1, 0),
+                remove_action(data_file),
+            ],
+        )
+        return [
+            commit_info_action("DELETE", "Delete", False, 1, 0),
+            remove_action(data_file),
+        ]
+
+    with _pytest.raises(ConcurrentDeleteException, match="rewrote"):
+        commit_transaction(t, remove_with_conflict)
+
+    def append_behind_metadata_change(snap):
+        write_commit(
+            t,
+            snap.version + 1,
+            [
+                commit_info_action("SET TBLPROPERTIES", "set", False, 0, 0),
+                {
+                    "metaData": {
+                        "id": snap.metadata_id,
+                        "format": {"provider": "parquet"},
+                        "schemaString": snap.schema.json(),
+                        "partitionColumns": [],
+                        "configuration": {"k": "v"},
+                    }
+                },
+            ],
+        )
+        return [
+            commit_info_action("WRITE", "Append", True, 1, 0),
+            add_action("/elsewhere/late.parquet", 1, 0),
+        ]
+
+    with _pytest.raises(MetadataChangedException, match="changed table metadata"):
+        commit_transaction(t, append_behind_metadata_change)
+    final = load_snapshot(t)
+    # the losing transactions never half-landed: the conflicted DELETE
+    # did not re-remove, the conflicted append's file is absent, and
+    # only the winners' commits advanced the version
+    assert data_file not in final.files  # the WINNER's delete stands
+    assert "/elsewhere/late.parquet" not in final.files
+    assert final.configuration.get("k") == "v"
