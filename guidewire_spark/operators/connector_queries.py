@@ -318,6 +318,81 @@ def delta_version_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_log_retention",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    """,
+)
+def delta_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log retention end-to-end: 12 appends with
+    delta.checkpointInterval=4 (auto-checkpoints at v4/v8/v12 ride
+    the commit path), then expire_log keeps only the newest
+    checkpoint + 2 trailing versions — old commits, superseded
+    checkpoints and orphan metadata are gone, yet the table reads
+    back complete from the surviving checkpoint + JSON tail. The
+    _delta_log directory stops growing with table age, which at CDA
+    cadence is the difference between listing 10 files and 10⁴."""
+    from guidewire_spark.sources.log_checkpoint import expire_log
+    from guidewire_spark.sources.writer import set_table_properties
+
+    table = tempfile.mkdtemp(prefix="gw_dlret_") + "/nation_delta"
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n.limit(0), table, mode="append")
+    set_table_properties(table, {"delta.checkpointInterval": "4"})
+    for i in range(12):
+        write_delta(n.where(F.col("n_nationkey") % 12 == i), table, mode="append")
+    expire_log(table, keep_versions=2)
+    return read_delta(spark, table)
+
+
+@query(
+    "delta_concurrent_append",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    """,
+)
+def delta_concurrent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency, driver-facing: two writers race the
+    same version — the loser's commit_transaction detects the
+    FileExistsError, rescans the winner's actions (a blind append →
+    no conflict), REBASES, and lands at winner+1. The final table
+    holds BOTH writers' rows exactly once; the reference sidesteps
+    this with one-writer-per-table, which a 1000-executor pipeline
+    cannot."""
+    from guidewire_spark.sources.deltalog import (
+        commit_info_action,
+        commit_transaction,
+        write_commit,
+    )
+    from guidewire_spark.sources.writer import stage_add_actions
+
+    table = tempfile.mkdtemp(prefix="gw_docc_") + "/supplier_delta"
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    write_delta(s.where(F.col("s_suppkey") % 2 == 0), table, mode="append")
+
+    winner_adds = stage_add_actions(s.where(F.col("s_suppkey") % 4 == 1), table)
+    our_adds = stage_add_actions(s.where(F.col("s_suppkey") % 4 == 3), table)
+
+    raced = {"done": False}
+
+    def append_with_race(snap):
+        if not raced["done"]:
+            raced["done"] = True
+            write_commit(
+                table,
+                snap.version + 1,
+                [commit_info_action("WRITE", "Append", True, len(winner_adds), 0)]
+                + winner_adds,
+            )
+        return [
+            commit_info_action("WRITE", "Append", True, len(our_adds), 0)
+        ] + our_adds
+
+    commit_transaction(table, append_with_race)
+    return read_delta(spark, table)
+
+
+@query(
     "delta_partitioned_scan",
     oracle="""
     SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'

@@ -1534,6 +1534,28 @@ _FEATURE_MANAGED_KEYS = {
 }
 
 
+def stage_add_actions(df: DataFrame, table_path: str) -> list[dict]:
+    """Stage ``df`` as parquet files under the table (unique per-call
+    subdirectory — concurrent stagers never collide) and return their
+    ``add`` actions WITHOUT committing. The building block for
+    optimistic-concurrency flows (deltalog.commit_transaction): data
+    lands first, the log race is fought over metadata only, and a
+    losing transaction's rebase re-commits the SAME staged files."""
+    from guidewire_spark.sources.stats import footer_stats
+
+    files, _ = _stage_files(df, table_path, None)
+    now = int(time.time() * 1000)
+    return [
+        add_action(
+            f.path,
+            f.size,
+            f.modification_time,
+            stats=footer_stats(f.path),
+        )
+        for f in files
+    ]
+
+
 def set_table_properties(table_path: str, props: dict[str, str]) -> int:
     """ALTER TABLE ... SET TBLPROPERTIES (generic): merge ``props``
     into the table configuration in a metadata-only commit. Keys whose
