@@ -94,6 +94,15 @@ _CHECKPOINT_SCHEMA = pa.schema(
                 ]
             ),
         ),
+        pa.field(
+            "txn",
+            pa.struct(
+                [
+                    pa.field("appId", pa.string()),
+                    pa.field("version", pa.int64()),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -261,6 +270,8 @@ def _state_rows(table_path: str, version: int | None):
                 }
             }
         )
+    for app_id, txv in sorted(snap.txns.items()):
+        header.append({"txn": {"appId": app_id, "version": int(txv)}})
     adds: list[dict] = []
     for path in snap.files:
         adds.append(
@@ -406,6 +417,7 @@ def load_checkpoint_state(
     list[str],
     dict[str, str],
     dict[str, str],
+    dict[str, int],
 ]:
     """Read ``<version>.checkpoint.parquet`` (single-file or all
     parts of the multi-part form) → (active file → stats, file →
@@ -438,7 +450,13 @@ def load_checkpoint_state(
     part_cols: list[str] = []
     config: dict[str, str] = {}
     domains: dict[str, str] = {}
+    txns: dict[str, int] = {}
     for row in action_rows:
+        t = row.get("txn")
+        if t and t.get("appId") is not None and t.get("version") is not None:
+            prev = txns.get(t["appId"])
+            if prev is None or t["version"] > prev:
+                txns[t["appId"]] = int(t["version"])
         proto = row.get("protocol")
         if proto and proto.get("minReaderVersion") is not None:
             from guidewire_spark.sources.deltalog import check_reader_protocol
@@ -465,7 +483,7 @@ def load_checkpoint_state(
             part_cols = list(meta.get("partitionColumns") or [])
             config = dict(meta.get("configuration") or [])
     return (active, sizes, partitions, dvs, base_rows, schema, meta_id,
-            part_cols, config, domains)
+            part_cols, config, domains, txns)
 
 
 def expire_log(table_path: str, keep_versions: int) -> dict:

@@ -90,6 +90,10 @@ class DeltaSnapshot:
     # live domainMetadata actions: domain name → configuration string
     # (a removed=true action deletes its domain)
     domains: dict[str, str] = field(default_factory=dict)
+    # SetTransaction high-water marks: appId → latest txn version —
+    # carried through checkpoints so idempotent writers survive log
+    # retention (expire_log deletes the JSON trail they once walked)
+    txns: dict[str, int] = field(default_factory=dict)
 
     @property
     def num_files(self) -> int:
@@ -192,13 +196,14 @@ def load_snapshot(
     part_cols: list[str] = []
     config: dict[str, str] = {}
     domains: dict[str, str] = {}
+    txns: dict[str, int] = {}
     commit_ts: dict[int, int] = {}
     replay_after = -1
     if ckpt_version is not None and ckpt_version <= version:
         # O(1) replay: seed from the checkpoint parquet, then apply
         # only the JSON tail — instead of O(versions) JSON reads.
         (active, sizes, partitions, dvs, base_rows, schema, meta_id,
-         part_cols, config, domains) = load_checkpoint_state(
+         part_cols, config, domains, txns) = load_checkpoint_state(
             table_path, ckpt_version
         )
         replay_after = ckpt_version
@@ -241,6 +246,12 @@ def load_snapshot(
                 config = dict(
                     action["metaData"].get("configuration") or {}
                 )
+            elif "txn" in action:
+                t = action["txn"]
+                if t.get("appId") is not None and t.get("version") is not None:
+                    prev_txn = txns.get(t["appId"])
+                    if prev_txn is None or t["version"] > prev_txn:
+                        txns[t["appId"]] = int(t["version"])
             elif "protocol" in action:
                 from guidewire_spark.sources.deltalog import (
                     check_reader_protocol,
@@ -273,6 +284,7 @@ def load_snapshot(
         file_base_rows=base_rows,
         configuration=config,
         domains=domains,
+        txns=txns,
     )
 
 

@@ -648,25 +648,12 @@ def _apply_generated_columns(df: DataFrame, table_path: str) -> DataFrame:
 
 def last_txn_version(table_path: str, app_id: str) -> int | None:
     """Latest SetTransaction (``txn``) version committed for
-    ``app_id``, or None. Walks the JSON commit trail (this writer
-    never deletes log files, so the trail is complete); each commit is
-    a metadata-sized read — O(versions), not O(data)."""
-    import json as _json
-
-    latest: int | None = None
-    log_dir = delta_log_dir(table_path)
-    for v in list_versions(table_path):
-        path = os.path.join(log_dir, f"{v:020d}.json")
-        with open(path, encoding="utf-8") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                txn = _json.loads(line).get("txn")
-                if txn and txn.get("appId") == app_id:
-                    ver = txn.get("version")
-                    if latest is None or ver > latest:
-                        latest = ver
+    ``app_id``, or None — read through the snapshot, which seeds txn
+    high-water marks from the newest CHECKPOINT and replays only the
+    JSON tail. The previous raw-JSON walk assumed the trail was never
+    deleted; log retention (expire_log) broke that assumption, and a
+    retried loader batch would have silently re-committed."""
+    latest = load_snapshot(table_path).txns.get(app_id)
     return latest
 
 

@@ -547,3 +547,42 @@ def test_expire_log_retains_replayability_and_gcs_sidecars(spark, sf_dir, tmp_pa
         load_snapshot(t, version=2)
     with _pytest.raises(ValueError):
         expire_log(str(tmp_path / "nockpt"), keep_versions=1)
+
+
+def test_txn_high_water_survives_checkpoint_and_log_expiry(spark, sf_dir, tmp_path):
+    """SetTransaction idempotency must survive log retention: after a
+    checkpoint + expire_log delete the JSON commits that carried the
+    txn action, a retried write with the same (app_id, txn_version)
+    must STILL be a no-op — the high-water mark rides the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.log_checkpoint import (
+        expire_log,
+        write_log_checkpoint_v2,
+    )
+    from guidewire_spark.sources.snapshot import load_snapshot, read_delta
+    from guidewire_spark.sources.writer import last_txn_version, write_delta
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = str(tmp_path / "txnret")
+    write_delta(n.where(F.col("n_nationkey") < 10), t, mode="append")
+    write_delta(
+        n.where(F.col("n_nationkey") >= 10),
+        t,
+        mode="append",
+        txn_app_id="loader",
+        txn_version=7,
+    )
+    count_before = read_delta(spark, t).count()
+    write_log_checkpoint_v2(t)
+    write_delta(n.limit(0), t, mode="append")  # a tail commit to keep
+    expire_log(t, keep_versions=1)
+    assert last_txn_version(t, "loader") == 7  # seeded from checkpoint
+    assert load_snapshot(t).txns == {"loader": 7}
+    # the retry: same app at same version — MUST be a no-op
+    v = write_delta(
+        n, t, mode="append", txn_app_id="loader", txn_version=7
+    )
+    assert v == load_snapshot(t).version
+    assert read_delta(spark, t).count() == count_before
