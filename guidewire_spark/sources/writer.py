@@ -260,22 +260,18 @@ def _merged_schema(old, new):
 
 
 def table_configuration(table_path: str) -> dict[str, str]:
-    """Latest ``metaData.configuration`` from the JSON log (last
-    metadata action wins — a metadata-scale replay, no data touched).
-    Empty for tables that never set configuration."""
-    import json as _json
-
-    from guidewire_spark.sources.deltalog import delta_log_dir, list_versions
-
-    config: dict[str, str] = {}
-    for v in list_versions(table_path):
-        path = os.path.join(delta_log_dir(table_path), f"{v:020d}.json")
-        with open(path, encoding="utf-8") as f:
-            for line in f:
-                action = _json.loads(line)
-                if "metaData" in action:
-                    config = dict(action["metaData"].get("configuration") or {})
-    return config
+    """Latest ``metaData.configuration`` (last metadata action wins) —
+    read THROUGH the snapshot so it seeds from the newest checkpoint
+    and replays only the JSON tail. The previous raw-JSON walk assumed
+    the trail was never deleted; after ``expire_log`` that walk would
+    silently return {} and drop constraints, defaults and feature
+    flags from enforcement. Empty for tables that never set
+    configuration (and for paths with no log yet — writers probe
+    before the first commit)."""
+    try:
+        return dict(load_snapshot(table_path).configuration)
+    except FileNotFoundError:
+        return {}
 
 
 def table_constraints(table_path: str) -> dict[str, str]:

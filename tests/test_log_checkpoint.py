@@ -586,3 +586,37 @@ def test_txn_high_water_survives_checkpoint_and_log_expiry(spark, sf_dir, tmp_pa
     )
     assert v == load_snapshot(t).version
     assert read_delta(spark, t).count() == count_before
+
+
+def test_table_configuration_survives_log_expiry(spark, sf_dir, tmp_path):
+    """CHECK constraints (and every other configuration-carried
+    contract) must keep enforcing after expire_log removed the JSON
+    commit that declared them — table_configuration reads through the
+    checkpoint-seeded snapshot."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.log_checkpoint import (
+        expire_log,
+        write_log_checkpoint,
+    )
+    from guidewire_spark.sources.writer import (
+        add_check_constraint,
+        table_configuration,
+        write_delta,
+    )
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = str(tmp_path / "cfgret")
+    write_delta(n, t, mode="append")
+    add_check_constraint(spark, t, "key_bounded", "n_nationkey < 1000")
+    write_log_checkpoint(t)
+    write_delta(n.limit(0), t, mode="append")
+    expire_log(t, keep_versions=1)
+    cfg = table_configuration(t)
+    assert cfg.get("delta.constraints.key_bounded") == "n_nationkey < 1000"
+    bad = n.withColumn("n_nationkey", F.col("n_nationkey") + 100000)
+    with _pytest.raises(ValueError, match="key_bounded"):
+        write_delta(bad, t, mode="append")
