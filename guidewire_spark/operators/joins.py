@@ -421,3 +421,64 @@ def join_asof_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("is_probe") == 1) & F.col("last_view_id").isNotNull())
         .select("probe_id", "user_id", "last_view_id")
     )
+
+
+@query(
+    "join_fuzzy_deletion",
+    oracle="""
+    SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def join_fuzzy_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join on edit distance ≤ 1 via DELETION NEIGHBORHOODS
+    (the SymSpell/FastSS pattern): two strings are within one edit iff
+    they share a member of (string ∪ its single-char deletions), so
+    each row emits length+1 short variants, candidates pair by an
+    EQUI-join on the variant, and only candidates pay the exact
+    levenshtein verify.  The oracle is the O(n²) theta-join this
+    replaces — same pairs, same distances.
+
+    Scale: linear in rows × name length (each row fans out to |name|+1
+    variant rows, each a ≤|name|-char string), one shuffle on the
+    variant key; the quadratic blowup is confined to WITHIN a variant
+    bucket, which holds only strings one deletion apart — bounded by
+    alphabet × key density, not table size. A cross join never
+    appears (plan-locked)."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    variants = s.select(
+        "s_suppkey",
+        "s_name",
+        F.explode(
+            F.array_union(
+                F.array(F.col("s_name")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s_name")),
+                    lambda i: F.concat(
+                        F.col("s_name").substr(F.lit(1), i - 1),
+                        F.col("s_name").substr(
+                            i + 1, F.length("s_name")
+                        ),
+                    ),
+                ),
+            )
+        ).alias("variant"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    dist = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .select(
+            F.col("a.s_suppkey").alias("key_a"),
+            F.col("b.s_suppkey").alias("key_b"),
+            dist.cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= 1)
+        .distinct()
+    )

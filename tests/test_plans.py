@@ -764,3 +764,13 @@ def test_substring_dedup_plan_is_linear_and_pruned(spark, sf_dir):
         assert "lang" not in read_schema and "source" not in read_schema, (
             fn.__name__
         )
+
+
+def test_fuzzy_deletion_join_has_no_cross_join(spark, sf_dir):
+    """join_fuzzy_deletion must pair candidates by an equi-join on the
+    deletion variant — never the O(n²) cross join it replaces."""
+    from guidewire_spark.operators.joins import join_fuzzy_deletion
+
+    plan = plan_of(join_fuzzy_deletion(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
