@@ -1274,3 +1274,146 @@ def stream_cdf_rowid_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, state).select(
         F.col("_row_id").alias("row_id"), "s_suppkey", "s_name"
     )
+
+
+@query(
+    "stream_substring_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, doc_id % 3 AS batch, i - 1 AS start,
+             array_to_string(words[i : i + 4], ' ') AS shingle
+      FROM toks, UNNEST(range(1, len(words) - 3)) AS t(i)
+      WHERE len(words) >= 5
+    ),
+    ranked AS (
+      SELECT doc_id, batch, start,
+             ROW_NUMBER() OVER (PARTITION BY shingle
+                                ORDER BY batch, doc_id, start) AS rn
+      FROM occ
+    ),
+    hits AS (SELECT doc_id, batch, start FROM ranked WHERE rn > 1),
+    isl AS (
+      SELECT doc_id, batch, start,
+             SUM(CASE WHEN prev_max_end IS NULL OR start > prev_max_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM (
+        SELECT doc_id, batch, start,
+               MAX(start + 5) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max_end
+        FROM hits)
+    ),
+    spans AS (
+      SELECT doc_id, ANY_VALUE(batch) AS batch, island,
+             MIN(start) AS s, MAX(start) + 5 AS e
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id, CAST(batch AS BIGINT) AS batch,
+           COUNT(*) AS n_spans, SUM(e - s) AS dup_tokens
+    FROM spans GROUP BY doc_id, batch
+    """,
+)
+def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING form of dedup_incremental_substring: document
+    batches arrive file-per-microbatch (mtime-pinned arrival order),
+    a ``foreachBatch`` sink runs the identical shingle-store body —
+    occurrences, within-batch keeper, store check, span merge, store
+    extension — and the drained decision log must equal the batch
+    twin's oracle exactly.  This PROVES the incremental operator's
+    claim that its loop body is a valid ``foreachBatch``: same code
+    shape, now under Structured Streaming's checkpointed exactly-once
+    delivery instead of a driver loop."""
+    import os as _os
+    import tempfile
+
+    from guidewire_spark.operators.llm import (
+        SUBSTRING_K,
+        merge_cut_spans,
+        substring_occurrences,
+    )
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.snapshot import read_delta
+    from guidewire_spark.sources.writer import write_delta
+
+    k = SUBSTRING_K
+    root = tempfile.mkdtemp(prefix="gw_strsub_")
+    src, store, out_dir = root + "/src", root + "/shingles", root + "/out"
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 3).cast("long").alias("batch")
+    )
+    _os.makedirs(src)
+    for chunk in range(3):
+        part = root + f"/part{chunk}"
+        d.where(F.col("batch") == chunk).coalesce(1).write.parquet(part)
+        [pq_file] = [
+            f for f in _os.listdir(part) if f.endswith(".parquet")
+        ]
+        target = _os.path.join(src, f"batch-{chunk}.parquet")
+        _os.rename(_os.path.join(part, pq_file), target)
+        # pin arrival order: FileStreamSource orders by (mtime, path)
+        _os.utime(target, (1_000_000 + chunk, 1_000_000 + chunk))
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sess = batch_df.sparkSession
+        _, occ = substring_occurrences(batch_df, k)
+        occ = occ.withColumn(
+            "okey", F.col("doc_id").cast("bigint") * 100000 + F.col("start")
+        )
+        keeper = occ.groupBy("shingle").agg(F.min("okey").alias("batch_keep"))
+        try:
+            st = read_delta(sess, store).withColumn("in_store", F.lit(True))
+        except FileNotFoundError:
+            st = None
+        scored = occ.join(keeper, "shingle")
+        if st is not None:
+            scored = scored.join(st, "shingle", "left")
+        else:
+            scored = scored.withColumn("in_store", F.lit(None).cast("boolean"))
+        cut = F.coalesce("in_store", F.lit(False)) | (
+            F.col("okey") != F.col("batch_keep")
+        )
+        hits = scored.where(cut).select("doc_id", "start")
+        stats = (
+            merge_cut_spans(hits, k)
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_spans"),
+                F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+            )
+            .join(batch_df.select("doc_id", "batch"), "doc_id")
+            .select("doc_id", "batch", "n_spans", "dup_tokens")
+        )
+        stats.write.mode("append").parquet(out_dir)
+        fresh = keeper.select("shingle")
+        if st is not None:
+            fresh = fresh.join(st.select("shingle"), "shingle", "left_anti")
+        write_delta(fresh, store, mode="append")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, batch long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", root + "/ckpt")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.schema(
+        "doc_id long, batch long, n_spans long, dup_tokens long"
+    ).parquet(out_dir)
