@@ -482,3 +482,112 @@ def join_fuzzy_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 1)
         .distinct()
     )
+
+
+@query(
+    "er_fuzzy_canonical",
+    oracle="""
+    WITH RECURSIVE
+    s AS (SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey < 300),
+    pairs AS (
+      SELECT a.s_suppkey AS da, b.s_suppkey AS db
+      FROM s a JOIN s b
+        ON a.s_suppkey < b.s_suppkey
+       AND levenshtein(a.s_name, b.s_name) <= 1
+    ),
+    und AS (SELECT da AS a, db AS b FROM pairs
+            UNION SELECT db AS a, da AS b FROM pairs),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (
+      SELECT s.s_suppkey,
+             CAST(LEAST(s.s_suppkey, COALESCE(MIN(r.b), s.s_suppkey))
+                  AS BIGINT) AS canonical_id
+      FROM s LEFT JOIN reach r ON r.a = s.s_suppkey
+      GROUP BY s.s_suppkey
+    )
+    SELECT s_suppkey, canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+             AS cluster_size
+    FROM comp
+    """,
+)
+def er_fuzzy_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy match → cluster →
+    canonicalize. Edit-distance-≤1 name pairs come from the deletion-
+    neighborhood equi-join (join_fuzzy_deletion's shape — never a
+    cross join), transitive duplicates cluster by iterative min-label
+    propagation (the dedup_connected_components loop on (node, label)
+    longs, localCheckpoint-truncated), and every record is labeled
+    with its cluster's smallest key as the canonical id plus the
+    cluster size — the survivorship decision a downstream MERGE
+    applies. The DuckDB oracle recomputes the same labels via a
+    recursive-CTE transitive closure over the O(n²) theta edges this
+    pipeline avoids."""
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") < 300)
+        .select("s_suppkey", "s_name")
+    )
+    variants = s.select(
+        "s_suppkey",
+        "s_name",
+        F.explode(
+            F.array_union(
+                F.array(F.col("s_name")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s_name")),
+                    lambda i: F.concat(
+                        F.col("s_name").substr(F.lit(1), i - 1),
+                        F.col("s_name").substr(i + 1, F.length("s_name")),
+                    ),
+                ),
+            )
+        ).alias("variant"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .where(F.levenshtein(F.col("a.s_name"), F.col("b.s_name")) <= 1)
+        .select(
+            F.col("a.s_suppkey").alias("da"), F.col("b.s_suppkey").alias("db")
+        )
+        .distinct()
+    )
+    und = pairs.union(pairs.select("db", "da")).toDF("src", "dst")
+    labels = s.select(
+        "s_suppkey", F.col("s_suppkey").alias("canonical_id")
+    ).localCheckpoint(eager=True)
+    und = und.localCheckpoint(eager=True)
+    for _ in range(20):
+        propagated = und.join(
+            labels, und.src == labels.s_suppkey
+        ).select(F.col("dst").alias("s_suppkey"), "canonical_id")
+        new_labels = (
+            labels.unionByName(propagated)
+            .groupBy("s_suppkey")
+            .agg(F.min("canonical_id").alias("canonical_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "s_suppkey")
+            .where(F.col("n.canonical_id") < F.col("o.canonical_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("canonical_id")
+    return labels.select(
+        "s_suppkey",
+        "canonical_id",
+        F.count("*").over(w).alias("cluster_size"),
+    )
