@@ -753,6 +753,149 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "retrieval_ndcg_mrr",
+    oracle="""
+    WITH unit AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS q_label, u AS qu
+          FROM unit WHERE vec_id < 20),
+    c AS (SELECT vec_id, label, u FROM unit WHERE vec_id >= 20),
+    scored AS (
+      SELECT q.query_id, q.q_label, c.vec_id, c.label,
+             ROUND(list_sum(list_transform(range(1, 65),
+                   i -> q.qu[i] * c.u[i])), 4) AS cos_sim
+      FROM q JOIN c ON TRUE
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored
+    ),
+    top AS (
+      SELECT query_id, q_label, rnk,
+             CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel,
+             CAST(ROUND(CAST(1.0 / log2(rnk + 1) AS DECIMAL(26,16)), 12)
+                  AS DECIMAL(18,12)) AS disc
+      FROM ranked WHERE rnk <= 10
+    ),
+    agg AS (
+      SELECT query_id, ANY_VALUE(q_label) AS q_label,
+             SUM(rel) AS hits,
+             SUM(CASE WHEN rel = 1 THEN disc
+                      ELSE CAST(0 AS DECIMAL(18,12)) END) AS dcg,
+             MAX(CASE WHEN rel = 1 THEN 1.0 / rnk ELSE 0.0 END) AS mrr_raw
+      FROM top GROUP BY query_id
+    ),
+    totals AS (SELECT label, COUNT(*) AS label_total FROM c GROUP BY label)
+    SELECT a.query_id,
+           CAST(a.hits AS BIGINT) AS hits,
+           CAST(t.label_total AS BIGINT) AS label_total,
+           CAST(ROUND(CAST(CASE WHEN a.hits > 0 THEN
+                 CAST(a.dcg AS DOUBLE) /
+                 CAST(COALESCE(list_sum(list_transform(
+                      range(1, CAST(a.hits + 1 AS BIGINT)),
+                      i -> CAST(ROUND(CAST(1.0 / log2(i + 1)
+                             AS DECIMAL(26,16)), 12) AS DECIMAL(18,12)))),
+                      CAST(0 AS DECIMAL(18,12))) AS DOUBLE)
+                 ELSE 0.0 END AS DECIMAL(24,10)), 6) AS DOUBLE) AS ndcg10,
+           CAST(ROUND(CAST(a.mrr_raw AS DECIMAL(24,10)), 6) AS DOUBLE)
+             AS mrr10
+    FROM agg a JOIN totals t ON t.label = a.q_label
+    """,
+)
+def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation — nDCG@10 and MRR@10 per query, with
+    label-match relevance: 20 query vectors retrieve top-10 exact
+    cosine neighbors from the rest of the corpus; a neighbor sharing
+    the query's label is relevant. The metric every embedding-model /
+    ANN-tuning loop optimizes, computed exactly.
+
+    Determinism discipline: ranks order by the ROUNDED similarity
+    with vec_id tiebreak (float-order independent, same as
+    similarity_topk_bruteforce), and DCG terms quantize to
+    DECIMAL(18,12) BEFORE summing — a plain double SUM's
+    partition-order ulp noise is exactly the class the layout gate
+    exists to catch. Scale shape: query side broadcast, corpus
+    streams once; per-query state is 10 rows."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.normalize(F.col("embedding")).alias("u")
+    )
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("u").alias("qu"),
+    )
+    c = e.where(F.col("vec_id") >= 20)
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "q_label",
+        "vec_id",
+        "label",
+        F.round(V.dot(F.col("qu"), F.col("u")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    rel = F.when(F.col("label") == F.col("q_label"), 1).otherwise(0)
+    disc = (
+        F.round(
+            (F.lit(1.0) / F.log2(F.col("rnk") + 1)).cast("decimal(26,16)"),
+            12,
+        ).cast("decimal(18,12)")
+    )
+    top = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .withColumn("rel", rel)
+        .withColumn("disc", disc)
+    )
+    zero_dec = F.lit(0).cast("decimal(18,12)")
+    agg = top.groupBy("query_id").agg(
+        F.first("q_label").alias("q_label"),
+        F.sum("rel").cast("long").alias("hits"),
+        F.sum(F.when(F.col("rel") == 1, F.col("disc")).otherwise(zero_dec))
+        .alias("dcg"),
+        F.max(
+            F.when(F.col("rel") == 1, F.lit(1.0) / F.col("rnk")).otherwise(0.0)
+        ).alias("mrr_raw"),
+    )
+    totals = c.groupBy("label").agg(F.count("*").alias("label_total"))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.col("hits").cast("int")),
+        zero_dec,
+        lambda acc, i: (
+            acc
+            + F.round(
+                (F.lit(1.0) / F.log2(i + 1)).cast("decimal(26,16)"), 12
+            ).cast("decimal(18,12)")
+        ).cast("decimal(18,12)"),
+    )
+    ndcg = F.when(
+        F.col("hits") > 0,
+        F.col("dcg").cast("double") / idcg.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        agg.join(F.broadcast(totals), agg.q_label == totals.label)
+        .select(
+            "query_id",
+            "hits",
+            F.col("label_total").cast("long").alias("label_total"),
+            F.round(ndcg.cast("decimal(24,10)"), 6)
+            .cast("double")
+            .alias("ndcg10"),
+            F.round(F.col("mrr_raw").cast("decimal(24,10)"), 6)
+            .cast("double")
+            .alias("mrr10"),
+        )
+    )
+
+
 @query("similarity_ann_ivf")  # centroid assignment is iterative → rows-only
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbor.
