@@ -315,3 +315,79 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="gw_pq_") + "/supplier_pq"
     s.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+@query(
+    "scan_text_source",
+    oracle="""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_line
+    FROM documents WHERE doc_id % 9 = 0
+    """,
+)
+def scan_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.text`` line source: documents export one
+    tab-framed line each (newlines stripped — the text source's
+    record unit IS the line), the raw ``value`` column reads back and
+    parses with JVM string functions. The line-file shape is the
+    classic log/corpus-ingest entry point; at 100 TB the source
+    splits by file block exactly like any other FileFormat."""
+    import os as _os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="gw_text_")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 9 == 0)
+        .select(
+            F.concat_ws(
+                "\t",
+                F.col("doc_id").cast("string"),
+                F.length("text").cast("string"),
+            ).alias("value")
+        )
+    )
+    d.write.mode("overwrite").text(root + "/lines")
+    lines = spark.read.text(root + "/lines")
+    parts = F.split(F.col("value"), "\t")
+    return lines.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).cast("long").alias("n_chars_line"),
+    )
+
+
+@query(
+    "scan_binaryfile_source",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 101 = 0
+    """,
+)
+def scan_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the opaque-payload entry point the
+    multimodal pipeline starts from: one file per payload on disk,
+    read back as (path, length, content) WITHOUT decoding, keyed by
+    the doc_id embedded in the file name. The oracle checks byte
+    lengths against the source texts the files were written from.
+    At 100 TB this is the pattern for media lakes: Spark lists and
+    splits by FILE, content bytes stream straight to the Arrow/UDF
+    stage, nothing parses on the scan path."""
+    import os as _os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="gw_binf_")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 101 == 0)
+        .select("doc_id", "text")
+        .collect()  # payload-export bootstrap only: bounded (n/101 rows)
+    )
+    for r in docs:
+        with open(_os.path.join(root, f"doc-{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    b = spark.read.format("binaryFile").load(root + "/*.bin")
+    return b.select(
+        F.regexp_extract(F.col("path"), r"doc-(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+    )
