@@ -1322,6 +1322,61 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_hist",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 4096) AS t4
+      FROM documents
+      WHERE octet_length(encode(text)) = length(text) AND doc_id % 4 = 0
+    ),
+    ch AS (
+      SELECT doc_id,
+             unicode(substr(t4, CAST(i AS INT), 1)) // 32 AS bin
+      FROM d, UNNEST(range(1, length(t4) + 1)) AS t(i)
+    ),
+    cnt AS (SELECT doc_id, bin, COUNT(*) AS n FROM ch GROUP BY doc_id, bin),
+    grid AS (SELECT d.doc_id, k.bin FROM d, UNNEST(range(0, 8)) AS k(bin))
+    SELECT g.doc_id, list(COALESCE(c.n, 0) ORDER BY g.bin) AS hist
+    FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bin = g.bin
+    GROUP BY g.doc_id
+    """,
+)
+def multimodal_decode_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode stub's feature math, oracle-verified: the same
+    Arrow-batched mapInPandas byte-histogram "decode" as
+    multimodal_decode_stub, restricted to PURE-ASCII payloads (where
+    byte == character, checked by octet_length == char length in both
+    engines) so DuckDB can recompute the 8-bin histogram exactly from
+    the characters — upgrading the multimodal decode path from a
+    rows-only check to a value-verified one. The full-corpus stub
+    stays registered for the multi-byte payload shape."""
+    import pandas as pd
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(
+            (F.octet_length(F.encode(F.col("text"), "utf-8"))
+             == F.length("text"))
+            & (F.col("doc_id") % 4 == 0)
+        )
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+
+    def decode_batch(batches):
+        for pdf in batches:
+            hists = []
+            for payload in pdf["payload"]:
+                buf = bytes(payload)
+                hist = [0] * 8
+                for byte in buf[:4096]:
+                    hist[byte >> 5] += 1
+                hists.append(hist)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "hist": hists})
+
+    return d.mapInPandas(decode_batch, "doc_id long, hist array<long>")
+
+
+@query(
     "multimodal_resize_pool",
     oracle="""
     WITH px AS (
