@@ -370,3 +370,39 @@ def test_substring_trim_keep_first_semantics(spark, tmp_path):
     assert got[2].retained_tokens == 3
     assert got[3].retained_text == "m n o p q r"
     assert 4 not in got, f"exact dup should trim to nothing: {got.get(4)}"
+
+
+def test_deletion_neighborhood_covers_all_distance_one_pairs():
+    """The theorem join_fuzzy_deletion rests on, pinned empirically:
+    two strings with Levenshtein distance <= 1 ALWAYS share a member
+    of (string ∪ its single-char deletions) — so the equi-join on
+    variants can never miss a true pair (false candidates are fine;
+    the verify step removes them)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def lev1(a: str, b: str) -> bool:
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:  # one substitution
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        return any(b[:i] + b[i + 1 :] == a for i in range(lb))
+
+    def hood(s: str) -> set[str]:
+        return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet="ab1", max_size=6),
+        st.text(alphabet="ab1", max_size=6),
+    )
+    def check(a, b):
+        if lev1(a, b):
+            assert hood(a) & hood(b), (a, b)
+
+    check()
