@@ -16,13 +16,16 @@ Descriptor shape follows the protocol's inline channel::
     {"storageType": "i", "pathOrInlineDv": "<base85 payload>",
      "sizeInBytes": <len(payload bytes)>, "cardinality": <n rows>}
 
-Documented deviation (same stance as the rest of this log emitter,
-which this engine both writes and reads): the payload is a
-delta-varint encoding of the sorted row-index set rather than the
-RoaringBitmapArray byte format — equivalent information, simpler and
-deterministic.  Sequential index runs (the common shape: a predicate
-deletes a contiguous id range clustered by the writer) encode in ~1
-byte per row; random indexes in ~2-5 bytes per row.
+Payload format: the DEFAULT is the protocol-standard
+RoaringBitmapArray ("portable" 64-bit layout, Z85 text encoding) —
+the byte shape a real delta-spark reader applies, conformance-tested
+against the spec's canonical vectors in test_dv.py — so tables this
+engine MOR-deletes are externally readable out of the box.  A
+compact delta-varint encoding of the sorted row-index set remains
+available per-call / per-session (``DV_FORMAT='varint'``): sequential
+index runs encode in ~1 byte per row, random indexes in ~2-5 bytes.
+Reads auto-detect the format per descriptor, and merges preserve the
+existing table's format, so the two interoperate freely.
 
 Scale design of the READ side: deleted (file, row_index) pairs join
 against the scan on Spark's parquet ``_metadata.row_index`` /
@@ -93,12 +96,13 @@ def _read_varints(data: bytes):
 # Protocol-standard payloads: Z85 text encoding + RoaringBitmapArray
 # ("portable" 64-bit format), the byte layout real Delta readers apply.
 # Selected per-table/per-call via the ``fmt`` argument or the module
-# default DV_FORMAT ("varint" keeps this engine's compact historical
-# encoding; "roaring" emits protocol-conformant vectors so an external
-# delta reader can subtract them).
+# default DV_FORMAT ("roaring", the default, emits protocol-conformant
+# vectors an external delta reader subtracts directly; "varint" keeps
+# this engine's compact historical encoding for sessions that prefer
+# it — reads auto-detect either).
 # ---------------------------------------------------------------------------
 
-DV_FORMAT = "varint"
+DV_FORMAT = "roaring"
 
 # Z85 (ZeroMQ 32/Z85, the alphabet Delta's Base85Codec uses): 4-byte
 # big-endian blocks → 5 chars.  Delta pads undersized tails with zero
