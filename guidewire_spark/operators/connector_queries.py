@@ -1876,3 +1876,54 @@ def delta_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     return read_delta(spark, table)
+
+
+@query(
+    "delta_append_only",
+    oracle="""
+    SELECT p_partkey, p_type, CAST(3 AS BIGINT) AS n_blocked
+    FROM part
+    WHERE p_partkey % 3 IN (0, 1) AND p_partkey % 10 <> 0
+    """,
+)
+def delta_append_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``delta.appendOnly=true`` (the protocol's appendOnly writer
+    feature) end-to-end: with the property set, appends land but
+    DELETE / merge-on-read UPDATE / overwrite are all REFUSED
+    (``n_blocked`` counts the refusals — a silently-passing guard
+    changes the data AND the literal, failing both ways); unsetting
+    the property re-opens DML and the final DELETE actually runs.
+    Reference parity: the reference emits logs for an external engine
+    to enforce (README.md:74-84); this engine enforces writer-side,
+    where Delta's own invariant check lives."""
+    from guidewire_spark.sources.writer import (
+        delete_from,
+        set_table_properties,
+        update_table_mor,
+    )
+
+    table = tempfile.mkdtemp(prefix="gw_aonly_") + "/part_delta"
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    write_delta(p.where(F.col("p_partkey") % 3 == 0), table, mode="append")
+    set_table_properties(table, {"delta.appendOnly": "true"})
+    write_delta(p.where(F.col("p_partkey") % 3 == 1), table, mode="append")
+
+    blocked = 0
+    for attempt in (
+        lambda: delete_from(spark, table, "p_partkey % 10 = 0"),
+        lambda: update_table_mor(
+            spark, table, "p_partkey % 10 = 0", {"p_type": "'X'"}
+        ),
+        lambda: write_delta(p.limit(1), table, mode="overwrite"),
+    ):
+        try:
+            attempt()
+        except ValueError as e:
+            if "append-only" in str(e):
+                blocked += 1
+
+    set_table_properties(table, {"delta.appendOnly": None})
+    delete_from(spark, table, "p_partkey % 10 = 0")
+    return read_delta(spark, table).withColumn(
+        "n_blocked", F.lit(blocked).cast("long")
+    )

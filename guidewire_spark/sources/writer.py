@@ -765,6 +765,7 @@ def write_delta(
         )
         version, op_mode, blind = 0, "Overwrite" if mode == "overwrite" else "Append", False
     elif mode == "overwrite":
+        _reject_on_append_only(table_path, "overwrite")
         snap = load_snapshot(table_path)
         actions.append(
             metadata_action(
@@ -1096,6 +1097,7 @@ def merge_into(
     keys = [on] if isinstance(on, str) else list(on)
     _reject_identity_dml(table_path, "MERGE")
     _reject_rewrite_on_row_tracking(table_path, "MERGE")
+    _reject_on_append_only(table_path, "MERGE")
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to merge into at {table_path}")
@@ -1222,6 +1224,7 @@ def delete_from(
     rewrites a handful of files, never the table.
     """
     _reject_rewrite_on_row_tracking(table_path, "copy-on-write DELETE")
+    _reject_on_append_only(table_path, "DELETE")
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to delete from at {table_path}")
@@ -1355,6 +1358,7 @@ def delete_from_mor(
         subtract_dead_rows,
     )
 
+    _reject_on_append_only(table_path, "DELETE (merge-on-read)")
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to delete from at {table_path}")
@@ -1408,17 +1412,34 @@ def _row_tracking_enabled(table_path: str) -> bool:
 
 
 def _reject_rewrite_on_row_tracking(table_path: str, op: str) -> None:
-    """Row-tracked tables accept merge-on-read DML only: a rewrite
-    (OPTIMIZE / purge / copy-on-write DELETE/UPDATE/MERGE /
-    replaceWhere / partition overwrite) moves rows to new files and
-    would reassign their stable ids.  Delta proper materializes row
-    ids into the files before rewriting; this engine documents the
-    restriction instead (deletion vectors make MOR the natural DML on
-    tracked tables anyway)."""
+    """Row-tracked tables accept merge-on-read DML (plus the
+    id-PRESERVING rewrites: OPTIMIZE, REORG PURGE and MOR UPDATE, which
+    materialize each row's id through the rewrite — writer paths at
+    optimize_table / purge_deletion_vectors / update_table_mor).  The
+    remaining copy-on-write paths (DELETE/UPDATE/MERGE / replaceWhere /
+    partition overwrite) move rows to new files without carrying ids
+    and would reassign them, so they are refused."""
     if _row_tracking_enabled(table_path):
         raise ValueError(
             f"{op} would reassign stable row ids on a row-tracked table; "
             "use merge-on-read DML (delete_from_mor / update_table_mor)"
+        )
+
+
+def _reject_on_append_only(table_path: str, op: str) -> None:
+    """``delta.appendOnly=true`` (the protocol's appendOnly writer
+    feature, PROTOCOL.md "Append-only Tables"): the table accepts only
+    commits that ADD rows — any operation that deletes or rewrites
+    existing rows is refused.  OPTIMIZE / REORG PURGE stay allowed
+    (``dataChange=false`` compaction does not change the logical
+    table), matching delta-spark's enforcement.  The property arrives
+    through the generic SET TBLPROPERTIES path; enforcement is
+    writer-side, the same place CHECK constraints live."""
+    conf = table_configuration(table_path)
+    if conf.get("delta.appendOnly", "").strip().lower() == "true":
+        raise ValueError(
+            f"{op} is not allowed on append-only table {table_path} "
+            "(delta.appendOnly=true); unset the property to run DML"
         )
 
 
@@ -1726,6 +1747,7 @@ def delete_auto(
     columns.  Callers that already know their delete shape should
     call delete_from / delete_from_mor directly; this router is for
     the generic entry point where the shape is unknown."""
+    _reject_on_append_only(table_path, "DELETE")
     import json as _json
 
     from pyspark.sql import functions as F
@@ -1917,6 +1939,7 @@ def update_table_mor(
         subtract_dead_rows,
     )
 
+    _reject_on_append_only(table_path, "UPDATE (merge-on-read)")
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to update at {table_path}")
@@ -2077,6 +2100,7 @@ def replace_where(
     """
     _reject_identity_dml(table_path, "replaceWhere")
     _reject_rewrite_on_row_tracking(table_path, "replaceWhere")
+    _reject_on_append_only(table_path, "replaceWhere")
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to replace at {table_path}")
@@ -2165,6 +2189,7 @@ def update_table(
     invalidate the table's invariants.
     """
     _reject_rewrite_on_row_tracking(table_path, "copy-on-write UPDATE")
+    _reject_on_append_only(table_path, "UPDATE")
     snap = load_snapshot(table_path)
     if not snap.files:
         raise ValueError(f"nothing to update at {table_path}")
@@ -2381,6 +2406,7 @@ def restore_table(table_path: str, version: int) -> int:
     old version contained), and files returning from the old snapshot
     carry its recorded deletionVector so purged-then-restored dead
     rows never resurrect."""
+    _reject_on_append_only(table_path, "RESTORE")
     old = load_snapshot(table_path, version=version)
     cur = load_snapshot(table_path)
     now = int(time.time() * 1000)
@@ -2452,6 +2478,7 @@ def overwrite_partitions(df: DataFrame, table_path: str) -> int:
 
     _reject_identity_dml(table_path, "dynamic partition overwrite")
     _reject_rewrite_on_row_tracking(table_path, "dynamic partition overwrite")
+    _reject_on_append_only(table_path, "dynamic partition overwrite")
     snap = load_snapshot(table_path)
     pcols = list(snap.partition_columns or [])
     if not pcols:

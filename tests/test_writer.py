@@ -1571,3 +1571,73 @@ def test_clustering_domain_survives_checkpoint_and_legacy_key_honored(
             "set_clustering_columns"
         )
     assert clustering_columns(legacy) == ["n_nationkey"]
+
+
+def test_append_only_refuses_row_removal_everywhere(spark, sf_dir, tmp_path):
+    """delta.appendOnly=true refuses every row-removing/rewriting DML
+    side door (the protocol's appendOnly writer feature) while appends,
+    OPTIMIZE, and reads keep working; unsetting the property re-opens
+    DML."""
+    from guidewire_spark.sources.writer import (
+        delete_auto,
+        delete_from,
+        delete_from_mor,
+        merge_into,
+        overwrite_partitions,
+        replace_where,
+        restore_table,
+        set_table_properties,
+        update_table,
+        update_table_mor,
+    )
+
+    table = str(tmp_path / "ao")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n.where(F.col("n_nationkey") < 10), table, mode="append")
+    set_table_properties(table, {"delta.appendOnly": "true"})
+
+    # appends still land
+    write_delta(
+        n.where((F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20)),
+        table,
+        mode="append",
+    )
+    assert read_delta(spark, table).count() == 20
+
+    blocked = [
+        lambda: delete_from(spark, table, "n_nationkey = 1"),
+        lambda: delete_from_mor(spark, table, "n_nationkey = 1"),
+        lambda: delete_auto(spark, table, "n_nationkey = 1"),
+        lambda: update_table(spark, table, "n_nationkey = 1", {"n_name": "'X'"}),
+        lambda: update_table_mor(spark, table, "n_nationkey = 1", {"n_name": "'X'"}),
+        lambda: merge_into(spark, table, n.where(F.col("n_nationkey") < 3), "n_nationkey"),
+        lambda: replace_where(spark, table, "n_nationkey < 5", n.limit(1)),
+        lambda: write_delta(n.limit(1), table, mode="overwrite"),
+        lambda: restore_table(table, 0),
+    ]
+    for op in blocked:
+        with pytest.raises(ValueError, match="append-only"):
+            op()
+
+    # OPTIMIZE (dataChange=false) is still legal on append-only tables
+    optimize_table(spark, table)
+    assert read_delta(spark, table).count() == 20
+
+    # unset re-opens DML
+    set_table_properties(table, {"delta.appendOnly": None})
+    delete_from(spark, table, "n_nationkey = 1")
+    assert read_delta(spark, table).count() == 19
+
+
+def test_append_only_partition_overwrite_blocked(spark, sf_dir, tmp_path):
+    from guidewire_spark.sources.writer import (
+        overwrite_partitions,
+        set_table_properties,
+    )
+
+    table = str(tmp_path / "aop")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    write_delta(d, table, mode="append", partition_by=["lang"])
+    set_table_properties(table, {"delta.appendOnly": "true"})
+    with pytest.raises(ValueError, match="append-only"):
+        overwrite_partitions(d.where(F.col("lang") == "en"), table)
