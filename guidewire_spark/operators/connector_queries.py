@@ -1927,3 +1927,89 @@ def delta_append_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, table).withColumn(
         "n_blocked", F.lit(blocked).cast("long")
     )
+
+
+@query(
+    "delta_merge_clauses",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             CAST(n_regionkey AS BIGINT) AS n_regionkey
+      FROM nation
+    ),
+    s AS (
+      SELECT CAST(n_nationkey + 10 AS BIGINT) AS n_nationkey, n_name,
+             CAST((n_regionkey + 1) % 5 AS BIGINT) AS n_regionkey
+      FROM nation
+    )
+    SELECT t.n_nationkey, UPPER(s.n_name) AS n_name, s.n_regionkey
+    FROM t JOIN s ON t.n_nationkey = s.n_nationkey
+    WHERE s.n_regionkey % 2 = 0
+    UNION ALL
+    SELECT t.n_nationkey, t.n_name || '_stale' AS n_name, t.n_regionkey
+    FROM t ANTI JOIN s ON t.n_nationkey = s.n_nationkey
+    WHERE t.n_nationkey >= 5
+    UNION ALL
+    SELECT s.n_nationkey, s.n_name, s.n_regionkey
+    FROM s ANTI JOIN t ON s.n_nationkey = t.n_nationkey
+    WHERE s.n_nationkey < 30
+    """,
+)
+def delta_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE clause surface in ONE atomic commit: conditional
+    WHEN MATCHED UPDATE, fall-through WHEN MATCHED DELETE, conditional
+    WHEN NOT MATCHED INSERT, and both WHEN NOT MATCHED BY SOURCE forms
+    (conditional DELETE, fall-through UPDATE) — Delta's documented
+    first-applicable-clause evaluation order, exercised against an
+    oracle that reconstructs every branch relationally.  The plain
+    upsert (`merge_into`) stays the stats-pruned fast path; by-source
+    clauses are whole-table by definition.  Reference parity: the
+    reference's CDA output is consumed by exactly this kind of MERGE
+    downstream (README.md:39-43)."""
+    from guidewire_spark.sources.writer import merge_clauses
+
+    table = tempfile.mkdtemp(prefix="gw_mrgc_") + "/nation_delta"
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+    write_delta(n, table, mode="append")
+    source = n.select(
+        (F.col("n_nationkey") + 10).alias("n_nationkey"),
+        "n_name",
+        ((F.col("n_regionkey") + 1) % 5).alias("n_regionkey"),
+    )
+    merge_clauses(
+        spark,
+        table,
+        source,
+        "n_nationkey",
+        [
+            {
+                "when": "matched",
+                "condition": "s.n_regionkey % 2 = 0",
+                "update": {
+                    "n_name": "upper(s.n_name)",
+                    "n_regionkey": "s.n_regionkey",
+                },
+            },
+            {"when": "matched", "condition": None, "delete": True},
+            {
+                "when": "not_matched",
+                "condition": "s.n_nationkey < 30",
+                "insert": None,
+            },
+            {
+                "when": "not_matched_by_source",
+                "condition": "t.n_nationkey < 5",
+                "delete": True,
+            },
+            {
+                "when": "not_matched_by_source",
+                "condition": None,
+                "update": {"n_name": "concat(t.n_name, '_stale')"},
+            },
+        ],
+    )
+    return read_delta(spark, table)

@@ -1203,6 +1203,219 @@ def merge_into(
     return snap.version + 1
 
 
+def merge_clauses(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: str | list[str],
+    clauses: list[dict],
+) -> int:
+    """Full ANSI/Delta MERGE clause surface (``merge_into`` is the
+    plain-upsert fast path).  ``clauses`` is an ORDERED list; within
+    each match group the first clause whose condition holds applies,
+    later ones are dead for that row — Delta's documented evaluation
+    order.  Each clause is a dict:
+
+    * ``{"when": "matched", "condition": sql|None,
+       "update": {col: expr}}`` — WHEN MATCHED [AND cond] UPDATE SET
+    * ``{"when": "matched", "condition": sql|None, "delete": True}``
+    * ``{"when": "not_matched", "condition": sql|None,
+       "insert": {col: expr} | None}`` — None inserts source columns
+       by name (missing target columns become NULL)
+    * ``{"when": "not_matched_by_source", "condition": sql|None,
+       "update": {...} | "delete": True}``
+
+    Conditions and expressions are SQL strings over aliases ``t``
+    (target) and ``s`` (source); not_matched conditions may reference
+    only ``s``, not_matched_by_source only ``t``.
+
+    Semantics pinned to Delta: join keys match by plain equality (a
+    NULL key never matches); a target row matched by MORE THAN ONE
+    source row raises (the protocol's deterministic-merge requirement)
+    when any matched clause exists; a target row no clause applies to
+    is kept byte-identical.
+
+    Scale design: same copy-on-write shape as ``merge_into`` — when no
+    not_matched_by_source clause exists, the source's key bounds prune
+    the target file list via add.stats, so a day's updates into a
+    years-deep table rewrite only overlapping files; by-source clauses
+    are definitionally whole-table (every unmatched target row is
+    inspected), so they scan all files.  The clause routing itself is
+    one full-outer join plus JVM-side CASE chains — no Python in the
+    row path.
+
+    appendOnly interaction (Delta parity): an INSERT-ONLY merge is a
+    legal append and passes; any update/delete clause is refused on an
+    append-only table."""
+    from pyspark.sql import functions as F
+
+    keys = [on] if isinstance(on, str) else list(on)
+    removes_rows = any(
+        c.get("delete") or c.get("update") for c in clauses
+    )
+    _reject_identity_dml(table_path, "MERGE")
+    _reject_rewrite_on_row_tracking(table_path, "MERGE")
+    if removes_rows:
+        _reject_on_append_only(table_path, "MERGE (with update/delete clauses)")
+    for c in clauses:
+        when = c.get("when")
+        if when not in ("matched", "not_matched", "not_matched_by_source"):
+            raise ValueError(f"unknown merge clause group {when!r}")
+        if when == "not_matched" and ("update" in c or c.get("delete")):
+            raise ValueError("WHEN NOT MATCHED supports INSERT only")
+        if when == "not_matched_by_source" and "insert" in c:
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE only"
+            )
+
+    snap = load_snapshot(table_path)
+    if not snap.files:
+        raise ValueError(f"nothing to merge into at {table_path}")
+    pcols = list(snap.partition_columns or [])
+
+    source = _apply_generated_columns(source, table_path)
+    out_cols = [f.name for f in snap.schema.fields]
+
+    matched = [c for c in clauses if c["when"] == "matched"]
+    not_matched = [c for c in clauses if c["when"] == "not_matched"]
+    by_source = [c for c in clauses if c["when"] == "not_matched_by_source"]
+
+    if matched:
+        # Delta's deterministic-merge rule: a target row may match at
+        # most one source row.  Equi-key merge → equivalent check:
+        # duplicated source keys that also exist in the target.
+        dup_keys = (
+            source.groupBy(*keys).count().where(F.col("count") > 1).drop("count")
+        )
+        target_keys = _read_with_partitions(
+            spark, snap, list(snap.files)
+        ).select(*keys)
+        if dup_keys.join(target_keys, keys, "left_semi").limit(1).count():
+            raise ValueError(
+                "MERGE source has multiple rows matching one target row; "
+                "deduplicate the source on the join key first"
+            )
+
+    if by_source:
+        candidates = list(snap.files)
+    else:
+        bounds = source.agg(
+            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+        ).collect()[0]
+        candidates = snap.pruned_files(keys[0], bounds["lo"], bounds["hi"])
+
+    if not candidates and not not_matched:
+        raise ValueError("MERGE matched no target files and has no insert clause")
+
+    t = (
+        _read_with_partitions(spark, snap, candidates)
+        if candidates
+        else spark.createDataFrame([], snap.schema)
+    ).withColumn("__tp", F.lit(1)).alias("t")
+    s = source.withColumn("__sp", F.lit(1)).alias("s")
+    joined = t.join(
+        s, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys], "full_outer"
+    )
+
+    def _first_applicable(group: list[dict], base: str):
+        """Per clause index: its condition AND no earlier clause's.
+        Everything is coalesced to FALSE — full-outer markers are NULL
+        on the unmatched side and a clause condition may itself be
+        NULL-valued, and either would poison the kept-rows conjunction
+        under three-valued logic (a NULL flag negates to NULL, and
+        WHERE drops the row that should have been kept)."""
+        out, earlier = [], F.lit(False)
+        for c in group:
+            cond = (
+                F.coalesce(F.expr(c["condition"]), F.lit(False))
+                if c.get("condition")
+                else F.lit(True)
+            )
+            out.append(F.coalesce(F.expr(base), F.lit(False)) & ~earlier & cond)
+            earlier = earlier | cond
+        return out
+
+    pieces = []
+    # kept target rows: matched with no applicable clause, or
+    # by-source-unmatched with no applicable clause, or (no by_source
+    # clauses) every unmatched target row
+    m_flags = _first_applicable(matched, "__tp = 1 AND __sp = 1")
+    bs_flags = _first_applicable(by_source, "__tp = 1 AND __sp IS NULL")
+    none_applies = F.lit(True)
+    for f in m_flags + bs_flags:
+        none_applies = none_applies & ~f
+    kept = joined.where(
+        F.coalesce(F.expr("__tp = 1"), F.lit(False)) & none_applies
+    )
+    pieces.append(kept.select(*[F.col(f"t.{c}").alias(c) for c in out_cols]))
+
+    for c, flag in zip(matched + by_source, m_flags + bs_flags):
+        if c.get("delete"):
+            continue  # delete = drop the rows; nothing to union
+        upd = c["update"]
+        pieces.append(
+            joined.where(flag).select(
+                *[
+                    F.expr(upd[col]).alias(col)
+                    if col in upd
+                    else F.col(f"t.{col}").alias(col)
+                    for col in out_cols
+                ]
+            )
+        )
+
+    nm_flags = _first_applicable(not_matched, "__tp IS NULL AND __sp = 1")
+    src_names = set(source.columns)
+    for c, flag in zip(not_matched, nm_flags):
+        ins = c.get("insert")
+        exprs = []
+        for col in out_cols:
+            if ins is not None and col in ins:
+                exprs.append(F.expr(ins[col]).alias(col))
+            elif ins is None and col in src_names:
+                exprs.append(F.col(f"s.{col}").alias(col))
+            else:
+                exprs.append(F.lit(None).alias(col))
+        pieces.append(joined.where(flag).select(*exprs))
+
+    merged = pieces[0]
+    for p in pieces[1:]:
+        merged = merged.unionByName(p)
+    # pin every output column to the table type — an update expression
+    # may widen (int + 1 → bigint) and the staged files must match the
+    # logged schema exactly
+    merged = merged.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema.fields]
+    )
+    merged = _to_physical(merged, snap.schema)
+    _enforce_constraints(merged, table_path)
+
+    files, commit_dir = _stage_files(merged, table_path, pcols or None)
+    from guidewire_spark.sources.stats import footer_stats
+
+    now = int(time.time() * 1000)
+    actions = [remove_action(p, now) for p in candidates]
+    actions += [
+        add_action(
+            f.path,
+            f.size,
+            f.modification_time,
+            stats=footer_stats(f.path),
+            partition_values=(
+                _partition_values(f.path, commit_dir, pcols) if pcols else None
+            ),
+        )
+        for f in files
+    ]
+    actions.append(
+        commit_info_action(
+            "MERGE", "Merge", False, len(files), sum(f.size for f in files), now
+        )
+    )
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
 def delete_from(
     spark: SparkSession,
     table_path: str,

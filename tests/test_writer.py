@@ -1641,3 +1641,75 @@ def test_append_only_partition_overwrite_blocked(spark, sf_dir, tmp_path):
     set_table_properties(table, {"delta.appendOnly": "true"})
     with pytest.raises(ValueError, match="append-only"):
         overwrite_partitions(d.where(F.col("lang") == "en"), table)
+
+
+def test_merge_clauses_semantics(spark, sf_dir, tmp_path):
+    """Clause-order evaluation, duplicate-source refusal, insert-only
+    merges allowed on append-only tables (Delta parity)."""
+    from guidewire_spark.sources.writer import (
+        merge_clauses,
+        set_table_properties,
+    )
+
+    table = str(tmp_path / "mc")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), F.col("n_name").alias("v")
+    )
+    write_delta(n, table, mode="append")
+
+    # first-applicable-clause wins: two matched clauses with
+    # overlapping conditions — row k=2 satisfies both, takes the first
+    src = n.where(F.col("k") < 4)
+    merge_clauses(
+        spark, table, src, "k",
+        [
+            {"when": "matched", "condition": "t.k % 2 = 0", "update": {"v": "'EVEN'"}},
+            {"when": "matched", "condition": "t.k < 4", "update": {"v": "'SMALL'"}},
+        ],
+    )
+    got = {r["k"]: r["v"] for r in read_delta(spark, table).collect()}
+    assert got[0] == "EVEN" and got[2] == "EVEN"
+    assert got[1] == "SMALL" and got[3] == "SMALL"
+    assert got[5] != "SMALL"  # unmatched rows untouched
+
+    # duplicate source keys that hit the target: refused
+    dup = src.unionByName(src.limit(1))
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_clauses(
+            spark, table, dup, "k",
+            [{"when": "matched", "condition": None, "delete": True}],
+        )
+
+    # insert-only merge is a legal append on an append-only table;
+    # a delete clause is not
+    set_table_properties(table, {"delta.appendOnly": "true"})
+    new_rows = spark.createDataFrame([(100, "NEW")], "k long, v string")
+    merge_clauses(
+        spark, table, new_rows, "k",
+        [{"when": "not_matched", "condition": None, "insert": None}],
+    )
+    assert read_delta(spark, table).where("k = 100").count() == 1
+    with pytest.raises(ValueError, match="append-only"):
+        merge_clauses(
+            spark, table, new_rows, "k",
+            [{"when": "matched", "condition": None, "delete": True}],
+        )
+
+
+def test_merge_clauses_null_keys_never_match(spark, sf_dir, tmp_path):
+    from guidewire_spark.sources.writer import merge_clauses
+
+    table = str(tmp_path / "mcn")
+    t = spark.createDataFrame([(1, "a"), (None, "b")], "k long, v string")
+    write_delta(t, table, mode="append")
+    s = spark.createDataFrame([(None, "c"), (1, "d")], "k long, v string")
+    merge_clauses(
+        spark, table, s, "k",
+        [
+            {"when": "matched", "condition": None, "update": {"v": "s.v"}},
+            {"when": "not_matched", "condition": None, "insert": None},
+        ],
+    )
+    rows = {(r["k"], r["v"]) for r in read_delta(spark, table).collect()}
+    # NULL source key inserts (never matches the NULL target key)
+    assert rows == {(1, "d"), (None, "b"), (None, "c")}
