@@ -2013,3 +2013,90 @@ def delta_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return read_delta(spark, table)
+
+
+@query(
+    "delta_matview_variance",
+    oracle="""
+    WITH final AS (
+      SELECT s_suppkey, s_nationkey,
+             CAST(ROUND(CAST(s_acctbal AS DECIMAL(26,16)), 6) AS DECIMAL(18,6)) AS q
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey + 900000, s_nationkey,
+             CAST(ROUND(CAST(s_acctbal + 100.0 AS DECIMAL(26,16)), 6) AS DECIMAL(18,6))
+      FROM supplier WHERE s_suppkey % 3 = 0
+    ),
+    kept AS (SELECT * FROM final WHERE s_suppkey % 7 <> 0),
+    agg AS (
+      SELECT s_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS view_count,
+             CAST(SUM(q) AS DECIMAL(38,6)) AS vsum,
+             CAST(SUM(CAST(q AS DECIMAL(19,6)) * q) AS DECIMAL(38,12)) AS vssq
+      FROM kept GROUP BY s_nationkey
+    )
+    SELECT s_nationkey, view_count, vsum,
+           CAST(ROUND(CAST(
+             (CAST(vssq AS DOUBLE)
+              - CAST(vsum AS DOUBLE) * CAST(vsum AS DOUBLE)
+                / CAST(view_count AS DOUBLE))
+             / (CAST(view_count AS DOUBLE) - 1.0)
+           AS DECIMAL(24,10)), 4) AS DOUBLE) AS var_acctbal
+    FROM agg WHERE view_count > 1
+    """,
+)
+def delta_matview_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VARIANCE maintenance in the materialized view:
+    decimal-quantized sum + sum-of-squares are maintained from the
+    change feed through an append AND a merge-on-read DELETE (whose
+    CDF rows subtract), and because decimal adds cancel EXACTLY where
+    double adds drift, the refreshed components equal a from-scratch
+    re-aggregate digit-for-digit — the oracle checks the raw decimal
+    vsum and the derived sample variance.  The 100 TB shape: each
+    refresh costs the changed rows plus |groups|, never a base rescan."""
+    from guidewire_spark.sources.matview import (
+        create_materialized_aggregate,
+        read_materialized_aggregate,
+        refresh_materialized_aggregate,
+    )
+    from guidewire_spark.sources.writer import delete_from_mor
+
+    root = tempfile.mkdtemp(prefix="gw_dmvv_")
+    base, view = root + "/base", root + "/view"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    write_delta(s, base, mode="append")
+    create_materialized_aggregate(
+        spark,
+        base,
+        view,
+        group_cols=["s_nationkey"],
+        sum_cols=[],
+        var_cols=["s_acctbal"],
+    )
+    write_delta(
+        s.where(F.col("s_suppkey") % 3 == 0).select(
+            (F.col("s_suppkey") + 900000).alias("s_suppkey"),
+            "s_nationkey",
+            (F.col("s_acctbal") + 100.0).alias("s_acctbal"),
+        ),
+        base,
+        mode="append",
+    )
+    delete_from_mor(spark, base, "s_suppkey % 7 = 0")
+    refresh_materialized_aggregate(spark, base, view)
+    out = read_materialized_aggregate(spark, view)
+    n = F.col("view_count").cast("double")
+    sm = F.col("vsum_s_acctbal").cast("double")
+    sq = F.col("vssq_s_acctbal").cast("double")
+    return out.where(F.col("view_count") > 1).select(
+        "s_nationkey",
+        F.col("view_count").cast("long").alias("view_count"),
+        F.col("vsum_s_acctbal").alias("vsum"),
+        F.round(
+            ((sq - sm * sm / n) / (n - F.lit(1.0))).cast("decimal(24,10)"), 4
+        )
+        .cast("double")
+        .alias("var_acctbal"),
+    )

@@ -7,7 +7,10 @@ aggregate table that is *refreshed from the CDF delta only*, never by
 re-scanning the base table.
 
 Semantics: additive aggregates (count / sum — avg derives as sum/count
-at read time). Inserts add, deletes subtract; a rewritten row
+at read time; ``var_cols`` adds EXACT incrementally-maintained variance
+via decimal-quantized sum + sum-of-squares, both invertible under
+deletes — decimal adds/subtracts cancel exactly where doubles would
+drift). Inserts add, deletes subtract; a rewritten row
 (MERGE/UPDATE) appears in the feed as delete+insert, so the net update
 is exact. Groups whose count reaches zero are dropped. Compaction
 commits (``dataChange=false``) produce no feed rows and therefore no
@@ -44,15 +47,35 @@ from guidewire_spark.sources.writer import table_configuration, write_delta
 _STATE_KEY = "guidewire.matview.state"
 
 
-def _agg_exprs(sum_cols: list[str], minmax_cols: list[str]) -> list:
+def _q(c: str):
+    """Quantize a double column to exact decimal cents-of-micro (6dp)
+    the repo's DECIMAL-bridge way: cast HIGHER than the target scale,
+    then round — never let the cast itself round (engine conventions
+    differ at the boundary)."""
+    return F.round(F.col(c).cast("decimal(26,16)"), 6).cast("decimal(18,6)")
+
+
+def _agg_exprs(
+    sum_cols: list[str], minmax_cols: list[str], var_cols: list[str] | None = None
+) -> list:
     exprs = [F.count(F.lit(1)).alias("view_count")]
     exprs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
     for c in minmax_cols:
         exprs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    for c in var_cols or []:
+        exprs += [
+            F.sum(_q(c)).cast("decimal(38,6)").alias(f"vsum_{c}"),
+            F.sum(_q(c) * _q(c)).cast("decimal(38,12)").alias(f"vssq_{c}"),
+        ]
     return exprs
 
 
-def _signed_agg(changes: DataFrame, group_cols: list[str], sum_cols: list[str]) -> DataFrame:
+def _signed_agg(
+    changes: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    var_cols: list[str] | None = None,
+) -> DataFrame:
     """Aggregate feed rows with sign: insert = +1, delete = -1.
     Partial aggregation makes the shuffle per-group, not per-row."""
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
@@ -60,11 +83,24 @@ def _signed_agg(changes: DataFrame, group_cols: list[str], sum_cols: list[str]) 
     return signed.groupBy(*group_cols).agg(
         F.sum("__sign").alias("view_count"),
         *[F.sum(F.col(c) * F.col("__sign")).alias(f"sum_{c}") for c in sum_cols],
+        *[
+            e
+            for c in var_cols or []
+            for e in (
+                F.sum(_q(c) * F.col("__sign"))
+                .cast("decimal(38,6)")
+                .alias(f"vsum_{c}"),
+                F.sum(_q(c) * _q(c) * F.col("__sign"))
+                .cast("decimal(38,12)")
+                .alias(f"vssq_{c}"),
+            )
+        ],
     )
 
 
 def _write_state(
-    view_path: str, base_version: int, group_cols, sum_cols, minmax_cols
+    view_path: str, base_version: int, group_cols, sum_cols, minmax_cols,
+    var_cols=None,
 ) -> None:
     snap = load_snapshot(view_path)
     config = table_configuration(view_path)
@@ -74,6 +110,7 @@ def _write_state(
             "group_cols": group_cols,
             "sum_cols": sum_cols,
             "minmax_cols": minmax_cols,
+            "var_cols": var_cols or [],
         }
     )
     import time as _time
@@ -108,6 +145,7 @@ def create_materialized_aggregate(
     group_cols: list[str],
     sum_cols: list[str],
     minmax_cols: list[str] | None = None,
+    var_cols: list[str] | None = None,
 ) -> int:
     """Initial build: one full aggregate of the base snapshot, then the
     base version is pinned in the view's configuration. Returns the
@@ -120,14 +158,17 @@ def create_materialized_aggregate(
     optimizer pushes into the scan — with the base partitioned or
     z-ordered on the group key this prunes to the affected files)."""
     minmax_cols = minmax_cols or []
+    var_cols = var_cols or []
     base_snap = load_snapshot(base_table)
     full = (
         read_delta(spark, base_table)
         .groupBy(*group_cols)
-        .agg(*_agg_exprs(sum_cols, minmax_cols))
+        .agg(*_agg_exprs(sum_cols, minmax_cols, var_cols))
     )
     write_delta(full, view_path, mode="append")
-    _write_state(view_path, base_snap.version, group_cols, sum_cols, minmax_cols)
+    _write_state(
+        view_path, base_snap.version, group_cols, sum_cols, minmax_cols, var_cols
+    )
     return base_snap.version
 
 
@@ -141,6 +182,7 @@ def refresh_materialized_aggregate(
     state = view_state(view_path)
     group_cols, sum_cols = state["group_cols"], state["sum_cols"]
     minmax_cols = state.get("minmax_cols") or []
+    var_cols = state.get("var_cols") or []
     from_version = state["base_version"]
     base_snap = load_snapshot(base_table)
     if base_snap.version <= from_version:
@@ -149,7 +191,7 @@ def refresh_materialized_aggregate(
     changes = read_delta_changes(
         spark, base_table, from_version=from_version, to_version=base_snap.version
     )
-    deltas = _signed_agg(changes, group_cols, sum_cols)
+    deltas = _signed_agg(changes, group_cols, sum_cols, var_cols)
     if minmax_cols:
         # inserts fold into min/max monotonically...
         ins_ext = (
@@ -186,11 +228,19 @@ def refresh_materialized_aggregate(
             "view_count",
             *[f"sum_{c}" for c in sum_cols],
             *[x for c in minmax_cols for x in (f"min_{c}", f"max_{c}")],
+            *[x for c in var_cols for x in (f"vsum_{c}", f"vssq_{c}")],
         )
         .join(deltas.withColumnRenamed("view_count", "d_count").select(
-            *group_cols, "d_count", *[
-                F.col(f"sum_{c}").alias(f"d_sum_{c}") for c in sum_cols
-            ]
+            *group_cols, "d_count",
+            *[F.col(f"sum_{c}").alias(f"d_sum_{c}") for c in sum_cols],
+            *[
+                x
+                for c in var_cols
+                for x in (
+                    F.col(f"vsum_{c}").alias(f"d_vsum_{c}"),
+                    F.col(f"vssq_{c}").alias(f"d_vssq_{c}"),
+                )
+            ],
         ), group_cols, "full_outer")
     )
     if minmax_cols:
@@ -209,6 +259,21 @@ def refresh_materialized_aggregate(
         ).alias(f"sum_{c}")
         for c in sum_cols
     ]
+    for c in var_cols:
+        # decimal adds cancel exactly under delete-then-reinsert — the
+        # property that makes incremental variance EXACT, not drifting
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"vsum_{c}"), F.lit(0).cast("decimal(38,6)"))
+                + F.coalesce(F.col(f"d_vsum_{c}"), F.lit(0).cast("decimal(38,6)"))
+            ).cast("decimal(38,6)").alias(f"vsum_{c}")
+        )
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"vssq_{c}"), F.lit(0).cast("decimal(38,12)"))
+                + F.coalesce(F.col(f"d_vssq_{c}"), F.lit(0).cast("decimal(38,12)"))
+            ).cast("decimal(38,12)").alias(f"vssq_{c}")
+        )
     for c in minmax_cols:
         # recomputed groups take the authoritative base value (the base
         # already contains this window's inserts); others extend
@@ -230,7 +295,9 @@ def refresh_materialized_aggregate(
     # of only-touched groups is the next refinement when |groups| is
     # itself huge.)
     write_delta(merged, view_path, mode="overwrite")
-    _write_state(view_path, base_snap.version, group_cols, sum_cols, minmax_cols)
+    _write_state(
+        view_path, base_snap.version, group_cols, sum_cols, minmax_cols, var_cols
+    )
     return base_snap.version
 
 
@@ -240,4 +307,17 @@ def read_materialized_aggregate(spark: SparkSession, view_path: str) -> DataFram
     df = read_delta(spark, view_path)
     for c in state["sum_cols"]:
         df = df.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("view_count"))
+    for c in state.get("var_cols") or []:
+        # sample variance from the exact decimal components; the cast
+        # to double happens at the END (one deterministic conversion),
+        # and the double expression is written identically in the
+        # oracle so both engines run the same IEEE ops in the same
+        # order
+        n = F.col("view_count").cast("double")
+        sm = F.col(f"vsum_{c}").cast("double")
+        sq = F.col(f"vssq_{c}").cast("double")
+        df = df.withColumn(
+            f"var_{c}",
+            F.when(F.col("view_count") > 1, (sq - sm * sm / n) / (n - F.lit(1.0))),
+        )
     return df

@@ -281,3 +281,89 @@ def test_matview_over_partitioned_base_grouped_by_partition_col(
     refresh_materialized_aggregate(spark, base, view)
     assert got() == full()
     assert not any(b is None for b, _, _ in got())
+
+
+def test_variance_components_exact_under_delete_reinsert(spark, sf_dir, tmp_path):
+    """The exactness claim behind var_cols: decimal components cancel
+    digit-for-digit when rows are deleted and re-inserted, and the
+    maintained components equal a from-scratch re-aggregate after a
+    mixed append + delete history."""
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    write_delta(s, base, mode="append")
+    create_materialized_aggregate(
+        spark, base, view,
+        group_cols=["s_nationkey"], sum_cols=[], var_cols=["s_acctbal"],
+    )
+    before = {
+        r["s_nationkey"]: (r["view_count"], r["vsum_s_acctbal"], r["vssq_s_acctbal"])
+        for r in read_delta(spark, view).collect()
+    }
+    # delete a slice, refresh, re-insert the identical rows, refresh:
+    # the view must return to the EXACT original components
+    victims = s.where(F.col("s_suppkey") % 5 == 0)
+    delete_from(spark, base, "s_suppkey % 5 = 0")
+    refresh_materialized_aggregate(spark, base, view)
+    write_delta(victims, base, mode="append")
+    refresh_materialized_aggregate(spark, base, view)
+    after = {
+        r["s_nationkey"]: (r["view_count"], r["vsum_s_acctbal"], r["vssq_s_acctbal"])
+        for r in read_delta(spark, view).collect()
+    }
+    assert after == before
+
+    # and the components equal a from-scratch rebuild
+    view2 = str(tmp_path / "v2")
+    create_materialized_aggregate(
+        spark, base, view2,
+        group_cols=["s_nationkey"], sum_cols=[], var_cols=["s_acctbal"],
+    )
+    fresh = {
+        r["s_nationkey"]: (r["view_count"], r["vsum_s_acctbal"], r["vssq_s_acctbal"])
+        for r in read_delta(spark, view2).collect()
+    }
+    assert after == fresh
+
+    # derived variance agrees with Spark's var_samp to float tolerance
+    got = {
+        r["s_nationkey"]: r["var_s_acctbal"]
+        for r in read_materialized_aggregate(spark, view).collect()
+    }
+    exp = {
+        r["s_nationkey"]: r["v"]
+        for r in read_delta(spark, base)
+        .groupBy("s_nationkey")
+        .agg(F.var_samp("s_acctbal").alias("v"))
+        .collect()
+    }
+    for k, v in exp.items():
+        if v is None or (isinstance(v, float) and v != v):
+            assert got[k] is None  # n=1 groups: no sample variance
+        else:
+            assert abs(got[k] - v) < 1e-4, (k, got[k], v)
+
+
+def test_legacy_view_without_var_cols_still_refreshes(spark, sf_dir, tmp_path):
+    base, view = str(tmp_path / "lb"), str(tmp_path / "lv")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    write_delta(n, base, mode="append")
+    create_materialized_aggregate(
+        spark, base, view, group_cols=["n_regionkey"], sum_cols=["n_nationkey"]
+    )
+    # simulate a pre-var_cols state payload (no "var_cols" key)
+    import json as _json
+
+    from guidewire_spark.sources.matview import _STATE_KEY, _write_state  # noqa
+    from guidewire_spark.sources.writer import (
+        set_table_properties,
+        table_configuration,
+    )
+
+    raw = _json.loads(table_configuration(view)[_STATE_KEY])
+    raw.pop("var_cols", None)
+    set_table_properties(view, {_STATE_KEY: _json.dumps(raw)})
+    write_delta(n.limit(3), base, mode="append")
+    refresh_materialized_aggregate(spark, base, view)
+    assert read_delta(spark, view).count() > 0
