@@ -1280,22 +1280,6 @@ def merge_clauses(
     not_matched = [c for c in clauses if c["when"] == "not_matched"]
     by_source = [c for c in clauses if c["when"] == "not_matched_by_source"]
 
-    if matched:
-        # Delta's deterministic-merge rule: a target row may match at
-        # most one source row.  Equi-key merge → equivalent check:
-        # duplicated source keys that also exist in the target.
-        dup_keys = (
-            source.groupBy(*keys).count().where(F.col("count") > 1).drop("count")
-        )
-        target_keys = _read_with_partitions(
-            spark, snap, list(snap.files)
-        ).select(*keys)
-        if dup_keys.join(target_keys, keys, "left_semi").limit(1).count():
-            raise ValueError(
-                "MERGE source has multiple rows matching one target row; "
-                "deduplicate the source on the join key first"
-            )
-
     if by_source:
         candidates = list(snap.files)
     else:
@@ -1303,6 +1287,22 @@ def merge_clauses(
             F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
         ).collect()[0]
         candidates = snap.pruned_files(keys[0], bounds["lo"], bounds["hi"])
+
+    if matched and candidates:
+        # Delta's deterministic-merge rule: a target row may match at
+        # most one source row.  Equi-key merge → equivalent check:
+        # duplicated source keys that also exist in the target.  Scans
+        # only the stats-pruned candidates (a duplicate key that hits
+        # no target file cannot match a target row), keys column only.
+        dup_keys = (
+            source.groupBy(*keys).count().where(F.col("count") > 1).drop("count")
+        )
+        target_keys = _read_with_partitions(spark, snap, candidates).select(*keys)
+        if dup_keys.join(target_keys, keys, "left_semi").limit(1).count():
+            raise ValueError(
+                "MERGE source has multiple rows matching one target row; "
+                "deduplicate the source on the join key first"
+            )
 
     if not candidates and not not_matched:
         raise ValueError("MERGE matched no target files and has no insert clause")

@@ -1713,3 +1713,40 @@ def test_merge_clauses_null_keys_never_match(spark, sf_dir, tmp_path):
     rows = {(r["k"], r["v"]) for r in read_delta(spark, table).collect()}
     # NULL source key inserts (never matches the NULL target key)
     assert rows == {(1, "d"), (None, "b"), (None, "c")}
+
+
+def test_merge_clauses_prunes_untouched_files(spark, sf_dir, tmp_path):
+    """Without a by-source clause, the source's key bounds prune the
+    rewrite set via add.stats: a merge hitting only the high key range
+    must not remove the low-range file (the copy-on-write scale
+    contract at 100 TB)."""
+    import json
+
+    from guidewire_spark.sources.deltalog import delta_log_dir
+    from guidewire_spark.sources.writer import merge_clauses
+
+    table = str(tmp_path / "mcp")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), F.col("n_name").alias("v")
+    )
+    write_delta(n.where(F.col("k") < 10).coalesce(1), table, mode="append")
+    write_delta(n.where(F.col("k") >= 10).coalesce(1), table, mode="append")
+    snap_before = load_snapshot(table)
+    low_files = {p for p in snap_before.files if True}
+    assert len(snap_before.files) == 2
+
+    src = n.where(F.col("k") >= 20)
+    v = merge_clauses(
+        spark, table, src, "k",
+        [{"when": "matched", "condition": None, "update": {"v": "concat(s.v, '_X')"}}],
+    )
+    removed = []
+    with open(f"{delta_log_dir(table)}/{v:020d}.json") as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "remove" in a:
+                removed.append(a["remove"]["path"])
+    assert len(removed) == 1  # only the high-range file was rewritten
+    # results intact
+    got = {r["k"]: r["v"] for r in read_delta(spark, table).collect()}
+    assert got[24].endswith("_X") and not got[3].endswith("_X")
