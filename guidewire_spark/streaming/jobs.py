@@ -1417,3 +1417,73 @@ def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "doc_id long, batch long, n_spans long, dup_tokens long"
     ).parquet(out_dir)
+
+
+@query(
+    "stream_cda_pyds_subscribe",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ROUND(CAST(value AS DECIMAL(24,8)), 4) AS DOUBLE) AS value
+    FROM events WHERE user_id % 5 = 0
+    """,
+)
+def stream_cda_pyds_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDA commit folders consumed as a NATIVE streaming source
+    (Spark 4 Python DataSourceStreamReader, streaming/cda_source.py):
+    offsets are the commit timestamps, partitions are the commits'
+    parquet files, and Spark's offset checkpoint gives exactly-once
+    across restarts.  Three commits drain in the first run; a FOURTH
+    commit staged afterwards is picked up by a second run on the SAME
+    checkpoint — if the restart re-processed already-consumed folders
+    the output would hold duplicates and fail the oracle's row count."""
+    import tempfile
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.streaming.cda_source import (
+        register_cda_stream_source,
+    )
+
+    register_cda_stream_source(spark)
+    root = tempfile.mkdtemp(prefix="gw_cdastream_")
+    fp_dir = f"{root}/events_cda/fp001"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 5 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    base_ts = 1700000000000
+    for i in range(3):
+        ev.where(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{fp_dir}/{base_ts + i}")
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("gw_cda_stream")
+            .option("path", fp_dir)
+            .load()
+            .select(
+                "event_id",
+                "event_type",
+                F.round(F.col("value").cast("decimal(24,8)"), 4)
+                .cast("double")
+                .alias("value"),
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # late commit → second run, same checkpoint: only the new folder
+    ev.where(F.col("event_id") % 4 == 3).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{fp_dir}/{base_ts + 3}")
+    drain()
+    return spark.read.schema(
+        "event_id long, event_type string, value double"
+    ).parquet(f"{root}/out")

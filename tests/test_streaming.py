@@ -372,3 +372,37 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
         for r in batch.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == expected
+
+
+def test_cda_stream_reader_offsets_and_partitions(spark, sf_dir, tmp_path):
+    """Offset mechanics of the CDA streaming data source: latestOffset
+    tracks the newest commit folder, partitions() selects (start, end]
+    at file granularity, dot/underscore/empty files are ignored."""
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.streaming.cda_source import (
+        _CdaStreamReader,
+        _list_commit_ts,
+    )
+
+    fp = str(tmp_path / "fp001")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n.coalesce(1).write.parquet(f"{fp}/1000")
+    n.repartition(2).write.parquet(f"{fp}/2000")
+    # noise the listing rules must skip
+    (tmp_path / "fp001" / "3000").mkdir()
+    (tmp_path / "fp001" / "3000" / ".hidden.parquet").write_bytes(b"x")
+    (tmp_path / "fp001" / "3000" / "empty.parquet").write_bytes(b"")
+    (tmp_path / "fp001" / "notdigit").mkdir()
+
+    assert _list_commit_ts(fp) == [1000, 2000, 3000]
+    r = _CdaStreamReader(fp, ["n_nationkey", "n_name"])
+    assert r.initialOffset() == {"ts": -1}
+    assert r.latestOffset() == {"ts": 3000}
+    p_all = r.partitions({"ts": -1}, {"ts": 3000})
+    assert len(p_all) == 3  # 1 file + 2 files + 0 (noise skipped)
+    p_tail = r.partitions({"ts": 1000}, {"ts": 3000})
+    assert len(p_tail) == 2  # only the 2000 commit's files
+    # read() streams arrow batches with pruned columns
+    batches = list(r.read(p_all[0]))
+    assert sum(b.num_rows for b in batches) == 25
+    assert batches[0].schema.names == ["n_nationkey", "n_name"]
