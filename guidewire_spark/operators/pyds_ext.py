@@ -330,3 +330,44 @@ def pyds_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir
     )
     return back
+
+
+@query(
+    "pyds_cda_pushdown",
+    oracle="""
+    SELECT p_partkey, p_type, CAST(1700000000001 AS BIGINT) AS commit_ts
+    FROM part WHERE p_partkey % 3 = 1
+    UNION ALL
+    SELECT p_partkey, p_type, CAST(1700000000002 AS BIGINT) AS commit_ts
+    FROM part WHERE p_partkey % 3 = 2
+    """,
+)
+def pyds_cda_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter PUSHDOWN through the Python DataSource API (Spark 4.1
+    `pushFilters`): the CDA batch source exposes each row's commit
+    timestamp as a `commit_ts` column, and a range predicate on it is
+    handed to the source at planning time, which prunes whole commit
+    FOLDERS before any parquet file is opened — Delta's metadata-only
+    partition pruning, re-expressed at the Python-source layer.  Three
+    staged commits, a `commit_ts >=` predicate, only two folders read
+    (partition-count proof in tests/test_streaming.py)."""
+    import tempfile
+
+    from guidewire_spark.streaming.cda_source import register_cda_batch_source
+
+    register_cda_batch_source(spark)
+    root = tempfile.mkdtemp(prefix="gw_cdapush_")
+    fp = f"{root}/part_cda/fp001"
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    base = 1700000000000
+    for i in range(3):
+        p.where(F.col("p_partkey") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{fp}/{base + i}")
+    return (
+        spark.read.format("gw_cda")
+        .option("path", fp)
+        .load()
+        .where(F.col("commit_ts") >= base + 1)
+        .select("p_partkey", "p_type", "commit_ts")
+    )

@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (4.1, default off): our
+        # Python sources implement pushFilters correctly (folder-level
+        # pruning in streaming/cda_source.py), and an engine whose
+        # sources prune on metadata wants the planner to hand them the
+        # predicates
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

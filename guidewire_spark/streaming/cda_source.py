@@ -33,6 +33,7 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -136,3 +137,107 @@ def register_cda_stream_source(spark) -> None:
         spark.dataSource.register(CdaStreamSource)
     except Exception:
         pass  # already registered
+
+
+# ---------------------------------------------------------------------------
+# Batch reader with FILTER PUSHDOWN (Spark 4.1 pushFilters): the
+# commit-timestamp column prunes FOLDERS before any file is opened —
+# the Python-DataSource rendition of Delta's metadata-only partition
+# pruning, and the scale move for "read yesterday's commits" over a
+# years-deep CDA feed.
+# ---------------------------------------------------------------------------
+
+
+class _CdaBatchReader(DataSourceReader):
+    def __init__(self, root: str, columns: list[str]):
+        self.root = root
+        self.columns = columns  # data columns (commit_ts excluded)
+        self.lo = None  # inclusive pushed bounds on commit_ts
+        self.hi = None
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            val = getattr(f, "value", None)
+            if attr == ("commit_ts",) and isinstance(val, int):
+                if isinstance(f, EqualTo):
+                    self.lo = val if self.lo is None else max(self.lo, val)
+                    self.hi = val if self.hi is None else min(self.hi, val)
+                    continue  # fully handled
+                if isinstance(f, GreaterThan):
+                    b = val + 1
+                    self.lo = b if self.lo is None else max(self.lo, b)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = val if self.lo is None else max(self.lo, val)
+                    continue
+                if isinstance(f, LessThan):
+                    b = val - 1
+                    self.hi = b if self.hi is None else min(self.hi, b)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = val if self.hi is None else min(self.hi, val)
+                    continue
+            yield f  # unsupported: Spark evaluates it post-scan
+
+    def partitions(self):
+        parts = []
+        for t in _list_commit_ts(self.root):
+            if self.lo is not None and t < self.lo:
+                continue
+            if self.hi is not None and t > self.hi:
+                continue
+            for f in _list_parquet(os.path.join(self.root, str(t))):
+                p = _CdaFilePartition(f)
+                p.commit_ts = t
+                parts.append(p)
+        return parts
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(partition.path)
+        for b in pf.iter_batches(columns=self.columns):
+            yield b.append_column(
+                "commit_ts", pa.array([partition.commit_ts] * b.num_rows, pa.int64())
+            )
+
+
+class CdaBatchSource(DataSource):
+    """``spark.read.format("gw_cda")
+    .option("path", <fingerprint dir>)`` — every commit folder's rows
+    with a ``commit_ts`` column; range/equality predicates on
+    commit_ts push down to folder pruning."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gw_cda"
+
+    def schema(self):
+        from pyspark.sql import types as T
+
+        base = CdaStreamSource.schema(self)  # same inference
+        return T.StructType(
+            list(base.fields) + [T.StructField("commit_ts", T.LongType(), True)]
+        )
+
+    def reader(self, schema):
+        cols = [f.name for f in schema.fields if f.name != "commit_ts"]
+        return _CdaBatchReader(self.options["path"], cols)
+
+
+def register_cda_batch_source(spark) -> None:
+    """Idempotent per session."""
+    try:
+        spark.dataSource.register(CdaBatchSource)
+    except Exception:
+        pass

@@ -406,3 +406,60 @@ def test_cda_stream_reader_offsets_and_partitions(spark, sf_dir, tmp_path):
     batches = list(r.read(p_all[0]))
     assert sum(b.num_rows for b in batches) == 25
     assert batches[0].schema.names == ["n_nationkey", "n_name"]
+
+
+def test_cda_batch_reader_pushdown_prunes_folders(spark, sf_dir, tmp_path):
+    """pushFilters on commit_ts prunes whole commit folders: bounds
+    tighten across filters, unsupported filters are handed back, and
+    partitions() lists only surviving folders' files."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThanOrEqual,
+    )
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.streaming.cda_source import _CdaBatchReader
+
+    fp = str(tmp_path / "fp001")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    for t in (1000, 2000, 3000):
+        n.coalesce(1).write.parquet(f"{fp}/{t}")
+
+    r = _CdaBatchReader(fp, ["n_nationkey", "n_name"])
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThan(("commit_ts",), 1000),
+                LessThanOrEqual(("commit_ts",), 2500),
+                EqualTo(("n_nationkey",), 3),  # not ours: returned
+            ]
+        )
+    )
+    assert len(leftover) == 1 and isinstance(leftover[0], EqualTo)
+    assert (r.lo, r.hi) == (1001, 2500)
+    parts = r.partitions()
+    assert [p.commit_ts for p in parts] == [2000]
+    # read() appends the folder timestamp as commit_ts
+    b = next(iter(r.read(parts[0])))
+    assert b.schema.names == ["n_nationkey", "n_name", "commit_ts"]
+    assert b.column("commit_ts")[0].as_py() == 2000
+
+    # equality pushes an exact [v, v] window
+    r2 = _CdaBatchReader(fp, ["n_nationkey", "n_name"])
+    assert list(r2.pushFilters([EqualTo(("commit_ts",), 3000)])) == []
+    assert [p.commit_ts for p in r2.partitions()] == [3000]
+
+    # end-to-end through the session (pushdown conf is on engine-wide):
+    # predicate result equals the unpushed logical answer
+    from guidewire_spark.streaming.cda_source import register_cda_batch_source
+
+    register_cda_batch_source(spark)
+    df = (
+        spark.read.format("gw_cda")
+        .option("path", fp)
+        .load()
+        .where("commit_ts > 1000")
+    )
+    assert df.count() == 50  # two surviving folders x 25 rows
