@@ -34,8 +34,10 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -239,5 +241,86 @@ def register_cda_batch_source(spark) -> None:
     """Idempotent per session."""
     try:
         spark.dataSource.register(CdaBatchSource)
+    except Exception:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# Streaming SINK producing the CDA layout (Spark 4 Python
+# DataSourceStreamArrowWriter): each micro-batch lands as one commit
+# folder <base_ts + batchId>/ of parquet files — the engine both
+# consumes AND emits the reference's on-disk contract, so a stream
+# can feed the indexer (or another team's reference deployment)
+# directly.  Exactly-once: executors stage files and return
+# WriterCommitMessages; the driver's commit() publishes the folder
+# atomically-enough (replace-on-retry), so a retried batch republishes
+# the SAME folder instead of duplicating rows.
+# ---------------------------------------------------------------------------
+
+
+class _CdaSinkMessage(WriterCommitMessage):
+    def __init__(self, staged: str | None, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+class _CdaStreamArrowWriter(DataSourceStreamArrowWriter):
+    def __init__(self, root: str, base_ts: int):
+        self.root = root
+        self.base_ts = base_ts
+        self.staging = os.path.join(root, "_staging")
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches:
+            return _CdaSinkMessage(None, 0)
+        os.makedirs(self.staging, exist_ok=True)
+        path = os.path.join(self.staging, f"stage-{_uuid.uuid4().hex}.parquet")
+        tbl = pa.Table.from_batches(batches)
+        pq.write_table(tbl, path)
+        return _CdaSinkMessage(path, tbl.num_rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        folder = os.path.join(self.root, str(self.base_ts + batchId))
+        if os.path.isdir(folder):
+            shutil.rmtree(folder)  # retried batch: republish, not duplicate
+        os.makedirs(folder)
+        i = 0
+        for m in messages:
+            if m is not None and m.staged:
+                os.replace(m.staged, os.path.join(folder, f"part-{i:05d}.parquet"))
+                i += 1
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.staged and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class CdaStreamSink(DataSource):
+    """``df.writeStream.format("gw_cda_sink")
+    .option("path", <fingerprint dir>).option("base_ts", <epoch ms>)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gw_cda_sink"
+
+    def streamWriter(self, schema, overwrite):
+        return _CdaStreamArrowWriter(
+            self.options["path"], int(self.options.get("base_ts", 1800000000000))
+        )
+
+
+def register_cda_stream_sink(spark) -> None:
+    """Idempotent per session."""
+    try:
+        spark.dataSource.register(CdaStreamSink)
     except Exception:
         pass

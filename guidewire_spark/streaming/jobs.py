@@ -1487,3 +1487,64 @@ def stream_cda_pyds_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "event_id long, event_type string, value double"
     ).parquet(f"{root}/out")
+
+
+@query(
+    "stream_cda_sink_roundtrip",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ROUND(CAST(value AS DECIMAL(24,8)), 4) AS DOUBLE) AS value
+    FROM events WHERE user_id % 7 = 0
+    """,
+)
+def stream_cda_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine PRODUCES the CDA layout as a streaming sink
+    (Python DataSourceStreamArrowWriter, streaming/cda_source.py):
+    each micro-batch publishes one commit folder via executor-staged
+    parquet + driver commit (two-phase, retry republishes instead of
+    duplicating), and the result reads back through the gw_cda batch
+    source — stream in, reference-contract folders out, round-trip
+    exact."""
+    import tempfile
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.streaming.cda_source import (
+        register_cda_batch_source,
+        register_cda_stream_sink,
+    )
+
+    register_cda_stream_sink(spark)
+    register_cda_batch_source(spark)
+    root = tempfile.mkdtemp(prefix="gw_cdasink_")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 7 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value").cast("decimal(24,8)"), 4)
+            .cast("double")
+            .alias("value"),
+        )
+    )
+    ev.repartition(3).write.parquet(f"{root}/src")
+    fp = f"{root}/events_out/fp001"
+    q = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/src")
+        .writeStream.format("gw_cda_sink")
+        .option("path", fp)
+        .option("base_ts", "1800000000000")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.format("gw_cda")
+        .option("path", fp)
+        .load()
+        .select("event_id", "event_type", "value")
+    )

@@ -463,3 +463,47 @@ def test_cda_batch_reader_pushdown_prunes_folders(spark, sf_dir, tmp_path):
         .where("commit_ts > 1000")
     )
     assert df.count() == 50  # two surviving folders x 25 rows
+
+
+def test_cda_sink_commit_is_retry_idempotent(spark, sf_dir, tmp_path):
+    """A retried micro-batch commit republishes the SAME folder
+    (replace, not append) — the exactly-once half the sink owns; and
+    a full availableNow drain produces one commit folder per
+    micro-batch that the streaming source can consume back."""
+    import pyarrow as pa
+
+    from guidewire_spark.streaming.cda_source import (
+        _CdaSinkMessage,
+        _CdaStreamArrowWriter,
+        _list_commit_ts,
+        _list_parquet,
+    )
+
+    root = str(tmp_path / "fp001")
+    w = _CdaStreamArrowWriter(root, 5000)
+
+    def _stage(vals):
+        b = pa.RecordBatch.from_pydict({"k": vals})
+        return w.write(iter([b]))
+
+    m1 = _stage([1, 2, 3])
+    w.commit([m1, None], batchId=0)
+    assert _list_commit_ts(root) == [5000]
+    assert len(_list_parquet(f"{root}/5000")) == 1
+
+    # retry of batch 0 with fresh staging must REPLACE, not duplicate
+    m2 = _stage([1, 2, 3])
+    w.commit([m2], batchId=0)
+    files = _list_parquet(f"{root}/5000")
+    assert len(files) == 1
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(files[0]).num_rows == 3
+
+    # abort removes staged leftovers
+    m3 = _stage([9])
+    w.abort([m3, None], batchId=1)
+    import os
+
+    assert not os.path.exists(m3.staged)
+    assert isinstance(m3, _CdaSinkMessage)
