@@ -1548,3 +1548,88 @@ def stream_cda_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .select("event_id", "event_type", "value")
     )
+
+
+@query(
+    "stream_cdc_apply_deletes",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS k, n_name || '_v2' AS v
+    FROM nation WHERE n_nationkey % 5 <> 0
+    UNION ALL
+    SELECT CAST(n_nationkey + 100 AS BIGINT) AS k, n_name AS v
+    FROM nation
+    """,
+)
+def stream_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-apply WITH DELETES: a change feed carrying upserts AND
+    tombstones (op = 'U' / 'D') streams through foreachBatch into the
+    full-clause MERGE — matched 'D' rows delete, matched 'U' rows
+    update, unmatched 'U' rows insert (the source's op column never
+    reaches the target schema).  The feed is key-partitioned so each
+    key arrives in exactly one micro-batch and the apply sequence
+    commutes; the final table equals the relational reconstruction
+    regardless of batch order.  This is the consumer loop the
+    reference's CDA feed exists to drive (README.md:39-43), deletes
+    included."""
+    import tempfile
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.snapshot import read_delta
+    from guidewire_spark.sources.writer import merge_clauses, write_delta
+
+    root = tempfile.mkdtemp(prefix="gw_cdcdel_")
+    table = root + "/state"
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), F.col("n_name").alias("v")
+    )
+    write_delta(n, table, mode="append")
+
+    feed = (
+        n.where(F.col("k") % 5 == 0)
+        .select("k", "v", F.lit("D").alias("op"))
+        .unionByName(
+            n.where(F.col("k") % 5 != 0).select(
+                "k", F.concat(F.col("v"), F.lit("_v2")).alias("v"),
+                F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            n.select((F.col("k") + 100).alias("k"), "v", F.lit("U").alias("op"))
+        )
+    )
+    feed.repartition(3, "k").write.mode("overwrite").parquet(root + "/feed")
+
+    def apply_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        merge_clauses(
+            batch_df.sparkSession,
+            table,
+            batch_df,
+            "k",
+            [
+                {"when": "matched", "condition": "s.op = 'D'", "delete": True},
+                {
+                    "when": "matched",
+                    "condition": "s.op = 'U'",
+                    "update": {"v": "s.v"},
+                },
+                {
+                    "when": "not_matched",
+                    "condition": "s.op = 'U'",
+                    "insert": {"k": "s.k", "v": "s.v"},
+                },
+            ],
+        )
+
+    q = (
+        spark.readStream.schema("k long, v string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root + "/feed")
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_delta(spark, table)
