@@ -354,3 +354,50 @@ def agg_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("intersection_est"),
     )
     return both
+
+
+@query(
+    "training_epoch_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             md5(concat('epoch7:', CAST(doc_id AS VARCHAR))) AS k
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, k,
+             CAST(CAST(concat('0x', substring(k, 1, 8)) AS BIGINT) % 8
+                  AS BIGINT) AS shard
+      FROM keyed
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k)
+                AS BIGINT) AS pos
+    FROM sharded
+    """,
+)
+def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded DETERMINISTIC epoch shuffle — the reproducibility
+    contract of a training-data loader: position = rank of
+    md5(seed || doc_id) within the shard it hashes to.  Re-running
+    with the same seed replays the identical order on any cluster
+    layout (md5 keys are data-derived, partition-arrival-free); a new
+    epoch is a new seed, a full reshuffle, zero state.  Scale shape:
+    shards sort independently (the window partitions by shard), so a
+    1000-shard epoch is 1000 parallel sorts of |docs|/1000 rows —
+    never a global single-reducer sort."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    keyed = d.withColumn(
+        "k", F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("k", 1, 8), 16, 10).cast("long") % 8).cast("long"),
+    )
+    w = Window.partitionBy("shard").orderBy("k")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
