@@ -449,3 +449,62 @@ def delta_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, table).select(
         "c_custkey", "c_mktsegment", "valid_from", "valid_to", "is_current"
     )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    SELECT concat('example.com/p/', CAST(doc_id % 100 AS VARCHAR))
+             AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id
+    FROM documents
+    GROUP BY doc_id % 100
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (the crawled-corpus first pass):
+    scheme/case/www/port/tracking-query/fragment/trailing-slash
+    variants of one page collapse to a canonical key, keep-first by
+    doc_id.  The Spark side DERIVES the canonical form from the messy
+    URL with JVM regex passes; the oracle reconstructs it from the
+    generating parts — a canonicalization bug changes the groups and
+    fails the hash.  Zero-shuffle normalization + one canonical-key
+    aggregate; at crawl scale this is the cheap dedup that runs before
+    any content hashing."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    page = (F.col("doc_id") % 100).cast("string")
+    messy = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://www.example.com/p/"), page, F.lit("/")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("HTTPS://EXAMPLE.com/p/"), page, F.lit("?utm_source=x")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://example.com/p/"), page, F.lit("#frag")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://example.com:80/p/"), page)
+        )
+    )
+    u = F.lower(messy)
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"\?.*$", "")
+    u = F.regexp_replace(u, r":80(/|$)", "$1")
+    u = F.regexp_replace(u, r"/$", "")
+    return (
+        d.withColumn("canonical_url", u)
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min("doc_id").cast("long").alias("kept_doc_id"),
+        )
+    )
