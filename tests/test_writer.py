@@ -1750,3 +1750,44 @@ def test_merge_clauses_prunes_untouched_files(spark, sf_dir, tmp_path):
     # results intact
     got = {r["k"]: r["v"] for r in read_delta(spark, table).collect()}
     assert got[24].endswith("_X") and not got[3].endswith("_X")
+
+
+def test_merge_clauses_on_partitioned_table(spark, sf_dir, tmp_path):
+    """Clause MERGE over a hive-partitioned target: updates keep their
+    partition, inserts land in existing AND brand-new partitions, and
+    by-source deletes reach every partition."""
+    from guidewire_spark.sources.writer import merge_clauses
+
+    table = str(tmp_path / "mcpart")
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "n_chars"
+    ).where(F.col("doc_id") < 200)
+    write_delta(d, table, mode="append", partition_by=["lang"])
+    before_langs = {r["lang"] for r in read_delta(spark, table).select("lang").distinct().collect()}
+
+    src = spark.createDataFrame(
+        [(0, "zz", 11), (1, "zz", 12), (100000, "zz", 13)],
+        "doc_id long, lang string, n_chars long",
+    )
+    merge_clauses(
+        spark, table, src, "doc_id",
+        [
+            {"when": "matched", "condition": None, "update": {"n_chars": "s.n_chars"}},
+            {"when": "not_matched", "condition": None, "insert": None},
+            {
+                "when": "not_matched_by_source",
+                "condition": "t.doc_id >= 190",
+                "delete": True,
+            },
+        ],
+    )
+    out = read_delta(spark, table)
+    rows = {r["doc_id"]: (r["lang"], r["n_chars"]) for r in out.collect()}
+    # updated rows keep their ORIGINAL partition (update touched n_chars only)
+    assert rows[0][1] == 11 and rows[1][1] == 12
+    assert rows[0][0] in before_langs and rows[0][0] != "zz"
+    # insert created a brand-new partition
+    assert rows[100000] == ("zz", 13)
+    # by-source delete applied across partitions
+    assert not [k for k in rows if 190 <= k < 200]
+    assert len(rows) == 190 + 1
