@@ -1633,3 +1633,80 @@ def stream_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return read_delta(spark, table)
+
+
+@query(
+    "stream_stream_left_semi_join",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type, ts FROM events
+               WHERE user_id % 4 = 2)
+    SELECT p.event_id AS purchase_id, p.user_id
+    FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+    WHERE EXISTS (
+      SELECT 1 FROM (SELECT * FROM e WHERE event_type = 'view') v
+      WHERE v.user_id = p.user_id
+        AND v.ts >= p.ts - INTERVAL 24 HOUR AND v.ts <= p.ts
+    )
+    """,
+)
+def stream_stream_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT SEMI interval join: a purchase
+    emits ONCE if any same-user view preceded it within a day —
+    existence, not pairing, so the output never multiplies by match
+    count (the dedup-on-emit is the state-store's job).  Same bounded
+    ~49 h state and sentinel-flush design as the outer variant
+    (stream_stream_left_outer_join's docstring carries the full
+    watermark-pushdown caveat)."""
+    import tempfile
+
+    from guidewire_spark.plans.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="gw_sssemi_")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 4 == 2)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    for etype, sub, sid in (("purchase", "p_src", -1), ("view", "v_src", -2)):
+        side = e.where(F.col("event_type") == etype)
+        sentinel = spark.createDataFrame(
+            [(sid, max_ts, sid, "sentinel")],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 96 HOURS"))
+        side.unionByName(sentinel).write.parquet(f"{root}/{sub}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    p = (
+        spark.readStream.schema(schema)
+        .parquet(f"{root}/p_src")
+        .withWatermark("ts", "25 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    v = (
+        spark.readStream.schema(schema)
+        .parquet(f"{root}/v_src")
+        .withWatermark("ts", "25 hours")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = p.join(
+        v,
+        F.expr(
+            """user_id = v_user_id
+               AND v_ts >= p_ts - INTERVAL 24 HOUR AND v_ts <= p_ts"""
+        ),
+        "left_semi",
+    ).select("purchase_id", "user_id")
+    run_to_parquet(joined, f"{root}/out", f"{root}/ckpt")
+    return (
+        spark.read.schema("purchase_id long, user_id long")
+        .parquet(f"{root}/out")
+        .where(F.col("purchase_id") >= 0)
+    )
