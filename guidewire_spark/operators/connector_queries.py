@@ -13,7 +13,7 @@ import json
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from guidewire_spark.plans.catalog import load_table
@@ -2099,4 +2099,90 @@ def delta_matview_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("var_acctbal"),
+    )
+
+
+@query(
+    "delta_matview_histogram",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderpriority AS grp,
+             CAST(LEAST(FLOOR(o_totalprice / 25000.0), 15) AS BIGINT) AS bin
+      FROM orders WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderpriority,
+             CAST(LEAST(FLOOR(o_totalprice / 25000.0), 15) AS BIGINT)
+      FROM orders WHERE o_orderkey % 7 = 3
+    ),
+    hist AS (
+      SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS view_count
+      FROM final GROUP BY grp, bin
+    ),
+    cum AS (
+      SELECT grp, bin, view_count,
+             SUM(view_count) OVER (PARTITION BY grp ORDER BY bin) AS cum_n,
+             SUM(view_count) OVER (PARTITION BY grp) AS total_n
+      FROM hist
+    )
+    SELECT grp, bin, view_count,
+           CAST(MIN(CASE WHEN cum_n * 2 >= total_n THEN bin END)
+                OVER (PARTITION BY grp) AS BIGINT) AS p50_bin,
+           CAST(MIN(CASE WHEN cum_n * 20 >= total_n * 19 THEN bin END)
+                OVER (PARTITION BY grp) AS BIGINT) AS p95_bin
+    FROM cum
+    """,
+)
+def delta_matview_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental QUANTILES at 100 TB: a fixed-bin histogram is an
+    exactly-mergeable, delete-invertible sketch, so maintaining
+    per-(group, bin) counts as a materialized view gives percentile
+    estimates that refresh from the change feed only — integer bin
+    counts, no float drift, every step oracle-exact (unlike t-digest
+    class sketches whose merge is order-sensitive).  The view refreshes
+    through a copy-on-write DELETE (CDF subtracts) and a re-insert
+    append; p50/p95 derive from the cumulative bin walk with exact
+    integer comparisons (cum*2 >= n, cum*20 >= 19n)."""
+    from guidewire_spark.sources.matview import (
+        create_materialized_aggregate,
+        refresh_materialized_aggregate,
+    )
+    from guidewire_spark.sources.writer import delete_from
+
+    root = tempfile.mkdtemp(prefix="gw_dmvh_")
+    base, view = root + "/base", root + "/view"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        F.least(F.floor(F.col("o_totalprice") / 25000.0), F.lit(15))
+        .cast("long")
+        .alias("bin"),
+    )
+    write_delta(o, base, mode="append")
+    create_materialized_aggregate(
+        spark, base, view, group_cols=["grp", "bin"], sum_cols=[]
+    )
+    delete_from(spark, base, "o_orderkey % 7 = 0")
+    refresh_materialized_aggregate(spark, base, view)
+    write_delta(o.where(F.col("o_orderkey") % 7 == 3), base, mode="append")
+    refresh_materialized_aggregate(spark, base, view)
+
+    hist = read_delta(spark, view).select("grp", "bin", "view_count")
+    w_cum = (
+        Window.partitionBy("grp").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("grp")
+    cum = hist.withColumn("cum_n", F.sum("view_count").over(w_cum)).withColumn(
+        "total_n", F.sum("view_count").over(w_all)
+    )
+    return cum.select(
+        "grp",
+        "bin",
+        "view_count",
+        F.min(
+            F.when(F.col("cum_n") * 2 >= F.col("total_n"), F.col("bin"))
+        ).over(w_all).cast("long").alias("p50_bin"),
+        F.min(
+            F.when(F.col("cum_n") * 20 >= F.col("total_n") * 19, F.col("bin"))
+        ).over(w_all).cast("long").alias("p95_bin"),
     )
