@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import tempfile
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -507,4 +509,45 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_dups"),
             F.min("doc_id").cast("long").alias("kept_doc_id"),
         )
+    )
+
+
+@query(
+    "text_unicode_nfc",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           nfc_normalize(substring(text, 1, 8) || 'e' || chr(769))
+             AS nfc_text,
+           CAST(length(substring(text, 1, 8) || 'e' || chr(769)) AS BIGINT)
+             AS chars_raw,
+           CAST(length(nfc_normalize(substring(text, 1, 8) || 'e' || chr(769)))
+                AS BIGINT) AS chars_nfc
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+)
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization pass a
+    multilingual corpus needs before ANY hash-based dedup (a
+    decomposed 'e'+COMBINING ACUTE and the precomposed 'é' are
+    different bytes, identical text).  Spark has no NFC builtin, so
+    this is a legitimate Arrow-batched pandas UDF (unicodedata.
+    normalize vectorized over string batches); the oracle is DuckDB's
+    native nfc_normalize on the same synthetic decomposed suffix, so
+    the UDF's non-ASCII Arrow round-trip is value-checked exactly —
+    the combining mark must fold and the char count must drop by one."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(col: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return col.map(lambda s: unicodedata.normalize("NFC", s))
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    raw = F.concat(F.substring("text", 1, 8), F.lit("e\u0301"))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        nfc(raw).alias("nfc_text"),
+        F.length(raw).cast("long").alias("chars_raw"),
+        F.length(nfc(raw)).cast("long").alias("chars_nfc"),
     )
