@@ -551,3 +551,86 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(raw).cast("long").alias("chars_raw"),
         F.length(nfc(raw)).cast("long").alias("chars_nfc"),
     )
+
+
+@query(
+    "pipeline_corpus_end_to_end",
+    oracle="""
+    WITH canon AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             md5(lower(trim(text))) AS digest,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY digest
+                                     ORDER BY doc_id) AS rn
+        FROM canon
+      ) WHERE rn = 1
+    ),
+    quality AS (
+      SELECT doc_id, digest, n_tokens FROM kept
+      WHERE n_chars >= 200 AND n_tokens >= 40
+    ),
+    sharded AS (
+      SELECT doc_id, n_tokens,
+             CAST(CAST(concat('0x', substring(md5(concat('ep1:', digest)), 1, 8))
+                       AS BIGINT) % 4 AS BIGINT) AS shard,
+             md5(concat('ep1:', digest)) AS k
+      FROM quality
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k)
+                AS BIGINT) AS pos,
+           CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY k)
+                AS BIGINT) AS shard_tokens_cum
+    FROM sharded
+    """,
+)
+def pipeline_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE composed plan — exact
+    dedup (case/whitespace-canonical md5, keep-first), quality gate
+    (length + token floor), token counting, seeded shard shuffle, and
+    a running token budget per shard — every stage an operator this
+    registry verifies in isolation, composed here to prove the end to
+    end story stays oracle-exact and single-pass: one scan, one
+    dedup shuffle, one shard shuffle (the executed plan carries
+    exactly two exchanges).  At 100 TB each stage is the same shape:
+    digest shuffle ∝ corpus, shard windows sort independently."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("digest"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+            + F.lit(1)
+        ).cast("long").alias("n_tokens"),
+    )
+    w_digest = Window.partitionBy("digest").orderBy("doc_id")
+    kept = (
+        d.withColumn("rn", F.row_number().over(w_digest))
+        .where(F.col("rn") == 1)
+        .where((F.col("n_chars") >= 200) & (F.col("n_tokens") >= 40))
+    )
+    k = F.md5(F.concat(F.lit("ep1:"), F.col("digest")))
+    sharded = kept.select(
+        "doc_id",
+        "n_tokens",
+        (F.conv(F.substring(k, 1, 8), 16, 10).cast("long") % 4)
+        .cast("long")
+        .alias("shard"),
+        k.alias("k"),
+    )
+    w_shard = Window.partitionBy("shard").orderBy("k")
+    w_cum = w_shard.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return sharded.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.row_number().over(w_shard).cast("long").alias("pos"),
+        F.sum("n_tokens").over(w_cum).cast("long").alias("shard_tokens_cum"),
+    )
