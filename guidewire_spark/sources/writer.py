@@ -1209,6 +1209,8 @@ def merge_clauses(
     source: DataFrame,
     on: str | list[str],
     clauses: list[dict],
+    *,
+    merge_schema: bool = False,
 ) -> int:
     """Full ANSI/Delta MERGE clause surface (``merge_into`` is the
     plain-upsert fast path).  ``clauses`` is an ORDERED list; within
@@ -1274,7 +1276,25 @@ def merge_clauses(
     pcols = list(snap.partition_columns or [])
 
     source = _apply_generated_columns(source, table_path)
-    out_cols = [f.name for f in snap.schema.fields]
+    # ``merge_schema=True`` (MERGE WITH SCHEMA EVOLUTION): source-only
+    # columns extend the table additively; kept target rows read NULL
+    # for them.  WITHOUT the flag, extra source columns are simply not
+    # part of the output (the CDC op-tag pattern: clause conditions
+    # read them, the target never stores them) — evolution must be
+    # opted into, never inferred from a wider source.
+    evolved = None
+    if merge_schema:
+        extra = [
+            f.name
+            for f in source.schema.fields
+            if f.name not in {g.name for g in snap.schema.fields}
+        ]
+        if extra:
+            evolved = _merged_schema(snap.schema, source.schema)
+    out_schema = evolved or snap.schema
+    out_cols = [f.name for f in out_schema.fields]
+    t_names = {f.name for f in snap.schema.fields}
+    out_types = {f.name: f.dataType for f in out_schema.fields}
 
     matched = [c for c in clauses if c["when"] == "matched"]
     not_matched = [c for c in clauses if c["when"] == "not_matched"]
@@ -1347,7 +1367,16 @@ def merge_clauses(
     kept = joined.where(
         F.coalesce(F.expr("__tp = 1"), F.lit(False)) & none_applies
     )
-    pieces.append(kept.select(*[F.col(f"t.{c}").alias(c) for c in out_cols]))
+    pieces.append(
+        kept.select(
+            *[
+                F.col(f"t.{c}").alias(c)
+                if c in t_names
+                else F.lit(None).cast(out_types[c]).alias(c)
+                for c in out_cols
+            ]
+        )
+    )
 
     for c, flag in zip(matched + by_source, m_flags + bs_flags):
         if c.get("delete"):
@@ -1358,7 +1387,11 @@ def merge_clauses(
                 *[
                     F.expr(upd[col]).alias(col)
                     if col in upd
-                    else F.col(f"t.{col}").alias(col)
+                    else (
+                        F.col(f"t.{col}").alias(col)
+                        if col in t_names
+                        else F.lit(None).cast(out_types[col]).alias(col)
+                    )
                     for col in out_cols
                 ]
             )
@@ -1385,16 +1418,27 @@ def merge_clauses(
     # may widen (int + 1 → bigint) and the staged files must match the
     # logged schema exactly
     merged = merged.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema.fields]
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in out_schema.fields]
     )
-    merged = _to_physical(merged, snap.schema)
+    merged = _to_physical(merged, out_schema)
     _enforce_constraints(merged, table_path)
 
     files, commit_dir = _stage_files(merged, table_path, pcols or None)
     from guidewire_spark.sources.stats import footer_stats
 
     now = int(time.time() * 1000)
-    actions = [remove_action(p, now) for p in candidates]
+    actions = []
+    if evolved is not None:
+        actions.append(
+            metadata_action(
+                evolved,
+                partition_columns=snap.partition_columns or None,
+                created_time=now,
+                table_id=snap.metadata_id,
+                configuration=table_configuration(table_path),
+            )
+        )
+    actions += [remove_action(p, now) for p in candidates]
     actions += [
         add_action(
             f.path,

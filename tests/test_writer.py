@@ -1791,3 +1791,46 @@ def test_merge_clauses_on_partitioned_table(spark, sf_dir, tmp_path):
     # by-source delete applied across partitions
     assert not [k for k in rows if 190 <= k < 200]
     assert len(rows) == 190 + 1
+
+
+def test_merge_clauses_schema_evolution(spark, sf_dir, tmp_path):
+    """merge_schema=True: source-only columns extend the table in the
+    same atomic commit; kept rows read NULL, updates may SET the new
+    column, inserts carry it. Without the flag, extra source columns
+    stay clause-visible but never reach the target schema."""
+    from guidewire_spark.sources.writer import merge_clauses
+
+    table = str(tmp_path / "mcev")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), F.col("n_name").alias("v")
+    )
+    write_delta(n.where(F.col("k") < 10), table, mode="append")
+
+    src = spark.createDataFrame(
+        [(2, "two", 22), (50, "fifty", 55)], "k long, v string, score long"
+    )
+    merge_clauses(
+        spark, table, src, "k",
+        [
+            {"when": "matched", "condition": None,
+             "update": {"v": "s.v", "score": "s.score"}},
+            {"when": "not_matched", "condition": None, "insert": None},
+        ],
+        merge_schema=True,
+    )
+    out = read_delta(spark, table)
+    assert set(out.columns) == {"k", "v", "score"}
+    rows = {r["k"]: (r["v"], r["score"]) for r in out.collect()}
+    assert rows[2] == ("two", 22)      # updated, new column set
+    assert rows[50] == ("fifty", 55)   # inserted with new column
+    assert rows[3][1] is None          # kept rows read NULL
+    assert len(rows) == 11
+
+    # without the flag: extra source columns don't evolve the schema
+    table2 = str(tmp_path / "mcev2")
+    write_delta(n.where(F.col("k") < 5), table2, mode="append")
+    merge_clauses(
+        spark, table2, src, "k",
+        [{"when": "matched", "condition": "s.score > 20", "update": {"v": "s.v"}}],
+    )
+    assert set(read_delta(spark, table2).columns) == {"k", "v"}
