@@ -1203,6 +1203,106 @@ def merge_into(
     return snap.version + 1
 
 
+def _merge_insert_only(
+    spark: SparkSession,
+    table_path: str,
+    snap,
+    source: DataFrame,
+    keys: list[str],
+    not_matched: list[dict],
+    candidates: list[str],
+    evolved,
+    out_schema,
+    out_cols: list[str],
+    pcols: list[str],
+) -> int:
+    """Pure-append tail of ``merge_clauses`` for insert-only merges:
+    anti-join the source against the pruned candidates' keys, apply
+    the not-matched clauses first-applicable, append ONE new file set
+    — zero removes, so row-tracked and append-only tables both accept
+    it, and the commit cost is the inserted rows, not the candidate
+    files."""
+    from pyspark.sql import functions as F
+
+    if candidates:
+        target_keys = _read_with_partitions(spark, snap, candidates).select(*keys)
+        fresh = source.alias("s").join(target_keys, keys, "left_anti")
+    else:
+        fresh = source.alias("s")
+
+    src_names = set(source.columns)
+    pieces = []
+    earlier = F.lit(False)
+    for c in not_matched:
+        cond = (
+            F.coalesce(F.expr(c["condition"]), F.lit(False))
+            if c.get("condition")
+            else F.lit(True)
+        )
+        flag = ~earlier & cond
+        earlier = earlier | cond
+        ins = c.get("insert")
+        exprs = []
+        for col in out_cols:
+            if ins is not None and col in ins:
+                exprs.append(F.expr(ins[col]).alias(col))
+            elif ins is None and col in src_names:
+                exprs.append(F.col(f"s.{col}").alias(col))
+            else:
+                exprs.append(F.lit(None).alias(col))
+        pieces.append(fresh.where(flag).select(*exprs))
+
+    merged = pieces[0]
+    for p in pieces[1:]:
+        merged = merged.unionByName(p)
+    merged = merged.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in out_schema.fields]
+    )
+    merged = _to_physical(merged, out_schema)
+    _enforce_constraints(merged, table_path)
+
+    files, commit_dir = _stage_files(merged, table_path, pcols or None)
+    from guidewire_spark.sources.stats import footer_stats
+
+    now = int(time.time() * 1000)
+    actions: list[dict] = []
+    config = table_configuration(table_path)
+    base_ids: dict[str, int] = {}
+    if _row_tracking_enabled(table_path):
+        base_ids, config = _assign_base_row_ids(table_path, files, config)
+    if evolved is not None or base_ids:
+        actions.append(
+            metadata_action(
+                evolved or snap.schema,
+                partition_columns=snap.partition_columns or None,
+                created_time=now,
+                table_id=snap.metadata_id,
+                configuration=config,
+            )
+        )
+    actions += [
+        add_action(
+            f.path,
+            f.size,
+            f.modification_time,
+            stats=footer_stats(f.path),
+            partition_values=(
+                _partition_values(f.path, commit_dir, pcols) if pcols else None
+            ),
+            base_row_id=base_ids.get(f.path),
+        )
+        for f in files
+    ]
+    actions.append(
+        commit_info_action(
+            "MERGE", "Insert-only", False, len(files),
+            sum(f.size for f in files), now,
+        )
+    )
+    write_commit(table_path, snap.version + 1, actions)
+    return snap.version + 1
+
+
 def merge_clauses(
     spark: SparkSession,
     table_path: str,
@@ -1256,8 +1356,11 @@ def merge_clauses(
         c.get("delete") or c.get("update") for c in clauses
     )
     _reject_identity_dml(table_path, "MERGE")
-    _reject_rewrite_on_row_tracking(table_path, "MERGE")
     if removes_rows:
+        # insert-only merges move no existing row: legal on row-tracked
+        # AND append-only tables (Delta parity); anything that
+        # updates/deletes is a rewrite and takes the guards
+        _reject_rewrite_on_row_tracking(table_path, "MERGE")
         _reject_on_append_only(table_path, "MERGE (with update/delete clauses)")
     for c in clauses:
         when = c.get("when")
@@ -1326,6 +1429,17 @@ def merge_clauses(
 
     if not candidates and not not_matched:
         raise ValueError("MERGE matched no target files and has no insert clause")
+
+    if not matched and not by_source:
+        # INSERT-ONLY fast path: no target row changes, so no file is
+        # rewritten — the merge is a pure APPEND of source rows whose
+        # keys are absent from the target (anti-join against the
+        # pruned candidates' keys, read-only).  Kept rows never move,
+        # which is also what makes this legal on row-tracked tables.
+        return _merge_insert_only(
+            spark, table_path, snap, source, keys, not_matched,
+            candidates, evolved, out_schema, out_cols, pcols,
+        )
 
     t = (
         _read_with_partitions(spark, snap, candidates)

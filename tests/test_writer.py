@@ -1834,3 +1834,49 @@ def test_merge_clauses_schema_evolution(spark, sf_dir, tmp_path):
         [{"when": "matched", "condition": "s.score > 20", "update": {"v": "s.v"}}],
     )
     assert set(read_delta(spark, table2).columns) == {"k", "v"}
+
+
+def test_merge_clauses_insert_only_is_pure_append(spark, sf_dir, tmp_path):
+    """Insert-only merges rewrite NOTHING: the commit carries zero
+    remove actions, works on a row-tracked table (fresh base ids for
+    the appended file only), and existing rows keep their stable ids."""
+    import json
+
+    from guidewire_spark.sources.deltalog import delta_log_dir
+    from guidewire_spark.sources.writer import enable_row_tracking, merge_clauses
+
+    table = str(tmp_path / "mio")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), F.col("n_name").alias("v")
+    )
+    write_delta(n, table, mode="append")
+    enable_row_tracking(table)
+    ids_before = {
+        r["k"]: r["_row_id"]
+        for r in read_delta(spark, table, with_row_ids=True).collect()
+    }
+
+    src = spark.createDataFrame(
+        [(3, "EXISTS"), (200, "NEW"), (201, "NEW2")], "k long, v string"
+    )
+    v = merge_clauses(
+        spark, table, src, "k",
+        [{"when": "not_matched", "condition": None, "insert": None}],
+    )
+    removes, adds = 0, 0
+    with open(f"{delta_log_dir(table)}/{v:020d}.json") as fh:
+        for line in fh:
+            a = json.loads(line)
+            removes += "remove" in a
+            adds += "add" in a
+    assert removes == 0 and adds >= 1
+
+    after = {
+        r["k"]: (r["v"], r["_row_id"])
+        for r in read_delta(spark, table, with_row_ids=True).collect()
+    }
+    assert after[3][0] != "EXISTS"            # matched row untouched
+    assert after[200][0] == "NEW" and after[201][0] == "NEW2"
+    for k, rid in ids_before.items():
+        assert after[k][1] == rid             # stable ids survive
+    assert after[200][1] not in ids_before.values()  # fresh id range
