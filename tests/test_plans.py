@@ -774,3 +774,28 @@ def test_fuzzy_deletion_join_has_no_cross_join(spark, sf_dir):
     plan = plan_of(join_fuzzy_deletion(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_end_to_end_pipeline_two_exchanges(spark, sf_dir):
+    """pipeline_corpus_end_to_end's whole contract is composition
+    WITHOUT extra shuffles: exactly two hash exchanges (digest dedup,
+    shard window), map-side-combined nothing else, and the scan reads
+    only the three columns the pipeline uses."""
+    from guidewire_spark.operators.pipeline_ext import pipeline_corpus_end_to_end
+
+    plan = plan_of(pipeline_corpus_end_to_end(spark, sf_dir))
+    assert plan.count("hashpartitioning(") == 2
+    assert "CartesianProduct" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_epoch_shuffle_no_global_sort(spark, sf_dir):
+    """training_epoch_shuffle must sort per shard: one hash exchange
+    on the shard key, never a global range exchange (the
+    single-reducer sort that dies at 100 TB)."""
+    from guidewire_spark.operators.mlprep_ext import training_epoch_shuffle
+
+    plan = plan_of(training_epoch_shuffle(spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert plan.count("hashpartitioning(") == 1
