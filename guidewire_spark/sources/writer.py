@@ -1203,6 +1203,24 @@ def merge_into(
     return snap.version + 1
 
 
+def _merge_insert_exprs(ins, out_cols, src_names):
+    """Column list for one WHEN NOT MATCHED INSERT clause: explicit
+    mapping wins, else same-name source column, else NULL.  Shared by
+    the full-join path and the insert-only fast path so their insert
+    semantics cannot drift."""
+    from pyspark.sql import functions as F
+
+    exprs = []
+    for col in out_cols:
+        if ins is not None and col in ins:
+            exprs.append(F.expr(ins[col]).alias(col))
+        elif ins is None and col in src_names:
+            exprs.append(F.col(f"s.{col}").alias(col))
+        else:
+            exprs.append(F.lit(None).alias(col))
+    return exprs
+
+
 def _merge_insert_only(
     spark: SparkSession,
     table_path: str,
@@ -1241,16 +1259,12 @@ def _merge_insert_only(
         )
         flag = ~earlier & cond
         earlier = earlier | cond
-        ins = c.get("insert")
-        exprs = []
-        for col in out_cols:
-            if ins is not None and col in ins:
-                exprs.append(F.expr(ins[col]).alias(col))
-            elif ins is None and col in src_names:
-                exprs.append(F.col(f"s.{col}").alias(col))
-            else:
-                exprs.append(F.lit(None).alias(col))
-        pieces.append(fresh.where(flag).select(*exprs))
+        piece = fresh.where(flag).select(
+            *_merge_insert_exprs(c.get("insert"), out_cols, src_names)
+        )
+        for gcol, gexpr in table_generated_columns(table_path).items():
+            piece = piece.withColumn(gcol, F.expr(gexpr))
+        pieces.append(piece.select(*out_cols))
 
     merged = pieces[0]
     for p in pieces[1:]:
@@ -1362,6 +1376,8 @@ def merge_clauses(
         # updates/deletes is a rewrite and takes the guards
         _reject_rewrite_on_row_tracking(table_path, "MERGE")
         _reject_on_append_only(table_path, "MERGE (with update/delete clauses)")
+    if not clauses:
+        raise ValueError("MERGE requires at least one clause")
     for c in clauses:
         when = c.get("when")
         if when not in ("matched", "not_matched", "not_matched_by_source"):
@@ -1372,6 +1388,10 @@ def merge_clauses(
             raise ValueError(
                 "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE only"
             )
+        if when in ("matched", "not_matched_by_source") and not (
+            c.get("delete") or "update" in c
+        ):
+            raise ValueError(f"WHEN {when} clause needs 'update' or 'delete'")
 
     snap = load_snapshot(table_path)
     if not snap.files:
@@ -1379,6 +1399,16 @@ def merge_clauses(
     pcols = list(snap.partition_columns or [])
 
     source = _apply_generated_columns(source, table_path)
+    gen_cols = table_generated_columns(table_path)
+    for c in clauses:
+        assigned = set(c.get("update") or {}) | set(c.get("insert") or {})
+        bad = assigned & set(gen_cols)
+        if bad:
+            raise ValueError(
+                f"column(s) {sorted(bad)} are GENERATED ALWAYS AS — a merge "
+                "clause may not assign them (they re-materialize from their "
+                "expression over the written row)"
+            )
     # ``merge_schema=True`` (MERGE WITH SCHEMA EVOLUTION): source-only
     # columns extend the table additively; kept target rows read NULL
     # for them.  WITHOUT the flag, extra source columns are simply not
@@ -1409,14 +1439,21 @@ def merge_clauses(
         bounds = source.agg(
             F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
         ).collect()[0]
-        candidates = snap.pruned_files(keys[0], bounds["lo"], bounds["hi"])
+        if bounds["lo"] is None and bounds["hi"] is None:
+            # no non-NULL source key: nothing can match (NULL never
+            # joins), so no candidate file — an empty CDC micro-batch
+            # must not rewrite the table as a no-op
+            candidates = []
+        else:
+            candidates = snap.pruned_files(keys[0], bounds["lo"], bounds["hi"])
 
-    if matched and candidates:
+    if (matched or by_source) and candidates:
         # Delta's deterministic-merge rule: a target row may match at
-        # most one source row.  Equi-key merge → equivalent check:
-        # duplicated source keys that also exist in the target.  Scans
-        # only the stats-pruned candidates (a duplicate key that hits
-        # no target file cannot match a target row), keys column only.
+        # most one source row.  Required whenever the full-outer join
+        # runs (a by-source-only merge would otherwise DUPLICATE every
+        # multiply-matched kept row).  Equi-key merge → equivalent
+        # check: duplicated source keys that also exist in the target;
+        # scans only the stats-pruned candidates, keys column only.
         dup_keys = (
             source.groupBy(*keys).count().where(F.col("count") > 1).drop("count")
         )
@@ -1428,7 +1465,7 @@ def merge_clauses(
             )
 
     if not candidates and not not_matched:
-        raise ValueError("MERGE matched no target files and has no insert clause")
+        return snap.version  # nothing to touch, nothing to insert: no-op
 
     if not matched and not by_source:
         # INSERT-ONLY fast path: no target row changes, so no file is
@@ -1496,34 +1533,31 @@ def merge_clauses(
         if c.get("delete"):
             continue  # delete = drop the rows; nothing to union
         upd = c["update"]
-        pieces.append(
-            joined.where(flag).select(
-                *[
-                    F.expr(upd[col]).alias(col)
-                    if col in upd
-                    else (
-                        F.col(f"t.{col}").alias(col)
-                        if col in t_names
-                        else F.lit(None).cast(out_types[col]).alias(col)
-                    )
-                    for col in out_cols
-                ]
-            )
+        base_proj = joined.where(flag).select(
+            *[
+                F.expr(upd[col]).alias(col)
+                if col in upd
+                else (
+                    F.col(f"t.{col}").alias(col)
+                    if col in t_names
+                    else F.lit(None).cast(out_types[col]).alias(col)
+                )
+                for col in out_cols
+            ]
         )
+        for gcol, gexpr in gen_cols.items():
+            base_proj = base_proj.withColumn(gcol, F.expr(gexpr))
+        pieces.append(base_proj.select(*out_cols))
 
     nm_flags = _first_applicable(not_matched, "__tp IS NULL AND __sp = 1")
     src_names = set(source.columns)
     for c, flag in zip(not_matched, nm_flags):
-        ins = c.get("insert")
-        exprs = []
-        for col in out_cols:
-            if ins is not None and col in ins:
-                exprs.append(F.expr(ins[col]).alias(col))
-            elif ins is None and col in src_names:
-                exprs.append(F.col(f"s.{col}").alias(col))
-            else:
-                exprs.append(F.lit(None).alias(col))
-        pieces.append(joined.where(flag).select(*exprs))
+        ins_proj = joined.where(flag).select(
+            *_merge_insert_exprs(c.get("insert"), out_cols, src_names)
+        )
+        for gcol, gexpr in gen_cols.items():
+            ins_proj = ins_proj.withColumn(gcol, F.expr(gexpr))
+        pieces.append(ins_proj.select(*out_cols))
 
     merged = pieces[0]
     for p in pieces[1:]:

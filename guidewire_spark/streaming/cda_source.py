@@ -97,6 +97,8 @@ class _CdaStreamReader(DataSourceStreamReader):
     def read(self, partition: _CdaFilePartition):
         import pyarrow.parquet as pq
 
+        if partition is None:
+            return  # Spark substitutes [None] for an empty partition list
         # Arrow record batches straight off the file — column-pruned
         # to the stream schema, never materialized as Python rows
         pf = pq.ParquetFile(partition.path)
@@ -122,10 +124,12 @@ class CdaStreamSource(DataSource):
         ts = _list_commit_ts(root)
         if not ts:
             raise ValueError(f"no CDA commit folders under {root}")
-        files = _list_parquet(os.path.join(root, str(ts[0])))
-        if not files:
-            raise ValueError(f"first CDA commit under {root} holds no parquet")
-        return from_arrow_schema(pq.read_schema(files[0]))
+        for t in ts:  # first commit WITH data (an empty folder — e.g. a
+            # crashed sink publish — must not poison the whole feed)
+            files = _list_parquet(os.path.join(root, str(t)))
+            if files:
+                return from_arrow_schema(pq.read_schema(files[0]))
+        raise ValueError(f"no CDA commit under {root} holds any parquet")
 
     def streamReader(self, schema):
         return _CdaStreamReader(
@@ -207,6 +211,8 @@ class _CdaBatchReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if partition is None:
+            return  # empty micro-batch: Spark passes a [None] placeholder
         pf = pq.ParquetFile(partition.path)
         for b in pf.iter_batches(columns=self.columns):
             yield b.append_column(
@@ -287,16 +293,22 @@ class _CdaStreamArrowWriter(DataSourceStreamArrowWriter):
 
     def commit(self, messages, batchId: int) -> None:
         import shutil
+        import uuid as _uuid
 
+        # assemble the COMPLETE folder under a non-digit temp name (the
+        # commit listing only accepts digit-named dirs, so readers can
+        # never observe a partial publish), then ONE atomic rename
         folder = os.path.join(self.root, str(self.base_ts + batchId))
-        if os.path.isdir(folder):
-            shutil.rmtree(folder)  # retried batch: republish, not duplicate
-        os.makedirs(folder)
+        tmp = os.path.join(self.root, f"publish-{_uuid.uuid4().hex}.tmp")
+        os.makedirs(tmp)
         i = 0
         for m in messages:
             if m is not None and m.staged:
-                os.replace(m.staged, os.path.join(folder, f"part-{i:05d}.parquet"))
+                os.replace(m.staged, os.path.join(tmp, f"part-{i:05d}.parquet"))
                 i += 1
+        if os.path.isdir(folder):
+            shutil.rmtree(folder)  # retried batch: republish, not duplicate
+        os.rename(tmp, folder)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

@@ -507,3 +507,43 @@ def test_cda_sink_commit_is_retry_idempotent(spark, sf_dir, tmp_path):
 
     assert not os.path.exists(m3.staged)
     assert isinstance(m3, _CdaSinkMessage)
+
+
+def test_cda_source_review_hardening(spark, sf_dir, tmp_path):
+    """Round-7 review fixes pinned: (a) a filter pruning every folder
+    returns 0 rows instead of crashing on Spark's [None] placeholder
+    partition; (b) schema inference skips data-less leading commit
+    folders; (c) the sink publishes a complete folder via one atomic
+    rename (temp name is non-digit, invisible to the commit listing)."""
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.streaming.cda_source import (
+        _CdaStreamArrowWriter,
+        _list_commit_ts,
+        register_cda_batch_source,
+    )
+
+    fp = str(tmp_path / "fp001")
+    # (b) leading folder with no readable parquet
+    (tmp_path / "fp001" / "500").mkdir(parents=True)
+    (tmp_path / "fp001" / "500" / "_marker").write_bytes(b"x")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n.coalesce(1).write.parquet(f"{fp}/1000")
+
+    register_cda_batch_source(spark)
+    df = spark.read.format("gw_cda").option("path", fp).load()
+    assert df.count() == 25  # schema inferred despite the empty folder
+
+    # (a) all folders pruned → empty result, no crash
+    assert df.where("commit_ts > 999999").count() == 0
+
+    # (c) no transient digit folder is ever listable mid-publish: the
+    # temp assembly dir is non-digit, and a finished publish is one
+    # rename — verify the published folder appears fully formed
+    import pyarrow as pa
+
+    w = _CdaStreamArrowWriter(fp, 2000)
+    m = w.write(iter([pa.RecordBatch.from_pydict({"x": [1, 2]})]))
+    w.commit([m], batchId=0)
+    assert 2000 in _list_commit_ts(fp)
+    leftovers = [d for d in (tmp_path / "fp001").iterdir() if "tmp" in d.name]
+    assert not leftovers

@@ -1732,8 +1732,13 @@ def test_merge_clauses_prunes_untouched_files(spark, sf_dir, tmp_path):
     write_delta(n.where(F.col("k") < 10).coalesce(1), table, mode="append")
     write_delta(n.where(F.col("k") >= 10).coalesce(1), table, mode="append")
     snap_before = load_snapshot(table)
-    low_files = {p for p in snap_before.files if True}
     assert len(snap_before.files) == 2
+    import pyarrow.parquet as pq
+
+    high_file = next(
+        p for p in snap_before.files
+        if pq.read_table(p, columns=["k"])["k"].to_pylist()[0] >= 10
+    )
 
     src = n.where(F.col("k") >= 20)
     v = merge_clauses(
@@ -1747,6 +1752,9 @@ def test_merge_clauses_prunes_untouched_files(spark, sf_dir, tmp_path):
             if "remove" in a:
                 removed.append(a["remove"]["path"])
     assert len(removed) == 1  # only the high-range file was rewritten
+    import os as _os
+
+    assert _os.path.basename(removed[0]) == _os.path.basename(high_file)
     # results intact
     got = {r["k"]: r["v"] for r in read_delta(spark, table).collect()}
     assert got[24].endswith("_X") and not got[3].endswith("_X")
@@ -1880,3 +1888,67 @@ def test_merge_clauses_insert_only_is_pure_append(spark, sf_dir, tmp_path):
     for k, rid in ids_before.items():
         assert after[k][1] == rid             # stable ids survive
     assert after[200][1] not in ids_before.values()  # fresh id range
+
+
+def test_merge_clauses_review_hardening(spark, sf_dir, tmp_path):
+    """Round-7 review fixes pinned: (a) duplicate source keys are
+    refused on by-source-only merges too (the full-outer join would
+    silently duplicate kept rows); (b) an empty CDC micro-batch is a
+    NO-OP, never a whole-table rewrite; (c) empty or action-less
+    clauses are refused up front; (d) an update that moves a
+    generation input re-materializes the generated column."""
+    from guidewire_spark.sources.deltalog import last_version
+    from guidewire_spark.sources.writer import merge_clauses
+
+    table = str(tmp_path / "mch")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), F.col("n_name").alias("v")
+    )
+    write_delta(n, table, mode="append")
+
+    # (a) dup keys + by-source-only: refused, not silently duplicated
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_clauses(
+            spark, table, dup, "k",
+            [{"when": "not_matched_by_source", "condition": "t.k > 100",
+              "delete": True}],
+        )
+
+    # (b) empty source: no-op version, zero rewrites
+    v_before = last_version(table)
+    empty = spark.createDataFrame([], "k long, v string")
+    v_after = merge_clauses(
+        spark, table, empty, "k",
+        [{"when": "matched", "condition": None, "update": {"v": "s.v"}}],
+    )
+    assert v_after == v_before and last_version(table) == v_before
+
+    # (c) validation up front
+    with pytest.raises(ValueError, match="at least one clause"):
+        merge_clauses(spark, table, dup, "k", [])
+    with pytest.raises(ValueError, match="needs 'update' or 'delete'"):
+        merge_clauses(spark, table, dup, "k",
+                      [{"when": "matched", "condition": "s.k > 0"}])
+
+    # (d) generated column re-materializes through an UPDATE
+    gtable = str(tmp_path / "mchg")
+    base = n.where(F.col("k") < 5)
+    write_delta(base, gtable, mode="append",
+                generated_columns={"k2": "k * 2"})
+    with pytest.raises(ValueError, match="GENERATED ALWAYS|contradict"):
+        merge_clauses(
+            spark, gtable, spark.createDataFrame([(1, "x", 99)],
+                                                 "k long, v string, k2 long"),
+            "k",
+            [{"when": "matched", "condition": None, "update": {"k2": "s.k2"}}],
+        )
+    merge_clauses(
+        spark, gtable,
+        spark.createDataFrame([(1, "moved")], "k long, v string"),
+        "k",
+        [{"when": "matched", "condition": None,
+          "update": {"k": "s.k + 40", "v": "s.v"}}],
+    )
+    rows = {r["k"]: r["k2"] for r in read_delta(spark, gtable).collect()}
+    assert rows[41] == 82  # regenerated from the UPDATED key, not stale 2
