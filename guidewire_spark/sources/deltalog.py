@@ -96,6 +96,65 @@ def protocol_action(min_reader: int = 1, min_writer: int = 2) -> dict:
     return {"protocol": {"minReaderVersion": min_reader, "minWriterVersion": min_writer}}
 
 
+DEFAULT_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+# Legacy protocol versions IMPLY feature sets (public PROTOCOL.md,
+# "Table Features" appendix): converting a table to the features form
+# (minWriterVersion=7) must list every feature the old version already
+# granted, or an external writer would conclude those features are off.
+_LEGACY_WRITER_FEATURES = {
+    2: {"appendOnly", "invariants"},
+    3: {"checkConstraints"},
+    4: {"changeDataFeed", "generatedColumns"},
+    5: {"columnMapping"},
+    6: {"identityColumns"},
+}
+_LEGACY_READER_FEATURES = {2: {"columnMapping"}}
+
+
+def _implied_features(table: dict, version: int) -> set[str]:
+    out: set[str] = set()
+    for v, feats in table.items():
+        if version >= v:
+            out |= feats
+    return out
+
+
+def feature_upgrade_action(
+    current: dict | None,
+    reader_features: set[str] | None = None,
+    writer_features: set[str] | None = None,
+) -> dict | None:
+    """Protocol action advertising ``reader_features`` /
+    ``writer_features`` on top of ``current``, or None when the
+    current protocol already grants them.  This is the write-side half
+    of the external-reader contract: a table carrying deletion vectors
+    at minReaderVersion=1 would let an old reader silently resurface
+    deleted rows — the protocol's whole job is making that a refusal
+    instead (the read-side half is check_reader_protocol)."""
+    cur = dict(current or DEFAULT_PROTOCOL)
+    want_r = set(reader_features or ())
+    want_w = set(writer_features or ())
+    have_r = set(cur.get("readerFeatures") or []) | _implied_features(
+        _LEGACY_READER_FEATURES, int(cur.get("minReaderVersion", 1))
+    )
+    have_w = set(cur.get("writerFeatures") or []) | _implied_features(
+        _LEGACY_WRITER_FEATURES, int(cur.get("minWriterVersion", 2))
+    )
+    if want_r <= have_r and want_w <= have_w:
+        return None
+    all_r = have_r | want_r
+    all_w = have_w | want_w | all_r  # a reader feature is also a writer feature
+    new: dict = {
+        "minReaderVersion": 3 if all_r else int(cur.get("minReaderVersion", 1)),
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(all_w),
+    }
+    if all_r:
+        new["readerFeatures"] = sorted(all_r)
+    return {"protocol": new}
+
+
 def metadata_action(
     schema: T.StructType,
     partition_columns: list[str] | None = None,

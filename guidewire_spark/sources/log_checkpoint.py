@@ -39,6 +39,8 @@ _CHECKPOINT_SCHEMA = pa.schema(
                 [
                     pa.field("minReaderVersion", pa.int32()),
                     pa.field("minWriterVersion", pa.int32()),
+                    pa.field("readerFeatures", pa.list_(pa.string())),
+                    pa.field("writerFeatures", pa.list_(pa.string())),
                 ]
             ),
         ),
@@ -239,14 +241,13 @@ def _state_rows(table_path: str, version: int | None):
     # advertising (1, 2) would let a reader bind post-RENAME files by
     # logical name and read nulls.
     mapped = config.get("delta.columnMapping.mode") not in (None, "none")
-    header: list[dict] = [
-        {
-            "protocol": {
-                "minReaderVersion": 2 if mapped else 1,
-                "minWriterVersion": 5 if mapped else 2,
-            }
-        }
-    ]
+    proto = dict(snap.protocol)
+    if mapped and int(proto.get("minReaderVersion", 1)) < 2:
+        # legacy-mapped table that never saw a feature upgrade:
+        # advertising (1, 2) would let a reader bind post-RENAME files
+        # by logical name and read nulls
+        proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+    header: list[dict] = [{"protocol": proto}]
     if snap.schema is not None:
         header.append(
             {
@@ -451,6 +452,7 @@ def load_checkpoint_state(
     config: dict[str, str] = {}
     domains: dict[str, str] = {}
     txns: dict[str, int] = {}
+    protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
     for row in action_rows:
         t = row.get("txn")
         if t and t.get("appId") is not None and t.get("version") is not None:
@@ -462,6 +464,7 @@ def load_checkpoint_state(
             from guidewire_spark.sources.deltalog import check_reader_protocol
 
             check_reader_protocol(proto, table_path)
+            protocol = {k: v for k, v in proto.items() if v is not None}
         dm = row.get("domainMetadata")
         if dm and dm.get("domain") and not dm.get("removed"):
             domains[dm["domain"]] = dm.get("configuration") or ""
@@ -483,7 +486,7 @@ def load_checkpoint_state(
             part_cols = list(meta.get("partitionColumns") or [])
             config = dict(meta.get("configuration") or [])
     return (active, sizes, partitions, dvs, base_rows, schema, meta_id,
-            part_cols, config, domains, txns)
+            part_cols, config, domains, txns, protocol)
 
 
 def expire_log(table_path: str, keep_versions: int) -> dict:

@@ -94,6 +94,11 @@ class DeltaSnapshot:
     # carried through checkpoints so idempotent writers survive log
     # retention (expire_log deletes the JSON trail they once walked)
     txns: dict[str, int] = field(default_factory=dict)
+    # last protocol action AS OF this version (table-features form
+    # preserved) — writers consult it before advertising new features
+    protocol: dict = field(
+        default_factory=lambda: {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
 
     @property
     def num_files(self) -> int:
@@ -197,13 +202,14 @@ def load_snapshot(
     config: dict[str, str] = {}
     domains: dict[str, str] = {}
     txns: dict[str, int] = {}
+    protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
     commit_ts: dict[int, int] = {}
     replay_after = -1
     if ckpt_version is not None and ckpt_version <= version:
         # O(1) replay: seed from the checkpoint parquet, then apply
         # only the JSON tail — instead of O(versions) JSON reads.
         (active, sizes, partitions, dvs, base_rows, schema, meta_id,
-         part_cols, config, domains, txns) = load_checkpoint_state(
+         part_cols, config, domains, txns, protocol) = load_checkpoint_state(
             table_path, ckpt_version
         )
         replay_after = ckpt_version
@@ -258,6 +264,7 @@ def load_snapshot(
                 )
 
                 check_reader_protocol(action["protocol"], table_path)
+                protocol = dict(action["protocol"])
             elif "domainMetadata" in action:
                 dm = action["domainMetadata"]
                 if dm.get("removed"):
@@ -285,6 +292,7 @@ def load_snapshot(
         configuration=config,
         domains=domains,
         txns=txns,
+        protocol=protocol,
     )
 
 

@@ -338,7 +338,7 @@ def add_check_constraint(
         commit_info_action(
             "ADD CONSTRAINT", f"{name} CHECK ({expr})", False, 0, 0, now
         ),
-    ]
+    ] + _feature_upgrade_actions(snap, writer={"checkConstraints"})
     write_commit(table_path, snap.version + 1, actions)
     return snap.version + 1
 
@@ -435,7 +435,9 @@ def rename_column(table_path: str, old: str, new: str) -> int:
             configuration=config,
         ),
         commit_info_action("RENAME COLUMN", f"{old} -> {new}", False, 0, 0, now),
-    ]
+    ] + _feature_upgrade_actions(
+        snap, reader={"columnMapping"}, writer={"columnMapping"}
+    )
     write_commit(table_path, snap.version + 1, actions)
     return snap.version + 1
 
@@ -506,7 +508,11 @@ def add_column(
         commit_info_action(
             "ADD COLUMNS", f"{name} {type_str}", False, 0, 0, now
         ),
-    ]
+    ] + (
+        _feature_upgrade_actions(snap, writer={"allowColumnDefaults"})
+        if default is not None
+        else []
+    )
     write_commit(table_path, snap.version + 1, actions)
     return snap.version + 1
 
@@ -560,7 +566,9 @@ def widen_column_type(table_path: str, column: str, new_type: str) -> int:
             0,
             now,
         ),
-    ]
+    ] + _feature_upgrade_actions(
+        snap, reader={"typeWidening"}, writer={"typeWidening"}
+    )
     write_commit(table_path, snap.version + 1, actions)
     return snap.version + 1
 
@@ -599,7 +607,9 @@ def drop_column(table_path: str, name: str) -> int:
             configuration=config,
         ),
         commit_info_action("DROP COLUMN", name, False, 0, 0, now),
-    ]
+    ] + _feature_upgrade_actions(
+        snap, reader={"columnMapping"}, writer={"columnMapping"}
+    )
     write_commit(table_path, snap.version + 1, actions)
     return snap.version + 1
 
@@ -1784,7 +1794,9 @@ def delete_from_mor(
     by_path = {normalize_path(p): p for p in candidates}
 
     now = int(time.time() * 1000)
-    actions = []
+    actions = _feature_upgrade_actions(
+        snap, reader={"deletionVectors"}, writer={"deletionVectors"}
+    )
     for key, descriptor in sorted(merged.items()):
         path = by_path[key]
         actions.append(remove_action(path, now, size=snap.file_sizes.get(path)))
@@ -1846,6 +1858,18 @@ def _reject_on_append_only(table_path: str, op: str) -> None:
             f"{op} is not allowed on append-only table {table_path} "
             "(delta.appendOnly=true); unset the property to run DML"
         )
+
+
+def _feature_upgrade_actions(snap, reader=(), writer=()) -> list[dict]:
+    """Protocol-upgrade action(s) a feature-bearing commit must carry
+    so EXTERNAL readers/writers are told about the feature (our own
+    reader handles everything regardless; the protocol action is for
+    everyone else — a DV table advertising minReaderVersion=1 lets an
+    old reader silently resurface deleted rows)."""
+    from guidewire_spark.sources.deltalog import feature_upgrade_action
+
+    act = feature_upgrade_action(snap.protocol, set(reader), set(writer))
+    return [act] if act else []
 
 
 def _file_record_counts(files_or_paths, name_hint: str) -> list[tuple[str, int]]:
@@ -1930,7 +1954,7 @@ def enable_in_commit_timestamps(table_path: str) -> int:
             table_id=snap.metadata_id,
             configuration=config,
         ),
-    ]
+    ] + _feature_upgrade_actions(snap, writer={"inCommitTimestamp"})
     write_commit(table_path, snap.version + 1, actions)
     return snap.version + 1
 
@@ -2048,7 +2072,9 @@ def set_clustering_columns(table_path: str, columns: list[str]) -> int:
         commit_info_action(
             "CLUSTER BY", ",".join(columns) or "NONE", False, 0, 0, now
         ),
-    ]
+    ] + _feature_upgrade_actions(
+        snap, writer={"domainMetadata", "clustering"}
+    )
     write_commit(table_path, snap.version + 1, actions)
     return snap.version + 1
 
@@ -2101,6 +2127,9 @@ def enable_row_tracking(table_path: str) -> int:
         commit_info_action(
             "SET TBLPROPERTIES", "rowTracking", False, 0, 0, now
         )
+    )
+    actions += _feature_upgrade_actions(
+        snap, writer={"rowTracking", "domainMetadata"}
     )
     write_commit(table_path, snap.version + 1, actions)
     return snap.version + 1
@@ -2425,7 +2454,9 @@ def update_table_mor(
     from guidewire_spark.sources.stats import footer_stats
 
     now = int(time.time() * 1000)
-    actions = []
+    actions = _feature_upgrade_actions(
+        snap, reader={"deletionVectors"}, writer={"deletionVectors"}
+    )
     base_ids: dict[str, int] = {}
     if tracked:
         # the updated images carry their OLD ids in the materialized
@@ -3274,8 +3305,10 @@ def create_identity_table(
 
     now = int(time.time() * 1000)
     spec = {"start": start, "step": step, "highWaterMark": int(hw)}
+    from guidewire_spark.sources.deltalog import feature_upgrade_action
+
     actions = [
-        protocol_action(),
+        feature_upgrade_action(None, writer_features={"identityColumns"}),
         metadata_action(
             assigned.schema,
             created_time=now,

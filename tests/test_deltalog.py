@@ -281,3 +281,49 @@ def test_optimistic_commit_rebases_appends_and_types_conflicts(spark, sf_dir, tm
     assert data_file not in final.files  # the WINNER's delete stands
     assert "/elsewhere/late.parquet" not in final.files
     assert final.configuration.get("k") == "v"
+
+
+def test_feature_bearing_commits_advertise_protocol(spark, sf_dir, tmp_path):
+    """The write-side half of the external-reader contract: the FIRST
+    commit that uses a table feature upgrades the protocol to the
+    features form, implied legacy features ride along, re-commits are
+    no-ops, and the snapshot (JSON or checkpoint-seeded) retains it."""
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.deltalog import feature_upgrade_action
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import (
+        delete_from_mor,
+        enable_in_commit_timestamps,
+        enable_row_tracking,
+        widen_column_type,
+        write_delta,
+    )
+
+    t = str(tmp_path / "feat")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n, t, mode="append")
+    assert load_snapshot(t).protocol == {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
+
+    delete_from_mor(spark, t, "n_nationkey % 5 = 0")
+    p = load_snapshot(t).protocol
+    assert p["minReaderVersion"] == 3 and p["minWriterVersion"] == 7
+    assert "deletionVectors" in p["readerFeatures"]
+    assert {"appendOnly", "invariants", "deletionVectors"} <= set(
+        p["writerFeatures"]
+    )
+
+    # idempotent: a second DV commit adds no second upgrade
+    assert feature_upgrade_action(
+        p, {"deletionVectors"}, {"deletionVectors"}
+    ) is None
+
+    # more features accrete, never replace
+    enable_row_tracking(t)
+    enable_in_commit_timestamps(t)
+    widen_column_type(t, "n_nationkey", "bigint")
+    p2 = load_snapshot(t).protocol
+    assert {"rowTracking", "inCommitTimestamp", "typeWidening",
+            "deletionVectors", "domainMetadata"} <= set(p2["writerFeatures"])
+    assert {"deletionVectors", "typeWidening"} <= set(p2["readerFeatures"])

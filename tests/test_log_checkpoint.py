@@ -279,18 +279,23 @@ def test_checkpoint_carries_configuration_and_protocol_bump(
     rows = pq.read_table(checkpoint_path(table, snap_v)).to_pylist()
     proto = next(x["protocol"] for x in rows if x.get("protocol"))
     meta = next(x["metaData"] for x in rows if x.get("metaData"))
-    assert (proto["minReaderVersion"], proto["minWriterVersion"]) == (1, 2)
+    # ADD CONSTRAINT advertises checkConstraints in the features form
+    assert (proto["minReaderVersion"], proto["minWriterVersion"]) == (1, 7)
+    assert "checkConstraints" in (proto["writerFeatures"] or [])
     assert dict(meta["configuration"]) == table_configuration(table)
     assert "delta.constraints.valid_key" in dict(meta["configuration"])
 
-    # column-mapped table: protocol must be upgraded
+    # column-mapped table: protocol must be upgraded to reader v3 with
+    # the columnMapping feature (the table is already in features form)
     rename_column(table, "r_name", "region_name")
     write_log_checkpoint(table)
     snap_v = load_snapshot(table).version
     rows = pq.read_table(checkpoint_path(table, snap_v)).to_pylist()
     proto = next(x["protocol"] for x in rows if x.get("protocol"))
     meta = next(x["metaData"] for x in rows if x.get("metaData"))
-    assert (proto["minReaderVersion"], proto["minWriterVersion"]) == (2, 5)
+    assert proto["minReaderVersion"] == 3
+    assert "columnMapping" in (proto["readerFeatures"] or [])
+    assert "columnMapping" in (proto["writerFeatures"] or [])
     cfg = dict(meta["configuration"])
     assert cfg.get("delta.columnMapping.mode") == "name"
 
