@@ -98,6 +98,53 @@ def protocol_action(min_reader: int = 1, min_writer: int = 2) -> dict:
 
 DEFAULT_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
+# Writer-side protocol support: every writer feature whose INVARIANTS
+# this engine maintains when committing.  A table demanding anything
+# else must REFUSE the write — committing to a table whose rules you
+# don't understand corrupts it for the writers that do.
+SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",
+    "checkConstraints",
+    "changeDataFeed",
+    "generatedColumns",
+    "columnMapping",
+    "identityColumns",
+    "deletionVectors",
+    "rowTracking",
+    "domainMetadata",
+    "clustering",
+    "inCommitTimestamp",
+    "typeWidening",
+    "typeWidening-preview",
+    "allowColumnDefaults",
+    "v2Checkpoint",
+    "vacuumProtocolCheck",
+    "timestampNtz",
+}
+MAX_WRITER_VERSION = 7
+
+
+def check_writer_protocol(protocol: dict, table_path: str) -> None:
+    """Refuse writes the protocol says we cannot do correctly — the
+    writer-side mirror of check_reader_protocol."""
+    mwv = int(protocol.get("minWriterVersion", 2))
+    if mwv > MAX_WRITER_VERSION:
+        raise ValueError(
+            f"{table_path} requires writer version {mwv}; this engine "
+            f"supports <= {MAX_WRITER_VERSION} — refusing to corrupt"
+        )
+    unsupported = [
+        f
+        for f in (protocol.get("writerFeatures") or [])
+        if f not in SUPPORTED_WRITER_FEATURES
+    ]
+    if unsupported:
+        raise ValueError(
+            f"{table_path} requires writer features {unsupported} this "
+            "engine does not implement — refusing to corrupt"
+        )
+
 # Legacy protocol versions IMPLY feature sets (public PROTOCOL.md,
 # "Table Features" appendix): converting a table to the features form
 # (minWriterVersion=7) must list every feature the old version already

@@ -316,6 +316,7 @@ def add_check_constraint(
     from guidewire_spark.sources.snapshot import read_delta
 
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     from pyspark.sql import functions as F
 
     if snap.files and read_delta(spark, table_path).where(
@@ -352,6 +353,7 @@ def drop_check_constraint(table_path: str, name: str) -> int:
         raise KeyError(f"no CHECK constraint {name!r} on {table_path}")
     del config[key]
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     now = int(time.time() * 1000)
     actions = [
         metadata_action(
@@ -398,6 +400,7 @@ def rename_column(table_path: str, old: str, new: str) -> int:
     from guidewire_spark.sources.snapshot import PHYSICAL_NAME_KEY, physical_name
 
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     names = [f.name for f in snap.schema.fields]
     if old not in names:
         raise KeyError(f"no column {old!r} in {names}")
@@ -483,6 +486,7 @@ def add_column(
     from pyspark.sql import types as T
 
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     if snap.schema is None:
         raise ValueError(f"{table_path} has no schema to evolve")
     if name in snap.schema.fieldNames():
@@ -530,6 +534,7 @@ def widen_column_type(table_path: str, column: str, new_type: str) -> int:
     from pyspark.sql import types as T
 
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     names = [f.name for f in snap.schema.fields]
     if column not in names:
         raise KeyError(f"no column {column!r} in {names}")
@@ -580,6 +585,7 @@ def drop_column(table_path: str, name: str) -> int:
     from pyspark.sql import types as T
 
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     names = [f.name for f in snap.schema.fields]
     if name not in names:
         raise KeyError(f"no column {name!r} in {names}")
@@ -777,6 +783,7 @@ def write_delta(
     elif mode == "overwrite":
         _reject_on_append_only(table_path, "overwrite")
         snap = load_snapshot(table_path)
+        _gate_write(snap, table_path)
         actions.append(
             metadata_action(
                 df.schema,
@@ -790,6 +797,7 @@ def write_delta(
         version, op_mode, blind = prev + 1, "Overwrite", False
     else:
         snap = load_snapshot(table_path)
+        _gate_write(snap, table_path)
         if snap.schema is not None and snap.schema != incoming_schema:
             if not merge_schema:
                 missing = {f.name for f in snap.schema.fields} - {
@@ -951,6 +959,7 @@ def optimize_table(
             else:
                 zorder_by = cols
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     if not snap.files:
         raise ValueError(f"nothing to optimize at {table_path}")
     # Incremental bin-packing (Delta's minFileSize behavior): only
@@ -1109,6 +1118,7 @@ def merge_into(
     _reject_rewrite_on_row_tracking(table_path, "MERGE")
     _reject_on_append_only(table_path, "MERGE")
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     if not snap.files:
         raise ValueError(f"nothing to merge into at {table_path}")
     pcols = list(snap.partition_columns or [])
@@ -1404,6 +1414,7 @@ def merge_clauses(
             raise ValueError(f"WHEN {when} clause needs 'update' or 'delete'")
 
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     if not snap.files:
         raise ValueError(f"nothing to merge into at {table_path}")
     pcols = list(snap.partition_columns or [])
@@ -1641,6 +1652,7 @@ def delete_from(
     _reject_rewrite_on_row_tracking(table_path, "copy-on-write DELETE")
     _reject_on_append_only(table_path, "DELETE")
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     if not snap.files:
         raise ValueError(f"nothing to delete from at {table_path}")
     pcols = list(snap.partition_columns or [])
@@ -1775,6 +1787,7 @@ def delete_from_mor(
 
     _reject_on_append_only(table_path, "DELETE (merge-on-read)")
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     if not snap.files:
         raise ValueError(f"nothing to delete from at {table_path}")
     candidates = (
@@ -1860,6 +1873,15 @@ def _reject_on_append_only(table_path: str, op: str) -> None:
         )
 
 
+def _gate_write(snap, table_path: str) -> None:
+    """Writer-protocol gate at every mutation head: a table demanding
+    writer features this engine doesn't implement is refused BEFORE
+    any action is staged (deltalog.check_writer_protocol)."""
+    from guidewire_spark.sources.deltalog import check_writer_protocol
+
+    check_writer_protocol(snap.protocol, table_path)
+
+
 def _feature_upgrade_actions(snap, reader=(), writer=()) -> list[dict]:
     """Protocol-upgrade action(s) a feature-bearing commit must carry
     so EXTERNAL readers/writers are told about the feature (our own
@@ -1906,6 +1928,7 @@ def clustering_columns(table_path: str) -> list[str]:
     import json as _json
 
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     dconf = snap.domains.get(_CLUSTERING_DOMAIN)
     if dconf:
         try:
@@ -2005,6 +2028,7 @@ def set_table_properties(table_path: str, props: dict[str, str]) -> int:
                 f"writer.{_FEATURE_MANAGED_KEYS[key]}() instead"
             )
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     if snap.schema is None:
         raise ValueError(f"no table at {table_path}")
     config = table_configuration(table_path)
@@ -2043,6 +2067,7 @@ def set_clustering_columns(table_path: str, columns: list[str]) -> int:
     the domain migration are still honored via the legacy
     configuration key (see ``clustering_columns``)."""
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     pcols = set(snap.partition_columns or [])
     known = set(snap.schema.fieldNames()) if snap.schema else set()
     for c in columns:
@@ -2089,6 +2114,7 @@ def enable_row_tracking(table_path: str) -> int:
     feed stays silent); subsequent appends assign ids above the mark
     in the same commit that adds the files."""
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     if _row_tracking_enabled(table_path):
         raise ValueError(f"row tracking already enabled at {table_path}")
     counts = _file_record_counts(snap.files, "enable_row_tracking")
@@ -2272,6 +2298,7 @@ def purge_deletion_vectors(spark: SparkSession, table_path: str) -> int:
     the baseRowId+index default — so vectors no longer stack forever
     on tracked tables (the round-6 gap)."""
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     if not snap.file_dvs:
         raise ValueError(f"no deletion vectors to purge at {table_path}")
     tracked = _row_tracking_enabled(table_path)
@@ -2375,6 +2402,7 @@ def update_table_mor(
 
     _reject_on_append_only(table_path, "UPDATE (merge-on-read)")
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     if not snap.files:
         raise ValueError(f"nothing to update at {table_path}")
     ident_hit = set(assignments) & set(_identity_specs(table_path))
@@ -2538,6 +2566,7 @@ def replace_where(
     _reject_rewrite_on_row_tracking(table_path, "replaceWhere")
     _reject_on_append_only(table_path, "replaceWhere")
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     if not snap.files:
         raise ValueError(f"nothing to replace at {table_path}")
     violating = new_df.where(f"NOT ({predicate})").count()
@@ -2627,6 +2656,7 @@ def update_table(
     _reject_rewrite_on_row_tracking(table_path, "copy-on-write UPDATE")
     _reject_on_append_only(table_path, "UPDATE")
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     if not snap.files:
         raise ValueError(f"nothing to update at {table_path}")
     # UPDATE of non-identity columns preserves the existing identity
@@ -2845,6 +2875,7 @@ def restore_table(table_path: str, version: int) -> int:
     _reject_on_append_only(table_path, "RESTORE")
     old = load_snapshot(table_path, version=version)
     cur = load_snapshot(table_path)
+    _gate_write(cur, table_path)
     now = int(time.time() * 1000)
     actions: list[dict] = []
     if old.schema is not None:
@@ -2916,6 +2947,7 @@ def overwrite_partitions(df: DataFrame, table_path: str) -> int:
     _reject_rewrite_on_row_tracking(table_path, "dynamic partition overwrite")
     _reject_on_append_only(table_path, "dynamic partition overwrite")
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     pcols = list(snap.partition_columns or [])
     if not pcols:
         raise ValueError(f"{table_path} is not partitioned")
@@ -3347,6 +3379,7 @@ def append_with_identity(df: DataFrame, table_path: str) -> int:
     from pyspark.sql import functions as F
 
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     config = table_configuration(table_path)
     idents = _identity_specs(table_path)
     if not idents:

@@ -327,3 +327,39 @@ def test_feature_bearing_commits_advertise_protocol(spark, sf_dir, tmp_path):
     assert {"rowTracking", "inCommitTimestamp", "typeWidening",
             "deletionVectors", "domainMetadata"} <= set(p2["writerFeatures"])
     assert {"deletionVectors", "typeWidening"} <= set(p2["readerFeatures"])
+
+
+def test_writer_protocol_gate_refuses_foreign_features(spark, sf_dir, tmp_path):
+    """A table whose protocol demands writer features this engine does
+    not implement refuses EVERY mutation before staging anything; a
+    too-new minWriterVersion refuses likewise; reads stay fine when the
+    reader side is supported."""
+    import json
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.deltalog import delta_log_dir, write_commit
+    from guidewire_spark.sources.snapshot import load_snapshot, read_delta
+    from guidewire_spark.sources.writer import (
+        delete_from,
+        set_table_properties,
+        write_delta,
+    )
+
+    t = str(tmp_path / "foreign")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n, t, mode="append")
+    write_commit(
+        t, 1,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                       "writerFeatures": ["icebergCompatV2"]}}],
+    )
+    assert read_delta(spark, t).count() == 25  # reading is unaffected
+    for op in (
+        lambda: write_delta(n.limit(1), t, mode="append"),
+        lambda: delete_from(spark, t, "n_nationkey = 1"),
+        lambda: set_table_properties(t, {"k": "v"}),
+    ):
+        with pytest.raises(ValueError, match="refusing to corrupt"):
+            op()
+    # nothing was committed past the foreign protocol action
+    assert load_snapshot(t).version == 1
