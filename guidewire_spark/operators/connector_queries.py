@@ -2186,3 +2186,64 @@ def delta_matview_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cum_n") * 20 >= F.col("total_n") * 19, F.col("bin"))
         ).over(w_all).cast("long").alias("p95_bin"),
     )
+
+
+@query(
+    "delta_protocol_features",
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 1, 2, ''),
+      (1, 3, 7,
+       'r:deletionVectors|w:appendOnly,deletionVectors,invariants'),
+      (2, 3, 7,
+       'r:deletionVectors|w:appendOnly,deletionVectors,domainMetadata,invariants,rowTracking'),
+      (3, 3, 7,
+       'r:deletionVectors,typeWidening|w:appendOnly,deletionVectors,domainMetadata,invariants,rowTracking,typeWidening')
+    ) AS t(step, min_reader, min_writer, features)
+    """,
+)
+def delta_protocol_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol feature advertisement, driver-checked: each
+    feature-bearing commit upgrades the table protocol exactly once
+    (MOR delete → deletionVectors reader+writer with implied legacy
+    features; row tracking → rowTracking+domainMetadata; type widening
+    → typeWidening both sides), a repeat feature commit adds nothing,
+    and the snapshot retains the features form.  An external reader
+    depends on this row-for-row: a DV table advertised at (1,2) reads
+    deleted rows back to life."""
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import (
+        delete_from_mor,
+        enable_row_tracking,
+        widen_column_type,
+    )
+
+    table = tempfile.mkdtemp(prefix="gw_proto_") + "/nat"
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n, table, mode="append")
+
+    rows = []
+
+    def snapshot_row(step: int) -> None:
+        p = load_snapshot(table).protocol
+        feats = ""
+        if p.get("readerFeatures") or p.get("writerFeatures"):
+            feats = (
+                "r:" + ",".join(sorted(p.get("readerFeatures") or []))
+                + "|w:" + ",".join(sorted(p.get("writerFeatures") or []))
+            )
+        rows.append(
+            (step, int(p["minReaderVersion"]), int(p["minWriterVersion"]), feats)
+        )
+
+    snapshot_row(0)
+    delete_from_mor(spark, table, "n_nationkey % 7 = 0")
+    snapshot_row(1)
+    enable_row_tracking(table)
+    delete_from_mor(spark, table, "n_nationkey % 11 = 3")  # repeat: no change
+    snapshot_row(2)
+    widen_column_type(table, "n_nationkey", "bigint")
+    snapshot_row(3)
+    return spark.createDataFrame(
+        rows, "step int, min_reader int, min_writer int, features string"
+    )

@@ -159,7 +159,14 @@ _LEGACY_WRITER_FEATURES = {
 _LEGACY_READER_FEATURES = {2: {"columnMapping"}}
 
 
-def _implied_features(table: dict, version: int) -> set[str]:
+def _implied_features(table: dict, version: int, features_version: int) -> set[str]:
+    """Features a LEGACY protocol version implies.  Once the protocol
+    is in the features form (version >= features_version) the explicit
+    feature list is authoritative and the version number implies
+    NOTHING — treating writer v7 as "all legacy features" would
+    re-advertise features the table never used."""
+    if version >= features_version:
+        return set()
     out: set[str] = set()
     for v, feats in table.items():
         if version >= v:
@@ -183,10 +190,10 @@ def feature_upgrade_action(
     want_r = set(reader_features or ())
     want_w = set(writer_features or ())
     have_r = set(cur.get("readerFeatures") or []) | _implied_features(
-        _LEGACY_READER_FEATURES, int(cur.get("minReaderVersion", 1))
+        _LEGACY_READER_FEATURES, int(cur.get("minReaderVersion", 1)), 3
     )
     have_w = set(cur.get("writerFeatures") or []) | _implied_features(
-        _LEGACY_WRITER_FEATURES, int(cur.get("minWriterVersion", 2))
+        _LEGACY_WRITER_FEATURES, int(cur.get("minWriterVersion", 2)), 7
     )
     if want_r <= have_r and want_w <= have_w:
         return None
