@@ -243,10 +243,19 @@ def _state_rows(table_path: str, version: int | None):
     mapped = config.get("delta.columnMapping.mode") not in (None, "none")
     proto = dict(snap.protocol)
     if mapped and int(proto.get("minReaderVersion", 1)) < 2:
-        # legacy-mapped table that never saw a feature upgrade:
-        # advertising (1, 2) would let a reader bind post-RENAME files
-        # by logical name and read nulls
-        proto = {"minReaderVersion": 2, "minWriterVersion": 5}
+        # legacy-mapped table whose protocol never advertised column
+        # mapping: MERGE the feature in (replacing wholesale with
+        # (2,5) would discard writerFeatures a features-form protocol
+        # already carries — e.g. rowTracking on a (1,7) table)
+        from guidewire_spark.sources.deltalog import feature_upgrade_action
+
+        if proto.get("writerFeatures") or proto.get("readerFeatures"):
+            up = feature_upgrade_action(
+                proto, {"columnMapping"}, {"columnMapping"}
+            )
+            proto = up["protocol"] if up else proto
+        else:
+            proto = {"minReaderVersion": 2, "minWriterVersion": 5}
     header: list[dict] = [{"protocol": proto}]
     if snap.schema is not None:
         header.append(

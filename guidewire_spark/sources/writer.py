@@ -760,6 +760,10 @@ def write_delta(
             # into a partitioned table
             partition_by = list(existing)
     incoming_schema = df.schema  # logical, pre-column-mapping
+    if prev is not None:
+        # gate BEFORE staging: a refused write must not first dump the
+        # whole dataset into the table directory as orphan files
+        _gate_write(load_snapshot(table_path), table_path)
     if prev is not None and mode == "append":
         # mapped tables stage files under physical column names
         df = _to_physical(df, load_snapshot(table_path).schema)
@@ -767,7 +771,16 @@ def write_delta(
     now = int(time.time() * 1000)
     actions: list[dict] = []
     if prev is None:
-        actions.append(protocol_action())
+        if generated_columns:
+            from guidewire_spark.sources.deltalog import feature_upgrade_action
+
+            actions.append(
+                feature_upgrade_action(
+                    None, writer_features={"generatedColumns"}
+                )
+            )
+        else:
+            actions.append(protocol_action())
         actions.append(
             metadata_action(
                 df.schema,
@@ -783,7 +796,6 @@ def write_delta(
     elif mode == "overwrite":
         _reject_on_append_only(table_path, "overwrite")
         snap = load_snapshot(table_path)
-        _gate_write(snap, table_path)
         actions.append(
             metadata_action(
                 df.schema,
@@ -797,7 +809,6 @@ def write_delta(
         version, op_mode, blind = prev + 1, "Overwrite", False
     else:
         snap = load_snapshot(table_path)
-        _gate_write(snap, table_path)
         if snap.schema is not None and snap.schema != incoming_schema:
             if not merge_schema:
                 missing = {f.name for f in snap.schema.fields} - {
@@ -1269,6 +1280,7 @@ def _merge_insert_only(
         fresh = source.alias("s")
 
     src_names = set(source.columns)
+    gen_cols = table_generated_columns(table_path)
     pieces = []
     earlier = F.lit(False)
     for c in not_matched:
@@ -1282,7 +1294,7 @@ def _merge_insert_only(
         piece = fresh.where(flag).select(
             *_merge_insert_exprs(c.get("insert"), out_cols, src_names)
         )
-        for gcol, gexpr in table_generated_columns(table_path).items():
+        for gcol, gexpr in gen_cols.items():
             piece = piece.withColumn(gcol, F.expr(gexpr))
         pieces.append(piece.select(*out_cols))
 
@@ -1928,7 +1940,6 @@ def clustering_columns(table_path: str) -> list[str]:
     import json as _json
 
     snap = load_snapshot(table_path)
-    _gate_write(snap, table_path)
     dconf = snap.domains.get(_CLUSTERING_DOMAIN)
     if dconf:
         try:
@@ -1953,6 +1964,7 @@ def enable_in_commit_timestamps(table_path: str) -> int:
     from guidewire_spark.sources.deltalog import ICT_KEY
 
     snap = load_snapshot(table_path)
+    _gate_write(snap, table_path)
     config = table_configuration(table_path)
     if config.get(ICT_KEY) == "true":
         raise ValueError(f"in-commit timestamps already enabled at {table_path}")
@@ -3150,6 +3162,11 @@ def vacuum_table(
                                 os.path.realpath(action["remove"]["path"])
                             )
     snap = load_snapshot(table_path)
+    if not dry_run:
+        # vacuumProtocolCheck's contract: deleting files from a table
+        # whose writer rules we don't understand is the most
+        # destructive write there is — check before touching anything
+        _gate_write(snap, table_path)
     live = set(os.path.realpath(p) for p in snap.files) | recently_removed
     table_real = os.path.realpath(table_path)
     doomed: list[str] = []

@@ -300,15 +300,21 @@ class _CdaStreamArrowWriter(DataSourceStreamArrowWriter):
         # never observe a partial publish), then ONE atomic rename
         folder = os.path.join(self.root, str(self.base_ts + batchId))
         tmp = os.path.join(self.root, f"publish-{_uuid.uuid4().hex}.tmp")
-        os.makedirs(tmp)
-        i = 0
-        for m in messages:
-            if m is not None and m.staged:
-                os.replace(m.staged, os.path.join(tmp, f"part-{i:05d}.parquet"))
-                i += 1
-        if os.path.isdir(folder):
-            shutil.rmtree(folder)  # retried batch: republish, not duplicate
-        os.rename(tmp, folder)
+        try:
+            os.makedirs(tmp)
+            i = 0
+            for m in messages:
+                if m is not None and m.staged:
+                    os.replace(
+                        m.staged, os.path.join(tmp, f"part-{i:05d}.parquet")
+                    )
+                    i += 1
+            if os.path.isdir(folder):
+                shutil.rmtree(folder)  # retried batch: republish, not duplicate
+            os.rename(tmp, folder)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)  # no orphaned .tmp dirs
+            raise
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
