@@ -771,12 +771,26 @@ def write_delta(
     now = int(time.time() * 1000)
     actions: list[dict] = []
     if prev is None:
+        from pyspark.sql import types as _T
+
+        first_writer_feats = set()
+        first_reader_feats = set()
         if generated_columns:
+            first_writer_feats.add("generatedColumns")
+        if any(
+            isinstance(f.dataType, _T.TimestampNTZType) for f in df.schema.fields
+        ):
+            # TIMESTAMP WITHOUT TIME ZONE is a reader+writer table
+            # feature: an old reader would misread the values as
+            # zoned instants
+            first_reader_feats.add("timestampNtz")
+            first_writer_feats.add("timestampNtz")
+        if first_writer_feats or first_reader_feats:
             from guidewire_spark.sources.deltalog import feature_upgrade_action
 
             actions.append(
                 feature_upgrade_action(
-                    None, writer_features={"generatedColumns"}
+                    None, first_reader_feats, first_writer_feats
                 )
             )
         else:

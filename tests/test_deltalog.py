@@ -363,3 +363,23 @@ def test_writer_protocol_gate_refuses_foreign_features(spark, sf_dir, tmp_path):
             op()
     # nothing was committed past the foreign protocol action
     assert load_snapshot(t).version == 1
+
+
+def test_first_write_features_advertised(spark, sf_dir, tmp_path):
+    """Tables born with feature-bearing schemas advertise them from
+    version 0: generated columns and TIMESTAMP_NTZ columns."""
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import write_delta
+
+    t1 = str(tmp_path / "gen")
+    df = spark.createDataFrame([(1, 2)], "k long, k2 long")
+    write_delta(df, t1, mode="append", generated_columns={"k2": "k * 2"})
+    p = load_snapshot(t1).protocol
+    assert "generatedColumns" in p["writerFeatures"]
+
+    t2 = str(tmp_path / "ntz")
+    df2 = spark.sql("SELECT 1 AS k, TIMESTAMP_NTZ '2024-01-01 00:00:00' AS ts")
+    write_delta(df2, t2, mode="append")
+    p2 = load_snapshot(t2).protocol
+    assert "timestampNtz" in p2["readerFeatures"]
+    assert "timestampNtz" in p2["writerFeatures"]
