@@ -2247,3 +2247,49 @@ def delta_protocol_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, min_reader int, min_writer int, features string"
     )
+
+
+@query(
+    "delta_bloom_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DECIMAL(14,2)) AS total_price
+    FROM orders WHERE o_orderkey IN (1, 2, 3, 4)
+    """,
+)
+def delta_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter index end to end (sources/bloom.py): orders lands
+    as a 16-file Delta table with NO ordering on the key, so min/max
+    stats cannot skip anything for a point probe — every file's
+    [min, max] straddles it.  CREATE BLOOMFILTER INDEX builds one
+    xxhash64 double-hashed bitset sidecar per file (executor-side);
+    the IN-list lookup then tests each file's filter and opens only
+    survivors.  Each probed key lives in exactly one file, so the
+    4-key probe must prune MOST of the 16 files — asserted inline
+    before returning rows (at fpp=0.01 the expected kept count is
+    ~4 + 12*0.04).  Correctness is prune-set-independent: blooms have
+    no false negatives and the residual IN filter re-runs exactly, so
+    the oracle is the plain predicate on the source table."""
+    from guidewire_spark.sources.bloom import (
+        bloom_kept_files,
+        create_bloom_index,
+        read_bloom_filtered,
+    )
+    from guidewire_spark.sources.snapshot import load_snapshot
+
+    table = tempfile.mkdtemp(prefix="gw_bloom_") + "/orders_delta"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(14,2)").alias("total_price"),
+    )
+    write_delta(o.repartition(16), table, mode="append")
+    create_bloom_index(spark, table, ["o_orderkey"], fpp=0.01)
+    keys = [1, 2, 3, 4]
+    kept = bloom_kept_files(spark, table, "o_orderkey", keys)
+    n_files = load_snapshot(table).num_files
+    if len(kept) >= n_files // 2:
+        raise AssertionError(
+            f"bloom kept {len(kept)}/{n_files} files — index not pruning"
+        )
+    return read_bloom_filtered(spark, table, "o_orderkey", keys)

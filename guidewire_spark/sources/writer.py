@@ -3185,6 +3185,12 @@ def vacuum_table(
     table_real = os.path.realpath(table_path)
     doomed: list[str] = []
     for root, dirs, names in os.walk(table_real):
+        # Delta's hidden-file rule: VACUUM never considers directories
+        # whose name starts with `_` or `.` (_delta_log, _gw_bloom
+        # sidecars, _change_data, ...).  Hive partition dirs are
+        # `col=value` and never match unless the COLUMN name starts
+        # with an underscore — the same sharp edge the spec has.
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         if "_delta_log" in root:
             continue
         for name in names:
