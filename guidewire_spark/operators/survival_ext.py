@@ -282,3 +282,57 @@ def delta_stats_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_files_with_schema(spark, snap.schema, files).where(
         F.col("l_orderkey").between(5000, 6000)
     )
+
+
+@query(
+    "delta_stats_columns_config",
+    oracle="""
+    SELECT l_orderkey % 4 AS bucket,
+           COUNT(*) AS n,
+           SUM(l_orderkey) AS sum_key,
+           SUM(l_suppkey) AS sum_supp
+    FROM lineitem GROUP BY l_orderkey % 4
+    """,
+)
+def delta_stats_columns_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delta.dataSkippingStatsColumns end to end: a 500-column table's
+    per-file stats JSON dominates the log at 100 TB, so Delta lets the
+    writer restrict stats to the filter columns.  Half of lineitem
+    lands before the config (wide stats), half after (stats on
+    l_orderkey ONLY) — the query asserts the log shape inline (narrow
+    files carry exactly {l_orderkey}; numRecords survives everywhere,
+    so metadata-only COUNT stays exact) and then proves reads are
+    config-independent by returning a full-table aggregate the oracle
+    computes from the raw source."""
+    import json as _json
+    import tempfile
+
+    from guidewire_spark.sources.snapshot import load_snapshot, read_delta
+    from guidewire_spark.sources.writer import set_table_properties, write_delta
+
+    table = tempfile.mkdtemp(prefix="gw_scols_") + "/li"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    write_delta(li.where("l_orderkey % 2 = 0"), table, mode="append")
+    set_table_properties(table, {"delta.dataSkippingStatsColumns": "l_orderkey"})
+    write_delta(li.where("l_orderkey % 2 = 1"), table, mode="append")
+    snap = load_snapshot(table)
+    shapes = set()
+    for p in snap.files:
+        st = _json.loads(snap.file_stats[p])
+        if st["numRecords"]:  # zero-row task outputs carry no bounds
+            shapes.add(tuple(sorted(st["minValues"])))
+    if shapes != {("l_orderkey",), ("l_orderkey", "l_quantity", "l_suppkey")}:
+        raise AssertionError(f"unexpected stats shapes in log: {shapes}")
+    if snap.metadata_count() != li.count():
+        raise AssertionError("numRecords must survive stats restriction")
+    return (
+        read_delta(spark, table)
+        .groupBy((F.col("l_orderkey") % 4).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_orderkey").alias("sum_key"),
+            F.sum("l_suppkey").alias("sum_supp"),
+        )
+    )

@@ -120,11 +120,12 @@ def _set_bits(bits, h1, h2, k: int, m: int) -> None:
 
 
 def _test_bits(bits, h1: int, h2: int, k: int, m: int) -> bool:
-    import numpy as np
-
-    h1u, h2u, mm = np.uint64(h1), np.uint64(h2), np.uint64(m)
+    """Python-int twin of _set_bits' position math: mask to 64 bits
+    at every step, which is exactly numpy's uint64 wraparound."""
+    mask = (1 << 64) - 1
+    h1u, h2u = h1 & mask, h2 & mask
     for i in range(k):
-        pos = int((h1u + np.uint64(i) * h2u) % mm)
+        pos = ((h1u + i * h2u) & mask) % m
         if not (bits[pos // 8] >> (pos % 8)) & 1:
             return False
     return True

@@ -133,9 +133,9 @@ def commit_batches(
         # stats=null; footer-only reads keep this metadata-only).
         stats = {}
         if collect_stats:
-            from guidewire_spark.sources.stats import stats_for_files
+            from guidewire_spark.sources.stats import stats_for_files, stats_spec
 
-            stats = stats_for_files(batch.files)
+            stats = stats_for_files(batch.files, stats_spec(table_path))
         adds = [
             add_action(f.path, f.size, f.modification_time, stats=stats.get(f.path))
             for f in batch.files

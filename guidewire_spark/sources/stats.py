@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
+from dataclasses import dataclass
 
 from guidewire_spark.sources.fs import FileMeta, _to_local
 
@@ -74,10 +75,63 @@ def _stat_min_max(st):
         return None, None
 
 
-def footer_stats(path: str) -> str | None:
+@dataclass(frozen=True)
+class StatsSpec:
+    """Which columns carry min/max/nullCount in ``add.stats`` — the
+    public Delta knobs ``delta.dataSkippingStatsColumns`` (explicit
+    list; wins when both are set) and
+    ``delta.dataSkippingNumIndexedCols`` (first N physical columns;
+    -1 = all).  The 100 TB rationale: a 500-column table's per-file
+    stats JSON dominates the log and every snapshot replay — stats
+    on the handful of filter columns keep skipping effective while
+    the log stays metadata-sized.  ``numRecords`` is NEVER dropped
+    (metadata-only COUNT and file-sizing depend on it)."""
+
+    columns: tuple[str, ...] | None
+    num_indexed: int | None
+
+    def allows(self, name: str, position: int) -> bool:
+        if self.columns is not None:
+            return name in self.columns
+        if self.num_indexed is not None:
+            return position < self.num_indexed
+        return True
+
+
+def stats_spec(table_path: str) -> StatsSpec | None:
+    """Read the table's stats-collection config; None = collect all
+    (the default, and always the case before the first commit)."""
+    from guidewire_spark.sources.writer import table_configuration
+
+    config = table_configuration(table_path)
+    cols_raw = config.get("delta.dataSkippingStatsColumns")
+    n_raw = config.get("delta.dataSkippingNumIndexedCols")
+    if cols_raw is None and n_raw is None:
+        return None
+    cols = (
+        tuple(c.strip() for c in cols_raw.split(",") if c.strip())
+        if cols_raw is not None
+        else None
+    )
+    n = int(n_raw) if n_raw is not None else None
+    if n is not None and n < 0:
+        n = None  # Delta's -1: index every column
+    if cols is None and n is None:
+        return None
+    return StatsSpec(cols, n)
+
+
+def footer_stats(path: str, spec: StatsSpec | None = None) -> str | None:
     """Delta-style stats JSON from the parquet footer of one file:
     ``{"numRecords": N, "minValues": {...}, "maxValues": {...},
-    "nullCount": {...}}``. Returns None if the footer is unreadable."""
+    "nullCount": {...}}``. Returns None if the footer is unreadable.
+
+    ``spec`` restricts which columns get min/max/nullCount (see
+    StatsSpec).  Positions count PHYSICAL file columns — for
+    partitioned tables the partition columns live in the directory
+    tree, not the file, so "first N" counts data columns only (their
+    values are exact in ``add.partitionValues`` anyway; per-file
+    stats would be redundant)."""
     import pyarrow.parquet as pq
 
     local = _to_local(path)
@@ -95,6 +149,7 @@ def footer_stats(path: str) -> str | None:
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
+    positions: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         group = md.row_group(rg)
         for ci in range(group.num_columns):
@@ -102,6 +157,9 @@ def footer_stats(path: str) -> str | None:
             name = col.path_in_schema
             if "." in name:
                 continue  # nested stats omitted (top-level only)
+            pos = positions.setdefault(name, len(positions))
+            if spec is not None and not spec.allows(name, pos):
+                continue
             st = col.statistics
             if st is None:
                 continue
@@ -125,8 +183,10 @@ def footer_stats(path: str) -> str | None:
     )
 
 
-def stats_for_files(files: list[FileMeta]) -> dict[str, str | None]:
-    return {f.path: footer_stats(f.path) for f in files}
+def stats_for_files(
+    files: list[FileMeta], spec: StatsSpec | None = None
+) -> dict[str, str | None]:
+    return {f.path: footer_stats(f.path, spec) for f in files}
 
 
 def prune_files(

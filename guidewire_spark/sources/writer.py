@@ -861,7 +861,8 @@ def write_delta(
                     )
         # a schema-evolving commit is not a blind append
         version, op_mode, blind = prev + 1, "Append", not actions
-    from guidewire_spark.sources.stats import footer_stats
+    from guidewire_spark.sources.stats import footer_stats, stats_spec
+    _sspec = stats_spec(table_path)
 
     base_ids: dict[str, int] = {}
     if prev is not None and _row_tracking_enabled(table_path):
@@ -896,7 +897,7 @@ def write_delta(
             f.path,
             f.size,
             f.modification_time,
-            stats=footer_stats(f.path),
+            stats=footer_stats(f.path, _sspec),
             partition_values=(
                 _partition_values(f.path, commit_dir, partition_by)
                 if partition_by
@@ -1060,7 +1061,8 @@ def optimize_table(
         _to_physical(df, snap.schema), table_path, pcols or None
     )
     now = int(time.time() * 1000)
-    from guidewire_spark.sources.stats import footer_stats
+    from guidewire_spark.sources.stats import footer_stats, stats_spec
+    _sspec = stats_spec(table_path)
 
     actions = []
     base_ids: dict[str, int] = {}
@@ -1084,7 +1086,7 @@ def optimize_table(
             f.path,
             f.size,
             f.modification_time,
-            stats=footer_stats(f.path),
+            stats=footer_stats(f.path, _sspec),
             partition_values=(
                 _partition_values(f.path, commit_dir, pcols) if pcols else None
             ),
@@ -1211,7 +1213,8 @@ def merge_into(
         _to_physical(merged, out_schema), table_path, pcols or None
     )
 
-    from guidewire_spark.sources.stats import footer_stats
+    from guidewire_spark.sources.stats import footer_stats, stats_spec
+    _sspec = stats_spec(table_path)
 
     now = int(time.time() * 1000)
     actions = []
@@ -1231,7 +1234,7 @@ def merge_into(
             f.path,
             f.size,
             f.modification_time,
-            stats=footer_stats(f.path),
+            stats=footer_stats(f.path, _sspec),
             partition_values=(
                 _partition_values(f.path, commit_dir, pcols) if pcols else None
             ),
@@ -1322,7 +1325,8 @@ def _merge_insert_only(
     _enforce_constraints(merged, table_path)
 
     files, commit_dir = _stage_files(merged, table_path, pcols or None)
-    from guidewire_spark.sources.stats import footer_stats
+    from guidewire_spark.sources.stats import footer_stats, stats_spec
+    _sspec = stats_spec(table_path)
 
     now = int(time.time() * 1000)
     actions: list[dict] = []
@@ -1345,7 +1349,7 @@ def _merge_insert_only(
             f.path,
             f.size,
             f.modification_time,
-            stats=footer_stats(f.path),
+            stats=footer_stats(f.path, _sspec),
             partition_values=(
                 _partition_values(f.path, commit_dir, pcols) if pcols else None
             ),
@@ -1619,7 +1623,8 @@ def merge_clauses(
     _enforce_constraints(merged, table_path)
 
     files, commit_dir = _stage_files(merged, table_path, pcols or None)
-    from guidewire_spark.sources.stats import footer_stats
+    from guidewire_spark.sources.stats import footer_stats, stats_spec
+    _sspec = stats_spec(table_path)
 
     now = int(time.time() * 1000)
     actions = []
@@ -1639,7 +1644,7 @@ def merge_clauses(
             f.path,
             f.size,
             f.modification_time,
-            stats=footer_stats(f.path),
+            stats=footer_stats(f.path, _sspec),
             partition_values=(
                 _partition_values(f.path, commit_dir, pcols) if pcols else None
             ),
@@ -1712,7 +1717,8 @@ def delete_from(
         _to_physical(survivors, snap.schema), table_path, pcols or None
     )
 
-    from guidewire_spark.sources.stats import footer_stats
+    from guidewire_spark.sources.stats import footer_stats, stats_spec
+    _sspec = stats_spec(table_path)
 
     now = int(time.time() * 1000)
     actions = [remove_action(p, now) for p in rewrite]
@@ -1721,7 +1727,7 @@ def delete_from(
             f.path,
             f.size,
             f.modification_time,
-            stats=footer_stats(f.path),
+            stats=footer_stats(f.path, _sspec),
             partition_values=(
                 _partition_values(f.path, commit_dir, pcols) if pcols else None
             ),
@@ -2023,7 +2029,8 @@ def stage_add_actions(df: DataFrame, table_path: str) -> list[dict]:
     optimistic-concurrency flows (deltalog.commit_transaction): data
     lands first, the log race is fought over metadata only, and a
     losing transaction's rebase re-commits the SAME staged files."""
-    from guidewire_spark.sources.stats import footer_stats
+    from guidewire_spark.sources.stats import footer_stats, stats_spec
+    _sspec = stats_spec(table_path)
 
     files, _ = _stage_files(df, table_path, None)
     now = int(time.time() * 1000)
@@ -2032,7 +2039,7 @@ def stage_add_actions(df: DataFrame, table_path: str) -> list[dict]:
             f.path,
             f.size,
             f.modification_time,
-            stats=footer_stats(f.path),
+            stats=footer_stats(f.path, _sspec),
         )
         for f in files
     ]
@@ -2344,7 +2351,8 @@ def purge_deletion_vectors(spark: SparkSession, table_path: str) -> int:
         _to_physical(survivors, snap.schema), table_path, pcols or None
     )
 
-    from guidewire_spark.sources.stats import footer_stats
+    from guidewire_spark.sources.stats import footer_stats, stats_spec
+    _sspec = stats_spec(table_path)
 
     now = int(time.time() * 1000)
     actions = []
@@ -2370,7 +2378,7 @@ def purge_deletion_vectors(spark: SparkSession, table_path: str) -> int:
             f.path,
             f.size,
             f.modification_time,
-            stats=footer_stats(f.path),
+            stats=footer_stats(f.path, _sspec),
             partition_values=(
                 _partition_values(f.path, commit_dir, pcols) if pcols else None
             ),
@@ -2505,7 +2513,8 @@ def update_table_mor(
     )
     by_path = {normalize_path(p): p for p in candidates}
 
-    from guidewire_spark.sources.stats import footer_stats
+    from guidewire_spark.sources.stats import footer_stats, stats_spec
+    _sspec = stats_spec(table_path)
 
     now = int(time.time() * 1000)
     actions = _feature_upgrade_actions(
@@ -2548,7 +2557,7 @@ def update_table_mor(
             f.path,
             f.size,
             f.modification_time,
-            stats=footer_stats(f.path),
+            stats=footer_stats(f.path, _sspec),
             partition_values=(
                 _partition_values(f.path, commit_dir, pcols) if pcols else None
             ),
@@ -2630,7 +2639,8 @@ def replace_where(
     staged += new_files
     commit_dirs += [new_dir] * len(new_files)
 
-    from guidewire_spark.sources.stats import footer_stats
+    from guidewire_spark.sources.stats import footer_stats, stats_spec
+    _sspec = stats_spec(table_path)
 
     now = int(time.time() * 1000)
     actions = [remove_action(p, now) for p in rewrite]
@@ -2639,7 +2649,7 @@ def replace_where(
             f.path,
             f.size,
             f.modification_time,
-            stats=footer_stats(f.path),
+            stats=footer_stats(f.path, _sspec),
             partition_values=(
                 _partition_values(f.path, cdir, pcols) if pcols else None
             ),
@@ -2737,7 +2747,8 @@ def update_table(
         _to_physical(updated, snap.schema), table_path, pcols or None
     )
 
-    from guidewire_spark.sources.stats import footer_stats
+    from guidewire_spark.sources.stats import footer_stats, stats_spec
+    _sspec = stats_spec(table_path)
 
     now = int(time.time() * 1000)
     actions = [remove_action(p, now) for p in rewrite]
@@ -2746,7 +2757,7 @@ def update_table(
             f.path,
             f.size,
             f.modification_time,
-            stats=footer_stats(f.path),
+            stats=footer_stats(f.path, _sspec),
             partition_values=(
                 _partition_values(f.path, commit_dir, pcols) if pcols else None
             ),
@@ -3003,7 +3014,8 @@ def overwrite_partitions(df: DataFrame, table_path: str) -> int:
     files, commit_dir = _stage_files(
         _to_physical(df, snap.schema), table_path, pcols
     )
-    from guidewire_spark.sources.stats import footer_stats
+    from guidewire_spark.sources.stats import footer_stats, stats_spec
+    _sspec = stats_spec(table_path)
 
     now = int(_time.time() * 1000)
     actions = [remove_action(p, now) for p in doomed]
@@ -3012,7 +3024,7 @@ def overwrite_partitions(df: DataFrame, table_path: str) -> int:
             f.path,
             f.size,
             f.modification_time,
-            stats=footer_stats(f.path),
+            stats=footer_stats(f.path, _sspec),
             partition_values=_partition_values(f.path, commit_dir, pcols),
         )
         for f in files
@@ -3047,7 +3059,8 @@ def convert_to_delta(parquet_dir: str) -> int:
 
     from guidewire_spark.sources.fs import FileMeta
     from guidewire_spark.sources.schema import infer_schema_from_files
-    from guidewire_spark.sources.stats import footer_stats
+    from guidewire_spark.sources.stats import footer_stats, stats_spec
+    _sspec = stats_spec(parquet_dir)
 
     if os.path.isdir(os.path.join(parquet_dir, "_delta_log")):
         raise FileExistsError(f"{parquet_dir} is already a Delta table")
@@ -3078,7 +3091,7 @@ def convert_to_delta(parquet_dir: str) -> int:
     now = int(_time.time() * 1000)
     actions: list[dict] = [protocol_action(), metadata_action(schema, created_time=now)]
     actions += [
-        add_action(f.path, f.size, f.modification_time, stats=footer_stats(f.path))
+        add_action(f.path, f.size, f.modification_time, stats=footer_stats(f.path, _sspec))
         for f in sorted(files, key=lambda f: f.path)
     ]
     actions.append(
@@ -3370,7 +3383,8 @@ def create_identity_table(
     if hw is None:
         hw = start - step  # empty create: the first append starts at start
 
-    from guidewire_spark.sources.stats import footer_stats
+    from guidewire_spark.sources.stats import footer_stats, stats_spec
+    _sspec = stats_spec(table_path)
 
     now = int(time.time() * 1000)
     spec = {"start": start, "step": step, "highWaterMark": int(hw)}
@@ -3385,7 +3399,7 @@ def create_identity_table(
         ),
     ]
     actions += [
-        add_action(f.path, f.size, f.modification_time, stats=footer_stats(f.path))
+        add_action(f.path, f.size, f.modification_time, stats=footer_stats(f.path, _sspec))
         for f in files
     ]
     actions.append(
@@ -3447,7 +3461,8 @@ def append_with_identity(df: DataFrame, table_path: str) -> int:
     if hw is None:
         hw = spec["highWaterMark"]  # empty batch: mark unchanged
 
-    from guidewire_spark.sources.stats import footer_stats
+    from guidewire_spark.sources.stats import footer_stats, stats_spec
+    _sspec = stats_spec(table_path)
 
     now = int(time.time() * 1000)
     new_spec = dict(spec, highWaterMark=int(hw))
@@ -3466,7 +3481,7 @@ def append_with_identity(df: DataFrame, table_path: str) -> int:
             f.path,
             f.size,
             f.modification_time,
-            stats=footer_stats(f.path),
+            stats=footer_stats(f.path, _sspec),
             partition_values=(
                 _partition_values(f.path, commit_dir, pcols) if pcols else None
             ),

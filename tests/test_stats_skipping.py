@@ -109,3 +109,67 @@ def test_indexer_collect_stats_flag(spark, sf_dir, tmp_path):
     assert all(v for v in snap2.file_stats.values())
     stats = _json.loads(next(iter(snap2.file_stats.values())))
     assert stats["numRecords"] == read_delta(spark, os.path.join(db2, "t")).count()
+
+
+def test_stats_columns_config(spark, sf_dir, tmp_path):
+    """delta.dataSkippingStatsColumns: files written AFTER the config
+    lands carry min/max/nullCount for the listed columns only;
+    numRecords always survives (metadata COUNT depends on it)."""
+    from guidewire_spark.sources.writer import set_table_properties
+
+    table = str(tmp_path / "narrow")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    write_delta(li.limit(100), table, mode="append")
+    set_table_properties(
+        table, {"delta.dataSkippingStatsColumns": "l_orderkey"}
+    )
+    write_delta(li.limit(50), table, mode="append")
+    snap = load_snapshot(table)
+    by_version: dict[str, dict] = {}
+    for p in snap.files:
+        by_version[p] = json.loads(snap.file_stats[p])
+    wide = [s for s in by_version.values() if "l_suppkey" in s["minValues"]]
+    narrow = [s for s in by_version.values() if "l_suppkey" not in s["minValues"]]
+    assert wide and narrow, "pre-config file keeps wide stats; post-config is narrow"
+    for s in narrow:
+        assert set(s["minValues"]) == {"l_orderkey"}
+        assert set(s["nullCount"]) == {"l_orderkey"}
+        assert s["numRecords"] == 50
+    # metadata-only count still exact; a probe on the dropped column
+    # may still prune the PRE-config file (its wide stats are real
+    # bounds) but must KEEP every stats-less (narrow) file — soundness
+    assert snap.metadata_count() == 150
+    kept = set(snap.pruned_files("l_suppkey", 10**15, 10**15))
+    narrow_paths = {
+        p for p in snap.files
+        if "l_suppkey" not in json.loads(snap.file_stats[p])["minValues"]
+    }
+    assert narrow_paths <= kept
+
+
+def test_stats_num_indexed_cols(spark, sf_dir, tmp_path):
+    """delta.dataSkippingNumIndexedCols: first N physical columns
+    indexed; -1 restores index-everything."""
+    from guidewire_spark.sources.writer import set_table_properties
+
+    table = str(tmp_path / "firstn")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    write_delta(li.limit(10), table, mode="append")
+    set_table_properties(table, {"delta.dataSkippingNumIndexedCols": "2"})
+    write_delta(li.limit(10), table, mode="append")
+    set_table_properties(table, {"delta.dataSkippingNumIndexedCols": "-1"})
+    write_delta(li.limit(10), table, mode="append")
+    snap = load_snapshot(table)
+    keysets = sorted(
+        tuple(sorted(json.loads(snap.file_stats[p])["minValues"]))
+        for p in snap.files
+    )
+    assert keysets == sorted([
+        ("l_orderkey", "l_quantity", "l_suppkey"),
+        ("l_orderkey", "l_suppkey"),
+        ("l_orderkey", "l_quantity", "l_suppkey"),
+    ])
