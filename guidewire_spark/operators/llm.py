@@ -2219,3 +2219,153 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               w -> w <> '')) AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    lex AS (
+      SELECT q.doc_id AS query_id, d.doc_id AS cand_id,
+             ROUND(
+               CAST(len(list_intersect(q.toks, d.toks)) AS DOUBLE)
+               / (len(q.toks) + len(d.toks)
+                  - len(list_intersect(q.toks, d.toks))),
+               4) AS jac
+      FROM corpus q JOIN corpus d ON d.doc_id <> q.doc_id
+      WHERE q.doc_id < 3
+    ),
+    lex_rank AS (
+      SELECT query_id, cand_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY jac DESC, cand_id) AS r
+      FROM lex
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+      FROM embeddings WHERE vec_id < 200
+    ),
+    sem AS (
+      SELECT q.vec_id AS query_id, d.vec_id AS cand_id,
+             ROUND(list_sum(list_transform(range(1, 65),
+                   i -> q.u[i] * d.u[i])), 4) AS cos_sim
+      FROM unit q JOIN unit d ON d.vec_id <> q.vec_id
+      WHERE q.vec_id < 3
+    ),
+    sem_rank AS (
+      SELECT query_id, cand_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, cand_id) AS r
+      FROM sem
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+             COALESCE(l.cand_id, s.cand_id) AS cand_id,
+             ROUND(COALESCE(1.0 / (60 + l.r), 0)
+                   + COALESCE(1.0 / (60 + s.r), 0), 6) AS rrf
+      FROM (SELECT * FROM lex_rank WHERE r <= 20) l
+      FULL OUTER JOIN (SELECT * FROM sem_rank WHERE r <= 20) s
+        ON l.query_id = s.query_id AND l.cand_id = s.cand_id
+    )
+    SELECT query_id, cand_id, rrf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY rrf DESC, cand_id) AS rn
+      FROM fused
+    ) WHERE rn <= 5
+    """,
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal rank fusion (Cormack et al.
+    2009): a lexical ranking (token-set Jaccard, the more-like-this
+    shape) and a semantic ranking (unit-cosine over the embedding
+    column) are each cut to top-20 per query, then fused by
+    score = Σ 1/(60 + rank) — rank-only fusion, so the two systems'
+    incomparable score scales never touch.  The production RAG-stack
+    pattern: BM25 index + vector index, RRF at the top.
+
+    Scale shape: both rankings broadcast the 3-query side against the
+    corpus (one fused projection each, no shuffle on the corpus), the
+    per-system cut is a partition-local top-k window over query_id,
+    and fusion joins two 60-row frames.  Both ranks order by the
+    ROUNDED score with cand_id tiebreak, and the fused score rounds
+    before its own rank — float-order-proof end to end."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.array_distinct(T.words(F.lower(F.col("text")))).alias("toks"),
+        )
+    )
+    dq = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("toks").alias("qtoks")
+    )
+    inter = F.size(F.array_intersect(F.col("qtoks"), F.col("toks")))
+    lex = (
+        docs.join(F.broadcast(dq), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("cand_id"),
+            F.round(
+                inter.cast("double")
+                / (F.size("qtoks") + F.size("toks") - inter),
+                4,
+            ).alias("jac"),
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.col("jac").desc(), "cand_id")
+    lex_rank = lex.withColumn("r", F.row_number().over(wl)).where(F.col("r") <= 20)
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 200)
+        .select("vec_id", V.normalize(F.col("embedding")).alias("u"))
+    )
+    eq = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    sem = (
+        emb.join(F.broadcast(eq), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(V.dot(F.col("qu"), F.col("u")), 4).alias("cos_sim"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "cand_id"
+    )
+    sem_rank = sem.withColumn("r", F.row_number().over(ws)).where(F.col("r") <= 20)
+
+    fused = (
+        lex_rank.select("query_id", "cand_id", F.col("r").alias("rl"))
+        .join(
+            sem_rank.select("query_id", "cand_id", F.col("r").alias("rs")),
+            ["query_id", "cand_id"],
+            "full_outer",
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                F.coalesce(F.lit(1.0) / (60 + F.col("rl")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (60 + F.col("rs")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "cand_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "cand_id", "rrf")
+    )

@@ -799,3 +799,16 @@ def test_epoch_shuffle_no_global_sort(spark, sf_dir):
     plan = plan_of(training_epoch_shuffle(spark, sf_dir))
     assert "rangepartitioning" not in plan
     assert plan.count("hashpartitioning(") == 1
+
+
+def test_hybrid_rrf_broadcasts_queries_no_cartesian(spark, sf_dir):
+    """retrieval_hybrid_rrf: both ranking arms broadcast the 3-query
+    side against the corpus (the corpus is never shuffled before the
+    per-query top-k window), and the non-equi query≠cand condition
+    must become a BroadcastNestedLoopJoin — never a CartesianProduct.
+    Fusion joins two top-20 frames, so any SMJ there is k-sized."""
+    from guidewire_spark.operators.llm import retrieval_hybrid_rrf
+
+    plan = plan_of(retrieval_hybrid_rrf(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin Inner") == 2
