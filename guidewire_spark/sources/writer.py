@@ -1108,6 +1108,20 @@ def optimize_table(
     # conflict surfaces instead of silently resurrecting stale state
     # (Delta's read-version conflict detection).
     write_commit(table_path, snap.version + 1, actions)
+    # Self-maintaining bloom index: compaction output files have no
+    # sidecars (reads stay sound but stop skipping); on tables with
+    # bloom columns configured, re-cover them now — one executor-side
+    # pass over just the new files, plus sidecar GC for the removed
+    # ones.  Unconfigured tables skip both calls entirely.
+    from guidewire_spark.sources.bloom import (
+        bloom_columns,
+        reindex_bloom,
+        vacuum_bloom_sidecars,
+    )
+
+    if bloom_columns(table_path):
+        reindex_bloom(spark, table_path)
+        vacuum_bloom_sidecars(table_path)
     return snap.version + 1
 
 

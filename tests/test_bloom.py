@@ -111,12 +111,18 @@ def test_unindexed_files_are_kept(spark, sf_dir, tmp_path):
     assert reindex_bloom(spark, table) == {}  # idempotent
 
 
-def test_reindex_after_optimize(spark, sf_dir, tmp_path):
-    """OPTIMIZE output files lack sidecars (sound) until reindex;
-    after reindex the point lookup prunes again and stays exact."""
+def test_optimize_self_maintains_index(spark, sf_dir, tmp_path):
+    """OPTIMIZE on a bloom-configured table re-covers its output files
+    and GCs the replaced sidecars in the same call — a later manual
+    reindex/vacuum is a no-op, and the point lookup stays exact."""
     table = _make_table(spark, sf_dir, tmp_path, n_files=8)
     create_bloom_index(spark, table, ["l_orderkey"])
     optimize_table(spark, table, target_files=2)
+    snap = load_snapshot(table)
+    for p in snap.files:
+        assert os.path.exists(_sidecar_path(table, p))
+    assert reindex_bloom(spark, table) == {}
+    assert vacuum_bloom_sidecars(table) == []
     key = (
         load_table(spark, sf_dir, "lineitem").select("l_orderkey").first()[0]
     )
@@ -125,11 +131,6 @@ def test_reindex_after_optimize(spark, sf_dir, tmp_path):
         .where(F.col("l_orderkey") == key)
         .count()
     )
-    assert read_bloom_filtered(spark, table, "l_orderkey", [key]).count() == want
-    reindex_bloom(spark, table)
-    snap = load_snapshot(table)
-    for p in snap.files:
-        assert os.path.exists(_sidecar_path(table, p))
     assert read_bloom_filtered(spark, table, "l_orderkey", [key]).count() == want
 
 
@@ -150,18 +151,23 @@ def test_bloom_with_deletion_vectors(spark, sf_dir, tmp_path):
 
 def test_vacuum_bloom_sidecars(spark, sf_dir, tmp_path):
     """Sidecars of files that left the live set are GC'd; live ones
-    survive."""
+    survive.  Exercised via a copy-on-write DELETE (which rewrites
+    files but does NOT auto-maintain the index — only OPTIMIZE does)."""
+    from guidewire_spark.sources.bloom import _sidecar_name
+    from guidewire_spark.sources.writer import delete_from
+
     table = _make_table(spark, sf_dir, tmp_path, n_files=4)
     create_bloom_index(spark, table, ["l_orderkey"])
-    before = load_snapshot(table).files
-    optimize_table(spark, table, target_files=1)
-    reindex_bloom(spark, table)
-    from guidewire_spark.sources.bloom import _sidecar_name
-
+    before = set(load_snapshot(table).files)
+    delete_from(spark, table, "l_orderkey % 2 = 0")
+    after = set(load_snapshot(table).files)
+    dead = before - after
+    assert dead, "copy-on-write delete must rewrite files"
     removed = vacuum_bloom_sidecars(table)
     assert {os.path.basename(p) for p in removed} == {
-        _sidecar_name(table, p) for p in before
+        _sidecar_name(table, p) for p in dead
     }
+    reindex_bloom(spark, table)
     for p in load_snapshot(table).files:
         assert os.path.exists(_sidecar_path(table, p))
 
