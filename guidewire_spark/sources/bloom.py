@@ -131,6 +131,15 @@ def _test_bits(bits, h1: int, h2: int, k: int, m: int) -> bool:
     return True
 
 
+def _sidecar_covers(side_path: str, columns: list[str]) -> bool:
+    try:
+        with open(side_path, encoding="utf-8") as f:
+            have = json.load(f)["columns"]
+    except (OSError, KeyError, ValueError):
+        return False
+    return all(c in have for c in columns)
+
+
 def bloom_columns(table_path: str) -> list[str]:
     from guidewire_spark.sources.writer import table_configuration
 
@@ -196,18 +205,24 @@ def reindex_bloom(spark: SparkSession, table_path: str) -> dict[str, int]:
         return {}
     fpp = float(table_configuration(table_path).get(CONFIG_FPP, "0.01"))
     snap = load_snapshot(table_path)
-    todo = [
-        p for p in snap.files if not os.path.exists(_sidecar_path(table_path, p))
-    ]
-    if not todo:
-        return {}
-    from guidewire_spark.sources.snapshot import read_files_with_schema
-
     # Partition columns live in the directory tree, not the files;
     # blooms only index physical (data-file) columns.
     physical = [c for c in columns if c not in (snap.partition_columns or [])]
     if not physical:
         return {}
+    # A file is covered only if its sidecar carries EVERY configured
+    # column: indexing a second column later must rebuild the old
+    # sidecars, not skip them (a missing column is sound at probe
+    # time — always-keep — but would silently never start pruning).
+    todo = [
+        p
+        for p in snap.files
+        if not _sidecar_covers(_sidecar_path(table_path, p), physical)
+    ]
+    if not todo:
+        return {}
+    from guidewire_spark.sources.snapshot import read_files_with_schema
+
     data_schema = T.StructType(
         [f for f in snap.schema.fields if f.name not in (snap.partition_columns or [])]
     )
@@ -308,6 +323,18 @@ def bloom_kept_files(
     probes = _probe_hashes(spark, dtype, values)
     if not probes:
         return []  # all-NULL probe list: equality can never match
+    # Stack with min/max skipping first: a file whose stats disprove
+    # the whole [min(values), max(values)] range never even gets its
+    # sidecar opened.  The two prunes err in the same (keep) direction,
+    # so the composition stays sound.
+    non_null = [v for v in values if v is not None]
+    candidates = snap.files
+    try:
+        candidates = snap.pruned_files(column, min(non_null), max(non_null))
+    except TypeError:
+        pass  # mixed/unorderable probe types: bloom-only pruning
+    if not candidates:
+        return []
     table_dir, col, k_probes = table_path, column, probes
 
     def test(iterator):
@@ -334,7 +361,7 @@ def bloom_kept_files(
             yield pd.DataFrame({"path": pdf["path"], "keep": keep})
 
     files_df = spark.createDataFrame(
-        [(p,) for p in snap.files], "path string"
+        [(p,) for p in candidates], "path string"
     )
     kept = (
         files_df.mapInPandas(test, "path string, keep boolean")

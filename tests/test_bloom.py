@@ -186,3 +186,24 @@ def test_partitioned_table_bloom(spark, sf_dir, tmp_path):
     assert "event_type" in got.columns
     assert got.count() == ev.where(F.col("user_id") == uid).count()
     assert bloom_columns(table) == ["user_id"]
+
+
+def test_second_column_rebuilds_existing_sidecars(spark, sf_dir, tmp_path):
+    """Indexing another column later must rebuild sidecars that lack
+    it — an existing single-column sidecar does not count as covered,
+    or the new column would silently never start pruning."""
+    table = _make_table(spark, sf_dir, tmp_path, n_files=4)
+    create_bloom_index(spark, table, ["l_orderkey"])
+    manifest = create_bloom_index(spark, table, ["l_suppkey"])
+    assert len(manifest) == 4, "all sidecars must be rebuilt with both columns"
+    assert bloom_columns(table) == ["l_orderkey", "l_suppkey"]
+    supp = load_table(spark, sf_dir, "lineitem").select("l_suppkey").first()[0]
+    want = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_suppkey") == supp)
+        .count()
+    )
+    assert read_bloom_filtered(spark, table, "l_suppkey", [supp]).count() == want
+    key = load_table(spark, sf_dir, "lineitem").select("l_orderkey").first()[0]
+    kept = bloom_kept_files(spark, table, "l_orderkey", [key])
+    assert kept and len(kept) < 4, "first column must still prune after rebuild"
