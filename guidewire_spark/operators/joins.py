@@ -591,3 +591,66 @@ def er_fuzzy_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_id",
         F.count("*").over(w).alias("cluster_size"),
     )
+
+
+@query(
+    "join_dynamic_file_pruning",
+    oracle="""
+    SELECT l.l_orderkey, l.l_suppkey,
+           ROUND(CAST(l.l_extendedprice AS DECIMAL(18,4)), 2) AS price,
+           o.o_orderpriority
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey < 1500 AND o.o_orderstatus = 'F'
+    """,
+)
+def join_dynamic_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic file pruning (the public Databricks scan optimization):
+    a selective DIMENSION predicate prunes FACT files before the join
+    ever runs.  The fact side lands as a Delta table clustered on the
+    join key (OPTIMIZE ZORDER → tight per-file min/max), the filtered
+    dim side's key bounds fold to one aggregate row, and those bounds
+    prune the fact file list THROUGH THE LOG — at 100 TB the join
+    reads the handful of files the dim's keys can touch instead of
+    the whole fact table, then broadcasts the dim as usual.
+
+    Pruning is asserted inline (most of the 16 clustered files must
+    drop); correctness is prune-independent — stats pruning is sound
+    and the equi-join re-applies the exact key match — so the oracle
+    is the plain two-table join."""
+    import tempfile
+
+    from guidewire_spark.sources.snapshot import (
+        load_snapshot,
+        read_files_with_schema,
+    )
+    from guidewire_spark.sources.writer import optimize_table, write_delta
+
+    fact = tempfile.mkdtemp(prefix="gw_dfp_") + "/li"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice").cast("decimal(18,4)"), 2).alias(
+            "price"
+        ),
+    )
+    write_delta(li, fact, mode="append")
+    optimize_table(spark, fact, target_files=16, zorder_by=["l_orderkey"])
+
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .where((F.col("o_orderkey") < 1500) & (F.col("o_orderstatus") == "F"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+    lo, hi = dim.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    snap = load_snapshot(fact)
+    kept = snap.pruned_files("l_orderkey", lo, hi)
+    if len(kept) >= snap.num_files // 2:
+        raise AssertionError(
+            f"dynamic file pruning kept {len(kept)}/{snap.num_files} files"
+        )
+    return (
+        read_files_with_schema(spark, snap.schema, kept)
+        .join(F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "price", "o_orderpriority")
+    )

@@ -287,22 +287,42 @@ def table_constraints(table_path: str) -> dict[str, str]:
 
 
 def _enforce_constraints(df: DataFrame, table_path: str) -> None:
-    """Writer-side CHECK enforcement (Delta's invariant check): reject
-    the whole write if any incoming row violates any constraint. One
+    """Writer-side invariant enforcement (Delta's ``invariants``
+    writer feature, minWriterVersion 2): reject the whole write if any
+    incoming row violates a CHECK constraint OR carries NULL in a
+    column the table schema declares non-nullable — Delta treats
+    schema nullability as an invariant, not a hint. One combined
     predicate pass over the incoming DataFrame — the same work Delta's
     CheckDeltaInvariant exec node does inline."""
     constraints = table_constraints(table_path)
-    if not constraints:
+    try:
+        schema = load_snapshot(table_path).schema
+    except FileNotFoundError:
+        schema = None
+    not_null = [
+        f.name
+        for f in (schema.fields if schema is not None else [])
+        if not f.nullable and f.name in df.columns
+    ]
+    preds = [f"({e})" for e in constraints.values()] + [
+        f"(`{c}` IS NOT NULL)" for c in not_null
+    ]
+    if not preds:
         return
     from pyspark.sql import functions as F
 
-    violated = df.where(
-        ~F.expr(" AND ".join(f"({e})" for e in constraints.values()))
-    ).limit(1)
+    violated = df.where(~F.expr(" AND ".join(preds))).limit(1)
     if violated.count() > 0:
+        kinds = " / ".join(
+            (["CHECK constraint violation"] if constraints else [])
+            + (["NOT NULL violation"] if not_null else [])
+        )
         raise ValueError(
-            f"CHECK constraint violation writing to {table_path}: "
-            + "; ".join(f"{n}: {e}" for n, e in constraints.items())
+            f"{kinds} writing to {table_path}: "
+            + "; ".join(
+                [f"{n}: {e}" for n, e in constraints.items()]
+                + [f"NOT NULL: {c}" for c in not_null]
+            )
         )
 
 

@@ -1952,3 +1952,38 @@ def test_merge_clauses_review_hardening(spark, sf_dir, tmp_path):
     )
     rows = {r["k"]: r["k2"] for r in read_delta(spark, gtable).collect()}
     assert rows[41] == 82  # regenerated from the UPDATED key, not stale 2
+
+
+def test_not_null_invariant_enforced(spark, sf_dir, tmp_path):
+    """Schema nullability is an invariant (Delta's `invariants` writer
+    feature): appending NULL into a non-nullable column is refused;
+    NULLs in nullable columns pass."""
+    import pytest
+    from pyspark.sql import types as T
+
+    table = str(tmp_path / "nn")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, None)], schema), table, mode="append"
+    )
+    # the incoming frame is nullable (the parquet-read default) — the
+    # TABLE schema's non-nullable k is what must reject the write
+    loose = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    with pytest.raises(ValueError, match="NOT NULL: k"):
+        write_delta(
+            spark.createDataFrame([(None, "x")], loose), table, mode="append"
+        )
+    write_delta(
+        spark.createDataFrame([(3, None)], loose), table, mode="append"
+    )
+    assert read_delta(spark, table).count() == 3
