@@ -2369,3 +2369,83 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "cand_id", "rrf")
     )
+
+
+@query(
+    "multimodal_shot_boundaries",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 6 = 0
+        AND octet_length(encode(text)) = length(text)
+        AND length(text) >= 64
+    ),
+    ch AS (
+      SELECT doc_id,
+             CAST((i - 1) // 64 AS INT) AS frame_idx,
+             unicode(substr(text, CAST(i AS INT), 1)) AS code
+      FROM d, UNNEST(range(1, (length(text) // 64) * 64 + 1)) AS t(i)
+    ),
+    fr AS (
+      SELECT doc_id, frame_idx, SUM(code) AS csum
+      FROM ch GROUP BY doc_id, frame_idx
+    )
+    SELECT doc_id, frame_idx, csum,
+           COALESCE(ABS(csum - LAG(csum) OVER
+             (PARTITION BY doc_id ORDER BY frame_idx)) >= 512, FALSE)
+             AS is_boundary
+    FROM fr
+    """,
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection for video-like payloads: decode frames
+    (64-byte windows over the byte stream — the deterministic stand-in
+    for real frame decode; no codecs in this container), extract one
+    luma-like feature per frame (byte-sum, exact integer), and flag a
+    boundary wherever consecutive frames' features jump by >= 512
+    (mean-per-byte jump of 8) — the classic frame-difference cut
+    detector, on Spark primitives.
+
+    Scale shape: the Arrow stage emits (doc, frame_idx, csum) — frame
+    FEATURES multiply, bytes never leave the executor — and boundary
+    detection is a partition-local lag window per doc (docs are
+    bounded; no global window).  The feature is an exact integer sum
+    over pure-ASCII payloads, so the whole pipeline — including the
+    mapInPandas decode — is value-verified by the DuckDB oracle, the
+    multimodal family's temporal-pipeline proof."""
+    import pandas as pd
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(
+            (F.col("doc_id") % 6 == 0)
+            & (F.octet_length(F.encode(F.col("text"), "utf-8"))
+               == F.length(F.col("text")))
+            & (F.length("text") >= 64)
+        )
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+
+    def frame_features(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "csum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                for i in range(len(buf) // 64):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["csum"].append(sum(buf[i * 64 : (i + 1) * 64]))
+            yield pd.DataFrame(out)
+
+    frames = d.mapInPandas(
+        frame_features, "doc_id long, frame_idx int, csum long"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "csum",
+        F.coalesce(
+            F.abs(F.col("csum") - F.lag("csum").over(w)) >= 512, F.lit(False)
+        ).alias("is_boundary"),
+    )
