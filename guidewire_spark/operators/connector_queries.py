@@ -2293,3 +2293,40 @@ def delta_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"bloom kept {len(kept)}/{n_files} files — index not pruning"
         )
     return read_bloom_filtered(spark, table, "o_orderkey", keys)
+
+
+@query(
+    "delta_cdf_by_timestamp",
+    oracle="""
+    SELECT s_suppkey, 'delete' AS _change_type
+    FROM supplier WHERE s_suppkey % 7 = 2 AND NOT s_suppkey % 5 = 1
+    """,
+)
+def delta_cdf_by_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF by time window (startingTimestamp/endingTimestamp): with
+    in-commit timestamps enabled the commit clock is monotonic and
+    skew-proof, so a consumer can subscribe by TIME — "changes since
+    when I last looked" — instead of tracking version counters.  Two
+    MOR deletes land; the window opens exactly at the second delete's
+    in-commit timestamp and must emit ONLY its fresh deaths (%7=2 not
+    already killed by %5=1), never the first delete's rows or any
+    whole-file churn."""
+    from guidewire_spark.sources.snapshot import (
+        _commit_timestamp,
+        read_delta_changes_by_timestamp,
+    )
+    from guidewire_spark.sources.writer import (
+        delete_from_mor,
+        enable_in_commit_timestamps,
+    )
+
+    table = tempfile.mkdtemp(prefix="gw_cdft_") + "/supplier_delta"
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    write_delta(s, table, mode="append")
+    enable_in_commit_timestamps(table)
+    delete_from_mor(spark, table, "s_suppkey % 5 = 1")
+    v_second = delete_from_mor(spark, table, "s_suppkey % 7 = 2")
+    since = _commit_timestamp(table, v_second)
+    return read_delta_changes_by_timestamp(
+        spark, table, from_timestamp=since
+    ).select("s_suppkey", "_change_type")

@@ -296,6 +296,59 @@ def load_snapshot(
     )
 
 
+def _commit_timestamp(table_path: str, version: int) -> int:
+    """A commit's effective timestamp: in-commit timestamp when
+    present (monotonic, clock-skew-proof), else commitInfo wall
+    clock — the same precedence time travel uses."""
+    for action in _read_commit(table_path, version):
+        if "commitInfo" in action:
+            return action["commitInfo"].get(
+                "inCommitTimestamp", action["commitInfo"].get("timestamp", 0)
+            )
+    return 0
+
+
+def read_delta_changes_by_timestamp(
+    spark: SparkSession,
+    table_path: str,
+    from_timestamp: int,
+    to_timestamp: int | None = None,
+    with_row_ids: bool = False,
+) -> DataFrame:
+    """Change Data Feed by time window (Delta's startingTimestamp /
+    endingTimestamp): changes from the first commit at-or-after
+    ``from_timestamp`` through the last commit at-or-before
+    ``to_timestamp`` (default: latest), both inclusive — resolved to
+    versions with the same ICT-over-wall-clock precedence as
+    TIMESTAMP AS OF, then delegated to the version-based reader.
+    Raises when ``from_timestamp`` lies beyond the last commit
+    (Delta's timestamp-too-late error) rather than returning an
+    empty-but-plausible feed."""
+    versions = list_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no Delta log at {table_path}")
+    ts_of = {v: _commit_timestamp(table_path, v) for v in versions}
+    starts = [v for v in versions if ts_of[v] >= from_timestamp]
+    if not starts:
+        raise ValueError(
+            f"from_timestamp {from_timestamp} is after the last commit "
+            f"({max(ts_of.values())}) of {table_path}"
+        )
+    ends = (
+        [v for v in versions if ts_of[v] <= to_timestamp]
+        if to_timestamp is not None
+        else versions
+    )
+    if not ends or ends[-1] < starts[0]:
+        # a window that closes before it opens holds no commits
+        return read_delta_changes(
+            spark, table_path, versions[-1], versions[-1], with_row_ids
+        )
+    return read_delta_changes(
+        spark, table_path, starts[0] - 1, ends[-1], with_row_ids
+    )
+
+
 def read_delta_changes(
     spark: SparkSession,
     table_path: str,

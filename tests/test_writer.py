@@ -1987,3 +1987,38 @@ def test_not_null_invariant_enforced(spark, sf_dir, tmp_path):
         spark.createDataFrame([(3, None)], loose), table, mode="append"
     )
     assert read_delta(spark, table).count() == 3
+
+
+def test_cdf_by_timestamp_window(spark, sf_dir, tmp_path):
+    """Timestamp-window CDF: version resolution is at-or-after for
+    the start, at-or-before for the end (ICT precedence); a start
+    beyond the last commit raises; a window closing before it opens
+    is empty."""
+    import pytest
+
+    from guidewire_spark.sources.snapshot import (
+        _commit_timestamp,
+        read_delta_changes_by_timestamp,
+    )
+    from guidewire_spark.sources.writer import enable_in_commit_timestamps
+
+    table = str(tmp_path / "cdft")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n.where("n_nationkey < 10"), table, mode="append")
+    enable_in_commit_timestamps(table)
+    write_delta(n.where("n_nationkey >= 10 and n_nationkey < 20"), table)
+    write_delta(n.where("n_nationkey >= 20"), table)
+    ts2 = _commit_timestamp(table, 2)
+    ts3 = _commit_timestamp(table, 3)
+    # start at v2's timestamp: v2 and v3 inserts
+    got = read_delta_changes_by_timestamp(spark, table, ts2)
+    assert sorted(
+        r["_commit_version"] for r in got.select("_commit_version").distinct().collect()
+    ) == [2, 3]
+    # bounded window [ts2, ts2]: v2 only
+    got2 = read_delta_changes_by_timestamp(spark, table, ts2, ts2)
+    assert got2.select("_commit_version").distinct().collect()[0][0] == 2
+    # window closes before it opens: empty, not an error
+    assert read_delta_changes_by_timestamp(spark, table, ts3, ts2).count() == 0
+    with pytest.raises(ValueError, match="after the last commit"):
+        read_delta_changes_by_timestamp(spark, table, ts3 + 10_000_000)
