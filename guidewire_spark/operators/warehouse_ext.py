@@ -309,3 +309,59 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.col("lo"), 4).alias("ci_lo"),
         _r(F.col("hi"), 4).alias("ci_hi"),
     )
+
+
+@query(
+    "warehouse_result_cache",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2)) * 100) AS BIGINT)
+             AS bal_cents
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def warehouse_result_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-version-aware result caching (plans/result_cache.py):
+    the dashboard economics — repeated aggregates over tables that
+    change far less often than they're read — made SAFE by the log's
+    version counter: a hit is one metadata stat per input table, and
+    any commit invalidates exactly the fingerprints that read it.
+    The query drives the full lifecycle inline: miss → hit (same
+    rows, zero recompute) → append commit → miss (fresh rows) — each
+    transition asserted — and returns the post-append aggregate,
+    which must equal the plain full-table oracle (a stale cache hit
+    after the append would fail the hash)."""
+    from guidewire_spark.plans.result_cache import cached_query
+    from guidewire_spark.sources.snapshot import read_delta
+    from guidewire_spark.sources.writer import write_delta
+
+    root = tempfile.mkdtemp(prefix="gw_rescache_")
+    table, cache = root + "/cust", root + "/cache"
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    write_delta(c.where("c_custkey % 2 = 0"), table, mode="append")
+
+    def compute(s):
+        return (
+            read_delta(s, table)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("c_acctbal").cast("decimal(14,2)") * 100)
+                .cast("long")
+                .alias("bal_cents"),
+            )
+        )
+
+    _, hit = cached_query(spark, cache, "by nation", [table], compute)
+    if hit:
+        raise AssertionError("first probe must miss")
+    _, hit = cached_query(spark, cache, "by nation", [table], compute)
+    if not hit:
+        raise AssertionError("unchanged inputs must hit")
+    write_delta(c.where("c_custkey % 2 = 1"), table, mode="append")
+    result, hit = cached_query(spark, cache, "by nation", [table], compute)
+    if hit:
+        raise AssertionError("a new commit must invalidate the entry")
+    return result

@@ -1,0 +1,101 @@
+"""Delta-version-aware result cache: serve a repeated query from a
+materialized parquet result while its input tables are unchanged,
+recompute the moment any input commits a new version.
+
+The warehouse result-set-caching idea (Snowflake and Databricks both
+document it publicly): most dashboards re-run identical aggregates
+over tables that change far less often than they are read.  What
+makes it SAFE here is Delta's version counter — a table's state is
+fully named by (path, version), so "inputs unchanged" is an exact
+metadata check, not a heuristic TTL.  At 100 TB the economics are
+stark: a cache probe is one log stat per input table; a miss costs
+the query you were going to run anyway plus one small parquet write.
+
+Design:
+- An entry lives under ``<cache_dir>/<key>/`` as ``result.parquet``
+  (the materialized rows) + ``manifest.json`` recording the exact
+  ``{table_path: version}`` fingerprint it was computed at.
+- ``cached_query`` probes the manifest against each input's CURRENT
+  snapshot version; any drift (or any missing/corrupt entry) → run
+  ``compute_fn``, atomically republish (temp dir + rename) so a
+  concurrent reader never sees a half-written entry.
+- Results must be deterministic for the cache to be semantically
+  transparent — the same discipline every registered query already
+  follows.  Caller-supplied keys namespace entries; the key is a path
+  segment, so it is sanitized.
+- Invalidation is per-entry and exact.  There is no TTL and no LRU:
+  eviction is ``invalidate`` (one entry) or removing the cache dir —
+  policy belongs to the operator, correctness to the versions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _entry_dir(cache_dir: str, key: str) -> str:
+    safe = re.sub(r"[^A-Za-z0-9._-]", "_", key)
+    return os.path.join(cache_dir, safe)
+
+
+def _current_versions(tables: list[str]) -> dict[str, int]:
+    from guidewire_spark.sources.snapshot import load_snapshot
+
+    return {t: load_snapshot(t).version for t in tables}
+
+
+def cached_query(
+    spark: SparkSession,
+    cache_dir: str,
+    key: str,
+    tables: list[str],
+    compute_fn,
+) -> tuple[DataFrame, bool]:
+    """Return (result, was_hit).  ``tables`` are the Delta inputs the
+    query reads; ``compute_fn(spark) -> DataFrame`` runs on a miss.
+    A hit requires every input's current version to equal the
+    manifest's — one snapshot stat per table, no data I/O."""
+    entry = _entry_dir(cache_dir, key)
+    manifest_path = os.path.join(entry, "manifest.json")
+    result_path = os.path.join(entry, "result.parquet")
+    now = _current_versions(tables)
+    try:
+        with open(manifest_path, encoding="utf-8") as f:
+            manifest = json.load(f)
+        if manifest["versions"] == {t: int(v) for t, v in now.items()} and (
+            set(manifest["versions"]) == set(tables)
+        ):
+            return spark.read.parquet(result_path), True
+    except (OSError, ValueError, KeyError):
+        pass  # absent or torn entry: recompute
+
+    df = compute_fn(spark)
+    staging = entry + f".tmp-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(os.path.join(staging, "result.parquet"))
+    with open(
+        os.path.join(staging, "manifest.json"), "w", encoding="utf-8"
+    ) as f:
+        json.dump({"versions": now, "key": key}, f)
+    # atomic republish: readers see the OLD complete entry or the new
+    # one, never a mix (rename within one filesystem)
+    old = entry + f".old-{uuid.uuid4().hex[:8]}"
+    if os.path.isdir(entry):
+        os.rename(entry, old)
+    os.rename(staging, entry)
+    shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(result_path), False
+
+
+def invalidate(cache_dir: str, key: str) -> bool:
+    """Drop one entry; returns whether it existed."""
+    entry = _entry_dir(cache_dir, key)
+    if os.path.isdir(entry):
+        shutil.rmtree(entry)
+        return True
+    return False

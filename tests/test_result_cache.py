@@ -1,0 +1,89 @@
+"""Result-cache tests: exact version-fingerprint invalidation, hit
+transparency, atomic republish, and input-set changes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.result_cache import cached_query, invalidate
+from guidewire_spark.sources.snapshot import read_delta
+from guidewire_spark.sources.writer import write_delta
+
+
+def _agg(table):
+    def compute(spark):
+        return (
+            read_delta(spark, table)
+            .groupBy("n_regionkey")
+            .agg(F.count("*").alias("n"), F.sum("n_nationkey").alias("s"))
+        )
+
+    return compute
+
+
+def test_hit_until_input_commits(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "nat")
+    cache = str(tmp_path / "cache")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    write_delta(n.where("n_nationkey < 10"), table, mode="append")
+
+    r1, hit1 = cached_query(spark, cache, "by region", [table], _agg(table))
+    assert not hit1
+    want1 = sorted(map(tuple, r1.collect()))
+
+    r2, hit2 = cached_query(spark, cache, "by region", [table], _agg(table))
+    assert hit2
+    assert sorted(map(tuple, r2.collect())) == want1
+
+    # any new commit on an input invalidates exactly this fingerprint
+    write_delta(n.where("n_nationkey >= 10"), table, mode="append")
+    r3, hit3 = cached_query(spark, cache, "by region", [table], _agg(table))
+    assert not hit3
+    want3 = sorted(
+        map(
+            tuple,
+            n.groupBy("n_regionkey")
+            .agg(F.count("*").alias("n"), F.sum("n_nationkey").alias("s"))
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, r3.collect())) == want3
+    # and the refreshed entry hits again
+    assert cached_query(spark, cache, "by region", [table], _agg(table))[1]
+
+
+def test_keys_namespace_and_invalidate(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "nat")
+    cache = str(tmp_path / "cache")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    write_delta(n, table, mode="append")
+    cached_query(spark, cache, "q/one", [table], _agg(table))
+    cached_query(spark, cache, "q two", [table], _agg(table))
+    assert cached_query(spark, cache, "q/one", [table], _agg(table))[1]
+    assert invalidate(cache, "q/one")
+    assert not invalidate(cache, "q/one")
+    assert not cached_query(spark, cache, "q/one", [table], _agg(table))[1]
+    assert cached_query(spark, cache, "q two", [table], _agg(table))[1]
+
+
+def test_input_set_change_misses(spark, sf_dir, tmp_path):
+    """Same key, different declared input set: the manifest's table
+    set must match exactly, or a narrowed declaration would serve
+    stale rows."""
+    t1 = str(tmp_path / "a")
+    t2 = str(tmp_path / "b")
+    cache = str(tmp_path / "cache")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    write_delta(n, t1, mode="append")
+    write_delta(n, t2, mode="append")
+    _, hit = cached_query(spark, cache, "k", [t1, t2], _agg(t1))
+    assert not hit
+    _, hit = cached_query(spark, cache, "k", [t1], _agg(t1))
+    assert not hit, "declared-input change must not hit the wider entry"
