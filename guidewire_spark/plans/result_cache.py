@@ -12,13 +12,19 @@ stark: a cache probe is one log stat per input table; a miss costs
 the query you were going to run anyway plus one small parquet write.
 
 Design:
-- An entry lives under ``<cache_dir>/<key>/`` as ``result.parquet``
-  (the materialized rows) + ``manifest.json`` recording the exact
-  ``{table_path: version}`` fingerprint it was computed at.
+- An entry lives under ``<cache_dir>/<key>/`` as versioned
+  ``result-<id>.parquet`` dirs + one ``manifest.json`` naming the
+  current result and the exact ``{table_path: version}`` fingerprint
+  it was computed at (plus the RAW key — entry dirs are sanitized,
+  so two keys can share a dir; the manifest check disambiguates).
 - ``cached_query`` probes the manifest against each input's CURRENT
   snapshot version; any drift (or any missing/corrupt entry) → run
-  ``compute_fn``, atomically republish (temp dir + rename) so a
-  concurrent reader never sees a half-written entry.
+  ``compute_fn`` into a FRESH result dir, then atomically replace
+  only the manifest.  Result dirs are immutable once written, so hit
+  DataFrames returned earlier stay valid across a republish (lazy
+  Spark reads re-list files at action time — deleting under them is
+  the torn read this layout avoids); superseded dirs are GC'd with a
+  one-generation grace window.
 - Results must be deterministic for the cache to be semantically
   transparent — the same discipline every registered query already
   follows.  Caller-supplied keys namespace entries; the key is a path
@@ -63,33 +69,50 @@ def cached_query(
     manifest's — one snapshot stat per table, no data I/O."""
     entry = _entry_dir(cache_dir, key)
     manifest_path = os.path.join(entry, "manifest.json")
-    result_path = os.path.join(entry, "result.parquet")
     now = _current_versions(tables)
     try:
         with open(manifest_path, encoding="utf-8") as f:
             manifest = json.load(f)
-        if manifest["versions"] == {t: int(v) for t, v in now.items()} and (
-            set(manifest["versions"]) == set(tables)
+        # the raw key is verified too: sanitization maps 'daily/sales'
+        # and 'daily sales' onto one entry dir, and versions alone
+        # would happily serve one query's rows as the other's
+        if (
+            manifest["key"] == key
+            and manifest["versions"] == {t: int(v) for t, v in now.items()}
         ):
-            return spark.read.parquet(result_path), True
+            return (
+                spark.read.parquet(os.path.join(entry, manifest["result"])),
+                True,
+            )
     except (OSError, ValueError, KeyError):
         pass  # absent or torn entry: recompute
 
     df = compute_fn(spark)
-    staging = entry + f".tmp-{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(os.path.join(staging, "result.parquet"))
-    with open(
-        os.path.join(staging, "manifest.json"), "w", encoding="utf-8"
-    ) as f:
-        json.dump({"versions": now, "key": key}, f)
-    # atomic republish: readers see the OLD complete entry or the new
-    # one, never a mix (rename within one filesystem)
-    old = entry + f".old-{uuid.uuid4().hex[:8]}"
-    if os.path.isdir(entry):
-        os.rename(entry, old)
-    os.rename(staging, entry)
-    shutil.rmtree(old, ignore_errors=True)
-    return spark.read.parquet(result_path), False
+    # each publish materializes into a FRESH result dir and then
+    # atomically replaces only the manifest (os.replace): hit handles
+    # returned earlier stay lazy over their own immutable result dir —
+    # republishing never deletes data a live DataFrame may still read.
+    result_name = f"result-{uuid.uuid4().hex[:8]}.parquet"
+    os.makedirs(entry, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(entry, result_name))
+    tmp = manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"versions": now, "key": key, "result": result_name}, f)
+    os.replace(tmp, manifest_path)
+    # GC superseded result dirs, keeping the newest TWO (the fresh one
+    # plus a grace copy for handles collected around the republish);
+    # anything older is policy-free to drop
+    results = sorted(
+        (
+            d
+            for d in os.listdir(entry)
+            if d.startswith("result-") and d != result_name
+        ),
+        key=lambda d: os.path.getmtime(os.path.join(entry, d)),
+    )
+    for stale in results[:-1]:
+        shutil.rmtree(os.path.join(entry, stale), ignore_errors=True)
+    return spark.read.parquet(os.path.join(entry, result_name)), False
 
 
 def invalidate(cache_dir: str, key: str) -> bool:

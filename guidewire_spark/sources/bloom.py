@@ -148,17 +148,19 @@ def bloom_columns(table_path: str) -> list[str]:
 
 
 def _hash_exprs(columns: list[str]) -> list:
-    """Per indexed column: xxhash64 pair, masked to NULL for NULL
-    inputs (xxhash64(NULL) degenerates to the seed — indexing it
-    would charge every file's filter for rows no equality predicate
-    can ever match)."""
+    """Per indexed column: xxhash64 pair plus a not-null flag.  The
+    hashes are deliberately NOT masked to NULL: a nullable int64
+    column crosses Arrow→pandas as float64, which silently mangles
+    hashes above 2^53 (wrong bit positions → false negatives — the
+    unsound direction).  xxhash64 never returns NULL, so the columns
+    stay exact int64 end to end; the flag drops NULL rows Python-side
+    (indexing them would charge every filter for rows no equality
+    predicate can match)."""
     exprs = []
     for idx, c in enumerate(columns):
-        nn = F.col(c).isNotNull()
-        exprs.append(F.when(nn, F.xxhash64(F.col(c))).alias(f"__h1_{idx}"))
-        exprs.append(
-            F.when(nn, F.xxhash64(F.col(c), F.lit(_SALT))).alias(f"__h2_{idx}")
-        )
+        exprs.append(F.xxhash64(F.col(c)).alias(f"__h1_{idx}"))
+        exprs.append(F.xxhash64(F.col(c), F.lit(_SALT)).alias(f"__h2_{idx}"))
+        exprs.append(F.col(c).isNotNull().alias(f"__nn_{idx}"))
     return exprs
 
 
@@ -166,12 +168,16 @@ def create_bloom_index(
     spark: SparkSession,
     table_path: str,
     columns: list[str],
-    fpp: float = 0.01,
+    fpp: float | None = None,
 ) -> dict[str, int]:
     """CREATE BLOOMFILTER INDEX: record the indexed columns in the
     table configuration (a metadata-only commit — advisory, no
     protocol feature) and build sidecars for every live file that
-    lacks one.  Returns {data_file: indexed_row_count}."""
+    lacks one.  Returns {data_file: indexed_row_count}.
+
+    ``fpp``: explicit value updates the table setting (applies to
+    sidecars built from now on); None keeps the existing setting
+    (default 0.01)."""
     from guidewire_spark.sources.snapshot import load_snapshot
     from guidewire_spark.sources.writer import (
         set_table_properties,
@@ -185,8 +191,10 @@ def create_bloom_index(
     existing = bloom_columns(table_path)
     merged = existing + [c for c in columns if c not in existing]
     props: dict[str, str] = {CONFIG_COLUMNS: ",".join(merged)}
-    if CONFIG_FPP not in table_configuration(table_path):
+    if fpp is not None:
         props[CONFIG_FPP] = repr(fpp)
+    elif CONFIG_FPP not in table_configuration(table_path):
+        props[CONFIG_FPP] = repr(0.01)
     set_table_properties(table_path, props)
     return reindex_bloom(spark, table_path)
 
@@ -239,16 +247,20 @@ def reindex_bloom(spark: SparkSession, table_path: str) -> dict[str, int]:
         import numpy as np
         import pandas as pd
 
-        # _metadata.file_path is a URI; strip the scheme back to the
-        # shared-storage path the snapshot (and relpath) uses
+        # _metadata.file_path is a URI (scheme + percent-encoding:
+        # a space in the table path renders %20) — decode it back to
+        # the log-side path the snapshot, probe, and vacuum key on
+        # (the inverse of dv.normalize_path's log→URI direction).
         import re as _re
+        from urllib.parse import unquote as _unquote
 
-        fp = _re.sub(r"^file:/+", "/", pdf["__fp"].iloc[0])
+        fp = _unquote(_re.sub(r"^file:/+", "/", pdf["__fp"].iloc[0]))
         side_name = _sidecar_name(table_dir, fp)
         payload: dict = {"format": _FORMAT, "salt": _SALT, "columns": {}}
         for idx, c in enumerate(cols):
-            h1 = pdf[f"__h1_{idx}"].dropna()
-            h2 = pdf[f"__h2_{idx}"].loc[h1.index]
+            keep_rows = pdf[f"__nn_{idx}"].to_numpy(dtype=bool)
+            h1 = pdf[f"__h1_{idx}"][keep_rows]
+            h2 = pdf[f"__h2_{idx}"][keep_rows]
             n = len(h1)
             m, k = _size_filter(n, fpp_val)
             bits = np.zeros(m // 8, dtype=np.uint8)
@@ -283,7 +295,35 @@ def reindex_bloom(spark: SparkSession, table_path: str) -> dict[str, int]:
         .applyInPandas(build, "path string, num_items long")
         .collect()
     )
-    return {r["path"]: r["num_items"] for r in manifest}
+    out = {r["path"]: r["num_items"] for r in manifest}
+    # Committed ZERO-ROW files yield no group above, so no executor
+    # wrote their sidecar; without one they would re-enter `todo` on
+    # every reindex (incl. OPTIMIZE's self-maintenance) and schedule
+    # a scan job forever.  Write their empty-bloom sidecars here —
+    # all-zero bitsets, so every probe prunes them, which is exact
+    # for a file with no rows.  Driver-side is fine: the work is
+    # O(empty files) tiny JSONs, no data involved.
+    for p in todo:
+        side = _sidecar_path(table_path, p)
+        if os.path.exists(side):
+            continue
+        m, k = _size_filter(0, fpp)
+        empty = base64.b64encode(bytes(m // 8)).decode("ascii")
+        payload = {
+            "format": _FORMAT,
+            "salt": _SALT,
+            "columns": {
+                c: {"m_bits": m, "k": k, "num_items": 0, "bits": empty}
+                for c in physical
+            },
+        }
+        os.makedirs(os.path.dirname(side), exist_ok=True)
+        tmp = side + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(payload, f, separators=(",", ":"))
+        os.replace(tmp, side)
+        out[p] = 0
+    return out
 
 
 def _probe_hashes(
@@ -307,16 +347,21 @@ def _probe_hashes(
 
 
 def bloom_kept_files(
-    spark: SparkSession, table_path: str, column: str, values: list
+    spark: SparkSession, table_path: str, column: str, values: list, snap=None
 ) -> list[str]:
     """Files that MAY contain ``column IN (values)`` per their bloom
     sidecars.  Sound, never lossy: files without a sidecar (or without
     this column's filter) are always kept; a bloom can only err by
     keeping.  Membership tests run executor-side over the candidate
-    file list; the driver receives kept paths only."""
-    from guidewire_spark.sources.snapshot import load_snapshot
+    file list; the driver receives kept paths only.
 
-    snap = load_snapshot(table_path)
+    ``snap``: pass a preloaded snapshot so a multi-step read (prune +
+    scan) sees ONE version — loading twice would let a concurrent
+    commit slip a DV or a new file between the two views."""
+    if snap is None:
+        from guidewire_spark.sources.snapshot import load_snapshot
+
+        snap = load_snapshot(table_path)
     if not snap.files:
         return []
     dtype = snap.schema[column].dataType
@@ -351,6 +396,16 @@ def bloom_kept_files(
                 except (OSError, KeyError, ValueError):
                     keep.append(True)  # unindexed file: sound keep
                     continue
+                if (
+                    payload.get("format") != _FORMAT
+                    or payload.get("salt") != _SALT
+                ):
+                    # a sidecar hashed under another scheme/salt would
+                    # test WRONG positions — false negatives, the
+                    # unsound direction; an unrecognized format must
+                    # degrade to keep, exactly like no sidecar
+                    keep.append(True)
+                    continue
                 bits = base64.b64decode(spec["bits"])
                 keep.append(
                     any(
@@ -383,7 +438,7 @@ def read_bloom_filtered(
     from guidewire_spark.sources.writer import _read_with_partitions
 
     snap = load_snapshot(table_path)
-    kept = bloom_kept_files(spark, table_path, column, values)
+    kept = bloom_kept_files(spark, table_path, column, values, snap=snap)
     if not kept:
         return spark.createDataFrame([], snap.schema or T.StructType([]))
     return _read_with_partitions(spark, snap, kept).where(

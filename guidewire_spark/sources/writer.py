@@ -294,11 +294,19 @@ def _enforce_constraints(df: DataFrame, table_path: str) -> None:
     schema nullability as an invariant, not a hint. One combined
     predicate pass over the incoming DataFrame — the same work Delta's
     CheckDeltaInvariant exec node does inline."""
-    constraints = table_constraints(table_path)
+    # one snapshot load serves both the constraint config and the
+    # schema nullability (this used to be two full metadata replays)
     try:
-        schema = load_snapshot(table_path).schema
+        snap = load_snapshot(table_path)
     except FileNotFoundError:
-        schema = None
+        return
+    prefix = "delta.constraints."
+    constraints = {
+        k[len(prefix):]: v
+        for k, v in snap.configuration.items()
+        if k.startswith(prefix)
+    }
+    schema = snap.schema
     not_null = [
         f.name
         for f in (schema.fields if schema is not None else [])

@@ -87,3 +87,50 @@ def test_input_set_change_misses(spark, sf_dir, tmp_path):
     assert not hit
     _, hit = cached_query(spark, cache, "k", [t1], _agg(t1))
     assert not hit, "declared-input change must not hit the wider entry"
+
+
+def test_sanitized_key_collision_never_cross_serves(spark, sf_dir, tmp_path):
+    """'daily/sales' and 'daily sales' sanitize onto one entry dir;
+    the manifest's raw key must keep them apart."""
+    table = str(tmp_path / "nat")
+    cache = str(tmp_path / "cache")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    write_delta(n, table, mode="append")
+
+    def count_only(spark):
+        return read_delta(spark, table).groupBy().agg(F.count("*").alias("n"))
+
+    r1, _ = cached_query(spark, cache, "daily/sales", [table], _agg(table))
+    r2, hit = cached_query(spark, cache, "daily sales", [table], count_only)
+    assert not hit, "colliding sanitized keys must never cross-serve"
+    assert r2.columns == ["n"]
+
+
+def test_hit_handle_survives_republish(spark, sf_dir, tmp_path):
+    """A lazy hit DataFrame collected AFTER a republish must still
+    return its own rows (result dirs are immutable; only the manifest
+    moves)."""
+    table = str(tmp_path / "nat")
+    cache = str(tmp_path / "cache")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    write_delta(n.where("n_nationkey < 5"), table, mode="append")
+    cached_query(spark, cache, "k", [table], _agg(table))
+    held, hit = cached_query(spark, cache, "k", [table], _agg(table))
+    assert hit
+    write_delta(n.where("n_nationkey >= 5"), table, mode="append")
+    cached_query(spark, cache, "k", [table], _agg(table))  # republish
+    got = sorted(map(tuple, held.collect()))  # old handle, post-republish
+    want = sorted(
+        map(
+            tuple,
+            n.where("n_nationkey < 5")
+            .groupBy("n_regionkey")
+            .agg(F.count("*").alias("n"), F.sum("n_nationkey").alias("s"))
+            .collect(),
+        )
+    )
+    assert got == want
