@@ -2449,3 +2449,103 @@ def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("csum") - F.lag("csum").over(w)) >= 512, F.lit(False)
         ).alias("is_boundary"),
     )
+
+
+@query(
+    "sample_kcenter_greedy",
+    oracle="""
+    WITH unit AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+      FROM embeddings WHERE vec_id < 200
+    ),
+    dist AS (
+      SELECT a.vec_id AS p, b.vec_id AS c,
+             CAST(ROUND((1.0 - list_sum(list_transform(range(1, 65),
+                  i -> a.u[i] * b.u[i]))) * 10000) AS BIGINT) AS d
+      FROM unit a JOIN unit b
+        ON b.vec_id IN (SELECT vec_id FROM unit)
+    ),
+    s1 AS (
+      SELECT p, d FROM dist WHERE c = 0
+    ),
+    p1 AS (SELECT p, d FROM s1 WHERE p <> 0
+           ORDER BY d DESC, p ASC LIMIT 1),
+    s2 AS (
+      SELECT s1.p, LEAST(s1.d, dist.d) AS d
+      FROM s1 JOIN dist ON dist.p = s1.p AND dist.c = (SELECT p FROM p1)
+    ),
+    p2 AS (SELECT p, d FROM s2 WHERE p <> 0 AND p NOT IN (SELECT p FROM p1)
+           ORDER BY d DESC, p ASC LIMIT 1),
+    s3 AS (
+      SELECT s2.p, LEAST(s2.d, dist.d) AS d
+      FROM s2 JOIN dist ON dist.p = s2.p AND dist.c = (SELECT p FROM p2)
+    ),
+    p3 AS (SELECT p, d FROM s3 WHERE p <> 0
+             AND p NOT IN (SELECT p FROM p1 UNION SELECT p FROM p2)
+           ORDER BY d DESC, p ASC LIMIT 1),
+    s4 AS (
+      SELECT s3.p, LEAST(s3.d, dist.d) AS d
+      FROM s3 JOIN dist ON dist.p = s3.p AND dist.c = (SELECT p FROM p3)
+    ),
+    p4 AS (SELECT p, d FROM s4 WHERE p <> 0 AND p NOT IN
+             (SELECT p FROM p1 UNION SELECT p FROM p2 UNION SELECT p FROM p3)
+           ORDER BY d DESC, p ASC LIMIT 1)
+    SELECT 1 AS step, p AS vec_id, d AS dist_q4 FROM p1
+    UNION ALL SELECT 2, p, d FROM p2
+    UNION ALL SELECT 3, p, d FROM p3
+    UNION ALL SELECT 4, p, d FROM p4
+    """,
+)
+def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy (farthest-point) diversity sampling — the
+    coreset selector training-data pipelines use to pick maximally
+    spread exemplars (each step takes the point farthest from the
+    chosen set; 2-approximation to the k-center optimum, Gonzalez
+    1985).  Seeded at vec_id 0, four greedy steps over cosine
+    distance.
+
+    Scale shape: the chosen set is k vectors — BROADCAST — so each
+    step is one corpus pass computing min-distance-to-chosen via a
+    fused fold, and the argmax folds through ONE max_by aggregate
+    (no sort, no window).  The driver holds k vectors and k picks,
+    never the corpus.  Determinism: distances quantize to integer
+    1e-4 units before any comparison and the argmax key packs
+    (dist, -vec_id) into one BIGINT, so every step — and therefore
+    the whole iteration — is float-order-proof."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 200)
+        .select("vec_id", V.normalize(F.col("embedding")).alias("u"))
+    )
+
+    def dist_to(vec):
+        dot = F.aggregate(
+            F.zip_with(F.col("u"), F.array(*[F.lit(x) for x in vec]),
+                       lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round((F.lit(1.0) - dot) * 10000).cast("long")
+
+    seed = e.where(F.col("vec_id") == 0).select("u").first()["u"]
+    cur = e.select("vec_id", "u", dist_to(seed).alias("d")).where(
+        F.col("vec_id") != 0
+    )
+    picks = []
+    for step in range(1, 5):
+        # pack (distance, smallest-id tiebreak) into one max_by key
+        key = F.col("d") * 1000000 + (F.lit(999999) - F.col("vec_id"))
+        pick = cur.agg(
+            F.max_by(F.struct("vec_id", "d"), key).alias("p")
+        ).first()["p"]
+        picks.append((step, pick["vec_id"], pick["d"]))
+        if step == 4:
+            break
+        vec = e.where(F.col("vec_id") == pick["vec_id"]).first()["u"]
+        cur = cur.where(F.col("vec_id") != pick["vec_id"]).select(
+            "vec_id", "u", F.least(F.col("d"), dist_to(vec)).alias("d")
+        )
+    return spark.createDataFrame(picks, "step int, vec_id long, dist_q4 long")
