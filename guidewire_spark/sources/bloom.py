@@ -43,12 +43,15 @@ Design (own implementation; only the public concept is shared):
 - Maintenance is append-only and sound by default.  Files written
   after indexing (appends, OPTIMIZE output, merge rewrites) simply
   have no sidecar and are always kept; ``reindex_bloom`` covers them
-  incrementally (already-indexed files are skipped — the sidecar is
-  keyed by the data file's table-relative path, and a data file is
-  immutable once committed).  ``vacuum_bloom_sidecars`` deletes sidecars whose data
-  file left the live set.  Merge-on-read deletes need nothing: a DV
-  only ever makes a bloom's answer a false POSITIVE, which is the
-  sound direction.
+  incrementally — a sidecar is keyed by the data file's table-
+  relative path PLUS a hash of the covered column set, so coverage
+  is an O(1) existence check (data files are immutable once
+  committed; a config change retags the names and stale sidecars
+  fall out of match).  ``vacuum_bloom_sidecars`` deletes sidecars
+  whose data file left the live set or whose column-set tag was
+  superseded.  Merge-on-read deletes need nothing: a DV only ever
+  makes a bloom's answer a false POSITIVE, which is the sound
+  direction.
 
 Reference parity: the reference connector (README.md:33-43) promises
 its Delta output is queryable by any engine at CDC scale; bloom
@@ -62,6 +65,7 @@ import base64
 import json
 import math
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,18 +83,37 @@ _FORMAT = "xxhash64-double-v1"
 _MAX_K = 16
 
 
-def _sidecar_name(table_path: str, data_file: str) -> str:
+def _colset_tag(columns: list[str]) -> str:
+    """Short stable hash of the SORTED covered-column set, baked into
+    the sidecar NAME: coverage ("does this file's index carry every
+    configured column?") becomes an O(1) existence check instead of
+    parsing each sidecar's full JSON — at 100k files the old check
+    dragged the entire index (bitsets included) through the driver on
+    every reindex.  A column-set change yields a different name, so
+    stale-config sidecars simply stop matching (probe: sound keep;
+    reindex: rebuild; vacuum: GC)."""
+    import hashlib
+
+    return hashlib.sha256(
+        ",".join(sorted(columns)).encode("utf-8")
+    ).hexdigest()[:8]
+
+
+def _sidecar_name(table_path: str, data_file: str, columns: list[str]) -> str:
     """Flat sidecar name from the data file's table-relative path,
     percent-encoded (partitioned writes reuse part-file basenames
-    across ``col=value`` dirs, so the basename alone collides)."""
+    across ``col=value`` dirs, so the basename alone collides), plus
+    the covered-column-set tag."""
     from urllib.parse import quote
 
     rel = os.path.relpath(os.path.abspath(data_file), os.path.abspath(table_path))
-    return quote(rel, safe="") + ".bloom.json"
+    return quote(rel, safe="") + f".bloom.{_colset_tag(columns)}.json"
 
 
-def _sidecar_path(table_path: str, data_file: str) -> str:
-    return os.path.join(table_path, BLOOM_DIR, _sidecar_name(table_path, data_file))
+def _sidecar_path(table_path: str, data_file: str, columns: list[str]) -> str:
+    return os.path.join(
+        table_path, BLOOM_DIR, _sidecar_name(table_path, data_file, columns)
+    )
 
 
 def _size_filter(n: int, fpp: float) -> tuple[int, int]:
@@ -129,15 +152,6 @@ def _test_bits(bits, h1: int, h2: int, k: int, m: int) -> bool:
         if not (bits[pos // 8] >> (pos % 8)) & 1:
             return False
     return True
-
-
-def _sidecar_covers(side_path: str, columns: list[str]) -> bool:
-    try:
-        with open(side_path, encoding="utf-8") as f:
-            have = json.load(f)["columns"]
-    except (OSError, KeyError, ValueError):
-        return False
-    return all(c in have for c in columns)
 
 
 def bloom_columns(table_path: str) -> list[str]:
@@ -225,7 +239,7 @@ def reindex_bloom(spark: SparkSession, table_path: str) -> dict[str, int]:
     todo = [
         p
         for p in snap.files
-        if not _sidecar_covers(_sidecar_path(table_path, p), physical)
+        if not os.path.exists(_sidecar_path(table_path, p, physical))
     ]
     if not todo:
         return {}
@@ -255,7 +269,7 @@ def reindex_bloom(spark: SparkSession, table_path: str) -> dict[str, int]:
         from urllib.parse import unquote as _unquote
 
         fp = _unquote(_re.sub(r"^file:/+", "/", pdf["__fp"].iloc[0]))
-        side_name = _sidecar_name(table_dir, fp)
+        side_name = _sidecar_name(table_dir, fp, cols)
         payload: dict = {"format": _FORMAT, "salt": _SALT, "columns": {}}
         for idx, c in enumerate(cols):
             keep_rows = pdf[f"__nn_{idx}"].to_numpy(dtype=bool)
@@ -304,7 +318,7 @@ def reindex_bloom(spark: SparkSession, table_path: str) -> dict[str, int]:
     # for a file with no rows.  Driver-side is fine: the work is
     # O(empty files) tiny JSONs, no data involved.
     for p in todo:
-        side = _sidecar_path(table_path, p)
+        side = _sidecar_path(table_path, p, physical)
         if os.path.exists(side):
             continue
         m, k = _size_filter(0, fpp)
@@ -380,7 +394,12 @@ def bloom_kept_files(
         pass  # mixed/unorderable probe types: bloom-only pruning
     if not candidates:
         return []
-    table_dir, col, k_probes = table_path, column, probes
+    configured = [
+        c
+        for c in (snap.configuration.get(CONFIG_COLUMNS, "") or "").split(",")
+        if c and c not in (snap.partition_columns or [])
+    ]
+    table_dir, col, k_probes, side_cols = table_path, column, probes, configured
 
     def test(iterator):
         import pandas as pd
@@ -388,7 +407,7 @@ def bloom_kept_files(
         for pdf in iterator:
             keep = []
             for fp in pdf["path"]:
-                side = _sidecar_path(table_dir, fp)
+                side = _sidecar_path(table_dir, fp, side_cols)
                 try:
                     with open(side, encoding="utf-8") as f:
                         payload = json.load(f)
@@ -454,13 +473,18 @@ def vacuum_bloom_sidecars(table_path: str) -> list[str]:
     side_dir = os.path.join(table_path, BLOOM_DIR)
     if not os.path.isdir(side_dir):
         return []
-    live = {
-        _sidecar_name(table_path, p)
-        for p in load_snapshot(table_path).files
-    }
+    snap = load_snapshot(table_path)
+    current = [
+        c
+        for c in bloom_columns(table_path)
+        if c not in (snap.partition_columns or [])
+    ]
+    live = {_sidecar_name(table_path, p, current) for p in snap.files}
     removed = []
     for name in os.listdir(side_dir):
-        if name.endswith(".bloom.json") and name not in live:
+        # matches any column-set tag: a sidecar is garbage if its data
+        # file is gone OR it was built under a superseded column set
+        if re.search(r"\.bloom\.[0-9a-f]{8}\.json$", name) and name not in live:
             full = os.path.join(side_dir, name)
             os.remove(full)
             removed.append(full)

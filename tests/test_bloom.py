@@ -22,6 +22,11 @@ from guidewire_spark.sources.snapshot import load_snapshot
 from guidewire_spark.sources.writer import optimize_table, write_delta
 
 
+def _side(table, p):
+    """Sidecar path under the table's CURRENT configured column set."""
+    return _sidecar_path(table, p, bloom_columns(table))
+
+
 def _make_table(spark, sf_dir, tmp_path, n_files=8, name="li"):
     table = str(tmp_path / name)
     li = (
@@ -122,7 +127,7 @@ def test_optimize_self_maintains_index(spark, sf_dir, tmp_path):
     optimize_table(spark, table, target_files=2)
     snap = load_snapshot(table)
     for p in snap.files:
-        assert os.path.exists(_sidecar_path(table, p))
+        assert os.path.exists(_side(table, p))
     assert reindex_bloom(spark, table) == {}
     assert vacuum_bloom_sidecars(table) == []
     key = (
@@ -167,11 +172,11 @@ def test_vacuum_bloom_sidecars(spark, sf_dir, tmp_path):
     assert dead, "copy-on-write delete must rewrite files"
     removed = vacuum_bloom_sidecars(table)
     assert {os.path.basename(p) for p in removed} == {
-        _sidecar_name(table, p) for p in dead
+        _sidecar_name(table, p, bloom_columns(table)) for p in dead
     }
     reindex_bloom(spark, table)
     for p in load_snapshot(table).files:
-        assert os.path.exists(_sidecar_path(table, p))
+        assert os.path.exists(_side(table, p))
 
 
 def test_partitioned_table_bloom(spark, sf_dir, tmp_path):
