@@ -88,3 +88,54 @@ def test_interval_merge_model(ivs):
             islands[-1][1] = max(islands[-1][1], e)
         running_max = e if running_max is None else max(running_max, e)
     assert [(a, b) for a, b in islands] == merged
+
+
+# --- bloom filter bitset core (sources/bloom.py) -----------------------------
+
+
+@given(
+    hashes=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    fpp=st.sampled_from([0.1, 0.01, 0.001]),
+)
+@settings(max_examples=60, deadline=None)
+def test_bloom_bitset_has_no_false_negatives(hashes, fpp):
+    """The soundness property the whole index rests on: every (h1,h2)
+    pair inserted by the numpy build path must be found by the pure-
+    Python probe path — including extreme int64 values (the round-7
+    review found exactly this class breaking via a float64 detour)."""
+    import numpy as np
+
+    from guidewire_spark.sources.bloom import _set_bits, _size_filter, _test_bits
+
+    m, k = _size_filter(len(hashes), fpp)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    h1 = np.array([h[0] for h in hashes], dtype=np.int64).view(np.uint64)
+    h2 = np.array([h[1] for h in hashes], dtype=np.int64).view(np.uint64)
+    _set_bits(bits, h1, h2, k, m)
+    packed = bytes(bits)
+    for a, b in hashes:
+        assert _test_bits(packed, a, b, k, m)
+
+
+@given(
+    n=st.integers(min_value=0, max_value=10_000_000),
+    fpp=st.floats(min_value=1e-6, max_value=0.5),
+)
+@settings(max_examples=100, deadline=None)
+def test_bloom_sizing_invariants(n, fpp):
+    """m is byte-aligned and >= 64; k stays in [1, 16]; size grows
+    monotonically with n (spot) — the arithmetic never degenerates."""
+    from guidewire_spark.sources.bloom import _size_filter
+
+    m, k = _size_filter(n, fpp)
+    assert m >= 64 and m % 8 == 0
+    assert 1 <= k <= 16
+    m2, _ = _size_filter(n * 2 + 1, fpp)
+    assert m2 >= m
