@@ -2549,3 +2549,49 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "u", F.least(F.col("d"), dist_to(vec)).alias("d")
         )
     return spark.createDataFrame(picks, "step int, vec_id long, dist_q4 long")
+
+
+@query(
+    "er_survivorship_merge",
+    oracle="""
+    SELECT doc_id % 50 AS entity_id,
+           COUNT(*) AS n_members,
+           COUNT(DISTINCT source) AS n_sources,
+           SUM(n_chars) AS total_chars,
+           min_by(n_chars,
+                  CAST(substr(source, 4) AS BIGINT) * 1000000000 + doc_id)
+             AS trusted_chars,
+           max_by(lang, doc_id) AS freshest_lang
+    FROM documents
+    GROUP BY doc_id % 50
+    """,
+)
+def er_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (the MDM step AFTER entity resolution): matched
+    records collapse into one golden record with per-FIELD rules —
+    here 'trusted source wins' for the content field (lowest source
+    number, doc_id tiebreak) and 'freshest wins' for the language
+    field (highest doc_id as the recency proxy), alongside the
+    aggregate facts.  Complements dedup_cluster_canonical (which
+    keeps one whole ROW): survivorship composes each field from a
+    DIFFERENT member.
+
+    Scale shape: one hash aggregate per entity — every per-field rule
+    is a max_by/min_by with a UNIQUE packed ordering key, so the
+    golden record falls out of the same single shuffle as the counts
+    (no window, no self-join, no per-field passes)."""
+    d = load_table(spark, sf_dir, "documents")
+    trust_key = (
+        F.substring("source", 4, 10).cast("long") * 1000000000
+        + F.col("doc_id")
+    )
+    return (
+        d.groupBy((F.col("doc_id") % 50).alias("entity_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min_by("n_chars", trust_key).alias("trusted_chars"),
+            F.max_by("lang", F.col("doc_id")).alias("freshest_lang"),
+        )
+    )
