@@ -654,3 +654,74 @@ def join_dynamic_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey"))
         .select("l_orderkey", "l_suppkey", "price", "o_orderpriority")
     )
+
+
+@query(
+    "join_bloom_dynamic_pruning",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (7, 5007, 10007)
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+)
+def join_bloom_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic file pruning on an UNCLUSTERED key: the min/max
+    variant (join_dynamic_file_pruning) needs ZORDER to tighten
+    per-file bounds first — on a fact table whose layout scatters the
+    join key, every file's range straddles every probe and stats
+    pruning keeps everything (asserted inline).  The bloom index
+    covers exactly this case: the probe-side keys (bounded — the
+    same size class a broadcast join ships anyway) test each fact
+    file's filter, and only files that may hold a key are opened
+    before the broadcast join re-applies the exact match.
+
+    orders is the fact (ONE row per key, so each probed key lives in
+    exactly one of the 16 round-robin files — 3 keys must keep well
+    under half at fpp=0.01); the probe side is the lineitem quantity
+    roll-up for those keys.  Correctness is prune-independent —
+    blooms have no false negatives and the equi-join re-matches
+    exactly — so the oracle is the plain filtered join."""
+    import tempfile
+
+    from guidewire_spark.sources.bloom import (
+        bloom_kept_files,
+        create_bloom_index,
+    )
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import _read_with_partitions, write_delta
+
+    fact = tempfile.mkdtemp(prefix="gw_bdfp_") + "/orders"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    write_delta(o.repartition(16), fact, mode="append")
+    create_bloom_index(spark, fact, ["o_orderkey"], fpp=0.01)
+
+    keys = [7, 5007, 10007]
+    probe = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey").isin(keys))
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+    )
+    snap = load_snapshot(fact)
+    stats_kept = snap.pruned_files("o_orderkey", min(keys), max(keys))
+    if len(stats_kept) < snap.num_files:
+        raise AssertionError(
+            "scattered layout must defeat min/max pruning "
+            f"({len(stats_kept)}/{snap.num_files} kept) or the bloom "
+            "adds nothing here"
+        )
+    kept = bloom_kept_files(spark, fact, "o_orderkey", keys, snap=snap)
+    if len(kept) >= snap.num_files // 2:
+        raise AssertionError(
+            f"bloom DFP kept {len(kept)}/{snap.num_files} files"
+        )
+    return (
+        _read_with_partitions(spark, snap, kept)
+        .join(F.broadcast(probe), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "o_orderstatus", "sum_qty")
+    )
