@@ -2102,3 +2102,86 @@ def window_ignore_nulls_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("next_purchase_value"),
     )
+
+
+@query(
+    "agg_ab_tost_equivalence",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(value) AS s1,
+             SUM(value * value) AS s2
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, s1 / n AS mean,
+             (s2 - s1 * s1 / n) / (n - 1) AS var
+      FROM s
+    ),
+    t AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             a.mean - b.mean AS diff,
+             sqrt(a.var / a.n + b.var / b.n) AS se,
+             0.10 * (a.mean + b.mean) / 2 AS margin
+      FROM (SELECT * FROM m WHERE event_type = 'view') a
+      CROSS JOIN (SELECT * FROM m WHERE event_type = 'click') b
+    )
+    SELECT n_a, n_b,
+           CAST(ROUND(CAST(diff AS DECIMAL(24,10)), 4) AS DOUBLE) AS diff,
+           CAST(ROUND(CAST((diff + margin) / se AS DECIMAL(24,10)), 4)
+             AS DOUBLE) AS t_lower,
+           CAST(ROUND(CAST((diff - margin) / se AS DECIMAL(24,10)), 4)
+             AS DOUBLE) AS t_upper,
+           (CAST(ROUND(CAST((diff + margin) / se AS DECIMAL(24,10)), 4)
+              AS DOUBLE) > 1.645
+            AND
+            CAST(ROUND(CAST((diff - margin) / se AS DECIMAL(24,10)), 4)
+              AS DOUBLE) < -1.645) AS equivalent
+    FROM t
+    """,
+)
+def agg_ab_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests, Schuirmann 1987):
+    the A/B question a plain t-test can't answer — "are these arms
+    the SAME, within ±10%?" — needs BOTH one-sided nulls rejected:
+    diff > -margin (t_lower > z_0.95) AND diff < +margin (t_upper <
+    -z_0.95).  Failing to reject a difference is not evidence of
+    equivalence; TOST is.
+
+    Same single-pass power-sum shape as agg_ab_welch_t (n, Σx, Σx²
+    per arm — map-side combinable at any scale; the final join is two
+    one-row aggregates).  The equivalence VERDICT compares the
+    ROUNDED statistics against the critical value, so the boolean is
+    exactly as cross-engine-stable as the statistics themselves."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click")
+    )
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = m.where(F.col("event_type") == "view").alias("a")
+    b = m.where(F.col("event_type") == "click").alias("b")
+    diff = F.col("a.mean") - F.col("b.mean")
+    se = F.sqrt(F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n"))
+    margin = F.lit(0.10) * (F.col("a.mean") + F.col("b.mean")) / 2
+    t_lower = _r((diff + margin) / se, 4)
+    t_upper = _r((diff - margin) / se, 4)
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        _r(diff, 4).alias("diff"),
+        t_lower.alias("t_lower"),
+        t_upper.alias("t_upper"),
+        ((t_lower > 1.645) & (t_upper < -1.645)).alias("equivalent"),
+    )
