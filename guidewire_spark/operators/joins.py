@@ -725,3 +725,93 @@ def join_bloom_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(probe), F.col("o_orderkey") == F.col("l_orderkey"))
         .select("o_orderkey", "o_orderstatus", "sum_qty")
     )
+
+
+@query(
+    "join_geo_grid_bucketed",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id AS u,
+             (event_id * CAST(2654435761 AS BIGINT)) % 1000000 AS lat,
+             (event_id * CAST(2246822519 AS BIGINT)) % 1000000 AS lon
+      FROM events WHERE event_id % 100 = 0
+    ),
+    pairs AS (
+      SELECT a.lat // 50000 AS cell_x, a.lon // 50000 AS cell_y,
+             (a.lat - b.lat) * (a.lat - b.lat)
+               + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+      FROM pts a JOIN pts b
+        ON a.u < b.u
+       AND (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon)
+           <= CAST(900000000 AS BIGINT)
+    )
+    SELECT cell_x, cell_y, COUNT(*) AS n_pairs, SUM(d2) AS sum_d2
+    FROM pairs GROUP BY cell_x, cell_y
+    """,
+)
+def join_geo_grid_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join, grid-bucketed (the 100 TB proximity-join
+    pattern): points land in 50k-unit grid cells, one side explodes
+    its 3x3 cell neighborhood, and the equi-join on cell keys bounds
+    candidates to adjacent cells — pairs within radius 30k NEVER span
+    beyond a neighbor cell (radius < cell size), so the bucketing is
+    lossless while the plan stays a plain shuffle join: no cross
+    join, no theta join, candidate count ∝ local density, not n².
+
+    Coordinates are synthesized as integer micro-units from event_id
+    by Knuth multiplicative hashing, and proximity is squared
+    Euclidean distance in EXACT int64 arithmetic (a flat-grid
+    approximation, documented — the bucketing argument is identical
+    for haversine with a latitude-corrected cell size), so the
+    O(n²) DuckDB theta-join oracle matches hash-for-hash.  Pairs
+    group to the smaller id's cell."""
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 100 == 0)
+        .select(
+            F.col("event_id").alias("u"),
+            ((F.col("event_id") * F.lit(2654435761)) % 1000000).alias("lat"),
+            ((F.col("event_id") * F.lit(2246822519)) % 1000000).alias("lon"),
+        )
+    )
+    cell = 50000
+    a = pts.select(
+        F.col("u").alias("ua"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        (F.col("lat") / cell).cast("long").alias("cx"),
+        (F.col("lon") / cell).cast("long").alias("cy"),
+    )
+    # the probe side registers under its cell AND every neighbor cell:
+    # 9 copies of the (small) key tuple, then a plain equi-join
+    offsets = F.expr(
+        "explode(array("
+        + ",".join(f"struct({dx}L as dx, {dy}L as dy)"
+                   for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+        + "))"
+    )
+    b = (
+        pts.select(
+            F.col("u").alias("ub"),
+            F.col("lat").alias("lat_b"),
+            F.col("lon").alias("lon_b"),
+            (F.col("lat") / cell).cast("long").alias("bx"),
+            (F.col("lon") / cell).cast("long").alias("by"),
+            offsets.alias("o"),
+        )
+        .select(
+            "ub", "lat_b", "lon_b",
+            (F.col("bx") + F.col("o.dx")).alias("kx"),
+            (F.col("by") + F.col("o.dy")).alias("ky"),
+        )
+    )
+    d2 = (F.col("lat_a") - F.col("lat_b")) * (
+        F.col("lat_a") - F.col("lat_b")
+    ) + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    return (
+        a.join(b, (F.col("cx") == F.col("kx")) & (F.col("cy") == F.col("ky")))
+        .where((F.col("ua") < F.col("ub")) & (d2 <= 900000000))
+        .groupBy(F.col("cx").alias("cell_x"), F.col("cy").alias("cell_y"))
+        .agg(F.count("*").alias("n_pairs"), F.sum(d2).alias("sum_d2"))
+    )
