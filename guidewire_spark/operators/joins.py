@@ -815,3 +815,93 @@ def join_geo_grid_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cx").alias("cell_x"), F.col("cy").alias("cell_y"))
         .agg(F.count("*").alias("n_pairs"), F.sum(d2).alias("sum_d2"))
     )
+
+
+@query(
+    "geo_cell_density_hotspots",
+    oracle="""
+    WITH pts AS (
+      SELECT (event_id * CAST(2654435761 AS BIGINT)) % 1000000 AS lat,
+             (event_id * CAST(2246822519 AS BIGINT)) % 1000000 AS lon
+      FROM events WHERE event_id % 10 = 0
+    ),
+    cells AS (
+      SELECT lat // 50000 AS cx, lon // 50000 AS cy, COUNT(*) AS n
+      FROM pts GROUP BY lat // 50000, lon // 50000
+    ),
+    hood AS (
+      SELECT a.cx, a.cy, a.n,
+             SUM(b.n) AS hood_n, COUNT(*) AS hood_cells
+      FROM cells a JOIN cells b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+      GROUP BY a.cx, a.cy, a.n
+    )
+    SELECT cx AS cell_x, cy AS cell_y, n, hood_n, hood_cells,
+           CAST(ROUND(CAST(CAST(n AS DOUBLE) * hood_cells
+                / CAST(hood_n AS DOUBLE) AS DECIMAL(24,10)), 4) AS DOUBLE)
+             AS density_ratio
+    FROM hood
+    """,
+)
+def geo_cell_density_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hotspot score per grid cell (the Getis-Ord shape
+    without the variance term): each cell's point count against its
+    3x3 neighborhood's average — ratio > 1 marks local clustering.
+    Two metadata-sized stages after the one point pass: points fold
+    to per-cell counts (map-side combinable), then the CELL table —
+    hundreds of rows regardless of point count — self-joins its
+    neighborhood via the same explode-the-offsets equi-join as
+    join_geo_grid_bucketed.  At 100 TB the heavy stage is the first
+    aggregate; everything after runs on the grid, not the points.
+    The ratio quantizes through the DECIMAL bridge; counts are exact
+    ints."""
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 10 == 0)
+        .select(
+            ((F.col("event_id") * F.lit(2654435761)) % 1000000).alias("lat"),
+            ((F.col("event_id") * F.lit(2246822519)) % 1000000).alias("lon"),
+        )
+    )
+    cell = 50000
+    cells = (
+        pts.groupBy(
+            (F.col("lat") / cell).cast("long").alias("cx"),
+            (F.col("lon") / cell).cast("long").alias("cy"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    offsets = F.expr(
+        "explode(array("
+        + ",".join(f"struct({dx}L as dx, {dy}L as dy)"
+                   for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+        + "))"
+    )
+    b = cells.select("cx", "cy", "n", offsets.alias("o")).select(
+        F.col("n").alias("nb"),
+        (F.col("cx") + F.col("o.dx")).alias("kx"),
+        (F.col("cy") + F.col("o.dy")).alias("ky"),
+    )
+    from guidewire_spark.operators.analytics import _r
+
+    hood = (
+        cells.join(
+            b, (F.col("cx") == F.col("kx")) & (F.col("cy") == F.col("ky"))
+        )
+        .groupBy("cx", "cy", "n")
+        .agg(F.sum("nb").alias("hood_n"), F.count("*").alias("hood_cells"))
+    )
+    return hood.select(
+        F.col("cx").alias("cell_x"),
+        F.col("cy").alias("cell_y"),
+        "n",
+        "hood_n",
+        "hood_cells",
+        _r(
+            F.col("n").cast("double")
+            * F.col("hood_cells")
+            / F.col("hood_n").cast("double"),
+            4,
+        ).alias("density_ratio"),
+    )
