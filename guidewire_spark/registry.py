@@ -91,6 +91,7 @@ _OPERATOR_MODULES = [
     "guidewire_spark.operators.mining_ext",
     "guidewire_spark.operators.frontier_ext",
     "guidewire_spark.operators.incremental_ext",
+    "guidewire_spark.operators.rules_ext",
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]

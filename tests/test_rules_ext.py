@@ -1,0 +1,105 @@
+"""Quality gates for rules_ext: association-rule metric identities,
+row-pattern matching cross-checked against Python's regex engine on an
+independently rebuilt sequence, WOE/IV encoding identities, and the
+scaling suite re-derived from pandas group statistics."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+
+from guidewire_spark.operators.rules_ext import (
+    feature_scaling_suite,
+    feature_woe_iv,
+    mining_association_rules,
+    sql_row_pattern_match,
+)
+from guidewire_spark.plans.catalog import load_table
+
+
+def test_association_rule_metric_identities(spark, sf_dir):
+    got = mining_association_rules(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    # pair orientation and count bounds
+    assert (got["brand_a"] < got["brand_b"]).all()
+    assert (got["n_ab"] <= got[["n_a", "n_b"]].min(axis=1)).all()
+    assert (got["n_ab"] >= 5).all()
+    # metric identities from the exact counts
+    for _, r in got.iterrows():
+        assert math.isclose(r["support"], round(r["n_ab"] / r["n_baskets"], 6),
+                            abs_tol=1e-9)
+        assert math.isclose(r["confidence"], round(r["n_ab"] / r["n_a"], 6),
+                            abs_tol=1e-9)
+        lift = r["n_ab"] * r["n_baskets"] / (r["n_a"] * r["n_b"])
+        assert math.isclose(r["lift"], round(lift, 6), abs_tol=1e-9)
+    # a pair's support can never exceed either item's marginal support
+    assert (got["n_ab"] <= got["n_baskets"]).all()
+
+
+def test_row_pattern_matches_python_regex(spark, sf_dir):
+    got = sql_row_pattern_match(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    events = load_table(spark, sf_dir, "events").toPandas()
+    sym = {"view": "v", "click": "c", "purchase": "p", "signup": "s",
+           "error": "e"}
+    events["sym"] = events["event_type"].map(sym)
+    events = events.sort_values(["ts", "event_id"])
+    seqs = events.groupby("user_id")["sym"].agg("".join)
+    expected = {
+        uid: len(re.findall("vc+p", s))
+        for uid, s in seqs.items()
+        if re.findall("vc+p", s)
+    }
+    assert dict(zip(got["user_id"], got["n_matches"])) == expected
+    # seq_len is the user's full event count
+    counts = events.groupby("user_id").size()
+    for _, r in got.iterrows():
+        assert r["seq_len"] == counts[r["user_id"]]
+
+
+def test_woe_iv_identities(spark, sf_dir):
+    got = feature_woe_iv(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    assert len(got) == docs["source"].nunique()
+    g = got["n_good"].sum()
+    b = got["n_bad"].sum()
+    k = len(got)
+    assert g + b == len(docs)
+    for _, r in got.iterrows():
+        woe = math.log(((r["n_good"] + 0.5) * (b + 0.5 * k))
+                       / ((r["n_bad"] + 0.5) * (g + 0.5 * k)))
+        assert math.isclose(r["woe"], round(woe, 6), abs_tol=1e-9)
+        dg = (r["n_good"] + 0.5) / (g + 0.5 * k)
+        db = (r["n_bad"] + 0.5) / (b + 0.5 * k)
+        # IV term reuses the QUANTIZED woe (the module's doctrine)
+        assert math.isclose(r["iv_term"], round((dg - db) * r["woe"], 6),
+                            abs_tol=1e-9)
+    # smoothed shares each sum to 1 => the share gaps sum to 0
+    dg_total = ((got["n_good"] + 0.5) / (g + 0.5 * k)).sum()
+    db_total = ((got["n_bad"] + 0.5) / (b + 0.5 * k)).sum()
+    assert math.isclose(dg_total, 1.0) and math.isclose(db_total, 1.0)
+
+
+def test_scaling_suite_matches_pandas(spark, sf_dir):
+    got = feature_scaling_suite(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    orders = load_table(spark, sf_dir, "orders").toPandas()
+    cents = (orders["o_totalprice"].round(2) * 100).round().astype("int64")
+    orders = orders.assign(cents=cents)
+    for prio, grp in orders.groupby("o_orderpriority"):
+        sub = got[got["o_orderpriority"] == prio]
+        if sub.empty:
+            continue
+        mu = grp["cents"].mean()
+        sd = grp["cents"].std(ddof=0)
+        mn, mx = grp["cents"].min(), grp["cents"].max()
+        q1, med, q3 = grp["cents"].quantile([0.25, 0.5, 0.75])
+        for _, r in sub.iterrows():
+            assert math.isclose(r["z"], (r["cents"] - mu) / sd, abs_tol=1e-5)
+            assert math.isclose(r["mm"], (r["cents"] - mn) / (mx - mn),
+                                abs_tol=1e-6)
+            assert 0.0 <= r["mm"] <= 1.0
+            assert math.isclose(r["robust"], (r["cents"] - med) / (q3 - q1),
+                                abs_tol=1e-5)
