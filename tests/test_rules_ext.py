@@ -14,7 +14,10 @@ from guidewire_spark.operators.rules_ext import (
     feature_scaling_suite,
     feature_woe_iv,
     mining_association_rules,
+    mining_sequence_trigrams,
+    sql_recursive_hierarchy,
     sql_row_pattern_match,
+    ts_holt_forecast_exact,
 )
 from guidewire_spark.plans.catalog import load_table
 
@@ -80,6 +83,72 @@ def test_woe_iv_identities(spark, sf_dir):
     dg_total = ((got["n_good"] + 0.5) / (g + 0.5 * k)).sum()
     db_total = ((got["n_bad"] + 0.5) / (b + 0.5 * k)).sum()
     assert math.isclose(dg_total, 1.0) and math.isclose(db_total, 1.0)
+
+
+def test_sequence_trigrams_match_pandas(spark, sf_dir):
+    got = mining_sequence_trigrams(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    events = load_table(spark, sf_dir, "events").toPandas()
+    events = events.sort_values(["ts", "event_id"])
+    users = {}
+    occ = {}
+    for uid, grp in events.groupby("user_id"):
+        types = list(grp["event_type"])
+        seen = set()
+        for i in range(len(types) - 2):
+            tri = ">".join(types[i : i + 3])
+            occ[tri] = occ.get(tri, 0) + 1
+            seen.add(tri)
+        for tri in seen:
+            users[tri] = users.get(tri, 0) + 1
+    expected = {t: (u, occ[t]) for t, u in users.items() if u >= 5}
+    assert {
+        r["trigram"]: (r["n_users"], r["n_occurrences"])
+        for _, r in got.iterrows()
+    } == expected
+
+
+def test_recursive_hierarchy_partitions_all_customers(spark, sf_dir):
+    got = sql_recursive_hierarchy(spark, sf_dir).toPandas()
+    cust = load_table(spark, sf_dir, "customer").toPandas()
+    # the recursion reaches every customer exactly once
+    assert got["n_nodes"].sum() == len(cust)
+    assert got["sum_keys"].sum() == cust["c_custkey"].sum()
+    # levels are the div-7 hierarchy: each level's max key < 7^depth
+    for _, r in got.iterrows():
+        assert r["max_key"] < 7 ** r["depth"]
+    assert got["depth"].min() == 1
+
+
+def test_holt_forecast_matches_pure_python(spark, sf_dir):
+    got = ts_holt_forecast_exact(spark, sf_dir).toPandas()
+    events = load_table(spark, sf_dir, "events").toPandas()
+    assert len(got) == events["user_id"].nunique()
+
+    def tdiv2(a):
+        return a // 2 if a >= 0 else -((-a) // 2)
+
+    events = events.sort_values(["ts", "event_id"])
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for uid, grp in list(events.groupby("user_id"))[:5]:
+        ys = [
+            int(
+                (Decimal(str(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+                * 1000000
+            )
+            for v in grp["value"]
+        ]
+        level, trend = ys[1], ys[1] - ys[0]
+        for y in ys[2:]:
+            nl = tdiv2(y + level + trend)
+            trend = tdiv2(trend + (nl - level))
+            level = nl
+        row = got[got["user_id"] == uid].iloc[0]
+        assert row["level_micros"] == level
+        assert row["trend_micros"] == trend
+        assert row["forecast3_micros"] == level + 3 * trend
+        assert row["n_obs"] == len(ys)
 
 
 def test_scaling_suite_matches_pandas(spark, sf_dir):
