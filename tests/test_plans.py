@@ -812,3 +812,65 @@ def test_hybrid_rrf_broadcasts_queries_no_cartesian(spark, sf_dir):
     plan = plan_of(retrieval_hybrid_rrf(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin Inner") == 2
+
+
+def test_association_rules_pair_join_is_equi_not_cross(spark, sf_dir):
+    """The brand-pair space must come from an equi-join on the basket
+    key (bounded by items-per-basket), never a cartesian pair
+    enumeration; dims and the basket-count scalar broadcast."""
+    from guidewire_spark.operators.rules_ext import mining_association_rules
+
+    plan = plan_of(mining_association_rules(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    # the only nested-loop is the single-row basket-count broadcast
+    # (tree line counted once; the details section repeats the node id)
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 1
+
+
+def test_scaling_suite_stats_broadcast_back(spark, sf_dir):
+    """Group statistics (5 rows) must broadcast back onto the fact —
+    scaling may never shuffle the fact a second time through a
+    sort-merge join."""
+    from guidewire_spark.operators.rules_ext import feature_scaling_suite
+
+    plan = plan_of(feature_scaling_suite(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_trigrams_no_joins_single_window(spark, sf_dir):
+    """Trigram mining is LEADs over the per-user window plus one
+    aggregate — any join in the plan means a sequence was
+    materialized and self-joined."""
+    from guidewire_spark.operators.rules_ext import mining_sequence_trigrams
+
+    plan = plan_of(mining_sequence_trigrams(spark, sf_dir))
+    for node in ("Join", "CartesianProduct"):
+        assert node not in plan
+    assert "Window" in plan
+    assert "partial_count" in plan  # map-side combine on the trigram agg
+
+
+def test_holt_forecast_is_one_pandas_group_pass(spark, sf_dir):
+    """The smoother is ONE applyInPandas pass per user over the
+    user-partitioned shuffle — no joins, no second stateful stage."""
+    from guidewire_spark.operators.rules_ext import ts_holt_forecast_exact
+
+    plan = plan_of(ts_holt_forecast_exact(spark, sf_dir))
+    # one logical pandas-group stage (formatted plans repeat the node
+    # in the details section, so assert on the tree line)
+    assert plan.count("FlatMapGroupsInPandas (") == 1
+    assert "Join" not in plan
+
+
+def test_recursive_hierarchy_uses_union_loop(spark, sf_dir):
+    """The recursion must execute as Catalyst's iterative UnionLoop
+    (frontier joins per level), not a driver-side unrolled union."""
+    from guidewire_spark.operators.rules_ext import sql_recursive_hierarchy
+
+    plan = plan_of(sql_recursive_hierarchy(spark, sf_dir))
+    assert "UnionLoop" in plan
+    assert "CartesianProduct" not in plan
