@@ -151,6 +151,29 @@ def test_holt_forecast_matches_pure_python(spark, sf_dir):
         assert row["n_obs"] == len(ys)
 
 
+def test_psi_drift_identities(spark, sf_dir):
+    from guidewire_spark.operators.rules_ext import dq_psi_drift
+
+    got = dq_psi_drift(spark, sf_dir).toPandas()
+    events = load_table(spark, sf_dir, "events").toPandas()
+    # 10 decile bins partitioning both halves completely
+    assert sorted(got["bin"]) == list(range(10))
+    assert got["n_base"].sum() + got["n_cur"].sum() == len(events)
+    # baseline deciles: each bin holds ~10% of the baseline half
+    tb = got["n_base"].sum()
+    assert ((got["n_base"] - tb / 10).abs() <= tb * 0.02 + 2).all()
+    # psi_term sign follows the share gap, and reuses the quantized ln
+    tc = got["n_cur"].sum()
+    for _, r in got.iterrows():
+        pc = (r["n_cur"] + 0.5) / (tc + 5.0)
+        pb = (r["n_base"] + 0.5) / (tb + 5.0)
+        assert math.isclose(r["psi_term"], round((pc - pb) * r["ln_ratio"], 6),
+                            abs_tol=1e-9)
+    # a distribution compared against itself would give PSI ~ 0; the
+    # two halves of the same generator should be close to stable
+    assert abs(got["psi_term"].sum()) < 0.25
+
+
 def test_scaling_suite_matches_pandas(spark, sf_dir):
     got = feature_scaling_suite(spark, sf_dir).toPandas()
     assert len(got) > 0
