@@ -174,6 +174,73 @@ def test_psi_drift_identities(spark, sf_dir):
     assert abs(got["psi_term"].sum()) < 0.25
 
 
+def test_position_attribution_matches_pandas(spark, sf_dir):
+    from guidewire_spark.operators.rules_ext import attribution_position_based
+
+    got = attribution_position_based(spark, sf_dir).toPandas()
+    events = load_table(spark, sf_dir, "events").toPandas()
+    events = events.sort_values(["ts", "event_id"])
+    totals = {}
+    counts = {}
+    for _, grp in events.groupby("user_id"):
+        segs = {}
+        seg_converts = set()
+        s = 0
+        for _, r in grp.iterrows():
+            if r["event_type"] in ("view", "click", "signup"):
+                segs.setdefault(s, []).append(r["event_type"])
+            if r["event_type"] == "purchase":
+                seg_converts.add(s)
+                s += 1
+        for si in seg_converts:
+            touches = segs.get(si, [])
+            k = len(touches)
+            for pos, ch in enumerate(touches, 1):
+                if k == 1:
+                    c = 1000000
+                elif k == 2:
+                    c = 500000
+                elif pos in (1, k):
+                    c = 400000
+                else:
+                    c = 200000 // (k - 2)
+                totals[ch] = totals.get(ch, 0) + c
+                counts[ch] = counts.get(ch, 0) + 1
+    assert {
+        r["channel"]: (r["n_touches"], r["total_credit_micros"])
+        for _, r in got.iterrows()
+    } == {ch: (counts[ch], totals[ch]) for ch in totals}
+
+
+def test_source_overlap_matrix_bounds_and_one_pair(spark, sf_dir):
+    import re as _re
+
+    from guidewire_spark.operators.rules_ext import mix_source_overlap_matrix
+
+    got = mix_source_overlap_matrix(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    assert (got["source_a"] < got["source_b"]).all()
+    assert (got["n_inter"] <= got[["n_a", "n_b"]].min(axis=1)).all()
+    assert ((got["jaccard"] > 0) & (got["jaccard"] <= 1)).all()
+    # recompute the heaviest pair's intersection exactly
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+
+    def shingles_of(src):
+        out = set()
+        for t in docs[docs["source"] == src]["text"]:
+            ws = [w for w in _re.split(r"\s+", t) if w]
+            out.update(
+                " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+            )
+        return out
+
+    top = got.sort_values("n_inter", ascending=False).iloc[0]
+    sa = shingles_of(top["source_a"])
+    sb = shingles_of(top["source_b"])
+    assert top["n_inter"] == len(sa & sb)
+    assert top["n_a"] == len(sa) and top["n_b"] == len(sb)
+
+
 def test_scaling_suite_matches_pandas(spark, sf_dir):
     got = feature_scaling_suite(spark, sf_dir).toPandas()
     assert len(got) > 0
