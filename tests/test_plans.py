@@ -874,3 +874,43 @@ def test_recursive_hierarchy_uses_union_loop(spark, sf_dir):
     plan = plan_of(sql_recursive_hierarchy(spark, sf_dir))
     assert "UnionLoop" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_psi_binning_is_map_side_fold_no_row_join(spark, sf_dir):
+    """PSI bin assignment must be a broadcast array fold over the
+    stream — a shuffle join between rows and edges would make the
+    monitor cost a second pass."""
+    from guidewire_spark.operators.rules_ext import dq_psi_drift
+
+    plan = plan_of(dq_psi_drift(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "aggregate(" in plan  # the JVM HOF fold assigning bins
+
+
+def test_position_attribution_single_user_exchange(spark, sf_dir):
+    """All attribution windows must reuse the user-partitioned
+    exchange; only the segment semi-join and the channel aggregate
+    may add exchanges."""
+    from guidewire_spark.operators.rules_ext import attribution_position_based
+
+    plan = plan_of(attribution_position_based(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # raw events feed two logical scans at most (stream + segment-key
+    # side); formatted plans mention each scan in tree + details
+    assert plan.count("Scan parquet") <= 4
+
+
+def test_source_overlap_is_inverted_index_join(spark, sf_dir):
+    """Source pairs must meet through the shingle key (sparse
+    inverted index), never a cartesian of sources or docs."""
+    from guidewire_spark.operators.rules_ext import mix_source_overlap_matrix
+
+    plan = plan_of(mix_source_overlap_matrix(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the pair join must be EQUI on the shingle key — a nested-loop
+    # node would mean sources paired without sharing a shingle.  (At
+    # test scale AQE broadcasts the shingle side of the equi-join,
+    # which is fine; at 100 TB it shuffles on the same key.)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
