@@ -241,6 +241,50 @@ def test_source_overlap_matrix_bounds_and_one_pair(spark, sf_dir):
     assert top["n_a"] == len(sa) and top["n_b"] == len(sb)
 
 
+def test_rake_scores_match_pure_python(spark, sf_dir):
+    import re as _re
+
+    from guidewire_spark.operators.rules_ext import text_keyword_rake
+
+    got = text_keyword_rake(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    stops = {"the", "and", "of", "to", "a"}
+    cand = []  # (doc_id, phrase_words)
+    for _, r in docs.iterrows():
+        ws = [w for w in _re.split(r"\s+", r["text"].lower()) if w]
+        run = []
+        for w in ws + ["the"]:  # sentinel flushes the tail run
+            if w in stops:
+                if 2 <= len(run) <= 4:
+                    cand.append((r["doc_id"], tuple(run)))
+                run = []
+            else:
+                run.append(w)
+    freq, deg = {}, {}
+    for _, p in cand:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(p)
+    ppm = {w: (deg[w] * 1000000) // freq[w] for w in freq}
+    stats = {}
+    for doc, p in cand:
+        key = " ".join(p)
+        s = sum(ppm[w] for w in p)
+        n_docs, n_occ, _ = stats.get(key, (set(), 0, 0))
+        n_docs.add(doc)
+        stats[key] = (n_docs, n_occ + 1, s)
+    expected = {
+        k: (len(ds), occ, s)
+        for k, (ds, occ, s) in stats.items()
+        if len(ds) >= 3
+    }
+    assert {
+        r["phrase"]: (r["n_docs"], r["n_occurrences"], r["score_ppm"])
+        for _, r in got.iterrows()
+    } == expected
+
+
 def test_scaling_suite_matches_pandas(spark, sf_dir):
     got = feature_scaling_suite(spark, sf_dir).toPandas()
     assert len(got) > 0
