@@ -143,3 +143,38 @@ class TestApproxTopKSemantics:
         )
         got = {r["item"]: r["count"] for r in rows}
         assert got == {"a": 5, "b": 3, "c": 1}
+
+
+class TestRegexpCountSemantics:
+    """regexp_count: used by sql_row_pattern_match — non-overlapping
+    left-to-right scan (SKIP PAST LAST ROW) must hold in this build."""
+
+    def test_non_overlapping_greedy_scan(self, spark):
+        df = spark.createDataFrame([("vccpvcpvp",)], "s string")
+        row = df.select(F.regexp_count("s", F.lit("vc+p")).alias("n")).collect()[0]
+        # matches: 'vccp', 'vcp'; the trailing 'vp' has no click
+        assert row["n"] == 2
+
+
+class TestRecursiveCteSemantics:
+    """WITH RECURSIVE: used by sql_recursive_hierarchy — the feature
+    must exist and UNION ALL recursion must run frontier-style."""
+
+    def test_recursion_available_and_correct(self, spark):
+        row = spark.sql(
+            "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+            "SELECT n + 1 FROM t WHERE n < 10) "
+            "SELECT SUM(n) AS s, COUNT(*) AS c FROM t"
+        ).collect()[0]
+        assert (row["s"], row["c"]) == (55, 10)
+
+
+class TestIntegerDivTruncation:
+    """div: the exact-integer recursions (Holt, attribution shares,
+    RAKE ppm) assume truncation toward zero, matching DuckDB's //."""
+
+    def test_div_truncates_toward_zero(self, spark):
+        row = spark.sql(
+            "SELECT -7 div 2 AS a, 7 div 2 AS b, -1 div 2 AS c"
+        ).collect()[0]
+        assert (row["a"], row["b"], row["c"]) == (-3, 3, 0)
