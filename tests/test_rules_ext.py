@@ -241,6 +241,36 @@ def test_source_overlap_matrix_bounds_and_one_pair(spark, sf_dir):
     assert top["n_a"] == len(sa) and top["n_b"] == len(sb)
 
 
+def test_recursive_rollup_conserves_totals(spark, sf_dir):
+    from guidewire_spark.operators.rules_ext import sql_recursive_cost_rollup
+
+    got = sql_recursive_cost_rollup(spark, sf_dir).toPandas()
+    cust = load_table(spark, sf_dir, "customer").toPandas()
+    cents = (cust["c_acctbal"].round(2) * 100).round().astype("int64")
+    # the root subsumes every customer exactly once
+    root = got[got["node"] == 0].iloc[0]
+    assert root["n_subtree"] == len(cust)
+    assert root["subtree_cents"] == cents.sum()
+    # each depth-1 node's subtree: itself + descendants via repeated div-7
+    parent = {k: k // 7 for k in cust["c_custkey"]}
+
+    def in_subtree(k, node):
+        while True:
+            if k == node:
+                return True
+            if k == 0:
+                return False
+            k = parent.get(k, k // 7)
+
+    for node in (1, 6, 13, 48):
+        sub = got[got["node"] == node]
+        expect = sum(1 for k in cust["c_custkey"] if in_subtree(k, node))
+        if expect:
+            assert sub.iloc[0]["n_subtree"] == expect
+        else:
+            assert sub.empty
+
+
 def test_rake_scores_match_pure_python(spark, sf_dir):
     import re as _re
 
