@@ -1710,3 +1710,219 @@ def stream_stream_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{root}/out")
         .where(F.col("purchase_id") >= 0)
     )
+
+
+@query(
+    "stream_psi_monitor",
+    oracle="""
+    WITH ev AS (
+      SELECT (epoch_us(ts) // CAST(86400000000 AS BIGINT)) // 10 AS chunk,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y
+      FROM events
+    ),
+    mn AS (SELECT MIN(chunk) AS m FROM ev),
+    edges AS (
+      SELECT UNNEST(quantile_cont(y,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS edge
+      FROM ev, mn WHERE chunk = m
+    ),
+    binned AS (
+      SELECT chunk,
+             (SELECT COUNT(*) FROM edges e WHERE b.y > e.edge) AS bin
+      FROM ev b
+    ),
+    base AS (
+      SELECT bin, COUNT(*) AS nb FROM binned, mn
+      WHERE chunk = m GROUP BY bin
+    ),
+    base_total AS (SELECT SUM(nb) AS tb FROM base),
+    grid AS (
+      SELECT c.chunk, r.range AS bin
+      FROM (SELECT DISTINCT chunk FROM ev, mn WHERE chunk > m) c,
+           range(10) r
+    ),
+    cur AS (
+      SELECT chunk, bin, COUNT(*) AS nc FROM binned, mn
+      WHERE chunk > m GROUP BY chunk, bin
+    ),
+    filled AS (
+      SELECT g.chunk, g.bin,
+             COALESCE(c.nc, 0) AS n_cur,
+             COALESCE(b.nb, 0) AS n_base
+      FROM grid g
+      LEFT JOIN cur c ON c.chunk = g.chunk AND c.bin = g.bin
+      LEFT JOIN base b ON b.bin = g.bin
+    ),
+    cur_totals AS (
+      SELECT chunk, SUM(n_cur) AS tc FROM filled GROUP BY chunk
+    ),
+    terms AS (
+      SELECT f.chunk, f.bin, f.n_cur, f.n_base,
+             (f.n_cur + 0.5) / (t.tc + 5.0) AS pc,
+             (f.n_base + 0.5) / (bt.tb + 5.0) AS pb,
+             CAST(ROUND(CAST(LN(((f.n_cur + 0.5) * (bt.tb + 5.0))
+                               / ((f.n_base + 0.5) * (t.tc + 5.0)))
+                  AS DECIMAL(24,10)), 6) AS DOUBLE) AS ln_ratio
+      FROM filled f
+      JOIN cur_totals t ON t.chunk = f.chunk
+      CROSS JOIN base_total bt
+    )
+    SELECT chunk, CAST(bin AS BIGINT) AS bin, n_cur,
+           CAST(ROUND(CAST((pc - pb) * ln_ratio AS DECIMAL(24,10)), 6)
+                AS DOUBLE) AS psi_term
+    FROM terms
+    """,
+)
+def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift monitoring as a STREAMING job: the first micro-batch
+    (the earliest 10-day chunk of the event stream, mtime-pinned)
+    freezes baseline decile edges + bin counts into a state store;
+    every later micro-batch bins itself against those FROZEN edges and
+    appends its per-bin PSI contribution — the production shape of
+    dq_psi_drift, where the baseline is yesterday's saved state, not
+    a same-query subaggregate.
+
+    Each batch's work is one percentile aggregate (baseline) or one
+    broadcast-edges bin fold + 10-key count (monitors); state is 9
+    edges + 10 baseline counts — O(1) regardless of stream volume.
+    Batch→chunk identity comes from the DATA (min chunk key in the
+    batch), not the batch counter, so replays land on the same output
+    keys.  The oracle recomputes the whole monitored series
+    relationally; exactness inherits dq_psi_drift's micro-unit /
+    quantized-log-ratio doctrine."""
+    import os
+    import shutil
+    import tempfile
+
+    from guidewire_spark.plans.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="gw_psimon_")
+    feed = root + "/feed"
+    state = root + "/state"
+    results = root + "/results"
+    os.makedirs(feed)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("(unix_micros(ts) div 86400000000) div 10").alias("chunk"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("y"),
+    )
+    chunks = sorted(r["chunk"] for r in ev.select("chunk").distinct().collect())
+    for i, c in enumerate(chunks):
+        tmp = f"{root}/tmp_{c}"
+        ev.filter(F.col("chunk") == c).repartition(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dst = f"{feed}/chunk_{c}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def apply_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        if not os.path.exists(state):
+            edges = batch_df.agg(
+                F.percentile(
+                    "y", F.array(*[F.lit(p / 10.0) for p in range(1, 10)])
+                ).alias("es")
+            )
+            base = (
+                batch_df.crossJoin(F.broadcast(edges))
+                .select(
+                    F.aggregate(
+                        "es",
+                        F.lit(0).cast("long"),
+                        lambda acc, e: acc
+                        + F.when(F.col("y") > e, F.lit(1).cast("long"))
+                        .otherwise(F.lit(0).cast("long")),
+                    ).alias("bin")
+                )
+                .groupBy("bin")
+                .agg(F.count("*").alias("nb"))
+            )
+            sess.range(10).select(
+                F.col("id").alias("bin")
+            ).join(base, "bin", "left").na.fill({"nb": 0}).crossJoin(
+                edges
+            ).write.parquet(state)
+            return
+        st = sess.read.parquet(state)
+        edges = st.select("es").limit(1)
+        base = st.select("bin", "nb")
+        tb = sum(r["nb"] for r in base.collect())
+        chunk_id = batch_df.agg(F.min("chunk")).collect()[0][0]
+        cur = (
+            batch_df.crossJoin(F.broadcast(edges))
+            .select(
+                F.aggregate(
+                    "es",
+                    F.lit(0).cast("long"),
+                    lambda acc, e: acc
+                    + F.when(F.col("y") > e, F.lit(1).cast("long"))
+                    .otherwise(F.lit(0).cast("long")),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias("nc"))
+        )
+        filled = (
+            sess.range(10)
+            .select(F.col("id").alias("bin"))
+            .join(cur, "bin", "left")
+            .na.fill({"nc": 0})
+            .join(F.broadcast(base), "bin", "left")
+            .na.fill({"nb": 0})
+        )
+        tc = sum(r["nc"] for r in filled.select("nc").collect())
+        ln_ratio = F.log(
+            ((F.col("nc") + 0.5) * F.lit(float(tb) + 5.0))
+            / ((F.col("nb") + 0.5) * F.lit(float(tc) + 5.0))
+        )
+        pc = (F.col("nc") + 0.5) / F.lit(float(tc) + 5.0)
+        pb = (F.col("nb") + 0.5) / F.lit(float(tb) + 5.0)
+        out = (
+            filled.select(
+                F.lit(chunk_id).cast("long").alias("chunk"),
+                "bin",
+                F.col("nc").alias("n_cur"),
+                F.round(ln_ratio.cast("decimal(24,10)"), 6)
+                .cast("double")
+                .alias("lr"),
+                pc.alias("pc"),
+                pb.alias("pb"),
+            )
+            .select(
+                "chunk",
+                "bin",
+                "n_cur",
+                F.round(
+                    ((F.col("pc") - F.col("pb")) * F.col("lr")).cast(
+                        "decimal(24,10)"
+                    ),
+                    6,
+                )
+                .cast("double")
+                .alias("psi_term"),
+            )
+        )
+        # idempotent per-chunk sink: a retried batch REPLACES its
+        # chunk directory instead of appending duplicate rows
+        out.write.mode("overwrite").parquet(f"{results}/chunk_{chunk_id}")
+
+    q = (
+        spark.readStream.schema("chunk long, y long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "chunk long, bin long, n_cur long, psi_term double"
+    ).parquet(results + "/chunk_*")

@@ -547,3 +547,42 @@ def test_cda_source_review_hardening(spark, sf_dir, tmp_path):
     assert 2000 in _list_commit_ts(fp)
     leftovers = [d for d in (tmp_path / "fp001").iterdir() if "tmp" in d.name]
     assert not leftovers
+
+
+def test_psi_monitor_baseline_frozen_and_batch_psi_sane(spark, sf_dir):
+    """The streaming PSI monitor must (a) freeze the FIRST chunk as
+    baseline — it never appears in the output — (b) emit a full
+    10-bin grid per monitored chunk, and (c) produce per-chunk PSI
+    totals matching a pandas recomputation against the frozen
+    baseline."""
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.streaming.jobs import stream_psi_monitor
+
+    got = stream_psi_monitor(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    import numpy as np
+
+    us = ev["ts"].astype("int64") // 1000
+    chunk = (us // 86400000000) // 10
+    y = (ev["value"].round(6) * 1000000).round().astype("int64")
+    m = chunk.min()
+    assert m not in set(got["chunk"])
+    for c, grp in got.groupby("chunk"):
+        assert sorted(grp["bin"]) == list(range(10))
+    base = np.sort(y[chunk == m].values)
+    edges = np.quantile(base, [i / 10 for i in range(1, 10)],
+                        method="linear")
+    nb = np.histogram(base, bins=[-np.inf, *edges, np.inf])[0]
+    tb = nb.sum()
+    for c, grp in got.groupby("chunk"):
+        curr = y[chunk == c].values
+        nc = np.array(
+            [np.sum(np.sum(curr[:, None] > edges[None, :], axis=1) == b)
+             for b in range(10)]
+        )
+        tc = nc.sum()
+        assert grp["n_cur"].sum() == tc
+        pc = (nc + 0.5) / (tc + 5.0)
+        pb = (nb + 0.5) / (tb + 5.0)
+        psi = np.sum((pc - pb) * np.round(np.log(pc / pb), 6))
+        assert abs(grp["psi_term"].sum() - round(psi, 4)) < 1e-3
