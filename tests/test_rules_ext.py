@@ -241,6 +241,27 @@ def test_source_overlap_matrix_bounds_and_one_pair(spark, sf_dir):
     assert top["n_a"] == len(sa) and top["n_b"] == len(sb)
 
 
+def test_ab_assignment_is_stable_and_srm_math_checks(spark, sf_dir):
+    import hashlib
+
+    from guidewire_spark.operators.rules_ext import agg_ab_assignment_srm
+
+    got = agg_ab_assignment_srm(spark, sf_dir).toPandas().iloc[0]
+    cust = load_table(spark, sf_dir, "customer").toPandas()
+    arms = {
+        k: "A"
+        if hashlib.md5(f"exp42:{k}".encode()).hexdigest()[-1] in "01234567"
+        else "B"
+        for k in cust["c_custkey"]
+    }
+    n_a = sum(1 for v in arms.values() if v == "A")
+    n_b = len(arms) - n_a
+    assert (got["n_a"], got["n_b"]) == (n_a, n_b)
+    chi2 = (n_a - n_b) ** 2 / (n_a + n_b)
+    assert math.isclose(got["srm_chi2"], round(chi2, 6), abs_tol=1e-9)
+    assert got["srm_flag"] == (chi2 > 3.841)
+
+
 def test_recursive_rollup_conserves_totals(spark, sf_dir):
     from guidewire_spark.operators.rules_ext import sql_recursive_cost_rollup
 

@@ -30,14 +30,54 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from guidewire_spark.plans.session import get_spark
 from guidewire_spark.registry import all_queries
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+SF_DIR = os.environ.get("AUDIT_SF_DIR", "/root/testdata/sf0.001")
 
 # name -> (pattern, reason) triples that are deliberate.
 ALLOW: dict[str, dict[str, str]] = {
-    "udf_rowwise_python": {
+    "udf_scalar_python": {
         "BatchEvalPython": "the API-coverage query for row-at-a-time "
-        "F.udf — deliberately the slow path, documented"
+        "F.udf — deliberately the slow path, documented (udfs.py)"
     },
+    "udtf_python_class": {
+        "BatchEvalPython": "Python UDTFs are row-wise by API design "
+        "(no Arrow UDTF exists); the coverage query for the surface"
+    },
+    "udtf_table_argument": {
+        "BatchEvalPython": "TABLE(...) argument UDTF — same row-wise "
+        "API surface as udtf_python_class"
+    },
+}
+
+# Queries whose unpartitioned windows are adjudicated BOUNDED — the
+# COVERAGE.md "Global ordered-window audit" registry: either two-phase
+# retrofits (whose surviving global window runs over the
+# #partitions-sized parts-row summary) or windows over calendar /
+# quantized / enum-sized aggregate domains.  A GlobalWindow hit on any
+# name NOT in this set is a real flag: it means a new query shipped an
+# ordered window over raw rows without the boundedness argument.
+BOUNDED_WINDOW_OK = {
+    # two-phase retrofits (twophase.py parts-row carry-in)
+    "ts_id_sequence_gaps", "mix_quantile_normalize",
+    "agg_rfm_segmentation", "agg_top1pct_revenue_share",
+    "window_pareto_8020", "agg_gini_concentration",
+    "window_ntile_percent", "agg_ks_statistic", "agg_mann_whitney_u",
+    "ts_kaplan_meier", "skyline_pareto_frontier",
+    "agg_lift_gains_table", "mix_curriculum_schedule",
+    # calendar-bounded daily/bucket aggregate domains
+    "ts_hampel_outliers", "ts_spc_rule_two_of_three",
+    "ts_peak_detection", "ts_snaive_backtest",
+    "ts_backtest_rolling_origin", "ts_record_days",
+    "ts_cumulative_distinct_users", "ts_decompose_trend_seasonal",
+    "ts_downsample_lttb", "ts_sax_symbolization", "join_asof",
+    "agg_var_cvar_spend", "agg_median_ci_order_stat",
+    # quantized-domain aggregates
+    "agg_auc_roc", "agg_pinball_loss", "agg_spearman_rank_corr",
+    # enum/alphabet/k-sized tables
+    "agg_bh_fdr_correction", "text_zipf_slope",
+    "tokenizer_char_coverage", "window_range_frame",
+    "window_rolling_median",
 }
 
 
@@ -79,7 +119,9 @@ def main() -> None:
                 hits.append("GlobalWindow")
                 break
         for h in set(hits):
-            if ALLOW.get(name, {}).get(h):
+            if h == "GlobalWindow" and name in BOUNDED_WINDOW_OK:
+                allowed += 1
+            elif ALLOW.get(name, {}).get(h):
                 allowed += 1
                 print(f"allow {name}: {h} ({ALLOW[name][h][:60]}...)")
             else:
