@@ -262,6 +262,41 @@ def test_ab_assignment_is_stable_and_srm_math_checks(spark, sf_dir):
     assert got["srm_flag"] == (chi2 > 3.841)
 
 
+def test_adamic_adar_matches_pure_python(spark, sf_dir):
+    import math as _m
+
+    from guidewire_spark.operators.rules_ext import graph_adamic_adar
+
+    got = graph_adamic_adar(spark, sf_dir).toPandas()
+    assert len(got) == 20
+    orders = load_table(spark, sf_dir, "orders").toPandas()
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    j = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    edges = sorted(set(zip(j["o_custkey"], j["l_suppkey"])))
+    by_c = {}
+    for c, s in edges:
+        by_c.setdefault(c, []).append(s)
+    scores, commons = {}, {}
+    for c, ss in by_c.items():
+        ss = sorted(ss)[:10]  # the cap, smallest keys
+        if len(ss) < 2:
+            continue
+        term = round(1000000.0 / _m.log(len(ss)))
+        for i in range(len(ss)):
+            for k in range(i + 1, len(ss)):
+                key = (ss[i], ss[k])
+                scores[key] = scores.get(key, 0) + term
+                commons[key] = commons.get(key, 0) + 1
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    expected = [
+        (a, b, commons[(a, b)], ppm) for (a, b), ppm in top
+    ]
+    assert [
+        (r["s1"], r["s2"], r["common"], r["aa_ppm"])
+        for _, r in got.iterrows()
+    ] == expected
+
+
 def test_recursive_rollup_conserves_totals(spark, sf_dir):
     from guidewire_spark.operators.rules_ext import sql_recursive_cost_rollup
 
