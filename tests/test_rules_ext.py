@@ -327,6 +327,43 @@ def test_recursive_rollup_conserves_totals(spark, sf_dir):
             assert sub.empty
 
 
+def test_holt_winters_decomposition_identities(spark, sf_dir):
+    from guidewire_spark.operators.rules_ext import ts_holt_winters_exact
+
+    got = ts_holt_winters_exact(spark, sf_dir).toPandas().sort_values("day_idx")
+    assert len(got) > 10
+    events = load_table(spark, sf_dir, "events").toPandas()
+    us = events["ts"].astype("int64") // 1000
+    day = us // 86400000000
+    y = (events["value"].round(6) * 1000000).round().astype("int64")
+    daily = (
+        pd.DataFrame({"d": day, "y": y}).groupby("d")["y"].sum().sort_index()
+    )
+    ys = [int(v) for v in daily]
+
+    def tdiv2(a):
+        return a // 2 if a >= 0 else -((-a) // 2)
+
+    l7 = sum(ys[:7]) // 7
+    ring = [v - l7 for v in ys[:7]]
+    level, trend = l7, 0
+    rows = iter(got.itertuples())
+    for t, yv in enumerate(ys[7:], start=8):
+        s_old = ring[0]
+        nl = tdiv2((yv - s_old) + (level + trend))
+        trend = tdiv2(trend + (nl - level))
+        s_new = tdiv2((yv - nl) + s_old)
+        level = nl
+        ring = ring[1:] + [s_new]
+        r = next(rows)
+        assert (r.day_idx, r.y_micros, r.level_micros, r.trend_micros,
+                r.seasonal_micros) == (t, yv, level, trend, s_new)
+    # seasonal ring stays centered-ish: deviations bounded by the
+    # series amplitude (a runaway recursion would blow past this)
+    amp = max(ys) - min(ys)
+    assert got["seasonal_micros"].abs().max() <= amp
+
+
 def test_rake_scores_match_pure_python(spark, sf_dir):
     import re as _re
 
