@@ -279,7 +279,50 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pack_first_fit_decreasing")  # sequential packing → rows-only
+@query(
+    "pack_first_fit_decreasing",
+    oracle="""
+    WITH RECURSIVE items AS (
+      SELECT lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             doc_id, n_chars
+      FROM documents
+    ),
+    state(lang, t, sid, bins) AS (
+      SELECT lang, 0, CAST(NULL AS INT), CAST([] AS BIGINT[])
+      FROM (SELECT DISTINCT lang FROM items)
+      UNION ALL
+      SELECT s.lang, s.t + 1,
+             CAST(CASE WHEN p.pos = 0 THEN len(s.bins)
+                       ELSE p.pos - 1 END AS INT),
+             CASE WHEN p.pos = 0 THEN s.bins || [CAST(i.n_chars AS BIGINT)]
+                  ELSE s.bins[:p.pos - 1]
+                       || [s.bins[p.pos] + i.n_chars]
+                       || s.bins[p.pos + 1:]
+             END
+      FROM state s
+      JOIN items i ON i.lang = s.lang AND i.rn = s.t + 1,
+      LATERAL (SELECT list_position(
+                 list_transform(s.bins, b -> b + i.n_chars <= 2000),
+                 true) AS pos) p
+    ),
+    final AS (
+      SELECT lang, MAX(t) AS t_max FROM state GROUP BY lang
+    ),
+    final_bins AS (
+      SELECT s.lang, s.bins
+      FROM state s JOIN final f ON f.lang = s.lang AND s.t = f.t_max
+    )
+    SELECT i.doc_id, i.lang, i.n_chars,
+           s.sid AS shard_id,
+           fb.bins[s.sid + 1] AS shard_fill
+    FROM state s
+    JOIN items i ON i.lang = s.lang AND i.rn = s.t
+    JOIN final_bins fb ON fb.lang = s.lang
+    WHERE s.t >= 1
+    """,
+)
 def pack_first_fit_decreasing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing sequence packing: per language, documents
     sorted by length descending are placed into the first shard with
@@ -291,10 +334,15 @@ def pack_first_fit_decreasing(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherently sequential WITHIN a group (each placement depends on
     all previous fills) but independent ACROSS groups — so the
     language key partitions the work and each group runs a tight
-    pandas loop on one executor. Rows-only: a first-fit loop is not
-    expressible in set-based SQL; the invariants (capacity respected,
-    every doc packed once, shard count near the volume lower bound)
-    are enforced in tests/test_mlprep_ext.py."""
+    pandas loop on one executor. Once thought rows-only ("a first-fit
+    loop is not expressible in set-based SQL") — round 7 made the
+    whole sequential class oracle-EXACT: the DuckDB twin drives the
+    identical placement loop through a recursive CTE carrying each
+    language's bin fills as a LIST column (list_position finds the
+    first fitting bin, slice-splice updates it), with final fills
+    joined back from the terminal state.  The invariants (capacity
+    respected, every doc packed once, shard count near the volume
+    lower bound) remain enforced in tests/test_mlprep_ext.py."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
