@@ -1257,12 +1257,57 @@ def multimodal_frame_sample_arrays(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query("multimodal_frame_sample")  # python-side pipeline → rows-only
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, text, LENGTH(text) AS n
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    frames AS (
+      SELECT doc_id,
+             CAST(i AS INT) AS frame_idx,
+             LEAST(i * GREATEST(n // 4, 1), GREATEST(n - 1, 0)) AS off,
+             text
+      FROM docs, UNNEST(range(0, 4)) t(i)
+    ),
+    wins AS (
+      SELECT doc_id, frame_idx, off,
+             substring(text, CAST(off + 1 AS INT), 64) AS w
+      FROM frames
+    ),
+    hist AS (
+      SELECT doc_id, frame_idx, off,
+             SUM(CASE WHEN ascii(substring(w, CAST(j AS INT), 1)) // 64 = 0
+                      THEN 1 ELSE 0 END) AS h0,
+             SUM(CASE WHEN ascii(substring(w, CAST(j AS INT), 1)) // 64 = 1
+                      THEN 1 ELSE 0 END) AS h1,
+             SUM(CASE WHEN ascii(substring(w, CAST(j AS INT), 1)) // 64 = 2
+                      THEN 1 ELSE 0 END) AS h2,
+             SUM(CASE WHEN ascii(substring(w, CAST(j AS INT), 1)) // 64 = 3
+                      THEN 1 ELSE 0 END) AS h3
+      FROM wins, UNNEST(range(1, LEN(w) + 1)) u(j)
+      GROUP BY doc_id, frame_idx, off
+    )
+    SELECT doc_id, frame_idx, CAST(off AS BIGINT) AS frame_offset,
+           '[' || h0 || ',' || h1 || ',' || h2 || ',' || h3 || ']'
+             AS feature
+    FROM hist
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing wrapper over multimodal_frame_sample_arrays: the
     feature vector is serialized to a JSON string at the query boundary
     so result canonicalizers (pandas sort/hash) can handle the rows;
-    internal pipelines use the array-typed variant directly."""
+    internal pipelines use the array-typed variant directly.
+
+    UPGRADED r7 from rows-only to oracle-EXACT: the corpus is pure
+    printable ASCII (verified at every sf), so byte offsets ≡ char
+    offsets and the whole fake-decode pipeline — uniform stride,
+    64-byte window, 4-bin high-bit histogram — is reconstructed
+    relationally in DuckDB, making the Arrow mapInPandas fan-out
+    hash-verified end-to-end (the shot_boundaries treatment applied
+    to the one-to-many shape)."""
     return multimodal_frame_sample_arrays(spark, sf_dir).withColumn(
         "feature", F.to_json("feature")
     )
@@ -1310,12 +1355,45 @@ def multimodal_decode_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_stub")  # python-side pipeline → rows-only
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, LENGTH(text) AS n_bytes,
+             ascii(substring(substring(text, 1, 4096),
+                             CAST(j AS INT), 1)) // 32 AS bin
+      FROM documents,
+           UNNEST(range(1, LEAST(LENGTH(text), 4096) + 1)) u(j)
+    ),
+    hist AS (
+      SELECT doc_id, n_bytes,
+             SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS h0,
+             SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS h1,
+             SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS h2,
+             SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS h3,
+             SUM(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS h4,
+             SUM(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS h5,
+             SUM(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS h6,
+             SUM(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS h7
+      FROM chars GROUP BY doc_id, n_bytes
+    )
+    SELECT doc_id, n_bytes,
+           '[' || h0 || ',' || h1 || ',' || h2 || ',' || h3 || ',' ||
+           h4 || ',' || h5 || ',' || h6 || ',' || h7 || ']' AS features
+    FROM hist
+    """,
+)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing wrapper over multimodal_decode_arrays: the
     features vector is serialized to a JSON string at the query
     boundary so result canonicalizers (pandas sort/hash) can handle the
-    rows; internal pipelines use the array-typed variant directly."""
+    rows; internal pipelines use the array-typed variant directly.
+
+    UPGRADED r7 from rows-only to oracle-EXACT: pure-ASCII payloads
+    make byte offsets ≡ char offsets, so the fake decode (8-bin
+    high-bit histogram over the first 4096 bytes) reconstructs
+    relationally — the whole Arrow mapInPandas contract is now
+    hash-verified, not just shape-checked."""
     return multimodal_decode_arrays(spark, sf_dir).withColumn(
         "features", F.to_json("features")
     )
