@@ -327,6 +327,51 @@ def test_recursive_rollup_conserves_totals(spark, sf_dir):
             assert sub.empty
 
 
+def test_blocking_quality_brute_force(spark, sf_dir):
+    from guidewire_spark.operators.rules_ext import er_blocking_quality
+
+    got = er_blocking_quality(spark, sf_dir).toPandas().iloc[0]
+    cust = load_table(spark, sf_dir, "customer").toPandas()
+    sub = cust[cust["c_custkey"] % 4 == 0].sort_values("c_custkey")
+    assert got["n_records"] == len(sub)
+    assert got["n_all_pairs"] == len(sub) * (len(sub) - 1) // 2
+    names = list(zip(sub["c_custkey"], sub["c_name"]))
+
+    def lev1(a, b):  # edit distance <= 1 check (lengths differ <= 1)
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = j = edits = 0
+        while i < la and j < lb:
+            if a[i] == b[j]:
+                i += 1
+                j += 1
+            else:
+                edits += 1
+                if edits > 1:
+                    return False
+                j += 1
+        return True
+
+    true_pairs = found = 0
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            if lev1(names[i][1], names[j][1]):
+                true_pairs += 1
+                if names[i][1][:16] == names[j][1][:16]:
+                    found += 1
+    assert got["n_true"] == true_pairs
+    assert got["n_found"] == found
+    assert 0 < got["reduction_ratio"] < 1
+    assert 0 < got["pair_completeness"] <= 1
+
+
 def test_holt_winters_decomposition_identities(spark, sf_dir):
     from guidewire_spark.operators.rules_ext import ts_holt_winters_exact
 
