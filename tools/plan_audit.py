@@ -72,6 +72,7 @@ BOUNDED_WINDOW_OK = {
     "ts_cumulative_distinct_users", "ts_decompose_trend_seasonal",
     "ts_downsample_lttb", "ts_sax_symbolization", "join_asof",
     "agg_var_cvar_spend", "agg_median_ci_order_stat",
+    "ts_holt_winters_exact",  # daily-aggregate series (calendar-bounded)
     # quantized-domain aggregates
     "agg_auc_roc", "agg_pinball_loss", "agg_spearman_rank_corr",
     # enum/alphabet/k-sized tables
