@@ -327,6 +327,30 @@ def test_recursive_rollup_conserves_totals(spark, sf_dir):
             assert sub.empty
 
 
+def test_pacf_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from guidewire_spark.operators.rules_ext import ts_pacf_lag2
+
+    got = ts_pacf_lag2(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    events = load_table(spark, sf_dir, "events").toPandas()
+    events = events.sort_values(["ts", "event_id"])
+    for uid, grp in list(events.groupby("user_id"))[:5]:
+        v = grp["value"].to_numpy()
+        if len(v) < 12:
+            continue
+        x, p1, p2 = v[2:], v[1:-1], v[:-2]
+        r1 = round(float(np.corrcoef(x, p1)[0, 1]), 5)
+        r2 = round(float(np.corrcoef(x, p2)[0, 1]), 5)
+        row = got[got["user_id"] == uid].iloc[0]
+        assert math.isclose(row["r1"], r1, abs_tol=2e-5)
+        assert math.isclose(row["r2"], r2, abs_tol=2e-5)
+        pacf2 = (row["r2"] - row["r1"] ** 2) / (1 - row["r1"] ** 2)
+        assert math.isclose(row["pacf2"], round(pacf2, 5), abs_tol=1e-9)
+        assert -1.01 <= row["pacf2"] <= 1.01
+
+
 def test_blocking_quality_brute_force(spark, sf_dir):
     from guidewire_spark.operators.rules_ext import er_blocking_quality
 
