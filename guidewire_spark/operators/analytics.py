@@ -700,7 +700,7 @@ def vocab_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_argminmax_family",
     oracle="""
     SELECT o_orderpriority,
-           count_if(o_totalprice > 150000) AS n_big,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
            bool_and(o_totalprice > 0) AS all_positive,
            bool_or(o_orderstatus = 'F') AS any_finished,
            max_by(o_orderkey,

@@ -1576,8 +1576,8 @@ def delta_delete_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COUNT(DISTINCT s) AS n_binary,
            COUNT(DISTINCT lower(s)) AS n_lcase,
-           count_if(lower(s) = 'france') AS n_france,
-           count_if(lower(s) = 'france') AS n_france_lower
+           CAST(count_if(lower(s) = 'france') AS BIGINT) AS n_france,
+           CAST(count_if(lower(s) = 'france') AS BIGINT) AS n_france_lower
     FROM mixed
     """,
 )
@@ -1765,7 +1765,8 @@ def delta_cdf_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "delta_liquid_clustering",
     oracle="""
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(14,2)) AS price
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS price
     FROM orders WHERE o_orderkey % 2 = 0
     """,
 )
@@ -1801,7 +1802,13 @@ def delta_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("clustering bought no o_orderkey skipping")
     if len(snap.pruned_files("price", plo, plo)) > snap.num_files // 2:
         raise AssertionError("clustering bought no price skipping")
-    return read_delta(spark, table).where("o_orderkey % 2 = 0")
+    # The stored column stays DECIMAL (exact clustering stats); the
+    # output contract requires DOUBLE in the final select.
+    return (
+        read_delta(spark, table)
+        .where("o_orderkey % 2 = 0")
+        .select("o_orderkey", F.col("price").cast("double").alias("price"))
+    )
 
 
 @query(
@@ -2035,7 +2042,7 @@ def delta_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(q AS DECIMAL(19,6)) * q) AS DECIMAL(38,12)) AS vssq
       FROM kept GROUP BY s_nationkey
     )
-    SELECT s_nationkey, view_count, vsum,
+    SELECT s_nationkey, view_count, CAST(vsum AS DOUBLE) AS vsum,
            CAST(ROUND(CAST(
              (CAST(vssq AS DOUBLE)
               - CAST(vsum AS DOUBLE) * CAST(vsum AS DOUBLE)
@@ -2093,7 +2100,9 @@ def delta_matview_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("view_count") > 1).select(
         "s_nationkey",
         F.col("view_count").cast("long").alias("view_count"),
-        F.col("vsum_s_acctbal").alias("vsum"),
+        # Internal maintenance stays DECIMAL (exact adds/cancels); the
+        # output contract requires DOUBLE in the final select.
+        F.col("vsum_s_acctbal").cast("double").alias("vsum"),
         F.round(
             ((sq - sm * sm / n) / (n - F.lit(1.0))).cast("decimal(24,10)"), 4
         )

@@ -597,7 +597,7 @@ def er_fuzzy_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_dynamic_file_pruning",
     oracle="""
     SELECT l.l_orderkey, l.l_suppkey,
-           ROUND(CAST(l.l_extendedprice AS DECIMAL(18,4)), 2) AS price,
+           CAST(ROUND(CAST(l.l_extendedprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS price,
            o.o_orderpriority
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -652,7 +652,15 @@ def join_dynamic_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         read_files_with_schema(spark, snap.schema, kept)
         .join(F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey"))
-        .select("l_orderkey", "l_suppkey", "price", "o_orderpriority")
+        # Output-type contract: DECIMAL stays internal (exact rounding
+        # above); the final select emits DOUBLE so the driver's pandas
+        # canon sees '89158.0' on both sides, not '89158.00'.
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.col("price").cast("double").alias("price"),
+            "o_orderpriority",
+        )
     )
 
 
@@ -831,7 +839,7 @@ def join_geo_grid_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hood AS (
       SELECT a.cx, a.cy, a.n,
-             SUM(b.n) AS hood_n, COUNT(*) AS hood_cells
+             CAST(SUM(b.n) AS BIGINT) AS hood_n, COUNT(*) AS hood_cells
       FROM cells a JOIN cells b
         ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
        AND b.cy BETWEEN a.cy - 1 AND a.cy + 1

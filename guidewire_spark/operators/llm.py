@@ -303,7 +303,7 @@ def merge_cut_spans(hits: DataFrame, k: int = SUBSTRING_K) -> DataFrame:
     sizes AS (SELECT doc_id, len(words) AS n_tokens FROM toks)
     SELECT d.doc_id,
            COUNT(*) AS n_spans,
-           SUM(e - s) AS dup_tokens,
+           CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
            ANY_VALUE(z.n_tokens) AS n_tokens,
            CAST(ROUND(CAST(SUM(e - s) / CAST(ANY_VALUE(z.n_tokens) AS DOUBLE)
                  AS DECIMAL(24,10)), 6) AS DOUBLE) AS dup_frac
@@ -1414,7 +1414,9 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cnt AS (SELECT doc_id, bin, COUNT(*) AS n FROM ch GROUP BY doc_id, bin),
     grid AS (SELECT d.doc_id, k.bin FROM d, UNNEST(range(0, 8)) AS k(bin))
-    SELECT g.doc_id, list(COALESCE(c.n, 0) ORDER BY g.bin) AS hist
+    SELECT g.doc_id,
+           '[' || string_agg(CAST(CAST(COALESCE(c.n, 0) AS BIGINT) AS VARCHAR),
+                             ',' ORDER BY g.bin) || ']' AS hist
     FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bin = g.bin
     GROUP BY g.doc_id
     """,
@@ -1451,7 +1453,14 @@ def multimodal_decode_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hists.append(hist)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "hist": hists})
 
-    return d.mapInPandas(decode_batch, "doc_id long, hist array<long>")
+    # Output-type contract: array columns break the driver's pandas
+    # canon (unhashable list cells, CORRECTNESS_r07 ERROR) — the
+    # internal pipeline stays array-typed, the query boundary emits
+    # the JSON string form, which the oracle reconstructs exactly
+    # (integers render identically in both engines).
+    return d.mapInPandas(
+        decode_batch, "doc_id long, hist array<long>"
+    ).select("doc_id", F.to_json("hist").alias("hist"))
 
 
 @query(
@@ -1467,7 +1476,9 @@ def multimodal_decode_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells AS (
       SELECT doc_id, cell, AVG(v) AS m FROM px GROUP BY doc_id, cell
     )
-    SELECT doc_id, list(m ORDER BY cell) AS pooled
+    SELECT doc_id,
+           '[' || string_agg(CAST(m AS VARCHAR), ',' ORDER BY cell)
+               || ']' AS pooled
     FROM cells GROUP BY doc_id
     """,
 )
@@ -1505,8 +1516,14 @@ def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "pooled": pooled})
 
-    return d.select("doc_id").mapInPandas(
-        pool, "doc_id long, pooled array<double>"
+    # Output-type contract: the query boundary serializes the pooled
+    # vector to its JSON string (quarter-integer doubles render
+    # identically under Spark's to_json and DuckDB's VARCHAR cast);
+    # the array-typed frame stays the internal pipeline shape.
+    return (
+        d.select("doc_id")
+        .mapInPandas(pool, "doc_id long, pooled array<double>")
+        .select("doc_id", F.to_json("pooled").alias("pooled"))
     )
 
 
@@ -2465,10 +2482,10 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d, UNNEST(range(1, (length(text) // 64) * 64 + 1)) AS t(i)
     ),
     fr AS (
-      SELECT doc_id, frame_idx, SUM(code) AS csum
+      SELECT doc_id, frame_idx, CAST(SUM(code) AS BIGINT) AS csum
       FROM ch GROUP BY doc_id, frame_idx
     )
-    SELECT doc_id, frame_idx, csum,
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, frame_idx, csum,
            COALESCE(ABS(csum - LAG(csum) OVER
              (PARTITION BY doc_id ORDER BY frame_idx)) >= 512, FALSE)
              AS is_boundary
@@ -2635,7 +2652,7 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id % 50 AS entity_id,
            COUNT(*) AS n_members,
            COUNT(DISTINCT source) AS n_sources,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            min_by(n_chars,
                   CAST(substr(source, 4) AS BIGINT) * 1000000000 + doc_id)
              AS trusted_chars,

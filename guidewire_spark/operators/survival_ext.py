@@ -289,8 +289,8 @@ def delta_stats_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey % 4 AS bucket,
            COUNT(*) AS n,
-           SUM(l_orderkey) AS sum_key,
-           SUM(l_suppkey) AS sum_supp
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(l_suppkey) AS BIGINT) AS sum_supp
     FROM lineitem GROUP BY l_orderkey % 4
     """,
 )

@@ -12,6 +12,29 @@ identically on both sides; value comparison is order-insensitive, so
 queries need deterministic *sets* of rows, not deterministic order.
 Floating-point aggregates are rounded on both sides to keep the
 value-hash stable across summation orders.
+
+OUTPUT-TYPE CONTRACT (round-8, after the r7 representation reds):
+the grading driver canonicalizes results as *pandas string frames*
+(``toPandas()`` vs duckdb ``.df()``, sorted, ``astype(str)``), so a
+result column's dtype is part of its value.  Every registered query's
+output schema may therefore contain ONLY: integral (tinyint/smallint/
+int/bigint), float/double, string, boolean, date, timestamp.
+Forbidden, and rejected by :func:`lint_output_schema` (enforced by
+``tools/check_oracles.py`` and ``tests/test_registry_lint.py``):
+
+* DECIMAL(p,s) — pandas renders trailing zeros ('89158.00') that the
+  oracle's DOUBLE never has.  Keep DECIMAL for internal exact math;
+  the final select casts to DOUBLE (or BIGINT cents).
+* ARRAY/MAP/STRUCT — pandas ``sort_values`` raises ``unhashable
+  type`` on list cells; the driver errors before comparing.  Emit
+  ``array_join``/``to_json`` strings or explode to long format.
+* BINARY — bytes repr is engine-dependent; hex-encode instead.
+
+Oracle-side mirror rule: DuckDB integer aggregates (SUM/COUNT over
+int) surface as HUGEINT/nullable-int and become float64 under
+``.df()`` ('2085.0' vs Spark's '2085') — every integer-semantics
+oracle output must be wrapped ``CAST(... AS BIGINT)``, and nullable
+integer join outputs too (``COALESCE``/CAST as appropriate).
 """
 
 from __future__ import annotations
@@ -95,6 +118,37 @@ _OPERATOR_MODULES = [
     "guidewire_spark.streaming.windowed",
     "guidewire_spark.streaming.jobs",
 ]
+
+
+def lint_output_schema(schema) -> list[str]:
+    """Validate a result schema against the output-type contract
+    (module docstring).  Returns a list of ``column: offending-type``
+    strings — empty means compliant.  Runs at sweep time (the schema
+    only exists once the query function has built its DataFrame), and
+    ``tools/check_oracles.py`` fails any query that violates it, so
+    the representation class that produced the round-7 driver reds
+    cannot re-enter the registry unnoticed."""
+    from pyspark.sql import types as T
+
+    allowed = (
+        T.ByteType,
+        T.ShortType,
+        T.IntegerType,
+        T.LongType,
+        T.FloatType,
+        T.DoubleType,
+        T.StringType,
+        T.BooleanType,
+        T.DateType,
+        T.TimestampType,
+        T.TimestampNTZType,
+        T.NullType,  # literal NULL columns stringify identically
+    )
+    problems = []
+    for field in schema.fields:
+        if not isinstance(field.dataType, allowed):
+            problems.append(f"{field.name}: {field.dataType.simpleString()}")
+    return problems
 
 
 def query(name: str, oracle: str | None = None):

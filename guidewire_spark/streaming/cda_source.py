@@ -244,7 +244,17 @@ class CdaBatchSource(DataSource):
 
 
 def register_cda_batch_source(spark) -> None:
-    """Idempotent per session."""
+    """Idempotent per session.
+
+    Also enables Python-datasource filter pushdown HERE, not only in
+    the repo's own session factory (plans/session.py): _CdaBatchReader
+    implements ``pushFilters`` and Spark refuses to plan such a source
+    while ``spark.sql.python.filterPushdown.enabled`` is false — a
+    vanilla driver session would error before reading a single row
+    (CORRECTNESS_r07 stream_cda_sink_roundtrip).  The conf is
+    runtime-settable, so registration is the right chokepoint: every
+    consumer (queries, tests, external callers) inherits it."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(CdaBatchSource)
     except Exception:

@@ -1,6 +1,32 @@
 """Local replica of the driver's correctness gate: run every
 registered query at sf0.01 via Spark AND its DuckDB oracle, compare
-row count, column names, and an order-insensitive value hash.
+row count, column names, and the DRIVER'S value canon.
+
+The canon matters more than the engines.  Rounds 6-7 proved that a
+tuple-level comparison (``.collect()`` vs ``fetchall()`` + a custom
+normalizer) passes queries the grading driver fails: the driver
+compares ``sdf.toPandas()`` against ``con.execute(oracle).df()`` as
+*pandas string frames*, so dtype representation differences that a
+tuple compare forgives (DuckDB SUM(int)->HUGEINT->float64 '2085.0' vs
+Spark int64 '2085'; Spark DECIMAL '89158.00' vs DOUBLE '89158.0')
+are hash mismatches there.  This replica therefore canonicalizes the
+SAME way the driver does:
+
+  1. ``toPandas()`` / ``.df()``            (NOT collect/fetchall)
+  2. reorder columns by sorted name
+  3. ``sort_values`` on the raw frame      (raises on array cells --
+     faithfully: the driver errors on list-valued columns too)
+  4. ``astype(str)`` and hash the rows order-insensitively
+
+A query is green here iff it is green under the driver's harness
+(validated against CORRECTNESS_r07.json: this canon reproduces all
+11 r7 hash-fails, both array-cell errors, and the greens).
+
+Additionally enforces the registry output-type contract (see
+``guidewire_spark.registry``): result schemas may contain only
+integral/floating/string/boolean/date/timestamp columns -- DECIMAL
+and ARRAY/MAP/STRUCT outputs are representation hazards and fail the
+sweep even when values match.
 
 Usage: python tools/check_oracles.py [query_name ...]
 """
@@ -8,46 +34,38 @@ Usage: python tools/check_oracles.py [query_name ...]
 from __future__ import annotations
 
 import hashlib
-import math
 import os
 import sys
 import traceback
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from guidewire_spark.plans.session import get_spark
-from guidewire_spark.registry import all_queries
+from guidewire_spark.registry import all_queries, lint_output_schema
 
 SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def normalize(value):
-    if value is None:
-        return "NULL"
-    if isinstance(value, bool):
-        return str(value).lower()
-    if isinstance(value, float):
-        if math.isnan(value):
-            return "nan"
-        # Full round-trip repr: the driver's comparison distinguishes 1.0
-        # from 1, so %.6g-style truncation here masked real divergences
-        # (round-1 func_math_family).  Queries are responsible for rounding
-        # / casting BOTH sides identically; normalization must not forgive.
-        return repr(value)
-    if isinstance(value, (list, tuple)):
-        return "[" + ",".join(normalize(v) for v in value) + "]"
-    return str(value)
+def canon_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """The driver's canonical form of a result frame: columns in
+    sorted name order, rows sorted on the raw values, every cell
+    stringified via pandas ``astype(str)``.  Raw-value ``sort_values``
+    is deliberate — list-valued cells make it raise, exactly like the
+    driver's harness (CORRECTNESS_r07: multimodal_decode_hist)."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True).astype(str)
 
 
-def value_hash(rows, colnames) -> str:
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted(
-        "|".join(normalize(row[i]) for i in order) for row in rows
-    )
+def frame_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive hash of a canonicalized frame."""
+    lines = sorted("|".join(row) for row in df.itertuples(index=False, name=None))
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode("utf-8"))
@@ -60,11 +78,12 @@ def main() -> None:
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
     # Engine versions in the sweep output (round-6 verdict item 3):
-    # the replica is NOT the driver — a hash divergence between them
-    # is only diagnosable if every sweep records what it ran on.
+    # a hash divergence between replica and driver is only diagnosable
+    # if every sweep records what it ran on.
     print(
         f"engines: pyspark={spark.version} duckdb={duckdb.__version__} "
-        f"python={sys.version.split()[0]} sf_dir={SF_DIR}"
+        f"python={sys.version.split()[0]} pandas={pd.__version__} "
+        f"sf_dir={SF_DIR} canon=pandas-string (driver-faithful)"
     )
     for t in TABLES:
         con.execute(
@@ -81,49 +100,71 @@ def main() -> None:
         clear_two_phase_pins()  # release the previous query's pins
         try:
             sdf = spec.fn(spark, SF_DIR)
-            srows = sdf.collect()
-            scols = sdf.columns
+            lint_errors = lint_output_schema(sdf.schema)
+            spdf = sdf.toPandas()
         except Exception:
             print(f"FAIL  {name}: SPARK ERROR")
             traceback.print_exc()
             failed += 1
             continue
+        if lint_errors:
+            print(f"FAIL  {name}: OUTPUT-TYPE LINT {lint_errors}")
+            failed += 1
+            continue
         if spec.oracle is None:
-            print(f"rows  {name}: {len(srows)} rows (rows-only)")
+            # Rows-only queries still go through the canon: the driver
+            # toPandas()+sorts them too, so an array-valued column or
+            # unsortable cell must fail HERE, not in the driver run.
+            try:
+                canon_frame(spdf)
+            except Exception as exc:
+                print(f"FAIL  {name}: rows-only CANON ERROR {exc}")
+                failed += 1
+                continue
+            print(f"rows  {name}: {len(spdf)} rows (rows-only)")
             rows_only += 1
             continue
         try:
-            res = con.execute(spec.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(spec.oracle).df()
         except Exception as exc:
             print(f"FAIL  {name}: ORACLE ERROR {exc}")
             failed += 1
             continue
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(
+                f"cols spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}"
+            )
         else:
-            sh = value_hash([tuple(r) for r in srows], scols)
-            oh = value_hash(orows, ocols)
-            if sh != oh:
-                problems.append(f"valuehash spark={sh} oracle={oh}")
+            try:
+                sc = canon_frame(spdf)
+                oc = canon_frame(opdf)
+            except Exception as exc:
+                problems.append(f"CANON ERROR {exc}")
+            else:
+                sh, oh = frame_hash(sc), frame_hash(oc)
+                if sh != oh:
+                    problems.append(f"valuehash spark={sh} oracle={oh}")
+                    # Sample diff of canonical row-strings to debug.
+                    sset = {
+                        "|".join(r) for r in sc.itertuples(index=False, name=None)
+                    }
+                    oset = {
+                        "|".join(r) for r in oc.itertuples(index=False, name=None)
+                    }
+                    for label, diff in (
+                        ("spark-only", sorted(sset - oset)[:3]),
+                        ("oracle-only", sorted(oset - sset)[:3]),
+                    ):
+                        for row in diff:
+                            problems.append(f"{label}: {row[:300]}")
         if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)}")
-            # Show a sample diff to debug
-            sset = {tuple(normalize(v) for v in r) for r in srows}
-            oset = {tuple(normalize(v) for v in r) for r in orows}
-            for label, diff in (
-                ("spark-only", list(sset - oset)[:3]),
-                ("oracle-only", list(oset - sset)[:3]),
-            ):
-                for row in diff:
-                    print(f"      {label}: {row}")
+            print(f"FAIL  {name}: " + "\n      ".join(problems))
             failed += 1
         else:
-            print(f"PASS  {name}: {len(srows)} rows")
+            print(f"PASS  {name}: {len(spdf)} rows")
             passed += 1
     print(f"\n{passed} passed, {failed} failed, {rows_only} rows-only")
     spark.stop()
