@@ -2262,7 +2262,7 @@ def delta_protocol_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "delta_bloom_point_lookup",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           CAST(o_totalprice AS DECIMAL(14,2)) AS total_price
+           CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS total_price
     FROM orders WHERE o_orderkey IN (1, 2, 3, 4)
     """,
 )
@@ -2301,7 +2301,12 @@ def delta_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"bloom kept {len(kept)}/{n_files} files — index not pruning"
         )
-    return read_bloom_filtered(spark, table, "o_orderkey", keys)
+    # stored column stays DECIMAL (exact stats); output contract DOUBLE
+    return read_bloom_filtered(spark, table, "o_orderkey", keys).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("total_price").cast("double").alias("total_price"),
+    )
 
 
 @query(

@@ -114,13 +114,13 @@ def agg_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "func_array_sort_comparator",
     oracle="""
     SELECT doc_id,
-           list_transform(
+           array_to_string(list_transform(
              list_sort(list_transform(
                list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
                w -> lpad(CAST(1000 - length(w) AS VARCHAR), 4, '0') || w),
                'ASC'),
              s -> substring(s, 5)
-           )[1:5] AS top_words
+           )[1:5], ' ') AS top_words
     FROM documents WHERE doc_id % 100 = 0
     """,
 )
@@ -141,9 +141,14 @@ def func_array_sort_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(l > r, 1)
         .otherwise(0)
     )
+    # Output-type contract: the sorted array leaves the query as a
+    # space-joined string (tokens are whitespace-split, so the
+    # separator cannot occur inside one).
     return d.select(
         "doc_id",
-        F.slice(F.array_sort(words, cmp), 1, 5).alias("top_words"),
+        F.array_join(F.slice(F.array_sort(words, cmp), 1, 5), " ").alias(
+            "top_words"
+        ),
     )
 
 

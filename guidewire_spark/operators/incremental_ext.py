@@ -442,7 +442,7 @@ def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM isl GROUP BY doc_id, island
     )
     SELECT doc_id, CAST(batch AS BIGINT) AS batch,
-           COUNT(*) AS n_spans, SUM(e - s) AS dup_tokens
+           COUNT(*) AS n_spans, CAST(SUM(e - s) AS BIGINT) AS dup_tokens
     FROM spans GROUP BY doc_id, batch
     """,
 )

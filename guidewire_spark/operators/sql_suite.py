@@ -655,7 +655,8 @@ WITH supply AS (
   FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
 )
 SELECT s_acctbal, s_name, n_name, p_partkey,
-       ROUND(CAST(unit_cost AS DECIMAL(18, 6)), 2) AS supplycost
+       CAST(ROUND(CAST(unit_cost AS DECIMAL(18, 6)), 2) AS DOUBLE)
+         AS supplycost
 FROM part
 JOIN supply ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey

@@ -116,10 +116,10 @@ def func_to_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END)
              AS lang_ci,
            COUNT(*) AS n,
-           count_if(lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang)
-                          ELSE lang END) = 'en') AS n_en_collated,
-           count_if(lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang)
-                          ELSE lang END) = 'en') AS n_en_lower
+           CAST(count_if(lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang)
+                          ELSE lang END) = 'en') AS BIGINT) AS n_en_collated,
+           CAST(count_if(lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang)
+                          ELSE lang END) = 'en') AS BIGINT) AS n_en_lower
     FROM documents GROUP BY 1
     """,
 )

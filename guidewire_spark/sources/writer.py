@@ -252,7 +252,16 @@ def _merged_schema(old, new):
                         f"column {f.name!r}: {have.dataType} != {f.dataType}"
                     )
         else:
-            by_name[f.name] = f
+            # Evolution-ADDED columns are always nullable, whatever the
+            # incoming frame says (a non-null literal types as
+            # non-nullable): every pre-evolution row reads this column
+            # as NULL, so recording it non-nullable would instantly
+            # contradict the data AND make the NOT NULL invariant
+            # reject every subsequent narrower write.  Matches Delta's
+            # mergeSchema behavior.
+            by_name[f.name] = T.StructField(
+                f.name, f.dataType, True, f.metadata
+            )
     ordered = [f.name for f in old.fields] + [
         f.name for f in new.fields if f.name not in {g.name for g in old.fields}
     ]
@@ -286,7 +295,12 @@ def table_constraints(table_path: str) -> dict[str, str]:
     }
 
 
-def _enforce_constraints(df: DataFrame, table_path: str) -> None:
+def _enforce_constraints(
+    df: DataFrame,
+    table_path: str,
+    absent_exempt: frozenset[str] | set[str] = frozenset(),
+    require_all: bool = True,
+) -> None:
     """Writer-side invariant enforcement (Delta's ``invariants``
     writer feature, minWriterVersion 2): reject the whole write if any
     incoming row violates a CHECK constraint OR carries NULL in a
@@ -307,6 +321,25 @@ def _enforce_constraints(df: DataFrame, table_path: str) -> None:
         if k.startswith(prefix)
     }
     schema = snap.schema
+    # A write that simply OMITS a non-nullable column is as much a
+    # NOT NULL violation as writing literal NULLs: the append path
+    # accepts narrower DataFrames (absent columns read back as NULL),
+    # so Delta's rule — reject writes missing a non-nullable column —
+    # must be enforced here, not deferred to read time.  Columns with
+    # a declared default were already materialized by
+    # _apply_column_defaults before this check runs.
+    absent = [
+        f.name
+        for f in (schema.fields if schema is not None else [])
+        if not f.nullable
+        and f.name not in df.columns
+        and f.name not in absent_exempt
+    ]
+    if require_all and absent:
+        raise ValueError(
+            f"NOT NULL violation writing to {table_path}: non-nullable "
+            f"column(s) {absent} absent from the incoming DataFrame"
+        )
     not_null = [
         f.name
         for f in (schema.fields if schema is not None else [])
@@ -1200,7 +1233,10 @@ def merge_into(
     # update_table / overwrite_partitions). Only the source needs the
     # pass — kept target rows were validated when they were written.
     source = _apply_generated_columns(source, table_path)
-    _enforce_constraints(source, table_path)
+    # A narrower source is legal for MERGE (updates may touch a column
+    # subset); the full-width merged output is constraint-checked
+    # before staging, so only value-level enforcement runs here.
+    _enforce_constraints(source, table_path, require_all=False)
 
     target_names = {f.name for f in snap.schema.fields}
     extra = [f.name for f in source.schema.fields if f.name not in target_names]
@@ -3242,10 +3278,18 @@ def vacuum_table(
     for root, dirs, names in os.walk(table_real):
         # Delta's hidden-file rule: VACUUM never considers directories
         # whose name starts with `_` or `.` (_delta_log, _gw_bloom
-        # sidecars, _change_data, ...).  Hive partition dirs are
+        # sidecars, ...) — EXCEPT `_change_data`: real Delta DOES
+        # vacuum expired CDC files there (they are never in
+        # snapshot.files, so the retention horizon is their only
+        # shield — the mtime guard below keeps ones younger than the
+        # window, exactly Delta's rule).  Hive partition dirs are
         # `col=value` and never match unless the COLUMN name starts
         # with an underscore — the same sharp edge the spec has.
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        dirs[:] = [
+            d
+            for d in dirs
+            if not d.startswith(("_", ".")) or d == "_change_data"
+        ]
         if "_delta_log" in root:
             continue
         for name in names:
@@ -3490,7 +3534,9 @@ def append_with_identity(df: DataFrame, table_path: str) -> int:
             f"schema mismatch on identity append (extra={extra})"
         )
     df = _apply_generated_columns(df, table_path)
-    _enforce_constraints(df, table_path)
+    # the identity column is non-nullable but assigned BELOW — exempt
+    # it from the absent-column NOT NULL rule
+    _enforce_constraints(df, table_path, absent_exempt={name})
     pcols = list(snap.partition_columns or [])
     base = spec["highWaterMark"] + spec["step"]
     assigned = df.withColumn(

@@ -80,6 +80,33 @@ def test_vacuum_deletes_only_internal_orphans(spark, sf_dir, tmp_path):
     assert os.path.exists(f"{sf_dir}/region.parquet")
 
 
+def test_vacuum_reclaims_expired_change_data(spark, sf_dir, tmp_path):
+    """`_change_data` is the one underscore directory VACUUM must NOT
+    exempt: real Delta vacuums expired CDC files there (they are never
+    in snapshot.files), while files younger than the retention window
+    — and every other hidden dir — stay untouched."""
+    table = str(tmp_path / "vcd")
+    write_delta(load_table(spark, sf_dir, "region"), table, mode="append")
+    cdc_dir = os.path.join(table, "_change_data")
+    os.makedirs(cdc_dir)
+    old_cdc = os.path.join(cdc_dir, "cdc-00000.parquet")
+    new_cdc = os.path.join(cdc_dir, "cdc-00001.parquet")
+    for p in (old_cdc, new_cdc):
+        with open(p, "wb") as f:
+            f.write(b"PAR1")
+    day_ms = 86_400_000
+    os.utime(old_cdc, (0, 0))  # far beyond any retention horizon
+    hidden = os.path.join(table, "_gw_other", "x.parquet")
+    os.makedirs(os.path.dirname(hidden))
+    with open(hidden, "wb") as f:
+        f.write(b"PAR1")
+    os.utime(hidden, (0, 0))
+    deleted = vacuum_table(table, retention_ms=7 * day_ms)
+    assert deleted == [old_cdc]
+    assert os.path.exists(new_cdc)  # young: inside the window
+    assert os.path.exists(hidden)  # other hidden dirs stay exempt
+
+
 def test_vacuum_never_touches_external_files(spark, sf_dir, tmp_path):
     """A shallow-cloned table (log points at external files) must
     survive vacuum with zero deletions."""
@@ -1987,6 +2014,18 @@ def test_not_null_invariant_enforced(spark, sf_dir, tmp_path):
         spark.createDataFrame([(3, None)], loose), table, mode="append"
     )
     assert read_delta(spark, table).count() == 3
+    # OMITTING the non-nullable column entirely is the same violation:
+    # the append path backfills absent columns as NULL at read time,
+    # so a narrower write must be rejected, not silently committed.
+    with pytest.raises(ValueError, match="absent"):
+        write_delta(
+            spark.createDataFrame([("y",)], "v string"), table, mode="append"
+        )
+    # omitting a NULLABLE column stays legal
+    write_delta(
+        spark.createDataFrame([(4,)], "k long"), table, mode="append"
+    )
+    assert read_delta(spark, table).count() == 4
 
 
 def test_cdf_by_timestamp_window(spark, sf_dir, tmp_path):
