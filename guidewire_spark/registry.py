@@ -262,13 +262,18 @@ def driver_window_order() -> dict[str, QuerySpec]:
     history = _driver_history()
     checked = {k for k, ok in history.items() if ok}
     backlog = [n for n in registry if n not in checked]
-    # Three classes, each in registration order: (0) failed-then-fixed
+    # Four classes, each in registration order: (0) failed-then-fixed
     # rows re-verify FIRST — a red must never slip out of the window
     # because new registrations crowded it; (1) plan-dependent
-    # families; (2) value-only queries.
+    # families; (2) value-only queries; (3) rows-only queries LAST —
+    # a no-oracle slot only proves the query runs, so it must never
+    # crowd out a slot that would hash-verify values (round-7 lesson:
+    # similarity_ann_ivfpq burned a window slot on `no_oracle`).
     backlog.sort(
         key=lambda n: 0
         if history.get(n) is False
+        else 3
+        if registry[n].oracle is None
         else (1 if n.startswith(_PLAN_DEPENDENT_PREFIXES) else 2)
     )  # stable: registration order within each class
     front = backlog[:_WINDOW]
