@@ -896,9 +896,10 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ann_ivf")  # centroid assignment is iterative → rows-only
-def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate nearest neighbor.
+def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
+    """IVF approximate-nearest-neighbor pipeline, parameterized by
+    n_probe (shared by the rows-only n_probe=3 production shape and
+    the hash-verified full-probe twin).
 
     Coarse quantizer: 8 centroids seeded deterministically from the
     corpus (vec_id % 64 == 0 seeds) and refined with TWO Lloyd
@@ -978,7 +979,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = (
         q_scored.withColumn("rn", F.row_number().over(wq_probe))
-        .where(F.col("rn") <= 3)
+        .where(F.col("rn") <= n_probe)
         .select("query_id", "qu", "cell")
     )
     scored = (
@@ -998,6 +999,56 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+@query("similarity_ann_ivf")  # cell boundaries are approximation → rows-only
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at the production setting (n_probe=3 of 8 cells —
+    recall@5 0.66 @ sf0.001 / 0.74 @ sf0.01, recall-gated in pytest).
+    Rows-only by nature: which candidates fall inside the probed 3/8
+    of the corpus is an approximation detail.  The MACHINERY is
+    value-verified by similarity_ann_ivf_fullprobe below."""
+    return _ivf_topk(spark, sf_dir, n_probe=3)
+
+
+@query(
+    "similarity_ann_ivf_fullprobe",
+    oracle="""
+    WITH unit AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, 65),
+                   i -> q.u[i] * c.u[i])), 4) AS cos_sim
+      FROM unit q JOIN unit c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN family's VALUE-VERIFIED driver row (round-8, after
+    similarity_ann_ivfpq burned a window slot on `no_oracle`): the
+    SAME IVF pipeline — deterministic seeding, two Lloyd iterations,
+    inverted-list build, multi-probe, per-query top-k — run with
+    n_probe = n_cells.  Probing every cell makes IVF provably exact
+    (each corpus vector lives in exactly one cell, so the candidate
+    union is the whole corpus minus self), so the result must equal
+    the brute-force cosine top-5 oracle digit for digit.  Any defect
+    in the machinery — a vector dropped from its inverted list, a
+    mis-assigned cell, a probe-union duplicate — breaks the hash,
+    giving the driver a real value check on the pipeline the
+    approximate settings share."""
+    return _ivf_topk(spark, sf_dir, n_probe=8)
 
 
 @query("similarity_ann_lsh")  # hyperplane-hash-dependent → rows-only
