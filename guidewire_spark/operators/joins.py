@@ -645,7 +645,15 @@ def join_dynamic_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = dim.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
     snap = load_snapshot(fact)
     kept = snap.pruned_files("l_orderkey", lo, hi)
-    if len(kept) >= snap.num_files // 2:
+    # The skipping assertion only holds when the dim's key bounds are
+    # actually SELECTIVE against the fact key span: at tiny scales
+    # (sf0.001) the `o_orderkey < 1500` dim covers the whole key range
+    # and no stats pruning is possible — correctness is unaffected
+    # (the equi-join re-applies the exact match), so only the
+    # efficiency claim is scale-gated.
+    fact_lo, fact_hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    selective = (hi - lo) <= (fact_hi - fact_lo) // 2
+    if selective and len(kept) >= snap.num_files // 2:
         raise AssertionError(
             f"dynamic file pruning kept {len(kept)}/{snap.num_files} files"
         )
@@ -754,7 +762,8 @@ def join_bloom_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
            + (a.lon - b.lon) * (a.lon - b.lon)
            <= CAST(900000000 AS BIGINT)
     )
-    SELECT cell_x, cell_y, COUNT(*) AS n_pairs, SUM(d2) AS sum_d2
+    SELECT cell_x, cell_y, COUNT(*) AS n_pairs,
+           CAST(SUM(d2) AS BIGINT) AS sum_d2
     FROM pairs GROUP BY cell_x, cell_y
     """,
 )

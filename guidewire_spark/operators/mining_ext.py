@@ -1591,7 +1591,11 @@ def delta_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     first_hit AS (SELECT MIN(rn) AS f FROM seq WHERE y > 0),
     rec AS (
-      SELECT s.rn AS i, s.y AS z, CAST(f.f AS DOUBLE) AS p, 1.0 AS q
+      SELECT s.rn AS i, s.y AS z, CAST(f.f AS DOUBLE) AS p,
+             CAST(1.0 AS DOUBLE) AS q
+             -- bare 1.0 types as DECIMAL(2,1) in DuckDB and the
+             -- recursive q+1.0 counter overflows it once a demand
+             -- gap reaches 10 days (seen at sf0.001)
       FROM seq s JOIN first_hit f ON s.rn = f.f
       UNION ALL
       SELECT s.rn,
