@@ -449,3 +449,154 @@ def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+@query(
+    "sample_dsir_importance",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w <> '')) AS w
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1))
+               % 64 AS bucket
+      FROM toks
+    ),
+    dc AS (
+      SELECT doc_id, ANY_VALUE(lang) AS lang, bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM b GROUP BY doc_id, bucket
+    ),
+    hist AS (
+      SELECT bucket,
+             CAST(SUM(c) AS BIGINT) AS n_r,
+             CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT)
+               AS n_t
+      FROM dc GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_r) AS BIGINT) AS big_r,
+             CAST(SUM(n_t) AS BIGINT) AS big_t
+      FROM hist
+    ),
+    lr AS (
+      SELECT h.bucket,
+             CAST(ROUND(CAST(LN(((h.n_t + 0.5) * (t.big_r + 32.0))
+                               / ((h.n_r + 0.5) * (t.big_t + 32.0)))
+                  AS DECIMAL(24,10)), 6) * 1000000 AS BIGINT) AS lr_micro
+      FROM hist h CROSS JOIN tot t
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(d.c * l.lr_micro) AS BIGINT) AS logw_micro,
+           CAST(ROUND(CAST(SUM(d.c * l.lr_micro)
+                / 1000000.0 / SUM(d.c) AS DECIMAL(24,10)), 6) AS DOUBLE)
+             AS logw_per_token,
+           CAST(SUM(d.c * l.lr_micro) AS BIGINT) > 0 AS selected
+    FROM dc d JOIN lr l ON l.bucket = d.bucket
+    GROUP BY d.doc_id
+    """,
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): score every raw document by how much it looks like the
+    TARGET distribution, using hashed n-gram (here unigram) features.
+    Target = the corpus's ``lang='en'`` slice; features = words hashed
+    into 64 buckets by a cross-engine md5-hex bucket (the same
+    portable-hash idiom as agg_ab_assignment_srm); each document's
+    log importance weight is Σ_b count_doc[b]·ln(p̂_target[b]/p̂_raw[b])
+    with 0.5-Laplace smoothing, and ``selected`` marks documents whose
+    weight is positive (more target-like than raw-like) — the
+    deterministic threshold form of DSIR's resampling step (the
+    Gumbel-noise draw is sampling detail; the weights are the
+    operator).
+
+    Numerical doctrine (the feature_woe_iv pattern): each bucket's ln
+    argument assembles from EXACT half-integer products, so both
+    engines call ln on bit-identical doubles, quantized ONCE at 6dp
+    into integer micro-units; per-document weights are then exact
+    integer dot products — no float accumulation across documents or
+    buckets.  Scale shape: one tokenize+explode corpus pass folds to
+    (doc, bucket) counts (map-side combinable, ≤64 rows per doc); the
+    bucket histogram and the 64-row log-ratio table derive from THAT
+    aggregate, never a second corpus pass; the ratio table broadcasts
+    back for the final integer dot.  No global window, no driver
+    loop — selection is a per-row threshold, not a rank."""
+    d = load_table(spark, sf_dir, "documents")
+    hexv = "0123456789abcdef"
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+        ).alias("w"),
+    )
+    b = toks.select(
+        "doc_id",
+        "lang",
+        (
+            (
+                (F.expr(f"locate(substring(md5(w), 1, 1), '{hexv}')") - 1)
+                * 16
+                + (F.expr(f"locate(substring(md5(w), 2, 1), '{hexv}')") - 1)
+            )
+            % 64
+        ).alias("bucket"),
+    )
+    dc = b.groupBy("doc_id", "bucket").agg(
+        F.any_value("lang").alias("lang"), F.count("*").alias("c")
+    )
+    hist = dc.groupBy("bucket").agg(
+        F.sum("c").alias("n_r"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias(
+            "n_t"
+        ),
+    )
+    tot = hist.agg(
+        F.sum("n_r").alias("big_r"), F.sum("n_t").alias("big_t")
+    )
+    lr = (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.round(
+                    F.log(
+                        ((F.col("n_t") + 0.5) * (F.col("big_r") + 32.0))
+                        / ((F.col("n_r") + 0.5) * (F.col("big_t") + 32.0))
+                    ).cast("decimal(24,10)"),
+                    6,
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    scored = (
+        dc.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lr_micro")).alias("logw_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "logw_micro",
+        F.round(
+            (
+                F.col("logw_micro") / F.lit(1000000.0) / F.col("n_tokens")
+            ).cast("decimal(24,10)"),
+            6,
+        )
+        .cast("double")
+        .alias("logw_per_token"),
+        (F.col("logw_micro") > 0).alias("selected"),
+    )
