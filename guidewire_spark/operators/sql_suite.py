@@ -1027,3 +1027,42 @@ def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNPIVOT (val FOR metric IN (acctbal, nkey))
         """
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount))
+                AS DECIMAL(24,10)), 2) AS DOUBLE) AS disc_revenue
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 10
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 `|>` operators, SQL:2023-adjacent):
+    the pricing-summary shape written as a linear pipeline —
+    FROM |> WHERE |> AGGREGATE ... GROUP BY |> WHERE (post-agg filter,
+    pipe's HAVING) |> SELECT — covering the table-first flow the
+    classic nested SELECT inverts.  Catalyst lowers pipes to exactly
+    the plan of the equivalent nested query (scan→filter→partial agg→
+    exchange→final agg), so the surface costs nothing at 100 TB; the
+    oracle is that equivalent classic query."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                     COUNT(*) AS n_rows,
+                     CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount))
+                          AS DECIMAL(24,10)), 2) AS DOUBLE) AS disc_revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_rows > 10
+        |> SELECT l_returnflag, l_linestatus, sum_qty, n_rows, disc_revenue
+        """
+    )
