@@ -40,7 +40,7 @@ from guidewire_spark.plans.session import get_spark
 from guidewire_spark.registry import all_queries
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
-from check_oracles import SF_DIR, value_hash  # noqa: E402
+from check_oracles import SF_DIR, canon_frame, frame_hash  # noqa: E402
 
 LAYOUTS = (
     {"spark.sql.shuffle.partitions": "32",
@@ -76,9 +76,8 @@ def main() -> None:
             clear_two_phase_pins()
             try:
                 sdf = spec.fn(spark, SF_DIR)
-                rows = sdf.collect()
-                hashes.append((value_hash([tuple(r) for r in rows], sdf.columns),
-                               len(rows)))
+                pdf = sdf.toPandas()
+                hashes.append((frame_hash(canon_frame(pdf)), len(pdf)))
             except Exception:
                 err = traceback.format_exc(limit=3)
                 break
