@@ -1981,6 +1981,58 @@ def test_merge_clauses_review_hardening(spark, sf_dir, tmp_path):
     assert rows[41] == 82  # regenerated from the UPDATED key, not stale 2
 
 
+def test_not_null_merge_narrower_source(spark, sf_dir, tmp_path):
+    """A MERGE source narrower than the target is legal when it only
+    UPDATES (the non-nullable column keeps its target value), but a
+    merge whose INSERT half would backfill NULL into a non-nullable
+    column is rejected at the merged-output value check — mirroring
+    Delta, which validates the merge RESULT, not the source shape."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from guidewire_spark.sources.writer import merge_clauses
+
+    table = str(tmp_path / "nnm")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+            T.StructField("amt", T.LongType(), False),
+        ]
+    )
+    write_delta(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], schema),
+        table,
+        mode="append",
+    )
+    # narrower source, update-only clause: non-nullable amt keeps its
+    # target value — must pass
+    merge_clauses(
+        spark,
+        table,
+        spark.createDataFrame([(1, "a2")], "k long, v string"),
+        "k",
+        [{"when": "matched", "condition": None, "update": {"v": "s.v"}}],
+    )
+    rows = {r["k"]: (r["v"], r["amt"]) for r in read_delta(spark, table).collect()}
+    assert rows == {1: ("a2", 10), 2: ("b", 20)}
+    # same narrower source with an INSERT clause and an unmatched key:
+    # the insert would commit NULL into non-nullable amt — the whole
+    # merge must be refused at the merged-output value check
+    with pytest.raises(ValueError, match="NOT NULL"):
+        merge_clauses(
+            spark,
+            table,
+            spark.createDataFrame([(3, "new")], "k long, v string"),
+            "k",
+            [
+                {"when": "matched", "condition": None, "update": {"v": "s.v"}},
+                {"when": "not_matched", "condition": None, "insert": None},
+            ],
+        )
+    assert read_delta(spark, table).count() == 2
+
+
 def test_not_null_invariant_enforced(spark, sf_dir, tmp_path):
     """Schema nullability is an invariant (Delta's `invariants` writer
     feature): appending NULL into a non-nullable column is refused;
