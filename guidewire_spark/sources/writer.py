@@ -807,7 +807,13 @@ def write_delta(
             )
         df = _apply_generated_columns(df, table_path)
         df = _apply_column_defaults(df, table_path)
-        _enforce_constraints(df, table_path)
+        # The absent-non-nullable-column rule applies to APPENDS only:
+        # an overwrite replaces the table's metadata with df.schema in
+        # the same commit, so the old schema's non-nullable columns
+        # leave with the old rows (value-level CHECK constraints still
+        # apply — the table definition outlives its data; nullability
+        # does not survive a schema-replacing overwrite).
+        _enforce_constraints(df, table_path, require_all=(mode == "append"))
     if prev is not None:
         existing = load_snapshot(table_path).partition_columns
         if partition_by:

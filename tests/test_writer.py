@@ -2078,6 +2078,12 @@ def test_not_null_invariant_enforced(spark, sf_dir, tmp_path):
         spark.createDataFrame([(4,)], "k long"), table, mode="append"
     )
     assert read_delta(spark, table).count() == 4
+    # a schema-replacing OVERWRITE may drop the non-nullable column:
+    # the old rows leave in the same commit, so no NULL is ever read
+    write_delta(
+        spark.createDataFrame([("solo",)], "v string"), table, mode="overwrite"
+    )
+    assert read_delta(spark, table).columns == ["v"]
 
 
 def test_cdf_by_timestamp_window(spark, sf_dir, tmp_path):
