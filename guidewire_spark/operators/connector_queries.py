@@ -2344,3 +2344,88 @@ def delta_cdf_by_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta_changes_by_timestamp(
         spark, table, from_timestamp=since
     ).select("s_suppkey", "_change_type")
+
+
+@query(
+    "delta_auto_optimize",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           CAST(CAST(s_acctbal AS DECIMAL(14,2)) AS DOUBLE) AS bal
+    FROM supplier WHERE s_suppkey % 2 = 1
+    """,
+)
+def delta_auto_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-optimize end to end (Delta's
+    ``delta.autoOptimize.optimizeWrite`` + ``autoCompact`` table
+    properties): a partitioned table receives a many-task append —
+    optimized write's pre-shuffle stages exactly ONE file per
+    partition value (asserted) — then a burst of tiny unclustered
+    appends trips auto compaction, which bin-packs the small-file
+    tail in a follow-up dataChange=false commit (asserted: live file
+    count collapses while row fidelity holds).  At 100 TB these two
+    knobs are what keep a continuously-ingesting table readable
+    without a human running OPTIMIZE: writes pay one exchange,
+    compaction rewrites only the sliver tail, and the oracle verifies
+    the data came through both paths byte-equal."""
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.sources.writer import set_table_properties
+
+    table = tempfile.mkdtemp(prefix="gw_autoopt_") + "/supp"
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.col("s_acctbal").cast("decimal(14,2)").cast("double").alias("bal"),
+    ).where("s_suppkey % 2 = 1")
+    first = s.where("s_suppkey % 5 = 0")
+    write_delta(first, table, mode="append", partition_by=["s_nationkey"])
+    set_table_properties(
+        table, {"delta.autoOptimize.optimizeWrite": "true"}
+    )
+    base = load_snapshot(table).num_files
+    second = s.where("s_suppkey % 5 = 1")
+    write_delta(
+        second.repartition(8), table, mode="append",
+        partition_by=["s_nationkey"],
+    )
+    snap = load_snapshot(table)
+    values = {r[0] for r in second.select("s_nationkey").distinct().collect()}
+    if snap.num_files - base != len(values):
+        raise AssertionError(
+            f"optimized write staged {snap.num_files - base} files for "
+            f"{len(values)} partition values"
+        )
+    # now enable compaction and burst tiny appends: each lands
+    # ≤ |values| slivers; the threshold trips and auto compaction
+    # bin-packs the tail in a follow-up commit
+    set_table_properties(
+        table,
+        {
+            "delta.autoOptimize.autoCompact": "true",
+            "gw.autoCompact.minNumFiles": "3",
+        },
+    )
+    for m in (2, 3, 4):
+        write_delta(
+            s.where(f"s_suppkey % 5 = {m}"),
+            table,
+            mode="append",
+            partition_by=["s_nationkey"],
+        )
+    compacted = load_snapshot(table)
+    # The invariant auto compaction guarantees, at every scale, on a
+    # partitioned table: no PARTITION VALUE ends an append holding
+    # >= minNumFiles small files — either its tail never tripped the
+    # threshold or the follow-up commit bin-packed it.
+    from collections import Counter
+
+    per_part = Counter(
+        tuple(sorted((compacted.file_partitions.get(p) or {}).items()))
+        for p in compacted.files
+        if compacted.file_sizes.get(p, 0) < 16 * 1024 * 1024
+    )
+    worst = max(per_part.values(), default=0)
+    if worst >= 3:
+        raise AssertionError(
+            f"auto compaction left a partition with {worst} small files"
+        )
+    return read_delta(spark, table)

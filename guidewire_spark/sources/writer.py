@@ -834,6 +834,24 @@ def write_delta(
     if prev is not None and mode == "append":
         # mapped tables stage files under physical column names
         df = _to_physical(df, load_snapshot(table_path).schema)
+    if (
+        prev is not None
+        and partition_by
+        and table_configuration(table_path).get(
+            "delta.autoOptimize.optimizeWrite"
+        )
+        == "true"
+    ):
+        # Optimized writes (Delta's autoOptimize.optimizeWrite): one
+        # pre-write shuffle clusters each partition VALUE into a single
+        # task, so an append whose input is spread over many upstream
+        # tasks stages ONE file per partition directory instead of
+        # (input tasks x partition values) slivers — the small-files
+        # cure applied at write time, where it is one exchange, rather
+        # than later, where it is a rewrite.
+        from pyspark.sql import functions as F
+
+        df = df.repartition(*[F.col(c) for c in partition_by])
     files, commit_dir = _stage_files(df, table_path, partition_by)
     now = int(time.time() * 1000)
     actions: list[dict] = []
@@ -996,6 +1014,7 @@ def write_delta(
         for _ in range(50):
             try:
                 write_commit(table_path, version, actions)
+                _maybe_auto_compact(df.sparkSession, table_path, mode)
                 return version
             except FileExistsError:
                 version = last_version(table_path) + 1
@@ -1004,7 +1023,58 @@ def write_delta(
     # before writing; a collision means that state is stale → surface
     # the conflict to the caller instead of silently clobbering.
     write_commit(table_path, version, actions)
+    _maybe_auto_compact(df.sparkSession, table_path, mode)
     return version
+
+
+def _maybe_auto_compact(spark, table_path: str, mode: str) -> None:
+    """Auto compaction (Delta's ``delta.autoOptimize.autoCompact``):
+    after a successful APPEND, bin-pack accumulated small files
+    (< ``gw.autoCompact.minFileSize`` bytes, default 16 MiB) in a
+    follow-up dataChange=false commit once at least
+    ``gw.autoCompact.minNumFiles`` of them (default 8) have piled up.
+    The COUNTING UNIT is the compaction unit, exactly like Delta: on a
+    partitioned table the threshold applies PER PARTITION VALUE and
+    each tripped partition compacts through the where_partitions scope
+    — a healthy one-file-per-partition layout never re-triggers (a
+    table-wide count would see |partitions| small files forever and
+    rewrite the whole table on every append).  Runs as its own commit
+    AFTER the write lands: the write's version is what the caller
+    sees; compaction racing never un-commits data.  Streaming-quiet —
+    the OPTIMIZE path emits dataChange=false adds."""
+    if mode != "append":
+        return
+    config = table_configuration(table_path)
+    if config.get("delta.autoOptimize.autoCompact") != "true":
+        return
+    min_files = int(config.get("gw.autoCompact.minNumFiles", "8"))
+    small_cut = int(
+        config.get("gw.autoCompact.minFileSize", str(16 * 1024 * 1024))
+    )
+    snap = load_snapshot(table_path)
+    small = [p for p in snap.files if snap.file_sizes.get(p, 0) < small_cut]
+    pcols = list(snap.partition_columns or [])
+    if not pcols:
+        if len(small) >= min_files:
+            optimize_table(
+                spark, table_path, target_files=1, min_file_size=small_cut
+            )
+        return
+    from collections import Counter
+
+    per_part: Counter = Counter(
+        tuple(sorted((snap.file_partitions.get(p) or {}).items()))
+        for p in small
+    )
+    for pv, count in per_part.items():
+        if count >= min_files:
+            optimize_table(
+                spark,
+                table_path,
+                target_files=1,
+                min_file_size=small_cut,
+                where_partitions=dict(pv),
+            )
 
 
 def optimize_table(

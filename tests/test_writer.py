@@ -2119,3 +2119,131 @@ def test_cdf_by_timestamp_window(spark, sf_dir, tmp_path):
     assert read_delta_changes_by_timestamp(spark, table, ts3, ts2).count() == 0
     with pytest.raises(ValueError, match="after the last commit"):
         read_delta_changes_by_timestamp(spark, table, ts3 + 10_000_000)
+
+
+def test_auto_compaction_binpacks_small_appends(spark, sf_dir, tmp_path):
+    """delta.autoOptimize.autoCompact: once >= minNumFiles small live
+    files accumulate, the append triggers a follow-up dataChange=false
+    bin-packing commit; rows and values are untouched; big files are
+    not rewritten."""
+    from guidewire_spark.sources.writer import set_table_properties
+
+    table = str(tmp_path / "ac")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n.where("n_nationkey = 0"), table, mode="append")
+    set_table_properties(
+        table,
+        {
+            "delta.autoOptimize.autoCompact": "true",
+            "gw.autoCompact.minNumFiles": "4",
+        },
+    )
+    for i in range(1, 5):
+        write_delta(
+            n.where(F.col("n_nationkey") == i).coalesce(1),
+            table,
+            mode="append",
+        )
+    snap = load_snapshot(table)
+    # 5 tiny appends collapsed: far fewer live files than appends
+    assert snap.num_files < 4, snap.files
+    out = read_delta(spark, table)
+    assert sorted(r["n_nationkey"] for r in out.collect()) == [0, 1, 2, 3, 4]
+    # the compaction rode a separate commit after the last append
+    from guidewire_spark.sources.deltalog import list_versions
+
+    assert len(list_versions(table)) >= 7  # create+props+4 appends+compact
+
+
+def test_auto_compaction_quiet_below_threshold(spark, sf_dir, tmp_path):
+    from guidewire_spark.sources.writer import set_table_properties
+
+    table = str(tmp_path / "acq")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    write_delta(n.where("n_nationkey = 0"), table, mode="append")
+    set_table_properties(
+        table,
+        {
+            "delta.autoOptimize.autoCompact": "true",
+            "gw.autoCompact.minNumFiles": "50",
+        },
+    )
+    write_delta(n.where("n_nationkey = 1"), table, mode="append")
+    assert load_snapshot(table).num_files == 2  # below threshold: no-op
+
+
+def test_optimized_write_one_file_per_partition(spark, sf_dir, tmp_path):
+    """delta.autoOptimize.optimizeWrite: a partitioned append whose
+    input is spread over many tasks stages ONE file per partition
+    value instead of (tasks x values) slivers."""
+    from guidewire_spark.sources.writer import set_table_properties
+
+    table = str(tmp_path / "ow")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    write_delta(
+        n.where("n_nationkey = 0"), table, mode="append",
+        partition_by=["n_regionkey"],
+    )
+    set_table_properties(table, {"delta.autoOptimize.optimizeWrite": "true"})
+    base = load_snapshot(table).num_files
+    # 8-task input, 5 partition values: naive staging would cut up to
+    # min(8,rows-per-value) files per value
+    write_delta(
+        n.where("n_nationkey > 0").repartition(8),
+        table,
+        mode="append",
+        partition_by=["n_regionkey"],
+    )
+    snap = load_snapshot(table)
+    added = snap.num_files - base
+    values = {
+        r["n_regionkey"]
+        for r in n.where("n_nationkey > 0").select("n_regionkey").distinct().collect()
+    }
+    assert added == len(values), (added, len(values))
+    assert read_delta(spark, table).count() == n.count()
+
+
+def test_auto_compaction_counts_per_partition(spark, sf_dir, tmp_path):
+    """On a partitioned table the autoCompact threshold applies PER
+    PARTITION VALUE: the partition receiving repeated small appends
+    compacts to one file; untouched partitions keep their files; and a
+    healthy one-file-per-partition layout does not re-trigger."""
+    from guidewire_spark.sources.deltalog import list_versions
+    from guidewire_spark.sources.writer import set_table_properties
+
+    table = str(tmp_path / "acp")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    write_delta(n, table, mode="append", partition_by=["n_regionkey"])
+    set_table_properties(
+        table,
+        {
+            "delta.autoOptimize.autoCompact": "true",
+            "gw.autoCompact.minNumFiles": "3",
+        },
+    )
+    hot = [r["n_nationkey"] for r in n.where("n_regionkey = 1").collect()][:3]
+    for k in hot:  # 3 small appends, all into partition 1
+        write_delta(
+            n.where(F.col("n_nationkey") == k),
+            table,
+            mode="append",
+            partition_by=["n_regionkey"],
+        )
+    snap = load_snapshot(table)
+    by_part = {}
+    for p in snap.files:
+        pv = (snap.file_partitions.get(p) or {}).get("n_regionkey")
+        by_part.setdefault(pv, []).append(p)
+    # hot partition compacted (1 base + 3 appends -> threshold tripped)
+    assert len(by_part["1"]) < 3, by_part["1"]
+    # cold partitions untouched: still exactly their base file
+    assert all(len(v) == 1 for k, v in by_part.items() if k != "1")
+    # steady state: one more append elsewhere triggers nothing
+    versions_before = len(list_versions(table))
+    write_delta(
+        n.where("n_nationkey = 0"), table, mode="append",
+        partition_by=["n_regionkey"],
+    )
+    assert len(list_versions(table)) == versions_before + 1  # no extra commit
+    assert read_delta(spark, table).count() == n.count() + len(hot) + 1
