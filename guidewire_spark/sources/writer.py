@@ -836,22 +836,28 @@ def write_delta(
         df = _to_physical(df, load_snapshot(table_path).schema)
     if (
         prev is not None
-        and partition_by
         and table_configuration(table_path).get(
             "delta.autoOptimize.optimizeWrite"
         )
         == "true"
     ):
-        # Optimized writes (Delta's autoOptimize.optimizeWrite): one
-        # pre-write shuffle clusters each partition VALUE into a single
-        # task, so an append whose input is spread over many upstream
-        # tasks stages ONE file per partition directory instead of
-        # (input tasks x partition values) slivers — the small-files
-        # cure applied at write time, where it is one exchange, rather
-        # than later, where it is a rewrite.
+        # Optimized writes (Delta's autoOptimize.optimizeWrite): the
+        # small-files cure applied at write time — one exchange —
+        # rather than later, where it is a rewrite.
         from pyspark.sql import functions as F
 
-        df = df.repartition(*[F.col(c) for c in partition_by])
+        if partition_by:
+            # one pre-write shuffle clusters each partition VALUE into
+            # a single task, so an append whose input is spread over
+            # many upstream tasks stages ONE file per partition
+            # directory instead of (input tasks x values) slivers
+            df = df.repartition(*[F.col(c) for c in partition_by])
+        else:
+            # unpartitioned: AQE REBALANCE sizes output partitions to
+            # the advisory target (splitting skew, coalescing slivers)
+            # — exactly Delta's binPacking-at-write behavior, and a
+            # no-op degradation when AQE is off (hint ignored)
+            df = df.hint("rebalance")
     files, commit_dir = _stage_files(df, table_path, partition_by)
     now = int(time.time() * 1000)
     actions: list[dict] = []

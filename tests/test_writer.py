@@ -2247,3 +2247,31 @@ def test_auto_compaction_counts_per_partition(spark, sf_dir, tmp_path):
     )
     assert len(list_versions(table)) == versions_before + 1  # no extra commit
     assert read_delta(spark, table).count() == n.count() + len(hot) + 1
+
+
+def test_optimized_write_rebalances_unpartitioned(spark, sf_dir, tmp_path):
+    """Unpartitioned optimized write: AQE REBALANCE coalesces a
+    many-task input to advisory-sized output partitions — tiny data
+    stages one file instead of one per input task."""
+    from guidewire_spark.sources.writer import set_table_properties
+
+    table = str(tmp_path / "owu")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_delta(n.where("n_nationkey = 0"), table, mode="append")
+    base = load_snapshot(table).num_files
+    # control: without the property an 8-task input stages 8 files
+    write_delta(n.where("n_nationkey > 20").repartition(8), table, mode="append")
+    control = load_snapshot(table).num_files - base
+    assert control > 1, control
+    set_table_properties(table, {"delta.autoOptimize.optimizeWrite": "true"})
+    base = load_snapshot(table).num_files
+    write_delta(
+        n.where("n_nationkey BETWEEN 10 AND 20").repartition(8),
+        table,
+        mode="append",
+    )
+    added = load_snapshot(table).num_files - base
+    assert added == 1, added
+    assert read_delta(spark, table).count() == n.where(
+        "n_nationkey = 0 OR n_nationkey >= 10"
+    ).count()
