@@ -896,55 +896,40 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
-    """IVF approximate-nearest-neighbor pipeline, parameterized by
-    n_probe (shared by the rows-only n_probe=3 production shape and
-    the hash-verified full-probe twin).
-
-    Coarse quantizer: 8 centroids seeded deterministically from the
-    corpus (vec_id % 64 == 0 seeds) and refined with TWO Lloyd
-    iterations in pure DataFrame math — assign, then element-wise mean
-    per cell via posexplode → (cell, dim) average → re-assembled and
-    re-normalized centroid arrays. Each vector joins its nearest
-    centroid (the inverted list); queries probe their top-3 cells
-    (n_probe=3), searching ~3/8 of the corpus (at 100 TB:
-    n_probe/n_cells of it; each Lloyd step's final shuffle is
-    (cells × dims) rows — centroid-sized, not corpus-sized, after
-    partial aggregation). Measured recall@5: 0.66 @ sf0.001 /
-    0.74 @ sf0.01 (up from 0.58/0.54 with one iteration and
-    n_probe=2). Rows-only: the cell boundaries are approximation
-    details.
-    """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", V.normalize(F.col("embedding")).alias("u")
+def _ivf_assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: each point joins the broadcast
+    centroid table and keeps its best cell (deterministic tie-break on
+    cent_id).  Output: (vec_id, u, cell)."""
+    scored = points.join(F.broadcast(centroids)).select(
+        "vec_id", "u", "cent_id", V.dot(F.col("u"), F.col("cu")).alias("sim")
     )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "u", F.col("cent_id").alias("cell"))
+    )
+
+
+def _ivf_centroids(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Coarse quantizer training: 8 deterministic seeds (vec_id % 64
+    == 0) refined with TWO Lloyd iterations in pure DataFrame math;
+    each round's 8x64-double centroid table is collected so the next
+    assignment's plan doesn't re-execute the previous round's corpus
+    pass.  Returns the (cent_id, cu) centroid DataFrame."""
     cents = (
         e.where(F.col("vec_id") % 64 == 0)
         .select(F.col("vec_id").alias("cent_id"), F.col("u").alias("cu"))
         .limit(8)
     )
-
-    def assign(points, centroids):
-        scored = points.join(F.broadcast(centroids)).select(
-            "vec_id", "u", "cent_id", V.dot(F.col("u"), F.col("cu")).alias("sim")
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("sim").desc(), F.col("cent_id")
-        )
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "u", F.col("cent_id").alias("cell"))
-        )
-
-    # Lloyd refinement: per-cell element-wise mean -> new centroids.
-    # Two iterations; each round's centroids are collected (8×64
-    # doubles — driver-metadata-sized) so the next assignment's plan
-    # doesn't re-execute the previous round's corpus pass.
     refined = cents
     for _ in range(2):
-        assigned = assign(e, refined)
-        dims = assigned.select("cell", F.posexplode(F.col("u")).alias("dim", "val"))
+        assigned = _ivf_assign(e, refined)
+        dims = assigned.select(
+            "cell", F.posexplode(F.col("u")).alias("dim", "val")
+        )
         refined_df = (
             dims.groupBy("cell", "dim")
             .agg(F.avg("val").alias("m"))
@@ -963,12 +948,17 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
         refined = spark.createDataFrame(
             refined_df.collect(), schema="cent_id long, cu array<double>"
         )
-    cells = assign(e, refined)
-    # Multi-probe: each query searches its top-3 cells (n_probe=3) —
-    # the standard IVF recall lever; a corpus vector lives in exactly
-    # one cell, so probing distinct cells never duplicates candidates.
-    q_pts = e.where(F.col("vec_id") < 10)
-    q_scored = q_pts.join(F.broadcast(refined)).select(
+    return refined
+
+
+def _ivf_probe_topk(
+    cells: DataFrame, centroids: DataFrame, q_pts: DataFrame, n_probe: int
+) -> DataFrame:
+    """Multi-probe search over an inverted-list table: queries pick
+    their top-``n_probe`` cells against the broadcast centroids, then
+    score only vectors living in probed cells; per-query top-5 on the
+    4-dp-rounded similarity with neighbor_id tie-break."""
+    q_scored = q_pts.join(F.broadcast(centroids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("u").alias("qu"),
         F.col("cent_id").alias("cell"),
@@ -999,6 +989,30 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
+    """IVF approximate-nearest-neighbor pipeline, parameterized by
+    n_probe (shared by the rows-only n_probe=3 production shape and
+    the hash-verified full-probe twin).
+
+    Coarse quantizer: 8 centroids seeded deterministically from the
+    corpus and refined with TWO Lloyd iterations in pure DataFrame
+    math (see _ivf_centroids). Each vector joins its nearest centroid
+    (the inverted list, _ivf_assign); queries probe their top-n_probe
+    cells (_ivf_probe_topk), searching ~n_probe/8 of the corpus (at
+    100 TB: n_probe/n_cells of it; each Lloyd step's final shuffle is
+    (cells x dims) rows — centroid-sized, not corpus-sized, after
+    partial aggregation). Measured recall@5 at n_probe=3: 0.66 @
+    sf0.001 / 0.74 @ sf0.01.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.normalize(F.col("embedding")).alias("u")
+    )
+    refined = _ivf_centroids(spark, e)
+    cells = _ivf_assign(e, refined)
+    q_pts = e.where(F.col("vec_id") < 10)
+    return _ivf_probe_topk(cells, refined, q_pts, n_probe)
 
 
 @query("similarity_ann_ivf")  # cell boundaries are approximation → rows-only
@@ -1049,6 +1063,81 @@ def similarity_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     giving the driver a real value check on the pipeline the
     approximate settings share."""
     return _ivf_topk(spark, sf_dir, n_probe=8)
+
+
+@query(
+    "similarity_ann_ivf_incremental",
+    oracle="""
+    WITH unit AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, 65),
+                   i -> q.u[i] * c.u[i])), 4) AS cos_sim
+      FROM unit q JOIN unit c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF index maintenance — the ANN shape a live corpus
+    needs: centroids train ONCE on the first arrival batch, later
+    batches assign against those FIXED centroids and APPEND their
+    inverted-list rows to a Delta index table (one commit per batch,
+    asserted), and search runs against the stored index — never
+    against raw embeddings.  Per-batch maintenance cost is that
+    batch's vectors only (assign = one broadcast join; append = one
+    commit); nothing is retrained or rebuilt, which is what makes IVF
+    viable under continuous ingest at 100 TB.
+
+    Value verification: the search probes ALL cells, which makes IVF
+    provably exact (similarity_ann_ivf_fullprobe's argument), so the
+    result must equal the brute-force top-5 over EVERY vector that
+    has arrived — digit for digit through the Delta round-trip.  A
+    vector dropped by an append, a mis-assigned cell, or an index row
+    corrupted in storage breaks the hash.  The production n_probe<8
+    search over the same stored index inherits the verified plumbing.
+    """
+    import tempfile
+
+    from guidewire_spark.sources.deltalog import list_versions
+    from guidewire_spark.sources.snapshot import read_delta
+    from guidewire_spark.sources.writer import write_delta
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.normalize(F.col("embedding")).alias("u")
+    )
+    # centroids from the FIRST arrivals only — later batches must not
+    # perturb them, or stored assignments would go stale
+    cents = _ivf_centroids(spark, e.where(F.col("vec_id") % 3 == 0))
+    index = tempfile.mkdtemp(prefix="gw_ivfinc_") + "/index"
+    for b in range(3):
+        batch = e.where(F.col("vec_id") % 3 == b)
+        write_delta(
+            _ivf_assign(batch, cents).select("vec_id", "cell", "u"),
+            index,
+            mode="append",
+        )
+    if len(list_versions(index)) != 3:
+        raise AssertionError("expected one index commit per arrival batch")
+    stored = read_delta(spark, index)
+    n_vecs = e.count()
+    if stored.count() != n_vecs:
+        raise AssertionError("index row count != arrived vectors")
+    q_pts = stored.where(F.col("vec_id") < 10).select("vec_id", "u")
+    return _ivf_probe_topk(
+        stored.select("vec_id", "u", "cell"), cents, q_pts, n_probe=8
+    )
 
 
 @query("similarity_ann_lsh")  # hyperplane-hash-dependent → rows-only
