@@ -51,9 +51,14 @@ def _entry_dir(cache_dir: str, key: str) -> str:
 
 
 def _current_versions(tables: list[str]) -> dict[str, int]:
-    from guidewire_spark.sources.snapshot import load_snapshot
+    """Fingerprint = each input's latest DATA version: pure-compaction
+    commits (OPTIMIZE / auto-compact, all-dataChange=false) do not
+    invalidate — the rows they rewrite are byte-identical by protocol
+    contract, so recomputing would burn the full query to produce the
+    cached answer.  Any metadata/protocol/DML commit still bumps it."""
+    from guidewire_spark.sources.deltalog import data_version
 
-    return {t: load_snapshot(t).version for t in tables}
+    return {t: int(data_version(t) or 0) for t in tables}
 
 
 def cached_query(

@@ -49,6 +49,45 @@ def last_version(table_path: str) -> int | None:
     return versions[-1] if versions else None
 
 
+def data_version(table_path: str) -> int | None:
+    """Latest version whose commit changed the table's LOGICAL content
+    — any add/remove with ``dataChange`` true, or any metaData /
+    protocol / txn / domainMetadata / cdc action.  Pure-compaction
+    commits (OPTIMIZE, auto-compact: every add/remove carries
+    ``dataChange=false``, plus commitInfo) do NOT advance it, which is
+    what lets version-fingerprinted consumers (the result cache)
+    survive layout maintenance without recomputing identical results.
+
+    Walks backward from the newest version over the trailing
+    compaction run only — in steady state that is zero or one commit.
+    A version whose JSON is unreadable (expired into a checkpoint)
+    counts as data-changing, the conservative direction: a needless
+    recompute is correct; a stale hit is not."""
+    import json as _json
+
+    versions = list_versions(table_path)
+    if not versions:
+        return None
+    log_dir = delta_log_dir(table_path)
+    for v in reversed(versions):
+        path = os.path.join(log_dir, f"{v:020d}.json")
+        try:
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    action = _json.loads(line)
+                    if "commitInfo" in action:
+                        continue
+                    if "add" in action or "remove" in action:
+                        key = "add" if "add" in action else "remove"
+                        if action[key].get("dataChange", True):
+                            return v
+                        continue
+                    return v  # metaData/protocol/txn/domainMetadata/cdc
+        except (OSError, ValueError):
+            return v  # unreadable tail: conservative
+    return versions[0]
+
+
 # Reader-side protocol support (the table-features form, reader v3):
 # every capability this engine's read path actually implements. A
 # protocol action demanding anything else must REFUSE the read — the

@@ -134,3 +134,38 @@ def test_hit_handle_survives_republish(spark, sf_dir, tmp_path):
         )
     )
     assert got == want
+
+
+def test_compaction_commits_keep_cache_valid(spark, sf_dir, tmp_path):
+    """OPTIMIZE (and auto-compact) rewrite files with dataChange=false
+    — the logical content is identical by protocol contract, so the
+    cache must still HIT; the next real DML still invalidates."""
+    from guidewire_spark.sources.deltalog import data_version, last_version
+    from guidewire_spark.sources.writer import optimize_table
+
+    table = str(tmp_path / "natc")
+    cache = str(tmp_path / "cachec")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    write_delta(n.where("n_nationkey < 10"), table, mode="append")
+    write_delta(n.where("n_nationkey >= 10"), table, mode="append")
+
+    _, hit = cached_query(spark, cache, "k", [table], _agg(table))
+    assert not hit
+    dv_before = data_version(table)
+    optimize_table(spark, table, target_files=1)
+    assert last_version(table) > dv_before  # a commit happened...
+    assert data_version(table) == dv_before  # ...but no DATA change
+    _, hit = cached_query(spark, cache, "k", [table], _agg(table))
+    assert hit  # compaction did not burn the cache
+    # a real append still invalidates (same-typed row via projection)
+    write_delta(
+        n.where("n_nationkey = 0").withColumn(
+            "n_nationkey", F.col("n_nationkey") + 99
+        ),
+        table,
+        mode="append",
+    )
+    _, hit = cached_query(spark, cache, "k", [table], _agg(table))
+    assert not hit
