@@ -1926,3 +1926,81 @@ def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "chunk long, bin long, n_cur long, psi_term double"
     ).parquet(results + "/chunk_*")
+
+
+@query(
+    "stream_auto_compact_ingest",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ROUND(CAST(value AS DECIMAL(24,8)), 4) AS DOUBLE) AS value
+    FROM events WHERE user_id % 9 = 0
+    """,
+)
+def stream_auto_compact_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingest WITH its maintenance story: a stream lands in
+    a Delta table through foreachBatch appends — one small file per
+    micro-batch, the classic streaming small-files pathology — while
+    ``delta.autoOptimize.autoCompact`` bin-packs the tail inline, so
+    the table stays readable with NO separate maintenance job.  The
+    invariant asserted is auto-compact's contract: after the stream
+    drains, fewer than minNumFiles small live files remain, while
+    every streamed row survives byte-exact (the oracle re-derives the
+    full result relationally).  At 100 TB this is the shape that keeps
+    a 24/7 ingest pipeline from degrading into millions of slivers:
+    each micro-batch pays an append plus, occasionally, a bin-pack of
+    the recent tail — never a full-table rewrite."""
+    import tempfile
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.sources.snapshot import load_snapshot, read_delta
+    from guidewire_spark.sources.writer import (
+        set_table_properties,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="gw_acing_")
+    table = f"{root}/events_delta"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 9 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value").cast("decimal(24,8)"), 4)
+            .cast("double")
+            .alias("value"),
+        )
+    )
+    # seed so table properties exist before the stream's first batch
+    write_delta(ev.limit(0), table, mode="append")
+    set_table_properties(
+        table,
+        {
+            "delta.autoOptimize.autoCompact": "true",
+            "gw.autoCompact.minNumFiles": "4",
+        },
+    )
+    ev.repartition(6).write.parquet(f"{root}/src")  # 6 micro-batches
+
+    def apply_batch(batch_df, batch_id):
+        write_delta(batch_df, table, mode="append")
+
+    q = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/src")
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = load_snapshot(table)
+    small = [
+        p for p in snap.files if snap.file_sizes.get(p, 0) < 16 * 1024 * 1024
+    ]
+    if len(small) >= 4:
+        raise AssertionError(
+            f"auto compaction left {len(small)} small files after ingest"
+        )
+    return read_delta(spark, table)
