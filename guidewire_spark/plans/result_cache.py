@@ -58,7 +58,16 @@ def _current_versions(tables: list[str]) -> dict[str, int]:
     cached answer.  Any metadata/protocol/DML commit still bumps it."""
     from guidewire_spark.sources.deltalog import data_version
 
-    return {t: int(data_version(t) or 0) for t in tables}
+    versions: dict[str, int] = {}
+    for t in tables:
+        v = data_version(t)
+        if v is None:
+            # Missing/deleted input must surface, not fingerprint as 0
+            # (a live table at data version 0 would collide and a stale
+            # cache entry would keep serving hits).
+            raise FileNotFoundError(f"no Delta log at {t}")
+        versions[t] = int(v)
+    return versions
 
 
 def cached_query(

@@ -142,7 +142,11 @@ def lint_output_schema(schema) -> list[str]:
         T.DateType,
         T.TimestampType,
         T.TimestampNTZType,
-        T.NullType,  # literal NULL columns stringify identically
+        # NullType deliberately NOT allowed: an all-NULL column crosses
+        # DuckDB .df() as float64 NaN ("nan" after astype(str)) but
+        # Spark toPandas as None ("None") — the exact divergence this
+        # lint exists to catch.  Queries must cast literal NULLs to a
+        # concrete type.
     )
     problems = []
     for field in schema.fields:

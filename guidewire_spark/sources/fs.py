@@ -41,6 +41,20 @@ def _fs_for(uri: str):
     return fsspec.core.url_to_fs(uri)
 
 
+def _epoch_millis(mtime) -> int:
+    """Normalize an fsspec modification time to epoch MILLISECONDS
+    (the unit of Delta's ``add.modificationTime``).  Backends disagree
+    on the representation: s3fs yields a datetime (``LastModified``),
+    most others float/int SECONDS (fsspec's documented convention);
+    a raw ``int(mtime)`` on a float-seconds backend would silently
+    land seconds in a millisecond field.  Values >= 1e12 can only be
+    milliseconds already (1e12 s is year 33658)."""
+    if hasattr(mtime, "timestamp"):
+        return int(mtime.timestamp() * 1000)
+    val = float(mtime)
+    return int(val) if val >= 1e12 else int(val * 1000)
+
+
 def read_text(uri: str) -> str:
     """Object read as string (``S3Access.scala:51-55``)."""
     local = _to_local(uri)
@@ -110,10 +124,13 @@ def list_parquet_files(directory: str) -> list[FileMeta]:
                 and not name.startswith(".")
                 and info.get("size", 0) > 0
             ):
-                mtime = info.get("mtime") or info.get("LastModified") or 0
-                mtime_ms = (
-                    int(mtime.timestamp() * 1000) if hasattr(mtime, "timestamp") else int(mtime)
+                mtime = (
+                    info.get("mtime")
+                    or info.get("LastModified")
+                    or info.get("created")
+                    or 0
                 )
+                mtime_ms = _epoch_millis(mtime)
                 out.append(
                     FileMeta(
                         path=f"{urlparse(directory).scheme}://{info['name']}",

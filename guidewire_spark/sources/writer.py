@@ -1019,11 +1019,17 @@ def write_delta(
         # at the next version (the staged files are untouched).
         for _ in range(50):
             try:
+                # Only write_commit may live in this try: if the
+                # follow-up auto-compact commit collided and ITS
+                # FileExistsError were caught here, the loop would
+                # re-run write_commit with the SAME append actions and
+                # duplicate every row.
                 write_commit(table_path, version, actions)
-                _maybe_auto_compact(df.sparkSession, table_path, mode)
-                return version
             except FileExistsError:
                 version = last_version(table_path) + 1
+                continue
+            _maybe_auto_compact(df.sparkSession, table_path, mode)
+            return version
         raise RuntimeError(f"could not commit after 50 retries at {table_path}")
     # Non-blind commits (create/overwrite/evolution) read table state
     # before writing; a collision means that state is stale → surface
@@ -1047,9 +1053,25 @@ def _maybe_auto_compact(spark, table_path: str, mode: str) -> None:
     rewrite the whole table on every append).  Runs as its own commit
     AFTER the write lands: the write's version is what the caller
     sees; compaction racing never un-commits data.  Streaming-quiet —
-    the OPTIMIZE path emits dataChange=false adds."""
+    the OPTIMIZE path emits dataChange=false adds.  BEST-EFFORT,
+    like Delta's autoCompact: the triggering write has already
+    committed by the time this runs, so any maintenance failure
+    (version collision with a concurrent writer, optimize error) is
+    swallowed with a warning — the caller's returned version must not
+    depend on the maintenance commit succeeding."""
     if mode != "append":
         return
+    try:
+        _auto_compact_once(spark, table_path)
+    except Exception as exc:  # noqa: BLE001 — maintenance is best-effort
+        import warnings
+
+        warnings.warn(
+            f"auto-compact skipped at {table_path}: {exc!r}", stacklevel=2
+        )
+
+
+def _auto_compact_once(spark, table_path: str) -> None:
     config = table_configuration(table_path)
     if config.get("delta.autoOptimize.autoCompact") != "true":
         return

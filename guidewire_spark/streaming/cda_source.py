@@ -334,15 +334,39 @@ class _CdaStreamArrowWriter(DataSourceStreamArrowWriter):
 
 class CdaStreamSink(DataSource):
     """``df.writeStream.format("gw_cda_sink")
-    .option("path", <fingerprint dir>).option("base_ts", <epoch ms>)``."""
+    .option("path", <fingerprint dir>).option("base_ts", <epoch ms>)``.
+
+    LOCAL-FILESYSTEM ONLY, by design: the exactly-once publish relies
+    on POSIX atomic directory rename (``os.rename(tmp, folder)``),
+    which object stores do not provide — an s3:// "rename" is a
+    non-atomic copy+delete per object, so a reader could list a
+    half-published commit folder.  The object-store publish primitive
+    is different (stage under a non-digit prefix, then flip a single
+    digit-named marker object or a manifest pointer), deliberately
+    not emulated here; a non-local path fails fast at stream start
+    instead of corrupting the commit contract at runtime."""
 
     @classmethod
     def name(cls) -> str:
         return "gw_cda_sink"
 
     def streamWriter(self, schema, overwrite):
+        from urllib.parse import urlparse
+
+        path = self.options["path"]
+        parsed = urlparse(path)
+        if parsed.scheme == "file":
+            path = parsed.path  # os-level rename needs the bare path
+        elif parsed.scheme:
+            raise ValueError(
+                "gw_cda_sink requires a local filesystem path: its "
+                "exactly-once publish uses POSIX atomic directory rename, "
+                "which object stores do not provide (got "
+                f"{path!r}). Stage locally and sync, or use the batch "
+                "indexer against the object store instead."
+            )
         return _CdaStreamArrowWriter(
-            self.options["path"], int(self.options.get("base_ts", 1800000000000))
+            path, int(self.options.get("base_ts", 1800000000000))
         )
 
 

@@ -1,0 +1,103 @@
+"""Minimal fsspec-compatible in-memory filesystem for testing the
+REMOTE arm of ``guidewire_spark.sources.fs`` / ``schema`` / ``stats``
+(reference parity: the S3-native listing at ``S3Access.scala:12-59``).
+
+fsspec is not installed in this container, so tests install this
+module into ``sys.modules['fsspec']`` (see the ``memfs`` fixture in
+test_remote_fs.py).  The surface implemented is exactly what the repo
+codes against — ``fsspec.core.url_to_fs(uri) -> (fs, path)`` plus
+``fs.exists`` / ``fs.ls(detail=...)`` / ``fs.open('rb')`` — with the
+same shapes the real library documents:
+
+* ``url_to_fs('memory://a/b')`` returns paths WITH a leading slash;
+* ``ls(detail=False)`` returns full child paths (delimiter listing,
+  one level), directories without trailing slash;
+* ``ls(detail=True)`` info dicts carry ``name``/``size``/``type`` and
+  a backend-dependent modification-time key — this fake exposes
+  ``mtime`` as FLOAT SECONDS by default (fsspec's documented
+  convention, and the exact representation that previously corrupted
+  ``add.modificationTime`` by a factor of 1000), with per-file
+  overrides so tests can exercise the datetime (s3fs
+  ``LastModified``) and already-millis variants too.
+"""
+
+from __future__ import annotations
+
+import io
+import types
+from urllib.parse import urlparse
+
+
+class MemoryFS:
+    """Dict-backed filesystem: path -> (bytes, mtime_value)."""
+
+    def __init__(self) -> None:
+        self.files: dict[str, tuple[bytes, object]] = {}
+
+    @staticmethod
+    def _norm(path: str) -> str:
+        parsed = urlparse(path)
+        p = (parsed.netloc + "/" + parsed.path.lstrip("/")) if parsed.scheme else path
+        return "/" + p.strip("/")
+
+    def put_bytes(self, path: str, data: bytes, mtime: object = 1680350543.25) -> None:
+        self.files[self._norm(path)] = (data, mtime)
+
+    def exists(self, path: str) -> bool:
+        p = self._norm(path)
+        return p in self.files or any(f.startswith(p + "/") for f in self.files)
+
+    def ls(self, path: str, detail: bool = False):
+        p = self._norm(path)
+        children: dict[str, dict] = {}
+        for f, (data, mtime) in sorted(self.files.items()):
+            if not f.startswith(p + "/"):
+                continue
+            rest = f[len(p) + 1 :]
+            head = rest.split("/", 1)[0]
+            child = f"{p}/{head}"
+            if "/" in rest:
+                children.setdefault(
+                    child, {"name": child, "size": 0, "type": "directory"}
+                )
+            else:
+                children[child] = {
+                    "name": child,
+                    "size": len(data),
+                    "type": "file",
+                    "mtime": mtime,
+                }
+        out = list(children.values())
+        return out if detail else [c["name"] for c in out]
+
+    def open(self, path: str, mode: str = "rb"):
+        p = self._norm(path)
+        if "r" in mode:
+            if p not in self.files:
+                raise FileNotFoundError(path)
+            return io.BytesIO(self.files[p][0])
+        fs = self
+
+        class _Writer(io.BytesIO):
+            def close(self) -> None:  # capture bytes on close
+                fs.files[p] = (self.getvalue(), 1680350543.25)
+                super().close()
+
+        return _Writer()
+
+
+def make_fsspec_module(fs: MemoryFS):
+    """Build a module object usable as ``sys.modules['fsspec']`` whose
+    ``core.url_to_fs`` resolves every URI to ``fs``."""
+    mod = types.ModuleType("fsspec")
+    core = types.ModuleType("fsspec.core")
+
+    def url_to_fs(uri: str):
+        parsed = urlparse(uri)
+        joined = (parsed.netloc + "/" + parsed.path.lstrip("/")).strip("/")
+        return fs, "/" + joined
+
+    core.url_to_fs = url_to_fs
+    mod.core = core
+    mod.filesystem = lambda proto: fs
+    return mod

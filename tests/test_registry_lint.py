@@ -43,6 +43,14 @@ def test_array_map_struct_binary_rejected(spark):
     assert [p.split(":")[0] for p in bad] == ["arr", "m", "st", "bin"]
 
 
+def test_null_type_rejected(spark):
+    """An all-NULL column crosses DuckDB .df() as float64 NaN ("nan")
+    but Spark toPandas as None ("None") — NullType must be rejected so
+    queries cast literal NULLs to a concrete type."""
+    df = spark.range(1).select(F.lit(None).alias("n"))
+    assert lint_output_schema(df.schema) == ["n: void"]
+
+
 def test_every_registered_query_fn_is_oracle_paired_or_flagged():
     """Registry shape invariant: every spec has a callable fn; oracles,
     when present, are non-empty SQL strings (a whitespace oracle would

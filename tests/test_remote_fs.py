@@ -1,0 +1,226 @@
+"""Remote-scheme (object-store) arm of the connector filesystem layer.
+
+The reference is S3-native (``S3Access.scala:12-59``); the repo
+delegates non-local schemes to fsspec (sources/fs.py).  fsspec is not
+installed here, so these tests install ``tests/fake_fsspec.py`` — a
+faithful subset of the fsspec interface — into ``sys.modules`` and
+build the policy_holders fixture tree (FIXTURES.md §A.2) inside a
+``memory://`` filesystem, then run ``index()`` END TO END: manifest
+read (P15), timestamp-dir listing (P4), parquet-file listing with
+dot-file/zero-byte rules (P5), schema sniffing over remote footers
+(P7), and Delta commits whose ``add.modificationTime`` must be epoch
+MILLISECONDS even when the backend reports float seconds (the
+fs.py:115 hazard fixed this round).
+"""
+
+from __future__ import annotations
+
+import datetime
+import io
+import json
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.fake_fsspec import MemoryFS, make_fsspec_module
+
+FP1, FP2 = "301248659", "301248660"
+T1, T2, T3, T4 = 1680350543000, 1680535502000, 1680757005000, 1680945093000
+
+
+def _parquet_bytes(first_names, ages, last_names=None) -> bytes:
+    cols = {
+        "firstName": pa.array(first_names, pa.string()),
+        "age": pa.array(ages, pa.int64()),
+    }
+    if last_names is not None:
+        cols["lastName"] = pa.array(last_names, pa.string())
+    buf = io.BytesIO()
+    pq.write_table(pa.table(cols), buf, compression="snappy")
+    return buf.getvalue()
+
+
+@pytest.fixture
+def memfs(monkeypatch):
+    """Install the fake fsspec and build the remote CDA tree.
+
+    Modification times deliberately cover all three backend
+    representations: float seconds (fsspec convention), datetime
+    (s3fs LastModified-style), and already-millis ints.
+    """
+    fs = MemoryFS()
+    mod = make_fsspec_module(fs)
+    monkeypatch.setitem(sys.modules, "fsspec", mod)
+    monkeypatch.setitem(sys.modules, "fsspec.core", mod.core)
+
+    root = "memory://bucket/cda/policy_holders"
+    fs.put_bytes(
+        f"{root}/{FP1}/{T1}/part-00000-c000.snappy.parquet",
+        _parquet_bytes(["anna", "bob", "cara", "dan"], [34, 45, 28, 52]),
+        mtime=1680350600.25,  # float SECONDS — the hazard case
+    )
+    fs.put_bytes(
+        f"{root}/{FP1}/{T2}/part-00000-c000.snappy.parquet",
+        _parquet_bytes(["elsa"], [41]),
+        mtime=datetime.datetime(
+            2023, 4, 3, 12, 0, 0, tzinfo=datetime.timezone.utc
+        ),  # datetime — s3fs style
+    )
+    fs.put_bytes(
+        f"{root}/{FP1}/{T2}/part-00001-c000.snappy.parquet",
+        _parquet_bytes(["finn", "gia", "hugo"], [29, 63, 47]),
+        mtime=1680535600123,  # already epoch-millis int
+    )
+    # zero-byte file: dropped (Guidewire.scala:145)
+    fs.put_bytes(f"{root}/{FP1}/{T2}/part-00002-c000.snappy.parquet", b"")
+    # dot-file: ignored (S3Access.scala:39-41)
+    fs.put_bytes(
+        f"{root}/{FP1}/{T2}/.part-hidden.snappy.parquet",
+        _parquet_bytes(["x"], [1]),
+    )
+    # fingerprint 2 adds lastName; first file rows-less (EDGE CASE#2)
+    empty = pa.table(
+        {
+            "firstName": pa.array([], pa.string()),
+            "lastName": pa.array([], pa.string()),
+            "age": pa.array([], pa.int64()),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(empty, buf)
+    fs.put_bytes(f"{root}/{FP2}/{T3}/part-00000-c000.snappy.parquet", buf.getvalue())
+    fs.put_bytes(
+        f"{root}/{FP2}/{T3}/part-00001-c000.snappy.parquet",
+        _parquet_bytes(
+            ["ivy", "jon", "kim", "lou"],
+            [25, 38, 44, 59],
+            ["smith", "doe", "lee", "ray"],
+        ),
+    )
+    fs.put_bytes(
+        f"{root}/{FP2}/{T4}/part-00000-c000.snappy.parquet",
+        _parquet_bytes(["mia", "ned"], [31, 56], ["fox", "poe"]),
+    )
+
+    manifest = {
+        "policy_holders": {
+            "lastSuccessfulWriteTimestamp": str(T4),
+            "totalProcessedRecordsCount": 14,
+            "dataFilesPath": root,
+            "schemaHistory": {FP1: str(T2), FP2: str(T4)},
+        }
+    }
+    fs.put_bytes(
+        "memory://bucket/manifest.json", json.dumps(manifest).encode()
+    )
+    return fs
+
+
+def test_read_text_remote(memfs):
+    from guidewire_spark.sources.fs import read_text
+
+    text = read_text("memory://bucket/manifest.json")
+    assert json.loads(text)["policy_holders"]["dataFilesPath"].startswith(
+        "memory://"
+    )
+
+
+def test_list_timestamp_dirs_remote(memfs):
+    from guidewire_spark.sources.fs import list_timestamp_dirs
+
+    root = "memory://bucket/cda/policy_holders"
+    assert list_timestamp_dirs(f"{root}/{FP1}") == [T1, T2]
+    assert list_timestamp_dirs(f"{root}/{FP2}") == [T3, T4]
+    assert list_timestamp_dirs(f"{root}/nope") == []
+
+
+def test_list_parquet_files_remote_rules_and_mtime_units(memfs):
+    """Dot-file ignored, zero-byte dropped, paths come back as URIs,
+    and every modificationTime is epoch MILLIS regardless of how the
+    backend reported it (float seconds / datetime / millis int)."""
+    from guidewire_spark.sources.fs import list_parquet_files
+
+    root = "memory://bucket/cda/policy_holders"
+    t1_files = list_parquet_files(f"{root}/{FP1}/{T1}")
+    assert [f.path.rsplit("/", 1)[-1] for f in t1_files] == [
+        "part-00000-c000.snappy.parquet"
+    ]
+    assert t1_files[0].path.startswith("memory://")
+    # float-seconds backend: 1680350600.25 s -> 1680350600250 ms
+    assert t1_files[0].modification_time == 1680350600250
+
+    t2_files = list_parquet_files(f"{root}/{FP1}/{T2}")
+    names = [f.path.rsplit("/", 1)[-1] for f in t2_files]
+    assert names == [
+        "part-00000-c000.snappy.parquet",
+        "part-00001-c000.snappy.parquet",
+    ]  # dot-file and zero-byte file both excluded
+    by_name = {f.path.rsplit("/", 1)[-1]: f for f in t2_files}
+    # datetime backend -> millis
+    assert by_name["part-00000-c000.snappy.parquet"].modification_time == (
+        1680523200000
+    )
+    # already-millis backend passes through unscaled
+    assert by_name["part-00001-c000.snappy.parquet"].modification_time == (
+        1680535600123
+    )
+    # sanity: all in the plausible epoch-millis band
+    for f in t1_files + t2_files:
+        assert 1e12 < f.modification_time < 4e12
+
+
+def test_index_end_to_end_over_remote_tree(memfs, tmp_path):
+    """Full P1->P16 pipeline against the memory:// tree: schema per
+    fingerprint sniffed from remote footers, one Delta version per
+    commit folder, add paths absolute URIs (shallow clone), and every
+    add.modificationTime epoch-millis."""
+    from guidewire_spark.sources.deltalog import list_versions
+    from guidewire_spark.sources.indexer import index
+    from guidewire_spark.sources.snapshot import _read_commit, load_snapshot
+
+    db = str(tmp_path / "db")
+    results = index("memory://bucket/manifest.json", db, save_mode="overwrite")
+    assert [r.commit_timestamp for r in results["policy_holders"]] == [
+        T1,
+        T2,
+        T3,
+        T4,
+    ]
+    table = os.path.join(db, "policy_holders")
+    versions = list_versions(table)
+    assert len(versions) == 4
+
+    snap = load_snapshot(table)
+    assert set(snap.schema.fieldNames()) == {"firstName", "lastName", "age"}
+    # live files = T3 + T4 (fingerprint-2 CREATE replaced fp1's files)
+    assert all(p.startswith("memory://") for p in snap.files)
+
+    adds = [
+        a["add"]
+        for v in versions
+        for a in _read_commit(table, v)
+        if "add" in a
+    ]
+    assert adds, "no add actions recorded"
+    for add in adds:
+        mt = add["modificationTime"]
+        assert 1e12 < mt < 4e12, f"not epoch-millis: {mt} ({add['path']})"
+    # the float-seconds file specifically
+    t1_add = next(a for a in adds if f"/{T1}/" in a["path"])
+    assert t1_add["modificationTime"] == 1680350600250
+
+
+def test_cda_sink_rejects_object_store_paths():
+    """gw_cda_sink's exactly-once publish relies on POSIX atomic
+    directory rename; object-store paths must fail fast at stream
+    start, and file:// URIs are stripped to the bare local path the
+    os-level rename needs."""
+    from guidewire_spark.streaming.cda_source import CdaStreamSink
+
+    with pytest.raises(ValueError, match="atomic directory rename"):
+        CdaStreamSink({"path": "s3://bucket/tbl/fp"}).streamWriter(None, False)
+    w = CdaStreamSink({"path": "file:///tmp/sinkroot"}).streamWriter(None, False)
+    assert w.root == "/tmp/sinkroot"

@@ -169,3 +169,24 @@ def test_compaction_commits_keep_cache_valid(spark, sf_dir, tmp_path):
     )
     _, hit = cached_query(spark, cache, "k", [table], _agg(table))
     assert not hit
+
+
+def test_deleted_input_surfaces_not_serves_stale(spark, sf_dir, tmp_path):
+    """A missing/deleted input table must raise (as load_snapshot used
+    to), never fingerprint as 0 — a live table at data version 0 would
+    collide and a stale entry would keep serving hits."""
+    import shutil
+
+    import pytest
+
+    table = str(tmp_path / "nat")
+    cache = str(tmp_path / "cache")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    write_delta(n, table, mode="append")
+    _, hit = cached_query(spark, cache, "k", [table], _agg(table))
+    assert not hit
+    shutil.rmtree(table)
+    with pytest.raises(FileNotFoundError):
+        cached_query(spark, cache, "k", [table], _agg(table))

@@ -2155,6 +2155,47 @@ def test_auto_compaction_binpacks_small_appends(spark, sf_dir, tmp_path):
     assert len(list_versions(table)) >= 7  # create+props+4 appends+compact
 
 
+def test_auto_compaction_failure_never_fails_or_duplicates_append(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Best-effort contract: a maintenance failure AFTER the append
+    committed must neither fail the write nor re-run the append
+    commit.  A FileExistsError from the compaction commit (concurrent
+    writer landed between the two commits) previously fell into the
+    blind-append retry loop and committed the SAME rows twice."""
+    import warnings as _warnings
+
+    from guidewire_spark.sources import writer as W
+
+    table = str(tmp_path / "acfail")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    write_delta(n.where("n_nationkey = 0"), table, mode="append")
+    W.set_table_properties(
+        table,
+        {
+            "delta.autoOptimize.autoCompact": "true",
+            "gw.autoCompact.minNumFiles": "2",
+        },
+    )
+    write_delta(n.where("n_nationkey = 1"), table, mode="append")
+
+    def boom(*a, **k):
+        raise FileExistsError("simulated concurrent maintenance collision")
+
+    monkeypatch.setattr(W, "optimize_table", boom)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        version = write_delta(
+            n.where("n_nationkey = 2"), table, mode="append"
+        )
+    assert any("auto-compact skipped" in str(w.message) for w in caught)
+    assert isinstance(version, int)
+    rows = sorted(
+        r["n_nationkey"] for r in read_delta(spark, table).collect()
+    )
+    assert rows == [0, 1, 2]  # exactly once — no duplicated append
+
+
 def test_auto_compaction_quiet_below_threshold(spark, sf_dir, tmp_path):
     from guidewire_spark.sources.writer import set_table_properties
 
