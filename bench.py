@@ -34,6 +34,14 @@ HEADLINE = [
     "sql_q3_shipping_priority",
     "text_tfidf_topk",
     "delta_partitioned_scan",
+    # Heavy r7/r8 families promoted (round-9): the three most expensive
+    # non-headline queries per SCALING.md, so the driver's BENCH series
+    # guards their plans — a regression in the shingle index, the
+    # persisted overlap diamond, or the IVF probe join was previously
+    # invisible to BENCH_r*.json.
+    "dedup_substring_trim",
+    "mix_source_overlap_matrix",
+    "similarity_ann_ivf_fullprobe",
 ]
 
 

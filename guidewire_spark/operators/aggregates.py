@@ -123,14 +123,42 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")  # approximate → rows-only check
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_5x_rsd
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct count (the 100 TB-scale
-    substitute for exact COUNT DISTINCT). Approximate → no value
-    oracle; the driver records a rows-only check."""
+    substitute for exact COUNT DISTINCT).  Bound-check oracle (the
+    similarity_ann_ivf_fullprobe trick): the sketch's answer is
+    within-epsilon-of, not equal-to, the exact count, so the QUERY
+    emits the correctness predicate — |approx − exact|/exact ≤ 5×rsd
+    — as a boolean column next to the exact twin, and the SQL oracle
+    asserts TRUE.  A broken sketch (unit error, merge bug) flips the
+    boolean and hash-mismatches; 5× the declared rsd keeps the check
+    deterministic (HLL++ error is ~Gaussian, 5σ ≈ never at these
+    cardinalities)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            (
+                F.abs(F.col("approx") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= F.lit(0.10)
+            ).alias("within_5x_rsd"),
+        )
     )
 
 

@@ -89,31 +89,94 @@ def func_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("func_monotonic_id")  # nondeterministic ids → rows-only
+@query(
+    "func_monotonic_id",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS all_unique, TRUE AS non_negative,
+           TRUE AS monotonic_within_partition
+    FROM customer
+    """,
+)
 def func_monotonic_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """monotonically_increasing_id: partition-prefixed unique int64s —
     the scalable id generator (no coordination, unlike row_number
-    without partitioning which funnels through one task)."""
-    r = load_table(spark, sf_dir, "customer")
-    return r.select("c_custkey", F.monotonically_increasing_id().alias("row_id"))
+    without partitioning which funnels through one task).  The ids
+    themselves are layout-dependent, so the QUERY emits the contract
+    as booleans — every id unique, non-negative, and carrying its
+    generating partition in the upper bits (id >> 33 == partition id,
+    the documented encoding, which also implies monotonicity across
+    partition order) — and the oracle asserts TRUE (bound-check
+    conversion, round 9)."""
+    r = load_table(spark, sf_dir, "customer").select(
+        F.monotonically_increasing_id().alias("row_id"),
+        F.spark_partition_id().cast("long").alias("pid"),
+    )
+    return r.agg(
+        F.count("*").alias("n_rows"),
+        (F.count_distinct("row_id") == F.count("*")).alias("all_unique"),
+        (F.min("row_id") >= F.lit(0)).alias("non_negative"),
+        F.min(
+            F.shiftright("row_id", 33) == F.col("pid")
+        ).alias("monotonic_within_partition"),
+    )
 
 
-@query("agg_approx_percentile")  # approximate → rows-only
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_in_bounds, TRUE AS p90_in_bounds,
+           TRUE AS p99_in_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch): the 100 TB
     substitute for exact percentiles — single pass, bounded memory,
-    rank error <= n/accuracy. Emitted as three scalar columns (p50/
-    p90/p99) rather than one array<double>: scalar cells survive any
-    result canonicalizer, and each quantile is independently
-    comparable against an exact twin (tests/test_llm_quality.py bounds
-    the relative error vs F.percentile at sf0.01). Rows-only by
-    design: the sketch's answer is legitimately within-epsilon-of,
-    not equal-to, any exact engine's."""
+    rank error <= n/accuracy.  Bound-check oracle (round 9): the
+    sketch's answer is legitimately within-epsilon-of, not equal-to,
+    any exact engine's, so the QUERY emits the GK guarantee itself —
+    each approximate quantile lies between the exact quantiles at
+    rank p ± eps — as booleans the SQL oracle asserts TRUE.  eps is
+    10× the sketch's guaranteed 1/accuracy rank error: at small N the
+    guarantee window is under one row and interpolation boundary
+    effects could flip an honest answer, while a real machinery bug
+    (wrong column, unit error, swapped quantiles) misses by far more
+    than 10 ranks in 10000.
+    A rank-bookkeeping bug in the sketch flips a boolean and
+    hash-mismatches; tests/test_llm_quality.py additionally bounds
+    the relative error."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
-        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
+    eps = 10.0 / 10000
+    aggs = [
+        F.count("*").alias("n_rows"),
+    ]
+    for p, tag in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        aggs.append(
+            F.percentile_approx("l_extendedprice", p, 10000).alias(f"a_{tag}")
+        )
+        aggs.append(
+            F.percentile("l_extendedprice", F.lit(max(0.0, p - eps))).alias(
+                f"lo_{tag}"
+            )
+        )
+        aggs.append(
+            F.percentile("l_extendedprice", F.lit(min(1.0, p + eps))).alias(
+                f"hi_{tag}"
+            )
+        )
+    wide = li.groupBy("l_returnflag").agg(*aggs)
+    return wide.select(
+        "l_returnflag",
+        "n_rows",
+        *[
+            (
+                (F.col(f"a_{tag}") >= F.col(f"lo_{tag}"))
+                & (F.col(f"a_{tag}") <= F.col(f"hi_{tag}"))
+            ).alias(f"{tag}_in_bounds")
+            for tag in ("p50", "p90", "p99")
+        ],
     )
 
 

@@ -98,24 +98,44 @@ def graph_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("agg_heavy_hitters_spacesaving")  # partition-layout-dependent →
-# rows-only; the Misra-Gries merge guarantee is gated in pytest
+@query(
+    "agg_heavy_hitters_spacesaving",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                    w -> w <> '')) AS word
+      FROM documents
+    ),
+    counts AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
+    total AS (SELECT SUM(freq) AS n FROM counts)
+    SELECT word, CAST(freq AS BIGINT) AS freq,
+           TRUE AS found_in_sketch, TRUE AS estimate_in_bound
+    FROM counts, total
+    WHERE freq > n / 100.0
+    ORDER BY word
+    """,
+)
 def agg_heavy_hitters_spacesaving(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Top-20 corpus words by a distributed Misra-Gries (space-saving)
+    """Corpus heavy hitters by a distributed Misra-Gries (space-saving)
     sketch: each partition keeps at most k=100 counters over its word
     stream (decrement-all on overflow), the per-partition summaries —
     ≤ k rows each, never word-cardinality-sized — merge by summing.
 
-    The mergeable-summary guarantee (gated in pytest): each
-    partition's estimate undercounts by at most its decrement total
-    ≤ n_p/k, so the merged estimate e(w) satisfies
-    f(w) − n/k ≤ e(w) ≤ f(w) and every word with true frequency
-    > n/k survives into the output.  This is the bounded-memory
-    heavy-hitters shape for streams too large to exact-count: the
-    shuffle carries ≤ k·partitions rows however large the corpus.
-    Estimates depend on the partition layout → no SQL oracle."""
+    Bound-check oracle (round 9): the estimates are partition-layout-
+    dependent, but the Misra-Gries GUARANTEE is not — each partition
+    undercounts by at most its decrement total ≤ n_p/k, so the merged
+    estimate satisfies f(w) − n/k ≤ e(w) ≤ f(w) and every word with
+    true frequency > n/k survives.  The QUERY therefore outputs the
+    exact-defined row set (true heavy hitters from an exact word
+    count, deterministic) with two booleans — the word appeared in
+    the sketch, and its estimate sits inside the MG interval — and
+    the SQL oracle recomputes the exact set asserting TRUE.  This is
+    the bounded-memory heavy-hitters shape for streams too large to
+    exact-count: the sketch shuffle carries ≤ k·partitions rows
+    however large the corpus (the exact twin here is the verification
+    harness, not the production path)."""
     import pandas as pd
 
     k = 100
@@ -143,11 +163,31 @@ def agg_heavy_hitters_spacesaving(
 
     d = load_table(spark, sf_dir, "documents").select("text")
     partials = d.mapInPandas(mg, "word string, est long")
+    estimates = partials.groupBy("word").agg(F.sum("est").alias("est"))
+
+    # Exact twin (same tokenization as the sketch's .split()): the
+    # deterministic heavy-hitter set f(w) > n/k anchors the row set.
+    words = d.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    exact = words.groupBy("word").agg(F.count("*").alias("freq"))
+    total = exact.agg(F.sum("freq").cast("double").alias("n"))
+    heavy = exact.crossJoin(F.broadcast(total)).where(
+        F.col("freq") > F.col("n") / k
+    )
     return (
-        partials.groupBy("word")
-        .agg(F.sum("est").alias("est_count"))
-        .orderBy(F.desc("est_count"), F.asc("word"))
-        .limit(20)
+        heavy.join(estimates, "word", "left")
+        .select(
+            "word",
+            "freq",
+            F.col("est").isNotNull().alias("found_in_sketch"),
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("freq"))
+                & (F.col("est") >= F.col("freq") - F.col("n") / k)
+            ).alias("estimate_in_bound"),
+        )
+        .orderBy("word")
     )
 
 
@@ -1186,25 +1226,65 @@ def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("frequent_event_type")
 
 
-@query("stat_sample_by")  # seeded Bernoulli draw → engine-specific →
-# rows-only; per-stratum fraction + determinism gated in pytest
+@query(
+    "stat_sample_by",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS size_in_bounds
+    FROM events
+    WHERE event_type IN ('purchase', 'view', 'click')
+    GROUP BY event_type
+    """,
+)
 def stat_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``df.stat.sampleBy`` — stratified sampling with per-stratum
     fractions (purchase rows kept at 80%, views at 5%, clicks at
     20%, everything else dropped): the class-rebalancing primitive
     behind training-mix downsampling when the deterministic-hash
     plans (mix_rebalance_sample) aren't required.  The draw is a
-    seeded per-row Bernoulli — reproducible within Spark (fixed
-    seed 7) but not across engines, so the check is rows-only;
-    pytest gates per-stratum realized fractions, stratum exclusivity,
-    and same-seed determinism.  Output is the per-stratum sample
-    count (the sampled rows themselves would be data-sized)."""
+    seeded per-row Bernoulli — reproducible within Spark (seed 7)
+    but not across engines, so the check is a BOUND-CHECK oracle
+    (round 9): the QUERY emits, per stratum, the exact population
+    total and a boolean asserting the realized sample size sits
+    within 6 binomial sigmas (+10 rows small-N slack) of
+    frac·n_total; the oracle asserts TRUE.  A fraction mix-up,
+    stratum leak, or double-draw moves the count far outside.
+    pytest additionally gates stratum exclusivity and same-seed
+    determinism."""
+    fracs = {"purchase": 0.8, "view": 0.05, "click": 0.2}
     e = load_table(spark, sf_dir, "events").select("event_type")
-    sampled = e.stat.sampleBy(
-        "event_type", {"purchase": 0.8, "view": 0.05, "click": 0.2}, seed=7
+    strata = e.where(F.col("event_type").isin(*fracs)).groupBy(
+        "event_type"
+    ).agg(F.count("*").alias("n_total"))
+    sampled_counts = (
+        e.stat.sampleBy("event_type", fracs, seed=7)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"))
     )
-    return sampled.groupBy("event_type").agg(
-        F.count("*").alias("n_sampled")
+    frac_col = F.element_at(
+        F.create_map(
+            *[x for k, v in fracs.items() for x in (F.lit(k), F.lit(v))]
+        ),
+        F.col("event_type"),
+    )
+    joined = strata.join(sampled_counts, "event_type", "left").select(
+        "event_type",
+        "n_total",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        frac_col.alias("frac"),
+    )
+    slack = (
+        F.lit(6.0)
+        * F.sqrt(F.col("n_total") * F.col("frac") * (1 - F.col("frac")))
+        + F.lit(10.0)
+    )
+    return joined.select(
+        "event_type",
+        "n_total",
+        (
+            F.abs(F.col("n_sampled") - F.col("frac") * F.col("n_total"))
+            <= slack
+        ).alias("size_in_bounds"),
     )
 
 

