@@ -1207,23 +1207,50 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stat_freq_items")  # single-pass sketch, partitioning-dependent
-# false positives allowed by contract → rows-only; superset guarantee
-# gated in pytest
+@query(
+    "stat_freq_items",
+    oracle="""
+    SELECT event_type AS frequent_event_type,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           TRUE AS found_in_sketch
+    FROM events GROUP BY event_type
+    HAVING COUNT(*) >= 0.15 * (SELECT COUNT(*) FROM events)
+    ORDER BY frequent_event_type
+    """,
+)
 def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``df.stat.freqItems`` — Spark's single-pass frequent-items
     sketch (the Karp-Shenker-Papadimitriou counter algorithm, the same
     family as agg_heavy_hitters_spacesaving but built in): items with
     frequency ≥ support are GUARANTEED present; false positives are
-    allowed by contract (hence rows-only — the exact false-positive
-    set depends on partition layout).  Exploded and sorted so the row
-    set is canonical for the driver's rows-only check; the guarantee
-    is pytest-gated against exact counts."""
+    allowed by contract.  Bound-check oracle (round 9, the heavy-
+    hitters trick): the QUERY outputs the exact-defined truly-frequent
+    set (freq ≥ support·n from an exact count — deterministic) with a
+    boolean asserting each member surfaced in the sketch, and the SQL
+    oracle recomputes the exact set asserting TRUE.  The sketch's
+    layout-dependent false positives never enter the result."""
+    support = 0.15
     e = load_table(spark, sf_dir, "events").select("event_type")
-    fi = e.stat.freqItems(["event_type"], support=0.3)
-    return fi.select(
+    fi = e.stat.freqItems(["event_type"], support=support)
+    sketch = fi.select(
         F.explode("event_type_freqItems").alias("frequent_event_type")
-    ).orderBy("frequent_event_type")
+    ).withColumn("in_sketch", F.lit(True))
+    exact = e.groupBy(F.col("event_type").alias("frequent_event_type")).agg(
+        F.count("*").alias("freq")
+    )
+    total = e.agg(F.count("*").cast("double").alias("n"))
+    truly_frequent = exact.crossJoin(F.broadcast(total)).where(
+        F.col("freq") >= F.lit(support) * F.col("n")
+    )
+    return (
+        truly_frequent.join(F.broadcast(sketch), "frequent_event_type", "left")
+        .select(
+            "frequent_event_type",
+            "freq",
+            F.coalesce("in_sketch", F.lit(False)).alias("found_in_sketch"),
+        )
+        .orderBy("frequent_event_type")
+    )
 
 
 @query(
@@ -1523,39 +1550,52 @@ def graph_modularity_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("text_compression_ratio")  # library-implementation-defined byte
-# counts → rows-only; invariants + replica gated in pytest
+@query(
+    "text_compression_ratio",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS raw_bytes,
+           TRUE AS roundtrip_ok, TRUE AS size_bound_ok
+    FROM documents
+    """,
+)
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deflate compression ratio per document (zlib level 6) — the
+    """Deflate compression per document (zlib level 6) — the
     corpus-quality signal C4/Gopher-class filters use alongside the
     rule-based ones: highly compressible text is repetitive
     boilerplate, incompressible text is often binary junk or
     high-entropy noise; natural prose sits in a recognizable band.
-    Flags both tails (ratio < 25% or > 90%).
 
     The compressed SIZE is deterministic for a given zlib build but
-    implementation-defined across libraries → rows-only; pytest
-    re-compresses with the same zlib and checks equality plus the
-    repetitive≪prose ordering property.  Scale shape: Arrow-batched
+    implementation-defined across libraries — bound-check oracle
+    (round 9): the QUERY emits the exact UTF-8 byte length per doc
+    beside two booleans computed from the real compressor output —
+    decompress(compress(text)) round-trips byte-identically, and the
+    compressed size respects zlib's published worst-case expansion
+    bound (raw + raw/1000 + 12) — and the SQL oracle recomputes the
+    byte length asserting TRUE.  The band flags stay pytest-gated
+    (repetitive ≪ prose ordering).  Scale shape: Arrow-batched
     mapInPandas, compression runs where the text already lives, and
-    only (doc_id, 3 ints) ever shuffles — the multimodal decode
-    discipline applied to a CPU-bound text metric."""
+    only (doc_id, ints, bools) ever shuffles."""
     import pandas as pd
 
     def ratios(batches):
         import zlib
 
         for pdf in batches:
-            raw, comp = [], []
+            raw, comp, rt = [], [], []
             for text in pdf["text"]:
                 b = text.encode("utf-8")
+                z = zlib.compress(b, 6)
                 raw.append(len(b))
-                comp.append(len(zlib.compress(b, 6)))
+                comp.append(len(z))
+                rt.append(zlib.decompress(z) == b)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "raw_bytes": pd.Series(raw, dtype="int64"),
                     "compressed_bytes": pd.Series(comp, dtype="int64"),
+                    "roundtrip_ok": pd.Series(rt, dtype="bool"),
                 }
             )
 
@@ -1563,16 +1603,18 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism = spark.sparkContext.defaultParallelism
     if len(d.inputFiles()) < parallelism:
         d = d.repartition(parallelism)
-    r = d.mapInPandas(ratios, "doc_id long, raw_bytes long, compressed_bytes long")
-    ratio_ppm = F.expr(
-        "compressed_bytes * 1000000 div greatest(raw_bytes, 1)"
+    r = d.mapInPandas(
+        ratios,
+        "doc_id long, raw_bytes long, compressed_bytes long, roundtrip_ok boolean",
     )
     return r.select(
         "doc_id",
         "raw_bytes",
-        "compressed_bytes",
-        ratio_ppm.cast("long").alias("ratio_ppm"),
-        ((ratio_ppm < 250000) | (ratio_ppm > 900000)).alias("flagged"),
+        "roundtrip_ok",
+        (
+            F.col("compressed_bytes")
+            <= F.col("raw_bytes") + F.col("raw_bytes") / 1000 + 12
+        ).alias("size_bound_ok"),
     )
 
 
@@ -1581,24 +1623,59 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("agg_histogram_numeric")  # adaptive bin centroids depend on
-# merge order → rows-only; mass/range invariants gated in pytest
+@query(
+    "agg_histogram_numeric",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(12 AS BIGINT) AS n_bins,
+           TRUE AS total_mass_ok, TRUE AS range_ok, TRUE AS sorted_ok
+    FROM events
+    """,
+)
 def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``histogram_numeric(value, 12)`` — Spark's adaptive-bin
     histogram aggregate (streaming centroid merge, the NumericHistogram
     of Hive lineage): 12 (centroid, count) pairs whose bin EDGES adapt
     to the data instead of the fixed-width width_bucket grid
     (agg_histogram_width_bucket is the exact-oracle sibling).  Bin
-    placement depends on partial-aggregate merge order → rows-only;
-    pytest gates total mass, range containment, and centroid
-    monotonicity.  One partial-aggregated pass; the sketch is
-    constant-size per partition."""
+    placement depends on partial-aggregate merge order, but the
+    histogram CONTRACT does not — bound-check oracle (round 9): the
+    QUERY emits the invariants as booleans (bin masses sum to the
+    exact row count, every centroid inside [min, max], centroids
+    strictly increasing, exactly 12 bins on >12 distinct values) and
+    the SQL oracle asserts them TRUE beside the exact count.  One
+    partial-aggregated pass; the sketch is constant-size per
+    partition."""
     e = load_table(spark, sf_dir, "events")
-    h = e.agg(F.expr("histogram_numeric(value, 12)").alias("bins"))
-    return h.select(F.posexplode("bins").alias("bin_idx", "b")).select(
-        F.col("bin_idx").cast("long").alias("bin_idx"),
-        F.round(F.col("b.x"), 3).alias("centroid"),
-        F.col("b.y").cast("long").alias("mass"),
+    h = e.agg(
+        F.expr("histogram_numeric(value, 12)").alias("bins"),
+        F.count("*").alias("n_rows"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    return h.select(
+        "n_rows",
+        F.size("bins").cast("long").alias("n_bins"),
+        (
+            F.round(
+                F.aggregate("bins", F.lit(0.0), lambda acc, b: acc + b["y"]),
+                0,
+            ).cast("long")
+            == F.col("n_rows")
+        ).alias("total_mass_ok"),
+        F.forall(
+            "bins",
+            lambda b: (b["x"] >= F.col("vmin")) & (b["x"] <= F.col("vmax")),
+        ).alias("range_ok"),
+        F.aggregate(
+            F.zip_with(
+                F.slice("bins", 1, 11),
+                F.slice("bins", 2, 11),
+                lambda a, b: a["x"] < b["x"],
+            ),
+            F.lit(True),
+            lambda acc, ok: acc & ok,
+        ).alias("sorted_ok"),
     )
 
 

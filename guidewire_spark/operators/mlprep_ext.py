@@ -97,8 +97,15 @@ def mix_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars", F.col("pooled_value").alias("normalized"))
 
 
-@query("mix_quantile_normalize_grid")  # approx sketch → no SQL oracle;
-# accuracy is gated in pytest against the exact twin (rows-only check)
+@query(
+    "mix_quantile_normalize_grid",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS median_rel_err_lt_2pct,
+           TRUE AS p95_rel_err_lt_10pct
+    FROM documents
+    """,
+)
 def mix_quantile_normalize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for cross-source quantile normalization: instead
     of an exact global rank over the pooled corpus, interpolate each
@@ -108,9 +115,22 @@ def mix_quantile_normalize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregates map-side), a single broadcast of the grid
     array, and pure JVM ``element_at`` interpolation per row.  No
     global window, no rank join; the per-source ranks stay ordinary
-    partitioned windows.  mix_quantile_normalize is the exact
-    contract this approximates and serves as its pytest accuracy
-    oracle (bounded relative error on the normalized values)."""
+    partitioned windows.  Bound-check oracle (round 9): the QUERY
+    joins its grid output against the exact twin
+    (mix_quantile_normalize, itself oracle-verified) in-query and
+    emits the accuracy contract as booleans — per-doc relative error
+    median < 2% and p95 < 10% — beside the exact doc count; the SQL
+    oracle asserts TRUE.  A sketch-accuracy, grid-indexing, or
+    interpolation bug blows the percentile bounds and flips the
+    hash.  NOTE the exact twin (with its pooled global rank) runs
+    here only as the verification harness; the production 100 TB
+    shape is ``_grid_normalized`` alone, which has no global
+    window."""
+    return _grid_accuracy_summary(spark, sf_dir)
+
+
+def _grid_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production grid pipeline: per-doc normalized values."""
     G = 1000
     d = load_table(spark, sf_dir, "documents")
     ranked = d.select(
@@ -140,6 +160,32 @@ def mix_quantile_normalize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             F.round(v_lo + frac * (v_hi - v_lo), 3).alias("normalized"),
         )
+    )
+
+
+def _grid_accuracy_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join the grid path against the exact twin and aggregate the
+    relative-error distribution into the contract booleans."""
+    exact = mix_quantile_normalize(spark, sf_dir).select(
+        "doc_id", F.col("normalized").alias("norm_exact")
+    )
+    grid = _grid_normalized(spark, sf_dir).select(
+        "doc_id", F.col("normalized").alias("norm_grid")
+    )
+    rel = exact.join(grid, "doc_id").select(
+        (
+            F.abs(F.col("norm_grid") - F.col("norm_exact"))
+            / F.greatest(F.col("norm_exact"), F.lit(1.0))
+        ).alias("rel_err")
+    )
+    return rel.agg(
+        F.count("*").alias("n_docs"),
+        (F.percentile("rel_err", F.lit(0.5)) < F.lit(0.02)).alias(
+            "median_rel_err_lt_2pct"
+        ),
+        (F.percentile("rel_err", F.lit(0.95)) < F.lit(0.10)).alias(
+            "p95_rel_err_lt_10pct"
+        ),
     )
 
 
@@ -374,7 +420,22 @@ def pack_first_fit_decreasing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_intersection_estimate")  # sketch estimate → rows-only
+@query(
+    "agg_hll_intersection_estimate",
+    oracle="""
+    WITH v AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view'),
+         p AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase')
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS exact_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS exact_purchase,
+           CAST((SELECT COUNT(*) FROM (SELECT user_id FROM v
+                 INTERSECT SELECT user_id FROM p)) AS BIGINT)
+             AS exact_intersection,
+           TRUE AS union_within_bound,
+           TRUE AS intersection_within_bound
+    """,
+)
 def agg_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-intersection cardinality by inclusion-exclusion over HLL
     sketches: |A∩B| ≈ |A| + |B| − |A∪B|, where A/B are the user sets
@@ -382,26 +443,59 @@ def agg_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
     sketches (hll_union) — never from re-scanning. The mergeability is
     the point: per-segment sketches computed once combine into any
     overlap estimate at constant cost, the idiom for audience-overlap
-    analytics at 100 TB. Rows-only (estimates); accuracy vs exact
-    intersection is gated in tests/test_mlprep_ext.py."""
+    analytics at 100 TB.  Bound-check oracle (round 9): the QUERY
+    emits the exact cardinalities beside booleans — the merged-union
+    estimate within 10% of the exact union, and the
+    inclusion-exclusion intersection within 15% of the exact union's
+    size of the exact intersection (I-E compounds three sketch errors,
+    each scaled by the big sets, so the bound is vs |A∪B|) — and the
+    SQL oracle recomputes the exact values asserting TRUE."""
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "purchase")
     )
     sk = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("exact_n"),
     )
-    both = sk.agg(
+    est = sk.agg(
         F.hll_union_agg("sk").alias("u"),
         F.sum(F.hll_sketch_estimate("sk")).alias("sum_est"),
     ).select(
-        F.col("sum_est").cast("long").alias("sum_of_sizes"),
-        F.hll_sketch_estimate("u").cast("long").alias("union_est"),
-        (F.col("sum_est") - F.hll_sketch_estimate("u"))
-        .cast("long")
-        .alias("intersection_est"),
+        "sum_est",
+        F.hll_sketch_estimate("u").alias("union_est"),
     )
-    return both
+    exact = e.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("exact_view"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_purchase"),
+        F.count_distinct("user_id").alias("exact_union"),
+    ).select(
+        "exact_view",
+        "exact_purchase",
+        "exact_union",
+        (F.col("exact_view") + F.col("exact_purchase") - F.col("exact_union"))
+        .alias("exact_intersection"),
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_view",
+        "exact_purchase",
+        "exact_intersection",
+        (
+            F.abs(F.col("union_est") - F.col("exact_union"))
+            / F.col("exact_union")
+            <= F.lit(0.10)
+        ).alias("union_within_bound"),
+        (
+            F.abs(
+                (F.col("sum_est") - F.col("union_est"))
+                - F.col("exact_intersection")
+            )
+            / F.col("exact_union")
+            <= F.lit(0.15)
+        ).alias("intersection_within_bound"),
+    )
 
 
 @query(
