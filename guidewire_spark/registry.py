@@ -209,10 +209,13 @@ def _entry_passed(v) -> bool:
     return True
 
 
-def _driver_history() -> dict[str, bool]:
-    """name → did its LATEST committed CORRECTNESS_r*.json record
-    pass (the grading driver writes one file per round into the repo
-    root)."""
+def _driver_history() -> dict[str, tuple[bool, bool]]:
+    """name → (passed, was_rows_only) for its LATEST committed
+    CORRECTNESS_r*.json record (the grading driver writes one file
+    per round into the repo root).  ``was_rows_only`` lets the window
+    re-front queries whose only driver history predates an oracle
+    upgrade — a rows-only green proves the query RAN, not that its
+    values hash-match."""
     import glob
     import json
     import os
@@ -231,14 +234,18 @@ def _driver_history() -> dict[str, bool]:
         if isinstance(data, dict):
             for k, v in data.items():
                 if k not in latest or rnd >= latest[k][0]:
-                    latest[k] = (rnd, _entry_passed(v))
-    return {k: ok for k, (_, ok) in latest.items()}
+                    latest[k] = (rnd, _entry_passed(v), _was_rows_only(v))
+    return {k: (ok, ro) for k, (_, ok, ro) in latest.items()}
+
+
+def _was_rows_only(v) -> bool:
+    return isinstance(v, dict) and v.get("err") == "no_oracle"
 
 
 def _driver_checked_names() -> set[str]:
     """Names with GREEN driver history. Failed-then-fixed queries are
     absent, so they re-enter the verification window automatically."""
-    return {k for k, ok in _driver_history().items() if ok}
+    return {k for k, (ok, _) in _driver_history().items() if ok}
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -264,7 +271,18 @@ def driver_window_order() -> dict[str, QuerySpec]:
     order."""
     registry = all_queries()
     history = _driver_history()
-    checked = {k for k, ok in history.items() if ok}
+    checked = {
+        k
+        for k, (ok, rows_only) in history.items()
+        if ok
+        # an oracle UPGRADE invalidates a rows-only green: the driver
+        # has proven the query runs, never that its values match —
+        # re-front it so the new oracle gets hash-verified (round-9
+        # bound-check conversions)
+        and not (
+            rows_only and k in registry and registry[k].oracle is not None
+        )
+    }
     backlog = [n for n in registry if n not in checked]
     # Four classes, each in registration order: (0) failed-then-fixed
     # rows re-verify FIRST — a red must never slip out of the window
@@ -275,7 +293,7 @@ def driver_window_order() -> dict[str, QuerySpec]:
     # similarity_ann_ivfpq burned a window slot on `no_oracle`).
     backlog.sort(
         key=lambda n: 0
-        if history.get(n) is False
+        if history.get(n, (True, False))[0] is False
         else 3
         if registry[n].oracle is None
         else (1 if n.startswith(_PLAN_DEPENDENT_PREFIXES) else 2)

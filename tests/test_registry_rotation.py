@@ -57,7 +57,15 @@ def test_window_is_zero_history_failed_then_plan_dependent_first():
     ordered = list(driver_window_order())
     assert set(ordered) == set(registry)
     front = ordered[:_WINDOW]
-    backlog = [n for n in registry if n not in checked]
+    # effective backlog = never-green PLUS oracle-upgraded rows-only
+    # greens (a rows-only pass proves the query ran, not that its
+    # values hash-match — adding an oracle re-fronts it, round 9)
+    backlog = [
+        n
+        for n in registry
+        if n not in checked
+        or (history.get(n, (False, False))[1] and registry[n].oracle)
+    ]
     assert set(front) <= set(backlog)
     if len(backlog) >= _WINDOW:
         assert len(front) == _WINDOW
@@ -65,7 +73,7 @@ def test_window_is_zero_history_failed_then_plan_dependent_first():
     # unconditionally (a red must never be crowded out by new
     # registrations), then plan-dependent families, then value-only
     def klass(n: str) -> int:
-        if history.get(n) is False:
+        if history.get(n, (True, False))[0] is False:
             return 0
         return (
             1
@@ -80,5 +88,5 @@ def test_window_is_zero_history_failed_then_plan_dependent_first():
         f"window class order broken: {list(zip(front, classes))}"
     )
     # every currently-red row re-verifies inside the window
-    red = [n for n in registry if history.get(n) is False]
+    red = [n for n in registry if history.get(n, (True, False))[0] is False]
     assert set(red) <= set(front[: len(red)])
