@@ -513,6 +513,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     minhashes = minhash_signatures(d)
     bands_long = band_hashes(minhashes)
+    return bucket_pair_expansion(bands_long)
+
+
+def bucket_pair_expansion(bands_long: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) membership → DISTINCT candidate pairs
+    (doc_a < doc_b) sharing any band bucket — the LSH candidate stage
+    shared by ``dedup_minhash_lsh`` and its hash-verified sibling
+    ``dedup_minhash_verified``.
+
+    Pairs come from groupBy (band, bucket) + in-bucket combination
+    expansion instead of a self-join, so the signature pipeline is
+    executed once and the only shuffle carries (band, bucket, doc_id)
+    rows.  Bucket population is LSH-bounded (a bucket collects only
+    near-identical signatures), so the per-group expansion is small;
+    a skewed degenerate bucket would be the place to salt."""
     buckets = (
         bands_long.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
@@ -532,6 +547,134 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pr")
     )
     return pairs.select("pr.doc_a", "pr.doc_b").distinct()
+
+
+def _md5_int(col) -> "F.Column":
+    """Cross-engine-exact 60-bit integer hash: the first 15 hex digits
+    of md5 parsed as an integer.  MD5 is standardized, so Spark's
+    ``conv(substr(md5(s),1,15),16,10)`` and DuckDB's
+    ``cast('0x'||substr(md5(s),1,15) as bigint)`` agree digit-for-digit
+    (verified on ASCII and multi-byte UTF-8) — the trick that lets the
+    minhash/simhash machinery be value-verified end-to-end without
+    depending on an engine-internal hash like xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+# 16 fixed universal-hash permutations h_i(x) = (a_i*x + b_i) mod p for
+# the hash-verified minhash row.  Literals (not runtime-seeded) so the
+# DuckDB oracle below embeds the exact same constants.  a_i, b_i < p
+# and x < p keep a_i*x + b_i < 2^62 — exact in BIGINT in both engines.
+_MHV_AB = [
+    (1203911, 402811), (2402731, 900001), (3500177, 117721), (4700081, 222527),
+    (5800039, 330103), (6900077, 444089), (8100059, 550067), (9200021, 666013),
+    (10400219, 770027), (11500033, 880099), (12700121, 990031), (13800253, 101111),
+    (15000017, 202213), (16100143, 303323), (17300099, 404431), (18400067, 505547),
+]
+_MHV_BANDS, _MHV_ROWS = 4, 4
+
+
+def _mhv_bucket_sql(band: int) -> str:
+    """DuckDB expression for band ``band``'s bucket: the mod-p 31-fold
+    of its 4 signature minima (same arithmetic as the Spark side)."""
+    e = "0"
+    for r in range(_MHV_ROWS):
+        e = f"(({e}) * 31 + m{band * _MHV_ROWS + r}) % {MINHASH_P}"
+    return e
+
+
+@query(
+    "dedup_minhash_verified",
+    oracle=f"""
+    WITH shingles AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+               % {MINHASH_P} AS x
+      FROM (
+        SELECT doc_id, array_to_string(words[i : i + 2], ' ') AS shingle
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             w -> w <> '') AS words
+          FROM documents
+        ), UNNEST(range(1, len(words) - 1)) AS t(i)
+        WHERE len(words) >= 3
+      )
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"MIN(({a} * x + {b}) % {MINHASH_P}) AS m{i}"
+                 for i, (a, b) in enumerate(_MHV_AB)
+             )}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, i - 1 AS band, bks[i] AS bucket
+      FROM (
+        SELECT doc_id,
+               [{", ".join(_mhv_bucket_sql(b) for b in range(_MHV_BANDS))}]
+                 AS bks
+        FROM sigs
+      ), UNNEST(range(1, {_MHV_BANDS + 1})) AS t(i)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding, hash-verified end-to-end.
+
+    The same pipeline shape as ``dedup_minhash_lsh`` (3-word shingles →
+    permutation minima → band buckets → in-bucket pair expansion via
+    the SAME ``bucket_pair_expansion`` code path), but the shingle id
+    is a cross-engine-exact md5-derived integer instead of xxhash64,
+    and the 16 universal-hash permutations are fixed literals — so the
+    DuckDB oracle reproduces every signature, bucket, and candidate
+    pair digit-for-digit.  This is the fullprobe trick applied to the
+    minhash family (cf. similarity_ann_ivf_fullprobe): any defect in
+    permutation arithmetic, banding layout, bucket grouping, or pair
+    expansion breaks the hash, so the production xxhash64 row inherits
+    verified machinery and keeps only the (unverifiable) engine hash.
+
+    Scale shape: identical to the production row — one corpus pass,
+    signatures reduce through a map-side-combined groupBy MIN on
+    (doc_id), then only (band, bucket, doc_id) rows shuffle.  The md5
+    expression is JVM-side (whole-stage codegen), so there is no
+    Python in the hot path at all here.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    p = F.lit(MINHASH_P)
+    sh = (
+        d.where(F.size(T.words(F.col("text"))) >= 3)
+        .select(
+            "doc_id",
+            F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"),
+        )
+        .distinct()
+        .select("doc_id", (_md5_int(F.col("shingle")) % p).alias("x"))
+    )
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % p).alias(f"m{i}")
+            for i, (a, b) in enumerate(_MHV_AB)
+        ]
+    )
+
+    def bucket(band: int) -> "F.Column":
+        e = F.lit(0).cast("bigint")
+        for r in range(_MHV_ROWS):
+            e = (e * 31 + F.col(f"m{band * _MHV_ROWS + r}")) % p
+        return e
+
+    bands_long = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[bucket(b) for b in range(_MHV_BANDS)])
+        ).alias("band", "bucket"),
+    )
+    return bucket_pair_expansion(bands_long)
 
 
 @query("dedup_simhash")  # engine-hash-dependent → rows-only check
@@ -571,6 +714,88 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("simhash"),
     )
     return simhash.orderBy("doc_id")
+
+
+_SIMHASH_V_BITS = 60  # md5-int is 60 bits (15 hex digits)
+
+
+@query(
+    "dedup_simhash_verified",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  w -> w <> '')) AS tok
+        FROM documents
+      )
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, i AS bit,
+             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, UNNEST(range(0, {_SIMHASH_V_BITS})) AS t(i)
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0
+                         THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash, hash-verified end-to-end.
+
+    The same shape as ``dedup_simhash`` (distinct word tokens →
+    per-bit ±1 votes → sign → packed signature) with the word hash
+    swapped from xxhash64 to the cross-engine-exact md5-derived 60-bit
+    integer (see ``_md5_int``) — so the DuckDB oracle reproduces every
+    bit vote, every sign, and the packed signature exactly.  60 bits
+    (not 64) because 15 hex digits parse to a non-negative 60-bit
+    value in both engines, which keeps the packing sum inside BIGINT
+    without the two's-complement top-bit trick the production row
+    needs.  Verifies the family's bit machinery (shiftright /
+    bitwiseAND votes, per-bit sums, sign packing); the production row
+    keeps only the engine hash unverified.
+
+    Scale shape: explode distinct tokens, one JVM-side projection of
+    60 vote columns, one map-side-combined groupBy — a single corpus
+    pass, no Python, no self-join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.array_distinct(T.words(F.col("text")))).alias("tok")
+    ).withColumn("h", _md5_int(F.col("tok")))
+    bits = tokens.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{i}")
+            for i in range(_SIMHASH_V_BITS)
+        ],
+    )
+    sums = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(_SIMHASH_V_BITS)]
+    )
+    return sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+                for i in range(_SIMHASH_V_BITS)
+            ],
+            F.lit(0).cast("bigint"),
+        ).alias("simhash"),
+    )
 
 
 def _hyperplane_bucket_udf(n_bands: int, bits: int, dim: int, seed: int = 7):

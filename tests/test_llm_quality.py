@@ -415,3 +415,60 @@ def test_deletion_neighborhood_covers_all_distance_one_pairs():
             assert hood(a) & hood(b), (a, b)
 
     check()
+
+
+def test_minhash_verified_agrees_with_production_on_planted_dups(spark):
+    """The hash-verified minhash row (md5-int ids, literal
+    permutations) and the production xxhash64 row run DIFFERENT hash
+    functions over the SAME machinery — on true near-dup pairs (exact
+    Jaccard >= 0.5) both must flag the pair, which pins that the
+    verified sibling really exercises the shared banding/bucketing/
+    pair-expansion path and not a weaker variant."""
+    from guidewire_spark.operators.llm import (
+        dedup_minhash_verified,
+        dedup_ngram_jaccard,
+    )
+
+    exact = dedup_ngram_jaccard(spark, SF)
+    high = {
+        (r.doc_a, r.doc_b)
+        for r in exact.where(F.col("jaccard") >= 0.5).collect()
+    }
+    verified = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_verified(spark, SF)
+        .where((F.col("doc_a") < 100) & (F.col("doc_b") < 100))
+        .collect()
+    }
+    assert high, "fixture should contain at least one high-Jaccard pair"
+    missed = high - verified
+    assert not missed, f"verified-minhash missed high-Jaccard pairs: {missed}"
+
+
+def test_simhash_verified_hamming_separates_near_dups(spark):
+    """Same quality property the production simhash row is gated on:
+    near-dup documents land Hamming-close, unrelated documents far —
+    over the 60-bit md5-int signature."""
+    from guidewire_spark.operators.llm import (
+        dedup_ngram_jaccard,
+        dedup_simhash_verified,
+    )
+
+    sig = {
+        r.doc_id: r.simhash
+        for r in dedup_simhash_verified(spark, SF).collect()
+    }
+    assert all(0 <= v < 2**60 for v in sig.values())
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    high = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, SF)
+        .where(F.col("jaccard") >= 0.5)
+        .collect()
+    ]
+    assert high
+    near = [ham(sig[a], sig[b]) for a, b in high]
+    assert max(near) <= 20, f"near-dups not Hamming-close: {near}"
