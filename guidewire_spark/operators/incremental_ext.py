@@ -50,21 +50,32 @@ def dedup_batch_against_store(
     batch: DataFrame,
     store_path: str,
     threshold: float = 0.5,
+    signature_fn=minhash_signatures,
+    band_fn=band_hashes,
+    sig_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One incremental-dedup step (the ``foreachBatch`` body): returns
     (decisions, accepted_signatures).  ``decisions`` has one row per
     batch doc: (doc_id, is_duplicate, matched_doc_id); accepted docs'
-    signatures are what the caller merges into the store."""
+    signatures are what the caller merges into the store.
+
+    ``signature_fn``/``band_fn``/``sig_cols`` select the signature
+    scheme: the default is the production xxhash64 pipeline; the
+    hash-verified variant (``dedup_incremental_minhash_verified``)
+    passes the md5-int arithmetic stages so the SAME store/candidate/
+    verify machinery runs under a SQL-reproducible hash."""
     from guidewire_spark.sources.snapshot import read_delta
 
+    if sig_cols is None:
+        sig_cols = _SIG_COLS
     # Materialize the signatures ONCE per batch (eager localCheckpoint,
     # batch-sized: one row of 33 longs per doc): the frame feeds the
     # band self-join (both sides), the verify join, and the accepted
     # write — without the checkpoint each consumer re-runs the
     # CPU-heavy mapInPandas shingling stage (the anti-pattern
     # dedup_minhash_lsh's own docstring warns about).
-    sigs = minhash_signatures(batch).localCheckpoint(eager=True)
-    bands = band_hashes(sigs)
+    sigs = signature_fn(batch).localCheckpoint(eager=True)
+    bands = band_fn(sigs)
 
     # --- within-batch self-dedup: earlier (lower) doc_id wins -------
     a, b = bands.alias("a"), bands.alias("b")
@@ -120,19 +131,19 @@ def dedup_batch_against_store(
     # --- verify by estimated Jaccard over signatures -----------------
     agree = sum(
         F.when(F.col(f"n_{c}") == F.col(f"c_{c}"), 1).otherwise(0)
-        for c in _SIG_COLS
+        for c in sig_cols
     )
     n_side = sigs.select(
-        F.col("doc_id"), *[F.col(c).alias(f"n_{c}") for c in _SIG_COLS]
+        F.col("doc_id"), *[F.col(c).alias(f"n_{c}") for c in sig_cols]
     )
     c_side = cand_sigs.select(
         F.col("doc_id").alias("cand_id"),
-        *[F.col(c).alias(f"c_{c}") for c in _SIG_COLS],
+        *[F.col(c).alias(f"c_{c}") for c in sig_cols],
     )
     verified = (
         cand.join(n_side, "doc_id")
         .join(c_side, "cand_id")
-        .where(agree >= int(threshold * MINHASH_N))
+        .where(agree >= int(threshold * len(sig_cols)))
         .select("doc_id", "cand_id")
     )
     # Duplicate convention (documented, deterministic, exactly
@@ -184,6 +195,146 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         decisions = decisions.withColumn("batch", F.lit(chunk).cast("long"))
         write_delta(band_hashes(accepted), store_path, mode="append")
+        write_delta(accepted, store_path + "_sigs", mode="append")
+        out = decisions if out is None else out.unionByName(decisions)
+    return out.select("doc_id", "batch", "is_duplicate", "matched_doc_id")
+
+
+def _inc_mhv_oracle() -> str:
+    """Unrolled 3-batch DuckDB replay of the incremental LSH-store
+    pipeline under the md5-int arithmetic hash: signatures, band
+    buckets, candidate generation (within-batch lower-doc_id +
+    bucket-collision against ACCEPTED earlier docs), signature-
+    agreement verification, and the per-batch acceptance recursion —
+    all digit-for-digit."""
+    from guidewire_spark.operators.llm import (
+        _MHV_AB,
+        _MHV_BANDS,
+        MINHASH_P,
+        _mhv_bucket_sql,
+    )
+
+    mins = ", ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_MHV_AB)
+    )
+    buckets = ", ".join(_mhv_bucket_sql(b) for b in range(_MHV_BANDS))
+    agree = " + ".join(
+        f"CAST(sn.m{i} = sc.m{i} AS INT)" for i in range(len(_MHV_AB))
+    )
+    thresh = int(0.5 * len(_MHV_AB))
+    return f"""
+    WITH docs AS (SELECT doc_id, doc_id % 3 AS batch, text FROM documents),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+               % {MINHASH_P} AS x
+      FROM (
+        SELECT doc_id, array_to_string(words[i : i + 2], ' ') AS shingle
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             w -> w <> '') AS words
+          FROM docs
+        ), UNNEST(range(1, len(words) - 1)) AS t(i)
+        WHERE len(words) >= 3
+      )
+    ),
+    sigs AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, i - 1 AS band, bks[i] AS bucket
+      FROM (SELECT doc_id, [{buckets}] AS bks FROM sigs),
+           UNNEST(range(1, {_MHV_BANDS + 1})) AS t(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS n, b.doc_id AS c
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id <> b.doc_id
+    ),
+    ver AS (
+      SELECT cand.n, cand.c, dn.batch AS bn, dc.batch AS bc
+      FROM cand
+      JOIN sigs sn ON sn.doc_id = cand.n
+      JOIN sigs sc ON sc.doc_id = cand.c
+      JOIN docs dn ON dn.doc_id = cand.n
+      JOIN docs dc ON dc.doc_id = cand.c
+      WHERE ({agree}) >= {thresh}
+    ),
+    dup0 AS (
+      SELECT n AS doc_id, MIN(c) AS m FROM ver
+      WHERE bn = 0 AND bc = 0 AND c < n GROUP BY n
+    ),
+    dup1 AS (
+      SELECT n AS doc_id, MIN(c) AS m FROM ver
+      WHERE bn = 1 AND ((bc = 1 AND c < n)
+         OR (bc = 0 AND c NOT IN (SELECT doc_id FROM dup0)))
+      GROUP BY n
+    ),
+    dup2 AS (
+      SELECT n AS doc_id, MIN(c) AS m FROM ver
+      WHERE bn = 2 AND ((bc = 2 AND c < n)
+         OR (bc < 2 AND c NOT IN (SELECT doc_id FROM dup0
+                                  UNION SELECT doc_id FROM dup1)))
+      GROUP BY n
+    ),
+    dups AS (
+      SELECT * FROM dup0 UNION ALL SELECT * FROM dup1
+      UNION ALL SELECT * FROM dup2
+    )
+    SELECT d.doc_id, CAST(d.batch AS BIGINT) AS batch,
+           dups.m IS NOT NULL AS is_duplicate,
+           dups.m AS matched_doc_id
+    FROM docs d LEFT JOIN dups ON dups.doc_id = d.doc_id
+    """
+
+
+@query("dedup_incremental_minhash_verified", oracle=_inc_mhv_oracle())
+def dedup_incremental_minhash_verified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental LSH-store pipeline, hash-verified end-to-end.
+
+    Identical machinery to ``dedup_incremental_minhash`` — the SAME
+    ``dedup_batch_against_store`` body (Delta band + signature stores,
+    broadcast-semi-join candidate filtering, signature-agreement
+    verification, transitive acceptance convention) — with the
+    signature scheme swapped to the md5-int arithmetic stages
+    (``minhash_signatures_verified`` / ``band_buckets_arith``), so a
+    DuckDB oracle replays all three batches digit-for-digit: every
+    signature, bucket, candidate pair, agreement count, and the
+    acceptance recursion itself.  The production row keeps only the
+    engine hash (and its pytest batched≡sequential gate); the store/
+    candidate/verify machinery is now value-verified here.
+
+    Scale shape: unchanged from the production row — per-batch cost ∝
+    batch size + touched buckets, history text never re-read."""
+    import tempfile
+
+    from guidewire_spark.operators.llm import (
+        _MHV_AB,
+        band_buckets_arith,
+        minhash_signatures_verified,
+    )
+    from guidewire_spark.sources.writer import write_delta
+
+    root = tempfile.mkdtemp(prefix="gw_incdedupv_")
+    store_path = root + "/lsh_store"
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig_cols = [f"m{i}" for i in range(len(_MHV_AB))]
+    out = None
+    for chunk in range(3):
+        batch = d.where(F.col("doc_id") % 3 == chunk)
+        decisions, accepted = dedup_batch_against_store(
+            spark,
+            batch,
+            store_path,
+            signature_fn=minhash_signatures_verified,
+            band_fn=band_buckets_arith,
+            sig_cols=sig_cols,
+        )
+        decisions = decisions.withColumn("batch", F.lit(chunk).cast("long"))
+        write_delta(band_buckets_arith(accepted), store_path, mode="append")
         write_delta(accepted, store_path + "_sigs", mode="append")
         out = decisions if out is None else out.unionByName(decisions)
     return out.select("doc_id", "batch", "is_duplicate", "matched_doc_id")

@@ -573,6 +573,52 @@ _MHV_AB = [
 _MHV_BANDS, _MHV_ROWS = 4, 4
 
 
+def minhash_signatures_verified(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, m0..m15) minhash signatures over the
+    cross-engine-exact md5-int shingle id and the 16 literal
+    permutations in ``_MHV_AB`` — the signature stage of the
+    hash-verified minhash rows (batch + incremental).  Entirely
+    JVM-side expressions; docs with < 3 words have no shingles and
+    drop out (both engines agree)."""
+    p = F.lit(MINHASH_P)
+    sh = (
+        d.where(F.size(T.words(F.col("text"))) >= 3)
+        .select(
+            "doc_id",
+            F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"),
+        )
+        .distinct()
+        .select("doc_id", (_md5_int(F.col("shingle")) % p).alias("x"))
+    )
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % p).alias(f"m{i}")
+            for i, (a, b) in enumerate(_MHV_AB)
+        ]
+    )
+
+
+def band_buckets_arith(sigs: DataFrame) -> DataFrame:
+    """Signature frame (m0..m15) → (doc_id, band, bucket) with the
+    bucket as a mod-p 31-fold of each band's 4 minima — pure integer
+    arithmetic, so a SQL oracle reproduces the buckets exactly
+    (unlike ``band_hashes``' engine-internal ``F.hash``)."""
+    p = F.lit(MINHASH_P)
+
+    def bucket(band: int) -> "F.Column":
+        e = F.lit(0).cast("bigint")
+        for r in range(_MHV_ROWS):
+            e = (e * 31 + F.col(f"m{band * _MHV_ROWS + r}")) % p
+        return e
+
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[bucket(b) for b in range(_MHV_BANDS)])
+        ).alias("band", "bucket"),
+    )
+
+
 def _mhv_bucket_sql(band: int) -> str:
     """DuckDB expression for band ``band``'s bucket: the mod-p 31-fold
     of its 4 signature minima (same arithmetic as the Spark side)."""
@@ -645,36 +691,9 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python in the hot path at all here.
     """
     d = load_table(spark, sf_dir, "documents")
-    p = F.lit(MINHASH_P)
-    sh = (
-        d.where(F.size(T.words(F.col("text"))) >= 3)
-        .select(
-            "doc_id",
-            F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"),
-        )
-        .distinct()
-        .select("doc_id", (_md5_int(F.col("shingle")) % p).alias("x"))
+    return bucket_pair_expansion(
+        band_buckets_arith(minhash_signatures_verified(d))
     )
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % p).alias(f"m{i}")
-            for i, (a, b) in enumerate(_MHV_AB)
-        ]
-    )
-
-    def bucket(band: int) -> "F.Column":
-        e = F.lit(0).cast("bigint")
-        for r in range(_MHV_ROWS):
-            e = (e * 31 + F.col(f"m{band * _MHV_ROWS + r}")) % p
-        return e
-
-    bands_long = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[bucket(b) for b in range(_MHV_BANDS)])
-        ).alias("band", "bucket"),
-    )
-    return bucket_pair_expansion(bands_long)
 
 
 @query("dedup_simhash")  # engine-hash-dependent → rows-only check
