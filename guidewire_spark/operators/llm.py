@@ -1141,19 +1141,41 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: each point joins the broadcast
-    centroid table and keeps its best cell (deterministic tie-break on
-    cent_id).  Output: (vec_id, u, cell)."""
-    scored = points.join(F.broadcast(centroids)).select(
-        "vec_id", "u", "cent_id", V.dot(F.col("u"), F.col("cu")).alias("sim")
+    """Nearest-centroid assignment: each point keeps its best cell
+    (deterministic tie-break on lowest cent_id).  Output:
+    (vec_id, u, cell).
+
+    The centroid table is k-sized by construction, so it collapses to
+    ONE row carrying the whole centroid set as an array column, which
+    broadcast-crossJoins onto the points (every row references the
+    same broadcast array — no literal blow-up in the plan).  The
+    argmax is then a single projection: transform each centroid to a
+    (sim, -cent_id) struct and take ``array_max`` — NO k×N join
+    output, NO shuffle, NO per-vector window.  The previous shape
+    (broadcast join to k rows + row_number window partitioned by
+    vec_id) shuffled k×N rows with the 64-double vector payload
+    through every assignment — three times per IVF pipeline (two
+    Lloyd rounds + the final build); this rewrite removes all three
+    exchanges, making assignment the embarrassingly parallel map work
+    a k-means assignment should be.  Tie-break semantics are
+    identical: struct comparison orders by sim first then -cent_id,
+    so an exact double tie still picks the lowest cent_id; the
+    (sim, -cent_id) pairs are unique per centroid, so the max is
+    insensitive to collect_list's arrival order."""
+    carr = centroids.agg(
+        F.collect_list(F.struct("cent_id", "cu")).alias("cents")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("cent_id")
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                V.dot(F.col("u"), c["cu"]).alias("sim"),
+                (-c["cent_id"]).cast("long").alias("negc"),
+            ),
+        )
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "u", F.col("cent_id").alias("cell"))
+    return points.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "u", (-best["negc"]).cast("long").alias("cell")
     )
 
 
@@ -1253,6 +1275,14 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.normalize(F.col("embedding")).alias("u")
     )
+    # The corpus feeds ~5 separate jobs (seed collect, two Lloyd
+    # rounds, the inverted-list build, the query-point extraction) —
+    # materialize the normalized vectors ONCE instead of re-running
+    # scan+normalize per job.  This is the standard k-means cache; at
+    # cluster scale the same role is played by .persist(DISK_ONLY)
+    # before the Lloyd loop, sized at 8 doubles/dim × N — far smaller
+    # than the raw table when embeddings ride along wide rows.
+    e = e.localCheckpoint(eager=True)
     refined = _ivf_centroids(spark, e)
     cells = _ivf_assign(e, refined)
     q_pts = e.where(F.col("vec_id") < 10)
@@ -1361,6 +1391,9 @@ def similarity_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.normalize(F.col("embedding")).alias("u")
     )
+    # same k-means cache as _ivf_topk: the corpus feeds the centroid
+    # training jobs plus one assignment job per arrival batch
+    e = e.localCheckpoint(eager=True)
     # centroids from the FIRST arrivals only — later batches must not
     # perturb them, or stored assignments would go stale
     cents = _ivf_centroids(spark, e.where(F.col("vec_id") % 3 == 0))
