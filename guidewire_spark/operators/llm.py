@@ -231,7 +231,17 @@ SUBSTRING_K = 5
 def substring_occurrences(d: DataFrame, k: int = SUBSTRING_K):
     """(tokens frame, window-occurrence frame) shared by the substring
     dedup family: ``toks`` = (doc_id, words array), ``occ`` = one row
-    per k-token window (doc_id, start, shingle)."""
+    per k-token window (doc_id, start, shingle).
+
+    Same guarded fan-out as dedup_minhash_lsh: the corpus often
+    arrives as fewer files than cores (sf0.1 = ONE parquet file = one
+    scan partition), which would run the CPU-heavy tokenize+shingle
+    pass on a single core.  At real scale the scan already has ≥ cores
+    partitions and the repartition is skipped — no gratuitous full
+    shuffle of raw text."""
+    parallelism = d.sparkSession.sparkContext.defaultParallelism
+    if len(d.inputFiles()) < parallelism:
+        d = d.repartition(parallelism)
     toks = d.select("doc_id", T.words(F.col("text")).alias("words"))
     occ = toks.where(F.size("words") >= k).select(
         "doc_id",
