@@ -254,8 +254,10 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking uses the ROUNDED score with token tiebreak — float-order
     independent, so the top-3 set is deterministic across engines.
     """
+    from guidewire_spark.plans.catalog import fan_out
+
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = fan_out(d).select(
         "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))

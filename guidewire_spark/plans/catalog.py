@@ -63,6 +63,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(d: DataFrame) -> DataFrame:
+    """Guarded pre-compute fan-out for CPU-heavy per-row stages
+    (tokenize/shingle/hash): when the scan has fewer files than cores
+    (the sf test tables are single parquet files = one scan
+    partition), repartition so the expensive projection uses every
+    core.  At real scale the scan already carries ≥ cores partitions
+    and this is a no-op — no gratuitous full shuffle of raw text.
+    (The inline guards in dedup_minhash_lsh et al. predate this
+    helper and keep their local docstrings.)"""
+    parallelism = d.sparkSession.sparkContext.defaultParallelism
+    if len(d.inputFiles()) < parallelism:
+        d = d.repartition(parallelism)
+    return d
+
+
 _REGISTERED: set[tuple[int, str]] = set()
 
 
