@@ -589,7 +589,11 @@ def minhash_signatures_verified(d: DataFrame) -> DataFrame:
     permutations in ``_MHV_AB`` — the signature stage of the
     hash-verified minhash rows (batch + incremental).  Entirely
     JVM-side expressions; docs with < 3 words have no shingles and
-    drop out (both engines agree)."""
+    drop out (both engines agree).  Guarded fan-out before the
+    CPU-heavy md5+shingle projection (see plans.catalog.fan_out)."""
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(d)
     p = F.lit(MINHASH_P)
     sh = (
         d.where(F.size(T.words(F.col("text"))) >= 3)
