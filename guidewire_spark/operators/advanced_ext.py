@@ -364,9 +364,130 @@ def sql_values_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("vocab_bpe_train_merges")  # iterative: no single-SQL oracle;
-# exact-equivalence to a pure-Python reference BPE is gated in
-# tests/test_advanced_ext.py::test_bpe_train_matches_reference
+def _bpe_layers_sql(rounds: int = 8) -> tuple[str, list[str]]:
+    """Shared WITH-prefix for the BPE oracles: the vocab, the symbol
+    dictionary, and ``rounds`` unrolled train layers.  Returns
+    (with_prefix, [b0..b{rounds-1} names]) — see _bpe_train_oracle for
+    the construction argument."""
+    layers = []
+    for k in range(rounds):
+        nc = f"chr({57344 + k})"
+        layers.append(
+            f"""
+    p{k} AS MATERIALIZED (
+      SELECT substr(es, i, 1) AS lc, substr(es, i + 1, 1) AS rc,
+             SUM(n) AS freq
+      FROM v{k}, UNNEST(range(1, length(es))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    b{k} AS MATERIALIZED (
+      SELECT p.lc, p.rc, p.freq, d1.s AS ls, d2.s AS rs,
+             COALESCE((SELECT dd.c FROM dict{k} dd
+                       WHERE dd.s = d1.s || d2.s), {nc}) AS mc
+      FROM p{k} p
+      JOIN dict{k} d1 ON d1.c = p.lc
+      JOIN dict{k} d2 ON d2.c = p.rc
+      ORDER BY p.freq DESC, ls ASC, rs ASC LIMIT 1
+    ),
+    dict{k + 1} AS MATERIALIZED (
+      SELECT s, c FROM dict{k}
+      UNION ALL
+      SELECT b.ls || b.rs AS s, b.mc AS c FROM b{k} b
+      WHERE NOT EXISTS (SELECT 1 FROM dict{k} dd
+                        WHERE dd.s = b.ls || b.rs)
+    ),
+    v{k + 1} AS MATERIALIZED (
+      SELECT replace(es, (SELECT lc || rc FROM b{k}),
+                     (SELECT mc FROM b{k})) AS es, n
+      FROM v{k}
+    )"""
+        )
+    prefix = (
+        """
+    WITH w AS MATERIALIZED (
+      SELECT w, COUNT(*) AS n FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    v0 AS MATERIALIZED (SELECT w AS es, n FROM w),
+    dict0 AS MATERIALIZED (
+      SELECT DISTINCT c AS s, c AS c
+      FROM (SELECT unnest(string_split(w, '')) AS c FROM w)
+    ),"""
+        + ",".join(layers)
+    )
+    return prefix, [f"b{k}" for k in range(rounds)]
+
+
+def _bpe_train_oracle(rounds: int = 8) -> str:
+    """Unrolled DuckDB replay of the 8-round BPE training loop.
+
+    The trick that makes an iterative symbol-merge loop SQL-expressible:
+    every symbol is encoded as ONE character (base chars stand for
+    themselves; merged symbols get private-use-area chars chr(0xE000+k)),
+    so a word's symbol sequence stays a plain string and the greedy
+    left-to-right non-overlapping merge is exactly SQL ``replace()``.
+    Pair counting is substr(es, i, 2) over an UNNEST(range), argmax
+    uses the DECODED symbol strings for the (freq desc, l asc, r asc)
+    tie-break — the same ordering the Spark loop applies — and the
+    dictionary is canonical BY STRING (if a later merge reproduces an
+    existing symbol string, its char is reused), so grouping by encoded
+    chars is provably grouping by symbol strings.  Each of the 8
+    layers re-derives pair counts → argmax → dict extension → corpus
+    replace, digit-for-digit what the Spark driver loop does."""
+    prefix, bs = _bpe_layers_sql(rounds)
+    final = [
+        f"SELECT CAST({k} AS INT) AS merge_rank, ls AS \"left\","
+        f" rs AS \"right\", ls || rs AS merged,"
+        f" CAST(freq AS BIGINT) AS freq FROM {b}"
+        for k, b in enumerate(bs)
+    ]
+    return prefix + "\n    " + "\n    UNION ALL ".join(final)
+
+
+def _bpe_encode_oracle(rounds: int = 8) -> str:
+    """Encode-corpus oracle: re-learn the merge list with the shared
+    train layers, then apply the ``rounds`` merges IN ORDER to every
+    corpus word as nested ``replace()`` calls over the one-char-per-
+    symbol encoding (replace = greedy left-to-right merge, and merge k
+    runs on merge k-1's output exactly like the chained Spark folds).
+    Token count after BPE = length of the encoded string, because
+    every symbol is one character."""
+    prefix, bs = _bpe_layers_sql(rounds)
+    enc = "w"
+    for b in bs:
+        enc = (
+            f"replace({enc}, (SELECT lc || rc FROM {b}),"
+            f" (SELECT mc FROM {b}))"
+        )
+    return (
+        prefix
+        + f""",
+    docs_words AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(SUM(length(w)) AS BIGINT) AS tokens_char,
+           CAST(SUM(length({enc})) AS BIGINT) AS tokens_bpe
+    FROM docs_words GROUP BY doc_id
+    """
+    )
+
+
+@query("vocab_bpe_train_merges", oracle=_bpe_train_oracle())
+# additionally exact-equivalence-gated against a pure-Python reference
+# BPE in tests/test_advanced_ext.py::test_bpe_train_matches_reference.
+# Caveat the oracle inherits from its own construction: it always runs
+# 8 rounds, while the Spark loop stops early if the best pair's freq
+# drops below 2 — at every driver scale (sf0.001/0.01/0.1) all 8
+# rounds clear freq >= 1800, so the shapes agree; a corpus tiny enough
+# to trip the early stop would surface as a row-count mismatch, not a
+# silent wrong value.
 def vocab_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE merge TRAINING, eight rounds (tokenizer_bpe_apply_merge
     runs one): learn the ordered merge list the way Sennrich et al.'s
@@ -444,9 +565,13 @@ def vocab_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("vocab_bpe_encode_corpus")  # learned merges are corpus-derived →
-# no static SQL oracle; exact equivalence to the pure-Python encoder is
-# gated in tests/test_advanced_ext.py::test_bpe_encode_matches_reference
+@query("vocab_bpe_encode_corpus", oracle=_bpe_encode_oracle())
+# additionally exact-equivalence-gated against the pure-Python encoder
+# in tests/test_advanced_ext.py::test_bpe_encode_matches_reference;
+# the oracle re-learns the merge list with the shared train layers
+# (see _bpe_train_oracle's early-stop caveat) and re-encodes every
+# word with ordered nested replace() over the one-char-per-symbol
+# encoding.
 def vocab_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the 8 learned BPE merges (vocab_bpe_train_merges) to the
     WHOLE corpus and account per-document token counts — the encode
