@@ -462,6 +462,26 @@ def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    return _embedding_dedup_run(
+        spark, corpus, store_path, band_buckets, dot >= 0.95
+    )
+
+
+def _embedding_dedup_run(
+    spark: SparkSession,
+    corpus: DataFrame,
+    store_path: str,
+    band_buckets,
+    similar,
+) -> DataFrame:
+    """The embedding dedup-against-history loop body, shared by the
+    production row (float hyperplanes + exact-cosine >= 0.95 verify)
+    and the hash-verified sibling (integer hyperplanes + exact integer
+    quantized-dot verify).  ``corpus`` carries (vec_id, u); ``similar``
+    is the verify predicate over columns n_u/c_u."""
+    from guidewire_spark.sources.snapshot import read_delta
+    from guidewire_spark.sources.writer import write_delta
+
     out = None
     for chunk in range(3):
         # eager checkpoint: the batch frame feeds the bands self-join
@@ -523,7 +543,7 @@ def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "cand_id",
             )
-            .where(dot >= 0.95)
+            .where(similar)
             .select("vec_id", "cand_id")
         )
         best = verified.groupBy("vec_id").agg(
@@ -551,6 +571,149 @@ def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_delta(accepted, store_path + "_vecs", mode="append")
         out = decisions if out is None else out.unionByName(decisions)
     return out
+
+
+def _inc_embv_oracle() -> str:
+    """Unrolled 3-batch DuckDB replay of the embedding LSH-store
+    pipeline under the integer scheme: vectors quantize to
+    floor(u·10⁴) int64 (exact cross-engine — verified over the whole
+    table), hyperplane entries regenerate from the integer LCG formula
+    the Spark UDF uses, sign bits / bucket packing / candidate
+    generation / the quantized-dot ≥ 0.95·10⁸ verify / the acceptance
+    recursion are all pure integer arithmetic."""
+    return """
+    WITH base AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS fu
+      FROM embeddings
+    ),
+    qv0 AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(fu, x -> CAST(FLOOR(x * 10000) AS BIGINT)) AS qu
+      FROM base
+    ),
+    corpus AS MATERIALIZED (
+      SELECT vec_id, qu FROM qv0
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, qu FROM qv0 WHERE vec_id % 10 = 0
+    ),
+    qv AS MATERIALIZED (
+      SELECT vec_id, vec_id % 3 AS batch, i AS dim, qu[i + 1] AS q
+      FROM corpus, UNNEST(range(0, 64)) AS t(i)
+    ),
+    hyp AS MATERIALIZED (
+      SELECT p, i,
+             ((1103515245 * (p * 64 + i) + 12345) % 65536) - 32768 AS h
+      FROM range(0, 64) a(p), range(0, 64) b(i)
+    ),
+    dots AS MATERIALIZED (
+      SELECT qv.vec_id, hyp.p, SUM(qv.q * hyp.h) AS s
+      FROM qv JOIN hyp ON hyp.i = qv.dim
+      GROUP BY qv.vec_id, hyp.p
+    ),
+    bands AS MATERIALIZED (
+      SELECT vec_id, p // 8 AS band,
+             SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (p % 8))
+                      ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id, p // 8
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS n, b.vec_id AS c
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.vec_id <> b.vec_id
+    ),
+    verdot AS MATERIALIZED (
+      SELECT cand.n, cand.c, SUM(qa.q * qb.q) AS d
+      FROM cand
+      JOIN qv qa ON qa.vec_id = cand.n
+      JOIN qv qb ON qb.vec_id = cand.c AND qb.dim = qa.dim
+      GROUP BY cand.n, cand.c
+    ),
+    ver AS MATERIALIZED (
+      SELECT v.n, v.c, v.n % 3 AS bn, v.c % 3 AS bc
+      FROM verdot v WHERE v.d >= 95000000
+    ),
+    dup0 AS MATERIALIZED (
+      SELECT n AS vec_id, MIN(c) AS m FROM ver
+      WHERE bn = 0 AND bc = 0 AND c < n GROUP BY n
+    ),
+    dup1 AS MATERIALIZED (
+      SELECT n AS vec_id, MIN(c) AS m FROM ver
+      WHERE bn = 1 AND ((bc = 1 AND c < n)
+         OR (bc = 0 AND c NOT IN (SELECT vec_id FROM dup0)))
+      GROUP BY n
+    ),
+    dup2 AS MATERIALIZED (
+      SELECT n AS vec_id, MIN(c) AS m FROM ver
+      WHERE bn = 2 AND ((bc = 2 AND c < n)
+         OR (bc < 2 AND c NOT IN (SELECT vec_id FROM dup0
+                                  UNION SELECT vec_id FROM dup1)))
+      GROUP BY n
+    ),
+    dups AS (
+      SELECT * FROM dup0 UNION ALL SELECT * FROM dup1
+      UNION ALL SELECT * FROM dup2
+    )
+    SELECT cs.vec_id, CAST(cs.vec_id % 3 AS BIGINT) AS batch,
+           dups.m IS NOT NULL AS is_duplicate,
+           dups.m AS matched_vec_id
+    FROM corpus cs LEFT JOIN dups ON dups.vec_id = cs.vec_id
+    """
+
+
+@query("dedup_incremental_embedding_verified", oracle=_inc_embv_oracle())
+def dedup_incremental_embedding_verified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The embedding LSH-store pipeline, hash-verified end-to-end.
+
+    The SAME ``_embedding_dedup_run`` body as the production row —
+    Delta band + vector stores, bucket self-join, broadcast-semi-join
+    candidate filtering, verify join, acceptance recursion — with the
+    two float-dependent stages swapped for exact integer twins: the
+    hyperplane buckets come from ``_int_hyperplane_bucket_udf`` (int64
+    LCG hyperplanes over floor(u·10⁴)-quantized vectors, same Arrow
+    batch shape and numpy matmul as production, but exact), and the
+    cosine verify becomes the quantized integer dot ≥ 0.95·10⁸.  The
+    DuckDB oracle regenerates hyperplanes from the same formula and
+    replays all three batches — every sign bit, bucket, candidate
+    pair, dot, and the acceptance recursion — digit for digit.
+    Quantization parity (floor of the normalized component × 10⁴) was
+    verified over the entire embeddings table before this row shipped.
+
+    Scale shape: unchanged — per-batch cost ∝ batch + touched buckets,
+    the Arrow matmul stays one batch-sized matrix multiply."""
+    import tempfile
+
+    from guidewire_spark.functions import vectors as V
+    from guidewire_spark.operators.llm import _int_hyperplane_bucket_udf
+
+    store_path = tempfile.mkdtemp(prefix="gw_incembv_") + "/buckets"
+    band_buckets = _int_hyperplane_bucket_udf(n_bands=8, bits=8, dim=64)
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            V.normalize(F.col("embedding")),
+            lambda x: F.floor(x * 10000).cast("long"),
+        ).alias("u"),
+    )
+    planted = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "u"
+    )
+    corpus = base.unionByName(planted)
+
+    int_dot = F.aggregate(
+        F.zip_with("n_u", "c_u", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return _embedding_dedup_run(
+        spark, corpus, store_path, band_buckets, int_dot >= 95_000_000
+    )
 
 
 @query(

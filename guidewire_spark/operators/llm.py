@@ -851,6 +851,36 @@ def _hyperplane_bucket_udf(n_bands: int, bits: int, dim: int, seed: int = 7):
     return band_buckets
 
 
+def _int_hyperplane_bucket_udf(
+    n_bands: int = 8, bits: int = 8, dim: int = 64
+):
+    """Integer twin of ``_hyperplane_bucket_udf`` for the hash-verified
+    embedding rows: hyperplane entries come from a fixed integer LCG
+    formula h(p,i) = ((1103515245·(p·dim+i) + 12345) mod 65536) − 32768
+    instead of seeded Gaussian floats, and the input vectors are
+    int64-quantized — so the sign bits are exact int64 arithmetic a
+    SQL oracle regenerates from the same formula (no numpy float
+    matmul order to model).  Same Arrow batch shape and packing as the
+    production UDF."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    idx = np.arange(n_bands * bits * dim, dtype=np.int64)
+    hyper = ((1103515245 * idx + 12345) % 65536 - 32768).reshape(
+        n_bands * bits, dim
+    )
+    packer = 1 << np.arange(bits, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def band_buckets(qu: pd.Series) -> pd.Series:
+        mat = np.stack(qu.to_numpy()).astype(np.int64)  # (n, dim)
+        signs = (mat @ hyper.T) > 0  # exact: int64 dots
+        b = signs.reshape(len(mat), n_bands, bits) @ packer
+        return pd.Series(list(b))
+
+    return band_buckets
+
+
 def embedding_near_dup_pairs(
     unit_vectors: DataFrame,
     threshold: float = 0.95,
