@@ -1517,6 +1517,119 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "similarity_ann_lsh_verified",
+    oracle="""
+    WITH unit AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS fu
+      FROM embeddings
+    ),
+    qv AS MATERIALIZED (
+      SELECT vec_id, i AS dim,
+             CAST(FLOOR(fu[i + 1] * 10000) AS BIGINT) AS q
+      FROM unit, UNNEST(range(0, 64)) AS t(i)
+    ),
+    hyp AS MATERIALIZED (
+      SELECT p, i,
+             ((1103515245 * (p * 64 + i) + 12345) % 65536) - 32768 AS h
+      FROM range(0, 80) a(p), range(0, 64) b(i)
+    ),
+    dots AS MATERIALIZED (
+      SELECT qv.vec_id, hyp.p, SUM(qv.q * hyp.h) AS s
+      FROM qv JOIN hyp ON hyp.i = qv.dim
+      GROUP BY qv.vec_id, hyp.p
+    ),
+    bands AS MATERIALIZED (
+      SELECT vec_id, p // 5 AS band,
+             SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (p % 5))
+                      ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id, p // 5
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bands q JOIN bands c
+        ON q.band = c.band AND q.bucket = c.bucket
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(list_sum(list_transform(range(1, 65),
+                   i -> q.fu[i] * c.fu[i])), 4) AS cos_sim
+      FROM cand
+      JOIN unit q ON q.vec_id = cand.query_id
+      JOIN unit c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_ann_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN, hash-verified end-to-end — the LSH family's
+    analogue of similarity_ann_ivf_fullprobe: the SAME pipeline shape
+    as similarity_ann_lsh (band buckets → candidate equi-join → exact
+    rescore → per-query top-5) with the hyperplanes swapped from
+    seeded Gaussian floats to the integer LCG scheme
+    (``_int_hyperplane_bucket_udf``, 16 bands × 5 bits over
+    floor(u·10⁴)-quantized vectors).  The DuckDB oracle regenerates
+    the hyperplanes from the same formula and replays every sign bit,
+    bucket, candidate pair, and the rounded exact rerank — so a defect
+    in the banding layout, bucket packing, candidate join, or rescore
+    breaks the hash, and the production row keeps only the Gaussian
+    hyperplane draw unverified.  Note this row's top-5 is the LSH
+    ANSWER (exact only over bucket-mates), not the brute-force top-5 —
+    the oracle replays the approximation faithfully, including its
+    misses.
+
+    Scale shape: identical to production — only (band, bucket, id)
+    rows shuffle for candidates; rerank is candidate-sized."""
+    band_buckets = _int_hyperplane_bucket_udf(n_bands=16, bits=5, dim=64)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.normalize(F.col("embedding")).alias("u")
+    )
+    e = e.withColumn(
+        "qu", F.transform("u", lambda x: F.floor(x * 10000).cast("long"))
+    )
+    corpus_b = e.select(
+        "vec_id", F.posexplode(band_buckets("qu")).alias("band", "bucket")
+    )
+    q = e.where(F.col("vec_id") < 10)
+    query_b = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(band_buckets("qu")).alias("band", "bucket"),
+    )
+    cand = (
+        corpus_b.join(F.broadcast(query_b), ["band", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("u").alias("qu2"))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), "u")
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("qu2"), F.col("u")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
