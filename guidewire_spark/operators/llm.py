@@ -2538,6 +2538,15 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "phash": hashes})
 
     hashed = d.mapInPandas(phash, "doc_id long, phash long")
+    return _phash_band_pairs(hashed)
+
+
+def _phash_band_pairs(hashed: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """(doc_id, phash) → near-dup pairs via the banded perceptual-hash
+    LSH shared by multimodal_phash_neardup and its WHT-verified
+    sibling: 4 × 16-bit hash bands bucket the corpus, in-bucket pairs
+    verify by exact JVM-side Hamming distance (bit_count of xor) —
+    only the 8-byte hash ever shuffles."""
     bands = hashed.select(
         "doc_id",
         "phash",
@@ -2580,9 +2589,149 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
         pairs.withColumn("hamming", hamming.cast("int"))
-        .where(F.col("hamming") <= 10)
+        .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@query(
+    "multimodal_phash_wht_verified",
+    oracle="""
+    WITH ct AS MATERIALIZED (
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^ -~]', '.', 'g'), 1, 4096) AS s
+      FROM documents
+      WHERE length(regexp_replace(text, '[^ -~]', '.', 'g')) > 0
+    ),
+    meta AS MATERIALIZED (
+      SELECT doc_id, s, length(s) AS L,
+             length(s) // 64 AS q, length(s) % 64 AS r
+      FROM ct
+    ),
+    pos AS MATERIALIZED (
+      SELECT doc_id, q,
+             ascii(substr(s, j + 1, 1)) AS byte,
+             CASE WHEN q = 0 THEN j
+                  WHEN j < r * (q + 1) THEN j // (q + 1)
+                  ELSE r + (j - r * (q + 1)) // q END AS cell
+      FROM meta, UNNEST(range(0, L)) AS t(j)
+    ),
+    tile AS MATERIALIZED (
+      SELECT doc_id, cell,
+             SUM(byte) * ((CASE WHEN MAX(q) = 0 THEN 1
+                           ELSE MAX(q) * (MAX(q) + 1) END) // COUNT(*)) AS v
+      FROM pos GROUP BY doc_id, cell
+    ),
+    dense AS MATERIALIZED (
+      SELECT m.doc_id, c.cell, COALESCE(t.v, 0) AS v
+      FROM (SELECT doc_id FROM ct) m
+      CROSS JOIN range(0, 64) c(cell)
+      LEFT JOIN tile t ON t.doc_id = m.doc_id AND t.cell = c.cell
+    ),
+    coef AS MATERIALIZED (
+      SELECT d.doc_id, g.idx,
+             SUM(CASE WHEN (bit_count(CAST((g.idx // 8) & (d.cell // 8)
+                                           AS BIGINT))
+                          + bit_count(CAST((g.idx % 8) & (d.cell % 8)
+                                           AS BIGINT))) % 2 = 0
+                      THEN d.v ELSE -d.v END) AS c
+      FROM dense d CROSS JOIN range(0, 64) g(idx)
+      GROUP BY d.doc_id, g.idx
+    ),
+    med AS MATERIALIZED (
+      SELECT doc_id, list_sort(list(c))[32] AS med
+      FROM coef WHERE idx >= 1 GROUP BY doc_id
+    ),
+    hashes AS MATERIALIZED (
+      SELECT coef.doc_id,
+             CAST(SUM(CASE WHEN coef.c > med.med
+                           THEN CAST(1 AS BIGINT) << (63 - coef.idx)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash
+      FROM coef JOIN med ON med.doc_id = coef.doc_id
+      WHERE coef.idx >= 1
+      GROUP BY coef.doc_id
+    ),
+    bands AS MATERIALIZED (
+      SELECT doc_id, phash, b.band,
+             (phash >> (16 * b.band)) & 65535 AS bucket
+      FROM hashes CROSS JOIN range(0, 4) b(band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 10
+    """,
+)
+def multimodal_phash_wht_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup, hash-verified end-to-end — the
+    multimodal family's analogue of dedup_minhash_verified: the SAME
+    pipeline as multimodal_phash_neardup (deterministic fake decode →
+    8×8 tile → 2-D transform → sign-vs-median bits → the shared
+    ``_phash_band_pairs`` banded-LSH machinery) with the one
+    float-dependent stage swapped for an exact integer twin: the
+    Walsh–Hadamard transform (entries ±1 via popcount parity — a
+    standard perceptual-hash transform choice) over integer-scaled
+    tile means (mean·q·(q+1) is an exact int64 for the two cell sizes
+    array_split produces), 63 AC coefficients against their exact
+    integer median (odd count ⇒ the middle element, no averaging).
+    The payload is sanitized to printable ASCII first so byte == char
+    holds in both engines (the multimodal_decode_hist trick).  The
+    DuckDB oracle replays tiling, transform, median, bit packing,
+    banding, bucket join, and Hamming verify digit-for-digit; the
+    production row keeps only the float DCT unverified.
+
+    Scale shape: identical to production — Arrow-batched per-doc
+    hashing, then only 8-byte hashes shuffle."""
+    import numpy as np
+
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), "[^ -~]", ".").alias("ct"),
+        )
+        .where(F.length("ct") > 0)
+    )
+    H = np.array(
+        [[(-1) ** bin(i & j).count("1") for j in range(8)] for i in range(8)],
+        dtype=np.int64,
+    )
+
+    def wht_hash(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, ct in zip(pdf["doc_id"], pdf["ct"]):
+                buf = np.frombuffer(
+                    ct.encode("ascii")[:4096], dtype=np.uint8
+                ).astype(np.int64)
+                L = buf.size
+                q, r = divmod(L, 64)
+                scale = q * (q + 1) if q > 0 else 1
+                cells = np.array_split(buf, 64)
+                tile = np.array(
+                    [
+                        c.sum() * (scale // len(c)) if len(c) else 0
+                        for c in cells
+                    ],
+                    dtype=np.int64,
+                )
+                A = tile.reshape(8, 8)
+                D = H @ A @ H.T  # exact int64 WHT
+                ac = D.flatten()[1:]
+                med = np.sort(ac)[31]
+                bits = ac > med
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                ids.append(doc_id)
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    hashed = d.mapInPandas(wht_hash, "doc_id long, phash long")
+    return _phash_band_pairs(hashed)
 
 
 @query(
