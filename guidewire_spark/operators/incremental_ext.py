@@ -169,6 +169,40 @@ def dedup_batch_against_store(
     return decisions, accepted
 
 
+def _minhash_store_run(
+    spark: SparkSession,
+    d: DataFrame,
+    store_path: str,
+    signature_fn=minhash_signatures,
+    band_fn=band_hashes,
+    sig_cols: list[str] | None = None,
+) -> DataFrame:
+    """The 3-batch minhash dedup-against-history loop, shared by the
+    production row and the hash-verified sibling so the two can never
+    drift: per arrival batch (doc_id % 3), run one
+    ``dedup_batch_against_store`` step, append the accepted docs'
+    bands + signatures to the Delta store, and accumulate the
+    per-doc decisions."""
+    from guidewire_spark.sources.writer import write_delta
+
+    out = None
+    for chunk in range(3):
+        batch = d.where(F.col("doc_id") % 3 == chunk)
+        decisions, accepted = dedup_batch_against_store(
+            spark,
+            batch,
+            store_path,
+            signature_fn=signature_fn,
+            band_fn=band_fn,
+            sig_cols=sig_cols,
+        )
+        decisions = decisions.withColumn("batch", F.lit(chunk).cast("long"))
+        write_delta(band_fn(accepted), store_path, mode="append")
+        write_delta(accepted, store_path + "_sigs", mode="append")
+        out = decisions if out is None else out.unionByName(decisions)
+    return out.select("doc_id", "batch", "is_duplicate", "matched_doc_id")
+
+
 @query("dedup_incremental_minhash")  # engine-hash-dependent → rows-only;
 # order-equivalence vs the one-shot replica is gated in pytest
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,22 +216,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     not change the answer."""
     import tempfile
 
-    from guidewire_spark.sources.writer import write_delta
-
-    root = tempfile.mkdtemp(prefix="gw_incdedup_")
-    store_path = root + "/lsh_store"
+    store_path = tempfile.mkdtemp(prefix="gw_incdedup_") + "/lsh_store"
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    out = None
-    for chunk in range(3):
-        batch = d.where(F.col("doc_id") % 3 == chunk)
-        decisions, accepted = dedup_batch_against_store(
-            spark, batch, store_path
-        )
-        decisions = decisions.withColumn("batch", F.lit(chunk).cast("long"))
-        write_delta(band_hashes(accepted), store_path, mode="append")
-        write_delta(accepted, store_path + "_sigs", mode="append")
-        out = decisions if out is None else out.unionByName(decisions)
-    return out.select("doc_id", "batch", "is_duplicate", "matched_doc_id")
+    return _minhash_store_run(spark, d, store_path)
 
 
 def _inc_mhv_oracle() -> str:
@@ -207,45 +228,15 @@ def _inc_mhv_oracle() -> str:
     bucket-collision against ACCEPTED earlier docs), signature-
     agreement verification, and the per-batch acceptance recursion —
     all digit-for-digit."""
-    from guidewire_spark.operators.llm import (
-        _MHV_AB,
-        _MHV_BANDS,
-        MINHASH_P,
-        _mhv_bucket_sql,
-    )
+    from guidewire_spark.operators.llm import _MHV_AB, mhv_sigs_bands_sql
 
-    mins = ", ".join(
-        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS m{i}"
-        for i, (a, b) in enumerate(_MHV_AB)
-    )
-    buckets = ", ".join(_mhv_bucket_sql(b) for b in range(_MHV_BANDS))
     agree = " + ".join(
         f"CAST(sn.m{i} = sc.m{i} AS INT)" for i in range(len(_MHV_AB))
     )
     thresh = int(0.5 * len(_MHV_AB))
     return f"""
     WITH docs AS (SELECT doc_id, doc_id % 3 AS batch, text FROM documents),
-    shingles AS (
-      SELECT DISTINCT doc_id,
-             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
-               % {MINHASH_P} AS x
-      FROM (
-        SELECT doc_id, array_to_string(words[i : i + 2], ' ') AS shingle
-        FROM (
-          SELECT doc_id,
-                 list_filter(string_split_regex(text, '\\s+'),
-                             w -> w <> '') AS words
-          FROM docs
-        ), UNNEST(range(1, len(words) - 1)) AS t(i)
-        WHERE len(words) >= 3
-      )
-    ),
-    sigs AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
-    bands AS (
-      SELECT doc_id, i - 1 AS band, bks[i] AS bucket
-      FROM (SELECT doc_id, [{buckets}] AS bks FROM sigs),
-           UNNEST(range(1, {_MHV_BANDS + 1})) AS t(i)
-    ),
+    {mhv_sigs_bands_sql("docs")},
     cand AS (
       SELECT DISTINCT a.doc_id AS n, b.doc_id AS c
       FROM bands a JOIN bands b
@@ -316,28 +307,17 @@ def dedup_incremental_minhash_verified(
         band_buckets_arith,
         minhash_signatures_verified,
     )
-    from guidewire_spark.sources.writer import write_delta
 
-    root = tempfile.mkdtemp(prefix="gw_incdedupv_")
-    store_path = root + "/lsh_store"
+    store_path = tempfile.mkdtemp(prefix="gw_incdedupv_") + "/lsh_store"
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sig_cols = [f"m{i}" for i in range(len(_MHV_AB))]
-    out = None
-    for chunk in range(3):
-        batch = d.where(F.col("doc_id") % 3 == chunk)
-        decisions, accepted = dedup_batch_against_store(
-            spark,
-            batch,
-            store_path,
-            signature_fn=minhash_signatures_verified,
-            band_fn=band_buckets_arith,
-            sig_cols=sig_cols,
-        )
-        decisions = decisions.withColumn("batch", F.lit(chunk).cast("long"))
-        write_delta(band_buckets_arith(accepted), store_path, mode="append")
-        write_delta(accepted, store_path + "_sigs", mode="append")
-        out = decisions if out is None else out.unionByName(decisions)
-    return out.select("doc_id", "batch", "is_duplicate", "matched_doc_id")
+    return _minhash_store_run(
+        spark,
+        d,
+        store_path,
+        signature_fn=minhash_signatures_verified,
+        band_fn=band_buckets_arith,
+        sig_cols=[f"m{i}" for i in range(len(_MHV_AB))],
+    )
 
 
 @query(

@@ -233,15 +233,14 @@ def substring_occurrences(d: DataFrame, k: int = SUBSTRING_K):
     dedup family: ``toks`` = (doc_id, words array), ``occ`` = one row
     per k-token window (doc_id, start, shingle).
 
-    Same guarded fan-out as dedup_minhash_lsh: the corpus often
-    arrives as fewer files than cores (sf0.1 = ONE parquet file = one
-    scan partition), which would run the CPU-heavy tokenize+shingle
-    pass on a single core.  At real scale the scan already has ≥ cores
-    partitions and the repartition is skipped — no gratuitous full
-    shuffle of raw text."""
-    parallelism = d.sparkSession.sparkContext.defaultParallelism
-    if len(d.inputFiles()) < parallelism:
-        d = d.repartition(parallelism)
+    Guarded fan-out (plans.catalog.fan_out) before the CPU-heavy
+    tokenize+shingle pass: the corpus often arrives as fewer files
+    than cores (sf0.1 = ONE parquet file = one scan partition); at
+    real scale the scan already has ≥ cores partitions and the
+    repartition is skipped."""
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(d)
     toks = d.select("doc_id", T.words(F.col("text")).alias("words"))
     occ = toks.where(F.size("words") >= k).select(
         "doc_id",
@@ -517,9 +516,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitions — an unconditional repartition would be a full shuffle
     # of raw corpus text for nothing.
     d = load_table(spark, sf_dir, "documents")
-    parallelism = spark.sparkContext.defaultParallelism
-    if len(d.inputFiles()) < parallelism:
-        d = d.repartition(parallelism)
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(d)
 
     minhashes = minhash_signatures(d)
     bands_long = band_hashes(minhashes)
@@ -642,10 +641,20 @@ def _mhv_bucket_sql(band: int) -> str:
     return e
 
 
-@query(
-    "dedup_minhash_verified",
-    oracle=f"""
-    WITH shingles AS (
+def mhv_sigs_bands_sql(source: str = "documents") -> str:
+    """Shared oracle CTE block for the md5-int minhash scheme —
+    ``shingles`` / ``sigs`` / ``bands`` over ``source`` (a table or
+    CTE with doc_id + text) — used by both dedup_minhash_verified and
+    dedup_incremental_minhash_verified so the SQL can never drift
+    from the shared Spark stages it mirrors
+    (minhash_signatures_verified / band_buckets_arith)."""
+    mins = ", ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_MHV_AB)
+    )
+    buckets = ", ".join(_mhv_bucket_sql(b) for b in range(_MHV_BANDS))
+    return f"""
+    shingles AS (
       SELECT DISTINCT doc_id,
              CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
                % {MINHASH_P} AS x
@@ -655,28 +664,28 @@ def _mhv_bucket_sql(band: int) -> str:
           SELECT doc_id,
                  list_filter(string_split_regex(text, '\\s+'),
                              w -> w <> '') AS words
-          FROM documents
+          FROM {source}
         ), UNNEST(range(1, len(words) - 1)) AS t(i)
         WHERE len(words) >= 3
       )
     ),
     sigs AS (
-      SELECT doc_id,
-             {", ".join(
-                 f"MIN(({a} * x + {b}) % {MINHASH_P}) AS m{i}"
-                 for i, (a, b) in enumerate(_MHV_AB)
-             )}
+      SELECT doc_id, {mins}
       FROM shingles GROUP BY doc_id
     ),
     bands AS (
       SELECT doc_id, i - 1 AS band, bks[i] AS bucket
       FROM (
-        SELECT doc_id,
-               [{", ".join(_mhv_bucket_sql(b) for b in range(_MHV_BANDS))}]
-                 AS bks
+        SELECT doc_id, [{buckets}] AS bks
         FROM sigs
       ), UNNEST(range(1, {_MHV_BANDS + 1})) AS t(i)
-    )
+    )"""
+
+
+@query(
+    "dedup_minhash_verified",
+    oracle=f"""
+    WITH {mhv_sigs_bands_sql("documents")}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
     JOIN bands b
@@ -2505,9 +2514,9 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    parallelism = spark.sparkContext.defaultParallelism
-    if len(d.inputFiles()) < parallelism:
-        d = d.repartition(parallelism)
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(d)
 
     n = 8
     # DCT-II basis, built once per executor batch

