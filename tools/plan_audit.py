@@ -60,6 +60,11 @@ ALLOW: dict[str, dict[str, str]] = {
 BOUNDED_WINDOW_OK = {
     # two-phase retrofits (twophase.py parts-row carry-in)
     "ts_id_sequence_gaps", "mix_quantile_normalize",
+    # embeds mix_quantile_normalize as its in-query accuracy harness
+    # (round-9 bound-check oracle), inheriting the twin's adjudicated
+    # two-phase prefix window; the production path (_grid_normalized)
+    # has no global window at all
+    "mix_quantile_normalize_grid",
     "agg_rfm_segmentation", "agg_top1pct_revenue_share",
     "window_pareto_8020", "agg_gini_concentration",
     "window_ntile_percent", "agg_ks_statistic", "agg_mann_whitney_u",
