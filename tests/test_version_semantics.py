@@ -178,3 +178,66 @@ class TestIntegerDivTruncation:
             "SELECT -7 div 2 AS a, 7 div 2 AS b, -1 div 2 AS c"
         ).collect()[0]
         assert (row["a"], row["b"], row["c"]) == (-3, 3, 0)
+
+
+class TestMd5IntPrimitive:
+    """conv(substr(md5(s),1,15),16,10): the cross-engine-exact 60-bit
+    hash under every round-9 hash-verified row (minhash/simhash
+    verified siblings + the incremental minhash store replay).  MD5 is
+    standardized, but conv()'s hex parsing and the cast are the
+    build-sensitive parts — pin known-answer values so an engine
+    upgrade that changes either fails HERE, not as a driver hash
+    mismatch."""
+
+    def test_known_answers(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = spark.createDataFrame(
+            [("abc",), ("hello world foo",), ("ünïcode",)], ["s"]
+        ).select(
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h")
+        ).collect()
+        assert [r["h"] for r in rows] == [
+            648541476951500027,   # md5('abc')[:15] as int
+            529488236574830868,   # md5('hello world foo')[:15]
+            923665688704222792,   # md5 over UTF-8 bytes of 'ünïcode'
+        ]
+
+
+class TestStructOrderingArgmax:
+    """array_max / greatest over (value, -id) structs: the IVF
+    centroid assignment and the verified rows' tie-breaks rely on
+    lexicographic struct comparison (first field, then second)."""
+
+    def test_array_max_struct_tiebreak(self, spark):
+        from pyspark.sql import functions as F
+
+        row = spark.range(1).select(
+            F.array_max(
+                F.array(
+                    F.struct(F.lit(1.0).alias("s"), F.lit(-3).alias("n")),
+                    F.struct(F.lit(1.0).alias("s"), F.lit(-1).alias("n")),
+                    F.struct(F.lit(0.5).alias("s"), F.lit(-0).alias("n")),
+                )
+            ).alias("m")
+        ).collect()[0]["m"]
+        # max sim first; on an exact tie the LARGER -id wins = lower id
+        assert (row["s"], row["n"]) == (1.0, -1)
+
+
+class TestFloorQuantization:
+    """floor(x*1e4) on doubles: the integer-hyperplane rows' vector
+    quantization.  Spark floor must truncate toward -inf on negatives
+    (matching numpy.floor and DuckDB FLOOR), never round."""
+
+    def test_floor_negative_and_boundary(self, spark):
+        from pyspark.sql import functions as F
+
+        row = spark.createDataFrame(
+            [(-0.32571,), (0.99995,), (-1.0,)], ["x"]
+        ).select(
+            F.floor(F.col("x") * 10000).cast("long").alias("q")
+        ).collect()
+        assert [r["q"] for r in row] == [-3258, 9999, -10000]
