@@ -1491,13 +1491,23 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.normalize(F.col("embedding")).alias("u")
     )
+    return _lsh_topk(e, band_buckets, hash_col="u")
+
+
+def _lsh_topk(e: DataFrame, band_buckets, hash_col: str) -> DataFrame:
+    """The LSH ANN pipeline body shared by similarity_ann_lsh and its
+    hash-verified sibling (so they cannot drift): band-bucket the
+    corpus and the <10 query vectors through ``band_buckets`` over
+    ``hash_col``, equi-join buckets for candidates, rescore
+    candidates exactly on the unit vectors (column ``u``), and take
+    the per-query top-5 on the 4-dp-rounded similarity."""
     corpus_b = e.select(
-        "vec_id", F.posexplode(band_buckets("u")).alias("band", "bucket")
+        "vec_id", F.posexplode(band_buckets(hash_col)).alias("band", "bucket")
     )
     q = e.where(F.col("vec_id") < 10)
     query_b = q.select(
         F.col("vec_id").alias("query_id"),
-        F.posexplode(band_buckets("u")).alias("band", "bucket"),
+        F.posexplode(band_buckets(hash_col)).alias("band", "bucket"),
     )
     cand = (
         corpus_b.join(F.broadcast(query_b), ["band", "bucket"])
@@ -1604,39 +1614,7 @@ def similarity_ann_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.withColumn(
         "qu", F.transform("u", lambda x: F.floor(x * 10000).cast("long"))
     )
-    corpus_b = e.select(
-        "vec_id", F.posexplode(band_buckets("qu")).alias("band", "bucket")
-    )
-    q = e.where(F.col("vec_id") < 10)
-    query_b = q.select(
-        F.col("vec_id").alias("query_id"),
-        F.posexplode(band_buckets("qu")).alias("band", "bucket"),
-    )
-    cand = (
-        corpus_b.join(F.broadcast(query_b), ["band", "bucket"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
-    )
-    qv = q.select(F.col("vec_id").alias("query_id"), F.col("u").alias("qu2"))
-    cv = e.select(F.col("vec_id").alias("neighbor_id"), "u")
-    scored = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(V.dot(F.col("qu2"), F.col("u")), 4).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-        .select("query_id", "neighbor_id", "cos_sim")
-    )
+    return _lsh_topk(e, band_buckets, hash_col="qu")
 
 
 # --------------------------------------------------------------------------
