@@ -732,30 +732,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = d.select(
         "doc_id", F.explode(F.array_distinct(T.words(F.col("text")))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
+    # bit 63 packs as -(2^63): xxhash64 is signed, so the full 64-bit
+    # signature needs the two's-complement top-bit weight
+    weights = [2**i if i < 63 else -(2**63) for i in range(64)]
+    return _simhash_pack(tokens, weights).orderBy("doc_id")
+
+
+def _simhash_pack(tokens: DataFrame, weights: list[int]) -> DataFrame:
+    """(doc_id, h) token-hash frame → (doc_id, simhash): per-bit ±1
+    votes (shiftright/bitwiseAND), one map-side-combined groupBy of
+    the vote sums, sign packing with the given per-bit weights — the
+    SimHash bit machinery shared by dedup_simhash (64-bit xxhash64,
+    top-bit two's-complement weight) and dedup_simhash_verified
+    (60-bit md5-int, plain non-negative weights), so the two rows
+    cannot drift."""
+    n_bits = len(weights)
     bits = tokens.select(
         "doc_id",
         *[
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
             .alias(f"b{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ],
     )
     sums = bits.groupBy("doc_id").agg(
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(64)]
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(n_bits)]
     )
-    simhash = sums.select(
+    return sums.select(
         "doc_id",
         sum(
             [
                 F.when(F.col(f"s{i}") > 0, F.lit(1).cast("bigint")).otherwise(0)
-                * F.lit(2 ** i if i < 63 else -(2 ** 63)).cast("bigint")
-                for i in range(64)
+                * F.lit(w).cast("bigint")
+                for i, w in enumerate(weights)
             ],
             F.lit(0).cast("bigint"),
         ).alias("simhash"),
     )
-    return simhash.orderBy("doc_id")
 
 
 _SIMHASH_V_BITS = 60  # md5-int is 60 bits (15 hex digits)
@@ -814,30 +828,7 @@ def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = d.select(
         "doc_id", F.explode(F.array_distinct(T.words(F.col("text")))).alias("tok")
     ).withColumn("h", _md5_int(F.col("tok")))
-    bits = tokens.select(
-        "doc_id",
-        *[
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{i}")
-            for i in range(_SIMHASH_V_BITS)
-        ],
-    )
-    sums = bits.groupBy("doc_id").agg(
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(_SIMHASH_V_BITS)]
-    )
-    return sums.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"s{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(
-                    F.lit(0).cast("bigint")
-                )
-                for i in range(_SIMHASH_V_BITS)
-            ],
-            F.lit(0).cast("bigint"),
-        ).alias("simhash"),
-    )
+    return _simhash_pack(tokens, [2**i for i in range(_SIMHASH_V_BITS)])
 
 
 def _hyperplane_bucket_udf(n_bands: int, bits: int, dim: int, seed: int = 7):
