@@ -914,3 +914,47 @@ def test_source_overlap_is_inverted_index_join(spark, sf_dir):
     # which is fine; at 100 TB it shuffles on the same key.)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_assignment_is_shuffle_free_map_work(spark, sf_dir):
+    """The round-9 rewrite's contract: nearest-centroid assignment is
+    one projection over a single-row broadcast centroid array — NO
+    per-vector row_number window, NO exchange of the k-by-N scored
+    rows (the pre-rewrite shape paid three such exchanges per IVF
+    pipeline).  The only join is the broadcast of the 1-row centroid
+    frame."""
+    from pyspark.sql import functions as F
+
+    from guidewire_spark.functions import vectors as V
+    from guidewire_spark.operators.llm import _ivf_assign
+    from guidewire_spark.plans.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.normalize(F.col("embedding")).alias("u")
+    )
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("u").alias("cu")
+    )
+    plan = plan_of(_ivf_assign(e, cents))
+    assert "Window" not in plan, "assignment must not window per vector"
+    # the only exchange allowed is the k-row centroid collapse to one
+    # row (SinglePartition); the N corpus vectors must never shuffle
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "array_max" in plan  # the broadcast-array argmax projection
+
+
+def test_substring_family_tokenize_uses_every_core(spark, sf_dir):
+    """substring_occurrences must fan the CPU-heavy tokenize+shingle
+    stage out across cores when the scan is a single file (the
+    round-9 single-partition fix), and the fan-out must be the ONLY
+    exchange before the shingle aggregate."""
+    from guidewire_spark.operators.llm import substring_occurrences
+    from guidewire_spark.plans.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    _, occ = substring_occurrences(d)
+    n_parts = occ.rdd.getNumPartitions()
+    assert n_parts >= spark.sparkContext.defaultParallelism, (
+        f"tokenize stage has {n_parts} partitions"
+    )
