@@ -2205,43 +2205,74 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: codeword boundaries are approximation details; recall
     is gated in tests/test_llm_quality.py.
     """
-    m_sub, k_codes, dim_sub = 8, 16, 8
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.normalize(F.col("embedding")).alias("u")
     )
-    # (vec_id, m, sub): one 16-dim subvector per subspace, JVM slices.
+    return _pq_topk(spark, e, enc_col="u", refine=True)
+
+
+def _pq_topk(
+    spark: SparkSession,
+    e: DataFrame,
+    enc_col: str,
+    refine: bool,
+    det_seeds: bool = False,
+) -> DataFrame:
+    """The PQ ANN pipeline body — subspace split, codebook seeding
+    (+ optional one-Lloyd-step refinement), code assignment, ADC
+    lookup-table scoring, top-100 shortlist, exact rerank — shared by
+    similarity_ann_pq (float subvectors, refined codebooks) and the
+    hash-verified similarity_ann_pq_verified (int64-quantized
+    subvectors, seed codebooks, refine=False so every distance is
+    exact integer arithmetic a SQL oracle replays).  ``e`` carries
+    the float unit vector ``u`` (rerank is always exact float cosine)
+    plus ``enc_col``, the vector the codes are built from."""
+    m_sub, k_codes, dim_sub = 8, 16, 8
+    # (vec_id, m, sub): one 8-dim subvector per subspace, JVM slices.
     subs = e.select(
         "vec_id",
         F.posexplode(
             F.array(
                 *[
-                    F.slice("u", m * dim_sub + 1, dim_sub)
+                    F.slice(enc_col, m * dim_sub + 1, dim_sub)
                     for m in range(m_sub)
                 ]
             )
         ).alias("m", "sub"),
     )
-    # Deterministic seeds -> per-subspace codebooks, one Lloyd step.
-    seeds = (
-        e.where(F.col("vec_id") % 32 == 0)
-        .select("vec_id", "u")
-        .limit(k_codes)
-        .withColumn(
-            "code",
-            F.row_number().over(Window.orderBy("vec_id")) - 1,
+    # Seeds -> per-subspace codebooks.  The verified row uses the
+    # fully-deterministic predicate (vec_id < 32·k, no limit) so the
+    # oracle selects the identical seed set; the production row keeps
+    # its historical limit-based selection.
+    if det_seeds:
+        seed_rows = e.where(
+            (F.col("vec_id") % 32 == 0) & (F.col("vec_id") < 32 * k_codes)
+        ).select("vec_id", enc_col)
+    else:
+        seed_rows = (
+            e.where(F.col("vec_id") % 32 == 0)
+            .select("vec_id", enc_col)
+            .limit(k_codes)
         )
+    seeds = seed_rows.withColumn(
+        "code",
+        F.row_number().over(Window.orderBy("vec_id")) - 1,
     )
     cb = seeds.select(
         "code",
         F.posexplode(
             F.array(
                 *[
-                    F.slice("u", m * dim_sub + 1, dim_sub)
+                    F.slice(enc_col, m * dim_sub + 1, dim_sub)
                     for m in range(m_sub)
                 ]
             )
         ).alias("m", "cvec"),
     )
+    # (x-y)^2 sums stay exact for BOTH element types: doubles are the
+    # production path; quantized int64 components are ≤ 1e4 so the
+    # squared sums (≤ 3.2e9) are exactly representable in the double
+    # accumulator — the fold is a single shared expression.
     l2sq = F.aggregate(
         F.zip_with(
             F.col("sub"), F.col("cvec"), lambda x, y: (x - y) * (x - y)
@@ -2261,26 +2292,30 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "m", "sub", "code")
         )
 
-    assigned = encode(subs, cb)
-    refined_df = (
-        assigned.select(
-            "m", "code", F.posexplode("sub").alias("dim", "val")
+    if refine:
+        assigned = encode(subs, cb)
+        refined_df = (
+            assigned.select(
+                "m", "code", F.posexplode("sub").alias("dim", "val")
+            )
+            .groupBy("m", "code", "dim")
+            .agg(F.avg("val").alias("mu"))
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                    lambda s: s["mu"],
+                ).alias("cvec")
+            )
         )
-        .groupBy("m", "code", "dim")
-        .agg(F.avg("val").alias("mu"))
-        .groupBy("m", "code")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "mu"))),
-                lambda s: s["mu"],
-            ).alias("cvec")
+        # codebooks are (8 x 16 x 8 doubles) — driver-metadata-sized;
+        # collecting truncates the corpus-pass lineage like IVF's
+        # Lloyd.
+        cb1 = spark.createDataFrame(
+            refined_df.collect(), schema="m int, code int, cvec array<double>"
         )
-    )
-    # codebooks are (4 x 16 x 16 doubles) — driver-metadata-sized;
-    # collecting truncates the corpus-pass lineage like IVF's Lloyd.
-    cb1 = spark.createDataFrame(
-        refined_df.collect(), schema="m int, code int, cvec array<double>"
-    )
+    else:
+        cb1 = cb
     codes = encode(subs, cb1).select("vec_id", "m", "code")
 
     # Per-query ADC lookup table: ||q_m - c_{m,k}||^2 for every (m, k).
@@ -2290,7 +2325,7 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.slice("u", m * dim_sub + 1, dim_sub)
+                    F.slice(enc_col, m * dim_sub + 1, dim_sub)
                     for m in range(m_sub)
                 ]
             )
@@ -2311,17 +2346,23 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 100)
         .select("query_id", "vec_id")
     )
-    # Exact rerank of the 50-deep shortlist against the raw vectors.
+    # Exact rerank of the shortlist against the raw unit vectors
+    # (always the float u column, whatever enc_col the codes used).
     rescored = (
-        shortlist.join(e, "vec_id")
+        shortlist.join(e.select("vec_id", "u"), "vec_id")
         .join(
-            F.broadcast(q.select(F.col("vec_id").alias("query_id"), F.col("u").alias("qu"))),
+            F.broadcast(
+                q.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("u").alias("q_unit"),
+                )
+            ),
             "query_id",
         )
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(V.dot(F.col("qu"), F.col("u")), 4).alias("cos_sim"),
+            F.round(V.dot(F.col("q_unit"), F.col("u")), 4).alias("cos_sim"),
         )
     )
     w5 = Window.partitionBy("query_id").orderBy(
@@ -2332,6 +2373,108 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+@query(
+    "similarity_ann_pq_verified",
+    oracle="""
+    WITH unit AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS fu
+      FROM embeddings
+    ),
+    qv AS MATERIALIZED (
+      SELECT vec_id, i AS dim,
+             CAST(FLOOR(fu[i + 1] * 10000) AS BIGINT) AS q
+      FROM unit, UNNEST(range(0, 64)) AS t(i)
+    ),
+    seeds AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+      FROM unit WHERE vec_id % 32 = 0 AND vec_id < 512
+    ),
+    cbq AS MATERIALIZED (
+      SELECT s.code, qv.dim // 8 AS m, qv.dim % 8 AS sdim, qv.q AS c
+      FROM seeds s JOIN qv ON qv.vec_id = s.vec_id
+    ),
+    sub AS MATERIALIZED (
+      SELECT vec_id, dim // 8 AS m, dim % 8 AS sdim, q FROM qv
+    ),
+    dist AS MATERIALIZED (
+      SELECT sub.vec_id, sub.m, cb.code,
+             SUM((sub.q - cb.c) * (sub.q - cb.c)) AS d
+      FROM sub JOIN cbq cb ON cb.m = sub.m AND cb.sdim = sub.sdim
+      GROUP BY sub.vec_id, sub.m, cb.code
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, code) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    lut AS MATERIALIZED (
+      SELECT vec_id AS query_id, m, code, d FROM dist WHERE vec_id < 10
+    ),
+    adc AS MATERIALIZED (
+      SELECT l.query_id, c.vec_id, SUM(l.d) AS approx_d
+      FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id
+    ),
+    short AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY approx_d, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= 100
+    ),
+    resc AS (
+      SELECT s.query_id, s.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, 65),
+                   i -> qq.fu[i] * cc.fu[i])), 4) AS cos_sim
+      FROM short s
+      JOIN unit qq ON qq.vec_id = s.query_id
+      JOIN unit cc ON cc.vec_id = s.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM resc
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_ann_pq_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, hash-verified end-to-end — the PQ
+    leg's analogue of similarity_ann_ivf_fullprobe, completing the ANN
+    triad's verified coverage: the SAME ``_pq_topk`` body as the
+    production row (subspace split, codebook seeding, nearest-codeword
+    assignment with (d, code) tie-break, per-query ADC lookup table,
+    grouped approximate-distance sum, top-100 shortlist, exact
+    rerank) with two exactness swaps: subvectors are
+    floor(u·10⁴)-quantized int64 (the squared-distance folds become
+    exact — the double accumulator represents sums ≤ 3.2e9 exactly)
+    and the codebooks are the UNREFINED deterministic seeds
+    (vec_id % 32 = 0, vec_id < 512 — no float Lloyd means), so the
+    DuckDB oracle replays every code assignment, every ADC cell,
+    the shortlist ordering, and the rerank digit-for-digit.  The
+    production row keeps only the float Lloyd refinement unverified —
+    the same training-step class IVF's verified rows already cover.
+
+    Scale shape: identical to production — codes are M small ints per
+    vector, the ADC join carries (m, code) keys, rerank touches 100
+    vectors per query."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.normalize(F.col("embedding")).alias("u")
+    )
+    e = e.withColumn(
+        "qu", F.transform("u", lambda x: F.floor(x * 10000).cast("long"))
+    )
+    return _pq_topk(spark, e, enc_col="qu", refine=False, det_seeds=True)
 
 
 @query(
