@@ -2245,19 +2245,25 @@ def _pq_topk(
     # oracle selects the identical seed set; the production row keeps
     # its historical limit-based selection.
     if det_seeds:
-        seed_rows = e.where(
+        # code = vec_id // 32 IS the rank of the eligible ids in
+        # ascending order — pure arithmetic, no window at all
+        seeds = e.where(
             (F.col("vec_id") % 32 == 0) & (F.col("vec_id") < 32 * k_codes)
-        ).select("vec_id", enc_col)
+        ).select(
+            "vec_id",
+            enc_col,
+            (F.col("vec_id") / 32).cast("int").alias("code"),
+        )
     else:
-        seed_rows = (
+        seeds = (
             e.where(F.col("vec_id") % 32 == 0)
             .select("vec_id", enc_col)
             .limit(k_codes)
+            .withColumn(
+                "code",
+                F.row_number().over(Window.orderBy("vec_id")) - 1,
+            )
         )
-    seeds = seed_rows.withColumn(
-        "code",
-        F.row_number().over(Window.orderBy("vec_id")) - 1,
-    )
     cb = seeds.select(
         "code",
         F.posexplode(
@@ -2391,8 +2397,7 @@ def _pq_topk(
       FROM unit, UNNEST(range(0, 64)) AS t(i)
     ),
     seeds AS MATERIALIZED (
-      SELECT vec_id,
-             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+      SELECT vec_id, CAST(vec_id // 32 AS INT) AS code
       FROM unit WHERE vec_id % 32 = 0 AND vec_id < 512
     ),
     cbq AS MATERIALIZED (
