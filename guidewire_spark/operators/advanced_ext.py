@@ -592,7 +592,11 @@ def vocab_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("merge_rank")
         .collect()
     ]
-    d = load_table(spark, sf_dir, "documents")
+    from guidewire_spark.plans.catalog import fan_out
+
+    # the 8 chained folds are CPU-heavy per word — fan the corpus out
+    # before them (no-op on real multi-file scans)
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     words = d.select(
         "doc_id", F.explode(T.words(F.col("text"))).alias("w")
     ).select(
