@@ -2974,26 +2974,68 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse probe is the ceiling — a true neighbor in an unprobed cell
     is unreachable, which is the knob n_probe buys back).  Rows-only:
     recall@5 vs brute force is gated in tests/test_llm_quality.py."""
-    m_sub, k_codes, dim_sub, n_probe = 8, 16, 8, 3
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.normalize(F.col("embedding")).alias("u")
     )
-    # --- coarse quantizer: 8 deterministic seeds + one Lloyd step ---
-    cents_df = (
-        e.where(F.col("vec_id") % 64 == 0)
-        .select(F.col("vec_id").alias("cent_id"), F.col("u").alias("cu"))
-        .limit(8)
-    )
-    cents = spark.createDataFrame(
-        [(i, r["cu"]) for i, r in enumerate(cents_df.collect())],
-        "cell int, cu array<double>",
-    )
+    return _ivfpq_topk(spark, e, enc_col="u", det=False)
+
+
+def _arr_type(det: bool) -> str:
+    """Schema element type for the IVF-PQ helper's collected tables:
+    int64 on the deterministic (verified) path, double on the
+    production float path."""
+    return "array<bigint>" if det else "array<double>"
+
+
+def _ivfpq_topk(
+    spark: SparkSession, e: DataFrame, enc_col: str, det: bool
+) -> DataFrame:
+    """The IVF-PQ composite body — coarse quantizer, residual
+    computation, residual-PQ codebooks, code assignment, probed
+    residual-ADC, exact rerank — shared by similarity_ann_ivfpq
+    (float path: limit-seeded Lloyd-refined centroids and codebooks)
+    and the hash-verified similarity_ann_ivfpq_verified
+    (``det=True``: int64-quantized vectors, arithmetic-ranked
+    unrefined centroid/codebook seeds — every stage exact integer
+    work a SQL oracle replays, probes and all).  ``e`` carries the
+    float unit vector ``u`` (the rerank is always exact float cosine)
+    plus ``enc_col``, the vector the index is built from."""
+    m_sub, k_codes, dim_sub, n_probe, n_cells = 8, 16, 8, 3, 8
+    # --- coarse quantizer ------------------------------------------
+    if det:
+        # cell = vec_id // 64 IS the ascending rank of the eligible
+        # seeds — pure arithmetic, no limit, no Lloyd
+        cents = (
+            e.where(
+                (F.col("vec_id") % 64 == 0)
+                & (F.col("vec_id") < 64 * n_cells)
+            )
+            .select(
+                (F.col("vec_id") / 64).cast("int").alias("cell"),
+                F.col(enc_col).alias("cu"),
+            )
+        )
+        cents = spark.createDataFrame(
+            cents.collect(), schema=f"cell int, cu {_arr_type(det)}"
+        )
+    else:
+        cents_df = (
+            e.where(F.col("vec_id") % 64 == 0)
+            .select(F.col("vec_id").alias("cent_id"), F.col("u").alias("cu"))
+            .limit(n_cells)
+        )
+        cents = spark.createDataFrame(
+            [(i, r["cu"]) for i, r in enumerate(cents_df.collect())],
+            "cell int, cu array<double>",
+        )
+
+    vec_cols = ["vec_id", "u"] if enc_col == "u" else ["vec_id", "u", enc_col]
 
     def coarse_assign(centroids):
         return (
             e.join(F.broadcast(centroids))
-            .select("vec_id", "u", "cell", "cu",
-                    V.dot(F.col("u"), F.col("cu")).alias("sim"))
+            .select(*vec_cols, "cell", "cu",
+                    V.dot(F.col(enc_col), F.col("cu")).alias("sim"))
             .withColumn(
                 "rn",
                 F.row_number().over(
@@ -3005,27 +3047,28 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where("rn = 1")
         )
 
-    lloyd = (
-        coarse_assign(cents)
-        .select("cell", F.posexplode("u").alias("dim", "val"))
-        .groupBy("cell", "dim")
-        .agg(F.avg("val").alias("m"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                lambda s: s["m"],
-            ).alias("mean_vec")
+    if not det:
+        lloyd = (
+            coarse_assign(cents)
+            .select("cell", F.posexplode("u").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("mean_vec")
+            )
+            .select("cell", V.normalize(F.col("mean_vec")).alias("cu"))
         )
-        .select("cell", V.normalize(F.col("mean_vec")).alias("cu"))
-    )
-    cents = spark.createDataFrame(
-        lloyd.collect(), schema="cell int, cu array<double>"
-    )
+        cents = spark.createDataFrame(
+            lloyd.collect(), schema="cell int, cu array<double>"
+        )
     assigned = coarse_assign(cents).select(
         "vec_id", "u", "cell",
         # residual: where the vector sits INSIDE its cell
-        F.zip_with("u", "cu", lambda x, y: x - y).alias("res"),
+        F.zip_with(enc_col, "cu", lambda x, y: x - y).alias("res"),
     )
     # --- residual PQ: per-subspace codebooks from deterministic seeds
     subs = assigned.select(
@@ -3035,20 +3078,39 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                       for m in range(m_sub)])
         ).alias("m", "sub"),
     )
-    seed_rows = (
-        assigned.where(F.col("vec_id") % 32 == 0)
-        .select("res")
-        .limit(k_codes)
-        .collect()
-    )
-    cb = spark.createDataFrame(
-        [
-            (m, k, list(r["res"][m * dim_sub : (m + 1) * dim_sub]))
-            for k, r in enumerate(seed_rows)
-            for m in range(m_sub)
-        ],
-        "m int, code int, cvec array<double>",
-    )
+    if det:
+        seed_rows = (
+            assigned.where(
+                (F.col("vec_id") % 32 == 0)
+                & (F.col("vec_id") < 32 * k_codes)
+            )
+            .select("vec_id", "res")
+            .collect()
+        )
+        cb = spark.createDataFrame(
+            [
+                (m, r["vec_id"] // 32,
+                 list(r["res"][m * dim_sub : (m + 1) * dim_sub]))
+                for r in seed_rows
+                for m in range(m_sub)
+            ],
+            f"m int, code int, cvec {_arr_type(det)}",
+        )
+    else:
+        seed_rows = (
+            assigned.where(F.col("vec_id") % 32 == 0)
+            .select("res")
+            .limit(k_codes)
+            .collect()
+        )
+        cb = spark.createDataFrame(
+            [
+                (m, k, list(r["res"][m * dim_sub : (m + 1) * dim_sub]))
+                for k, r in enumerate(seed_rows)
+                for m in range(m_sub)
+            ],
+            "m int, code int, cvec array<double>",
+        )
     l2sq = F.aggregate(
         F.zip_with(F.col("sub"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -3066,32 +3128,36 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "cell", "m", "sub", "code")
         )
 
-    # one Lloyd refinement of the residual codebooks, then final codes
-    refined = (
-        encode(subs, cb)
-        .select("m", "code", F.posexplode("sub").alias("dim", "val"))
-        .groupBy("m", "code", "dim")
-        .agg(F.avg("val").alias("mu"))
-        .groupBy("m", "code")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "mu"))),
-                lambda s: s["mu"],
-            ).alias("cvec")
+    # one Lloyd refinement of the residual codebooks (production path
+    # only — the verified path keeps the exact integer seed codebooks)
+    if det:
+        cb1 = cb
+    else:
+        refined = (
+            encode(subs, cb)
+            .select("m", "code", F.posexplode("sub").alias("dim", "val"))
+            .groupBy("m", "code", "dim")
+            .agg(F.avg("val").alias("mu"))
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                    lambda s: s["mu"],
+                ).alias("cvec")
+            )
         )
-    )
-    cb1 = spark.createDataFrame(
-        refined.collect(), schema="m int, code int, cvec array<double>"
-    )
+        cb1 = spark.createDataFrame(
+            refined.collect(), schema="m int, code int, cvec array<double>"
+        )
     codes = encode(subs, cb1).select("vec_id", "cell", "m", "code")
 
-    # --- query path: probe top-2 cells, residual-ADC, exact rerank --
+    # --- query path: probe top-n cells, residual-ADC, exact rerank --
     q = e.where(F.col("vec_id") < 10)
     q_cells = (
         q.join(F.broadcast(cents))
         .select(
-            F.col("vec_id").alias("query_id"), "u", "cell", "cu",
-            V.dot(F.col("u"), F.col("cu")).alias("sim"),
+            F.col("vec_id").alias("query_id"), enc_col, "cell", "cu",
+            V.dot(F.col(enc_col), F.col("cu")).alias("sim"),
         )
         .withColumn(
             "rn",
@@ -3106,7 +3172,7 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # centroid) — the LUT must live in the same residual space
         .select(
             "query_id", "cell",
-            F.zip_with("u", "cu", lambda x, y: x - y).alias("qres"),
+            F.zip_with(enc_col, "cu", lambda x, y: x - y).alias("qres"),
         )
     )
     q_subs = q_cells.select(
@@ -3141,18 +3207,18 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     rescored = (
-        shortlist.join(e, "vec_id")
+        shortlist.join(e.select("vec_id", "u"), "vec_id")
         .join(
             F.broadcast(
                 q.select(F.col("vec_id").alias("query_id"),
-                         F.col("u").alias("qu"))
+                         F.col("u").alias("q_unit"))
             ),
             "query_id",
         )
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(V.dot(F.col("qu"), F.col("u")), 4).alias("cos_sim"),
+            F.round(V.dot(F.col("q_unit"), F.col("u")), 4).alias("cos_sim"),
         )
     )
     w5 = Window.partitionBy("query_id").orderBy(
@@ -3163,6 +3229,146 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+@query(
+    "similarity_ann_ivfpq_verified",
+    oracle="""
+    WITH unit AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS fu
+      FROM embeddings
+    ),
+    qv AS MATERIALIZED (
+      SELECT vec_id, i AS dim,
+             CAST(FLOOR(fu[i + 1] * 10000) AS BIGINT) AS q
+      FROM unit, UNNEST(range(0, 64)) AS t(i)
+    ),
+    cents AS MATERIALIZED (
+      SELECT CAST(vec_id // 64 AS INT) AS cell, vec_id AS cvid
+      FROM unit WHERE vec_id % 64 = 0 AND vec_id < 512
+    ),
+    centd AS MATERIALIZED (
+      SELECT c.cell, qv.dim, qv.q AS cq
+      FROM cents c JOIN qv ON qv.vec_id = c.cvid
+    ),
+    cdots AS MATERIALIZED (
+      SELECT qv.vec_id, cd.cell, SUM(qv.q * cd.cq) AS s
+      FROM qv JOIN centd cd ON cd.dim = qv.dim
+      GROUP BY qv.vec_id, cd.cell
+    ),
+    assign AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell) AS rn
+        FROM cdots
+      ) WHERE rn = 1
+    ),
+    res AS MATERIALIZED (
+      SELECT qv.vec_id, a.cell, qv.dim, qv.q - cd.cq AS r
+      FROM qv
+      JOIN assign a ON a.vec_id = qv.vec_id
+      JOIN centd cd ON cd.cell = a.cell AND cd.dim = qv.dim
+    ),
+    cb AS MATERIALIZED (
+      SELECT CAST(s.vec_id // 32 AS INT) AS code,
+             res.dim // 8 AS m, res.dim % 8 AS sdim, res.r AS c
+      FROM (SELECT vec_id FROM unit
+            WHERE vec_id % 32 = 0 AND vec_id < 512) s
+      JOIN res ON res.vec_id = s.vec_id
+    ),
+    dist AS MATERIALIZED (
+      SELECT res.vec_id, res.dim // 8 AS m, cb.code,
+             SUM((res.r - cb.c) * (res.r - cb.c)) AS d
+      FROM res JOIN cb ON cb.m = res.dim // 8 AND cb.sdim = res.dim % 8
+      GROUP BY res.vec_id, res.dim // 8, cb.code
+    ),
+    codes AS MATERIALIZED (
+      SELECT d.vec_id, a.cell, d.m, d.code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, code) AS rn
+        FROM dist
+      ) d JOIN assign a ON a.vec_id = d.vec_id
+      WHERE d.rn = 1
+    ),
+    probes AS MATERIALIZED (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell) AS rn
+        FROM cdots WHERE vec_id < 10
+      ) WHERE rn <= 3
+    ),
+    qres AS MATERIALIZED (
+      SELECT p.query_id, p.cell, qv.dim, qv.q - cd.cq AS r
+      FROM probes p
+      JOIN qv ON qv.vec_id = p.query_id
+      JOIN centd cd ON cd.cell = p.cell AND cd.dim = qv.dim
+    ),
+    lut AS MATERIALIZED (
+      SELECT q.query_id, q.cell, q.dim // 8 AS m, cb.code,
+             SUM((q.r - cb.c) * (q.r - cb.c)) AS d
+      FROM qres q JOIN cb ON cb.m = q.dim // 8 AND cb.sdim = q.dim % 8
+      GROUP BY q.query_id, q.cell, q.dim // 8, cb.code
+    ),
+    adc AS MATERIALIZED (
+      SELECT l.query_id, c.vec_id, SUM(l.d) AS approx_d
+      FROM codes c
+      JOIN lut l ON l.cell = c.cell AND l.m = c.m AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id
+    ),
+    short AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY approx_d, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= 100
+    ),
+    resc AS (
+      SELECT s.query_id, s.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, 65),
+                   i -> qq.fu[i] * cc.fu[i])), 4) AS cos_sim
+      FROM short s
+      JOIN unit qq ON qq.vec_id = s.query_id
+      JOIN unit cc ON cc.vec_id = s.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM resc
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_ann_ivfpq_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN, hash-verified end-to-end — closing the
+    ANN family: the SAME ``_ivfpq_topk`` body as the production row
+    (coarse assignment, residual computation, residual-PQ codebooks,
+    code assignment, n_probe=3 probed residual-ADC, top-100
+    shortlist, exact rerank) on int64-quantized vectors with
+    arithmetic-ranked unrefined centroid and codebook seeds — so
+    every stage, INCLUDING the composite-specific residual wiring and
+    per-cell ADC, is exact integer work the DuckDB oracle replays
+    digit-for-digit, probes and all (like the LSH/PQ verified rows,
+    the oracle reproduces the approximation's own misses).  Only the
+    float Lloyd refinements of the production row remain unverified —
+    the training-step class the IVF verified rows already argue.
+
+    Scale shape: identical to production — centroids/codebooks are
+    metadata-sized collects, the ADC join carries (cell, m, code)
+    keys, candidates touch only probed cells."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.normalize(F.col("embedding")).alias("u")
+    )
+    e = e.withColumn(
+        "qu", F.transform("u", lambda x: F.floor(x * 10000).cast("long"))
+    )
+    return _ivfpq_topk(spark, e, enc_col="qu", det=True)
 
 
 @query(
