@@ -42,6 +42,13 @@ HEADLINE = [
     "dedup_substring_trim",
     "mix_source_overlap_matrix",
     "similarity_ann_ivf_fullprobe",
+    # Round-10: the chained-JVM-fold family's heaviest query (8 BPE
+    # merge folds over every word of the corpus).  Its single-core
+    # fold shape was the round-9 hidden cost (14.2 s at sf0.1 until
+    # the guarded fan-out); with it in the headline list a regression
+    # of that class is visible in the BENCH series, not only in
+    # SCALING.md probes.
+    "vocab_bpe_encode_corpus",
 ]
 
 

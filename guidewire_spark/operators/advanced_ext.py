@@ -569,9 +569,14 @@ def vocab_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # additionally exact-equivalence-gated against the pure-Python encoder
 # in tests/test_advanced_ext.py::test_bpe_encode_matches_reference;
 # the oracle re-learns the merge list with the shared train layers
-# (see _bpe_train_oracle's early-stop caveat) and re-encodes every
-# word with ordered nested replace() over the one-char-per-symbol
-# encoding.
+# and re-encodes every word with ordered nested replace() over the
+# one-char-per-symbol encoding.  Early-stop caveat, SPECIFIC to this
+# row: the oracle always unrolls 8 merge rounds while the Spark
+# trainer stops when the best pair's freq drops below 2 — and unlike
+# vocab_bpe_train_merges (where an early stop shows up as a ROW-COUNT
+# mismatch), here the oracle's extra merges would produce silently
+# different tokens_bpe values.  The assert below makes that failure
+# mode loud and named instead of a bare hash mismatch.
 def vocab_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the 8 learned BPE merges (vocab_bpe_train_merges) to the
     WHOLE corpus and account per-document token counts — the encode
@@ -592,6 +597,13 @@ def vocab_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("merge_rank")
         .collect()
     ]
+    assert len(merges) == 8, (
+        "BPE trainer early-stopped at "
+        f"{len(merges)} merges (best pair freq < 2) but the DuckDB "
+        "oracle unconditionally unrolls 8 rounds — its extra merges "
+        "would yield silently different tokens_bpe values. Corpus too "
+        "small for this query's oracle contract."
+    )
     from guidewire_spark.plans.catalog import fan_out
 
     # the 8 chained folds are CPU-heavy per word — fan the corpus out

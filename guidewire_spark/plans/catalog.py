@@ -69,9 +69,16 @@ def fan_out(d: DataFrame) -> DataFrame:
     (the sf test tables are single parquet files = one scan
     partition), repartition so the expensive projection uses every
     core.  At real scale the scan already carries ≥ cores partitions
-    and this is a no-op — no gratuitous full shuffle of raw text."""
+    and this is a no-op — no gratuitous full shuffle of raw text.
+
+    Frames NOT backed by a file scan (unions, ``createDataFrame``,
+    post-shuffle results) report ``inputFiles() == []``; for those the
+    guard falls back to the frame's actual partition count, so a frame
+    that already fans wide (e.g. the output of a 32-partition shuffle)
+    is NOT silently re-shuffled just because it lost its scan lineage."""
     parallelism = d.sparkSession.sparkContext.defaultParallelism
-    if len(d.inputFiles()) < parallelism:
+    width = len(d.inputFiles()) or d.rdd.getNumPartitions()
+    if width < parallelism:
         d = d.repartition(parallelism)
     return d
 

@@ -41,15 +41,51 @@ from pyspark.sql.datasource import (
 )
 
 
+def _sink_marker_ts(root: str) -> int | None:
+    """``lastSuccessfulWriteTimestamp`` from the table-level marker
+    manifest a marker-last sink publish maintains NEXT TO the
+    fingerprint dir (``<table_dir>/manifest.json``), or None when no
+    marker governs this tree.
+
+    This is the reader half of the object-store commit protocol (see
+    ``_CdaRemoteArrowWriter``), and the same gate the reference's own
+    readers apply (``Guidewire.scala:133-137``): a commit folder with
+    ts beyond the marker is an in-flight publish, not a commit.
+    Non-sink trees (the POSIX sink's rename-published folders,
+    reference-produced feeds) have no such file and list ungated; an
+    unparseable or foreign manifest.json is treated the same way."""
+    import json
+
+    table_dir = os.path.dirname(os.path.abspath(root.rstrip("/")))
+    mpath = os.path.join(table_dir, "manifest.json")
+    if not os.path.isfile(mpath):
+        return None
+    try:
+        with open(mpath, encoding="utf-8") as fh:
+            raw = json.load(fh)
+        entry = raw.get(os.path.basename(table_dir))
+        if entry is None and isinstance(raw, dict) and len(raw) == 1:
+            entry = next(iter(raw.values()))
+        if entry is None:
+            return None
+        return int(entry["lastSuccessfulWriteTimestamp"])
+    except (ValueError, KeyError, TypeError, OSError):
+        return None
+
+
 def _list_commit_ts(root: str) -> list[int]:
     """Timestamp folders under the fingerprint dir (same digit-name
-    rule as the batch connector's fs.list_timestamp_dirs)."""
+    rule as the batch connector's fs.list_timestamp_dirs), gated on
+    the sink marker manifest when one governs the tree."""
     if not os.path.isdir(root):
         return []
     out = []
     for name in os.listdir(root):
         if name.isdigit() and os.path.isdir(os.path.join(root, name)):
             out.append(int(name))
+    marker = _sink_marker_ts(root)
+    if marker is not None:
+        out = [t for t in out if t <= marker]
     return sorted(out)
 
 
@@ -332,19 +368,185 @@ class _CdaStreamArrowWriter(DataSourceStreamArrowWriter):
                 os.remove(m.staged)
 
 
+class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
+    """Marker-last exactly-once publish for OBJECT STORES (fsspec).
+
+    The POSIX writer's atomic-directory-rename publish (above) does
+    not exist on object stores: an s3 "rename" is a per-object
+    copy+delete, so a reader could list a folder half-published
+    mid-rename.  The primitive that IS atomic there is a
+    single-object PUT — so this writer commits the way the
+    reference's own feed gates visibility (the manifest's
+    ``lastSuccessfulWriteTimestamp``, ``Guidewire.scala:133-137``;
+    S3-native writes at ``S3Access.scala:12-59``):
+
+      1. executors stage parquet objects under ``<fp>/_staging/``
+         (non-digit prefix — invisible to every commit listing);
+      2. the driver's commit() moves them into the digit-named commit
+         folder ``<fp>/<ts>/part-*.parquet``;
+      3. LAST, it PUTs the table-level marker manifest
+         ``<table_dir>/manifest.json`` (reference manifest format,
+         one entry keyed by the table-dir basename) with
+         ``lastSuccessfulWriteTimestamp = ts``.
+
+    Readers gate on the marker, so none can observe a partial
+    publish: ``index()`` pointed at the marker manifest applies the
+    EDGE CASE#1 committed filter (``ts <= lastSuccessfulWrite
+    Timestamp``), and the gw_cda / gw_cda_stream sources apply the
+    same gate via ``_sink_marker_ts`` when a marker manifest sits
+    next to their fingerprint dir.
+
+    Exactly-once across Spark batch retries, with NO replace window
+    once committed: if the marker already covers this batch's ts, the
+    previous attempt fully published (marker-last invariant) and the
+    retry is a pure no-op that discards its own staging; otherwise
+    any partial folder from a crashed attempt is reader-invisible and
+    is deleted + rewritten before the marker advances.
+
+    Single writer per table, like the reference connector's
+    one-writer-per-table fan-out (P2): two concurrent streams
+    updating one marker manifest would race last-PUT-wins.
+    """
+
+    def __init__(self, root_uri: str, base_ts: int):
+        self.root = root_uri.rstrip("/")
+        self.base_ts = base_ts
+        table_dir, _, self.fingerprint = self.root.rpartition("/")
+        self.table_dir = table_dir
+        self.table_name = table_dir.rsplit("/", 1)[-1]
+        self.manifest_uri = f"{table_dir}/manifest.json"
+        try:  # fail fast at STREAM START, not first micro-batch
+            import fsspec  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "gw_cda_sink on an object-store path requires fsspec "
+                f"(path {root_uri!r})"
+            ) from e
+
+    def _fs(self):
+        import fsspec
+
+        return fsspec.core.url_to_fs(self.root)
+
+    def write(self, iterator):
+        import io
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches:
+            return _CdaSinkMessage(None, 0)
+        fs, root_path = self._fs()
+        tbl = pa.Table.from_batches(batches)
+        # buffer then single PUT: parquet needs its footer last, and a
+        # single object PUT is the atomic unit the protocol builds on
+        buf = io.BytesIO()
+        pq.write_table(tbl, buf)
+        staged = f"{root_path}/_staging/stage-{_uuid.uuid4().hex}.parquet"
+        with fs.open(staged, "wb") as f:
+            f.write(buf.getvalue())
+        return _CdaSinkMessage(staged, tbl.num_rows)
+
+    def _manifest_entry(self):
+        import json
+
+        from guidewire_spark.sources.fs import read_text
+
+        try:
+            raw = json.loads(read_text(self.manifest_uri))
+        except (FileNotFoundError, ValueError):
+            return None
+        entry = raw.get(self.table_name)
+        if entry is None and len(raw) == 1:
+            entry = next(iter(raw.values()))
+        return entry
+
+    @staticmethod
+    def _mv(fs, src: str, dst: str) -> None:
+        if hasattr(fs, "mv"):
+            fs.mv(src, dst)
+            return
+        with fs.open(src, "rb") as fi, fs.open(dst, "wb") as fo:
+            fo.write(fi.read())
+        fs.rm(src)
+
+    def _drop_staged(self, fs, messages) -> None:
+        for m in messages:
+            if m is not None and m.staged:
+                try:
+                    fs.rm(m.staged)
+                except FileNotFoundError:
+                    pass
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+
+        ts = self.base_ts + batchId
+        fs, _ = self._fs()
+        entry = self._manifest_entry()
+        last = int(entry["lastSuccessfulWriteTimestamp"]) if entry else -1
+        if ts <= last:
+            # marker-last invariant: marker >= ts means folder <ts>
+            # was FULLY published by a previous attempt — the retry
+            # must not touch it (that would reopen a visibility
+            # window on a folder readers already trust)
+            self._drop_staged(fs, messages)
+            return
+        import fsspec
+
+        _, folder = fsspec.core.url_to_fs(f"{self.root}/{ts}")
+        if fs.exists(folder):  # crashed attempt: reader-invisible junk
+            fs.rm(folder, recursive=True)
+        i = 0
+        for m in messages:
+            if m is not None and m.staged:
+                self._mv(fs, m.staged, f"{folder}/part-{i:05d}.parquet")
+                i += 1
+        # marker LAST — the single atomic PUT that makes <ts> visible
+        rows = sum(m.rows for m in messages if m is not None)
+        history = dict((entry or {}).get("schemaHistory", {}))
+        history.setdefault(self.fingerprint, ts)
+        manifest = {
+            self.table_name: {
+                "lastSuccessfulWriteTimestamp": ts,
+                "totalProcessedRecordsCount": int(
+                    (entry or {}).get("totalProcessedRecordsCount", 0)
+                )
+                + rows,
+                "dataFilesPath": self.table_dir,
+                "schemaHistory": {
+                    fp: int(hts) for fp, hts in history.items()
+                },
+            }
+        }
+        _, mpath = fsspec.core.url_to_fs(self.manifest_uri)
+        with fs.open(mpath, "wb") as f:
+            f.write(json.dumps(manifest).encode("utf-8"))
+
+    def abort(self, messages, batchId: int) -> None:
+        fs, _ = self._fs()
+        self._drop_staged(fs, messages)
+
+
 class CdaStreamSink(DataSource):
     """``df.writeStream.format("gw_cda_sink")
     .option("path", <fingerprint dir>).option("base_ts", <epoch ms>)``.
 
-    LOCAL-FILESYSTEM ONLY, by design: the exactly-once publish relies
-    on POSIX atomic directory rename (``os.rename(tmp, folder)``),
-    which object stores do not provide — an s3:// "rename" is a
-    non-atomic copy+delete per object, so a reader could list a
-    half-published commit folder.  The object-store publish primitive
-    is different (stage under a non-digit prefix, then flip a single
-    digit-named marker object or a manifest pointer), deliberately
-    not emulated here; a non-local path fails fast at stream start
-    instead of corrupting the commit contract at runtime."""
+    Two publish protocols, dispatched on the path scheme, because the
+    two storage classes offer different atomic primitives:
+
+    * local / ``file://`` → ``_CdaStreamArrowWriter``: POSIX atomic
+      directory rename (assemble complete folder under a non-digit
+      temp name, one ``os.rename``) — unchanged fast path.
+    * any other scheme (``s3://``, ``memory://``, …) →
+      ``_CdaRemoteArrowWriter``: marker-last commit (stage objects,
+      fill the digit folder, PUT the table-level manifest marker
+      LAST; readers gate folder visibility on the marker) — the
+      storage the reference itself targets (``S3Access.scala:12-59``),
+      using the same manifest-timestamp gating its readers use
+      (``Guidewire.scala:133-137``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -354,20 +556,14 @@ class CdaStreamSink(DataSource):
         from urllib.parse import urlparse
 
         path = self.options["path"]
+        base_ts = int(self.options.get("base_ts", 1800000000000))
         parsed = urlparse(path)
         if parsed.scheme == "file":
-            path = parsed.path  # os-level rename needs the bare path
-        elif parsed.scheme:
-            raise ValueError(
-                "gw_cda_sink requires a local filesystem path: its "
-                "exactly-once publish uses POSIX atomic directory rename, "
-                "which object stores do not provide (got "
-                f"{path!r}). Stage locally and sync, or use the batch "
-                "indexer against the object store instead."
-            )
-        return _CdaStreamArrowWriter(
-            path, int(self.options.get("base_ts", 1800000000000))
-        )
+            # os-level rename needs the bare path
+            return _CdaStreamArrowWriter(parsed.path, base_ts)
+        if parsed.scheme:
+            return _CdaRemoteArrowWriter(path, base_ts)
+        return _CdaStreamArrowWriter(path, base_ts)
 
 
 def register_cda_stream_sink(spark) -> None:

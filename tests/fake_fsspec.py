@@ -70,6 +70,32 @@ class MemoryFS:
         out = list(children.values())
         return out if detail else [c["name"] for c in out]
 
+    def rm(self, path: str, recursive: bool = False) -> None:
+        """Object delete (AbstractFileSystem.rm).  Non-recursive on a
+        'directory' (pure prefix — object stores have no real dirs)
+        raises like the real thing unless ``recursive``."""
+        p = self._norm(path)
+        if p in self.files:
+            del self.files[p]
+            return
+        under = [f for f in self.files if f.startswith(p + "/")]
+        if not under:
+            raise FileNotFoundError(path)
+        if not recursive:
+            raise IsADirectoryError(path)
+        for f in under:
+            del self.files[f]
+
+    def mv(self, src: str, dst: str) -> None:
+        """Server-side rename (AbstractFileSystem.mv): copy + delete —
+        NOT atomic on real object stores, which is exactly why the
+        sink's publish protocol is marker-last rather than rename."""
+        s, d = self._norm(src), self._norm(dst)
+        if s not in self.files:
+            raise FileNotFoundError(src)
+        self.files[d] = self.files[s]
+        del self.files[s]
+
     def open(self, path: str, mode: str = "rb"):
         p = self._norm(path)
         if "r" in mode:

@@ -504,6 +504,23 @@ def test_verified_oracle_preconditions_hold_on_testdata(spark):
         )
         assert pua == 0, f"{sf}: corpus contains U+E000-U+E00F chars"
 
+        # BMP-only guard: the BPE argmax tie-break orders decoded
+        # symbol strings in both engines, but Spark compares by UTF-16
+        # code units while DuckDB compares UTF-8 bytes — orders that
+        # agree on the BMP yet DIVERGE for supplementary-plane chars
+        # (U+10000+, which UTF-16 encodes as surrogate pairs sorting
+        # BELOW U+E000..U+FFFF).  The oracle contract is BMP-only.
+        non_bmp = (
+            load_table(spark, sf, "documents")
+            .where(F.col("text").rlike("[\\x{10000}-\\x{10FFFF}]"))
+            .count()
+        )
+        assert non_bmp == 0, (
+            f"{sf}: corpus contains supplementary-plane (non-BMP) "
+            "chars — Spark UTF-16 vs DuckDB UTF-8 string order "
+            "diverges there, breaking the BPE tie-break parity"
+        )
+
         qu = (
             load_table(spark, sf, "embeddings")
             .select(

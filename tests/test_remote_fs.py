@@ -213,14 +213,160 @@ def test_index_end_to_end_over_remote_tree(memfs, tmp_path):
     assert t1_add["modificationTime"] == 1680350600250
 
 
-def test_cda_sink_rejects_object_store_paths():
-    """gw_cda_sink's exactly-once publish relies on POSIX atomic
-    directory rename; object-store paths must fail fast at stream
-    start, and file:// URIs are stripped to the bare local path the
-    os-level rename needs."""
+def test_cda_sink_writer_dispatch():
+    """Path-scheme dispatch: local and file:// keep the POSIX
+    atomic-rename fast path (file:// stripped to the bare path the
+    os-level rename needs); object-store schemes get the marker-last
+    writer, which fails fast at stream start when fsspec is absent
+    (this test runs WITHOUT the memfs fixture, so no fsspec)."""
+    from guidewire_spark.streaming.cda_source import (
+        CdaStreamSink,
+        _CdaStreamArrowWriter,
+    )
+
+    w = CdaStreamSink({"path": "file:///tmp/sinkroot"}).streamWriter(None, False)
+    assert isinstance(w, _CdaStreamArrowWriter)
+    assert w.root == "/tmp/sinkroot"
+    w = CdaStreamSink({"path": "/tmp/sinkroot"}).streamWriter(None, False)
+    assert isinstance(w, _CdaStreamArrowWriter)
+    if "fsspec" not in sys.modules:
+        with pytest.raises(ImportError, match="fsspec"):
+            CdaStreamSink({"path": "s3://bucket/tbl/fp"}).streamWriter(
+                None, False
+            )
+
+
+def _sink_writer(fs_path: str, base_ts: int):
     from guidewire_spark.streaming.cda_source import CdaStreamSink
 
-    with pytest.raises(ValueError, match="atomic directory rename"):
-        CdaStreamSink({"path": "s3://bucket/tbl/fp"}).streamWriter(None, False)
-    w = CdaStreamSink({"path": "file:///tmp/sinkroot"}).streamWriter(None, False)
-    assert w.root == "/tmp/sinkroot"
+    return CdaStreamSink(
+        {"path": fs_path, "base_ts": str(base_ts)}
+    ).streamWriter(None, False)
+
+
+def _arrow_batch(ids):
+    return pa.RecordBatch.from_pydict(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "v": pa.array([f"r{i}" for i in ids], pa.string()),
+        }
+    )
+
+
+SINK_ROOT = "memory://bucket/cda/events_out/fpX"
+SINK_T0 = 1700000000000
+
+
+def test_cda_sink_marker_last_publish_and_index_roundtrip(memfs, tmp_path):
+    """The object-store arm end to end: executors stage under
+    ``_staging/``, commit() fills the digit folder then PUTs the
+    table-level marker manifest LAST, and ``index()`` pointed at that
+    marker ingests the feed — one Delta version per committed folder,
+    nothing from in-flight publishes."""
+    from guidewire_spark.sources.deltalog import list_versions
+    from guidewire_spark.sources.indexer import index
+    from guidewire_spark.sources.snapshot import load_snapshot
+
+    w = _sink_writer(SINK_ROOT, SINK_T0)
+
+    # batch 0: two executor messages
+    m1 = w.write(iter([_arrow_batch([1, 2])]))
+    m2 = w.write(iter([_arrow_batch([3])]))
+    w.commit([m1, m2], 0)
+
+    marker = json.loads(
+        memfs.open("memory://bucket/cda/events_out/manifest.json").read()
+    )
+    entry = marker["events_out"]
+    assert entry["lastSuccessfulWriteTimestamp"] == SINK_T0
+    assert entry["totalProcessedRecordsCount"] == 3
+    assert entry["schemaHistory"] == {"fpX": SINK_T0}
+    assert entry["dataFilesPath"] == "memory://bucket/cda/events_out"
+    # staging drained, folder holds exactly the two parts
+    names = [
+        p.rsplit("/", 1)[-1]
+        for p in memfs.ls(f"{SINK_ROOT}/{SINK_T0}", detail=False)
+    ]
+    assert names == ["part-00000.parquet", "part-00001.parquet"]
+    assert not memfs.exists(f"{SINK_ROOT}/_staging")
+
+    # crashed publish of batch 1: folder objects exist, marker NOT
+    # advanced — invisible to index()'s committed filter
+    memfs.put_bytes(
+        f"{SINK_ROOT}/{SINK_T0 + 1}/part-junk.parquet",
+        _parquet_bytes(["zz"], [0]),
+    )
+    db = str(tmp_path / "db")
+    results = index(
+        "memory://bucket/cda/events_out/manifest.json",
+        db,
+        save_mode="overwrite",
+    )
+    assert [r.commit_timestamp for r in results["events_out"]] == [SINK_T0]
+
+    # retry of batch 1 replaces the junk, then advances the marker
+    m3 = w.write(iter([_arrow_batch([4, 5])]))
+    w.commit([m3], 1)
+    names = [
+        p.rsplit("/", 1)[-1]
+        for p in memfs.ls(f"{SINK_ROOT}/{SINK_T0 + 1}", detail=False)
+    ]
+    assert names == ["part-00000.parquet"], "junk part must be replaced"
+    marker = json.loads(
+        memfs.open("memory://bucket/cda/events_out/manifest.json").read()
+    )
+    assert marker["events_out"]["lastSuccessfulWriteTimestamp"] == SINK_T0 + 1
+    assert marker["events_out"]["totalProcessedRecordsCount"] == 5
+
+    results = index(
+        "memory://bucket/cda/events_out/manifest.json",
+        db,
+        save_mode="overwrite",
+    )
+    assert [r.commit_timestamp for r in results["events_out"]] == [
+        SINK_T0,
+        SINK_T0 + 1,
+    ]
+    table = os.path.join(db, "events_out")
+    assert len(list_versions(table)) == 2
+    snap = load_snapshot(table)
+    assert set(snap.schema.fieldNames()) == {"id", "v"}
+    assert all(p.startswith("memory://") for p in snap.files)
+    assert len(snap.files) == 3  # 2 parts (batch 0) + 1 part (batch 1)
+
+
+def test_cda_sink_retry_after_committed_batch_is_noop(memfs):
+    """Exactly-once short-circuit: once the marker covers a batch's
+    ts, a Spark retry of that batch must not touch the published
+    folder (marker-last invariant says it is complete) — it only
+    drops its own freshly staged objects."""
+    w = _sink_writer(SINK_ROOT, SINK_T0)
+    w.commit([w.write(iter([_arrow_batch([1, 2])]))], 0)
+    before = {
+        p: memfs.files[memfs._norm(p)][0]
+        for p in memfs.ls(f"{SINK_ROOT}/{SINK_T0}", detail=False)
+    }
+
+    # retried batch 0 stages DIFFERENT content, then short-circuits
+    w.commit([w.write(iter([_arrow_batch([7, 8, 9])]))], 0)
+    after = {
+        p: memfs.files[memfs._norm(p)][0]
+        for p in memfs.ls(f"{SINK_ROOT}/{SINK_T0}", detail=False)
+    }
+    assert after == before, "published folder must be untouched"
+    assert not memfs.exists(f"{SINK_ROOT}/_staging")
+    marker = json.loads(
+        memfs.open("memory://bucket/cda/events_out/manifest.json").read()
+    )
+    assert marker["events_out"]["totalProcessedRecordsCount"] == 2
+
+
+def test_cda_sink_abort_drops_staging(memfs):
+    """abort() must leave no staged objects behind (and the staging
+    prefix is non-digit, so even leftovers would be invisible to the
+    commit listing)."""
+    w = _sink_writer(SINK_ROOT, SINK_T0)
+    msg = w.write(iter([_arrow_batch([1])]))
+    assert memfs.exists(f"{SINK_ROOT}/_staging")
+    w.abort([msg, None], 0)
+    assert not memfs.exists(f"{SINK_ROOT}/_staging")

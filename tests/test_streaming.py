@@ -549,6 +549,56 @@ def test_cda_source_review_hardening(spark, sf_dir, tmp_path):
     assert not leftovers
 
 
+def test_cda_readers_gate_on_sink_marker_manifest(spark, sf_dir, tmp_path):
+    """Reader half of the marker-last publish protocol (round-10): when
+    a table-level ``manifest.json`` sits next to the fingerprint dir,
+    the gw_cda/gw_cda_stream commit listing treats folders with
+    ts > lastSuccessfulWriteTimestamp as IN-FLIGHT publishes, not
+    commits — the same gate the reference's readers apply
+    (Guidewire.scala:133-137).  Marker-less trees (the POSIX sink's
+    rename-published folders) and foreign/corrupt manifests list
+    ungated."""
+    import json as _json
+
+    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.streaming.cda_source import (
+        _list_commit_ts,
+        register_cda_batch_source,
+    )
+
+    table_dir = tmp_path / "events_out"
+    fp = table_dir / "fpX"
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    for ts in (1000, 2000, 3000):
+        n.coalesce(1).write.parquet(str(fp / str(ts)))
+
+    # no marker: ungated
+    assert _list_commit_ts(str(fp)) == [1000, 2000, 3000]
+
+    # marker at 2000: folder 3000 is an in-flight publish
+    (table_dir / "manifest.json").write_text(
+        _json.dumps(
+            {
+                "events_out": {
+                    "lastSuccessfulWriteTimestamp": 2000,
+                    "totalProcessedRecordsCount": 50,
+                    "dataFilesPath": str(table_dir),
+                    "schemaHistory": {"fpX": 1000},
+                }
+            }
+        )
+    )
+    assert _list_commit_ts(str(fp)) == [1000, 2000]
+    register_cda_batch_source(spark)
+    df = spark.read.format("gw_cda").option("path", str(fp)).load()
+    assert df.count() == 50  # 2 × 25, the 3000 folder invisible
+    assert df.agg({"commit_ts": "max"}).collect()[0][0] == 2000
+
+    # foreign/corrupt manifest.json: listing must not gate (or crash)
+    (table_dir / "manifest.json").write_text("{not json")
+    assert _list_commit_ts(str(fp)) == [1000, 2000, 3000]
+
+
 def test_psi_monitor_baseline_frozen_and_batch_psi_sane(spark, sf_dir):
     """The streaming PSI monitor must (a) freeze the FIRST chunk as
     baseline — it never appears in the output — (b) emit a full
