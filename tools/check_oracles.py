@@ -94,6 +94,27 @@ def main() -> None:
 
     specs = all_queries()
     passed = failed = rows_only = 0
+    # Supplementary gate artifact (round-9 advice item a): the driver's
+    # CORRECTNESS_r*.json only records its 50-query window, so queries
+    # outside it have no persisted per-round evidence.  With
+    # CHECK_JSON_OUT=<path> the sweep writes a per-query record in the
+    # driver's own artifact shape, committed at round close as
+    # ORACLE_SWEEP_r{N}.json.
+    json_out = os.environ.get("CHECK_JSON_OUT")
+    records: dict[str, dict] = {}
+
+    def record(name: str, status: str, rows: int | None, detail: str = ""):
+        if json_out is None:
+            return
+        rec: dict = {"status": status}
+        if rows is not None:
+            rec["rows"] = rows
+        if status == "rows_only":
+            rec["err"] = "no_oracle"
+        if detail:
+            rec["detail"] = detail[:500]
+        records[name] = rec
+
     for name, spec in sorted(specs.items()):
         if only and name not in only:
             continue
@@ -105,10 +126,12 @@ def main() -> None:
         except Exception:
             print(f"FAIL  {name}: SPARK ERROR")
             traceback.print_exc()
+            record(name, "fail", None, "SPARK ERROR")
             failed += 1
             continue
         if lint_errors:
             print(f"FAIL  {name}: OUTPUT-TYPE LINT {lint_errors}")
+            record(name, "fail", len(spdf), f"LINT {lint_errors}")
             failed += 1
             continue
         if spec.oracle is None:
@@ -119,15 +142,18 @@ def main() -> None:
                 canon_frame(spdf)
             except Exception as exc:
                 print(f"FAIL  {name}: rows-only CANON ERROR {exc}")
+                record(name, "fail", len(spdf), f"CANON ERROR {exc}")
                 failed += 1
                 continue
             print(f"rows  {name}: {len(spdf)} rows (rows-only)")
+            record(name, "rows_only", len(spdf))
             rows_only += 1
             continue
         try:
             opdf = con.execute(spec.oracle).df()
         except Exception as exc:
             print(f"FAIL  {name}: ORACLE ERROR {exc}")
+            record(name, "fail", len(spdf), f"ORACLE ERROR {exc}")
             failed += 1
             continue
         problems = []
@@ -162,11 +188,34 @@ def main() -> None:
                             problems.append(f"{label}: {row[:300]}")
         if problems:
             print(f"FAIL  {name}: " + "\n      ".join(problems))
+            record(name, "fail", len(spdf), "; ".join(problems))
             failed += 1
         else:
             print(f"PASS  {name}: {len(spdf)} rows")
+            record(name, "pass", len(spdf))
             passed += 1
     print(f"\n{passed} passed, {failed} failed, {rows_only} rows-only")
+    if json_out is not None:
+        import json
+
+        payload = {
+            "engines": {
+                "pyspark": spark.version,
+                "duckdb": duckdb.__version__,
+                "python": sys.version.split()[0],
+                "pandas": pd.__version__,
+            },
+            "sf_dir": SF_DIR,
+            "summary": {
+                "passed": passed,
+                "failed": failed,
+                "rows_only": rows_only,
+            },
+            "queries": records,
+        }
+        with open(json_out, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     spark.stop()
     sys.exit(1 if failed else 0)
 
