@@ -41,6 +41,15 @@ from pyspark.sql.datasource import (
 )
 
 
+def _is_remote(path: str) -> bool:
+    """True for object-store schemes (s3://, memory://, …) — anything
+    the connector delegates to fsspec.  Bare paths and file:// are the
+    local POSIX arm."""
+    from urllib.parse import urlparse
+
+    return urlparse(path).scheme not in ("", "file")
+
+
 def _sink_marker_ts(root: str) -> int | None:
     """``lastSuccessfulWriteTimestamp`` from the table-level marker
     manifest a marker-last sink publish maintains NEXT TO the
@@ -56,33 +65,54 @@ def _sink_marker_ts(root: str) -> int | None:
     unparseable or foreign manifest.json is treated the same way."""
     import json
 
-    table_dir = os.path.dirname(os.path.abspath(root.rstrip("/")))
-    mpath = os.path.join(table_dir, "manifest.json")
-    if not os.path.isfile(mpath):
-        return None
+    if _is_remote(root):
+        from guidewire_spark.sources.fs import read_text
+
+        table_dir = root.rstrip("/").rpartition("/")[0]
+        try:
+            raw = json.loads(read_text(f"{table_dir}/manifest.json"))
+        except (FileNotFoundError, ValueError, OSError):
+            return None
+        table_name = table_dir.rsplit("/", 1)[-1]
+    else:
+        table_dir = os.path.dirname(os.path.abspath(root.rstrip("/")))
+        mpath = os.path.join(table_dir, "manifest.json")
+        if not os.path.isfile(mpath):
+            return None
+        try:
+            with open(mpath, encoding="utf-8") as fh:
+                raw = json.load(fh)
+        except (ValueError, OSError):
+            return None
+        table_name = os.path.basename(table_dir)
     try:
-        with open(mpath, encoding="utf-8") as fh:
-            raw = json.load(fh)
-        entry = raw.get(os.path.basename(table_dir))
+        entry = raw.get(table_name)
         if entry is None and isinstance(raw, dict) and len(raw) == 1:
             entry = next(iter(raw.values()))
         if entry is None:
             return None
         return int(entry["lastSuccessfulWriteTimestamp"])
-    except (ValueError, KeyError, TypeError, OSError):
+    except (ValueError, KeyError, TypeError, AttributeError):
         return None
 
 
 def _list_commit_ts(root: str) -> list[int]:
     """Timestamp folders under the fingerprint dir (same digit-name
     rule as the batch connector's fs.list_timestamp_dirs), gated on
-    the sink marker manifest when one governs the tree."""
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for name in os.listdir(root):
-        if name.isdigit() and os.path.isdir(os.path.join(root, name)):
-            out.append(int(name))
+    the sink marker manifest when one governs the tree.  Remote
+    (object-store) roots delegate to the connector's fsspec listing —
+    driver-side metadata either way."""
+    if _is_remote(root):
+        from guidewire_spark.sources.fs import list_timestamp_dirs
+
+        out = list_timestamp_dirs(root)
+    else:
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for name in os.listdir(root):
+            if name.isdigit() and os.path.isdir(os.path.join(root, name)):
+                out.append(int(name))
     marker = _sink_marker_ts(root)
     if marker is not None:
         out = [t for t in out if t <= marker]
@@ -91,7 +121,17 @@ def _list_commit_ts(root: str) -> list[int]:
 
 def _list_parquet(folder: str) -> list[str]:
     """Non-hidden, non-empty .parquet files (S3Access.scala:39-41
-    rules, same as the batch connector)."""
+    rules, same as the batch connector).  The underscore rule also
+    excludes marker/staging artifacts (_SUCCESS-style files, and any
+    stray object under a sink's ``_staging`` tree)."""
+    if _is_remote(folder):
+        from guidewire_spark.sources.fs import list_parquet_files
+
+        return [
+            f.path
+            for f in list_parquet_files(folder)
+            if not f.path.rsplit("/", 1)[-1].startswith("_")
+        ]
     out = []
     for name in sorted(os.listdir(folder)):
         if name.startswith(".") or name.startswith("_"):
@@ -102,6 +142,24 @@ def _list_parquet(folder: str) -> list[str]:
         if os.path.getsize(full) > 0:
             out.append(full)
     return out
+
+
+def _join(root: str, name) -> str:
+    """Child path under the fingerprint dir, URI- and POSIX-safe."""
+    return f"{root.rstrip('/')}/{name}"
+
+
+def _open_parquet(path: str):
+    """A pyarrow-readable handle for a data file: bare paths pass
+    through (pyarrow memory-maps them); object-store URIs open through
+    fsspec.  Runs on EXECUTORS for remote feeds — fsspec must be
+    installed cluster-wide there, same as any Spark s3a deployment."""
+    if _is_remote(path):
+        import fsspec
+
+        fs, p = fsspec.core.url_to_fs(path)
+        return fs.open(p, "rb")
+    return path
 
 
 class _CdaFilePartition(InputPartition):
@@ -126,7 +184,7 @@ class _CdaStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         for t in _list_commit_ts(self.root):
             if lo < t <= hi:
-                for f in _list_parquet(os.path.join(self.root, str(t))):
+                for f in _list_parquet(_join(self.root, t)):
                     parts.append(_CdaFilePartition(f))
         return parts
 
@@ -137,7 +195,7 @@ class _CdaStreamReader(DataSourceStreamReader):
             return  # Spark substitutes [None] for an empty partition list
         # Arrow record batches straight off the file — column-pruned
         # to the stream schema, never materialized as Python rows
-        pf = pq.ParquetFile(partition.path)
+        pf = pq.ParquetFile(_open_parquet(partition.path))
         yield from pf.iter_batches(columns=self.columns)
 
     def commit(self, end: dict) -> None:
@@ -162,9 +220,9 @@ class CdaStreamSource(DataSource):
             raise ValueError(f"no CDA commit folders under {root}")
         for t in ts:  # first commit WITH data (an empty folder — e.g. a
             # crashed sink publish — must not poison the whole feed)
-            files = _list_parquet(os.path.join(root, str(t)))
+            files = _list_parquet(_join(root, t))
             if files:
-                return from_arrow_schema(pq.read_schema(files[0]))
+                return from_arrow_schema(pq.read_schema(_open_parquet(files[0])))
         raise ValueError(f"no CDA commit under {root} holds any parquet")
 
     def streamReader(self, schema):
@@ -237,7 +295,7 @@ class _CdaBatchReader(DataSourceReader):
                 continue
             if self.hi is not None and t > self.hi:
                 continue
-            for f in _list_parquet(os.path.join(self.root, str(t))):
+            for f in _list_parquet(_join(self.root, t)):
                 p = _CdaFilePartition(f)
                 p.commit_ts = t
                 parts.append(p)
@@ -249,7 +307,7 @@ class _CdaBatchReader(DataSourceReader):
 
         if partition is None:
             return  # empty micro-batch: Spark passes a [None] placeholder
-        pf = pq.ParquetFile(partition.path)
+        pf = pq.ParquetFile(_open_parquet(partition.path))
         for b in pf.iter_batches(columns=self.columns):
             yield b.append_column(
                 "commit_ts", pa.array([partition.commit_ts] * b.num_rows, pa.int64())
@@ -358,6 +416,16 @@ class _CdaStreamArrowWriter(DataSourceStreamArrowWriter):
             if os.path.isdir(folder):
                 shutil.rmtree(folder)  # retried batch: republish, not duplicate
             os.rename(tmp, folder)
+            # staging GC: files still present now belong to failed or
+            # speculative task attempts of THIS batch (all its tasks
+            # are done, the next batch's writes have not started) —
+            # orphans, never referenced by any commit
+            if os.path.isdir(self.staging):
+                for name in os.listdir(self.staging):
+                    try:
+                        os.remove(os.path.join(self.staging, name))
+                    except OSError:
+                        pass
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)  # no orphaned .tmp dirs
             raise
@@ -524,6 +592,19 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
         _, mpath = fsspec.core.url_to_fs(self.manifest_uri)
         with fs.open(mpath, "wb") as f:
             f.write(json.dumps(manifest).encode("utf-8"))
+        # staging GC (after the marker so the publish is never delayed
+        # by cleanup): objects still under _staging/ belong to failed
+        # or speculative task attempts of THIS batch — all its tasks
+        # finished before commit(), the next batch has not started
+        # writing, and no commit references them.  Single writer per
+        # table (class contract) makes this race-free.
+        _, staging = fsspec.core.url_to_fs(f"{self.root}/_staging")
+        if fs.exists(staging):
+            for obj in fs.ls(staging, detail=False):
+                try:
+                    fs.rm(obj)
+                except (FileNotFoundError, IsADirectoryError):
+                    pass
 
     def abort(self, messages, batchId: int) -> None:
         fs, _ = self._fs()

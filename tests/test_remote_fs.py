@@ -335,6 +335,62 @@ def test_cda_sink_marker_last_publish_and_index_roundtrip(memfs, tmp_path):
     assert len(snap.files) == 3  # 2 parts (batch 0) + 1 part (batch 1)
 
 
+def test_cda_readers_over_object_store_with_marker_gating(memfs):
+    """The gw_cda/gw_cda_stream reader machinery on a memory:// feed
+    the sink published: listing via fsspec, marker gating of in-flight
+    folders, file-granular partitions, and Arrow reads through the
+    fsspec handle (executor-side path, exercised in-process)."""
+    from guidewire_spark.streaming.cda_source import (
+        CdaStreamSource,
+        _CdaBatchReader,
+        _CdaStreamReader,
+        _list_commit_ts,
+    )
+
+    w = _sink_writer(SINK_ROOT, SINK_T0)
+    w.commit([w.write(iter([_arrow_batch([1, 2])]))], 0)
+    w.commit(
+        [
+            w.write(iter([_arrow_batch([3])])),
+            w.write(iter([_arrow_batch([4, 5])])),
+        ],
+        1,
+    )
+    # in-flight publish beyond the marker: listed nowhere
+    memfs.put_bytes(
+        f"{SINK_ROOT}/{SINK_T0 + 2}/part-00000.parquet",
+        _parquet_bytes(["zz"], [0]),
+    )
+    assert _list_commit_ts(SINK_ROOT) == [SINK_T0, SINK_T0 + 1]
+
+    # schema inference over the remote footer
+    schema = CdaStreamSource({"path": SINK_ROOT}).schema()
+    assert [f.name for f in schema.fields] == ["id", "v"]
+
+    r = _CdaStreamReader(SINK_ROOT, ["id", "v"])
+    assert r.latestOffset() == {"ts": SINK_T0 + 1}
+    parts = r.partitions({"ts": -1}, {"ts": SINK_T0 + 1})
+    assert len(parts) == 3  # 1 file (batch 0) + 2 files (batch 1)
+    assert all(p.path.startswith("memory://") for p in parts)
+    rows = sum(
+        b.num_rows for p in parts for b in r.read(p)
+    )
+    assert rows == 5
+
+    # batch reader: pushed commit_ts bounds prune remote folders
+    br = _CdaBatchReader(SINK_ROOT, ["id", "v"])
+    br.lo = SINK_T0 + 1
+    parts = br.partitions()
+    assert {p.commit_ts for p in parts} == {SINK_T0 + 1}
+    ids = [
+        i
+        for p in parts
+        for b in br.read(p)
+        for i in b.column("id").to_pylist()
+    ]
+    assert sorted(ids) == [3, 4, 5]
+
+
 def test_cda_sink_retry_after_committed_batch_is_noop(memfs):
     """Exactly-once short-circuit: once the marker covers a batch's
     ts, a Spark retry of that batch must not touch the published
