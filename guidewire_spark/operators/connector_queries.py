@@ -78,6 +78,86 @@ def cda_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cda_sink_object_store_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def cda_sink_object_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 headline path under the value gate: marker-last
+    object-store publish (``_CdaRemoteArrowWriter``) → marker-gated
+    ``index()`` → snapshot → byte-level read-back, end to end.
+
+    The object store is the same in-memory fsspec double the remote
+    pytest arm uses (tests/fake_fsspec.py — real AbstractFileSystem
+    surface); every fsspec touch (staging PUTs, folder fill, the
+    marker PUT, commit listing, footer sniff, data reads) happens
+    DRIVER-SIDE inside the install window below, so the query runs on
+    a stock session with no cluster-wide fsspec requirement.  An
+    in-flight folder beyond the marker is staged too and must stay
+    invisible — the oracle is simply the source table: any leak of
+    the uncommitted folder or loss of a committed row breaks the
+    value hash.  (Correctness-harness shape: the production remote
+    read path is the JVM scan of the shallow-clone Delta log on real
+    s3a storage; this query pins the PROTOCOL, not that scanner.)"""
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.fake_fsspec import MemoryFS, make_fsspec_module
+    from guidewire_spark.sources.snapshot import load_snapshot
+    from guidewire_spark.streaming.cda_source import CdaStreamSink
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    arrow = n.toArrow()
+    mod = make_fsspec_module(MemoryFS())
+    saved = {k: sys.modules.get(k) for k in ("fsspec", "fsspec.core")}
+    sys.modules["fsspec"], sys.modules["fsspec.core"] = mod, mod.core
+    try:
+        root = "memory://bucket/cda/nation_rt/fp001"
+        w = CdaStreamSink(
+            {"path": root, "base_ts": "1700000000000"}
+        ).streamWriter(None, False)
+        # two executor messages, then the marker-last publish
+        half = max(1, arrow.num_rows // 2)
+        msgs = [
+            w.write(iter(arrow.slice(0, half).to_batches())),
+            w.write(iter(arrow.slice(half).to_batches())),
+        ]
+        w.commit(msgs, 0)
+        # in-flight publish beyond the marker: parts staged into the
+        # folder but the marker never advanced — must not be indexed
+        junk = w.write(iter(arrow.slice(0, 3).to_batches()))
+        in_flight_fs, root_path = mod.core.url_to_fs(root)
+        in_flight_fs.mv(
+            junk.staged, f"{root_path}/1700000000001/part-junk.parquet"
+        )
+        db = tempfile.mkdtemp(prefix="gw_cda_os_")
+        index(
+            "memory://bucket/cda/nation_rt/manifest.json",
+            db,
+            save_mode="overwrite",
+        )
+        snap = load_snapshot(os.path.join(db, "nation_rt"))
+        parts = []
+        for p in sorted(snap.files):
+            fs, path = mod.core.url_to_fs(p)
+            with fs.open(path, "rb") as fh:
+                parts.append(pq.read_table(fh))
+        out = pa.concat_tables(parts)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return spark.createDataFrame(out.to_pandas())
+
+
+@query(
     "cda_time_travel",
     oracle="""
     SELECT event_id, user_id FROM events WHERE event_id % 2 = 0
