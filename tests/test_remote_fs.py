@@ -417,6 +417,68 @@ def test_cda_sink_retry_after_committed_batch_is_noop(memfs):
     assert marker["events_out"]["totalProcessedRecordsCount"] == 2
 
 
+def test_cda_sink_crash_mid_publish_recovers_exactly_once(memfs):
+    """Driver dies after moving SOME of the staged parts into the
+    commit folder (the non-atomic window object stores force): the
+    marker never advanced, so the partial folder is invisible to
+    every gated reader, and the Spark batch retry replaces it with a
+    complete publish — no duplicate, no loss, no stray staging."""
+    from guidewire_spark.streaming.cda_source import _list_commit_ts
+
+    w = _sink_writer(SINK_ROOT, SINK_T0)
+    w.commit([w.write(iter([_arrow_batch([1, 2])]))], 0)
+
+    m1 = w.write(iter([_arrow_batch([10, 11])]))
+    m2 = w.write(iter([_arrow_batch([12])]))
+    orig_mv, calls = memfs.mv, {"n": 0}
+
+    def flaky_mv(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise ConnectionError("injected mid-publish crash")
+        orig_mv(src, dst)
+
+    memfs.mv = flaky_mv
+    with pytest.raises(ConnectionError):
+        w.commit([m1, m2], 1)
+    memfs.mv = orig_mv
+
+    # marker still at batch 0 → the half-filled folder is invisible
+    assert _list_commit_ts(SINK_ROOT) == [SINK_T0]
+    assert memfs.exists(f"{SINK_ROOT}/{SINK_T0 + 1}")  # partial junk IS there
+
+    # Spark retries the whole batch: fresh task writes + fresh commit
+    m1b = w.write(iter([_arrow_batch([10, 11])]))
+    m2b = w.write(iter([_arrow_batch([12])]))
+    w.commit([m1b, m2b], 1)
+
+    assert _list_commit_ts(SINK_ROOT) == [SINK_T0, SINK_T0 + 1]
+    names = [
+        p.rsplit("/", 1)[-1]
+        for p in memfs.ls(f"{SINK_ROOT}/{SINK_T0 + 1}", detail=False)
+    ]
+    assert names == ["part-00000.parquet", "part-00001.parquet"]
+    rows = []
+    for name in names:
+        rows += (
+            pq.read_table(
+                io.BytesIO(
+                    memfs.files[memfs._norm(f"{SINK_ROOT}/{SINK_T0 + 1}/{name}")][0]
+                )
+            )
+            .column("id")
+            .to_pylist()
+        )
+    assert sorted(rows) == [10, 11, 12]
+    # the orphaned m2 staging object from the crashed attempt was GC'd
+    assert not memfs.exists(f"{SINK_ROOT}/_staging")
+    marker = json.loads(
+        memfs.open("memory://bucket/cda/events_out/manifest.json").read()
+    )
+    assert marker["events_out"]["lastSuccessfulWriteTimestamp"] == SINK_T0 + 1
+    assert marker["events_out"]["totalProcessedRecordsCount"] == 5
+
+
 def test_cda_sink_abort_drops_staging(memfs):
     """abort() must leave no staged objects behind (and the staging
     prefix is non-digit, so even leftovers would be invisible to the
