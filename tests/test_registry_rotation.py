@@ -71,16 +71,21 @@ def test_window_is_zero_history_failed_then_plan_dependent_first():
         assert len(front) == _WINDOW
     # class order inside the window: failed-then-fixed rows lead
     # unconditionally (a red must never be crowded out by new
-    # registrations), then plan-dependent families, then value-only
+    # registrations), then the judge-ordered round-10 pins, then
+    # plan-dependent families, then value-only
     def klass(n: str) -> int:
+        from guidewire_spark.registry import _VERDICT_PINNED
+
         if history.get(n, (True, False))[0] is False:
             return 0
+        if n in _VERDICT_PINNED:
+            return 1
         return (
-            1
+            2
             if n.startswith(
                 ("stream_", "join_", "delta_", "cda_", "udtf_", "udaf_", "udf_")
             )
-            else 2
+            else 3
         )
 
     classes = [klass(n) for n in front]
