@@ -417,6 +417,28 @@ def test_cda_sink_retry_after_committed_batch_is_noop(memfs):
     assert marker["events_out"]["totalProcessedRecordsCount"] == 2
 
 
+def test_cda_sink_mv_fallback_copy_delete(memfs, monkeypatch):
+    """Backends without server-side mv (hasattr(fs, 'mv') False) take
+    the read+write+rm copy path; the publish is byte-identical."""
+    from tests.fake_fsspec import MemoryFS
+
+    monkeypatch.delattr(MemoryFS, "mv")
+    w = _sink_writer(SINK_ROOT, SINK_T0)
+    w.commit([w.write(iter([_arrow_batch([1, 2, 3])]))], 0)
+    names = [
+        p.rsplit("/", 1)[-1]
+        for p in memfs.ls(f"{SINK_ROOT}/{SINK_T0}", detail=False)
+    ]
+    assert names == ["part-00000.parquet"]
+    tbl = pq.read_table(
+        io.BytesIO(
+            memfs.files[memfs._norm(f"{SINK_ROOT}/{SINK_T0}/{names[0]}")][0]
+        )
+    )
+    assert tbl.column("id").to_pylist() == [1, 2, 3]
+    assert not memfs.exists(f"{SINK_ROOT}/_staging")
+
+
 def test_cda_sink_crash_mid_publish_recovers_exactly_once(memfs):
     """Driver dies after moving SOME of the staged parts into the
     commit folder (the non-atomic window object stores force): the
