@@ -101,10 +101,17 @@ def cda_sink_object_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     read path is the JVM scan of the shallow-clone Delta log on real
     s3a storage; this query pins the PROTOCOL, not that scanner.)"""
     import sys
+    from pathlib import Path
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # the fsspec double lives under tests/ (a namespace package at the
+    # repo root) — harnesses that import this module by package path
+    # already have the root on sys.path, but don't depend on it
+    _root = str(Path(__file__).resolve().parents[2])
+    if _root not in sys.path:
+        sys.path.insert(0, _root)
     from tests.fake_fsspec import MemoryFS, make_fsspec_module
     from guidewire_spark.sources.snapshot import load_snapshot
     from guidewire_spark.streaming.cda_source import CdaStreamSink
