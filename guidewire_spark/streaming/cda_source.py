@@ -517,7 +517,11 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
             f.write(buf.getvalue())
         return _CdaSinkMessage(staged, tbl.num_rows)
 
-    def _manifest_entry(self):
+    def _manifest_state(self):
+        """(full manifest dict, this table's entry) — the full dict is
+        kept so a marker sharing its manifest object with other tables
+        (a bucket-root manifest, reference-style) is UPDATED in place,
+        never truncated to this table's entry."""
         import json
 
         from guidewire_spark.sources.fs import read_text
@@ -525,11 +529,13 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
         try:
             raw = json.loads(read_text(self.manifest_uri))
         except (FileNotFoundError, ValueError):
-            return None
+            return {}, None
+        if not isinstance(raw, dict):
+            return {}, None
         entry = raw.get(self.table_name)
         if entry is None and len(raw) == 1:
             entry = next(iter(raw.values()))
-        return entry
+        return raw, entry
 
     @staticmethod
     def _mv(fs, src: str, dst: str) -> None:
@@ -548,13 +554,43 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
                 except FileNotFoundError:
                     pass
 
-    def commit(self, messages, batchId: int) -> None:
+    def _put_manifest(self, fs, manifest: dict) -> None:
+        import fsspec
         import json
 
+        _, mpath = fsspec.core.url_to_fs(self.manifest_uri)
+        with fs.open(mpath, "wb") as f:
+            f.write(json.dumps(manifest).encode("utf-8"))
+
+    def commit(self, messages, batchId: int) -> None:
         ts = self.base_ts + batchId
         fs, _ = self._fs()
-        entry = self._manifest_entry()
-        last = int(entry["lastSuccessfulWriteTimestamp"]) if entry else -1
+        raw, entry = self._manifest_state()
+        if entry is None:
+            # INIT MARKER, before the first folder mutation: a tree
+            # with no marker lists UNGATED (readers cannot tell it
+            # from a non-sink tree), so a crash during the very first
+            # publish would leave a partial folder reader-visible —
+            # the one hole the property test (test_remote_fs.py)
+            # found in the marker-last scheme.  Pre-existing digit
+            # folders (a reference-produced feed this sink appends
+            # to) are presumed committed and stay visible; if one
+            # collides with a ts this writer will produce, the batch
+            # short-circuits as already-committed, consistent with
+            # that presumption.
+            from guidewire_spark.sources.fs import list_timestamp_dirs
+
+            init_last = max([ts - 1] + list_timestamp_dirs(self.root))
+            entry = {
+                "lastSuccessfulWriteTimestamp": init_last,
+                "totalProcessedRecordsCount": 0,
+                "dataFilesPath": self.table_dir,
+                "schemaHistory": {},
+            }
+            raw = dict(raw)
+            raw[self.table_name] = entry
+            self._put_manifest(fs, raw)
+        last = int(entry["lastSuccessfulWriteTimestamp"])
         if ts <= last:
             # marker-last invariant: marker >= ts means folder <ts>
             # was FULLY published by a previous attempt — the retry
@@ -576,22 +612,19 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
         rows = sum(m.rows for m in messages if m is not None)
         history = dict((entry or {}).get("schemaHistory", {}))
         history.setdefault(self.fingerprint, ts)
-        manifest = {
-            self.table_name: {
-                "lastSuccessfulWriteTimestamp": ts,
-                "totalProcessedRecordsCount": int(
-                    (entry or {}).get("totalProcessedRecordsCount", 0)
-                )
-                + rows,
-                "dataFilesPath": self.table_dir,
-                "schemaHistory": {
-                    fp: int(hts) for fp, hts in history.items()
-                },
-            }
+        manifest = dict(raw)  # preserve co-tenant tables' entries
+        manifest[self.table_name] = {
+            "lastSuccessfulWriteTimestamp": ts,
+            "totalProcessedRecordsCount": int(
+                (entry or {}).get("totalProcessedRecordsCount", 0)
+            )
+            + rows,
+            "dataFilesPath": self.table_dir,
+            "schemaHistory": {
+                fp: int(hts) for fp, hts in history.items()
+            },
         }
-        _, mpath = fsspec.core.url_to_fs(self.manifest_uri)
-        with fs.open(mpath, "wb") as f:
-            f.write(json.dumps(manifest).encode("utf-8"))
+        self._put_manifest(fs, manifest)
         # staging GC (after the marker so the publish is never delayed
         # by cleanup): objects still under _staging/ belong to failed
         # or speculative task attempts of THIS batch — all its tasks

@@ -510,3 +510,160 @@ def test_cda_sink_abort_drops_staging(memfs):
     assert memfs.exists(f"{SINK_ROOT}/_staging")
     w.abort([msg, None], 0)
     assert not memfs.exists(f"{SINK_ROOT}/_staging")
+
+
+# ---------------------------------------------------------------------------
+# Property test: the marker-last protocol under ARBITRARY crash points.
+# A crash is injected before the Nth mutating filesystem operation of a
+# commit() (every mv / object PUT / delete is a candidate), the batch is
+# then retried until it succeeds, and after EVERY step the reader-facing
+# invariants must hold:
+#   I1  visible commits are exactly the fully-committed batch prefix
+#   I2  every visible folder's parquet content is exactly its batch
+#   I3  totalProcessedRecordsCount == rows of the committed prefix
+# ---------------------------------------------------------------------------
+
+
+class _CrashFS:
+    """MemoryFS proxy that raises ConnectionError before the Nth
+    mutating operation (mv / write-open / rm), simulating a driver
+    crash mid-commit at an arbitrary protocol step."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.countdown = None  # None = never crash
+
+    def _tick(self):
+        if self.countdown is not None:
+            if self.countdown <= 0:
+                raise ConnectionError("injected crash")
+            self.countdown -= 1
+
+    def mv(self, src, dst):
+        self._tick()
+        return self._inner.mv(src, dst)
+
+    def rm(self, path, recursive=False):
+        self._tick()
+        return self._inner.rm(path, recursive=recursive)
+
+    def open(self, path, mode="rb"):
+        if "w" in mode or "a" in mode:
+            self._tick()
+        return self._inner.open(path, mode)
+
+    def __getattr__(self, name):  # exists / ls / files / _norm ...
+        return getattr(self._inner, name)
+
+
+def test_marker_protocol_invariants_under_arbitrary_crashes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from guidewire_spark.streaming.cda_source import (
+        CdaStreamSink,
+        _list_commit_ts,
+    )
+    from tests.fake_fsspec import MemoryFS, make_fsspec_module
+
+    batch_rows = st.lists(  # one batch = 1-3 parts of 1-3 row ids
+        st.lists(st.integers(0, 99), min_size=1, max_size=3),
+        min_size=1,
+        max_size=3,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        batches=st.lists(batch_rows, min_size=1, max_size=3),
+        crashes=st.lists(  # per retry attempt: crash before Nth mutation
+            st.integers(0, 12), min_size=0, max_size=4
+        ),
+        data=st.data(),
+    )
+    def run(batches, crashes, data):
+        fs = _CrashFS(MemoryFS())
+        mod = make_fsspec_module(fs)
+        saved = {k: sys.modules.get(k) for k in ("fsspec", "fsspec.core")}
+        sys.modules["fsspec"], sys.modules["fsspec.core"] = mod, mod.core
+        try:
+            root = "memory://bkt/cda/tbl/fp"
+            w = CdaStreamSink(
+                {"path": root, "base_ts": str(SINK_T0)}
+            ).streamWriter(None, False)
+            crash_iter = iter(crashes)
+            committed_rows = 0
+            for bi, parts in enumerate(batches):
+                ts = SINK_T0 + bi
+
+                def check_invariants(max_committable):
+                    # I1: visible commits form a contiguous prefix no
+                    # longer than the batches attempted so far.  A
+                    # crash AFTER the marker PUT (e.g. during staging
+                    # GC) is a COMPLETED publish, so the current batch
+                    # may legitimately already be visible mid-"crash".
+                    vis = _list_commit_ts(root)
+                    assert vis == [SINK_T0 + k for k in range(len(vis))]
+                    assert len(vis) <= max_committable + 1
+                    # I2: anything visible is complete and exact
+                    for k in range(len(vis)):
+                        names = sorted(
+                            p
+                            for p in fs.ls(
+                                f"{root}/{SINK_T0 + k}", detail=False
+                            )
+                            if p.endswith(".parquet")
+                        )
+                        got = sorted(
+                            i
+                            for p in names
+                            for i in pq.read_table(
+                                io.BytesIO(fs.files[fs._norm(p)][0])
+                            )
+                            .column("id")
+                            .to_pylist()
+                        )
+                        assert got == sorted(
+                            i for part in batches[k] for i in part
+                        )
+                    return vis
+
+                # inject 0+ crashed attempts, then one clean retry
+                n_crashes = data.draw(st.integers(0, 2))
+                for _ in range(n_crashes):
+                    msgs = [
+                        w.write(iter([_arrow_batch(part)]))
+                        for part in parts
+                    ]
+                    fs.countdown = next(crash_iter, 3)
+                    try:
+                        w.commit(msgs, bi)
+                    except ConnectionError:
+                        pass
+                    finally:
+                        fs.countdown = None
+                    check_invariants(bi)  # I1/I2 mid-failure
+                # the clean (final) attempt — or a retry after a crash
+                # that actually completed (marker written): both must
+                # land exactly-once
+                msgs = [
+                    w.write(iter([_arrow_batch(part)])) for part in parts
+                ]
+                w.commit(msgs, bi)
+                committed_rows += sum(len(p) for p in parts)
+                vis = check_invariants(bi)
+                assert vis[-1] == ts  # the clean attempt IS committed
+                marker = json.loads(
+                    fs.open("memory://bkt/cda/tbl/manifest.json").read()
+                )["tbl"]
+                assert marker["lastSuccessfulWriteTimestamp"] == ts  # I3
+                assert (
+                    marker["totalProcessedRecordsCount"] == committed_rows
+                )
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    sys.modules.pop(k, None)
+                else:
+                    sys.modules[k] = v
+
+    run()
