@@ -195,8 +195,13 @@ class _CdaStreamReader(DataSourceStreamReader):
             return  # Spark substitutes [None] for an empty partition list
         # Arrow record batches straight off the file — column-pruned
         # to the stream schema, never materialized as Python rows
-        pf = pq.ParquetFile(_open_parquet(partition.path))
-        yield from pf.iter_batches(columns=self.columns)
+        handle = _open_parquet(partition.path)
+        try:
+            pf = pq.ParquetFile(handle)
+            yield from pf.iter_batches(columns=self.columns)
+        finally:
+            if hasattr(handle, "close"):  # fsspec handle, not a path
+                handle.close()
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; nothing to ack
@@ -222,7 +227,12 @@ class CdaStreamSource(DataSource):
             # crashed sink publish — must not poison the whole feed)
             files = _list_parquet(_join(root, t))
             if files:
-                return from_arrow_schema(pq.read_schema(_open_parquet(files[0])))
+                handle = _open_parquet(files[0])
+                try:
+                    return from_arrow_schema(pq.read_schema(handle))
+                finally:
+                    if hasattr(handle, "close"):
+                        handle.close()
         raise ValueError(f"no CDA commit under {root} holds any parquet")
 
     def streamReader(self, schema):
@@ -307,11 +317,17 @@ class _CdaBatchReader(DataSourceReader):
 
         if partition is None:
             return  # empty micro-batch: Spark passes a [None] placeholder
-        pf = pq.ParquetFile(_open_parquet(partition.path))
-        for b in pf.iter_batches(columns=self.columns):
-            yield b.append_column(
-                "commit_ts", pa.array([partition.commit_ts] * b.num_rows, pa.int64())
-            )
+        handle = _open_parquet(partition.path)
+        try:
+            pf = pq.ParquetFile(handle)
+            for b in pf.iter_batches(columns=self.columns):
+                yield b.append_column(
+                    "commit_ts",
+                    pa.array([partition.commit_ts] * b.num_rows, pa.int64()),
+                )
+        finally:
+            if hasattr(handle, "close"):
+                handle.close()
 
 
 class CdaBatchSource(DataSource):
