@@ -1223,42 +1223,62 @@ def _ivf_assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_centroids(spark: SparkSession, e: DataFrame) -> DataFrame:
+def _ivf_centroids(
+    spark: SparkSession, e: DataFrame, cache_key: tuple | None = None
+) -> DataFrame:
     """Coarse quantizer training: 8 deterministic seeds (vec_id % 64
     == 0) refined with TWO Lloyd iterations in pure DataFrame math;
     each round's 8x64-double centroid table is collected so the next
     assignment's plan doesn't re-execute the previous round's corpus
-    pass.  Returns the (cent_id, cu) centroid DataFrame."""
-    cents = (
-        e.where(F.col("vec_id") % 64 == 0)
-        .select(F.col("vec_id").alias("cent_id"), F.col("u").alias("cu"))
-        .limit(8)
+    pass.  Returns the (cent_id, cu) centroid DataFrame.
+
+    ``cache_key`` (a corpus fingerprint) memoizes the COLLECTED 8x64
+    table via plans.artifact_cache — the coarse quantizer is a
+    k-sized deterministic artifact of the corpus, trained once per
+    corpus snapshot in production; repeated query invocations in one
+    session apply the cached table instead of re-running two Lloyd
+    corpus passes.  Streaming first-batch training passes None (its
+    artifact is a function of arrival order)."""
+    from guidewire_spark.plans.artifact_cache import get_or_train
+
+    def train() -> list:
+        cents = (
+            e.where(F.col("vec_id") % 64 == 0)
+            .select(F.col("vec_id").alias("cent_id"), F.col("u").alias("cu"))
+            .limit(8)
+        )
+        refined = cents
+        rows = None
+        for _ in range(2):
+            assigned = _ivf_assign(e, refined)
+            dims = assigned.select(
+                "cell", F.posexplode(F.col("u")).alias("dim", "val")
+            )
+            refined_df = (
+                dims.groupBy("cell", "dim")
+                .agg(F.avg("val").alias("m"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                        lambda s: s["m"],
+                    ).alias("mean_vec")
+                )
+                .select(
+                    F.col("cell").alias("cent_id"),
+                    V.normalize(F.col("mean_vec")).alias("cu"),
+                )
+            )
+            rows = [(r["cent_id"], list(r["cu"])) for r in refined_df.collect()]
+            refined = spark.createDataFrame(
+                rows, schema="cent_id long, cu array<double>"
+            )
+        return rows
+
+    rows = get_or_train("ivf_centroids_8x2lloyd", cache_key, train)
+    return spark.createDataFrame(
+        rows, schema="cent_id long, cu array<double>"
     )
-    refined = cents
-    for _ in range(2):
-        assigned = _ivf_assign(e, refined)
-        dims = assigned.select(
-            "cell", F.posexplode(F.col("u")).alias("dim", "val")
-        )
-        refined_df = (
-            dims.groupBy("cell", "dim")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("mean_vec")
-            )
-            .select(
-                F.col("cell").alias("cent_id"),
-                V.normalize(F.col("mean_vec")).alias("cu"),
-            )
-        )
-        refined = spark.createDataFrame(
-            refined_df.collect(), schema="cent_id long, cu array<double>"
-        )
-    return refined
 
 
 def _ivf_probe_topk(
@@ -1327,7 +1347,11 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     # before the Lloyd loop, sized at 8 doubles/dim × N — far smaller
     # than the raw table when embeddings ride along wide rows.
     e = e.localCheckpoint(eager=True)
-    refined = _ivf_centroids(spark, e)
+    from guidewire_spark.plans.artifact_cache import corpus_fingerprint
+
+    refined = _ivf_centroids(
+        spark, e, cache_key=corpus_fingerprint(sf_dir, "embeddings")
+    )
     cells = _ivf_assign(e, refined)
     q_pts = e.where(F.col("vec_id") < 10)
     return _ivf_probe_topk(cells, refined, q_pts, n_probe)

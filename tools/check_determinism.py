@@ -74,6 +74,14 @@ def main() -> None:
             for key, val in layout.items():
                 spark.conf.set(key, val)
             clear_two_phase_pins()
+            # trained artifacts (BPE merges, IVF centroids) are
+            # fingerprint-memoized; clear so BOTH layouts train from
+            # scratch — otherwise layout B would replay layout A's
+            # artifact and this gate couldn't see a layout-sensitive
+            # training stage
+            from guidewire_spark.plans.artifact_cache import clear
+
+            clear()
             try:
                 sdf = spec.fn(spark, SF_DIR)
                 pdf = sdf.toPandas()
