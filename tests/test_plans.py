@@ -958,3 +958,46 @@ def test_substring_family_tokenize_uses_every_core(spark, sf_dir):
     assert n_parts >= spark.sparkContext.defaultParallelism, (
         f"tokenize stage has {n_parts} partitions"
     )
+
+
+def test_artifact_cache_fingerprint_invalidation(tmp_path):
+    """plans.artifact_cache: same fingerprint -> trained once; a data
+    change (size or mtime_ns) -> retrain; key=None -> never cached
+    (streaming first-batch training); missing file -> loud error."""
+    import os
+    import time
+
+    import pytest
+
+    from guidewire_spark.plans import artifact_cache as ac
+
+    f = tmp_path / "documents.parquet"
+    f.write_bytes(b"v1-bytes")
+    calls = {"n": 0}
+
+    def train():
+        calls["n"] += 1
+        return ["artifact", calls["n"]]
+
+    k1 = ac.corpus_fingerprint(str(tmp_path), "documents")
+    assert ac.get_or_train("t", k1, train) == ["artifact", 1]
+    assert ac.get_or_train("t", k1, train) == ["artifact", 1]  # memoized
+    assert calls["n"] == 1
+
+    # data change -> new fingerprint -> retrain
+    time.sleep(0.01)
+    f.write_bytes(b"v2-bytes-longer")
+    k2 = ac.corpus_fingerprint(str(tmp_path), "documents")
+    assert k2 != k1
+    assert ac.get_or_train("t", k2, train) == ["artifact", 2]
+
+    # same key, different artifact NAME -> independent slot
+    assert ac.get_or_train("other", k2, train) == ["artifact", 3]
+
+    # key=None disables caching entirely
+    assert ac.get_or_train("t", None, train) == ["artifact", 4]
+    assert ac.get_or_train("t", None, train) == ["artifact", 5]
+
+    # a cache key must never silently degrade to a constant
+    with pytest.raises(FileNotFoundError):
+        ac.corpus_fingerprint(str(tmp_path), "nope")
