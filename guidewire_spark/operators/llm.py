@@ -2232,7 +2232,12 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.normalize(F.col("embedding")).alias("u")
     )
-    return _pq_topk(spark, e, enc_col="u", refine=True)
+    from guidewire_spark.plans.artifact_cache import corpus_fingerprint
+
+    return _pq_topk(
+        spark, e, enc_col="u", refine=True,
+        cache_key=corpus_fingerprint(sf_dir, "embeddings"),
+    )
 
 
 def _pq_topk(
@@ -2241,6 +2246,7 @@ def _pq_topk(
     enc_col: str,
     refine: bool,
     det_seeds: bool = False,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """The PQ ANN pipeline body — subspace split, codebook seeding
     (+ optional one-Lloyd-step refinement), code assignment, ADC
@@ -2323,26 +2329,40 @@ def _pq_topk(
         )
 
     if refine:
-        assigned = encode(subs, cb)
-        refined_df = (
-            assigned.select(
-                "m", "code", F.posexplode("sub").alias("dim", "val")
-            )
-            .groupBy("m", "code", "dim")
-            .agg(F.avg("val").alias("mu"))
-            .groupBy("m", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "mu"))),
-                    lambda s: s["mu"],
-                ).alias("cvec")
-            )
-        )
         # codebooks are (8 x 16 x 8 doubles) — driver-metadata-sized;
         # collecting truncates the corpus-pass lineage like IVF's
-        # Lloyd.
+        # Lloyd, and the collected artifact is fingerprint-memoized
+        # (plans.artifact_cache) like the other trained tables.
+        from guidewire_spark.plans.artifact_cache import get_or_train
+
+        def train() -> list:
+            assigned = encode(subs, cb)
+            refined_df = (
+                assigned.select(
+                    "m", "code", F.posexplode("sub").alias("dim", "val")
+                )
+                .groupBy("m", "code", "dim")
+                .agg(F.avg("val").alias("mu"))
+                .groupBy("m", "code")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                        lambda s: s["mu"],
+                    ).alias("cvec")
+                )
+            )
+            return [
+                (r["m"], r["code"], list(r["cvec"]))
+                for r in refined_df.collect()
+            ]
+
+        rows = get_or_train(
+            "pq_codebook_refined",
+            (cache_key, enc_col) if cache_key is not None else None,
+            train,
+        )
         cb1 = spark.createDataFrame(
-            refined_df.collect(), schema="m int, code int, cvec array<double>"
+            rows, schema="m int, code int, cvec array<double>"
         )
     else:
         cb1 = cb
@@ -3001,7 +3021,12 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.normalize(F.col("embedding")).alias("u")
     )
-    return _ivfpq_topk(spark, e, enc_col="u", det=False)
+    from guidewire_spark.plans.artifact_cache import corpus_fingerprint
+
+    return _ivfpq_topk(
+        spark, e, enc_col="u", det=False,
+        cache_key=corpus_fingerprint(sf_dir, "embeddings"),
+    )
 
 
 def _arr_type(det: bool) -> str:
@@ -3012,7 +3037,11 @@ def _arr_type(det: bool) -> str:
 
 
 def _ivfpq_topk(
-    spark: SparkSession, e: DataFrame, enc_col: str, det: bool
+    spark: SparkSession,
+    e: DataFrame,
+    enc_col: str,
+    det: bool,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """The IVF-PQ composite body — coarse quantizer, residual
     computation, residual-PQ codebooks, code assignment, probed
@@ -3023,36 +3052,15 @@ def _ivfpq_topk(
     unrefined centroid/codebook seeds — every stage exact integer
     work a SQL oracle replays, probes and all).  ``e`` carries the
     float unit vector ``u`` (the rerank is always exact float cosine)
-    plus ``enc_col``, the vector the index is built from."""
-    m_sub, k_codes, dim_sub, n_probe, n_cells = 8, 16, 8, 3, 8
-    # --- coarse quantizer ------------------------------------------
-    if det:
-        # cell = vec_id // 64 IS the ascending rank of the eligible
-        # seeds — pure arithmetic, no limit, no Lloyd
-        cents = (
-            e.where(
-                (F.col("vec_id") % 64 == 0)
-                & (F.col("vec_id") < 64 * n_cells)
-            )
-            .select(
-                (F.col("vec_id") / 64).cast("int").alias("cell"),
-                F.col(enc_col).alias("cu"),
-            )
-        )
-        cents = spark.createDataFrame(
-            cents.collect(), schema=f"cell int, cu {_arr_type(det)}"
-        )
-    else:
-        cents_df = (
-            e.where(F.col("vec_id") % 64 == 0)
-            .select(F.col("vec_id").alias("cent_id"), F.col("u").alias("cu"))
-            .limit(n_cells)
-        )
-        cents = spark.createDataFrame(
-            [(i, r["cu"]) for i, r in enumerate(cents_df.collect())],
-            "cell int, cu array<double>",
-        )
+    plus ``enc_col``, the vector the index is built from.
 
+    ``cache_key`` memoizes the TRAINED pair (coarse centroid table,
+    residual-PQ codebook — 8 + 128 rows) per corpus fingerprint via
+    plans.artifact_cache, same pattern as _ivf_centroids/_train_bpe_
+    merges: train once per corpus snapshot, apply everywhere."""
+    from guidewire_spark.plans.artifact_cache import get_or_train
+
+    m_sub, k_codes, dim_sub, n_probe, n_cells = 8, 16, 8, 3, 8
     vec_cols = ["vec_id", "u"] if enc_col == "u" else ["vec_id", "u", enc_col]
 
     def coarse_assign(centroids):
@@ -3071,70 +3079,15 @@ def _ivfpq_topk(
             .where("rn = 1")
         )
 
-    if not det:
-        lloyd = (
-            coarse_assign(cents)
-            .select("cell", F.posexplode("u").alias("dim", "val"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("mean_vec")
-            )
-            .select("cell", V.normalize(F.col("mean_vec")).alias("cu"))
+    def residual_subs(assigned_df):
+        return assigned_df.select(
+            "vec_id", "cell",
+            F.posexplode(
+                F.array(*[F.slice("res", m * dim_sub + 1, dim_sub)
+                          for m in range(m_sub)])
+            ).alias("m", "sub"),
         )
-        cents = spark.createDataFrame(
-            lloyd.collect(), schema="cell int, cu array<double>"
-        )
-    assigned = coarse_assign(cents).select(
-        "vec_id", "u", "cell",
-        # residual: where the vector sits INSIDE its cell
-        F.zip_with(enc_col, "cu", lambda x, y: x - y).alias("res"),
-    )
-    # --- residual PQ: per-subspace codebooks from deterministic seeds
-    subs = assigned.select(
-        "vec_id", "cell",
-        F.posexplode(
-            F.array(*[F.slice("res", m * dim_sub + 1, dim_sub)
-                      for m in range(m_sub)])
-        ).alias("m", "sub"),
-    )
-    if det:
-        seed_rows = (
-            assigned.where(
-                (F.col("vec_id") % 32 == 0)
-                & (F.col("vec_id") < 32 * k_codes)
-            )
-            .select("vec_id", "res")
-            .collect()
-        )
-        cb = spark.createDataFrame(
-            [
-                (m, r["vec_id"] // 32,
-                 list(r["res"][m * dim_sub : (m + 1) * dim_sub]))
-                for r in seed_rows
-                for m in range(m_sub)
-            ],
-            f"m int, code int, cvec {_arr_type(det)}",
-        )
-    else:
-        seed_rows = (
-            assigned.where(F.col("vec_id") % 32 == 0)
-            .select("res")
-            .limit(k_codes)
-            .collect()
-        )
-        cb = spark.createDataFrame(
-            [
-                (m, k, list(r["res"][m * dim_sub : (m + 1) * dim_sub]))
-                for k, r in enumerate(seed_rows)
-                for m in range(m_sub)
-            ],
-            "m int, code int, cvec array<double>",
-        )
+
     l2sq = F.aggregate(
         F.zip_with(F.col("sub"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -3152,27 +3105,125 @@ def _ivfpq_topk(
             .select("vec_id", "cell", "m", "sub", "code")
         )
 
-    # one Lloyd refinement of the residual codebooks (production path
-    # only — the verified path keeps the exact integer seed codebooks)
-    if det:
-        cb1 = cb
-    else:
-        refined = (
-            encode(subs, cb)
-            .select("m", "code", F.posexplode("sub").alias("dim", "val"))
-            .groupBy("m", "code", "dim")
-            .agg(F.avg("val").alias("mu"))
-            .groupBy("m", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "mu"))),
-                    lambda s: s["mu"],
-                ).alias("cvec")
+    cents_schema = f"cell int, cu {_arr_type(det)}"
+    cb_schema = f"m int, code int, cvec {_arr_type(det)}"
+
+    def train():
+        """Coarse centroids + residual-PQ codebook, exactly the r9
+        shapes (det: arithmetic-ranked seeds, no refinement; float:
+        limit seeds + one Lloyd step on each level), returned as
+        plain row lists so the cache entry is k-sized data."""
+        # --- coarse quantizer --------------------------------------
+        if det:
+            # cell = vec_id // 64 IS the ascending rank of the
+            # eligible seeds — pure arithmetic, no limit, no Lloyd
+            cents_rows = [
+                (r["cell"], list(r["cu"]))
+                for r in e.where(
+                    (F.col("vec_id") % 64 == 0)
+                    & (F.col("vec_id") < 64 * n_cells)
+                )
+                .select(
+                    (F.col("vec_id") / 64).cast("int").alias("cell"),
+                    F.col(enc_col).alias("cu"),
+                )
+                .collect()
+            ]
+        else:
+            seeds = (
+                e.where(F.col("vec_id") % 64 == 0)
+                .select(F.col("vec_id").alias("cent_id"), F.col("u").alias("cu"))
+                .limit(n_cells)
+                .collect()
             )
+            cents_rows = [(i, list(r["cu"])) for i, r in enumerate(seeds)]
+            lloyd = (
+                coarse_assign(
+                    spark.createDataFrame(cents_rows, cents_schema)
+                )
+                .select("cell", F.posexplode("u").alias("dim", "val"))
+                .groupBy("cell", "dim")
+                .agg(F.avg("val").alias("m"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                        lambda st: st["m"],
+                    ).alias("mean_vec")
+                )
+                .select("cell", V.normalize(F.col("mean_vec")).alias("cu"))
+            )
+            cents_rows = [(r["cell"], list(r["cu"])) for r in lloyd.collect()]
+        cents_t = spark.createDataFrame(cents_rows, cents_schema)
+        assigned_t = coarse_assign(cents_t).select(
+            "vec_id", "u", "cell",
+            F.zip_with(enc_col, "cu", lambda x, y: x - y).alias("res"),
         )
-        cb1 = spark.createDataFrame(
-            refined.collect(), schema="m int, code int, cvec array<double>"
-        )
+        # --- residual PQ codebook from deterministic seeds ---------
+        if det:
+            seed_rows = (
+                assigned_t.where(
+                    (F.col("vec_id") % 32 == 0)
+                    & (F.col("vec_id") < 32 * k_codes)
+                )
+                .select("vec_id", "res")
+                .collect()
+            )
+            cb_rows = [
+                (m, r["vec_id"] // 32,
+                 list(r["res"][m * dim_sub : (m + 1) * dim_sub]))
+                for r in seed_rows
+                for m in range(m_sub)
+            ]
+        else:
+            seed_rows = (
+                assigned_t.where(F.col("vec_id") % 32 == 0)
+                .select("res")
+                .limit(k_codes)
+                .collect()
+            )
+            cb_rows = [
+                (m, k, list(r["res"][m * dim_sub : (m + 1) * dim_sub]))
+                for k, r in enumerate(seed_rows)
+                for m in range(m_sub)
+            ]
+            # one Lloyd refinement of the residual codebooks
+            # (production path only — the verified path keeps the
+            # exact integer seed codebooks)
+            refined = (
+                encode(
+                    residual_subs(assigned_t),
+                    spark.createDataFrame(cb_rows, cb_schema),
+                )
+                .select("m", "code", F.posexplode("sub").alias("dim", "val"))
+                .groupBy("m", "code", "dim")
+                .agg(F.avg("val").alias("mu"))
+                .groupBy("m", "code")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                        lambda st: st["mu"],
+                    ).alias("cvec")
+                )
+            )
+            cb_rows = [
+                (r["m"], r["code"], list(r["cvec"])) for r in refined.collect()
+            ]
+        return cents_rows, cb_rows
+
+    cents_rows, cb_rows = get_or_train(
+        "ivfpq_trained",
+        (cache_key, enc_col, det) if cache_key is not None else None,
+        train,
+    )
+    cents = spark.createDataFrame(cents_rows, cents_schema)
+    cb1 = spark.createDataFrame(cb_rows, cb_schema)
+    assigned = coarse_assign(cents).select(
+        "vec_id", "u", "cell",
+        # residual: where the vector sits INSIDE its cell
+        F.zip_with(enc_col, "cu", lambda x, y: x - y).alias("res"),
+    )
+    subs = residual_subs(assigned)
     codes = encode(subs, cb1).select("vec_id", "cell", "m", "code")
 
     # --- query path: probe top-n cells, residual-ADC, exact rerank --
@@ -3392,7 +3443,12 @@ def similarity_ann_ivfpq_verified(spark: SparkSession, sf_dir: str) -> DataFrame
     e = e.withColumn(
         "qu", F.transform("u", lambda x: F.floor(x * 10000).cast("long"))
     )
-    return _ivfpq_topk(spark, e, enc_col="qu", det=True)
+    from guidewire_spark.plans.artifact_cache import corpus_fingerprint
+
+    return _ivfpq_topk(
+        spark, e, enc_col="qu", det=True,
+        cache_key=corpus_fingerprint(sf_dir, "embeddings"),
+    )
 
 
 @query(
