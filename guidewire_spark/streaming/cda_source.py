@@ -162,6 +162,22 @@ def _open_parquet(path: str):
     return path
 
 
+def _require_fsspec_for(path: str) -> None:
+    """Fail fast at PLAN time when a remote feed needs fsspec: the
+    executor-side read would otherwise die mid-job with a bare
+    ModuleNotFoundError.  A driver-side import is the best available
+    proxy for cluster state (same premise as Spark's own s3a jars:
+    installed everywhere or nowhere)."""
+    if _is_remote(path):
+        try:
+            import fsspec  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                f"reading the CDA feed at {path!r} requires fsspec on "
+                "driver AND executors (object-store scheme)"
+            ) from e
+
+
 class _CdaFilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -236,6 +252,7 @@ class CdaStreamSource(DataSource):
         raise ValueError(f"no CDA commit under {root} holds any parquet")
 
     def streamReader(self, schema):
+        _require_fsspec_for(self.options["path"])
         return _CdaStreamReader(
             self.options["path"], [f.name for f in schema.fields]
         )
@@ -349,6 +366,7 @@ class CdaBatchSource(DataSource):
         )
 
     def reader(self, schema):
+        _require_fsspec_for(self.options["path"])
         cols = [f.name for f in schema.fields if f.name != "commit_ts"]
         return _CdaBatchReader(self.options["path"], cols)
 

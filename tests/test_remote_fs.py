@@ -236,6 +236,23 @@ def test_cda_sink_writer_dispatch():
             )
 
 
+def test_cda_readers_fail_fast_without_fsspec():
+    """A remote feed path must error at PLAN time when fsspec is
+    absent, not mid-job in an executor (this test runs WITHOUT the
+    memfs fixture, so no fsspec is installed)."""
+    from guidewire_spark.streaming.cda_source import (
+        CdaBatchSource,
+        CdaStreamSource,
+    )
+
+    if "fsspec" in sys.modules:
+        pytest.skip("real fsspec present")
+    with pytest.raises(ImportError, match="requires fsspec"):
+        CdaBatchSource({"path": "s3://b/tbl/fp"}).reader(None)
+    with pytest.raises(ImportError, match="requires fsspec"):
+        CdaStreamSource({"path": "s3://b/tbl/fp"}).streamReader(None)
+
+
 def _sink_writer(fs_path: str, base_ts: int):
     from guidewire_spark.streaming.cda_source import CdaStreamSink
 
