@@ -408,6 +408,58 @@ def test_cda_readers_over_object_store_with_marker_gating(memfs):
     assert sorted(ids) == [3, 4, 5]
 
 
+def test_cda_sink_schema_evolution_across_fingerprint_streams(memfs, tmp_path):
+    """Sequential schema evolution through the sink protocol: a second
+    stream writes a NEW fingerprint dir under the same table; its
+    marker update must PRESERVE the first fingerprint's schemaHistory
+    entry (setdefault, not overwrite), and ``index()`` over the
+    accumulated marker manifest must replay fp1 then fp2 with an
+    UPGRADE_SCHEMA commit — the reference's evolution contract
+    (Guidewire.scala:221-237) driven end to end by sink output."""
+    from guidewire_spark.sources.deltalog import list_versions
+    from guidewire_spark.sources.indexer import index
+    from guidewire_spark.sources.snapshot import load_snapshot
+
+    t_fp2 = SINK_T0 + 1000
+    w1 = _sink_writer(SINK_ROOT, SINK_T0)  # .../events_out/fpX
+    w1.commit([w1.write(iter([_arrow_batch([1, 2])]))], 0)
+
+    # fingerprint 2 adds a column
+    w2 = _sink_writer("memory://bucket/cda/events_out/fpY", t_fp2)
+    wide = pa.RecordBatch.from_pydict(
+        {
+            "id": pa.array([3, 4], pa.int64()),
+            "v": pa.array(["r3", "r4"], pa.string()),
+            "extra": pa.array([30, 40], pa.int64()),
+        }
+    )
+    w2.commit([w2.write(iter([wide]))], 0)
+
+    marker = json.loads(
+        memfs.open("memory://bucket/cda/events_out/manifest.json").read()
+    )["events_out"]
+    assert marker["schemaHistory"] == {"fpX": SINK_T0, "fpY": t_fp2}
+    assert marker["lastSuccessfulWriteTimestamp"] == t_fp2
+    assert marker["totalProcessedRecordsCount"] == 4
+
+    db = str(tmp_path / "db")
+    results = index(
+        "memory://bucket/cda/events_out/manifest.json",
+        db,
+        save_mode="overwrite",
+    )
+    assert [r.commit_timestamp for r in results["events_out"]] == [
+        SINK_T0,
+        t_fp2,
+    ]
+    table = os.path.join(db, "events_out")
+    assert len(list_versions(table)) == 2
+    snap = load_snapshot(table)
+    # UPGRADE_SCHEMA: latest snapshot carries fp2's schema and files
+    assert set(snap.schema.fieldNames()) == {"id", "v", "extra"}
+    assert len(snap.files) == 1 and "/fpY/" in snap.files[0]
+
+
 def test_cda_sink_retry_after_committed_batch_is_noop(memfs):
     """Exactly-once short-circuit: once the marker covers a batch's
     ts, a Spark retry of that batch must not touch the published
