@@ -736,3 +736,108 @@ def test_marker_protocol_invariants_under_arbitrary_crashes():
                     sys.modules[k] = v
 
     run()
+
+
+def test_posix_publish_invariants_under_arbitrary_crashes(tmp_path):
+    """The POSIX twin of the marker-protocol property test: crash
+    before the Nth filesystem mutation of the rename-based commit()
+    (staging replace / rmtree / rename), then retry. Invariants: a
+    digit-named folder, once listed, is COMPLETE and exact (the
+    atomic-rename guarantee); retries replace rather than duplicate;
+    no publish-*.tmp dirs survive a crash."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from guidewire_spark.streaming.cda_source import (
+        _CdaStreamArrowWriter,
+        _list_commit_ts,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        batches=st.lists(
+            st.lists(
+                st.lists(st.integers(0, 99), min_size=1, max_size=3),
+                min_size=1,
+                max_size=2,
+            ),
+            min_size=1,
+            max_size=2,
+        ),
+        crashes=st.lists(st.integers(0, 6), min_size=0, max_size=3),
+        data=st.data(),
+    )
+    def run(batches, crashes, data):
+        import os as _os
+        import shutil as _shutil
+        import uuid as _uuid
+
+        root = tmp_path / f"fp-{_uuid.uuid4().hex}"
+        root.mkdir()
+        w = _CdaStreamArrowWriter(str(root), SINK_T0)
+        crash_iter = iter(crashes)
+
+        def check(max_committable):
+            vis = _list_commit_ts(str(root))
+            assert vis == [SINK_T0 + k for k in range(len(vis))]
+            assert len(vis) <= max_committable + 1
+            for k in range(len(vis)):
+                folder = root / str(SINK_T0 + k)
+                got = sorted(
+                    i
+                    for f in folder.iterdir()
+                    if f.suffix == ".parquet"
+                    for i in pq.read_table(str(f)).column("id").to_pylist()
+                )
+                assert got == sorted(
+                    i for part in batches[k] for i in part
+                )
+            assert not [
+                d for d in root.iterdir() if d.name.endswith(".tmp")
+            ]
+            return vis
+
+        for bi, parts in enumerate(batches):
+            n_crashes = data.draw(st.integers(0, 2))
+            for _ in range(n_crashes):
+                msgs = [
+                    w.write(iter([_arrow_batch(part)])) for part in parts
+                ]
+                countdown = [next(crash_iter, 2)]
+                orig_replace, orig_rename = _os.replace, _os.rename
+                orig_rmtree = _shutil.rmtree
+
+                def tick():
+                    if countdown[0] <= 0:
+                        raise ConnectionError("injected crash")
+                    countdown[0] -= 1
+
+                def c_replace(a, b):
+                    tick()
+                    orig_replace(a, b)
+
+                def c_rename(a, b):
+                    tick()
+                    orig_rename(a, b)
+
+                def c_rmtree(p, **kw):
+                    if not kw.get("ignore_errors"):
+                        tick()
+                    orig_rmtree(p, **kw)
+
+                _os.replace, _os.rename = c_replace, c_rename
+                _shutil.rmtree = c_rmtree
+                try:
+                    w.commit(msgs, bi)
+                except ConnectionError:
+                    pass
+                finally:
+                    _os.replace, _os.rename = orig_replace, orig_rename
+                    _shutil.rmtree = orig_rmtree
+                check(bi)
+            msgs = [w.write(iter([_arrow_batch(part)])) for part in parts]
+            w.commit(msgs, bi)
+            vis = check(bi)
+            assert vis[-1] == SINK_T0 + bi
+
+    run()
