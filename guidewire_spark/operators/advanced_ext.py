@@ -631,13 +631,17 @@ def vocab_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir
         )
     ]
-    assert len(merges) == 8, (
-        "BPE trainer early-stopped at "
-        f"{len(merges)} merges (best pair freq < 2) but the DuckDB "
-        "oracle unconditionally unrolls 8 rounds — its extra merges "
-        "would yield silently different tokens_bpe values. Corpus too "
-        "small for this query's oracle contract."
-    )
+    if len(merges) != 8:
+        # explicit raise, not assert: this oracle-contract guard must
+        # survive ``python -O`` (assert-stripping would revert the
+        # documented failure mode to a silent tokens_bpe mismatch)
+        raise ValueError(
+            "BPE trainer early-stopped at "
+            f"{len(merges)} merges (best pair freq < 2) but the DuckDB "
+            "oracle unconditionally unrolls 8 rounds — its extra merges "
+            "would yield silently different tokens_bpe values. Corpus "
+            "too small for this query's oracle contract."
+        )
     from guidewire_spark.plans.catalog import fan_out
 
     # the 8 chained folds are CPU-heavy per word — fan the corpus out

@@ -2358,7 +2358,12 @@ def _pq_topk(
 
         rows = get_or_train(
             "pq_codebook_refined",
-            (cache_key, enc_col) if cache_key is not None else None,
+            # det_seeds changes the seed codebook the refinement trains
+            # from, so it must discriminate the cache slot (refine too,
+            # defensively — today this branch implies refine=True)
+            (cache_key, enc_col, det_seeds, refine)
+            if cache_key is not None
+            else None,
             train,
         )
         cb1 = spark.createDataFrame(

@@ -88,12 +88,34 @@ def _sink_marker_ts(root: str) -> int | None:
     try:
         entry = raw.get(table_name)
         if entry is None and isinstance(raw, dict) and len(raw) == 1:
-            entry = next(iter(raw.values()))
+            # single-entry fallback ONLY when the sole entry actually
+            # claims THIS table (key or dataFilesPath names it) — a
+            # foreign manifest sitting next to the fingerprint dir
+            # must not gate the listing with an unrelated timestamp
+            # and hide legitimately committed folders
+            sole = next(iter(raw.values()))
+            if _entry_claims_table(sole, table_dir, table_name):
+                entry = sole
         if entry is None:
             return None
         return int(entry["lastSuccessfulWriteTimestamp"])
     except (ValueError, KeyError, TypeError, AttributeError):
         return None
+
+
+def _entry_claims_table(entry, table_dir: str, table_name: str) -> bool:
+    """True when a manifest entry's ``dataFilesPath`` names this table
+    dir — either the full path (modulo trailing slash / scheme
+    spelling) or at least ending in ``/<table_name>``.  Used to reject
+    FOREIGN manifests in the single-entry fallback, both reader
+    (``_sink_marker_ts``) and writer (``_manifest_state``) side."""
+    if not isinstance(entry, dict):
+        return False
+    dfp = entry.get("dataFilesPath")
+    if not isinstance(dfp, str) or not dfp:
+        return False
+    dfp = dfp.rstrip("/")
+    return dfp == table_dir.rstrip("/") or dfp.endswith(f"/{table_name}")
 
 
 def _list_commit_ts(root: str) -> list[int]:
@@ -506,8 +528,17 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
     is deleted + rewritten before the marker advances.
 
     Single writer per table, like the reference connector's
-    one-writer-per-table fan-out (P2): two concurrent streams
-    updating one marker manifest would race last-PUT-wins.
+    one-writer-per-table fan-out (P2).  The contract is additionally
+    ENFORCED one notch: every marker PUT re-reads the manifest object
+    and fails loudly if it changed since this commit's read
+    (``_put_manifest``), so two streams racing one marker manifest
+    (two fingerprint streams of a table, or co-tenant tables on a
+    shared bucket-root manifest) lose at most the aborted batch —
+    never the other writer's entry.  Each entry also carries a
+    monotone ``generation`` counter for external auditing.  A small
+    check-then-PUT window remains; backends exposing a conditional
+    PUT (If-Match etag / generation precondition) can close it to a
+    true CAS.
     """
 
     def __init__(self, root_uri: str, base_ts: int):
@@ -551,25 +582,44 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
             f.write(buf.getvalue())
         return _CdaSinkMessage(staged, tbl.num_rows)
 
-    def _manifest_state(self):
-        """(full manifest dict, this table's entry) — the full dict is
-        kept so a marker sharing its manifest object with other tables
-        (a bucket-root manifest, reference-style) is UPDATED in place,
-        never truncated to this table's entry."""
-        import json
-
+    def _manifest_bytes(self):
+        """Raw manifest object bytes, or None when absent/unreadable —
+        the unit the staleness check compares (an etag stand-in for
+        stores whose API doesn't surface one through fsspec)."""
         from guidewire_spark.sources.fs import read_text
 
         try:
-            raw = json.loads(read_text(self.manifest_uri))
-        except (FileNotFoundError, ValueError):
-            return {}, None
+            return read_text(self.manifest_uri).encode("utf-8")
+        except (FileNotFoundError, OSError):
+            return None
+
+    def _manifest_state(self):
+        """(full manifest dict, this table's entry, raw bytes) — the
+        full dict is kept so a marker sharing its manifest object with
+        other tables (a bucket-root manifest, reference-style) is
+        UPDATED in place, never truncated to this table's entry; the
+        raw bytes anchor the read-modify-write staleness check
+        (``_put_manifest``).  The single-entry fallback only fires
+        when the sole entry actually claims this table
+        (``_entry_claims_table``) — a foreign manifest must not be
+        adopted as this table's state."""
+        import json
+
+        snapshot = self._manifest_bytes()
+        if snapshot is None:
+            return {}, None, None
+        try:
+            raw = json.loads(snapshot)
+        except ValueError:
+            return {}, None, snapshot
         if not isinstance(raw, dict):
-            return {}, None
+            return {}, None, snapshot
         entry = raw.get(self.table_name)
         if entry is None and len(raw) == 1:
-            entry = next(iter(raw.values()))
-        return raw, entry
+            sole = next(iter(raw.values()))
+            if _entry_claims_table(sole, self.table_dir, self.table_name):
+                entry = sole
+        return raw, entry, snapshot
 
     @staticmethod
     def _mv(fs, src: str, dst: str) -> None:
@@ -588,18 +638,44 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
                 except FileNotFoundError:
                     pass
 
-    def _put_manifest(self, fs, manifest: dict) -> None:
+    def _put_manifest(self, fs, manifest: dict, expected: bytes | None):
+        """PUT the marker manifest with a FAIL-LOUD staleness check on
+        the read-modify-write: ``expected`` is the raw bytes this
+        commit's state was derived from (None = object must still be
+        absent).  If another writer's PUT interleaved since that read
+        (two fingerprint streams of one table, or co-tenant tables on
+        a shared bucket-root manifest), blindly writing would silently
+        drop its update (entry, row count, or marker advance) — the
+        last-PUT-wins hazard.  Instead the loser raises; Spark fails
+        the batch and the retry re-reads fresh state and merges
+        cleanly.  A small check-then-PUT window remains — true CAS
+        needs a conditional PUT (If-Match / x-amz-*generation*), noted
+        in the class docstring for backends that expose one.
+
+        Returns the bytes written (the caller's next ``expected``)."""
         import fsspec
         import json
 
+        current = self._manifest_bytes()
+        if current != expected:
+            raise RuntimeError(
+                "gw_cda_sink: concurrent writer detected on marker "
+                f"manifest {self.manifest_uri!r}: the object changed "
+                "between this commit's read and its publish PUT. "
+                "Aborting rather than overwriting the other writer's "
+                "update (last-PUT-wins would silently drop it); this "
+                "batch will be retried against fresh manifest state."
+            )
+        data = json.dumps(manifest).encode("utf-8")
         _, mpath = fsspec.core.url_to_fs(self.manifest_uri)
         with fs.open(mpath, "wb") as f:
-            f.write(json.dumps(manifest).encode("utf-8"))
+            f.write(data)
+        return data
 
     def commit(self, messages, batchId: int) -> None:
         ts = self.base_ts + batchId
         fs, _ = self._fs()
-        raw, entry = self._manifest_state()
+        raw, entry, snapshot = self._manifest_state()
         if entry is None:
             # INIT MARKER, before the first folder mutation: a tree
             # with no marker lists UNGATED (readers cannot tell it
@@ -607,23 +683,40 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
             # publish would leave a partial folder reader-visible —
             # the one hole the property test (test_remote_fs.py)
             # found in the marker-last scheme.  Pre-existing digit
-            # folders (a reference-produced feed this sink appends
-            # to) are presumed committed and stay visible; if one
-            # collides with a ts this writer will produce, the batch
-            # short-circuits as already-committed, consistent with
-            # that presumption.
+            # folders BELOW this stream's ts (a reference-produced
+            # feed this sink appends to) are presumed committed and
+            # stay visible under the ts-1 init marker; folders AT or
+            # ABOVE it are a misconfiguration (wrong base_ts, or a
+            # foreign feed still advancing) — presuming THOSE
+            # committed would make every batch with ts <= their max
+            # hit the already-committed short-circuit below and
+            # silently drop its rows, so fail loudly instead.
             from guidewire_spark.sources.fs import list_timestamp_dirs
 
-            init_last = max([ts - 1] + list_timestamp_dirs(self.root))
+            existing = list_timestamp_dirs(self.root)
+            if existing and max(existing) >= ts:
+                raise RuntimeError(
+                    f"gw_cda_sink: fingerprint dir {self.root!r} "
+                    f"already contains commit folder(s) up to ts "
+                    f"{max(existing)} >= this stream's next ts {ts} "
+                    "(base_ts + batchId). Presuming them committed "
+                    "would silently no-op this and later batches as "
+                    "'already published'. Point the sink at a fresh "
+                    "fingerprint dir, or set base_ts beyond the "
+                    "existing maximum."
+                )
             entry = {
-                "lastSuccessfulWriteTimestamp": init_last,
+                # reference manifest types (package.scala:11-14):
+                # timestamps are JSON Strings, record count an Int
+                "lastSuccessfulWriteTimestamp": str(ts - 1),
                 "totalProcessedRecordsCount": 0,
                 "dataFilesPath": self.table_dir,
                 "schemaHistory": {},
+                "generation": "0",
             }
             raw = dict(raw)
             raw[self.table_name] = entry
-            self._put_manifest(fs, raw)
+            snapshot = self._put_manifest(fs, raw, snapshot)
         last = int(entry["lastSuccessfulWriteTimestamp"])
         if ts <= last:
             # marker-last invariant: marker >= ts means folder <ts>
@@ -642,23 +735,34 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
             if m is not None and m.staged:
                 self._mv(fs, m.staged, f"{folder}/part-{i:05d}.parquet")
                 i += 1
-        # marker LAST — the single atomic PUT that makes <ts> visible
+        # marker LAST — the single atomic PUT that makes <ts> visible.
+        # Timestamp values serialize as JSON Strings to match the
+        # reference's ManifestEntry declaration (package.scala:11-14:
+        # lastSuccessfulWriteTimestamp: String, schemaHistory:
+        # Map[String, String]) so a reference/json4s consumer can
+        # deserialize a sink-produced manifest; our own readers int()
+        # them either way.  ``generation`` is a monotone per-entry
+        # write counter (extra String field — json4s extraction
+        # ignores unknown keys) backing the staleness check.
         rows = sum(m.rows for m in messages if m is not None)
         history = dict((entry or {}).get("schemaHistory", {}))
         history.setdefault(self.fingerprint, ts)
         manifest = dict(raw)  # preserve co-tenant tables' entries
         manifest[self.table_name] = {
-            "lastSuccessfulWriteTimestamp": ts,
+            "lastSuccessfulWriteTimestamp": str(ts),
             "totalProcessedRecordsCount": int(
                 (entry or {}).get("totalProcessedRecordsCount", 0)
             )
             + rows,
             "dataFilesPath": self.table_dir,
             "schemaHistory": {
-                fp: int(hts) for fp, hts in history.items()
+                fp: str(int(hts)) for fp, hts in history.items()
             },
+            "generation": str(
+                int((entry or {}).get("generation", 0) or 0) + 1
+            ),
         }
-        self._put_manifest(fs, manifest)
+        self._put_manifest(fs, manifest, snapshot)
         # staging GC (after the marker so the publish is never delayed
         # by cleanup): objects still under _staging/ belong to failed
         # or speculative task attempts of THIS batch — all its tasks

@@ -295,9 +295,10 @@ def test_cda_sink_marker_last_publish_and_index_roundtrip(memfs, tmp_path):
         memfs.open("memory://bucket/cda/events_out/manifest.json").read()
     )
     entry = marker["events_out"]
-    assert entry["lastSuccessfulWriteTimestamp"] == SINK_T0
+    # reference manifest types: timestamps are JSON Strings
+    assert entry["lastSuccessfulWriteTimestamp"] == str(SINK_T0)
     assert entry["totalProcessedRecordsCount"] == 3
-    assert entry["schemaHistory"] == {"fpX": SINK_T0}
+    assert entry["schemaHistory"] == {"fpX": str(SINK_T0)}
     assert entry["dataFilesPath"] == "memory://bucket/cda/events_out"
     # staging drained, folder holds exactly the two parts
     names = [
@@ -332,7 +333,9 @@ def test_cda_sink_marker_last_publish_and_index_roundtrip(memfs, tmp_path):
     marker = json.loads(
         memfs.open("memory://bucket/cda/events_out/manifest.json").read()
     )
-    assert marker["events_out"]["lastSuccessfulWriteTimestamp"] == SINK_T0 + 1
+    assert marker["events_out"]["lastSuccessfulWriteTimestamp"] == str(
+        SINK_T0 + 1
+    )
     assert marker["events_out"]["totalProcessedRecordsCount"] == 5
 
     results = index(
@@ -438,8 +441,11 @@ def test_cda_sink_schema_evolution_across_fingerprint_streams(memfs, tmp_path):
     marker = json.loads(
         memfs.open("memory://bucket/cda/events_out/manifest.json").read()
     )["events_out"]
-    assert marker["schemaHistory"] == {"fpX": SINK_T0, "fpY": t_fp2}
-    assert marker["lastSuccessfulWriteTimestamp"] == t_fp2
+    assert marker["schemaHistory"] == {
+        "fpX": str(SINK_T0),
+        "fpY": str(t_fp2),
+    }
+    assert marker["lastSuccessfulWriteTimestamp"] == str(t_fp2)
     assert marker["totalProcessedRecordsCount"] == 4
 
     db = str(tmp_path / "db")
@@ -566,7 +572,9 @@ def test_cda_sink_crash_mid_publish_recovers_exactly_once(memfs):
     marker = json.loads(
         memfs.open("memory://bucket/cda/events_out/manifest.json").read()
     )
-    assert marker["events_out"]["lastSuccessfulWriteTimestamp"] == SINK_T0 + 1
+    assert marker["events_out"]["lastSuccessfulWriteTimestamp"] == str(
+        SINK_T0 + 1
+    )
     assert marker["events_out"]["totalProcessedRecordsCount"] == 5
 
 
@@ -724,7 +732,9 @@ def test_marker_protocol_invariants_under_arbitrary_crashes():
                 marker = json.loads(
                     fs.open("memory://bkt/cda/tbl/manifest.json").read()
                 )["tbl"]
-                assert marker["lastSuccessfulWriteTimestamp"] == ts  # I3
+                assert (
+                    int(marker["lastSuccessfulWriteTimestamp"]) == ts
+                )  # I3
                 assert (
                     marker["totalProcessedRecordsCount"] == committed_rows
                 )
@@ -841,3 +851,143 @@ def test_posix_publish_invariants_under_arbitrary_crashes(tmp_path):
             assert vis[-1] == SINK_T0 + bi
 
     run()
+
+
+def test_cda_sink_concurrent_writer_staleness_abort(memfs, monkeypatch):
+    """Two writers racing ONE shared marker manifest (two fingerprint
+    streams of the same table): the first to PUT wins, the second's
+    read-modify-write must detect the interleaved PUT and abort
+    LOUDLY (``_put_manifest`` staleness check) instead of silently
+    overwriting — last-PUT-wins would drop the winner's row count and
+    marker advance.  The loser's Spark retry then merges cleanly."""
+    from guidewire_spark.streaming.cda_source import (
+        _CdaRemoteArrowWriter,
+        _list_commit_ts,
+    )
+
+    t_b = SINK_T0 + 1000
+    wa = _sink_writer(SINK_ROOT, SINK_T0)  # .../events_out/fpX
+    wb = _sink_writer("memory://bucket/cda/events_out/fpY", t_b)
+    wa.commit([wa.write(iter([_arrow_batch([1, 2])]))], 0)
+
+    # stage A's batch 1 now; inject its commit between B's manifest
+    # read (start of B's commit) and B's marker PUT (end of it) by
+    # hooking the first data-file move of B's publish
+    msgs_a1 = [wa.write(iter([_arrow_batch([3])]))]
+    orig_mv = _CdaRemoteArrowWriter._mv
+    fired = []
+
+    def interleave(fs, src, dst):
+        orig_mv(fs, src, dst)
+        if not fired:
+            fired.append(1)
+            wa.commit(msgs_a1, 1)  # A publishes mid-B-commit
+
+    monkeypatch.setattr(
+        _CdaRemoteArrowWriter, "_mv", staticmethod(interleave)
+    )
+    msgs_b = [wb.write(iter([_arrow_batch([10, 11])]))]
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        wb.commit(msgs_b, 0)
+
+    # A's interleaved update survived intact — nothing was dropped
+    marker = json.loads(
+        memfs.open("memory://bucket/cda/events_out/manifest.json").read()
+    )["events_out"]
+    assert marker["lastSuccessfulWriteTimestamp"] == str(SINK_T0 + 1)
+    assert marker["totalProcessedRecordsCount"] == 3
+    assert marker["schemaHistory"] == {"fpX": str(SINK_T0)}
+    assert marker["generation"] == "2"  # init 0, A batch0 -> 1, A batch1 -> 2
+    # B's aborted folder is reader-invisible (marker never covered it)
+    assert _list_commit_ts("memory://bucket/cda/events_out/fpY") == []
+
+    # Spark retries B's batch against FRESH manifest state: merges
+    monkeypatch.setattr(_CdaRemoteArrowWriter, "_mv", staticmethod(orig_mv))
+    wb.commit([wb.write(iter([_arrow_batch([10, 11])]))], 0)
+    marker = json.loads(
+        memfs.open("memory://bucket/cda/events_out/manifest.json").read()
+    )["events_out"]
+    assert marker["lastSuccessfulWriteTimestamp"] == str(t_b)
+    assert marker["totalProcessedRecordsCount"] == 5
+    assert marker["schemaHistory"] == {
+        "fpX": str(SINK_T0),
+        "fpY": str(t_b),
+    }
+    assert marker["generation"] == "3"
+    assert _list_commit_ts("memory://bucket/cda/events_out/fpY") == [t_b]
+
+
+def test_cda_sink_init_fails_loud_on_preexisting_newer_folders(memfs):
+    """A marker-less tree whose digit folders reach AT/ABOVE the
+    stream's next ts means base_ts is misconfigured (or a foreign
+    feed is still advancing): presuming those committed would make
+    every batch short-circuit as 'already published' and silently
+    drop rows.  Init must raise instead.  Folders strictly BELOW the
+    stream's ts are the legitimate append-to-reference-feed case and
+    stay visible under the init marker."""
+    from guidewire_spark.streaming.cda_source import _list_commit_ts
+
+    # newer pre-existing folder >= first ts -> loud failure, no publish
+    root_bad = "memory://bucket/cda/pre_bad/fp1"
+    memfs.put_bytes(
+        f"{root_bad}/{SINK_T0 + 5}/part-00000.parquet",
+        _parquet_bytes(["x"], [1]),
+    )
+    w = _sink_writer(root_bad, SINK_T0)
+    msgs = [w.write(iter([_arrow_batch([1])]))]
+    with pytest.raises(RuntimeError, match="base_ts"):
+        w.commit(msgs, 0)
+    assert not memfs.exists("memory://bucket/cda/pre_bad/manifest.json")
+
+    # older pre-existing folder < first ts -> presumed committed,
+    # visible under the ts-1 init marker alongside the new publish
+    root_ok = "memory://bucket/cda/pre_ok/fp1"
+    memfs.put_bytes(
+        f"{root_ok}/{SINK_T0 - 5}/part-00000.parquet",
+        _parquet_bytes(["y"], [2]),
+    )
+    w2 = _sink_writer(root_ok, SINK_T0)
+    w2.commit([w2.write(iter([_arrow_batch([7, 8])]))], 0)
+    assert _list_commit_ts(root_ok) == [SINK_T0 - 5, SINK_T0]
+
+
+def test_sink_marker_foreign_manifest_does_not_gate(memfs):
+    """A single-entry manifest whose key AND dataFilesPath name a
+    DIFFERENT table must not gate a neighboring fingerprint dir's
+    listing (it would hide legitimately committed folders behind an
+    unrelated timestamp); one whose dataFilesPath DOES claim the
+    table gates even under a nonstandard key."""
+    from guidewire_spark.streaming.cda_source import _list_commit_ts
+
+    ts = SINK_T0 + 42
+    root = "memory://bucket/cda/tbl_f/fpQ"
+    memfs.put_bytes(
+        f"{root}/{ts}/part-00000.parquet", _parquet_bytes(["z"], [3])
+    )
+    foreign = {
+        "other_table": {
+            "lastSuccessfulWriteTimestamp": "0",
+            "totalProcessedRecordsCount": 1,
+            "dataFilesPath": "memory://bucket/cda/other_table",
+            "schemaHistory": {},
+        }
+    }
+    memfs.put_bytes(
+        "memory://bucket/cda/tbl_f/manifest.json",
+        json.dumps(foreign).encode(),
+    )
+    assert _list_commit_ts(root) == [ts], "foreign manifest must not gate"
+
+    claiming = {
+        "weird_key": {
+            "lastSuccessfulWriteTimestamp": "0",
+            "totalProcessedRecordsCount": 1,
+            "dataFilesPath": "memory://bucket/cda/tbl_f/",
+            "schemaHistory": {},
+        }
+    }
+    memfs.put_bytes(
+        "memory://bucket/cda/tbl_f/manifest.json",
+        json.dumps(claiming).encode(),
+    )
+    assert _list_commit_ts(root) == [], "claiming manifest must gate"
