@@ -50,9 +50,20 @@ DEFAULT = [
     "ts_holt_forecast_exact",
     "dq_psi_drift",
     "sql_row_pattern_match",
+    "vocab_bpe_encode_corpus",
 ]
 
 RUNS = 3  # min-of-N absorbs codegen + GC noise
+
+# Hard per-round budgets at sf0.1 (WARM shape — min-of-RUNS with the
+# artifact cache populated by run 1), r10 verdict item 6: the BPE
+# apply stage is the suite's steepest warm alpha (0.44); a regression
+# in its fold fan-out must fail by number, not by plan re-reading.
+# Budgeted on the r10 series (0.64 s warm) with ~4x headroom for
+# ambient machine noise.
+BUDGETS_SF01 = {
+    "vocab_bpe_encode_corpus": 2.5,
+}
 
 
 def main() -> None:
@@ -91,6 +102,23 @@ def main() -> None:
             f"| {r['query']} | {t['0.001']} | {t['0.01']} | {t['0.1']} "
             f"| {r['alpha_01_to_1']} |"
         )
+
+    over = [
+        (r["query"], r["sec"]["0.1"], BUDGETS_SF01[r["query"]])
+        for r in rows
+        if r["query"] in BUDGETS_SF01
+        and r["sec"]["0.1"] > BUDGETS_SF01[r["query"]]
+    ]
+    if over:
+        for name, got, budget in over:
+            print(f"FAIL {name}: {got} s at sf0.1 > budget {budget} s")
+        raise SystemExit(1)
+    for name, budget in BUDGETS_SF01.items():
+        got = next(
+            (r["sec"]["0.1"] for r in rows if r["query"] == name), None
+        )
+        if got is not None:
+            print(f"BUDGET OK {name}: {got} s <= {budget} s at sf0.1")
 
 
 if __name__ == "__main__":
