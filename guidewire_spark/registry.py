@@ -187,24 +187,10 @@ _WINDOW = 50
 # join strategies, Delta log mechanics) outrank value-only queries.
 _PLAN_DEPENDENT_PREFIXES = ("stream_", "join_", "delta_", "cda_", "udtf_", "udaf_", "udf_")
 
-# Judge-ordered window pins (round-9 verdict item 4 + advice item a):
-# the five round-9 bound-check conversions that never received a
-# post-conversion driver slot, and the two incremental verified
-# siblings whose pass(r9) claim lacks a recorded gate entry.  Pinned
-# ahead of the class ordering so the r10 window is guaranteed to carry
-# them; drop this tuple once CORRECTNESS_r10 records them green (the
-# history rule then keeps them out of future windows automatically).
-_VERDICT_PINNED = frozenset(
-    {
-        "stat_sample_by",
-        "agg_heavy_hitters_spacesaving",
-        "stat_freq_items",
-        "agg_histogram_numeric",
-        "text_compression_ratio",
-        "dedup_incremental_minhash_verified",
-        "dedup_incremental_embedding_verified",
-    }
-)
+# (Round-9's judge-ordered window pins were dropped after
+# CORRECTNESS_r10 recorded all seven green — the history rule keeps
+# them out of future windows automatically, per that verdict's own
+# drop condition.)
 
 
 def _entry_passed(v) -> bool:
@@ -313,8 +299,6 @@ def driver_window_order() -> dict[str, QuerySpec]:
     backlog.sort(
         key=lambda n: 0
         if history.get(n, (True, False))[0] is False
-        else 1
-        if n in _VERDICT_PINNED
         else 4
         if registry[n].oracle is None
         else (2 if n.startswith(_PLAN_DEPENDENT_PREFIXES) else 3)

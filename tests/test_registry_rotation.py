@@ -71,15 +71,12 @@ def test_window_is_zero_history_failed_then_plan_dependent_first():
         assert len(front) == _WINDOW
     # class order inside the window: failed-then-fixed rows lead
     # unconditionally (a red must never be crowded out by new
-    # registrations), then the judge-ordered round-10 pins, then
-    # plan-dependent families, then value-only
+    # registrations), then plan-dependent families, then value-only
+    # (the r9 judge-ordered pins were dropped once CORRECTNESS_r10
+    # recorded them green, per that verdict's own drop condition)
     def klass(n: str) -> int:
-        from guidewire_spark.registry import _VERDICT_PINNED
-
         if history.get(n, (True, False))[0] is False:
             return 0
-        if n in _VERDICT_PINNED:
-            return 1
         return (
             2
             if n.startswith(
