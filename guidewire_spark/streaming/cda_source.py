@@ -539,6 +539,21 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
     check-then-PUT window remains; backends exposing a conditional
     PUT (If-Match etag / generation precondition) can close it to a
     true CAS.
+
+    Because the manifest holds ONE watermark per table, fingerprint
+    epochs must be SEQUENTIAL with ascending ts domains (the
+    reference's own evolution model, ``Guidewire.scala:221-237``) —
+    and commit() makes every violation loud rather than lossy: a NEW
+    fingerprint stream joining a table must start above the table
+    watermark and find no foreign in-flight folders above it; the
+    already-committed retry short-circuit verifies the folder
+    actually exists (a missing folder means a co-tenant advanced the
+    shared watermark past this stream's domain — refusing beats
+    silently dropping the batch); and a publish losing the staleness
+    race deletes its just-filled folder when the winner's watermark
+    would otherwise expose it.  All four guards are driven through a
+    hypothesis property test interleaving two writers at arbitrary
+    data-plane mutation points (test_remote_fs.py).
     """
 
     def __init__(self, root_uri: str, base_ts: int):
@@ -672,6 +687,38 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
             f.write(data)
         return data
 
+    def _inflight_foreign_folders(self, fs, last: int) -> list:
+        """(fingerprint, ts) of commit folders ABOVE the table
+        watermark in OTHER fingerprint dirs — publishes still in
+        flight (or crashed) whose stream has not advanced the marker
+        yet.  My own dir is excluded: my unpublished folders are mine
+        to replace on retry.  One-time cost at a stream's first
+        commit only (one table-dir listing + one listing per sibling
+        fingerprint dir)."""
+        import fsspec
+        from urllib.parse import urlparse
+
+        from guidewire_spark.sources.fs import list_timestamp_dirs
+
+        scheme = urlparse(self.root).scheme
+        _, tpath = fsspec.core.url_to_fs(self.table_dir)
+        try:
+            infos = fs.ls(tpath, detail=True)
+        except FileNotFoundError:
+            return []
+        out = []
+        for info in infos:
+            if info.get("type") != "directory":
+                continue
+            name = info["name"].rstrip("/").rsplit("/", 1)[-1]
+            if name == self.fingerprint:
+                continue
+            sib = f"{scheme}://{info['name'].lstrip('/')}"
+            for t in list_timestamp_dirs(sib):
+                if t > last:
+                    out.append((name, t))
+        return out
+
     def commit(self, messages, batchId: int) -> None:
         ts = self.base_ts + batchId
         fs, _ = self._fs()
@@ -718,11 +765,66 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
             raw[self.table_name] = entry
             snapshot = self._put_manifest(fs, raw, snapshot)
         last = int(entry["lastSuccessfulWriteTimestamp"])
+        history = (
+            entry.get("schemaHistory", {}) if isinstance(entry, dict) else {}
+        )
+        if self.fingerprint not in history:
+            # JOINING a table that already has a watermark (the next
+            # schema-evolution epoch, the reference's sequential
+            # fingerprint model — or a misconfigured second writer).
+            # The manifest has ONE lastSuccessfulWriteTimestamp per
+            # table, so this stream's ts domain must sit strictly
+            # ABOVE it: a domain at/below the watermark would hit the
+            # already-committed short-circuit and silently drop every
+            # batch (found by the two-writer interleave property
+            # test).  And no OTHER stream's publish may be in flight
+            # above the watermark — advancing the marker past a
+            # co-tenant's unpublished folder would make that partial
+            # folder reader-visible.
+            if ts <= last:
+                raise RuntimeError(
+                    f"gw_cda_sink: table {self.table_dir!r} watermark "
+                    f"is {last} >= this NEW stream's first ts {ts} "
+                    f"(fingerprint {self.fingerprint!r}, base_ts + "
+                    "batchId). Its batches would silently no-op as "
+                    "'already published'. Fingerprint epochs must be "
+                    "sequential with ascending timestamps (the "
+                    "reference's evolution model) — set base_ts above "
+                    "the table watermark."
+                )
+            stale = self._inflight_foreign_folders(fs, last)
+            if stale:
+                raise RuntimeError(
+                    f"gw_cda_sink: table {self.table_dir!r} has "
+                    f"in-flight (unpublished) commit folder(s) above "
+                    f"the watermark {last} in OTHER fingerprint "
+                    f"dir(s): {stale!r}. Advancing the shared marker "
+                    "would make those partial publishes "
+                    "reader-visible. Let the other stream finish (or "
+                    "clean its crashed folders) before starting this "
+                    "fingerprint epoch."
+                )
         if ts <= last:
             # marker-last invariant: marker >= ts means folder <ts>
-            # was FULLY published by a previous attempt — the retry
-            # must not touch it (that would reopen a visibility
-            # window on a folder readers already trust)
+            # was FULLY published by a previous attempt of THIS stream
+            # — the retry must not touch it (that would reopen a
+            # visibility window on a folder readers already trust).
+            # The folder's existence is asserted because marker >= ts
+            # with NO folder means a co-tenant stream advanced the
+            # shared watermark past this stream's domain — no-opping
+            # would silently drop the batch's rows.
+            import fsspec
+
+            _, done = fsspec.core.url_to_fs(f"{self.root}/{ts}")
+            if not fs.exists(done):
+                raise RuntimeError(
+                    f"gw_cda_sink: table watermark {last} covers this "
+                    f"batch's ts {ts} but {self.root!r}/{ts} was never "
+                    "published by this stream — a co-tenant stream "
+                    "advanced the shared marker past this stream's ts "
+                    "domain. Refusing to drop the batch; restart this "
+                    "stream with base_ts above the table watermark."
+                )
             self._drop_staged(fs, messages)
             return
         import fsspec
@@ -762,7 +864,25 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
                 int((entry or {}).get("generation", 0) or 0) + 1
             ),
         }
-        self._put_manifest(fs, manifest, snapshot)
+        try:
+            self._put_manifest(fs, manifest, snapshot)
+        except RuntimeError:
+            # Concurrent-writer conflict on the publish PUT.  If the
+            # winner advanced the SHARED watermark to/past this ts,
+            # the folder just filled above — never committed by this
+            # stream — is now reader-visible (the scan-vs-publish
+            # TOCTOU a conditional PUT cannot see): delete it before
+            # surfacing the conflict so a loud loser never leaks
+            # uncommitted rows into the feed.  Below the watermark it
+            # stays invisible and the retry republishes it.
+            _, cur_entry, _ = self._manifest_state()
+            try:
+                cur_last = int(cur_entry["lastSuccessfulWriteTimestamp"])
+            except (TypeError, KeyError, ValueError):
+                cur_last = None
+            if cur_last is not None and cur_last >= ts and fs.exists(folder):
+                fs.rm(folder, recursive=True)
+            raise
         # staging GC (after the marker so the publish is never delayed
         # by cleanup): objects still under _staging/ belong to failed
         # or speculative task attempts of THIS batch — all its tasks

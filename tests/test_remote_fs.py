@@ -991,3 +991,192 @@ def test_sink_marker_foreign_manifest_does_not_gate(memfs):
         json.dumps(claiming).encode(),
     )
     assert _list_commit_ts(root) == [], "claiming manifest must gate"
+
+
+def test_two_writer_staleness_property_no_lost_updates():
+    """Property twin of the deterministic interleave test: TWO
+    fingerprint streams of one table (shared marker manifest, A's ts
+    domain below B's), each attempting a random batch sequence, with
+    the OTHER writer's commit injected at an ARBITRARY mutation point
+    of each attempt.  A single-watermark manifest cannot let two
+    interleaved ts domains both advance (the reference's fingerprint
+    epochs are sequential), so the protocol's guarantee is: every
+    attempt either commits EXACTLY-ONCE or raises LOUDLY — never a
+    silent drop — and after any schedule (a) the marker's row count
+    equals the rows of successful commits exactly, (b) each
+    fingerprint's visible folders are exactly its successful commits,
+    complete and byte-exact, (c) failed attempts leave nothing
+    reader-visible.  The staleness conflict ('concurrent writer') is
+    the one retryable failure; domain/in-flight violations are fatal
+    for that stream (operator must re-base it)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from guidewire_spark.streaming.cda_source import (
+        CdaStreamSink,
+        _list_commit_ts,
+    )
+    from tests.fake_fsspec import MemoryFS, make_fsspec_module
+
+    T0A, T0B = SINK_T0, SINK_T0 + 10_000
+
+    class _HookFS:
+        """MemoryFS proxy firing a one-shot hook before the Nth
+        mutating operation — runs the OTHER writer's commit inside
+        this one's stage→read→PUT window."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.hook = None
+            self.countdown = None
+
+        def _tick(self):
+            if self.countdown is not None:
+                if self.countdown <= 0 and self.hook is not None:
+                    h, self.hook, self.countdown = self.hook, None, None
+                    h()
+                elif self.countdown > 0:
+                    self.countdown -= 1
+
+        def mv(self, src, dst):
+            self._tick()
+            return self._inner.mv(src, dst)
+
+        def rm(self, path, recursive=False):
+            self._tick()
+            return self._inner.rm(path, recursive=recursive)
+
+        def open(self, path, mode="rb"):
+            # manifest PUTs do NOT tick: the protocol's guarantee is
+            # conditional on the marker PUT being the atomic unit
+            # (the residual check-then-PUT window is the documented
+            # CAS caveat, not a schedule this model generates) —
+            # conflicts interleave anywhere in the data plane instead
+            if ("w" in mode or "a" in mode) and not path.endswith(
+                "manifest.json"
+            ):
+                self._tick()
+            return self._inner.open(path, mode)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        rounds=st.lists(  # per round: (rows_a, rows_b, interleave tick)
+            st.tuples(
+                st.lists(st.integers(0, 99), min_size=1, max_size=3),
+                st.lists(st.integers(100, 199), min_size=1, max_size=3),
+                st.integers(0, 10),
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+        a_first=st.booleans(),
+    )
+    def run(rounds, a_first):
+        fs = _HookFS(MemoryFS())
+        mod = make_fsspec_module(fs)
+        saved = {k: sys.modules.get(k) for k in ("fsspec", "fsspec.core")}
+        sys.modules["fsspec"], sys.modules["fsspec.core"] = mod, mod.core
+        try:
+            wa = CdaStreamSink(
+                {"path": "memory://bkt/cda/t2/fpA", "base_ts": str(T0A)}
+            ).streamWriter(None, False)
+            wb = CdaStreamSink(
+                {"path": "memory://bkt/cda/t2/fpB", "base_ts": str(T0B)}
+            ).streamWriter(None, False)
+            alive = {"A": True, "B": True}
+            ok_rows = 0  # rows of successful commits, both writers
+            ok_ts = {"A": [], "B": []}
+            rows_at = {}  # (side, ts) -> committed row ids
+
+            def attempt(side, w, t0, rows, bi):
+                """One commit attempt (+ one retry on the retryable
+                staleness conflict).  Returns True iff committed."""
+                nonlocal ok_rows
+                for is_retry in (False, True):
+                    msgs = [w.write(iter([_arrow_batch(rows)]))]
+                    try:
+                        w.commit(msgs, bi)
+                    except RuntimeError as e:
+                        if "concurrent writer" in str(e) and not is_retry:
+                            w.abort(msgs, bi)
+                            continue  # Spark retries the batch
+                        # fatal for this stream: domain below the
+                        # shared watermark, or foreign in-flight
+                        # folders — LOUD, nothing published
+                        w.abort(msgs, bi)
+                        alive[side] = False
+                        return False
+                    ok_rows += len(rows)
+                    ok_ts[side].append(t0 + bi)
+                    rows_at[(side, t0 + bi)] = sorted(rows)
+                    return True
+                return False  # unreachable
+
+            for bi, (rows_a, rows_b, tick) in enumerate(rounds):
+                order = ("A", "B") if a_first else ("B", "A")
+                par = {
+                    "A": (wa, T0A, rows_a),
+                    "B": (wb, T0B, rows_b),
+                }
+                first, second = order
+                if alive[first] and alive[second]:
+                    # FIRST's commit injected at mutation #tick of
+                    # SECOND's attempt (beyond its mutation count =
+                    # no interleave; FIRST then runs afterwards)
+                    fired = []
+
+                    def run_first():
+                        fired.append(1)
+                        attempt(first, *par[first], bi)
+
+                    fs.hook, fs.countdown = run_first, tick
+                    try:
+                        attempt(second, *par[second], bi)
+                    finally:
+                        fs.hook, fs.countdown = None, None
+                    if not fired:
+                        attempt(first, *par[first], bi)
+                else:
+                    for side in order:
+                        if alive[side]:
+                            attempt(side, *par[side], bi)
+
+                # invariants after EVERY round
+                marker = json.loads(
+                    fs.open("/bkt/cda/t2/manifest.json").read()
+                )["t2"]
+                assert marker["totalProcessedRecordsCount"] == ok_rows
+                all_ok = ok_ts["A"] + ok_ts["B"]
+                if all_ok:
+                    assert (
+                        int(marker["lastSuccessfulWriteTimestamp"])
+                        == max(all_ok)
+                    )
+                for side, root in (
+                    ("A", "memory://bkt/cda/t2/fpA"),
+                    ("B", "memory://bkt/cda/t2/fpB"),
+                ):
+                    assert _list_commit_ts(root) == ok_ts[side]
+                    for t in ok_ts[side]:
+                        got = sorted(
+                            i
+                            for pth in fs.ls(f"{root}/{t}", detail=False)
+                            if pth.endswith(".parquet")
+                            for i in pq.read_table(
+                                io.BytesIO(fs.files[fs._norm(pth)][0])
+                            )
+                            .column("id")
+                            .to_pylist()
+                        )
+                        assert got == rows_at[(side, t)], (side, t)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    sys.modules.pop(k, None)
+                else:
+                    sys.modules[k] = v
+
+    run()
