@@ -667,10 +667,37 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
         needs a conditional PUT (If-Match / x-amz-*generation*), noted
         in the class docstring for backends that expose one.
 
-        Returns the bytes written (the caller's next ``expected``)."""
+        Returns the bytes written (the caller's next ``expected``).
+
+        Backends exposing a CONDITIONAL PUT take the true-CAS path:
+        if the fs object implements ``cas_put(path, data, expected)
+        -> bool`` (atomically write ``data`` iff the object's current
+        bytes equal ``expected``, with ``expected=None`` meaning the
+        object must not exist; return False on precondition failure),
+        the read-back pre-check is skipped entirely and the
+        check-then-PUT window closes to zero.  fsspec has no uniform
+        conditional-write API today, so ``cas_put`` is this repo's
+        documented extension hook — implementable over S3 PutObject
+        If-Match / If-None-Match or a GCS generation precondition;
+        tests/fake_fsspec.CasMemoryFS provides the reference
+        implementation and the two-writer property test drives both
+        paths."""
         import fsspec
         import json
 
+        data = json.dumps(manifest).encode("utf-8")
+        _, mpath = fsspec.core.url_to_fs(self.manifest_uri)
+        if hasattr(fs, "cas_put"):
+            if not fs.cas_put(mpath, data, expected):
+                raise RuntimeError(
+                    "gw_cda_sink: concurrent writer detected on marker "
+                    f"manifest {self.manifest_uri!r}: the conditional "
+                    "PUT's precondition failed (the object changed "
+                    "since this commit's read). Aborting rather than "
+                    "overwriting the other writer's update; this batch "
+                    "will be retried against fresh manifest state."
+                )
+            return data
         current = self._manifest_bytes()
         if current != expected:
             raise RuntimeError(
@@ -681,8 +708,6 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
                 "update (last-PUT-wins would silently drop it); this "
                 "batch will be retried against fresh manifest state."
             )
-        data = json.dumps(manifest).encode("utf-8")
-        _, mpath = fsspec.core.url_to_fs(self.manifest_uri)
         with fs.open(mpath, "wb") as f:
             f.write(data)
         return data

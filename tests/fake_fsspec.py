@@ -112,6 +112,28 @@ class MemoryFS:
         return _Writer()
 
 
+class CasMemoryFS(MemoryFS):
+    """MemoryFS plus the repo's documented conditional-PUT extension
+    hook (``guidewire_spark.streaming.cda_source._put_manifest``):
+    ``cas_put(path, data, expected)`` atomically writes ``data`` iff
+    the object's current bytes equal ``expected`` (``None`` = object
+    must not exist), returning False on precondition failure — the
+    semantics of S3 PutObject If-Match / If-None-Match or a GCS
+    generation precondition.  In-process the dict update IS atomic,
+    making this the reference implementation the sink's true-CAS
+    publish path is tested against."""
+
+    def cas_put(self, path: str, data: bytes, expected) -> bool:
+        p = self._norm(path)
+        cur = self.files[p][0] if p in self.files else None
+        if (expected is None) != (cur is None):
+            return False
+        if expected is not None and cur != expected:
+            return False
+        self.files[p] = (data, 1680350543.25)
+        return True
+
+
 def make_fsspec_module(fs: MemoryFS):
     """Build a module object usable as ``sys.modules['fsspec']`` whose
     ``core.url_to_fs`` resolves every URI to ``fs``."""

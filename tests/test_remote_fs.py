@@ -993,7 +993,7 @@ def test_sink_marker_foreign_manifest_does_not_gate(memfs):
     assert _list_commit_ts(root) == [], "claiming manifest must gate"
 
 
-def test_two_writer_staleness_property_no_lost_updates():
+def _two_writer_property(fs_inner_factory):
     """Property twin of the deterministic interleave test: TWO
     fingerprint streams of one table (shared marker manifest, A's ts
     domain below B's), each attempting a random batch sequence, with
@@ -1016,7 +1016,7 @@ def test_two_writer_staleness_property_no_lost_updates():
         CdaStreamSink,
         _list_commit_ts,
     )
-    from tests.fake_fsspec import MemoryFS, make_fsspec_module
+    from tests.fake_fsspec import make_fsspec_module
 
     T0A, T0B = SINK_T0, SINK_T0 + 10_000
 
@@ -1061,6 +1061,16 @@ def test_two_writer_staleness_property_no_lost_updates():
         def __getattr__(self, name):
             return getattr(self._inner, name)
 
+    class _HookCasFS(_HookFS):
+        """CAS-capable proxy: the hook may fire immediately BEFORE
+        the conditional PUT — the exact schedule the check-then-PUT
+        fallback cannot close — and the atomic precondition must
+        still catch it."""
+
+        def cas_put(self, path, data, expected):
+            self._tick()
+            return self._inner.cas_put(path, data, expected)
+
     @settings(max_examples=30, deadline=None)
     @given(
         rounds=st.lists(  # per round: (rows_a, rows_b, interleave tick)
@@ -1075,7 +1085,8 @@ def test_two_writer_staleness_property_no_lost_updates():
         a_first=st.booleans(),
     )
     def run(rounds, a_first):
-        fs = _HookFS(MemoryFS())
+        inner = fs_inner_factory()
+        fs = (_HookCasFS if hasattr(inner, "cas_put") else _HookFS)(inner)
         mod = make_fsspec_module(fs)
         saved = {k: sys.modules.get(k) for k in ("fsspec", "fsspec.core")}
         sys.modules["fsspec"], sys.modules["fsspec.core"] = mod, mod.core
@@ -1180,3 +1191,106 @@ def test_two_writer_staleness_property_no_lost_updates():
                     sys.modules[k] = v
 
     run()
+
+
+def test_two_writer_staleness_property_no_lost_updates():
+    """Check-then-PUT fallback backend (no conditional PUT): every
+    interleaving either commits exactly-once or fails loudly; manifest
+    PUTs are modeled atomic per the documented CAS caveat."""
+    from tests.fake_fsspec import MemoryFS
+
+    _two_writer_property(MemoryFS)
+
+
+def test_two_writer_staleness_property_true_cas_backend():
+    """True-CAS backend (CasMemoryFS implements the repo's cas_put
+    extension hook): same invariants, but conflicts are additionally
+    injected immediately BEFORE the conditional PUT — the residual
+    window of the fallback path — and the atomic precondition must
+    convert every such clobber into a loud retryable failure."""
+    from tests.fake_fsspec import CasMemoryFS
+
+    _two_writer_property(CasMemoryFS)
+
+
+def test_stream_discovery_roundtrips_flat_in_commit_count(monkeypatch):
+    """CI twin of tools/discovery_probe.py: gw_cda_stream's
+    per-microbatch discovery must issue an IDENTICAL fs-API call
+    profile at 50 and 500 commits (one listing + one marker GET per
+    poll; plus one exists + one listing for the single new folder
+    when planning) — the O(1)-roundtrips-per-poll contract that keeps
+    a long-running stream's discovery flat as table history grows."""
+    from tests.fake_fsspec import MemoryFS, make_fsspec_module
+
+    class _CountFS:
+        def __init__(self, inner):
+            self._inner = inner
+            self.calls = {}
+
+        def _n(self, op):
+            self.calls[op] = self.calls.get(op, 0) + 1
+
+        def reset(self):
+            out, self.calls = self.calls, {}
+            return out
+
+        def exists(self, path):
+            self._n("exists")
+            return self._inner.exists(path)
+
+        def ls(self, path, detail=False):
+            self._n("ls")
+            return self._inner.ls(path, detail=detail)
+
+        def open(self, path, mode="rb"):
+            self._n("open")
+            return self._inner.open(path, mode)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    fs = _CountFS(MemoryFS())
+    mod = make_fsspec_module(fs)
+    monkeypatch.setitem(sys.modules, "fsspec", mod)
+    monkeypatch.setitem(sys.modules, "fsspec.core", mod.core)
+
+    from guidewire_spark.streaming.cda_source import _CdaStreamReader
+
+    def build(n):
+        t0 = 1700000000000
+        root = f"memory://bkt/cda/tb{n}/fp"
+        for i in range(n):
+            fs.put_bytes(
+                f"{root}/{t0 + i}/part-00000.parquet",
+                _parquet_bytes(["x"], [1]),
+            )
+        fs.put_bytes(
+            f"memory://bkt/cda/tb{n}/manifest.json",
+            json.dumps(
+                {
+                    f"tb{n}": {
+                        "lastSuccessfulWriteTimestamp": str(t0 + n - 1),
+                        "totalProcessedRecordsCount": n,
+                        "dataFilesPath": f"memory://bkt/cda/tb{n}",
+                        "schemaHistory": {"fp": str(t0)},
+                    }
+                }
+            ).encode(),
+        )
+        return root, t0
+
+    profiles = {}
+    for n in (50, 500):
+        root, t0 = build(n)
+        rdr = _CdaStreamReader(root, ["id"])
+        fs.reset()
+        last = rdr.latestOffset()
+        poll = fs.reset()
+        assert last["ts"] == t0 + n - 1
+        parts = rdr.partitions({"ts": last["ts"] - 1}, last)
+        plan = fs.reset()
+        assert len(parts) == 1
+        profiles[n] = (poll, plan)
+    assert profiles[50] == profiles[500], profiles
+    assert sum(profiles[50][0].values()) <= 3  # poll: ls + marker GET (+exists)
+    assert sum(profiles[50][1].values()) <= 5  # plan: + new folder listing
