@@ -1294,3 +1294,49 @@ def test_stream_discovery_roundtrips_flat_in_commit_count(monkeypatch):
     assert profiles[50] == profiles[500], profiles
     assert sum(profiles[50][0].values()) <= 3  # poll: ls + marker GET (+exists)
     assert sum(profiles[50][1].values()) <= 5  # plan: + new folder listing
+
+
+def test_new_epoch_refuses_crashed_predecessor_inflight_folder(memfs):
+    """Sequential-epoch handoff safety: epoch 1 (fpX) crashes HARD
+    between filling a commit folder and the marker PUT (folder exists
+    above the watermark, process gone — nothing cleans it).  Epoch 2
+    (fpY) joining the table must REFUSE its first commit: advancing
+    the shared watermark past the predecessor's unpublished folder
+    would make that partial publish reader-visible.  After the
+    operator removes the crashed folder, the new epoch starts
+    cleanly."""
+    w1 = _sink_writer(SINK_ROOT, SINK_T0)  # .../events_out/fpX
+    w1.commit([w1.write(iter([_arrow_batch([1, 2])]))], 0)
+
+    # hard crash of fpX's batch 1: folder filled, marker never PUT
+    memfs.put_bytes(
+        f"{SINK_ROOT}/{SINK_T0 + 1}/part-00000.parquet",
+        _parquet_bytes(["zz"], [9]),
+    )
+
+    t_b = SINK_T0 + 1000
+    w2 = _sink_writer("memory://bucket/cda/events_out/fpY", t_b)
+    msgs = [w2.write(iter([_arrow_batch([10])]))]
+    with pytest.raises(RuntimeError, match="in-flight"):
+        w2.commit(msgs, 0)
+    # nothing published, marker untouched (fpX's watermark stands)
+    marker = json.loads(
+        memfs.open("memory://bucket/cda/events_out/manifest.json").read()
+    )["events_out"]
+    assert marker["lastSuccessfulWriteTimestamp"] == str(SINK_T0)
+    from guidewire_spark.streaming.cda_source import _list_commit_ts
+
+    assert _list_commit_ts("memory://bucket/cda/events_out/fpY") == []
+
+    # operator cleans the crashed folder -> the handoff proceeds
+    memfs.rm(f"{SINK_ROOT}/{SINK_T0 + 1}", recursive=True)
+    w2.commit([w2.write(iter([_arrow_batch([10])]))], 0)
+    marker = json.loads(
+        memfs.open("memory://bucket/cda/events_out/manifest.json").read()
+    )["events_out"]
+    assert marker["lastSuccessfulWriteTimestamp"] == str(t_b)
+    assert marker["schemaHistory"] == {
+        "fpX": str(SINK_T0),
+        "fpY": str(t_b),
+    }
+    assert _list_commit_ts("memory://bucket/cda/events_out/fpY") == [t_b]
