@@ -299,9 +299,9 @@ def driver_window_order() -> dict[str, QuerySpec]:
     backlog.sort(
         key=lambda n: 0
         if history.get(n, (True, False))[0] is False
-        else 4
+        else 3
         if registry[n].oracle is None
-        else (2 if n.startswith(_PLAN_DEPENDENT_PREFIXES) else 3)
+        else (1 if n.startswith(_PLAN_DEPENDENT_PREFIXES) else 2)
     )  # stable: registration order within each class
     front = backlog[:_WINDOW]
     ordered = {n: registry[n] for n in front}

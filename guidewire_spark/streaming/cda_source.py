@@ -69,9 +69,15 @@ def _sink_marker_ts(root: str) -> int | None:
         from guidewire_spark.sources.fs import read_text
 
         table_dir = root.rstrip("/").rpartition("/")[0]
+        # ABSENT (FileNotFoundError) or unparseable/undecodable
+        # (ValueError incl. UnicodeDecodeError) → no marker governs the
+        # tree, list ungated.  Any OTHER read failure (throttle, auth —
+        # OSError from the backend) PROPAGATES: treating a transient
+        # error as "no marker" would briefly un-gate the listing and
+        # expose in-flight commit folders to the reader.
         try:
             raw = json.loads(read_text(f"{table_dir}/manifest.json"))
-        except (FileNotFoundError, ValueError, OSError):
+        except (FileNotFoundError, ValueError):
             return None
         table_name = table_dir.rsplit("/", 1)[-1]
     else:
@@ -82,7 +88,7 @@ def _sink_marker_ts(root: str) -> int | None:
         try:
             with open(mpath, encoding="utf-8") as fh:
                 raw = json.load(fh)
-        except (ValueError, OSError):
+        except (FileNotFoundError, ValueError):
             return None
         table_name = os.path.basename(table_dir)
     try:
@@ -105,17 +111,27 @@ def _sink_marker_ts(root: str) -> int | None:
 
 def _entry_claims_table(entry, table_dir: str, table_name: str) -> bool:
     """True when a manifest entry's ``dataFilesPath`` names this table
-    dir — either the full path (modulo trailing slash / scheme
-    spelling) or at least ending in ``/<table_name>``.  Used to reject
-    FOREIGN manifests in the single-entry fallback, both reader
-    (``_sink_marker_ts``) and writer (``_manifest_state``) side."""
+    dir — full-path equality modulo trailing slash and scheme
+    SPELLING only (``s3://`` vs ``s3a://`` vs scheme-stripped, the
+    aliases fsspec and Hadoop interchange for one store).  Used to
+    reject FOREIGN manifests in the single-entry fallback, both reader
+    (``_sink_marker_ts``) and writer (``_manifest_state``) side.  A
+    bare ``endswith('/<table_name>')`` rule is NOT enough: a manifest
+    copied from another deployment of a same-named table (e.g.
+    ``.../archive/events_out`` next to ``.../prod/events_out``) would
+    gate this table's listing with the other deployment's watermark —
+    the exact hidden-folder bug this check exists to prevent."""
     if not isinstance(entry, dict):
         return False
     dfp = entry.get("dataFilesPath")
     if not isinstance(dfp, str) or not dfp:
         return False
-    dfp = dfp.rstrip("/")
-    return dfp == table_dir.rstrip("/") or dfp.endswith(f"/{table_name}")
+
+    def _norm(p: str) -> str:
+        scheme, sep, rest = p.partition("://")
+        return (rest if sep else p).strip("/")
+
+    return _norm(dfp) == _norm(table_dir)
 
 
 def _list_commit_ts(root: str) -> list[int]:
@@ -598,14 +614,25 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
         return _CdaSinkMessage(staged, tbl.num_rows)
 
     def _manifest_bytes(self):
-        """Raw manifest object bytes, or None when absent/unreadable —
-        the unit the staleness check compares (an etag stand-in for
-        stores whose API doesn't surface one through fsspec)."""
-        from guidewire_spark.sources.fs import read_text
+        """Raw manifest object bytes, or None when ABSENT — the unit
+        the staleness check compares (an etag stand-in for stores
+        whose API doesn't surface one through fsspec).  Only
+        FileNotFoundError maps to None: a transient read failure
+        (throttle, auth hiccup — s3fs surfaces these as OSError)
+        must FAIL the commit so Spark retries it, not masquerade as
+        'manifest absent' and send an established stream down the
+        init path, where the CAS pre-check would ALSO read None and a
+        successful PUT would reset the row-count audit and wipe the
+        schemaHistory epochs.  Bytes are read raw (no utf-8 decode) so
+        a corrupt object is the json.loads caller's loud problem, not
+        a silent None."""
+        import fsspec
 
+        fs, path = fsspec.core.url_to_fs(self.manifest_uri)
         try:
-            return read_text(self.manifest_uri).encode("utf-8")
-        except (FileNotFoundError, OSError):
+            with fs.open(path, "rb") as f:
+                return f.read()
+        except FileNotFoundError:
             return None
 
     def _manifest_state(self):
@@ -784,6 +811,7 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
                 "totalProcessedRecordsCount": 0,
                 "dataFilesPath": self.table_dir,
                 "schemaHistory": {},
+                "epochWatermarks": {},
                 "generation": "0",
             }
             raw = dict(raw)
@@ -834,14 +862,50 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
             # was FULLY published by a previous attempt of THIS stream
             # — the retry must not touch it (that would reopen a
             # visibility window on a folder readers already trust).
-            # The folder's existence is asserted because marker >= ts
-            # with NO folder means a co-tenant stream advanced the
-            # shared watermark past this stream's domain — no-opping
-            # would silently drop the batch's rows.
+            # That presumption only holds if it really was THIS stream
+            # that advanced the marker past ts, so it is checked
+            # against this fingerprint's OWN epoch watermark
+            # (``epochWatermarks``, written in the same atomic PUT as
+            # the table watermark): a shared marker advanced past a ts
+            # this stream never published means a co-tenant ran over
+            # this stream's domain — no-opping would silently drop the
+            # batch's rows, and worse, a folder this stream part-filled
+            # before crashing is now reader-visible junk.  Manifests
+            # written before epochWatermarks existed fall back to the
+            # folder-existence check, skipped for EMPTY batches (a
+            # zero-row batch publishes no folder — objects stores have
+            # no empty directories — so demanding one would wedge the
+            # stream on every empty-batch replay).
             import fsspec
 
             _, done = fsspec.core.url_to_fs(f"{self.root}/{ts}")
-            if not fs.exists(done):
+            has_staged = any(m is not None and m.staged for m in messages)
+            wms = (entry or {}).get("epochWatermarks")
+            my_wm = None
+            if isinstance(wms, dict) and self.fingerprint in wms:
+                try:
+                    my_wm = int(wms[self.fingerprint])
+                except (TypeError, ValueError):
+                    my_wm = None
+            if my_wm is not None:
+                if my_wm < ts:
+                    # this stream never published <ts>; the folder (if
+                    # any) is its own crashed part-fill, made visible
+                    # by the co-tenant's marker — remove the junk
+                    # before failing so readers never see it
+                    if fs.exists(done):
+                        fs.rm(done, recursive=True)
+                    self._drop_staged(fs, messages)
+                    raise RuntimeError(
+                        f"gw_cda_sink: table watermark {last} covers "
+                        f"this batch's ts {ts} but this stream's own "
+                        f"epoch watermark is {my_wm} — a co-tenant "
+                        "stream advanced the shared marker past this "
+                        "stream's ts domain. Refusing to drop the "
+                        "batch; restart this stream with base_ts "
+                        "above the table watermark."
+                    )
+            elif has_staged and not fs.exists(done):
                 raise RuntimeError(
                     f"gw_cda_sink: table watermark {last} covers this "
                     f"batch's ts {ts} but {self.root!r}/{ts} was never "
@@ -874,6 +938,13 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
         rows = sum(m.rows for m in messages if m is not None)
         history = dict((entry or {}).get("schemaHistory", {}))
         history.setdefault(self.fingerprint, ts)
+        # per-fingerprint epoch watermark (extra String-map field —
+        # json4s extraction ignores unknown keys): lets a replay of
+        # ts <= last distinguish "I published this" from "a co-tenant
+        # ran over my domain" (short-circuit above), which the single
+        # shared lastSuccessfulWriteTimestamp cannot encode
+        epoch_wms = dict((entry or {}).get("epochWatermarks", {}) or {})
+        epoch_wms[self.fingerprint] = ts
         manifest = dict(raw)  # preserve co-tenant tables' entries
         manifest[self.table_name] = {
             "lastSuccessfulWriteTimestamp": str(ts),
@@ -884,6 +955,9 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
             "dataFilesPath": self.table_dir,
             "schemaHistory": {
                 fp: str(int(hts)) for fp, hts in history.items()
+            },
+            "epochWatermarks": {
+                fp: str(int(wts)) for fp, wts in epoch_wms.items()
             },
             "generation": str(
                 int((entry or {}).get("generation", 0) or 0) + 1

@@ -134,6 +134,41 @@ class CasMemoryFS(MemoryFS):
         return True
 
 
+class CountingFS:
+    """MemoryFS proxy counting the fs API calls an operation issues —
+    the roundtrip profile a real object store would bill per call.
+    Shared by ``tools/discovery_probe.py`` and its CI twin
+    (``tests/test_remote_fs.py``) so the two probes count the SAME
+    call set: a new fs method counted in one but not the other would
+    silently diverge their roundtrip profiles."""
+
+    def __init__(self, inner: MemoryFS):
+        self._inner = inner
+        self.calls: dict[str, int] = {}
+
+    def _count(self, op: str) -> None:
+        self.calls[op] = self.calls.get(op, 0) + 1
+
+    def reset(self) -> dict[str, int]:
+        out, self.calls = self.calls, {}
+        return out
+
+    def exists(self, path):
+        self._count("exists")
+        return self._inner.exists(path)
+
+    def ls(self, path, detail=False):
+        self._count("ls")
+        return self._inner.ls(path, detail=detail)
+
+    def open(self, path, mode="rb"):
+        self._count("open")
+        return self._inner.open(path, mode)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
 def make_fsspec_module(fs: MemoryFS):
     """Build a module object usable as ``sys.modules['fsspec']`` whose
     ``core.url_to_fs`` resolves every URI to ``fs``."""

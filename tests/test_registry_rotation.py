@@ -78,11 +78,11 @@ def test_window_is_zero_history_failed_then_plan_dependent_first():
         if history.get(n, (True, False))[0] is False:
             return 0
         return (
-            2
+            1
             if n.startswith(
                 ("stream_", "join_", "delta_", "cda_", "udtf_", "udaf_", "udf_")
             )
-            else 3
+            else 2
         )
 
     classes = [klass(n) for n in front]

@@ -643,8 +643,11 @@ def test_marker_protocol_invariants_under_arbitrary_crashes():
     )
     from tests.fake_fsspec import MemoryFS, make_fsspec_module
 
-    batch_rows = st.lists(  # one batch = 1-3 parts of 1-3 row ids
-        st.lists(st.integers(0, 99), min_size=1, max_size=3),
+    batch_rows = st.lists(  # one batch = 1-3 parts of 0-3 row ids;
+        # a part with NO rows stages nothing (_CdaSinkMessage(None, 0))
+        # and an ALL-empty batch publishes no folder at all — the
+        # marker still advances, and its replay must no-op, not wedge
+        st.lists(st.integers(0, 99), min_size=0, max_size=3),
         min_size=1,
         max_size=3,
     )
@@ -673,21 +676,29 @@ def test_marker_protocol_invariants_under_arbitrary_crashes():
                 ts = SINK_T0 + bi
 
                 def check_invariants(max_committable):
-                    # I1: visible commits form a contiguous prefix no
-                    # longer than the batches attempted so far.  A
+                    # I1: visible commits are exactly the NON-EMPTY
+                    # batches of some committed prefix no longer than
+                    # the batches attempted so far (empty batches
+                    # advance the marker but publish no folder).  A
                     # crash AFTER the marker PUT (e.g. during staging
                     # GC) is a COMPLETED publish, so the current batch
                     # may legitimately already be visible mid-"crash".
                     vis = _list_commit_ts(root)
-                    assert vis == [SINK_T0 + k for k in range(len(vis))]
-                    assert len(vis) <= max_committable + 1
+                    assert any(
+                        vis
+                        == [
+                            SINK_T0 + k
+                            for k in range(m)
+                            if any(batches[k])
+                        ]
+                        for m in range(max_committable + 2)
+                    ), (vis, batches, max_committable)
                     # I2: anything visible is complete and exact
-                    for k in range(len(vis)):
+                    for t in vis:
+                        k = t - SINK_T0
                         names = sorted(
                             p
-                            for p in fs.ls(
-                                f"{root}/{SINK_T0 + k}", detail=False
-                            )
+                            for p in fs.ls(f"{root}/{t}", detail=False)
                             if p.endswith(".parquet")
                         )
                         got = sorted(
@@ -708,7 +719,7 @@ def test_marker_protocol_invariants_under_arbitrary_crashes():
                 n_crashes = data.draw(st.integers(0, 2))
                 for _ in range(n_crashes):
                     msgs = [
-                        w.write(iter([_arrow_batch(part)]))
+                        w.write(iter([_arrow_batch(part)] if part else []))
                         for part in parts
                     ]
                     fs.countdown = next(crash_iter, 3)
@@ -723,12 +734,14 @@ def test_marker_protocol_invariants_under_arbitrary_crashes():
                 # that actually completed (marker written): both must
                 # land exactly-once
                 msgs = [
-                    w.write(iter([_arrow_batch(part)])) for part in parts
+                    w.write(iter([_arrow_batch(part)] if part else []))
+                    for part in parts
                 ]
                 w.commit(msgs, bi)
                 committed_rows += sum(len(p) for p in parts)
                 vis = check_invariants(bi)
-                assert vis[-1] == ts  # the clean attempt IS committed
+                if any(parts):  # empty batches publish no folder
+                    assert vis[-1] == ts  # the clean attempt IS committed
                 marker = json.loads(
                     fs.open("memory://bkt/cda/tbl/manifest.json").read()
                 )["tbl"]
@@ -1075,8 +1088,11 @@ def _two_writer_property(fs_inner_factory):
     @given(
         rounds=st.lists(  # per round: (rows_a, rows_b, interleave tick)
             st.tuples(
-                st.lists(st.integers(0, 99), min_size=1, max_size=3),
-                st.lists(st.integers(100, 199), min_size=1, max_size=3),
+                # min_size=0: an EMPTY batch advances the watermark
+                # without publishing a folder — its interleavings and
+                # replays must obey the same no-silent-drop contract
+                st.lists(st.integers(0, 99), min_size=0, max_size=3),
+                st.lists(st.integers(100, 199), min_size=0, max_size=3),
                 st.integers(0, 10),
             ),
             min_size=1,
@@ -1099,7 +1115,8 @@ def _two_writer_property(fs_inner_factory):
             ).streamWriter(None, False)
             alive = {"A": True, "B": True}
             ok_rows = 0  # rows of successful commits, both writers
-            ok_ts = {"A": [], "B": []}
+            ok_ts = {"A": [], "B": []}  # FOLDER-publishing commits only
+            ok_wm = []  # every successful commit's ts (incl. empty)
             rows_at = {}  # (side, ts) -> committed row ids
 
             def attempt(side, w, t0, rows, bi):
@@ -1107,7 +1124,9 @@ def _two_writer_property(fs_inner_factory):
                 staleness conflict).  Returns True iff committed."""
                 nonlocal ok_rows
                 for is_retry in (False, True):
-                    msgs = [w.write(iter([_arrow_batch(rows)]))]
+                    msgs = [
+                        w.write(iter([_arrow_batch(rows)] if rows else []))
+                    ]
                     try:
                         w.commit(msgs, bi)
                     except RuntimeError as e:
@@ -1121,8 +1140,10 @@ def _two_writer_property(fs_inner_factory):
                         alive[side] = False
                         return False
                     ok_rows += len(rows)
-                    ok_ts[side].append(t0 + bi)
-                    rows_at[(side, t0 + bi)] = sorted(rows)
+                    ok_wm.append(t0 + bi)
+                    if rows:  # empty commits publish no folder
+                        ok_ts[side].append(t0 + bi)
+                        rows_at[(side, t0 + bi)] = sorted(rows)
                     return True
                 return False  # unreachable
 
@@ -1160,11 +1181,10 @@ def _two_writer_property(fs_inner_factory):
                     fs.open("/bkt/cda/t2/manifest.json").read()
                 )["t2"]
                 assert marker["totalProcessedRecordsCount"] == ok_rows
-                all_ok = ok_ts["A"] + ok_ts["B"]
-                if all_ok:
+                if ok_wm:
                     assert (
                         int(marker["lastSuccessfulWriteTimestamp"])
-                        == max(all_ok)
+                        == max(ok_wm)
                     )
                 for side, root in (
                     ("A", "memory://bkt/cda/t2/fpA"),
@@ -1220,36 +1240,9 @@ def test_stream_discovery_roundtrips_flat_in_commit_count(monkeypatch):
     poll; plus one exists + one listing for the single new folder
     when planning) — the O(1)-roundtrips-per-poll contract that keeps
     a long-running stream's discovery flat as table history grows."""
-    from tests.fake_fsspec import MemoryFS, make_fsspec_module
+    from tests.fake_fsspec import CountingFS, MemoryFS, make_fsspec_module
 
-    class _CountFS:
-        def __init__(self, inner):
-            self._inner = inner
-            self.calls = {}
-
-        def _n(self, op):
-            self.calls[op] = self.calls.get(op, 0) + 1
-
-        def reset(self):
-            out, self.calls = self.calls, {}
-            return out
-
-        def exists(self, path):
-            self._n("exists")
-            return self._inner.exists(path)
-
-        def ls(self, path, detail=False):
-            self._n("ls")
-            return self._inner.ls(path, detail=detail)
-
-        def open(self, path, mode="rb"):
-            self._n("open")
-            return self._inner.open(path, mode)
-
-        def __getattr__(self, name):
-            return getattr(self._inner, name)
-
-    fs = _CountFS(MemoryFS())
+    fs = CountingFS(MemoryFS())
     mod = make_fsspec_module(fs)
     monkeypatch.setitem(sys.modules, "fsspec", mod)
     monkeypatch.setitem(sys.modules, "fsspec.core", mod.core)
@@ -1340,3 +1333,147 @@ def test_new_epoch_refuses_crashed_predecessor_inflight_folder(memfs):
         "fpY": str(t_b),
     }
     assert _list_commit_ts("memory://bucket/cda/events_out/fpY") == [t_b]
+
+
+def test_cda_sink_empty_batch_replay_is_noop(memfs):
+    """A zero-row micro-batch publishes NO folder (object stores have
+    no empty directories) but still advances the marker; a restart
+    replaying it hits the already-committed short-circuit with no
+    folder to find.  The folder-existence assertion used to wedge the
+    stream permanently ('co-tenant advanced the shared marker') on
+    every retry of any empty batch — with zero rows there is nothing
+    to drop, so the replay must no-op and the stream must continue."""
+    from guidewire_spark.streaming.cda_source import _list_commit_ts
+
+    mpath = "memory://bucket/cda/events_out/manifest.json"
+    w = _sink_writer(SINK_ROOT, SINK_T0)
+    w.commit([w.write(iter([_arrow_batch([1])]))], 0)
+    # batch 1 is EMPTY: every task saw no rows
+    w.commit([w.write(iter([])), None], 1)
+    marker = json.loads(memfs.open(mpath).read())["events_out"]
+    assert marker["lastSuccessfulWriteTimestamp"] == str(SINK_T0 + 1)
+    assert marker["totalProcessedRecordsCount"] == 1
+    assert not memfs.exists(f"{SINK_ROOT}/{SINK_T0 + 1}")
+
+    # restart: a fresh writer replays the (still empty) batch 1
+    w2 = _sink_writer(SINK_ROOT, SINK_T0)
+    w2.commit([w2.write(iter([]))], 1)
+    assert json.loads(memfs.open(mpath).read())["events_out"] == marker
+
+    # ... and the stream continues past it
+    w2.commit([w2.write(iter([_arrow_batch([2, 3])]))], 2)
+    assert _list_commit_ts(SINK_ROOT) == [SINK_T0, SINK_T0 + 2]
+    marker = json.loads(memfs.open(mpath).read())["events_out"]
+    assert marker["totalProcessedRecordsCount"] == 3
+
+
+def test_cda_sink_transient_manifest_read_error_fails_batch(memfs):
+    """A throttled/denied manifest READ during commit must fail the
+    batch loudly (Spark retries it), not masquerade as 'manifest
+    absent': the init path would then CAS-publish a fresh entry over
+    the real one — row-count audit reset to 0, schemaHistory epochs
+    wiped.  Reader side, the same transient error must not silently
+    un-gate the listing (exposing in-flight folders)."""
+    from guidewire_spark.streaming.cda_source import _list_commit_ts
+
+    mpath = "memory://bucket/cda/events_out/manifest.json"
+    w = _sink_writer(SINK_ROOT, SINK_T0)
+    w.commit([w.write(iter([_arrow_batch([1, 2])]))], 0)
+
+    orig_open = memfs.open
+
+    def throttled_open(path, mode="rb"):
+        if path.endswith("manifest.json") and "r" in mode:
+            raise PermissionError("injected throttle")
+        return orig_open(path, mode)
+
+    memfs.open = throttled_open
+    msg = w.write(iter([_arrow_batch([3])]))
+    with pytest.raises(OSError, match="throttle"):
+        w.commit([msg], 1)
+    with pytest.raises(OSError, match="throttle"):
+        _list_commit_ts(SINK_ROOT)
+    memfs.open = orig_open
+
+    # manifest intact; the Spark retry of the batch commits cleanly
+    marker = json.loads(memfs.open(mpath).read())["events_out"]
+    assert marker["lastSuccessfulWriteTimestamp"] == str(SINK_T0)
+    assert marker["totalProcessedRecordsCount"] == 2
+    assert marker["schemaHistory"] == {"fpX": str(SINK_T0)}
+    w.commit([msg], 1)
+    marker = json.loads(memfs.open(mpath).read())["events_out"]
+    assert marker["totalProcessedRecordsCount"] == 3
+    assert _list_commit_ts(SINK_ROOT) == [SINK_T0, SINK_T0 + 1]
+
+
+def test_cda_sink_replay_over_cotenant_advance_raises_and_cleans(memfs):
+    """Crash mid-fill at ts, then a co-tenant stream advances the
+    SHARED table watermark past ts (a misconfigured concurrent epoch).
+    The crashed stream's replay of ts used to satisfy the
+    already-committed short-circuit on mere folder EXISTENCE — the
+    batch's rows silently dropped and the partial folder left
+    reader-visible.  With per-fingerprint epoch watermarks the replay
+    detects the foreign advance, removes its own junk folder, and
+    raises."""
+    mpath = "memory://bucket/cda/events_out/manifest.json"
+    w = _sink_writer(SINK_ROOT, SINK_T0)
+    w.commit([w.write(iter([_arrow_batch([1])]))], 0)
+
+    # crash mid-fill of batch 1: folder part-filled, marker never PUT
+    memfs.put_bytes(
+        f"{SINK_ROOT}/{SINK_T0 + 1}/part-00000.parquet",
+        _parquet_bytes(["junk"], [0]),
+    )
+    # co-tenant (misconfigured second writer of the same table) bumps
+    # the shared watermark past this stream's ts domain
+    marker = json.loads(memfs.open(mpath).read())
+    marker["events_out"]["lastSuccessfulWriteTimestamp"] = str(SINK_T0 + 5)
+    memfs.put_bytes(mpath, json.dumps(marker).encode())
+
+    msg = w.write(iter([_arrow_batch([2])]))
+    with pytest.raises(RuntimeError, match="epoch watermark"):
+        w.commit([msg], 1)
+    # the part-filled folder (reader-visible under the foreign marker)
+    # was removed, and the replay's staged objects dropped
+    assert not memfs.exists(f"{SINK_ROOT}/{SINK_T0 + 1}")
+    assert not memfs.exists(f"{SINK_ROOT}/_staging")
+    # batch 0's legitimate publish is untouched
+    assert memfs.exists(f"{SINK_ROOT}/{SINK_T0}")
+
+
+def test_sink_marker_same_basename_foreign_manifest_does_not_gate(memfs):
+    """A manifest copied from ANOTHER deployment of a same-named table
+    (dataFilesPath ``.../archive/events_out`` sitting next to
+    ``.../prod/events_out``) must not gate the listing — a bare
+    ``endswith('/<table_name>')`` is not a claim.  Scheme SPELLING
+    alone (s3:// vs s3a:// vs memory://) does not make a manifest
+    foreign: the rest of the path decides."""
+    from guidewire_spark.streaming.cda_source import _list_commit_ts
+
+    ts = SINK_T0 + 7
+    root = "memory://bucket/prod/events_out/fpZ"
+    mpath = "memory://bucket/prod/events_out/manifest.json"
+    memfs.put_bytes(
+        f"{root}/{ts}/part-00000.parquet", _parquet_bytes(["a"], [1])
+    )
+    entry = {
+        "lastSuccessfulWriteTimestamp": "0",
+        "totalProcessedRecordsCount": 1,
+        "dataFilesPath": "memory://bucket/archive/events_out",
+        "schemaHistory": {},
+    }
+    memfs.put_bytes(
+        mpath, json.dumps({"weird_key": entry}).encode()
+    )
+    assert _list_commit_ts(root) == [ts], (
+        "same-basename manifest from another deployment must not gate"
+    )
+
+    # same path under a different scheme spelling IS this table
+    claiming = dict(entry, dataFilesPath="s3a://bucket/prod/events_out")
+    memfs.put_bytes(
+        mpath, json.dumps({"weird_key": claiming}).encode()
+    )
+    assert _list_commit_ts(root) == [], (
+        "scheme-spelling variant of this table's path must gate"
+    )

@@ -45,37 +45,6 @@ COMMITS = [50, 200, 500]
 POLLS = 200
 
 
-class _CountingFS:
-    """MemoryFS proxy counting the fs API calls a poll issues — the
-    roundtrip profile a real object store would bill per call."""
-
-    def __init__(self, inner):
-        self._inner = inner
-        self.calls: dict[str, int] = {}
-
-    def _count(self, op: str):
-        self.calls[op] = self.calls.get(op, 0) + 1
-
-    def reset(self) -> dict[str, int]:
-        out, self.calls = self.calls, {}
-        return out
-
-    def exists(self, path):
-        self._count("exists")
-        return self._inner.exists(path)
-
-    def ls(self, path, detail=False):
-        self._count("ls")
-        return self._inner.ls(path, detail=detail)
-
-    def open(self, path, mode="rb"):
-        self._count("open")
-        return self._inner.open(path, mode)
-
-    def __getattr__(self, name):
-        return getattr(self._inner, name)
-
-
 def _build_tree(fs, n_commits: int) -> str:
     """A marker-gated sink-layout tree with n_commits committed digit
     folders, one 1-row parquet object each, marker covering all."""
@@ -107,7 +76,11 @@ def _build_tree(fs, n_commits: int) -> str:
 
 
 def main() -> None:
-    from tests.fake_fsspec import MemoryFS, make_fsspec_module
+    from tests.fake_fsspec import (
+        CountingFS as _CountingFS,
+        MemoryFS,
+        make_fsspec_module,
+    )
 
     fs = _CountingFS(MemoryFS())
     mod = make_fsspec_module(fs)
