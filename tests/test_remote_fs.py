@@ -780,7 +780,10 @@ def test_posix_publish_invariants_under_arbitrary_crashes(tmp_path):
     @given(
         batches=st.lists(
             st.lists(
-                st.lists(st.integers(0, 99), min_size=1, max_size=3),
+                # min_size=0: empty parts stage nothing; an all-empty
+                # batch still publishes an (empty) digit folder via
+                # the rename — replays replace it, never wedge
+                st.lists(st.integers(0, 99), min_size=0, max_size=3),
                 min_size=1,
                 max_size=2,
             ),
@@ -824,7 +827,8 @@ def test_posix_publish_invariants_under_arbitrary_crashes(tmp_path):
             n_crashes = data.draw(st.integers(0, 2))
             for _ in range(n_crashes):
                 msgs = [
-                    w.write(iter([_arrow_batch(part)])) for part in parts
+                    w.write(iter([_arrow_batch(part)] if part else []))
+                    for part in parts
                 ]
                 countdown = [next(crash_iter, 2)]
                 orig_replace, orig_rename = _os.replace, _os.rename
@@ -858,7 +862,10 @@ def test_posix_publish_invariants_under_arbitrary_crashes(tmp_path):
                     _os.replace, _os.rename = orig_replace, orig_rename
                     _shutil.rmtree = orig_rmtree
                 check(bi)
-            msgs = [w.write(iter([_arrow_batch(part)])) for part in parts]
+            msgs = [
+                w.write(iter([_arrow_batch(part)] if part else []))
+                for part in parts
+            ]
             w.commit(msgs, bi)
             vis = check(bi)
             assert vis[-1] == SINK_T0 + bi
