@@ -62,7 +62,18 @@ def _sink_marker_ts(root: str) -> int | None:
     ts beyond the marker is an in-flight publish, not a commit.
     Non-sink trees (the POSIX sink's rename-published folders,
     reference-produced feeds) have no such file and list ungated; an
-    unparseable or foreign manifest.json is treated the same way."""
+    unparseable or foreign manifest.json is treated the same way.
+
+    When the entry carries THIS fingerprint's own epoch watermark
+    (``epochWatermarks``, sink-written in the same atomic PUT as the
+    table watermark), the LOWER of the two gates the listing: the
+    shared table watermark can run ahead of a fingerprint's epoch (a
+    co-tenant stream advancing past a crashed stream's part-filled
+    folder), and gating this dir on the shared value alone would make
+    that junk folder reader-visible before the crashed stream replays
+    and cleans it.  Manifests without the field (pre-upgrade, or
+    reference-produced — whose model IS the single table watermark)
+    gate on ``lastSuccessfulWriteTimestamp`` as before."""
     import json
 
     if _is_remote(root):
@@ -104,9 +115,20 @@ def _sink_marker_ts(root: str) -> int | None:
                 entry = sole
         if entry is None:
             return None
-        return int(entry["lastSuccessfulWriteTimestamp"])
+        marker = int(entry["lastSuccessfulWriteTimestamp"])
     except (ValueError, KeyError, TypeError, AttributeError):
         return None
+    # a malformed epoch value must not UN-GATE the listing (the outer
+    # None means "no marker governs this tree") — it falls back to the
+    # shared table watermark instead
+    try:
+        wms = entry.get("epochWatermarks")
+        fingerprint = root.rstrip("/").rsplit("/", 1)[-1]
+        if isinstance(wms, dict) and fingerprint in wms:
+            marker = min(marker, int(wms[fingerprint]))
+    except (ValueError, TypeError):
+        pass
+    return marker
 
 
 def _entry_claims_table(entry, table_dir: str, table_name: str) -> bool:

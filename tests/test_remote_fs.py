@@ -1484,3 +1484,42 @@ def test_sink_marker_same_basename_foreign_manifest_does_not_gate(memfs):
     assert _list_commit_ts(root) == [], (
         "scheme-spelling variant of this table's path must gate"
     )
+
+
+def test_reader_gates_fingerprint_dir_on_own_epoch_watermark(memfs):
+    """The shared table watermark can run AHEAD of a fingerprint's own
+    epoch (a co-tenant stream advancing past a crashed stream's
+    part-filled folder): gating this dir on the shared value alone
+    would make the junk folder reader-visible before the crashed
+    stream replays and cleans it.  The reader takes the LOWER of the
+    table watermark and this fingerprint's epoch watermark; manifests
+    without the field (reference-produced) gate as before."""
+    from guidewire_spark.streaming.cda_source import _list_commit_ts
+
+    w = _sink_writer(SINK_ROOT, SINK_T0)
+    w.commit([w.write(iter([_arrow_batch([1])]))], 0)
+    # crash mid-fill of batch 1: part-filled folder, marker never PUT
+    memfs.put_bytes(
+        f"{SINK_ROOT}/{SINK_T0 + 1}/part-00000.parquet",
+        _parquet_bytes(["junk"], [0]),
+    )
+    # co-tenant bumps the SHARED watermark past the crashed ts
+    mpath = "memory://bucket/cda/events_out/manifest.json"
+    marker = json.loads(memfs.open(mpath).read())
+    marker["events_out"]["lastSuccessfulWriteTimestamp"] = str(SINK_T0 + 5)
+    memfs.put_bytes(mpath, json.dumps(marker).encode())
+
+    # under shared-only gating the junk at T0+1 would be visible;
+    # fpX's own epoch watermark (T0) hides it
+    assert _list_commit_ts(SINK_ROOT) == [SINK_T0]
+
+    # a malformed epoch value falls back to the shared watermark —
+    # it must not UN-GATE the listing entirely
+    marker["events_out"]["epochWatermarks"]["fpX"] = "not-a-ts"
+    memfs.put_bytes(mpath, json.dumps(marker).encode())
+    assert _list_commit_ts(SINK_ROOT) == [SINK_T0, SINK_T0 + 1]
+
+    # reference-style manifest (no epochWatermarks): shared gate
+    del marker["events_out"]["epochWatermarks"]
+    memfs.put_bytes(mpath, json.dumps(marker).encode())
+    assert _list_commit_ts(SINK_ROOT) == [SINK_T0, SINK_T0 + 1]
