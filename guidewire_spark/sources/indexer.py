@@ -86,9 +86,18 @@ def discover_batches(
     batches: list[Batch] = []
     for fingerprint in entry.fingerprints_in_order():
         schema_dir = f"{base}/{fingerprint}"
+        # sink-extension per-fingerprint gate (ManifestEntry docstring):
+        # the shared table watermark can run ahead of a crashed
+        # stream's own epoch, and indexing on it alone would commit
+        # that stream's part-filled folder; reference manifests carry
+        # no epochWatermarks and gate on last_successful as before
+        fp_last = min(
+            last_successful,
+            entry.epoch_watermarks.get(fingerprint, last_successful),
+        ) if enforce_guidewire_timestamp else LONG_MAX
         all_timestamps = list_timestamp_dirs(schema_dir)  # sorted ascending
         for j, ts in enumerate(all_timestamps):
-            if ts > last_successful or ts <= last_processed_timestamp:
+            if ts > fp_last or ts <= last_processed_timestamp:
                 continue
             files = list_parquet_files(f"{schema_dir}/{ts}")
             if not files:

@@ -23,12 +23,23 @@ class ManifestEntry:
     lastSuccessfulWriteTimestamp, totalProcessedRecordsCount,
     dataFilesPath, schemaHistory (fingerprint → epoch-millis of that
     fingerprint's last commit).
+
+    ``epoch_watermarks`` is this repo's sink extension (absent from
+    the reference's model and from reference-produced manifests, where
+    it stays empty): fingerprint → that stream's OWN last published
+    ts, written by ``gw_cda_sink`` in the same atomic PUT as the table
+    watermark.  Consumers gate each fingerprint dir at
+    min(table watermark, its epoch watermark) when present — the
+    shared table watermark can run ahead of a crashed stream's epoch,
+    and gating on it alone would treat that stream's part-filled
+    folder as committed.
     """
 
     last_successful_write_timestamp: int
     total_processed_records_count: int
     data_files_path: str
     schema_history: dict[str, int] = field(default_factory=dict)
+    epoch_watermarks: dict[str, int] = field(default_factory=dict)
 
     @property
     def normalized_data_files_path(self) -> str:
@@ -57,7 +68,25 @@ def parse_manifest(text: str) -> dict[str, ManifestEntry]:
             schema_history={
                 fp: int(ts) for fp, ts in entry.get("schemaHistory", {}).items()
             },
+            epoch_watermarks=_epoch_watermarks(entry),
         )
+    return out
+
+
+def _epoch_watermarks(entry: dict) -> dict[str, int]:
+    """Tolerant parse of the sink-extension field: absent / malformed
+    shapes degrade to {} (the no-extension, shared-watermark-only
+    behavior) — a bad extension value must never make the manifest's
+    REFERENCE fields unreadable."""
+    raw = entry.get("epochWatermarks")
+    if not isinstance(raw, dict):
+        return {}
+    out: dict[str, int] = {}
+    for fp, ts in raw.items():
+        try:
+            out[fp] = int(ts)
+        except (TypeError, ValueError):
+            continue
     return out
 
 

@@ -61,8 +61,13 @@ def _sink_marker_ts(root: str) -> int | None:
     readers apply (``Guidewire.scala:133-137``): a commit folder with
     ts beyond the marker is an in-flight publish, not a commit.
     Non-sink trees (the POSIX sink's rename-published folders,
-    reference-produced feeds) have no such file and list ungated; an
-    unparseable or foreign manifest.json is treated the same way.
+    reference-produced feeds) have no such file and list ungated; a
+    FOREIGN manifest.json is treated the same way.  An UNPARSEABLE
+    manifest splits by arm: on object-store trees it fails the listing
+    loudly (the remote sink's visibility gate IS this marker — folders
+    beyond a corrupt one could be in-flight publishes), while on local
+    trees it lists ungated (the POSIX sink publishes by atomic rename,
+    so every listed folder is complete regardless of any marker).
 
     When the entry carries THIS fingerprint's own epoch watermark
     (``epochWatermarks``, sink-written in the same atomic PUT as the
@@ -80,16 +85,35 @@ def _sink_marker_ts(root: str) -> int | None:
         from guidewire_spark.sources.fs import read_text
 
         table_dir = root.rstrip("/").rpartition("/")[0]
-        # ABSENT (FileNotFoundError) or unparseable/undecodable
-        # (ValueError incl. UnicodeDecodeError) → no marker governs the
-        # tree, list ungated.  Any OTHER read failure (throttle, auth —
-        # OSError from the backend) PROPAGATES: treating a transient
-        # error as "no marker" would briefly un-gate the listing and
-        # expose in-flight commit folders to the reader.
+        # ABSENT (FileNotFoundError) → no marker governs the tree,
+        # list ungated.  PRESENT but undecodable/unparseable → LOUD:
+        # this arm's visibility gate is the marker itself, so listing
+        # ungated past a corrupt one could expose in-flight publishes.
+        # Any OTHER read failure (throttle, auth — OSError from the
+        # backend) also PROPAGATES: treating a transient error as "no
+        # marker" would briefly un-gate the listing the same way.
+        # Consequence: a reader's credentials must be able to GET (or
+        # receive a clean 404 for) <table_dir>/manifest.json — an IAM
+        # policy scoped so narrowly that the probe 403s will fail
+        # every poll loudly rather than risk reading uncommitted
+        # folders.
+        mpath = f"{table_dir}/manifest.json"
+        corrupt = (
+            f"gw_cda: marker manifest {mpath!r} exists but cannot be "
+            f"parsed — refusing to list {root!r} ungated (folders "
+            "beyond a corrupt marker could be in-flight publishes). "
+            "Restore the manifest or remove it deliberately."
+        )
         try:
-            raw = json.loads(read_text(f"{table_dir}/manifest.json"))
-        except (FileNotFoundError, ValueError):
+            text = read_text(mpath)
+        except FileNotFoundError:
             return None
+        except UnicodeDecodeError as e:
+            raise ValueError(corrupt) from e
+        try:
+            raw = json.loads(text)
+        except ValueError as e:
+            raise ValueError(corrupt) from e
         table_name = table_dir.rsplit("/", 1)[-1]
     else:
         table_dir = os.path.dirname(os.path.abspath(root.rstrip("/")))
@@ -149,11 +173,21 @@ def _entry_claims_table(entry, table_dir: str, table_name: str) -> bool:
     if not isinstance(dfp, str) or not dfp:
         return False
 
-    def _norm(p: str) -> str:
-        scheme, sep, rest = p.partition("://")
-        return (rest if sep else p).strip("/")
+    def _canon(p: str) -> str:
+        # scheme dropped, default-port spelling dropped (hdfs://nn vs
+        # hdfs://nn:8020), slashes normalized.  Everything else —
+        # host/bucket and the full path — must match: the contract is
+        # that writer and readers address a table by the same URI
+        # (endpoint aliases and local mount spellings of one store are
+        # not resolvable from strings and are treated as foreign).
+        from urllib.parse import urlparse
 
-    return _norm(dfp) == _norm(table_dir)
+        u = urlparse(p)
+        if u.scheme and u.netloc:
+            return f"{u.hostname or ''}/{u.path.strip('/')}".strip("/")
+        return p.partition("://")[2].strip("/") if "://" in p else p.strip("/")
+
+    return _canon(dfp) == _canon(table_dir)
 
 
 def _list_commit_ts(root: str) -> list[int]:
@@ -666,7 +700,17 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
         (``_put_manifest``).  The single-entry fallback only fires
         when the sole entry actually claims this table
         (``_entry_claims_table``) — a foreign manifest must not be
-        adopted as this table's state."""
+        adopted as this table's state.
+
+        An UNPARSEABLE manifest object fails the commit loudly: its
+        contents cannot be merged, so proceeding would take the init
+        path — whose PUT (staleness-clean, since the object still
+        equals the corrupt snapshot) replaces the manifest with a
+        fresh single-entry one, wiping the row-count audit, the
+        schemaHistory epochs, and every co-tenant table's entry.  A
+        corrupt marker is an operator problem (restore it or remove
+        it deliberately), never something a writer repairs by
+        clobbering."""
         import json
 
         snapshot = self._manifest_bytes()
@@ -674,10 +718,21 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
             return {}, None, None
         try:
             raw = json.loads(snapshot)
-        except ValueError:
-            return {}, None, snapshot
+        except ValueError as e:
+            raise ValueError(
+                f"gw_cda_sink: marker manifest {self.manifest_uri!r} "
+                "exists but is not valid JSON — refusing to publish "
+                "over state that cannot be merged (the init path "
+                "would clobber the audit count, schema epochs, and "
+                "any co-tenant entries). Restore the manifest or "
+                "remove it deliberately before restarting the stream."
+            ) from e
         if not isinstance(raw, dict):
-            return {}, None, snapshot
+            raise ValueError(
+                f"gw_cda_sink: marker manifest {self.manifest_uri!r} "
+                "is valid JSON but not an object (table -> entry map) "
+                "— refusing to publish over unmergeable state."
+            )
         entry = raw.get(self.table_name)
         if entry is None and len(raw) == 1:
             sole = next(iter(raw.values()))

@@ -194,3 +194,38 @@ def test_time_travel_by_timestamp(tmp_path):
     assert load_snapshot(table, timestamp=3000).version == 2
     with pytest.raises(ValueError):
         load_snapshot(table, timestamp=500)
+
+
+def test_discover_batches_epoch_watermark_gates_fingerprint(cda_tree):
+    """Sink-extension per-fingerprint gate: a fingerprint whose own
+    epoch watermark trails the shared table watermark must not have
+    its later folders indexed (a crashed stream's part-filled folder
+    under a co-tenant-advanced shared marker); manifests without
+    epochWatermarks — every reference-produced one — gate on the
+    table watermark exactly as before."""
+    t1, t2, t3, t4 = cda_tree["timestamps"]
+    entries = parse_manifest(open(cda_tree["manifest"]).read())
+    entry = entries["policy_holders"]
+    gated = ManifestEntry(
+        last_successful_write_timestamp=t4,
+        total_processed_records_count=0,
+        data_files_path=entry.data_files_path,
+        schema_history=entry.schema_history,
+        epoch_watermarks={"301248659": t1, "301248660": t4},
+    )
+    batches = discover_batches(gated, -1)
+    # fp1's t2 folder sits above fp1's own epoch watermark -> gated out
+    assert [b.commit_timestamp for b in batches] == [t1, t3, t4]
+    # EDGE CASE#1 enforcement-off ignores the extension too
+    assert len(discover_batches(gated, -1, enforce_guidewire_timestamp=False)) == 4
+
+    # parse path: the extension field round-trips; malformed values
+    # degrade to {} without breaking the reference fields
+    raw = json.load(open(cda_tree["manifest"]))
+    raw["policy_holders"]["epochWatermarks"] = {"301248659": str(t1), "x": "bad"}
+    parsed = parse_manifest(json.dumps(raw))["policy_holders"]
+    assert parsed.epoch_watermarks == {"301248659": t1}
+    raw["policy_holders"]["epochWatermarks"] = "garbage"
+    parsed = parse_manifest(json.dumps(raw))["policy_holders"]
+    assert parsed.epoch_watermarks == {}
+    assert parsed.last_successful_write_timestamp == t4

@@ -1523,3 +1523,31 @@ def test_reader_gates_fingerprint_dir_on_own_epoch_watermark(memfs):
     del marker["events_out"]["epochWatermarks"]
     memfs.put_bytes(mpath, json.dumps(marker).encode())
     assert _list_commit_ts(SINK_ROOT) == [SINK_T0, SINK_T0 + 1]
+
+
+def test_cda_sink_corrupt_manifest_fails_loud(memfs):
+    """A marker manifest that EXISTS but cannot be parsed must fail
+    both halves of the protocol loudly: the writer cannot merge state
+    it cannot read (proceeding would take the init path, whose
+    staleness-clean PUT replaces the manifest — audit count, schema
+    epochs, and co-tenant entries wiped), and the remote reader's
+    visibility gate IS the marker, so listing ungated past a corrupt
+    one could expose in-flight publishes."""
+    from guidewire_spark.streaming.cda_source import _list_commit_ts
+
+    mpath = "memory://bucket/cda/events_out/manifest.json"
+    w = _sink_writer(SINK_ROOT, SINK_T0)
+    w.commit([w.write(iter([_arrow_batch([1])]))], 0)
+
+    memfs.put_bytes(mpath, b"{not json")
+    msg = w.write(iter([_arrow_batch([2])]))
+    with pytest.raises(ValueError, match="not valid JSON"):
+        w.commit([msg], 1)
+    with pytest.raises(ValueError, match="cannot be parsed"):
+        _list_commit_ts(SINK_ROOT)
+    assert memfs.open(mpath).read() == b"{not json"  # untouched
+
+    # valid JSON but not a table->entry object: same refusal
+    memfs.put_bytes(mpath, b"[1, 2]")
+    with pytest.raises(ValueError, match="not an object"):
+        w.commit([w.write(iter([_arrow_batch([2])]))], 1)
