@@ -90,7 +90,23 @@ def discover_batches(
         # the shared table watermark can run ahead of a crashed
         # stream's own epoch, and indexing on it alone would commit
         # that stream's part-filled folder; reference manifests carry
-        # no epochWatermarks and gate on last_successful as before
+        # no epochWatermarks and gate on last_successful as before.
+        # A PRESENT-but-unparseable epoch value leaves this
+        # fingerprint's gate undefined — indexing under the (wider)
+        # shared watermark could durably commit junk into Delta, so
+        # refuse loudly instead of silently widening the gate.
+        if enforce_guidewire_timestamp and entry.epoch_gate_is_corrupt(
+            fingerprint
+        ):
+            raise ValueError(
+                f"manifest epochWatermarks value for fingerprint "
+                f"{fingerprint!r} (table dir {base!r}) is present but "
+                "unparseable — its commit gate is undefined, and "
+                "indexing under the shared table watermark could "
+                "commit a crashed stream's part-filled folder into "
+                "Delta. Restore the manifest or remove the corrupt "
+                "field deliberately."
+            )
         fp_last = min(
             last_successful,
             entry.epoch_watermarks.get(fingerprint, last_successful),

@@ -33,6 +33,16 @@ class ManifestEntry:
     shared table watermark can run ahead of a crashed stream's epoch,
     and gating on it alone would treat that stream's part-filled
     folder as committed.
+
+    ``malformed_epoch_fingerprints`` records fingerprints whose epoch
+    value was PRESENT but unparseable (``"*"`` = the whole field was
+    present but not a map).  Reference fields stay readable either
+    way, but consumers that would GATE on the corrupt value
+    (``discover_batches``) refuse that fingerprint loudly instead of
+    silently widening its gate to the shared watermark — the exact
+    part-filled-folder exposure the field exists to prevent.
+    Reference-produced manifests carry no field at all and are never
+    marked.
     """
 
     last_successful_write_timestamp: int
@@ -40,6 +50,15 @@ class ManifestEntry:
     data_files_path: str
     schema_history: dict[str, int] = field(default_factory=dict)
     epoch_watermarks: dict[str, int] = field(default_factory=dict)
+    malformed_epoch_fingerprints: frozenset[str] = frozenset()
+
+    def epoch_gate_is_corrupt(self, fingerprint: str) -> bool:
+        """True when this fingerprint's epoch watermark exists but
+        cannot be read — its gate is undefined, not merely absent."""
+        return (
+            fingerprint in self.malformed_epoch_fingerprints
+            or "*" in self.malformed_epoch_fingerprints
+        )
 
     @property
     def normalized_data_files_path(self) -> str:
@@ -59,6 +78,7 @@ def parse_manifest(text: str) -> dict[str, ManifestEntry]:
     raw = json.loads(text)
     out: dict[str, ManifestEntry] = {}
     for table_name, entry in raw.items():
+        wms, bad = _epoch_watermarks(entry)
         out[table_name] = ManifestEntry(
             last_successful_write_timestamp=int(entry["lastSuccessfulWriteTimestamp"]),
             total_processed_records_count=int(
@@ -68,26 +88,32 @@ def parse_manifest(text: str) -> dict[str, ManifestEntry]:
             schema_history={
                 fp: int(ts) for fp, ts in entry.get("schemaHistory", {}).items()
             },
-            epoch_watermarks=_epoch_watermarks(entry),
+            epoch_watermarks=wms,
+            malformed_epoch_fingerprints=bad,
         )
     return out
 
 
-def _epoch_watermarks(entry: dict) -> dict[str, int]:
-    """Tolerant parse of the sink-extension field: absent / malformed
-    shapes degrade to {} (the no-extension, shared-watermark-only
-    behavior) — a bad extension value must never make the manifest's
-    REFERENCE fields unreadable."""
+def _epoch_watermarks(entry: dict) -> tuple[dict[str, int], frozenset[str]]:
+    """Tolerant parse of the sink-extension field: a bad extension
+    value must never make the manifest's REFERENCE fields unreadable,
+    so nothing raises here.  Returns (parsed watermarks, fingerprints
+    whose value was present but unparseable — ``"*"`` when the whole
+    field is present but not a map); consumers that would GATE on a
+    corrupt value refuse loudly at use time instead."""
     raw = entry.get("epochWatermarks")
+    if raw is None:
+        return {}, frozenset()
     if not isinstance(raw, dict):
-        return {}
+        return {}, frozenset({"*"})
     out: dict[str, int] = {}
+    bad: set[str] = set()
     for fp, ts in raw.items():
         try:
             out[fp] = int(ts)
         except (TypeError, ValueError):
-            continue
-    return out
+            bad.add(fp)
+    return out, frozenset(bad)
 
 
 def read_manifest(uri: str) -> dict[str, ManifestEntry]:

@@ -62,12 +62,24 @@ def _sink_marker_ts(root: str) -> int | None:
     ts beyond the marker is an in-flight publish, not a commit.
     Non-sink trees (the POSIX sink's rename-published folders,
     reference-produced feeds) have no such file and list ungated; a
-    FOREIGN manifest.json is treated the same way.  An UNPARSEABLE
-    manifest splits by arm: on object-store trees it fails the listing
-    loudly (the remote sink's visibility gate IS this marker — folders
-    beyond a corrupt one could be in-flight publishes), while on local
-    trees it lists ungated (the POSIX sink publishes by atomic rename,
-    so every listed folder is complete regardless of any marker).
+    FOREIGN manifest.json is treated the same way.  A CORRUPT one
+    splits by arm: on object-store trees it fails the listing loudly
+    (the remote sink's visibility gate IS this marker — folders beyond
+    a corrupt one could be in-flight publishes), while on local trees
+    it lists ungated (the POSIX sink publishes by atomic rename, so
+    every listed folder is complete regardless of any marker).
+    "Corrupt" covers every shape whose gate cannot be read, not just
+    invalid JSON: a non-object document, a non-object or
+    non-watermark-bearing entry under this table's key, and an
+    unparseable ``epochWatermarks`` value for this fingerprint
+    (silently widening that gate to the shared watermark would expose
+    exactly the part-filled folder the field exists to hide).  The
+    remote arm additionally refuses a KEY-MATCHED entry whose
+    ``dataFilesPath`` claims a different deployment — a copied
+    manifest standing where this table's marker should be; the local
+    arm keeps adopting by key, because a local MIRROR of a remote
+    tree legitimately carries a marker naming the remote path, and
+    that marker is what hides the mirror's copied in-flight folders.
 
     When the entry carries THIS fingerprint's own epoch watermark
     (``epochWatermarks``, sink-written in the same atomic PUT as the
@@ -126,32 +138,74 @@ def _sink_marker_ts(root: str) -> int | None:
         except (FileNotFoundError, ValueError):
             return None
         table_name = os.path.basename(table_dir)
-    try:
-        entry = raw.get(table_name)
-        if entry is None and isinstance(raw, dict) and len(raw) == 1:
-            # single-entry fallback ONLY when the sole entry actually
-            # claims THIS table (key or dataFilesPath names it) — a
-            # foreign manifest sitting next to the fingerprint dir
-            # must not gate the listing with an unrelated timestamp
-            # and hide legitimately committed folders
-            sole = next(iter(raw.values()))
-            if _entry_claims_table(sole, table_dir, table_name):
-                entry = sole
-        if entry is None:
-            return None
-        marker = int(entry["lastSuccessfulWriteTimestamp"])
-    except (ValueError, KeyError, TypeError, AttributeError):
+    loud = _is_remote(root)
+
+    def _refuse(detail: str):
+        """Remote arm: a marker whose gate cannot be read fails the
+        listing (folders beyond it could be in-flight publishes).
+        Local arm: list ungated (POSIX rename publishes are atomic, a
+        marker is advisory there)."""
+        if loud:
+            raise ValueError(
+                f"gw_cda: marker manifest {mpath!r} names table "
+                f"{table_name!r} but its gate cannot be read "
+                f"({detail}) — refusing to list {root!r} ungated. "
+                "Restore the manifest or remove it deliberately."
+            )
         return None
-    # a malformed epoch value must not UN-GATE the listing (the outer
-    # None means "no marker governs this tree") — it falls back to the
-    # shared table watermark instead
+
+    if not isinstance(raw, dict):
+        return _refuse("document is not a table -> entry object")
+    entry = raw.get(table_name)
+    if entry is not None:
+        if not isinstance(entry, dict):
+            return _refuse(f"entry under key {table_name!r} is not an object")
+        # REMOTE key-matched entries must still CLAIM this table: a
+        # manifest copied from another deployment of a same-named
+        # table carries the matching key but a foreign dataFilesPath,
+        # and adopting its watermark would hide this table's committed
+        # folders (same bug class as the single-entry fallback below).
+        # The LOCAL arm keeps adopting by key: a local MIRROR of a
+        # remote tree legitimately carries a marker whose
+        # dataFilesPath names the remote path, and that marker is the
+        # only thing hiding the mirror's copied in-flight folders.
+        if loud and not _entry_claims_table(entry, table_dir, table_name):
+            _refuse(
+                f"entry under key {table_name!r} claims a different "
+                f"deployment ({entry.get('dataFilesPath')!r})"
+            )
+    if entry is None and len(raw) == 1:
+        # single-entry fallback ONLY when the sole entry actually
+        # claims THIS table (dataFilesPath names it) — a foreign
+        # manifest sitting next to the fingerprint dir must not gate
+        # the listing with an unrelated timestamp and hide
+        # legitimately committed folders
+        sole = next(iter(raw.values()))
+        if _entry_claims_table(sole, table_dir, table_name):
+            entry = sole
+    if entry is None:
+        return None
     try:
-        wms = entry.get("epochWatermarks")
-        fingerprint = root.rstrip("/").rsplit("/", 1)[-1]
-        if isinstance(wms, dict) and fingerprint in wms:
+        marker = int(entry["lastSuccessfulWriteTimestamp"])
+    except (ValueError, KeyError, TypeError):
+        return _refuse("lastSuccessfulWriteTimestamp missing or unparseable")
+    # this fingerprint's own epoch watermark lowers the gate when
+    # present; an unreadable one must neither UN-GATE the listing nor
+    # silently widen it to the shared watermark (remote arm: refuse)
+    wms = entry.get("epochWatermarks")
+    fingerprint = root.rstrip("/").rsplit("/", 1)[-1]
+    if wms is not None and not isinstance(wms, dict):
+        _refuse("epochWatermarks is not a fingerprint -> ts map")
+        return marker  # local arm: the shared gate still applies
+    if isinstance(wms, dict) and fingerprint in wms:
+        try:
             marker = min(marker, int(wms[fingerprint]))
-    except (ValueError, TypeError):
-        pass
+        except (ValueError, TypeError):
+            _refuse(
+                f"epochWatermarks value for fingerprint "
+                f"{fingerprint!r} is unparseable"
+            )
+            # local arm: fall back to the shared table watermark
     return marker
 
 
@@ -173,21 +227,39 @@ def _entry_claims_table(entry, table_dir: str, table_name: str) -> bool:
     if not isinstance(dfp, str) or not dfp:
         return False
 
-    def _canon(p: str) -> str:
-        # scheme dropped, default-port spelling dropped (hdfs://nn vs
-        # hdfs://nn:8020), slashes normalized.  Everything else —
-        # host/bucket and the full path — must match: the contract is
-        # that writer and readers address a table by the same URI
-        # (endpoint aliases and local mount spellings of one store are
-        # not resolvable from strings and are treated as foreign).
-        from urllib.parse import urlparse
+    from urllib.parse import urlparse
 
+    def _canon(p: str) -> str:
+        # scheme dropped, port spelling deferred to _port below,
+        # slashes normalized.  Everything else — host/bucket and the
+        # full path — must match: the contract is that writer and
+        # readers address a table by the same URI (endpoint aliases
+        # and local mount spellings of one store are not resolvable
+        # from strings and are treated as foreign).
         u = urlparse(p)
         if u.scheme and u.netloc:
             return f"{u.hostname or ''}/{u.path.strip('/')}".strip("/")
         return p.partition("://")[2].strip("/") if "://" in p else p.strip("/")
 
-    return _canon(dfp) == _canon(table_dir)
+    def _port(p: str) -> int | None:
+        # None = no explicit port (or no URI authority at all)
+        u = urlparse(p)
+        if not (u.scheme and u.netloc):
+            return None
+        try:
+            return u.port
+        except ValueError:  # non-numeric port spelling
+            return None
+
+    if _canon(dfp) != _canon(table_dir):
+        return False
+    # default-port tolerance only (hdfs://nn vs hdfs://nn:8020): when
+    # BOTH sides spell an explicit port, they must agree — nn:9000 and
+    # nn:9002 are two different services on one host, and adopting
+    # across them is exactly the foreign-manifest bug this check
+    # exists to prevent
+    pa, pb = _port(dfp), _port(table_dir)
+    return pa is None or pb is None or pa == pb
 
 
 def _list_commit_ts(root: str) -> list[int]:
@@ -734,6 +806,23 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
                 "— refusing to publish over unmergeable state."
             )
         entry = raw.get(self.table_name)
+        if entry is not None:
+            # a key-matched entry must still CLAIM this table: a
+            # manifest copied from another deployment of a same-named
+            # table carries the matching key but a foreign
+            # dataFilesPath, and merging into it would adopt the other
+            # deployment's watermark/audit as this stream's own
+            if not isinstance(entry, dict) or not _entry_claims_table(
+                entry, self.table_dir, self.table_name
+            ):
+                raise ValueError(
+                    f"gw_cda_sink: marker manifest {self.manifest_uri!r} "
+                    f"entry under key {self.table_name!r} does not claim "
+                    f"this table dir ({self.table_dir!r}) — it looks "
+                    "copied from another deployment. Refusing to merge "
+                    "into foreign state; restore the manifest or remove "
+                    "it deliberately before restarting the stream."
+                )
         if entry is None and len(raw) == 1:
             sole = next(iter(raw.values()))
             if _entry_claims_table(sole, self.table_dir, self.table_name):
@@ -894,10 +983,27 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
             raw = dict(raw)
             raw[self.table_name] = entry
             snapshot = self._put_manifest(fs, raw, snapshot)
-        last = int(entry["lastSuccessfulWriteTimestamp"])
-        history = (
-            entry.get("schemaHistory", {}) if isinstance(entry, dict) else {}
-        )
+        try:
+            last = int(entry["lastSuccessfulWriteTimestamp"])
+        except (KeyError, TypeError, ValueError) as e:
+            raise ValueError(
+                f"gw_cda_sink: marker manifest {self.manifest_uri!r} "
+                f"entry for {self.table_name!r} has a missing or "
+                "unparseable lastSuccessfulWriteTimestamp — its commit "
+                "gate is undefined, so this stream cannot tell replays "
+                "from fresh publishes. Restore the manifest or remove "
+                "it deliberately before restarting the stream."
+            ) from e
+        for fld in ("schemaHistory", "epochWatermarks"):
+            v = entry.get(fld)
+            if v is not None and not isinstance(v, dict):
+                raise ValueError(
+                    f"gw_cda_sink: marker manifest {self.manifest_uri!r} "
+                    f"entry for {self.table_name!r} has a non-map "
+                    f"{fld} — refusing to publish over unmergeable "
+                    "state."
+                )
+        history = entry.get("schemaHistory") or {}
         if self.fingerprint not in history:
             # JOINING a table that already has a watermark (the next
             # schema-evolution epoch, the reference's sequential
@@ -957,13 +1063,25 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
 
             _, done = fsspec.core.url_to_fs(f"{self.root}/{ts}")
             has_staged = any(m is not None and m.staged for m in messages)
-            wms = (entry or {}).get("epochWatermarks")
+            wms = (entry or {}).get("epochWatermarks") or {}
             my_wm = None
-            if isinstance(wms, dict) and self.fingerprint in wms:
+            if self.fingerprint in wms:
                 try:
                     my_wm = int(wms[self.fingerprint])
-                except (TypeError, ValueError):
-                    my_wm = None
+                except (TypeError, ValueError) as e:
+                    # PRESENT but unparseable: the gate this replay
+                    # decision hangs on is undefined — falling back to
+                    # the folder-existence heuristic could silently
+                    # accept a co-tenant-exposed part-filled folder as
+                    # committed (the exact hole the field closes)
+                    raise ValueError(
+                        f"gw_cda_sink: marker manifest "
+                        f"{self.manifest_uri!r} epochWatermarks value "
+                        f"for fingerprint {self.fingerprint!r} is "
+                        "unparseable — cannot tell this stream's own "
+                        "replay from a co-tenant overrun. Restore the "
+                        "manifest before restarting the stream."
+                    ) from e
             if my_wm is not None:
                 if my_wm < ts:
                     # this stream never published <ts>; the folder (if
@@ -1013,16 +1131,27 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
         # write counter (extra String field — json4s extraction
         # ignores unknown keys) backing the staleness check.
         rows = sum(m.rows for m in messages if m is not None)
-        history = dict((entry or {}).get("schemaHistory", {}))
+        history = dict((entry or {}).get("schemaHistory") or {})
         history.setdefault(self.fingerprint, ts)
         # per-fingerprint epoch watermark (extra String-map field —
         # json4s extraction ignores unknown keys): lets a replay of
         # ts <= last distinguish "I published this" from "a co-tenant
         # ran over my domain" (short-circuit above), which the single
         # shared lastSuccessfulWriteTimestamp cannot encode
-        epoch_wms = dict((entry or {}).get("epochWatermarks", {}) or {})
+        epoch_wms = dict((entry or {}).get("epochWatermarks") or {})
         epoch_wms[self.fingerprint] = ts
-        manifest = dict(raw)  # preserve co-tenant tables' entries
+        # preserve co-tenant tables' entries, but MIGRATE an entry the
+        # single-entry fallback adopted under a nonstandard key: its
+        # state is republished below under this table's canonical key,
+        # and leaving the old key behind would freeze a duplicate
+        # entry whose stale watermark could gate an old-key consumer
+        # forever (and break the reader's single-entry fallback once a
+        # co-tenant entry joins the manifest)
+        manifest = {
+            k: v
+            for k, v in raw.items()
+            if not (v is entry and k != self.table_name)
+        }
         manifest[self.table_name] = {
             "lastSuccessfulWriteTimestamp": str(ts),
             "totalProcessedRecordsCount": int(

@@ -220,12 +220,60 @@ def test_discover_batches_epoch_watermark_gates_fingerprint(cda_tree):
     assert len(discover_batches(gated, -1, enforce_guidewire_timestamp=False)) == 4
 
     # parse path: the extension field round-trips; malformed values
-    # degrade to {} without breaking the reference fields
+    # never break the reference fields, but ARE tracked so gating
+    # consumers can refuse loudly instead of silently widening a
+    # corrupt fingerprint's gate to the shared watermark
     raw = json.load(open(cda_tree["manifest"]))
     raw["policy_holders"]["epochWatermarks"] = {"301248659": str(t1), "x": "bad"}
     parsed = parse_manifest(json.dumps(raw))["policy_holders"]
     assert parsed.epoch_watermarks == {"301248659": t1}
+    assert parsed.malformed_epoch_fingerprints == frozenset({"x"})
     raw["policy_holders"]["epochWatermarks"] = "garbage"
     parsed = parse_manifest(json.dumps(raw))["policy_holders"]
     assert parsed.epoch_watermarks == {}
+    assert parsed.malformed_epoch_fingerprints == frozenset({"*"})
     assert parsed.last_successful_write_timestamp == t4
+
+
+def test_discover_batches_refuses_corrupt_epoch_watermark(cda_tree):
+    """A PRESENT-but-unparseable epoch value leaves that fingerprint's
+    gate undefined; indexing it under the (wider) shared watermark
+    could durably commit a crashed stream's part-filled folder into
+    Delta — discover_batches refuses that fingerprint loudly.  Other
+    fingerprints' corruption does not block this one, and EDGE CASE#1
+    enforcement-off skips the extension entirely (no gate, no gate
+    corruption)."""
+    t1, t2, t3, t4 = cda_tree["timestamps"]
+    entries = parse_manifest(open(cda_tree["manifest"]).read())
+    entry = entries["policy_holders"]
+
+    def _with(wms, bad):
+        return ManifestEntry(
+            last_successful_write_timestamp=t4,
+            total_processed_records_count=0,
+            data_files_path=entry.data_files_path,
+            schema_history=entry.schema_history,
+            epoch_watermarks=wms,
+            malformed_epoch_fingerprints=bad,
+        )
+
+    # corruption on a fingerprint that IS scanned -> loud
+    with pytest.raises(ValueError, match="unparseable"):
+        discover_batches(_with({}, frozenset({"301248659"})), -1)
+    # whole-field corruption ('*') -> loud for every fingerprint
+    with pytest.raises(ValueError, match="unparseable"):
+        discover_batches(_with({}, frozenset({"*"})), -1)
+    # corruption on a fingerprint NOT in schemaHistory -> unaffected
+    ok = discover_batches(_with({}, frozenset({"not_scanned"})), -1)
+    assert [b.commit_timestamp for b in ok] == [t1, t2, t3, t4]
+    # enforcement off -> extension (and its corruption) ignored
+    assert (
+        len(
+            discover_batches(
+                _with({}, frozenset({"*"})),
+                -1,
+                enforce_guidewire_timestamp=False,
+            )
+        )
+        == 4
+    )

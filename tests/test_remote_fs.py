@@ -1513,9 +1513,17 @@ def test_reader_gates_fingerprint_dir_on_own_epoch_watermark(memfs):
     # fpX's own epoch watermark (T0) hides it
     assert _list_commit_ts(SINK_ROOT) == [SINK_T0]
 
-    # a malformed epoch value falls back to the shared watermark —
-    # it must not UN-GATE the listing entirely
+    # a malformed epoch value on the REMOTE arm is a corrupt gate —
+    # silently widening to the shared watermark would expose exactly
+    # the junk folder the field exists to hide, so the listing fails
+    # loudly instead
     marker["events_out"]["epochWatermarks"]["fpX"] = "not-a-ts"
+    memfs.put_bytes(mpath, json.dumps(marker).encode())
+    with pytest.raises(ValueError, match="unparseable"):
+        _list_commit_ts(SINK_ROOT)
+
+    # an epoch entry for a DIFFERENT fingerprint is irrelevant here
+    marker["events_out"]["epochWatermarks"] = {"fpOther": "not-a-ts"}
     memfs.put_bytes(mpath, json.dumps(marker).encode())
     assert _list_commit_ts(SINK_ROOT) == [SINK_T0, SINK_T0 + 1]
 
@@ -1547,7 +1555,151 @@ def test_cda_sink_corrupt_manifest_fails_loud(memfs):
         _list_commit_ts(SINK_ROOT)
     assert memfs.open(mpath).read() == b"{not json"  # untouched
 
-    # valid JSON but not a table->entry object: same refusal
+    # valid JSON but not a table->entry object: same refusal, both halves
     memfs.put_bytes(mpath, b"[1, 2]")
     with pytest.raises(ValueError, match="not an object"):
         w.commit([w.write(iter([_arrow_batch([2])]))], 1)
+    with pytest.raises(ValueError, match="gate cannot be read"):
+        _list_commit_ts(SINK_ROOT)
+
+
+def test_sink_marker_entry_corruption_fails_loud_on_remote(memfs):
+    """Entry-LEVEL corruption is the same class as an unparseable
+    document: a non-object entry, a missing/unparseable watermark, or
+    a non-map epochWatermarks under this table's key leaves the gate
+    unreadable, and the remote arm must fail the listing loudly — the
+    old broad except returned None, silently listing the tree UNGATED
+    (in-flight publishes exposed)."""
+    from guidewire_spark.streaming.cda_source import _list_commit_ts
+
+    mpath = "memory://bucket/cda/events_out/manifest.json"
+    w = _sink_writer(SINK_ROOT, SINK_T0)
+    w.commit([w.write(iter([_arrow_batch([1])]))], 0)
+    # in-flight folder beyond the marker: must never become visible
+    memfs.put_bytes(
+        f"{SINK_ROOT}/{SINK_T0 + 9}/part-00000.parquet",
+        _parquet_bytes(["junk"], [0]),
+    )
+    good = json.loads(memfs.open(mpath).read())
+
+    for breakage in (
+        lambda m: m.__setitem__("events_out", 5),
+        lambda m: m["events_out"].pop("lastSuccessfulWriteTimestamp"),
+        lambda m: m["events_out"].__setitem__(
+            "lastSuccessfulWriteTimestamp", "not-a-ts"
+        ),
+        lambda m: m["events_out"].__setitem__("epochWatermarks", "garbage"),
+    ):
+        broken = json.loads(json.dumps(good))
+        breakage(broken)
+        memfs.put_bytes(mpath, json.dumps(broken).encode())
+        with pytest.raises(ValueError, match="gate cannot be read"):
+            _list_commit_ts(SINK_ROOT)
+
+    # writer half: unparseable watermark / non-map fields refuse too
+    broken = json.loads(json.dumps(good))
+    broken["events_out"]["lastSuccessfulWriteTimestamp"] = "not-a-ts"
+    memfs.put_bytes(mpath, json.dumps(broken).encode())
+    with pytest.raises(ValueError, match="unparseable lastSuccessful"):
+        w.commit([w.write(iter([_arrow_batch([2])]))], 1)
+    broken = json.loads(json.dumps(good))
+    broken["events_out"]["schemaHistory"] = "garbage"
+    memfs.put_bytes(mpath, json.dumps(broken).encode())
+    with pytest.raises(ValueError, match="non-map schemaHistory"):
+        w.commit([w.write(iter([_arrow_batch([2])]))], 1)
+
+    # restore the good marker: everything lists/commits again
+    memfs.put_bytes(mpath, json.dumps(good).encode())
+    assert _list_commit_ts(SINK_ROOT) == [SINK_T0]
+
+
+def test_sink_replay_refuses_corrupt_own_epoch_watermark(memfs):
+    """On a ts<=last replay, an unparseable OWN epoch value must not
+    fall back to the folder-existence heuristic (which can silently
+    accept a co-tenant-exposed part-filled folder as committed) — the
+    replay decision's gate is unreadable, so the commit fails loudly."""
+    mpath = "memory://bucket/cda/events_out/manifest.json"
+    w = _sink_writer(SINK_ROOT, SINK_T0)
+    w.commit([w.write(iter([_arrow_batch([1])]))], 0)
+    marker = json.loads(memfs.open(mpath).read())
+    marker["events_out"]["epochWatermarks"]["fpX"] = "not-a-ts"
+    memfs.put_bytes(mpath, json.dumps(marker).encode())
+    msg = w.write(iter([_arrow_batch([1])]))
+    with pytest.raises(ValueError, match="unparseable"):
+        w.commit([msg], 0)  # replay of batch 0 (ts <= last)
+    # staging was NOT silently dropped as an already-committed no-op;
+    # the committed folder is untouched
+    assert memfs.exists(f"{SINK_ROOT}/{SINK_T0}")
+
+
+def test_sink_key_matched_foreign_manifest_refused_on_remote(memfs):
+    """A manifest whose entry sits under THIS table's key but claims a
+    different deployment's path (a copied manifest standing where the
+    marker should be) must not be adopted by key alone: the reader
+    fails the listing loudly (its watermark would hide this table's
+    committed folders) and the writer refuses to merge into foreign
+    state.  Same-port rules: an explicit-port mismatch on one host is
+    foreign; a default-port spelling difference is not."""
+    from guidewire_spark.streaming.cda_source import (
+        _entry_claims_table,
+        _list_commit_ts,
+    )
+
+    mpath = "memory://bucket/cda/events_out/manifest.json"
+    w = _sink_writer(SINK_ROOT, SINK_T0)
+    w.commit([w.write(iter([_arrow_batch([1])]))], 0)
+    foreign = {
+        "events_out": {
+            "lastSuccessfulWriteTimestamp": "0",
+            "totalProcessedRecordsCount": 1,
+            "dataFilesPath": "memory://bucket/archive/events_out",
+            "schemaHistory": {},
+        }
+    }
+    memfs.put_bytes(mpath, json.dumps(foreign).encode())
+    with pytest.raises(ValueError, match="different deployment"):
+        _list_commit_ts(SINK_ROOT)
+    with pytest.raises(ValueError, match="does not claim"):
+        w.commit([w.write(iter([_arrow_batch([2])]))], 1)
+
+    # port semantics of the claim check itself
+    entry = {"dataFilesPath": "hdfs://nn:9000/cda/events_out"}
+    assert not _entry_claims_table(
+        entry, "hdfs://nn:9002/cda/events_out", "events_out"
+    ), "explicit-port mismatch is a different service, hence foreign"
+    assert _entry_claims_table(
+        entry, "hdfs://nn/cda/events_out", "events_out"
+    ), "default-port spelling tolerance"
+    assert _entry_claims_table(
+        entry, "hdfs://nn:9000/cda/events_out", "events_out"
+    )
+
+
+def test_sink_publish_migrates_adopted_nonstandard_key(memfs):
+    """When the single-entry fallback adopts a claiming entry under a
+    nonstandard key, the next publish re-keys it under the table's
+    canonical name IN THE SAME atomic PUT — leaving the old key behind
+    would freeze a duplicate entry whose stale watermark could gate an
+    old-key consumer forever."""
+    from guidewire_spark.streaming.cda_source import _list_commit_ts
+
+    mpath = "memory://bucket/cda/events_out/manifest.json"
+    adopted = {
+        "weird_key": {
+            "lastSuccessfulWriteTimestamp": str(SINK_T0 - 1),
+            "totalProcessedRecordsCount": 7,
+            "dataFilesPath": "memory://bucket/cda/events_out",
+            "schemaHistory": {"fpX": str(SINK_T0 - 1)},
+            "epochWatermarks": {"fpX": str(SINK_T0 - 1)},
+        }
+    }
+    memfs.put_bytes(mpath, json.dumps(adopted).encode())
+    w = _sink_writer(SINK_ROOT, SINK_T0)
+    w.commit([w.write(iter([_arrow_batch([1, 2])]))], 0)
+    out = json.loads(memfs.open(mpath).read())
+    assert set(out) == {"events_out"}, "old key migrated, not duplicated"
+    e = out["events_out"]
+    assert e["lastSuccessfulWriteTimestamp"] == str(SINK_T0)
+    assert e["totalProcessedRecordsCount"] == 9  # 7 carried + 2 new
+    assert e["schemaHistory"]["fpX"] == str(SINK_T0 - 1)  # epoch carried
+    assert _list_commit_ts(SINK_ROOT) == [SINK_T0]
