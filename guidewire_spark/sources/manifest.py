@@ -80,7 +80,9 @@ def parse_manifest(text: str) -> dict[str, ManifestEntry]:
     for table_name, entry in raw.items():
         wms, bad = _epoch_watermarks(entry)
         out[table_name] = ManifestEntry(
-            last_successful_write_timestamp=int(entry["lastSuccessfulWriteTimestamp"]),
+            last_successful_write_timestamp=_ts_int(
+                entry["lastSuccessfulWriteTimestamp"]
+            ),
             total_processed_records_count=int(
                 entry.get("totalProcessedRecordsCount", 0)
             ),
@@ -110,10 +112,19 @@ def _epoch_watermarks(entry: dict) -> tuple[dict[str, int], frozenset[str]]:
     bad: set[str] = set()
     for fp, ts in raw.items():
         try:
-            out[fp] = int(ts)
+            out[fp] = _ts_int(ts)
         except (TypeError, ValueError):
             bad.add(fp)
     return out, frozenset(bad)
+
+
+def _ts_int(v) -> int:
+    """int() for timestamp fields that refuses JSON booleans: ``true``
+    int()s to 1, silently gating every folder above ts 1 out of
+    existence — a corrupt shape must read as corrupt, not as epoch 1."""
+    if isinstance(v, bool):
+        raise TypeError(f"boolean is not a timestamp: {v!r}")
+    return int(v)
 
 
 def read_manifest(uri: str) -> dict[str, ManifestEntry]:

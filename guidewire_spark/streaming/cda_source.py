@@ -41,6 +41,9 @@ from pyspark.sql.datasource import (
 )
 
 
+from guidewire_spark.sources.manifest import _ts_int
+
+
 def _is_remote(path: str) -> bool:
     """True for object-store schemes (s3://, memory://, …) — anything
     the connector delegates to fsspec.  Bare paths and file:// are the
@@ -186,7 +189,7 @@ def _sink_marker_ts(root: str) -> int | None:
     if entry is None:
         return None
     try:
-        marker = int(entry["lastSuccessfulWriteTimestamp"])
+        marker = _ts_int(entry["lastSuccessfulWriteTimestamp"])
     except (ValueError, KeyError, TypeError):
         return _refuse("lastSuccessfulWriteTimestamp missing or unparseable")
     # this fingerprint's own epoch watermark lowers the gate when
@@ -199,7 +202,7 @@ def _sink_marker_ts(root: str) -> int | None:
         return marker  # local arm: the shared gate still applies
     if isinstance(wms, dict) and fingerprint in wms:
         try:
-            marker = min(marker, int(wms[fingerprint]))
+            marker = min(marker, _ts_int(wms[fingerprint]))
         except (ValueError, TypeError):
             _refuse(
                 f"epochWatermarks value for fingerprint "
@@ -984,7 +987,7 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
             raw[self.table_name] = entry
             snapshot = self._put_manifest(fs, raw, snapshot)
         try:
-            last = int(entry["lastSuccessfulWriteTimestamp"])
+            last = _ts_int(entry["lastSuccessfulWriteTimestamp"])
         except (KeyError, TypeError, ValueError) as e:
             raise ValueError(
                 f"gw_cda_sink: marker manifest {self.manifest_uri!r} "
@@ -1067,7 +1070,7 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
             my_wm = None
             if self.fingerprint in wms:
                 try:
-                    my_wm = int(wms[self.fingerprint])
+                    my_wm = _ts_int(wms[self.fingerprint])
                 except (TypeError, ValueError) as e:
                     # PRESENT but unparseable: the gate this replay
                     # decision hangs on is undefined — falling back to
@@ -1182,7 +1185,7 @@ class _CdaRemoteArrowWriter(DataSourceStreamArrowWriter):
             # stays invisible and the retry republishes it.
             _, cur_entry, _ = self._manifest_state()
             try:
-                cur_last = int(cur_entry["lastSuccessfulWriteTimestamp"])
+                cur_last = _ts_int(cur_entry["lastSuccessfulWriteTimestamp"])
             except (TypeError, KeyError, ValueError):
                 cur_last = None
             if cur_last is not None and cur_last >= ts and fs.exists(folder):

@@ -233,6 +233,16 @@ def test_discover_batches_epoch_watermark_gates_fingerprint(cda_tree):
     assert parsed.epoch_watermarks == {}
     assert parsed.malformed_epoch_fingerprints == frozenset({"*"})
     assert parsed.last_successful_write_timestamp == t4
+    # JSON true int()s to 1: a boolean epoch is malformed, not ts 1
+    raw["policy_holders"]["epochWatermarks"] = {"301248659": True}
+    parsed = parse_manifest(json.dumps(raw))["policy_holders"]
+    assert parsed.epoch_watermarks == {}
+    assert parsed.malformed_epoch_fingerprints == frozenset({"301248659"})
+    # and a boolean table watermark refuses the whole parse loudly
+    raw["policy_holders"]["epochWatermarks"] = {}
+    raw["policy_holders"]["lastSuccessfulWriteTimestamp"] = True
+    with pytest.raises(TypeError, match="boolean"):
+        parse_manifest(json.dumps(raw))
 
 
 def test_discover_batches_refuses_corrupt_epoch_watermark(cda_tree):

@@ -1588,7 +1588,13 @@ def test_sink_marker_entry_corruption_fails_loud_on_remote(memfs):
         lambda m: m["events_out"].__setitem__(
             "lastSuccessfulWriteTimestamp", "not-a-ts"
         ),
+        # JSON true int()s to 1 — it must read as corrupt, not as a
+        # gate at ts 1 silently hiding every committed folder
+        lambda m: m["events_out"].__setitem__(
+            "lastSuccessfulWriteTimestamp", True
+        ),
         lambda m: m["events_out"].__setitem__("epochWatermarks", "garbage"),
+        lambda m: m["events_out"]["epochWatermarks"].__setitem__("fpX", True),
     ):
         broken = json.loads(json.dumps(good))
         breakage(broken)
