@@ -598,6 +598,29 @@ def test_cda_readers_gate_on_sink_marker_manifest(spark, sf_dir, tmp_path):
     (table_dir / "manifest.json").write_text("{not json")
     assert _list_commit_ts(str(fp)) == [1000, 2000, 3000]
 
+    # the LOCAL arm's corrupt-shape asymmetry, pinned: POSIX rename
+    # publishes are atomic, so entry-level corruption lists UNGATED
+    # (never raises — the remote arm refuses these same shapes loudly,
+    # test_sink_marker_entry_corruption_fails_loud_on_remote)
+    good = {
+        "events_out": {
+            "lastSuccessfulWriteTimestamp": 2000,
+            "totalProcessedRecordsCount": 50,
+            "dataFilesPath": str(table_dir),
+            "schemaHistory": {"fpX": 1000},
+        }
+    }
+    bad = _json.loads(_json.dumps(good))
+    bad["events_out"]["lastSuccessfulWriteTimestamp"] = True  # int()s to 1
+    (table_dir / "manifest.json").write_text(_json.dumps(bad))
+    assert _list_commit_ts(str(fp)) == [1000, 2000, 3000]
+    # ...while a corrupt EPOCH value degrades to the shared gate (the
+    # watermark itself is readable), never un-gates the listing
+    bad = _json.loads(_json.dumps(good))
+    bad["events_out"]["epochWatermarks"] = {"fpX": "not-a-ts"}
+    (table_dir / "manifest.json").write_text(_json.dumps(bad))
+    assert _list_commit_ts(str(fp)) == [1000, 2000]
+
 
 def test_psi_monitor_baseline_frozen_and_batch_psi_sane(spark, sf_dir):
     """The streaming PSI monitor must (a) freeze the FIRST chunk as
