@@ -19,6 +19,14 @@ same shapes the real library documents:
   ``add.modificationTime`` by a factor of 1000), with per-file
   overrides so tests can exercise the datetime (s3fs
   ``LastModified``) and already-millis variants too.
+
+Known divergence from real backends, and the contract that makes it
+safe: ``ls`` on a missing prefix returns ``[]`` here, while real
+fsspec implementations RAISE FileNotFoundError.  Production code must
+therefore either guard a listing with ``fs.exists`` (both
+``sources.fs`` helpers do) or catch FileNotFoundError at the call
+site (``_inflight_foreign_folders``, staging GC) — a new bare
+``fs.ls`` caller would pass against this fake yet crash on s3fs.
 """
 
 from __future__ import annotations
