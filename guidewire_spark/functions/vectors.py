@@ -44,6 +44,18 @@ def cosine(a: Column, b: Column) -> Column:
 
 def normalize(vec: Column) -> Column:
     """L2-normalize; precomputing unit vectors turns top-k cosine into
-    top-k dot product (one fused HOF per candidate pair at scale)."""
-    n = norm(vec)
-    return F.transform(vec, lambda x: x.cast("double") / n)
+    top-k dot product (one fused HOF per candidate pair at scale).
+
+    The norm is bound OUTSIDE the per-element lambda: HOF lambda
+    bodies are interpreted and re-evaluate every embedded
+    subexpression per element, so ``transform(vec, x -> x / norm)``
+    pays the full O(d) norm fold d times per row (O(d²)).  Feeding
+    the norm through ``array_repeat`` — a regular expression whose
+    arguments evaluate once per row — keeps the division element-wise
+    while the norm fold runs once (guide §4: per-task work).  The
+    arithmetic per element is the identical ``x / n`` on the identical
+    double, so results are bit-for-bit unchanged."""
+    dv = as_double(vec)
+    return F.zip_with(
+        dv, F.array_repeat(norm(vec), F.size(vec)), lambda x, n: x / n
+    )

@@ -1017,11 +1017,22 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDED similarity with neighbor_id tiebreak so the result set is
     float-order independent.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = load_table(spark, sf_dir, "embeddings")
+    # corpus side: guarded fan-out before the normalize projection —
+    # the single-file sf scan otherwise funnels scan+normalize+score
+    # through ONE task (stage-profiled: 0.91 s of the 1.5 s wall);
+    # no-op at real scale where the scan has ≥ cores partitions
+    e = fan_out(d).select(
         "vec_id", V.normalize(F.col("embedding")).alias("u")
     )
-    q = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    # query side: derived from the RAW scan, not the fanned frame, so
+    # the vec_id < 10 predicate pushes into the parquet scan and the
+    # 10-row broadcast build never waits on the corpus repartition
+    q = d.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        V.normalize(F.col("embedding")).alias("qu"),
     )
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
@@ -1245,6 +1256,12 @@ def _ivf_centroids(
         cents = (
             e.where(F.col("vec_id") % 64 == 0)
             .select(F.col("vec_id").alias("cent_id"), F.col("u").alias("cu"))
+            # order before limit: a bare limit(8) takes the first 8 in
+            # PARTITION order, which changes when the corpus is fanned
+            # out across cores; TakeOrdered picks the 8 smallest
+            # vec_ids under any layout (identical to the old file-order
+            # pick on id-sorted corpora, and layout-independent always)
+            .orderBy("cent_id")
             .limit(8)
         )
         refined = cents
@@ -1270,15 +1287,19 @@ def _ivf_centroids(
                 )
             )
             rows = [(r["cent_id"], list(r["cu"])) for r in refined_df.collect()]
-            refined = spark.createDataFrame(
-                rows, schema="cent_id long, cu array<double>"
+            refined = local_df(
+                spark, rows, "cent_id long, cu array<double>"
             )
         return rows
 
+    from guidewire_spark.plans.catalog import local_df
+
     rows = get_or_train("ivf_centroids_8x2lloyd", cache_key, train)
-    return spark.createDataFrame(
-        rows, schema="cent_id long, cu array<double>"
-    )
+    # local_df (LocalTableScan): the pickle-RDD path spawned 32-task
+    # Python micro-stages for every aggregate/broadcast over this
+    # 8-row table — pure worker round-trip overhead, ~0.7 s/query
+    # (stage-profiled; see plans.catalog.local_df)
+    return local_df(spark, rows, "cent_id long, cu array<double>")
 
 
 def _ivf_probe_topk(
@@ -1336,7 +1357,16 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     partial aggregation). Measured recall@5 at n_probe=3: 0.66 @
     sf0.001 / 0.74 @ sf0.01.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    from guidewire_spark.plans.catalog import fan_out
+
+    # Guarded fan-out BEFORE the normalize projection: the sf corpus
+    # is one parquet file = one scan partition, so without it the
+    # normalize+materialize stage — and every downstream per-vector
+    # stage that reads the checkpoint (assignment argmax, probe
+    # scoring) — runs on a single core (stage-profiled: 1.09 s of the
+    # query's 3.1 s wall in ONE task).  At real scale the scan already
+    # carries ≥ cores partitions and fan_out is a no-op (guide §2).
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", V.normalize(F.col("embedding")).alias("u")
     )
     # The corpus feeds ~5 separate jobs (seed collect, two Lloyd
@@ -1456,7 +1486,11 @@ def similarity_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     from guidewire_spark.sources.snapshot import read_delta
     from guidewire_spark.sources.writer import write_delta
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    from guidewire_spark.plans.catalog import fan_out
+
+    # guarded fan-out before normalize, same rationale as _ivf_topk:
+    # parallelize the materialize and every per-vector stage reading it
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", V.normalize(F.col("embedding")).alias("u")
     )
     # same k-means cache as _ivf_topk: the corpus feeds the centroid

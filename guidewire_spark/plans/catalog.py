@@ -83,6 +83,34 @@ def fan_out(d: DataFrame) -> DataFrame:
     return d
 
 
+def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """k-sized driver-local table → DataFrame as a JVM LocalTableScan.
+
+    ``spark.createDataFrame(list)`` parallelizes the pickled rows over
+    ``defaultParallelism`` slices and executes them through Python
+    workers (``applySchemaToPythonRDD``): every downstream aggregate or
+    broadcast over an 8-row centroid/codebook table then spawns a
+    32-task micro-stage whose per-task cost is a Python worker
+    round-trip, not compute (stage-profiled at ~250 ms/task; a
+    coalesce(1) of that RDD serializes the SAME round-trips into one
+    ~7 s task).  Routing the rows through a pandas frame makes the
+    Arrow path build the relation JVM-side: the plan is a
+    LocalTableScan — zero scan tasks, zero Python in the executed plan
+    — and doubles cross Arrow bit-exactly.  Falls back to the plain
+    path when pandas/Arrow is unavailable."""
+    try:
+        import pandas as pd
+        from pyspark.sql.types import StructType
+
+        names = StructType.fromDDL(schema).fieldNames()
+        pdf = pd.DataFrame(
+            {n: [r[i] for r in rows] for i, n in enumerate(names)}
+        )
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema=schema)
+
+
 _REGISTERED: set[tuple[int, str]] = set()
 
 
