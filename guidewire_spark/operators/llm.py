@@ -57,22 +57,52 @@ def minhash_signatures(
     B = np.array([rng.randrange(0, p) for _ in range(n_hashes)], dtype=np.int64)
 
     def sigs(batches):
+        # Whole-batch vectorization (guide §4.2): the previous shape
+        # looped per DOCUMENT in Python (one hash_array + one
+        # broadcast-min per doc — fine math, but ~1 ms of numpy call
+        # overhead per doc dominates at thousands of docs/batch).
+        # Instead: hash every word of the batch in ONE hash_array
+        # call, build shingle hashes on the flat array (masking the
+        # positions that straddle a document boundary), and take each
+        # document's 32 permutation minima with minimum.reduceat over
+        # the doc-segmented value array.  Dropping the old np.unique
+        # is value-neutral — min() is dedup-insensitive — and every
+        # modular product stays < 2^62 (p = 2^31-1), exact in int64,
+        # so signatures are bit-identical to the per-doc shape.
         for pdf in batches:
-            out_ids, out_sigs = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = np.array(text.split() or [""], dtype=object)
-                h = pd.util.hash_array(words).view(np.int64) % p
-                if len(h) >= 3:
-                    sh = np.unique(((h[:-2] * 31 + h[1:-1]) % p * 31 + h[2:]) % p)
-                else:
-                    sh = np.unique(h)
-                out_ids.append(doc_id)
-                out_sigs.append(
-                    ((sh[None, :] * A[:, None] + B[:, None]) % p).min(axis=1)
-                )
-            M = np.stack(out_sigs)
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            docs = [t.split() or [""] for t in pdf["text"]]
+            lens = np.fromiter(
+                (len(w) for w in docs), dtype=np.int64, count=len(docs)
+            )
+            flat = np.concatenate(
+                [np.asarray(w, dtype=object) for w in docs]
+            )
+            h = pd.util.hash_array(flat).view(np.int64) % p
+            doc_of = np.repeat(np.arange(len(docs)), lens)
+            if len(h) >= 3:
+                sh_all = ((h[:-2] * 31 + h[1:-1]) % p * 31 + h[2:]) % p
+                in_doc = doc_of[:-2] == doc_of[2:]
+            else:
+                sh_all = np.empty(0, dtype=np.int64)
+                in_doc = np.empty(0, dtype=bool)
+            small = lens < 3  # <3 words → minhash the word hashes
+            vals = np.concatenate([sh_all[in_doc], h[small[doc_of]]])
+            seg = np.concatenate(
+                [doc_of[:-2][in_doc], doc_of[small[doc_of]]]
+            )
+            order = np.argsort(seg, kind="stable")
+            vals, seg = vals[order], seg[order]
+            # every doc contributes ≥1 value (the [""] fallback), so
+            # the first-index list aligns 1:1 with the batch's docs
+            first = np.unique(seg, return_index=True)[1]
+            M = np.empty((len(docs), n_hashes), dtype=np.int64)
+            for i in range(n_hashes):
+                M[:, i] = np.minimum.reduceat((vals * A[i] + B[i]) % p, first)
             yield pd.DataFrame(
-                {"doc_id": out_ids, **{f"mh_{i}": M[:, i] for i in range(n_hashes)}}
+                {"doc_id": ids, **{f"mh_{i}": M[:, i] for i in range(n_hashes)}}
             )
 
     return d.select("doc_id", "text").mapInPandas(
@@ -434,30 +464,40 @@ def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output IS the trimmed corpus (plus a retained-token audit
     count). Documents trimmed to nothing drop out entirely.
 
-    Scale design: the keep-first winner comes from a partial-agg
-    ``groupBy(shingle).min(okey)`` (okey = doc_id·10⁵ + start packs
-    the lexicographic (doc, pos) order into one BIGINT so min() IS
-    argmin — no window over a possibly-hot shingle key, no
-    tie-ambiguity for the driver to break differently); marked
-    positions then shuffle once on doc_id for the interval merge, and
-    reassembly joins token positions against the merged spans (equi on
-    doc_id + range residual — never a cross join). Text payloads move
-    through exactly two narrow shuffles (tokenize→positions,
-    group→reassemble); the shingle shuffle carries positions only."""
+    Scale design: the keep-first winner is min(okey) per shingle
+    (okey = doc_id·10⁵ + start packs the lexicographic (doc, pos)
+    order into one BIGINT so min() IS argmin — no tie-ambiguity for
+    the driver to break differently); marked positions then shuffle
+    once on doc_id for the interval merge, and reassembly joins token
+    positions against the merged spans (equi on doc_id + range
+    residual — never a cross join). Text payloads move through
+    exactly two narrow shuffles (tokenize→positions,
+    group→reassemble); the shingle shuffle carries positions only.
+
+    Round-11 shape: count/min come from ONE window over the
+    shingle-partitioned occurrences instead of a partial-agg groupBy
+    + join back — that diamond ran the tokenize+shingle projection
+    TWICE (occ has no other way to feed both the aggregate and the
+    per-row keep test; stage-profiled 2.01 → 1.65 s median at sf0.1).
+    Tradeoff, documented deliberately: a single pathologically hot
+    shingle is now one window group (a straggler) where the join
+    shape let AQE split the probe partition.  The skew-robust
+    partial-agg + join reference shape lives on in
+    ``dedup_substring_spans``; if a corpus with a boilerplate shingle
+    that dominates a partition ever shows up, the escape is a salted
+    two-phase aggregate (guide §2.5), not a revert — the double
+    tokenize was the measured cost."""
     k = SUBSTRING_K
     d = load_table(spark, sf_dir, "documents")
     toks, occ0 = substring_occurrences(d, k)
     occ = occ0.withColumn(
         "okey", F.col("doc_id").cast("bigint") * 100000 + F.col("start")
     )
-    keeper = (
-        occ.groupBy("shingle")
-        .agg(F.count("*").alias("c"), F.min("okey").alias("keep_key"))
-        .where(F.col("c") >= 2)
-    )
+    w_sh = Window.partitionBy("shingle")
     marked = (
-        occ.join(keeper, "shingle")
-        .where(F.col("okey") != F.col("keep_key"))
+        occ.withColumn("c", F.count("*").over(w_sh))
+        .withColumn("keep_key", F.min("okey").over(w_sh))
+        .where((F.col("c") >= 2) & (F.col("okey") != F.col("keep_key")))
         .select("doc_id", "start")
     )
     spans = merge_cut_spans(marked, k)

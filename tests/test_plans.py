@@ -903,17 +903,21 @@ def test_position_attribution_single_user_exchange(spark, sf_dir):
 
 def test_source_overlap_is_inverted_index_join(spark, sf_dir):
     """Source pairs must meet through the shingle key (sparse
-    inverted index), never a cartesian of sources or docs."""
-    from guidewire_spark.operators.rules_ext import mix_source_overlap_matrix
+    inverted index), never a cartesian of sources or docs — locked on
+    ``_overlap_counts``, the distributed half of the round-11 rewrite
+    (the matrix tail runs over a collected k²-sized frame)."""
+    from guidewire_spark.operators.rules_ext import _overlap_counts
 
-    plan = plan_of(mix_source_overlap_matrix(spark, sf_dir))
+    plan = plan_of(_overlap_counts(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    # the pair join must be EQUI on the shingle key — a nested-loop
-    # node would mean sources paired without sharing a shingle.  (At
-    # test scale AQE broadcasts the shingle side of the equi-join,
-    # which is fine; at 100 TB it shuffles on the same key.)
+    # pairs come from the in-set expansion of the per-shingle source
+    # BITMASK — no join at all anywhere in the corpus pipeline, and
+    # the per-key aggregate state is a long (bit_or), not a
+    # collect_set
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert "bit_or" in plan
+    assert "collect_set" not in plan
 
 
 def test_ivf_assignment_is_shuffle_free_map_work(spark, sf_dir):
