@@ -1406,24 +1406,33 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     # scoring) — runs on a single core (stage-profiled: 1.09 s of the
     # query's 3.1 s wall in ONE task).  At real scale the scan already
     # carries ≥ cores partitions and fan_out is a no-op (guide §2).
-    e = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(raw).select(
         "vec_id", V.normalize(F.col("embedding")).alias("u")
     )
-    # The corpus feeds ~5 separate jobs (seed collect, two Lloyd
-    # rounds, the inverted-list build, the query-point extraction) —
-    # materialize the normalized vectors ONCE instead of re-running
-    # scan+normalize per job.  This is the standard k-means cache; at
-    # cluster scale the same role is played by .persist(DISK_ONLY)
-    # before the Lloyd loop, sized at 8 doubles/dim × N — far smaller
-    # than the raw table when embeddings ride along wide rows.
-    e = e.localCheckpoint(eager=True)
-    from guidewire_spark.plans.artifact_cache import corpus_fingerprint
+    from guidewire_spark.plans.artifact_cache import corpus_fingerprint, has
 
-    refined = _ivf_centroids(
-        spark, e, cache_key=corpus_fingerprint(sf_dir, "embeddings")
-    )
+    cache_key = corpus_fingerprint(sf_dir, "embeddings")
+    if not has("ivf_centroids_8x2lloyd", cache_key):
+        # COLD path: the corpus feeds ~5 separate training jobs (seed
+        # collect, two Lloyd rounds, the inverted-list build) —
+        # materialize the normalized vectors ONCE instead of re-running
+        # scan+normalize per job.  This is the standard k-means cache;
+        # at cluster scale the same role is played by
+        # .persist(DISK_ONLY) before the Lloyd loop, sized at
+        # 8 doubles/dim × N — far smaller than the raw table when
+        # embeddings ride along wide rows.  WARM path (centroids
+        # memoized for this corpus fingerprint): exactly one job reads
+        # the corpus, so the checkpoint materialization would be pure
+        # overhead — skip it (round-11; one job fewer per invocation).
+        e = e.localCheckpoint(eager=True)
+    refined = _ivf_centroids(spark, e, cache_key=cache_key)
     cells = _ivf_assign(e, refined)
-    q_pts = e.where(F.col("vec_id") < 10)
+    # query side from the RAW scan so vec_id < 10 pushes into parquet
+    # and the 10-row extraction never waits on the corpus fan-out
+    q_pts = raw.where(F.col("vec_id") < 10).select(
+        "vec_id", V.normalize(F.col("embedding")).alias("u")
+    )
     return _ivf_probe_topk(cells, refined, q_pts, n_probe)
 
 

@@ -49,5 +49,13 @@ def get_or_train(name: str, key: tuple | None, train: Callable[[], Any]):
     return _CACHE[k]
 
 
+def has(name: str, key: tuple | None) -> bool:
+    """True when the artifact for (name, key) is already cached —
+    lets a pipeline skip WARM-path-only scaffolding (e.g. the
+    localCheckpoint that exists to feed multiple training jobs) when
+    no training will run."""
+    return key is not None and (name, key) in _CACHE
+
+
 def clear() -> None:
     _CACHE.clear()
