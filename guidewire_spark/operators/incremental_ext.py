@@ -94,9 +94,14 @@ def dedup_batch_against_store(
     )
 
     # --- against-history candidates ---------------------------------
+    # store presence = live data files in the Delta log — a
+    # metadata-only read (load_snapshot), NOT a limit(1).count() Spark
+    # job per batch (guide §1.2: remove the work outright)
     try:
-        store = read_delta(spark, store_path)
-        have_store = store.limit(1).count() > 0
+        from guidewire_spark.sources.snapshot import load_snapshot
+
+        have_store = load_snapshot(store_path).num_files > 0
+        store = read_delta(spark, store_path) if have_store else None
     except FileNotFoundError:
         store, have_store = None, False
     if have_store:
@@ -163,6 +168,16 @@ def dedup_batch_against_store(
             "matched_doc_id",
         )
     )
+    # Pin the decision table before deriving consumers: the caller
+    # actions this subtree three times per batch (band-store append,
+    # signature-store append, final decision-log drain), and the
+    # candidate-generation + verify joins above are the batch's whole
+    # cost — the eager local checkpoint computes them ONCE and the
+    # three actions re-read a k-columns × batch-rows materialization
+    # (guide §5: cut lineage when an intermediate is reused and
+    # recomputing beats memory; decisions is batch-sized, never
+    # corpus-sized).
+    decisions = decisions.localCheckpoint(eager=True)
     accepted = sigs.join(
         decisions.where("is_duplicate").select("doc_id"), "doc_id", "left_anti"
     )
@@ -487,9 +502,16 @@ def _embedding_dedup_run(
             )
             .distinct()
         )
+        # store presence = live data files in the Delta log — a
+        # metadata-only read (load_snapshot), NOT a limit(1).count()
+        # Spark job; this per-batch orchestration job was pure
+        # overhead (guide §1.2: remove work, then tune) and at scale
+        # the log read is O(log), the count job O(cluster round-trip)
         try:
-            store = read_delta(spark, store_path)
-            have = store.limit(1).count() > 0
+            from guidewire_spark.sources.snapshot import load_snapshot
+
+            have = load_snapshot(store_path).num_files > 0
+            store = read_delta(spark, store_path) if have else None
         except FileNotFoundError:
             store, have = None, False
         if have:
@@ -538,6 +560,10 @@ def _embedding_dedup_run(
                 F.col("matched_vec_id").isNotNull().alias("is_duplicate"),
                 "matched_vec_id",
             )
+            # actioned three times (two store appends + the final
+            # drain) — compute the bands/verify pipeline once per
+            # batch (same rationale as dedup_batch_against_store)
+            .localCheckpoint(eager=True)
         )
         accepted = batch.join(
             decisions.where("is_duplicate").select("vec_id"),

@@ -2401,14 +2401,35 @@ def _pq_topk(
     )
 
     def encode(sub_df, codebook):
-        scored = sub_df.join(F.broadcast(codebook), "m").select(
-            "vec_id", "m", "sub", "code", l2sq.alias("d")
+        """Shuffle-free codeword argmin (round-11, the r9 IVF
+        broadcast-argmax pattern): collapse each subspace's 16
+        codewords to one array row keyed by m, broadcast-join 1:1,
+        take array_min over (d, code) structs — no 16× row blow-up,
+        no row_number window, no exchange.  Ordering identical to
+        orderBy(d, code): code makes the pair unique, so the min is
+        arrival-order-insensitive; d is the same shared (x-y)² fold
+        (exact for both element types — see l2sq comment above)."""
+        cb_by_m = codebook.groupBy("m").agg(
+            F.collect_list(F.struct("code", "cvec")).alias("codes")
         )
-        w = Window.partitionBy("vec_id", "m").orderBy("d", "code")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "m", "sub", "code")
+        best = F.array_min(
+            F.transform(
+                F.col("codes"),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("sub"), c["cvec"],
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )
+        return sub_df.join(F.broadcast(cb_by_m), "m").select(
+            "vec_id", "m", "sub", best["code"].alias("code")
         )
 
     if refine:
@@ -3152,19 +3173,36 @@ def _ivfpq_topk(
     vec_cols = ["vec_id", "u"] if enc_col == "u" else ["vec_id", "u", enc_col]
 
     def coarse_assign(centroids):
-        return (
-            e.join(F.broadcast(centroids))
-            .select(*vec_cols, "cell", "cu",
-                    V.dot(F.col(enc_col), F.col("cu")).alias("sim"))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy(
-                        F.col("sim").desc(), F.col("cell")
-                    )
+        """Shuffle-free broadcast-argmax assignment (the r9 IVF
+        pattern, ported round-11): the k-sized centroid table
+        collapses to ONE row carrying the whole set as an array,
+        which broadcast-crossJoins onto the points; the winning cell
+        is array_max over (sim, -cell, cu) structs — NO k×N join
+        blow-up, NO per-vector row_number window, NO exchange.  The
+        old shape (broadcast join to k rows + window partitioned by
+        vec_id) shuffled k×N rows carrying the 64-double vector
+        payloads through every assignment.  Tie-break identical to
+        orderBy(sim desc, cell asc): struct comparison orders by sim
+        then -cell, and (sim, -cell) is unique per centroid, so the
+        max is insensitive to collect_list arrival order (cu rides
+        along but is never reached in the comparison)."""
+        carr = centroids.agg(
+            F.collect_list(F.struct("cell", "cu")).alias("cents")
+        )
+        best = F.array_max(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    V.dot(F.col(enc_col), c["cu"]).alias("sim"),
+                    (-c["cell"]).cast("int").alias("negc"),
+                    c["cu"].alias("cu"),
                 ),
             )
-            .where("rn = 1")
+        )
+        return e.crossJoin(F.broadcast(carr)).select(
+            *vec_cols,
+            (-best["negc"]).cast("int").alias("cell"),
+            best["cu"].alias("cu"),
         )
 
     def residual_subs(assigned_df):
@@ -3176,21 +3214,39 @@ def _ivfpq_topk(
             ).alias("m", "sub"),
         )
 
-    l2sq = F.aggregate(
-        F.zip_with(F.col("sub"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
     def encode(sub_df, codebook):
-        scored = sub_df.join(F.broadcast(codebook), "m").select(
-            "vec_id", "cell", "m", "sub", "code", l2sq.alias("d")
+        """Shuffle-free codeword argmin (same rewrite as
+        coarse_assign): the 16-codeword table of each subspace
+        collapses to one array row keyed by m; after the 1:1
+        broadcast join on m, the winning code is array_min over
+        (d, code) structs computed per subvector.  The old shape
+        joined every subvector to all 16 codewords (16× row blow-up
+        carrying both arrays) and shuffled that through a
+        row_number window per (vec_id, m).  Ordering identical to
+        orderBy(d, code): (d, code) is unique per codeword since
+        code is, so the min is arrival-order-insensitive and the
+        same exact distances are compared."""
+        cb_by_m = codebook.groupBy("m").agg(
+            F.collect_list(F.struct("code", "cvec")).alias("codes")
         )
-        w = Window.partitionBy("vec_id", "m").orderBy("d", "code")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where("rn = 1")
-            .select("vec_id", "cell", "m", "sub", "code")
+        best = F.array_min(
+            F.transform(
+                F.col("codes"),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("sub"), c["cvec"],
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )
+        return sub_df.join(F.broadcast(cb_by_m), "m").select(
+            "vec_id", "cell", "m", "sub", best["code"].alias("code")
         )
 
     cents_schema = f"cell int, cu {_arr_type(det)}"

@@ -164,15 +164,62 @@ def _grid_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _grid_accuracy_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join the grid path against the exact twin and aggregate the
-    relative-error distribution into the contract booleans."""
-    exact = mix_quantile_normalize(spark, sf_dir).select(
-        "doc_id", F.col("normalized").alias("norm_exact")
+    """Compare the grid path against the exact twin and aggregate the
+    relative-error distribution into the contract booleans.
+
+    Round-11 shape (guide §2.4): both twins need the SAME per-source
+    ``ranked`` frame (row_number + count over source), and both norms
+    are then row-local functions of (r, ns) given their broadcast
+    side inputs (pooled rank table / percentile grid).  Computing
+    ``ranked`` once and deriving BOTH norms on that single frame
+    replaces the old shape — two independent scans+window passes over
+    documents followed by an exact.join(grid, "doc_id") shuffle join
+    of two corpus-sized sides — with one window pass and zero
+    doc_id exchanges.  Row-for-row equivalence with the old plan:
+    norm_exact/norm_grid use the identical formulas, and the old
+    inner join on doc_id matched every document exactly once (each
+    twin emits each doc_id once), which is exactly the row set of
+    the shared frame."""
+    G = 1000
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("ns"),
     )
-    grid = _grid_normalized(spark, sf_dir).select(
-        "doc_id", F.col("normalized").alias("norm_grid")
+    pooled = two_phase_ordered(
+        d.select(F.col("n_chars").alias("pooled_value"), "doc_id"),
+        [F.asc("pooled_value"), F.asc("doc_id")],
+        rank_name="idx",
+    ).select("pooled_value", "idx")
+    total = d.agg(F.count("*").alias("n"))
+    grid = d.agg(
+        F.percentile_approx(
+            "n_chars", [i / G for i in range(G + 1)], 10_000
+        ).alias("cuts")
     )
-    rel = exact.join(grid, "doc_id").select(
+    pos = (F.lit(2) * F.col("r") - 1) / (F.lit(2) * F.col("ns")) * G
+    lo = F.least(F.floor(pos).cast("int"), F.lit(G - 1))
+    frac = pos - lo
+    v_lo = F.element_at("cuts", lo + 1).cast("double")
+    v_hi = F.element_at("cuts", lo + 2).cast("double")
+    both = (
+        ranked.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(grid))
+        .select(
+            F.expr("((2 * r - 1) * n + ns) div (2 * ns)").alias("target_idx"),
+            F.round(v_lo + frac * (v_hi - v_lo), 3).alias("norm_grid"),
+        )
+        .join(pooled, F.col("target_idx") == pooled.idx)
+        .select(
+            F.col("pooled_value").alias("norm_exact"), "norm_grid"
+        )
+    )
+    rel = both.select(
         (
             F.abs(F.col("norm_grid") - F.col("norm_exact"))
             / F.greatest(F.col("norm_exact"), F.lit(1.0))

@@ -134,6 +134,19 @@ def udaf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # Round-11 measured NEGATIVE result, kept as-is deliberately: an
+    # explicit .select("o_custkey", "o_totalprice") before the
+    # groupBy (guide §4.1 — applyInPandas is opaque, so it ships all
+    # nine columns) was tried and REJECTED: the projected shuffle
+    # falls under AQE's coalesce floor, the post-shuffle Python stage
+    # collapses to 1-2 tasks, and the run got ~45% SLOWER (same-
+    # session interleaved A/B, 3 rounds: 13.0-15.5 s all-columns vs
+    # 18.5-21.6 s projected) — this stage's cost is per-GROUP Python
+    # invocation, not bytes, so parallelism beats projection at bench
+    # scale.  At 100 TB the projection is right (the shuffle is far
+    # above any coalesce floor, so it only sheds bytes); re-add it if
+    # the group cardinality per partition ever grows past what AQE
+    # leaves parallel.
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").applyInPandas(
         summarize,

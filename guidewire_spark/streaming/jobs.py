@@ -15,10 +15,13 @@ connector's own `_checkpoints` high-water-mark design, P12).
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 EVENTS_SCHEMA = T.StructType(
@@ -190,24 +193,84 @@ def distinct_types_transform_with_state(stream: DataFrame) -> DataFrame:
     )
 
 
+def sized_state_partitions(
+    *src_dirs: str, target_bytes: int = 64 * 1024 * 1024
+) -> int:
+    """Data-derived state/shuffle partition count for a stateful
+    stream about to drain the given source directories.
+
+    Stateful operators instantiate one state store per shuffle
+    partition per operator and COMMIT each store every micro-batch
+    (delta file + fsync) — so the per-batch floor scales with the
+    partition count, not the data (guide §2.2: fewer, larger
+    partitions; measured round-11 on stream_stream_interval_join:
+    addBatch 12.3 s at 32 partitions vs 2.1 s at 8 for the same 13k
+    rows).  Deriving the count from the bytes this run will actually
+    ingest — one partition per ~64 MB of drained input, floor 1 —
+    keeps the sizing scale-adaptive instead of pinned to either the
+    local core count or a cluster constant: at 100 TB/day the same
+    formula yields tens of thousands of partitions, and it is
+    independent of the executor/core count so the driver's
+    reduced-core bench runs stay comparable.  64 MB (not the guide's
+    100 MB-1 GB shuffle band) because stream-stream join state
+    RETAINS both inputs for the watermark horizon — state per
+    partition amplifies ingest bytes."""
+    total = 0
+    for d in src_dirs:
+        for base, _dirs, files in _os.walk(d):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                try:
+                    total += _os.path.getsize(_os.path.join(base, f))
+                except OSError:
+                    pass
+    return max(1, -(-total // target_bytes))
+
+
+class _state_sizing:
+    """Set ``spark.sql.shuffle.partitions`` for the duration of one
+    streaming drain and restore it after: the stream's state
+    partitioning is fixed from the session conf when its first batch
+    plans, and the session is shared across queries."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self._spark, self._n = spark, n
+        self._prev: str | None = None
+
+    def __enter__(self) -> None:
+        if self._n is not None:
+            self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+            self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+
+    def __exit__(self, *exc) -> None:
+        if self._prev is not None:
+            self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
+
+
 def run_to_memory(
-    result: DataFrame, name: str, checkpoint_dir: str, mode: str = "append"
+    result: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    mode: str = "append",
+    state_partitions: int | None = None,
 ) -> None:
     """Drain all available input through a memory sink (test/dev
     harness). ``checkpointLocation`` gives exactly-once across
     restarts — the consumer-side mirror of the connector's
     _checkpoints table (P12)."""
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_sizing(result.sparkSession, state_partitions):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
 
 def run_merge_stream(
@@ -254,23 +317,27 @@ def run_merge_stream(
 
 
 def run_to_parquet(
-    result: DataFrame, out_dir: str, checkpoint_dir: str
+    result: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_partitions: int | None = None,
 ) -> None:
     """File sink with checkpointing; the output directory can then be
     indexed into a Delta table by the connector (sources.indexer) —
     completing the stream → table → SQL loop the reference promises
     its consumers."""
-    q = (
-        result.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_sizing(result.sparkSession, state_partitions):
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
 
 def run_matview_stream(
@@ -335,7 +402,7 @@ def stream_merge_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import read_delta
     from guidewire_spark.sources.writer import write_delta
 
-    root = tempfile.mkdtemp(prefix="gw_smerge_")
+    root = scratch_dir("gw_smerge_")
     table = root + "/user_state"
     src = root + "/updates_src"
 
@@ -405,7 +472,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from guidewire_spark.plans.catalog import load_table
 
-    root = tempfile.mkdtemp(prefix="gw_senrich_")
+    root = scratch_dir("gw_senrich_")
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("event_id") % 20 == 0)
@@ -463,7 +530,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from guidewire_spark.plans.catalog import load_table
 
-    root = tempfile.mkdtemp(prefix="gw_ssjoin_")
+    root = scratch_dir("gw_ssjoin_")
     e = (
         load_table(spark, sf_dir, "events")
         .where(F.col("user_id") % 3 == 0)
@@ -501,7 +568,14 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "inner",
     ).select("purchase_id", "view_id", "user_id")
-    run_to_parquet(joined, f"{root}/out", f"{root}/ckpt")
+    run_to_parquet(
+        joined,
+        f"{root}/out",
+        f"{root}/ckpt",
+        state_partitions=sized_state_partitions(
+            f"{root}/p_src", f"{root}/v_src"
+        ),
+    )
     return spark.read.schema(
         "purchase_id long, view_id long, user_id long"
     ).parquet(f"{root}/out")
@@ -530,7 +604,7 @@ def stream_complete_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from guidewire_spark.plans.catalog import load_table
 
-    root = tempfile.mkdtemp(prefix="gw_complete_")
+    root = scratch_dir("gw_complete_")
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("user_id") % 5 == 0)
@@ -547,7 +621,13 @@ def stream_complete_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_value"),
     )
     name = "gw_complete_" + uuid.uuid4().hex[:8]
-    run_to_memory(counts, name, f"{root}/ckpt", mode="complete")
+    run_to_memory(
+        counts,
+        name,
+        f"{root}/ckpt",
+        mode="complete",
+        state_partitions=sized_state_partitions(f"{root}/src"),
+    )
     return spark.sql(f"SELECT event_type, n, sum_value FROM {name}")
 
 
@@ -571,7 +651,7 @@ def stream_available_now_backfill(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from guidewire_spark.plans.catalog import load_table
 
-    root = tempfile.mkdtemp(prefix="gw_avnow_")
+    root = scratch_dir("gw_avnow_")
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("user_id") % 6 == 0)
@@ -627,7 +707,7 @@ def stream_update_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from guidewire_spark.plans.catalog import load_table
 
-    root = tempfile.mkdtemp(prefix="gw_update_")
+    root = scratch_dir("gw_update_")
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("user_id") % 8 == 0)
@@ -643,7 +723,13 @@ def stream_update_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum("value").alias("sum_raw")
     )
     name = "gw_update_" + uuid.uuid4().hex[:8]
-    run_to_memory(counts, name, f"{root}/ckpt", mode="update")
+    run_to_memory(
+        counts,
+        name,
+        f"{root}/ckpt",
+        mode="update",
+        state_partitions=sized_state_partitions(f"{root}/src"),
+    )
     return spark.sql(
         f"""
         SELECT user_id, MAX(n) AS n,
@@ -686,7 +772,7 @@ def stream_fanout_two_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import read_delta
     from guidewire_spark.sources.writer import write_delta
 
-    root = tempfile.mkdtemp(prefix="gw_fanout_")
+    root = scratch_dir("gw_fanout_")
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("user_id") % 9 == 0)
@@ -776,7 +862,7 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from guidewire_spark.plans.catalog import load_table
 
-    root = tempfile.mkdtemp(prefix="gw_ssloj_")
+    root = scratch_dir("gw_ssloj_")
     e = (
         load_table(spark, sf_dir, "events")
         .where(F.col("user_id") % 4 == 1)
@@ -823,7 +909,14 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("purchase_id", "view_id", "user_id")
     )
-    run_to_parquet(joined, f"{root}/out", f"{root}/ckpt")
+    run_to_parquet(
+        joined,
+        f"{root}/out",
+        f"{root}/ckpt",
+        state_partitions=sized_state_partitions(
+            f"{root}/p_src", f"{root}/v_src"
+        ),
+    )
     return (
         spark.read.schema("purchase_id long, view_id long, user_id long")
         .parquet(f"{root}/out")
@@ -861,7 +954,7 @@ def stream_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
 
     from guidewire_spark.plans.catalog import load_table
 
-    root = tempfile.mkdtemp(prefix="gw_ssfoj_")
+    root = scratch_dir("gw_ssfoj_")
     e = (
         load_table(spark, sf_dir, "events")
         .where(F.col("user_id") % 4 == 2)
@@ -909,7 +1002,14 @@ def stream_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
         "view_id",
         F.coalesce("p_user_id", "v_user_id").alias("user_id"),
     )
-    run_to_parquet(joined, f"{root}/out", f"{root}/ckpt")
+    run_to_parquet(
+        joined,
+        f"{root}/out",
+        f"{root}/ckpt",
+        state_partitions=sized_state_partitions(
+            f"{root}/p_src", f"{root}/v_src"
+        ),
+    )
     return (
         spark.read.schema("purchase_id long, view_id long, user_id long")
         .parquet(f"{root}/out")
@@ -1204,7 +1304,7 @@ def stream_cdf_rowid_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_delta,
     )
 
-    root = tempfile.mkdtemp(prefix="gw_cdfreplay_")
+    root = scratch_dir("gw_cdfreplay_")
     table = root + "/src_table"
     src = root + "/changes"
     state = root + "/state"
@@ -1343,7 +1443,7 @@ def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.writer import write_delta
 
     k = SUBSTRING_K
-    root = tempfile.mkdtemp(prefix="gw_strsub_")
+    root = scratch_dir("gw_strsub_")
     src, store, out_dir = root + "/src", root + "/shingles", root + "/out"
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -1444,7 +1544,7 @@ def stream_cda_pyds_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_cda_stream_source(spark)
-    root = tempfile.mkdtemp(prefix="gw_cdastream_")
+    root = scratch_dir("gw_cdastream_")
     fp_dir = f"{root}/events_cda/fp001"
     ev = (
         load_table(spark, sf_dir, "events")
@@ -1515,7 +1615,7 @@ def stream_cda_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_cda_stream_sink(spark)
     register_cda_batch_source(spark)
-    root = tempfile.mkdtemp(prefix="gw_cdasink_")
+    root = scratch_dir("gw_cdasink_")
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("user_id") % 7 == 0)
@@ -1577,7 +1677,7 @@ def stream_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import read_delta
     from guidewire_spark.sources.writer import merge_clauses, write_delta
 
-    root = tempfile.mkdtemp(prefix="gw_cdcdel_")
+    root = scratch_dir("gw_cdcdel_")
     table = root + "/state"
     n = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("long").alias("k"), F.col("n_name").alias("v")
@@ -1661,7 +1761,7 @@ def stream_stream_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from guidewire_spark.plans.catalog import load_table
 
-    root = tempfile.mkdtemp(prefix="gw_sssemi_")
+    root = scratch_dir("gw_sssemi_")
     e = (
         load_table(spark, sf_dir, "events")
         .where(F.col("user_id") % 4 == 2)
@@ -1704,7 +1804,14 @@ def stream_stream_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "left_semi",
     ).select("purchase_id", "user_id")
-    run_to_parquet(joined, f"{root}/out", f"{root}/ckpt")
+    run_to_parquet(
+        joined,
+        f"{root}/out",
+        f"{root}/ckpt",
+        state_partitions=sized_state_partitions(
+            f"{root}/p_src", f"{root}/v_src"
+        ),
+    )
     return (
         spark.read.schema("purchase_id long, user_id long")
         .parquet(f"{root}/out")
@@ -1796,7 +1903,7 @@ def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from guidewire_spark.plans.catalog import load_table
 
-    root = tempfile.mkdtemp(prefix="gw_psimon_")
+    root = scratch_dir("gw_psimon_")
     feed = root + "/feed"
     state = root + "/state"
     results = root + "/results"
@@ -1958,7 +2065,7 @@ def stream_auto_compact_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_delta,
     )
 
-    root = tempfile.mkdtemp(prefix="gw_acing_")
+    root = scratch_dir("gw_acing_")
     table = f"{root}/events_delta"
     ev = (
         load_table(spark, sf_dir, "events")
