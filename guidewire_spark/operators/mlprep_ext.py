@@ -276,22 +276,38 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     that keeps common-neighbor enumeration linear in edges instead of
     quadratic in degree (same playbook as er_blocked_fuzzy_match).
     Scores rank as exact integer parts-per-million; the top-20 is a
-    TakeOrdered over a total order."""
+    TakeOrdered over a total order.
+
+    Round-11 shape (guide §2.4): the capped neighbor list is ONE
+    c-keyed aggregate — ``sort_array(collect_set(s))[:10]`` is exactly
+    the distinct + row_number≤10 cap (no ties on a distinct set) — and
+    pairs come from in-row array combinations of the sorted bounded
+    array instead of a c-keyed self-join; sortedness gives s1 < s2 by
+    construction.  This replaces 3 computations of a join+distinct+
+    window subtree plus a self-join exchange with one join+groupBy
+    pass, checkpointed (customer-sized, ≤10-element arrays) for its
+    two consumers (deg, pairs)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges_all = (
+    nbrs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        .groupBy("c")
+        .agg(F.slice(F.sort_array(F.collect_set("s")), 1, 10).alias("ns"))
+    ).localCheckpoint(eager=True)
+    deg = (
+        nbrs.select(F.explode("ns").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("d"))
     )
-    rn = F.row_number().over(Window.partitionBy("c").orderBy("s"))
-    edges = edges_all.withColumn("rn", rn).where(F.col("rn") <= 10).drop("rn")
-    deg = edges.groupBy("s").agg(F.count("*").alias("d"))
-    a = edges.select("c", F.col("s").alias("s1"))
-    b = edges.select("c", F.col("s").alias("s2"))
+    pair_structs = F.expr(
+        "flatten(transform(ns, (x, i) -> "
+        "transform(slice(ns, i + 2, size(ns)), "
+        "y -> named_struct('s1', x, 's2', y))))"
+    )
     pairs = (
-        a.join(b, "c")
-        .where(F.col("s1") < F.col("s2"))
+        nbrs.select(F.explode(pair_structs).alias("p"))
+        .select("p.s1", "p.s2")
         .groupBy("s1", "s2")
         .agg(F.count("*").alias("common"))
     )

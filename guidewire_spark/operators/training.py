@@ -321,32 +321,47 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The benchmark shingle set is dimension-sized → broadcast; the
     training side streams through it. At 100 TB the same plan holds:
     eval suites are MBs, corpora are TBs.
-    """
+
+    Round-11 shape (guide §1.2/§2.4): the doc_id%97 split is pushed
+    BELOW the tokenizer — the bench side shingles only its 1/97 slice
+    of documents, the train side only the rest (distinct-per-doc
+    commutes with a doc-level split) — and the per-doc totals and
+    overlap counts come from ONE broadcast LEFT join + ONE doc_id
+    aggregate (count(marker) over the left join ≡ the old inner-join
+    count, 0 when no shingle matched ≡ the old coalesce).  The old
+    shape tokenized the corpus three times and joined two doc-sized
+    aggregates back together on doc_id."""
     d = load_table(spark, sf_dir, "documents")
-    sh = (
-        d.where(F.size(T.words(F.col("text"))) >= 3)
-        .select(
-            "doc_id",
-            F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"),
+
+    def shingles(docs):
+        return (
+            docs.where(F.size(T.words(F.col("text"))) >= 3)
+            .select(
+                "doc_id",
+                F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"),
+            )
+            .distinct()
         )
+
+    bench = (
+        shingles(d.where(F.col("doc_id") % 97 == 0))
+        .select("shingle")
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    bench = sh.where(F.col("doc_id") % 97 == 0).select("shingle").distinct()
-    train = sh.where(F.col("doc_id") % 97 != 0)
-    overlap = (
-        train.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
-    )
+    train = shingles(d.where(F.col("doc_id") % 97 != 0))
     return (
-        train.groupBy("doc_id")
-        .agg(F.count("*").alias("n_shingles"))
-        .join(overlap, "doc_id", "left")
+        train.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_overlap"),
+        )
         .select(
             "doc_id",
             "n_shingles",
-            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            (F.col("n_overlap") > 0).alias("contaminated"),
         )
     )
 

@@ -1544,6 +1544,8 @@ def stream_cda_pyds_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit staged afterwards is picked up by a second run on the SAME
     checkpoint — if the restart re-processed already-consumed folders
     the output would hold duplicates and fail the oracle's row count."""
+    import os
+    import shutil
     import tempfile
 
     from guidewire_spark.plans.catalog import load_table
@@ -1554,16 +1556,37 @@ def stream_cda_pyds_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_cda_stream_source(spark)
     root = scratch_dir("gw_cdastream_")
     fp_dir = f"{root}/events_cda/fp001"
+    os.makedirs(fp_dir)
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("user_id") % 5 == 0)
         .select("event_id", "event_type", "value")
     )
     base_ts = 1700000000000
+    # stage all four commit slices in ONE scan + one bucket-keyed
+    # shuffle (guide §1.2; was one full scan + coalesce(1) per slice):
+    # partitionBy keeps the bucket column out of the data files, and
+    # repartition("bucket") lands each slice in one task → exactly one
+    # parquet part per commit folder, as before.  The fourth slice
+    # stays staged until after the first drain (the restart contract).
+    stage = f"{root}/stage"
+    (
+        ev.withColumn("bucket", F.col("event_id") % 4)
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .parquet(stage)
+    )
+
+    def publish(i: int) -> None:
+        src_dir = f"{stage}/bucket={i}"
+        dst = f"{fp_dir}/{base_ts + i}"
+        os.makedirs(dst)
+        for f in os.listdir(src_dir):
+            if f.endswith(".parquet"):
+                shutil.move(f"{src_dir}/{f}", f"{dst}/{f}")
+
     for i in range(3):
-        ev.where(F.col("event_id") % 4 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{fp_dir}/{base_ts + i}")
+        publish(i)
 
     def drain() -> None:
         q = (
@@ -1588,9 +1611,7 @@ def stream_cda_pyds_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     drain()
     # late commit → second run, same checkpoint: only the new folder
-    ev.where(F.col("event_id") % 4 == 3).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{fp_dir}/{base_ts + 3}")
+    publish(3)
     drain()
     return spark.read.schema(
         "event_id long, event_type string, value double"
@@ -1898,18 +1919,29 @@ def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     a same-query subaggregate.
 
     Each batch's work is one percentile aggregate (baseline) or one
-    broadcast-edges bin fold + 10-key count (monitors); state is 9
+    literal-edges bin fold + 10-key count (monitors); state is 9
     edges + 10 baseline counts — O(1) regardless of stream volume.
     Batch→chunk identity comes from the DATA (min chunk key in the
     batch), not the batch counter, so replays land on the same output
     keys.  The oracle recomputes the whole monitored series
     relationally; exactness inherits dq_psi_drift's micro-unit /
-    quantized-log-ratio doctrine."""
+    quantized-log-ratio doctrine.
+
+    Round-11 shape (guide §1.2 remove work, §2.4 share the scan): the
+    feed is staged in ONE partitioned write (one events scan + one
+    chunk-keyed shuffle) instead of a full scan + repartition(1) per
+    chunk, and each micro-batch runs exactly one aggregate job over
+    its file — the 10-bin histogram (+ per-bin min chunk) is COLLECTED
+    and the PSI expressions run over a 10-row LocalTableScan with the
+    SAME literal doubles the broadcast-join shape carried (collect
+    round-trips binary64 exactly; the fold compares identical values),
+    so every row is bit-identical while the 32-task join micro-stages
+    and the three extra batch scans disappear."""
     import os
     import shutil
     import tempfile
 
-    from guidewire_spark.plans.catalog import load_table
+    from guidewire_spark.plans.catalog import load_table, local_df
 
     root = scratch_dir("gw_psimon_")
     feed = root + "/feed"
@@ -1923,76 +1955,91 @@ def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
-    chunks = sorted(r["chunk"] for r in ev.select("chunk").distinct().collect())
+    # one scan + one chunk-keyed shuffle stages every chunk file; each
+    # chunk's rows land in one task, so each pchunk=… dir holds exactly
+    # one parquet part carrying (chunk, y) — the same per-chunk single
+    # files the old per-chunk repartition(1) loop produced, minus the
+    # N_chunks extra full scans.  Batch math is order-insensitive
+    # (percentile + counts), so within-file row order is free.
+    tmp = f"{root}/stage"
+    (
+        ev.withColumn("pchunk", F.col("chunk"))
+        .repartition("pchunk")
+        .write.partitionBy("pchunk")
+        .parquet(tmp)
+    )
+    chunks = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(tmp)
+        if d.startswith("pchunk=")
+    )
     for i, c in enumerate(chunks):
-        tmp = f"{root}/tmp_{c}"
-        ev.filter(F.col("chunk") == c).repartition(1).write.parquet(tmp)
         part = next(
-            f for f in os.listdir(tmp) if f.endswith(".parquet")
+            f for f in os.listdir(f"{tmp}/pchunk={c}")
+            if f.endswith(".parquet")
         )
         dst = f"{feed}/chunk_{c}.parquet"
-        shutil.move(f"{tmp}/{part}", dst)
-        shutil.rmtree(tmp)
+        shutil.move(f"{tmp}/pchunk={c}/{part}", dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(tmp)
+
+    def bin_col(edges: list) -> F.Column:
+        # identical fold the broadcast-edges shape ran, with the col-
+        # lected doubles re-lit verbatim (binary64-exact round trip)
+        return F.aggregate(
+            F.array(*[F.lit(float(e)) for e in edges]),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc
+            + F.when(F.col("y") > e, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
 
     def apply_batch(batch_df, batch_id):
-        if batch_df.isEmpty():
-            return
         sess = batch_df.sparkSession
         if not os.path.exists(state):
-            edges = batch_df.agg(
+            es = batch_df.agg(
                 F.percentile(
                     "y", F.array(*[F.lit(p / 10.0) for p in range(1, 10)])
                 ).alias("es")
-            )
-            base = (
-                batch_df.crossJoin(F.broadcast(edges))
-                .select(
-                    F.aggregate(
-                        "es",
-                        F.lit(0).cast("long"),
-                        lambda acc, e: acc
-                        + F.when(F.col("y") > e, F.lit(1).cast("long"))
-                        .otherwise(F.lit(0).cast("long")),
-                    ).alias("bin")
-                )
+            ).collect()[0]["es"]
+            if es is None:  # empty first batch: no baseline yet
+                return
+            hist = (
+                batch_df.select(bin_col(es).alias("bin"))
                 .groupBy("bin")
                 .agg(F.count("*").alias("nb"))
+                .collect()
             )
-            sess.range(10).select(
-                F.col("id").alias("bin")
-            ).join(base, "bin", "left").na.fill({"nb": 0}).crossJoin(
-                edges
+            nb = {r["bin"]: r["nb"] for r in hist}
+            local_df(
+                sess,
+                [(b, nb.get(b, 0), [float(e) for e in es]) for b in range(10)],
+                "bin long, nb long, es array<double>",
             ).write.parquet(state)
             return
-        st = sess.read.parquet(state)
-        edges = st.select("es").limit(1)
-        base = st.select("bin", "nb")
-        tb = sum(r["nb"] for r in base.collect())
-        chunk_id = batch_df.agg(F.min("chunk")).collect()[0][0]
-        cur = (
-            batch_df.crossJoin(F.broadcast(edges))
-            .select(
-                F.aggregate(
-                    "es",
-                    F.lit(0).cast("long"),
-                    lambda acc, e: acc
-                    + F.when(F.col("y") > e, F.lit(1).cast("long"))
-                    .otherwise(F.lit(0).cast("long")),
-                ).alias("bin")
-            )
+        st_rows = sess.read.parquet(state).collect()
+        if not st_rows:
+            return
+        edges = list(st_rows[0]["es"])
+        tb = sum(r["nb"] for r in st_rows)
+        nb = {r["bin"]: r["nb"] for r in st_rows}
+        hist = (
+            batch_df.select("chunk", bin_col(edges).alias("bin"))
             .groupBy("bin")
-            .agg(F.count("*").alias("nc"))
+            .agg(F.count("*").alias("nc"), F.min("chunk").alias("mc"))
+            .collect()
         )
-        filled = (
-            sess.range(10)
-            .select(F.col("id").alias("bin"))
-            .join(cur, "bin", "left")
-            .na.fill({"nc": 0})
-            .join(F.broadcast(base), "bin", "left")
-            .na.fill({"nb": 0})
+        if not hist:  # empty monitor batch: nothing to score
+            return
+        chunk_id = min(r["mc"] for r in hist)
+        nc = {r["bin"]: r["nc"] for r in hist}
+        tc = sum(nc.values())
+        filled = local_df(
+            sess,
+            [(b, nc.get(b, 0), nb.get(b, 0)) for b in range(10)],
+            "bin long, nc long, nb long",
         )
-        tc = sum(r["nc"] for r in filled.select("nc").collect())
         ln_ratio = F.log(
             ((F.col("nc") + 0.5) * F.lit(float(tb) + 5.0))
             / ((F.col("nb") + 0.5) * F.lit(float(tc) + 5.0))
