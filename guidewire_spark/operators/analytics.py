@@ -427,23 +427,32 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     The benchmark shingle set is dimension-sized (eval suites are MBs)
     and broadcast; the training side streams through a broadcast LEFT
     join with a null-flag aggregate — the corpus never shuffles on
-    shingle."""
+    shingle.
+
+    Round-11 (guide §1.2, same fix as contamination_ngram_overlap):
+    the doc_id%97 split is pushed BELOW the tokenizer, so the bench
+    branch shingles only its 1/97 slice of documents instead of
+    re-tokenizing the whole corpus (distinct-per-doc commutes with a
+    doc-level split — identical rows)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = (
-        d.where(F.size(T.words(F.col("text"))) >= 3)
-        .select(
-            "doc_id",
-            F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"),
+
+    def shingles(docs):
+        return (
+            docs.where(F.size(T.words(F.col("text"))) >= 3)
+            .select(
+                "doc_id",
+                F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+
     bench = (
-        sh.where(F.col("doc_id") % 97 == 0)
+        shingles(d.where(F.col("doc_id") % 97 == 0))
         .select("shingle")
         .distinct()
         .withColumn("in_bench", F.lit(1))
     )
-    train = sh.where(F.col("doc_id") % 97 != 0)
+    train = shingles(d.where(F.col("doc_id") % 97 != 0))
     return (
         train.join(F.broadcast(bench), "shingle", "left")
         .groupBy("doc_id")

@@ -196,6 +196,13 @@ def embedding_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("k")
     )
+    # NOTE (round-11, measured): vq feeds three consumers (vector
+    # norms, per-k centroid sums, dot products); an eager
+    # localCheckpoint pin was tried and REVERTED — materializing the
+    # EXPLODED table costs ~dim× the raw scan bytes, and the isolated
+    # A/B was a wash-to-negative (1.79 → 1.97 s min-of-3 at sf0.1).
+    # Re-scanning the compact array representation per consumer is the
+    # cheaper side of the trade at every scale.
     vq = e.select(
         "vec_id",
         F.posexplode(

@@ -705,9 +705,13 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 64
         ).alias("bucket"),
     )
+    # (doc, bucket) counts feed BOTH the bucket histogram chain and
+    # the final scoring dot — pin once (round-11, guide §5) so the
+    # tokenize+md5 corpus pass runs once, not twice; dc is ≤64 rows
+    # per document, far smaller than the token stream it folds.
     dc = b.groupBy("doc_id", "bucket").agg(
         F.any_value("lang").alias("lang"), F.count("*").alias("c")
-    )
+    ).localCheckpoint(eager=True)
     hist = dc.groupBy("bucket").agg(
         F.sum("c").alias("n_r"),
         F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias(

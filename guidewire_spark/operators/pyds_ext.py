@@ -351,6 +351,8 @@ def pyds_cda_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning, re-expressed at the Python-source layer.  Three
     staged commits, a `commit_ts >=` predicate, only two folders read
     (partition-count proof in tests/test_streaming.py)."""
+    import os
+    import shutil
     import tempfile
 
     from guidewire_spark.streaming.cda_source import register_cda_batch_source
@@ -358,12 +360,26 @@ def pyds_cda_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_cda_batch_source(spark)
     root = tempfile.mkdtemp(prefix="gw_cdapush_")
     fp = f"{root}/part_cda/fp001"
+    os.makedirs(fp)
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     base = 1700000000000
+    # one scan + one bucket-keyed shuffle stages all three commit
+    # slices (round-11, guide §1.2; was one full scan + coalesce(1)
+    # per slice); partitionBy keeps the bucket out of the data files
+    # and repartition("bucket") yields one parquet part per folder
+    stage = f"{root}/stage"
+    (
+        p.withColumn("bucket", F.col("p_partkey") % 3)
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .parquet(stage)
+    )
     for i in range(3):
-        p.where(F.col("p_partkey") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{fp}/{base + i}")
+        dst = f"{fp}/{base + i}"
+        os.makedirs(dst)
+        for f in os.listdir(f"{stage}/bucket={i}"):
+            if f.endswith(".parquet"):
+                shutil.move(f"{stage}/bucket={i}/{f}", f"{dst}/{f}")
     return (
         spark.read.format("gw_cda")
         .option("path", fp)

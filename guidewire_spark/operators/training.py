@@ -1266,19 +1266,32 @@ def contamination_max_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     training document — billions at 100 TB — to every executor).
     Ranking uses the ROUNDED score with bench_id tiebreak —
     float-order independent, deterministic across engines.
-    """
+
+    Round-11 (guide §1.2, same fix as contamination_ngram_overlap):
+    the doc_id%97 split is pushed BELOW the tokenizer (distinct-per-
+    doc commutes with a doc-level split), and the bench shingle table
+    — dimension-sized by contract — is checkpointed once for its two
+    consumers (the inverted-index probe side and bench_sizes).  The
+    old shape tokenized the WHOLE corpus four times (train, bench,
+    and each sizes half re-derived the full `sh`); now the train
+    tokenizer runs twice over its 96/97 slice and the bench tokenizer
+    once over 1/97."""
     d = load_table(spark, sf_dir, "documents")
-    sh = (
-        d.where(F.size(T.words(F.col("text"))) >= 3)
-        .select(
-            "doc_id",
-            F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"),
+
+    def shingles(docs):
+        return (
+            docs.where(F.size(T.words(F.col("text"))) >= 3)
+            .select(
+                "doc_id",
+                F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"),
+            )
+            .distinct()
         )
-        .distinct()
+
+    train = shingles(d.where(F.col("doc_id") % 97 != 0))
+    bench = shingles(d.where(F.col("doc_id") % 97 == 0)).localCheckpoint(
+        eager=True
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    train = sh.where(F.col("doc_id") % 97 != 0)
-    bench = sh.where(F.col("doc_id") % 97 == 0)
     inter = (
         train.alias("t")
         .join(F.broadcast(bench.alias("b")), "shingle")
@@ -1288,8 +1301,8 @@ def contamination_max_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("bn"))
     )
-    train_sizes = sizes.where(F.col("doc_id") % 97 != 0)
-    bench_sizes = sizes.where(F.col("doc_id") % 97 == 0)
+    train_sizes = train.groupBy("doc_id").agg(F.count("*").alias("n"))
+    bench_sizes = bench.groupBy("doc_id").agg(F.count("*").alias("n"))
     scored = (
         inter.join(train_sizes.alias("st"), F.col("train_id") == F.col("st.doc_id"))
         .join(

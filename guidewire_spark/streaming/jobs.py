@@ -1290,6 +1290,8 @@ def stream_cdf_rowid_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ∪ upserts — no driver-side row loops, state rewritten per batch
     (at 100 TB you swap the rewrite for a MERGE on the same keys; the
     dedup logic is unchanged)."""
+    import os
+    import shutil
     import tempfile
 
     from guidewire_spark.plans.catalog import load_table
@@ -1324,9 +1326,16 @@ def stream_cdf_rowid_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, table, from_version=1, with_row_ids=True
     ).select("_row_id", "s_suppkey", "s_name", "_change_type",
              "_commit_version")
-    # export the SAME window twice — an at-least-once replay
+    # export the SAME window twice — an at-least-once replay.  The
+    # duplicate delivery is a byte-exact COPY of the first export
+    # (round-11, guide §1.2: one CDF read instead of two; a redelivery
+    # IS the same bytes arriving again, and maxFilesPerTrigger=1 still
+    # delivers it as its own micro-batch)
     changes.coalesce(1).write.mode("append").parquet(src)
-    changes.coalesce(1).write.mode("append").parquet(src)
+    [first] = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    shutil.copyfile(
+        os.path.join(src, first), os.path.join(src, "replay-" + first)
+    )
 
     # seed the state with the pre-change snapshot (version 1, with ids)
     seed = read_delta(spark, table, version=1, with_row_ids=True).select(
@@ -1450,9 +1459,22 @@ def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", (F.col("doc_id") % 3).cast("long").alias("batch")
     )
     _os.makedirs(src)
+    # one scan + one batch-keyed shuffle stages all three chunk files
+    # (round-11, guide §1.2; was one full scan + coalesce(1) per
+    # chunk); partitionBy("pbatch") keeps the original columns — incl.
+    # the duplicated `batch` — in the data files, and the per-value
+    # repartition lands each chunk in one task → one parquet part.
+    # Batch processing is row-order-insensitive (keep-first is keyed
+    # on (doc_id, start), not file position).
+    stage = root + "/stage"
+    (
+        d.withColumn("pbatch", F.col("batch"))
+        .repartition("pbatch")
+        .write.partitionBy("pbatch")
+        .parquet(stage)
+    )
     for chunk in range(3):
-        part = root + f"/part{chunk}"
-        d.where(F.col("batch") == chunk).coalesce(1).write.parquet(part)
+        part = f"{stage}/pbatch={chunk}"
         [pq_file] = [
             f for f in _os.listdir(part) if f.endswith(".parquet")
         ]
