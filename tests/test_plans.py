@@ -1005,3 +1005,32 @@ def test_artifact_cache_fingerprint_invalidation(tmp_path):
     # a cache key must never silently degrade to a constant
     with pytest.raises(FileNotFoundError):
         ac.corpus_fingerprint(str(tmp_path), "nope")
+
+
+def test_graph_pair_queries_have_no_self_join_or_window(spark, sf_dir):
+    """Round-11 rewrite lock: the capped-neighbor pair queries build
+    pairs from in-row combinations of a sorted bounded array — the
+    old shape's row_number window and customer-keyed self-join must
+    stay gone (they recomputed the edge subtree three times and
+    shuffled the blow-up)."""
+    from guidewire_spark.operators.mlprep_ext import (
+        graph_jaccard_link_prediction,
+    )
+    from guidewire_spark.operators.rules_ext import graph_adamic_adar
+
+    jac = plan_of(graph_jaccard_link_prediction(spark, sf_dir))
+    assert "Window" not in jac
+    # pairs + deg derive from the checkpointed neighbor table; the
+    # only joins left attach the two broadcast degree sides
+    assert "BroadcastHashJoin" in jac
+
+    ada = plan_of(graph_adamic_adar(spark, sf_dir))
+    assert "Window" not in ada
+    joins = sum(
+        ada.count(j)
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    # one equi-join total (orders x lineitem); the old shape carried
+    # three (edges->cdeg attach + the c-keyed self-join on top)
+    assert joins <= 2, f"expected a single join, plan mentions {joins}"
+    assert "Generate" in ada  # in-row pair explosion, not a join
