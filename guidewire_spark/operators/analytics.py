@@ -368,8 +368,15 @@ def text_duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFram
     text_tfidf_topk settled on after the df-join alternative was
     measured and rejected (PERF.md: a join re-derives — and re-shingles
     — the whole corpus subtree). Only hashed (doc, shingle, count)
-    triples ever shuffle; raw text never does."""
-    d = load_table(spark, sf_dir, "documents")
+    triples ever shuffle; raw text never does.
+
+    Round-11 second pass: guarded ``fan_out`` before the shingle
+    projection — the sf tables are single parquet files = one scan
+    partition, so the tokenize+shingle pass ran in ONE task (no-op at
+    real scale where the scan already has ≥ cores partitions)."""
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     occ = (
         d.where(F.size(T.words(F.col("text"))) >= 5)
         .select(
@@ -433,8 +440,14 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc_id%97 split is pushed BELOW the tokenizer, so the bench
     branch shingles only its 1/97 slice of documents instead of
     re-tokenizing the whole corpus (distinct-per-doc commutes with a
-    doc-level split — identical rows)."""
-    d = load_table(spark, sf_dir, "documents")
+    doc-level split — identical rows).
+
+    Round-11 second pass: guarded ``fan_out`` before the tokenizer —
+    the single-file sf scan ran the train-side shingle pass in ONE
+    task (no-op at real scale)."""
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
 
     def shingles(docs):
         return (

@@ -766,9 +766,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     For each of 64 bit positions, sum ±1 across token hashes and take
     the sign. Entirely JVM-side: explode → bitwise ops → groupBy.
     Hamming-close signatures ⇒ near-dups. xxhash64-dependent →
-    rows-only check.
+    rows-only check.  Guarded ``fan_out`` before the tokenize + 64-bit
+    vote projection (round-11 second pass): the single-file sf scan
+    ran it in ONE task; no-op at real scale.
     """
-    d = load_table(spark, sf_dir, "documents")
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     tokens = d.select(
         "doc_id", F.explode(F.array_distinct(T.words(F.col("text")))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
@@ -862,9 +866,13 @@ def dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: explode distinct tokens, one JVM-side projection of
     60 vote columns, one map-side-combined groupBy — a single corpus
-    pass, no Python, no self-join.
+    pass, no Python, no self-join.  Guarded ``fan_out`` before the
+    tokenize + vote projection (round-11 second pass, same single-task
+    finding as the production row).
     """
-    d = load_table(spark, sf_dir, "documents")
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     tokens = d.select(
         "doc_id", F.explode(F.array_distinct(T.words(F.col("text")))).alias("tok")
     ).withColumn("h", _md5_int(F.col("tok")))

@@ -330,8 +330,14 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (count(marker) over the left join ≡ the old inner-join
     count, 0 when no shingle matched ≡ the old coalesce).  The old
     shape tokenized the corpus three times and joined two doc-sized
-    aggregates back together on doc_id."""
-    d = load_table(spark, sf_dir, "documents")
+    aggregates back together on doc_id.
+
+    Round-11 second pass: guarded ``fan_out`` before the tokenizer —
+    the single-file sf scan ran the train-side shingle pass in ONE
+    task (no-op at real scale)."""
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
 
     def shingles(docs):
         return (
@@ -1121,9 +1127,13 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with over two shifted slices forms bigrams inside the JVM (no
     Python), then partial-agg count + TakeOrderedAndProject: the
     shuffle carries (bigram, partial count) and top-k never sorts the
-    full bigram vocabulary.
+    full bigram vocabulary.  Guarded ``fan_out`` before the shingle
+    projection (round-11 second pass): the single-file sf scan ran it
+    in ONE task; no-op at real scale.
     """
-    d = load_table(spark, sf_dir, "documents")
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     bigrams = d.where(F.size(T.words(F.col("text"))) >= 2).select(
         F.explode(T.word_shingles(F.lower(F.col("text")), 2)).alias("bigram")
     )
@@ -1275,8 +1285,18 @@ def contamination_max_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     old shape tokenized the WHOLE corpus four times (train, bench,
     and each sizes half re-derived the full `sh`); now the train
     tokenizer runs twice over its 96/97 slice and the bench tokenizer
-    once over 1/97."""
-    d = load_table(spark, sf_dir, "documents")
+    once over 1/97.
+
+    Round-11 second pass: the train tokenize ran in ONE task — the
+    sf tables are single parquet files = one scan partition, and this
+    query never fanned the scan out (stage-profiled: a 4.6 s
+    single-task stage was the entire query's critical path at sf0.1).
+    ``fan_out`` (guarded: no-op at real scale where the scan already
+    has ≥ cores partitions) spreads the tokenize+shingle+distinct
+    across the cores; measured 6.43 → 2.3 s isolated min."""
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
 
     def shingles(docs):
         return (

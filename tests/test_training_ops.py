@@ -116,23 +116,30 @@ def test_gaps_islands_partitions_events(spark, sf_dir):
     from guidewire_spark.plans.catalog import load_table
 
     sess = ts_gaps_islands(spark, sf_dir).cache()
-    total = load_table(spark, sf_dir, "events").count()
-    agg = sess.agg(
-        F.sum("n_events").alias("n"),
-        F.min("duration_us").alias("min_dur"),
-        F.min("session_id").alias("min_sid"),
-    ).first()
-    assert agg.n == total
-    assert agg.min_dur >= 0
-    assert agg.min_sid == 1
-    # dense ids: max(session_id) == count(sessions) per user
-    holes = (
-        sess.groupBy("user_id")
-        .agg((F.max("session_id") != F.count("*")).alias("holey"))
-        .where("holey")
-        .count()
-    )
-    assert holes == 0
+    try:
+        total = load_table(spark, sf_dir, "events").count()
+        agg = sess.agg(
+            F.sum("n_events").alias("n"),
+            F.min("duration_us").alias("min_dur"),
+            F.min("session_id").alias("min_sid"),
+        ).first()
+        assert agg.n == total
+        assert agg.min_dur >= 0
+        assert agg.min_sid == 1
+        # dense ids: max(session_id) == count(sessions) per user
+        holes = (
+            sess.groupBy("user_id")
+            .agg((F.max("session_id") != F.count("*")).alias("holey"))
+            .where("holey")
+            .count()
+        )
+        assert holes == 0
+    finally:
+        # a leaked cache entry substitutes InMemoryTableScan into any
+        # later ts_gaps_islands plan in the same session, flaking the
+        # plan-shape lock (test_gaps_islands_single_shuffle) under
+        # file-subset orderings that run this test first
+        sess.unpersist()
 
 
 def test_ewma_bounded_by_window_extremes(spark, sf_dir):
