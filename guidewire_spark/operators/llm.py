@@ -2362,8 +2362,19 @@ def _pq_topk(
     the float unit vector ``u`` (rerank is always exact float cosine)
     plus ``enc_col``, the vector the codes are built from."""
     m_sub, k_codes, dim_sub = 8, 16, 8
+    # Corpus-side fan-out (round-11 second pass): the single-file sf
+    # scan ran the per-subvector argmin encode — an interpreted
+    # 16-codeword × 8-dim HOF fold per row — in ONE task
+    # (stage-profiled 1.27 s single-task at sf0.1).  Guarded, so a
+    # multi-file production scan is untouched.  Seed selection and the
+    # query side stay on the RAW frame: the production row's
+    # limit-based seed pick depends on partition layout, and fanning
+    # it would silently retrain a different codebook.
+    from guidewire_spark.plans.catalog import fan_out, local_df
+
+    ew = fan_out(e)
     # (vec_id, m, sub): one 8-dim subvector per subspace, JVM slices.
-    subs = e.select(
+    subs = ew.select(
         "vec_id",
         F.posexplode(
             F.array(
@@ -2491,9 +2502,11 @@ def _pq_topk(
             else None,
             train,
         )
-        cb1 = spark.createDataFrame(
-            rows, schema="m int, code int, cvec array<double>"
-        )
+        # local_df, not createDataFrame: the pickle-RDD path spawned
+        # two 32-task micro-stages per run wherever the 128-row
+        # codebook was consumed (stage-profiled ~0.7 s each at sf0.1);
+        # the LocalTableScan plan has zero scan tasks.
+        cb1 = local_df(spark, rows, "m int, code int, cvec array<double>")
     else:
         cb1 = cb
     codes = encode(subs, cb1).select("vec_id", "m", "code")
@@ -3193,7 +3206,7 @@ def _ivfpq_topk(
     m_sub, k_codes, dim_sub, n_probe, n_cells = 8, 16, 8, 3, 8
     vec_cols = ["vec_id", "u"] if enc_col == "u" else ["vec_id", "u", enc_col]
 
-    def coarse_assign(centroids):
+    def coarse_assign(centroids, points=None):
         """Shuffle-free broadcast-argmax assignment (the r9 IVF
         pattern, ported round-11): the k-sized centroid table
         collapses to ONE row carrying the whole set as an array,
@@ -3206,7 +3219,15 @@ def _ivfpq_topk(
         orderBy(sim desc, cell asc): struct comparison orders by sim
         then -cell, and (sim, -cell) is unique per centroid, so the
         max is insensitive to collect_list arrival order (cu rides
-        along but is never reached in the comparison)."""
+        along but is never reached in the comparison).
+
+        ``points`` defaults to the raw frame ``e`` — the training
+        path must keep it so the limit-based seed picks stay
+        byte-identical; the warm apply path passes the fanned-out
+        frame (round-11 second pass: the single-file sf scan ran the
+        interpreted argmax + residual fold in ONE task)."""
+        if points is None:
+            points = e
         carr = centroids.agg(
             F.collect_list(F.struct("cell", "cu")).alias("cents")
         )
@@ -3220,7 +3241,7 @@ def _ivfpq_topk(
                 ),
             )
         )
-        return e.crossJoin(F.broadcast(carr)).select(
+        return points.crossJoin(F.broadcast(carr)).select(
             *vec_cols,
             (-best["negc"]).cast("int").alias("cell"),
             best["cu"].alias("cu"),
@@ -3381,9 +3402,19 @@ def _ivfpq_topk(
         (cache_key, enc_col, det) if cache_key is not None else None,
         train,
     )
-    cents = spark.createDataFrame(cents_rows, cents_schema)
-    cb1 = spark.createDataFrame(cb_rows, cb_schema)
-    assigned = coarse_assign(cents).select(
+    # Warm apply path (round-11 second pass): k-sized trained tables
+    # as LocalTableScans (local_df — the pickle-RDD path spawned
+    # 32-task micro-stages per consumer), and the corpus-side assign +
+    # encode over the fanned-out scan (guarded; the single-file sf
+    # scan otherwise runs the interpreted argmax/argmin folds in ONE
+    # task).  The training path above keeps the raw frame and plain
+    # createDataFrame — its seed picks and cached artifacts must stay
+    # byte-identical.
+    from guidewire_spark.plans.catalog import fan_out, local_df
+
+    cents = local_df(spark, cents_rows, cents_schema)
+    cb1 = local_df(spark, cb_rows, cb_schema)
+    assigned = coarse_assign(cents, points=fan_out(e)).select(
         "vec_id", "u", "cell",
         # residual: where the vector sits INSIDE its cell
         F.zip_with(enc_col, "cu", lambda x, y: x - y).alias("res"),
@@ -3943,7 +3974,11 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.where(F.col("vec_id") != pick["vec_id"]).select(
             "vec_id", "u", F.least(F.col("d"), dist_to(vec)).alias("d")
         )
-    return spark.createDataFrame(picks, "step int, vec_id long, dist_q4 long")
+    # local_df, not createDataFrame: the k-sized result frame as a
+    # LocalTableScan instead of a 32-slice pickle-RDD micro-stage
+    from guidewire_spark.plans.catalog import local_df
+
+    return local_df(spark, picks, "step int, vec_id long, dist_q4 long")
 
 
 @query(
