@@ -139,7 +139,11 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     count), so the expensive corpus pass happens once and the
     vocabulary join is type-cardinality-sized with a broadcast
     vocab; the rate is exact parts-per-million."""
-    d = load_table(spark, sf_dir, "documents")
+    # round-11 second pass: guarded fan_out — the single-file sf
+    # scan ran the tokenize in ONE task; no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     freq = (
         d.select(F.explode(T.words(F.lower(F.col("text")))).alias("w"))
         .groupBy("w")

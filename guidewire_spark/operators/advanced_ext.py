@@ -269,7 +269,11 @@ def tokenizer_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. One corpus pass for the pair histogram, one for the
     application; at 100 TB the histogram's partial aggregation carries
     only the pair vocabulary (<= alphabet²) per task."""
-    d = load_table(spark, sf_dir, "documents")
+    # round-11 second pass: guarded fan_out — the single-file sf
+    # scan ran the tokenize in ONE task; no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     words = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("w"))
     pairs = words.where(F.length("w") >= 2).select(
         F.explode(

@@ -265,7 +265,11 @@ def text_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode pass → per-(doc, token) counts → per-doc fold; both
     aggregations partial-combine map-side and shuffle only (doc_id,
     token) keyed counts, never text."""
-    d = load_table(spark, sf_dir, "documents")
+    # round-11 second pass: guarded fan_out — the single-file sf
+    # scan ran the tokenize in ONE task; no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     cnt = (
         d.select("doc_id", F.explode(T.words(F.col("text"))).alias("w"))
         .groupBy("doc_id", "w")
@@ -697,7 +701,11 @@ def vocab_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered over (count, pair) — a total order, so the emitted SET
     is deterministic; the full pair distribution never sorts
     globally."""
-    d = load_table(spark, sf_dir, "documents")
+    # round-11 second pass: guarded fan_out — the single-file sf
+    # scan ran the tokenize in ONE task; no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     pairs = (
         d.select(F.explode(T.words(F.col("text"))).alias("w"))
         .where(F.length("w") >= 2)
@@ -860,7 +868,11 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     second tokenize-and-count scan (aggregate-only, no shuffle of
     tokens) broadcast into the plan, never a global window over the
     corpus-sized count table."""
-    d = load_table(spark, sf_dir, "documents")
+    # round-11 second pass: guarded fan_out — the single-file sf
+    # scan ran the tokenize in ONE task; no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     cnt = (
         d.select("doc_id", F.explode(T.words(F.col("text"))).alias("w"))
         .groupBy("doc_id", "w")
@@ -1078,7 +1090,11 @@ def text_overlap_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the suffix = prefix equality rides along as the verified
     condition. Chunks are generated by a JVM sequence + slice, one
     pass, no shuffle before the join."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    # round-11 second pass: guarded fan_out — the single-file sf
+    # scan ran the tokenize in ONE task; no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0))
     ws = T.words(F.col("text"))
     toks = d.where(F.size(ws) >= 12).select("doc_id", ws.alias("ws"))
     chunks = toks.select(
@@ -1240,7 +1256,11 @@ def text_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same sparse inverted-index shape as the Jaccard twin: only
     documents sharing a shingle pair up, sizes join on the
     dimension-keyed aggregate — never an all-pairs comparison."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    # round-11 second pass: guarded fan_out — the single-file sf
+    # scan ran the tokenize in ONE task; no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100))
     sh = (
         d.where(F.size(T.words(F.col("text"))) >= 3)
         .select(

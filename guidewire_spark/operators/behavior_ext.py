@@ -136,7 +136,11 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopwords.  All rules are row-local JVM expressions over one
     whitespace tokenization — single scan, zero shuffle, fully
     pushdown-friendly."""
-    d = load_table(spark, sf_dir, "documents")
+    # round-11 second pass: guarded fan_out — the single-file sf
+    # scan ran the tokenize in ONE task; no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     ws = T.words(F.col("text"))
     n_words = F.size(ws)
     sum_word_len = F.aggregate(

@@ -224,7 +224,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle join only pairs documents that share at least one shingle
     — the sparse version of the O(n²) similarity matrix.
     """
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    # round-11 second pass: guarded fan_out — the single-file sf
+    # scan ran the tokenize in ONE task; no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100))
     shingles = (
         d.where(F.size(T.words(F.col("text"))) >= 3)
         .select("doc_id", F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"))
@@ -1819,7 +1823,11 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language identification (argmax with fixed
     precedence en>es>fr>de>zh on ties, mirrored exactly in the oracle)."""
-    d = load_table(spark, sf_dir, "documents")
+    # round-11 second pass: guarded fan_out — the single-file sf
+    # scan ran the tokenize in ONE task; no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     ws = T.words(F.lower(F.col("text")))
     hits = {lang: T.stopword_hits(ws, lang) for lang in ["en", "es", "fr", "de", "zh"]}
     best = F.greatest(*hits.values())
@@ -3723,10 +3731,14 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-system cut is a partition-local top-k window over query_id,
     and fusion joins two 60-row frames.  Both ranks order by the
     ROUNDED score with cand_id tiebreak, and the fused score rounds
-    before its own rank — float-order-proof end to end."""
+    before its own rank — float-order-proof end to end.  Guarded
+    ``fan_out`` (round-11 second pass): the single-file sf scan ran
+    the tokenize + intersect scoring in ONE task; no-op at real
+    scale."""
+    from guidewire_spark.plans.catalog import fan_out
+
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < 200)
+        fan_out(load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200))
         .select(
             "doc_id",
             F.array_distinct(T.words(F.lower(F.col("text")))).alias("toks"),

@@ -273,7 +273,11 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free — the mutual-information discipline) of the top-k
     table; the corpus-sized work is one token count with TakeOrdered,
     never a global sort."""
-    d = load_table(spark, sf_dir, "documents")
+    # round-11 second pass: guarded fan_out — the single-file sf
+    # scan ran the tokenize in ONE task; no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     freq = (
         d.select(F.explode(T.words(F.lower(F.col("text")))).alias("w"))
         .groupBy("w")

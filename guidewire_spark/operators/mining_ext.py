@@ -465,12 +465,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     it, doc length is Σtf by doc, and the two corpus scalars (n_docs,
     total length) fold from the doc-length aggregate and broadcast.
     Ranking uses the ROUNDED score with a token tiebreak, so the
-    top-3 set is float-order-proof."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < 50)
-        .select("doc_id", F.lower(F.col("text")).alias("text"))
-    )
+    top-3 set is float-order-proof.  Guarded ``fan_out`` (round-11
+    second pass): the single-file sf scan ran the tokenize in ONE
+    task; no-op at real scale."""
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    ).select("doc_id", F.lower(F.col("text")).alias("text"))
     toks = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
@@ -1354,7 +1356,11 @@ def feature_hashing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine hash, so the feature space is portable and the oracle is
     exact.  One corpus pass (tokenize → JVM hash fold → count);
     output is (docs × occupied buckets), never vocabulary-sized."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    # round-11 second pass: guarded fan_out — the single-file sf
+    # scan ran the tokenize in ONE task; no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100))
     toks = d.select(
         "doc_id",
         F.explode(T.words(F.lower(F.col("text")))).alias("w"),

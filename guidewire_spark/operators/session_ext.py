@@ -133,7 +133,11 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (log-PMI is monotone in lift, so the ranking is identical);
     unigram counts broadcast (vocabulary-sized), and the top-20 is a
     TakeOrdered over a total order."""
-    d = load_table(spark, sf_dir, "documents")
+    # round-11 second pass: guarded fan_out — the single-file sf
+    # scan ran the tokenize in ONE task; no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     ws = T.words(F.lower(F.col("text")))
     words = d.select(ws.alias("ws"))
     uni = words.select(F.explode("ws").alias("w")).groupBy("w").agg(

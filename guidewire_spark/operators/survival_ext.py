@@ -171,7 +171,11 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer parts-per-million; the pair table is shingle-sparse
     (only documents sharing a shingle pair up), identical to
     dedup_ngram_jaccard's join discipline."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    # round-11 second pass: guarded fan_out — the single-file sf
+    # scan ran the tokenize in ONE task; no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100))
     shingles = (
         d.where(F.size(T.words(F.col("text"))) >= 3)
         .select(

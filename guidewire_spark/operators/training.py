@@ -207,7 +207,11 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries (token, partial count), and top-k never materializes the
     full sorted vocabulary.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # round-11 second pass: guarded fan_out — the single-file sf
+    # scan ran the tokenize in ONE task; no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = d.select(F.explode(T.words(F.lower(F.col("text")))).alias("tok"))
     return (
         toks.groupBy("tok")
@@ -477,7 +481,11 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of repeated 3-word shingles per document — high values
     mark boilerplate/spam for the quality filter. Array-local (no
     explode, no shuffle): shingle list, distinct count, ratio."""
-    d = load_table(spark, sf_dir, "documents")
+    # round-11 second pass: guarded fan_out — the single-file sf
+    # scan ran the tokenize in ONE task; no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     sh = T.word_shingles(F.col("text"), 3)
     n = F.size(sh)
     nd = F.size(F.array_distinct(sh))
@@ -1376,7 +1384,11 @@ def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     A re-exported shard whose manifest row differs is corrupt; the
     checksum catches silent row loss that counts alone miss when adds
     and drops cancel."""
-    d = load_table(spark, sf_dir, "documents")
+    # round-11 second pass: guarded fan_out — the single-file sf
+    # scan ran the tokenize in ONE task; no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     checksum = F.sum(
         (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647)
     ) % F.lit(2147483647)
