@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.catalog import load_table, sized_group_partitions
 from guidewire_spark.registry import query
 
 
@@ -134,7 +134,19 @@ def udaf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    # Round-11 measured NEGATIVE result, kept as-is deliberately: an
+    # Round-12 (supersedes the round-11 negative result below): the
+    # stage's cost is per-GROUP Python invocation, so the fix is to
+    # SIZE the grouped-map shuffle from the group count and pin it
+    # with an explicit numbered repartition on the key — AQE never
+    # coalesces a user-numbered repartition, and FlatMapGroupsInPandas
+    # reuses its hash partitioning (ClusteredDistribution satisfied),
+    # so the Python stage keeps ceil(groups/256) tasks at every scale.
+    # With the parallelism pinned, the §4.1 projection (ship 2 of 9
+    # columns) is a pure win again.  Same-session interleaved A/B ×3:
+    # 13.2-19.0 s (old shape) → 2.3-2.6 s; results identical
+    # (set-compare over all 14,999 groups).
+    #
+    # Round-11 measured NEGATIVE result on the projection ALONE: an
     # explicit .select("o_custkey", "o_totalprice") before the
     # groupBy (guide §4.1 — applyInPandas is opaque, so it ships all
     # nine columns) was tried and REJECTED: the projected shuffle
@@ -147,10 +159,15 @@ def udaf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     # above any coalesce floor, so it only sheds bytes); re-add it if
     # the group cardinality per partition ever grows past what AQE
     # leaves parallel.
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_custkey").applyInPandas(
-        summarize,
-        "o_custkey long, n_orders long, sum_cents long, avg_cents long, range_cents long",
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    n_parts = sized_group_partitions(o, "o_custkey")
+    return (
+        o.repartition(n_parts, "o_custkey")
+        .groupBy("o_custkey")
+        .applyInPandas(
+            summarize,
+            "o_custkey long, n_orders long, sum_cents long, avg_cents long, range_cents long",
+        )
     )
 
 

@@ -83,6 +83,39 @@ def fan_out(d: DataFrame) -> DataFrame:
     return d
 
 
+def sized_group_partitions(
+    d: DataFrame, *key_cols: str, groups_per_task: int = 256, cap: int = 65536
+) -> int:
+    """Data-derived partition count for a per-GROUP Python stage
+    (``groupBy(k).applyInPandas``).
+
+    A grouped-map stage's cost is per-group, not per-byte: every group
+    pays a pandas-frame construction + Arrow round-trip (~1.3 ms
+    measured on udaf_apply_in_pandas), so the right partition count
+    scales with GROUP COUNT — one task per ~``groups_per_task`` groups
+    keeps tasks ~0.3 s of Python regardless of scale.  Byte-based
+    sizing (AQE's coalescing, or the streaming sized_state_partitions
+    rule) undersizes it badly: the shuffle under a grouped-map over a
+    narrow key is tiny, AQE coalesces it to 1-6 partitions, and the
+    Python stage serializes (round-11 measured the §4.1 projection
+    making this query 45% SLOWER for exactly this reason — fewer bytes
+    meant fewer post-AQE tasks).
+
+    The estimate is one ``approx_count_distinct`` aggregate — a
+    partial-agg job with a 1-row result, cheap at any scale and
+    core-count-independent, so the driver's reduced-core bench stays
+    comparable.  The cap bounds the shuffle block count (guide §2.2)
+    once group counts reach the hundreds of millions; past it each
+    task simply holds more groups.
+    """
+    from pyspark.sql import functions as F
+
+    n_groups = d.select(
+        F.approx_count_distinct(F.struct(*key_cols)).alias("n")
+    ).first()["n"]
+    return max(1, min(cap, -(-int(n_groups) // groups_per_task)))
+
+
 def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     """k-sized driver-local table → DataFrame as a JVM LocalTableScan.
 

@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for headline queries to plans/r11/.
+"""Dump .explain('formatted') for headline queries to plans/r12/.
 
 Usage: python tools/dump_plans.py [suffix] [query ...]
 suffix: 'before' or 'after' (default 'before'); queries default to
@@ -20,7 +20,7 @@ from bench import HEADLINE
 suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
 names = sys.argv[2:] or HEADLINE
 sf_dir = "/root/testdata/sf0.1"
-out_dir = Path(__file__).resolve().parent.parent / "plans" / "r11"
+out_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
 out_dir.mkdir(parents=True, exist_ok=True)
 
 spark = get_spark(app_name="plan-dump")
