@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from guidewire_spark.functions import text as T
 from guidewire_spark.operators.twophase import two_phase_ordered
 from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 
@@ -495,12 +496,11 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside parquet (vectorized reader, predicate pushdown, zlib/snappy
     stripes). Completes the source/sink matrix: parquet, csv,
     json-lines, delta, ORC."""
-    import tempfile
 
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_retailprice"
     )
-    out = tempfile.mkdtemp(prefix="gw_orc_") + "/part_orc"
+    out = scratch_dir("gw_orc_") + "/part_orc"
     p.write.mode("overwrite").orc(out)
     return spark.read.schema("p_partkey long, p_name string, p_retailprice double").orc(
         out

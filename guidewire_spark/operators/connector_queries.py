@@ -11,12 +11,12 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 from guidewire_spark.sources.indexer import index
 from guidewire_spark.sources.snapshot import read_delta
@@ -54,7 +54,7 @@ def _stage_commit(df: DataFrame, folder: str) -> None:
 def cda_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline: stage events as a single-commit CDA table, index
     it into a Delta log, replay the snapshot, scan with Spark."""
-    root = tempfile.mkdtemp(prefix="gw_cda_rt_")
+    root = scratch_dir("gw_cda_rt_")
     data_root = os.path.join(root, "source", "events_cda")
     e = load_table(spark, sf_dir, "events")
     _stage_commit(e, os.path.join(data_root, "fp001", "1700000000000"))
@@ -142,7 +142,7 @@ def cda_sink_object_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         in_flight_fs.mv(
             junk.staged, f"{root_path}/1700000000001/part-junk.parquet"
         )
-        db = tempfile.mkdtemp(prefix="gw_cda_os_")
+        db = scratch_dir("gw_cda_os_")
         index(
             "memory://bucket/cda/nation_rt/manifest.json",
             db,
@@ -174,7 +174,7 @@ def cda_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel (VERSION AS OF 0): two commit folders become Delta
     v0 and v1; reading version 0 yields only the first commit's rows
     (reference contract: README.md:79-84)."""
-    root = tempfile.mkdtemp(prefix="gw_cda_tt_")
+    root = scratch_dir("gw_cda_tt_")
     data_root = os.path.join(root, "source", "events_tt")
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     _stage_commit(
@@ -213,7 +213,7 @@ def cda_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the UPGRADE_SCHEMA commit logically overwrites the table, so the
     latest snapshot contains only the new fingerprint's rows with the
     new schema (Guidewire.scala:221-237 semantics)."""
-    root = tempfile.mkdtemp(prefix="gw_cda_ev_")
+    root = scratch_dir("gw_cda_ev_")
     data_root = os.path.join(root, "source", "docs_ev")
     d = load_table(spark, sf_dir, "documents")
     _stage_commit(
@@ -258,7 +258,7 @@ def cda_incremental_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (checkpoint high-water-mark filter, Guidewire.scala:134-138).
     Returns the _checkpoints Delta table, which records exactly one
     BatchResult per processed folder."""
-    root = tempfile.mkdtemp(prefix="gw_cda_inc_")
+    root = scratch_dir("gw_cda_inc_")
     data_root = os.path.join(root, "source", "docs_inc")
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     manifest_v1 = {
@@ -300,7 +300,7 @@ def cda_incremental_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def delta_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Physical Delta sink: write v0, append v1, read the merged
     snapshot back through log replay (SURVEY §2.4 'delta sink')."""
-    table = tempfile.mkdtemp(prefix="gw_dsink_") + "/supplier_delta"
+    table = scratch_dir("gw_dsink_") + "/supplier_delta"
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
@@ -324,7 +324,7 @@ def delta_log_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.deltalog import delta_log_dir, list_versions
     from guidewire_spark.sources.log_checkpoint import write_log_checkpoint
 
-    table = tempfile.mkdtemp(prefix="gw_dckpt_") + "/nation_delta"
+    table = scratch_dir("gw_dckpt_") + "/nation_delta"
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     for i in range(12):
         write_delta(n.where(F.col("n_nationkey") % 12 == i), table, mode="append")
@@ -354,7 +354,7 @@ def delta_checkpoint_v2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.log_checkpoint import write_log_checkpoint_v2
     from guidewire_spark.sources.writer import delete_from_mor
 
-    table = tempfile.mkdtemp(prefix="gw_dckpt2_") + "/supplier_delta"
+    table = scratch_dir("gw_dckpt2_") + "/supplier_delta"
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     for i in range(4):
         write_delta(s.where(F.col("s_suppkey") % 4 == i), table, mode="append")
@@ -387,7 +387,7 @@ def delta_version_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_version_checksum,
     )
 
-    table = tempfile.mkdtemp(prefix="gw_dcrc_") + "/nation_delta"
+    table = scratch_dir("gw_dcrc_") + "/nation_delta"
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     write_delta(n.repartition(2), table, mode="append")
     write_delta(n.repartition(3), table, mode="append")
@@ -422,7 +422,7 @@ def delta_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.log_checkpoint import expire_log
     from guidewire_spark.sources.writer import set_table_properties
 
-    table = tempfile.mkdtemp(prefix="gw_dlret_") + "/nation_delta"
+    table = scratch_dir("gw_dlret_") + "/nation_delta"
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     write_delta(n.limit(0), table, mode="append")
     set_table_properties(table, {"delta.checkpointInterval": "4"})
@@ -453,7 +453,7 @@ def delta_concurrent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from guidewire_spark.sources.writer import stage_add_actions
 
-    table = tempfile.mkdtemp(prefix="gw_docc_") + "/supplier_delta"
+    table = scratch_dir("gw_docc_") + "/supplier_delta"
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     write_delta(s.where(F.col("s_suppkey") % 2 == 0), table, mode="append")
 
@@ -491,7 +491,7 @@ def delta_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     add actions), then read back only lang=en — the non-matching
     partitions' files are pruned from the log before Spark sees a
     single path."""
-    table = tempfile.mkdtemp(prefix="gw_dpart_") + "/docs_part"
+    table = scratch_dir("gw_dpart_") + "/docs_part"
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     write_delta(d, table, mode="append", partition_by=["lang"])
     return read_delta(spark, table, partition_filter={"lang": "en"})
@@ -514,7 +514,7 @@ def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE (upsert): +100 to every 10th supplier's balance, insert a
     NEW- row for every 7th key; the file-pruned copy-on-write merge in
     sources/writer.py rewrites only key-range-overlapping files."""
-    table = tempfile.mkdtemp(prefix="gw_dmrg_") + "/supplier_delta"
+    table = scratch_dir("gw_dmrg_") + "/supplier_delta"
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
     )
@@ -541,7 +541,7 @@ def delta_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE TO VERSION AS OF 0: create (keys < 10), append the
     rest, restore v0 — the snapshot must equal the original slice
     while history keeps all three versions."""
-    table = tempfile.mkdtemp(prefix="gw_drst_") + "/nation_delta"
+    table = scratch_dir("gw_drst_") + "/nation_delta"
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     write_delta(n.where(F.col("n_nationkey") < 10), table, mode="append")
     write_delta(n.where(F.col("n_nationkey") >= 10), table, mode="append")
@@ -562,7 +562,7 @@ def delta_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
 def delta_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY over the commitInfo trail: create, append,
     optimize → three versions with their operations."""
-    table = tempfile.mkdtemp(prefix="gw_dhist_") + "/region_delta"
+    table = scratch_dir("gw_dhist_") + "/region_delta"
     r = load_table(spark, sf_dir, "region")
     write_delta(r.where(F.col("r_regionkey") < 3), table, mode="append")
     write_delta(r.where(F.col("r_regionkey") >= 3), table, mode="append")
@@ -588,7 +588,7 @@ def delta_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in test_delete_from_three_way_file_handling)."""
     from guidewire_spark.sources.writer import delete_from
 
-    table = tempfile.mkdtemp(prefix="gw_ddel_") + "/supplier_delta"
+    table = scratch_dir("gw_ddel_") + "/supplier_delta"
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     write_delta(s, table, mode="append")
     delete_from(spark, table, "s_suppkey % 10 = 3")
@@ -609,7 +609,7 @@ def delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     insert events with _change_type/_commit_version columns."""
     from guidewire_spark.sources.snapshot import read_delta_changes
 
-    table = tempfile.mkdtemp(prefix="gw_dcdf_") + "/nation_delta"
+    table = scratch_dir("gw_dcdf_") + "/nation_delta"
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     write_delta(n.where(F.col("n_nationkey") < 10), table, mode="append")
     write_delta(n.where(F.col("n_nationkey") >= 10), table, mode="append")
@@ -630,7 +630,7 @@ def delta_schema_merge_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive schema evolution (mergeSchema): append a new column
     without rewriting old files; the pre-evolution rows read the new
     column as null."""
-    table = tempfile.mkdtemp(prefix="gw_dsm_") + "/region_delta"
+    table = scratch_dir("gw_dsm_") + "/region_delta"
     r = load_table(spark, sf_dir, "region")
     write_delta(r, table, mode="append")
     write_delta(
@@ -651,7 +651,7 @@ def delta_schema_merge_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 def delta_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(*) answered purely from add.stats numRecords — no data
     file opened (snapshot.metadata_count); the oracle scans."""
-    table = tempfile.mkdtemp(prefix="gw_dmc_") + "/supplier_delta"
+    table = scratch_dir("gw_dmc_") + "/supplier_delta"
     s = load_table(spark, sf_dir, "supplier")
     write_delta(s, table, mode="append")
     from guidewire_spark.sources.snapshot import load_snapshot
@@ -672,7 +672,7 @@ def delta_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite, and each compacted file covers a disjoint o_orderkey
     range so add.stats-based skipping prunes range queries (asserted
     in test_zorder_optimize_tightens_skipping)."""
-    table = tempfile.mkdtemp(prefix="gw_dzord_") + "/orders_delta"
+    table = scratch_dir("gw_dzord_") + "/orders_delta"
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.round("o_totalprice", 2).alias("totalprice")
     )
@@ -692,7 +692,7 @@ def delta_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE compaction: three fragmented commits → one compacted
     file; rows must be identical after (dataChange=false semantics,
     reference README.md:50-51)."""
-    table = tempfile.mkdtemp(prefix="gw_dopt_") + "/nation_delta"
+    table = scratch_dir("gw_dopt_") + "/nation_delta"
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     for i in range(3):
         write_delta(n.where(F.col("n_nationkey") % 3 == i), table, mode="append")
@@ -720,7 +720,7 @@ def delta_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     rematerializes them from the log's partitionValues
     (writer.py::_read_with_partitions) and stages updated rows back
     into their partitions."""
-    table = tempfile.mkdtemp(prefix="gw_dpmrg_") + "/supplier_part"
+    table = scratch_dir("gw_dpmrg_") + "/supplier_part"
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         "s_name",
@@ -747,7 +747,7 @@ def delta_partitioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely); every other partition survives untouched."""
     from guidewire_spark.sources.writer import delete_from
 
-    table = tempfile.mkdtemp(prefix="gw_dpdel_") + "/docs_part"
+    table = scratch_dir("gw_dpdel_") + "/docs_part"
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     write_delta(d, table, mode="append", partition_by=["lang"])
     delete_from(spark, table, "lang = 'de'")
@@ -767,7 +767,7 @@ def delta_partitioned_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition OPTIMIZE: three small appends per partition are
     compacted to one file per partition (dataChange=false), preserving
     every row and each add's partitionValues."""
-    table = tempfile.mkdtemp(prefix="gw_dpopt_") + "/supplier_part"
+    table = scratch_dir("gw_dpopt_") + "/supplier_part"
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         "s_name",
@@ -802,7 +802,7 @@ def delta_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
     contains exactly the base + valid rows."""
     from guidewire_spark.sources.writer import add_check_constraint
 
-    table = tempfile.mkdtemp(prefix="gw_dchk_") + "/supplier_chk"
+    table = scratch_dir("gw_dchk_") + "/supplier_chk"
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
     )
@@ -840,7 +840,7 @@ def delta_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the mapping."""
     from guidewire_spark.sources.writer import rename_column
 
-    table = tempfile.mkdtemp(prefix="gw_dren_") + "/supplier_ren"
+    table = scratch_dir("gw_dren_") + "/supplier_ren"
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
     )
@@ -872,7 +872,7 @@ def delta_update_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling applied to updates)."""
     from guidewire_spark.sources.writer import update_table
 
-    table = tempfile.mkdtemp(prefix="gw_dupd_") + "/supplier_upd"
+    table = scratch_dir("gw_dupd_") + "/supplier_upd"
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
     )
@@ -898,7 +898,7 @@ def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     source."""
     from guidewire_spark.sources.writer import shallow_clone
 
-    root = tempfile.mkdtemp(prefix="gw_dcln_")
+    root = scratch_dir("gw_dcln_")
     src, dst = root + "/src", root + "/dst"
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     write_delta(n, src, mode="append")
@@ -938,7 +938,7 @@ def delta_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         refresh_materialized_aggregate,
     )
 
-    root = tempfile.mkdtemp(prefix="gw_dmv_")
+    root = scratch_dir("gw_dmv_")
     base, view = root + "/base", root + "/view"
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
@@ -977,7 +977,7 @@ def delta_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick applied to any parquet dataset), read back through the log."""
     from guidewire_spark.sources.writer import convert_to_delta
 
-    d = tempfile.mkdtemp(prefix="gw_dcnv_") + "/supplier_pq"
+    d = scratch_dir("gw_dcnv_") + "/supplier_pq"
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
     )
@@ -1001,7 +1001,7 @@ def delta_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataF
     (the idempotent daily-reload pattern)."""
     from guidewire_spark.sources.writer import overwrite_partitions
 
-    table = tempfile.mkdtemp(prefix="gw_ddpo_") + "/docs_dpo"
+    table = scratch_dir("gw_ddpo_") + "/docs_dpo"
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     write_delta(d, table, mode="append", partition_by=["lang"])
     overwrite_partitions(
@@ -1028,7 +1028,7 @@ def delta_vacuum_reclaim(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end."""
     from guidewire_spark.sources.writer import vacuum_table
 
-    table = tempfile.mkdtemp(prefix="gw_dvac_") + "/nation_vac"
+    table = scratch_dir("gw_dvac_") + "/nation_vac"
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -1057,7 +1057,7 @@ def delta_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrowed schema lands in the same table."""
     from guidewire_spark.sources.writer import drop_column
 
-    table = tempfile.mkdtemp(prefix="gw_ddrop_") + "/supplier_drop"
+    table = scratch_dir("gw_ddrop_") + "/supplier_drop"
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
     )
@@ -1089,7 +1089,7 @@ def delta_partition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from guidewire_spark.sources.snapshot import load_snapshot
 
-    table = tempfile.mkdtemp(prefix="gw_dprof_") + "/docs_part"
+    table = scratch_dir("gw_dprof_") + "/docs_part"
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     write_delta(d, table, mode="append", partition_by=["lang"])
     snap = load_snapshot(table)
@@ -1134,7 +1134,7 @@ def delta_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     version's live files."""
     from guidewire_spark.sources.writer import update_table, write_delta
 
-    table = tempfile.mkdtemp(prefix="gw_vdiff_") + "/supplier_delta"
+    table = scratch_dir("gw_vdiff_") + "/supplier_delta"
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", F.round("s_acctbal", 2).alias("acctbal")
     )
@@ -1191,7 +1191,7 @@ def delta_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold tier onto every 10th supplier.  sources/writer.py::merge_into
     with merge_schema=True; without the flag the same source raises
     (drift must be opted into)."""
-    table = tempfile.mkdtemp(prefix="gw_dmse_") + "/supplier_delta"
+    table = scratch_dir("gw_dmse_") + "/supplier_delta"
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
     )
@@ -1226,7 +1226,6 @@ def delta_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     water) rather than the implementation-defined values themselves;
     pytest additionally rejects writer-supplied identity values."""
     import json as _json
-    import tempfile
 
     from guidewire_spark.sources.writer import (
         append_with_identity,
@@ -1234,7 +1233,7 @@ def delta_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_configuration,
     )
 
-    table = tempfile.mkdtemp(prefix="gw_ident_") + "/nation_delta"
+    table = scratch_dir("gw_ident_") + "/nation_delta"
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     half1 = n.where(F.col("n_nationkey") < 12)
     half2 = n.where(F.col("n_nationkey") >= 12)
@@ -1293,12 +1292,11 @@ def delta_ivm_aggregate_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     log pattern): at 100 TB each refresh costs O(changes), not
     O(table).  Base: two appends; the CDF between them drives the
     second refresh."""
-    import tempfile
 
     from guidewire_spark.sources.snapshot import read_delta_changes
     from guidewire_spark.sources.writer import write_delta
 
-    table = tempfile.mkdtemp(prefix="gw_ivm_") + "/orders_delta"
+    table = scratch_dir("gw_ivm_") + "/orders_delta"
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
@@ -1364,12 +1362,11 @@ def delta_file_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     appends of 25 nation-derived rows each) so the expected numbers
     are exact literals; the invariants generalize to any table the
     writer produces (every add carries size + footer stats)."""
-    import tempfile
 
     from guidewire_spark.sources.snapshot import load_snapshot
     from guidewire_spark.sources.writer import write_delta
 
-    table = tempfile.mkdtemp(prefix="gw_fsh_") + "/audit_delta"
+    table = scratch_dir("gw_fsh_") + "/audit_delta"
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     for i in range(4):
         write_delta(
@@ -1417,12 +1414,11 @@ def delta_stats_null_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees, proving the recorded statistics are trustworthy enough to
     monitor from."""
     import json as _json
-    import tempfile
 
     from guidewire_spark.sources.snapshot import load_snapshot
     from guidewire_spark.sources.writer import write_delta
 
-    table = tempfile.mkdtemp(prefix="gw_nra_") + "/supplier_delta"
+    table = scratch_dir("gw_nra_") + "/supplier_delta"
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         F.when(F.col("s_acctbal") >= 0, F.round("s_acctbal", 2)).alias(
@@ -1464,7 +1460,7 @@ def delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import load_snapshot
     from guidewire_spark.sources.writer import delete_from_mor
 
-    table = tempfile.mkdtemp(prefix="gw_dvd_") + "/supplier_delta"
+    table = scratch_dir("gw_dvd_") + "/supplier_delta"
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     write_delta(s, table, mode="append")
     before = set(load_snapshot(table).files)
@@ -1497,7 +1493,7 @@ def delta_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         purge_deletion_vectors,
     )
 
-    table = tempfile.mkdtemp(prefix="gw_dvp_") + "/nation_delta"
+    table = scratch_dir("gw_dvp_") + "/nation_delta"
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     write_delta(n, table, mode="append")
     delete_from_mor(spark, table, "n_nationkey % 5 = 1")
@@ -1528,7 +1524,7 @@ def delta_dv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import read_delta_changes
     from guidewire_spark.sources.writer import delete_from_mor
 
-    table = tempfile.mkdtemp(prefix="gw_dvc_") + "/supplier_delta"
+    table = scratch_dir("gw_dvc_") + "/supplier_delta"
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     write_delta(s, table, mode="append")
     delete_from_mor(spark, table, "s_suppkey % 10 = 3")
@@ -1561,7 +1557,7 @@ def delta_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import load_snapshot
     from guidewire_spark.sources.writer import update_table_mor
 
-    table = tempfile.mkdtemp(prefix="gw_dvu_") + "/supplier_delta"
+    table = scratch_dir("gw_dvu_") + "/supplier_delta"
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     write_delta(s, table, mode="append")
     before = set(load_snapshot(table).files)
@@ -1599,7 +1595,7 @@ def delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import load_snapshot
     from guidewire_spark.sources.writer import widen_column_type
 
-    table = tempfile.mkdtemp(prefix="gw_twid_") + "/nation_delta"
+    table = scratch_dir("gw_twid_") + "/nation_delta"
     n = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("int").alias("k"), "n_name"
     )
@@ -1637,7 +1633,7 @@ def delta_delete_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import load_snapshot
     from guidewire_spark.sources.writer import delete_auto
 
-    table = tempfile.mkdtemp(prefix="gw_dauto_") + "/docs_delta"
+    table = scratch_dir("gw_dauto_") + "/docs_delta"
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     write_delta(d, table, mode="append")
     before = set(load_snapshot(table).files)
@@ -1771,7 +1767,7 @@ def delta_row_tracking_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame
         update_table_mor,
     )
 
-    table = tempfile.mkdtemp(prefix="gw_rowtrack_") + "/docs"
+    table = scratch_dir("gw_rowtrack_") + "/docs"
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     write_delta(
         d.repartition(1).sortWithinPartitions("doc_id"), table, mode="append"
@@ -1827,7 +1823,7 @@ def delta_cdf_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_table_mor,
     )
 
-    table = tempfile.mkdtemp(prefix="gw_cdfrid_") + "/sup"
+    table = scratch_dir("gw_cdfrid_") + "/sup"
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     write_delta(
         s.repartition(1).sortWithinPartitions("s_suppkey"),
@@ -1871,7 +1867,7 @@ def delta_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         set_clustering_columns,
     )
 
-    table = tempfile.mkdtemp(prefix="gw_liquid_") + "/orders"
+    table = scratch_dir("gw_liquid_") + "/orders"
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").cast("decimal(14,2)").alias("price")
     )
@@ -1915,7 +1911,7 @@ def delta_ict_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import load_snapshot
     from guidewire_spark.sources.writer import enable_in_commit_timestamps
 
-    table = tempfile.mkdtemp(prefix="gw_ict_") + "/nat"
+    table = scratch_dir("gw_ict_") + "/nat"
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     write_delta(n.where("n_nationkey < 10"), table, mode="append")   # v0
     enable_in_commit_timestamps(table)                               # v1
@@ -1950,7 +1946,7 @@ def delta_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce would destroy."""
     from guidewire_spark.sources.writer import add_column
 
-    table = tempfile.mkdtemp(prefix="gw_defaults_") + "/nat"
+    table = scratch_dir("gw_defaults_") + "/nat"
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     write_delta(n, table, mode="append")
     add_column(table, "tier", "int", default="42")
@@ -1996,7 +1992,7 @@ def delta_append_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_table_mor,
     )
 
-    table = tempfile.mkdtemp(prefix="gw_aonly_") + "/part_delta"
+    table = scratch_dir("gw_aonly_") + "/part_delta"
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     write_delta(p.where(F.col("p_partkey") % 3 == 0), table, mode="append")
     set_table_properties(table, {"delta.appendOnly": "true"})
@@ -2062,7 +2058,7 @@ def delta_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream (README.md:39-43)."""
     from guidewire_spark.sources.writer import merge_clauses
 
-    table = tempfile.mkdtemp(prefix="gw_mrgc_") + "/nation_delta"
+    table = scratch_dir("gw_mrgc_") + "/nation_delta"
     n = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("long").alias("n_nationkey"),
         "n_name",
@@ -2155,7 +2151,7 @@ def delta_matview_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from guidewire_spark.sources.writer import delete_from_mor
 
-    root = tempfile.mkdtemp(prefix="gw_dmvv_")
+    root = scratch_dir("gw_dmvv_")
     base, view = root + "/base", root + "/view"
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", "s_acctbal"
@@ -2244,7 +2240,7 @@ def delta_matview_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from guidewire_spark.sources.writer import delete_from
 
-    root = tempfile.mkdtemp(prefix="gw_dmvh_")
+    root = scratch_dir("gw_dmvh_")
     base, view = root + "/base", root + "/view"
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -2314,7 +2310,7 @@ def delta_protocol_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         widen_column_type,
     )
 
-    table = tempfile.mkdtemp(prefix="gw_proto_") + "/nat"
+    table = scratch_dir("gw_proto_") + "/nat"
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     write_delta(n, table, mode="append")
 
@@ -2373,7 +2369,7 @@ def delta_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from guidewire_spark.sources.snapshot import load_snapshot
 
-    table = tempfile.mkdtemp(prefix="gw_bloom_") + "/orders_delta"
+    table = scratch_dir("gw_bloom_") + "/orders_delta"
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -2421,7 +2417,7 @@ def delta_cdf_by_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         enable_in_commit_timestamps,
     )
 
-    table = tempfile.mkdtemp(prefix="gw_cdft_") + "/supplier_delta"
+    table = scratch_dir("gw_cdft_") + "/supplier_delta"
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     write_delta(s, table, mode="append")
     enable_in_commit_timestamps(table)
@@ -2457,7 +2453,7 @@ def delta_auto_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import load_snapshot
     from guidewire_spark.sources.writer import set_table_properties
 
-    table = tempfile.mkdtemp(prefix="gw_autoopt_") + "/supp"
+    table = scratch_dir("gw_autoopt_") + "/supp"
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         "s_nationkey",

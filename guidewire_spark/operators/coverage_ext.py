@@ -6,12 +6,12 @@ Hilbert-curve OPTIMIZE clustering.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 
@@ -289,7 +289,7 @@ def delta_optimize_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import read_delta
     from guidewire_spark.sources.writer import optimize_table, write_delta
 
-    table = tempfile.mkdtemp(prefix="gw_dhil_") + "/orders_delta"
+    table = scratch_dir("gw_dhil_") + "/orders_delta"
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice")
     )

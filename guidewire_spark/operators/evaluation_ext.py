@@ -5,12 +5,12 @@ deep clone.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 
@@ -294,8 +294,8 @@ def delta_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import read_delta
     from guidewire_spark.sources.writer import deep_clone, write_delta
 
-    src = tempfile.mkdtemp(prefix="gw_ddcs_") + "/supplier_delta"
-    dst = tempfile.mkdtemp(prefix="gw_ddcd_") + "/supplier_clone"
+    src = scratch_dir("gw_ddcs_") + "/supplier_delta"
+    dst = scratch_dir("gw_ddcd_") + "/supplier_clone"
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
     )
@@ -336,7 +336,7 @@ def delta_symlink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_delta,
     )
 
-    table = tempfile.mkdtemp(prefix="gw_dsym_") + "/docs_delta"
+    table = scratch_dir("gw_dsym_") + "/docs_delta"
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
     )

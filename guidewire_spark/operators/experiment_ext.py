@@ -6,12 +6,12 @@ partition pruning surfaced as a driver-verified query.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 
@@ -172,7 +172,7 @@ def delta_generated_partition_prune(spark: SparkSession, sf_dir: str) -> DataFra
     from guidewire_spark.sources.snapshot import read_delta
     from guidewire_spark.sources.writer import write_delta
 
-    table = tempfile.mkdtemp(prefix="gw_genp_") + "/orders_part"
+    table = scratch_dir("gw_genp_") + "/orders_part"
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0)
     src = o.select(
         "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("od")

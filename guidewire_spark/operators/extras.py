@@ -5,12 +5,12 @@ strategies (salted skew join, bucketed co-located join).
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 
@@ -226,7 +226,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     key at write time → the join is shuffle-free (SortMergeJoin with no
     Exchange). This is the canonical pre-partitioning strategy for a
     repeatedly-joined 100 TB fact table."""
-    warehouse = tempfile.mkdtemp(prefix="gw_buckets_")
+    warehouse = scratch_dir("gw_buckets_")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     spark.sql("DROP TABLE IF EXISTS gw_orders_b")

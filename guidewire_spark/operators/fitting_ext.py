@@ -5,12 +5,12 @@ window frames.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from guidewire_spark.plans.catalog import load_table, register_views
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 
@@ -266,8 +266,8 @@ def delta_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import read_delta
     from guidewire_spark.sources.writer import shallow_clone, write_delta
 
-    staging = tempfile.mkdtemp(prefix="gw_waps_") + "/nation_staging"
-    published = tempfile.mkdtemp(prefix="gw_wapp_") + "/nation_published"
+    staging = scratch_dir("gw_waps_") + "/nation_staging"
+    published = scratch_dir("gw_wapp_") + "/nation_published"
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", F.col("n_regionkey").cast("long").alias("regionkey")
     )

@@ -40,6 +40,7 @@ from guidewire_spark.operators.llm import (
     minhash_signatures,
 )
 from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 _SIG_COLS = [f"mh_{i}" for i in range(MINHASH_N)]
@@ -229,9 +230,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     order produces (pytest replica gate) — the property that makes
     incremental processing trustworthy: processing in batches must
     not change the answer."""
-    import tempfile
 
-    store_path = tempfile.mkdtemp(prefix="gw_incdedup_") + "/lsh_store"
+    store_path = scratch_dir("gw_incdedup_") + "/lsh_store"
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return _minhash_store_run(spark, d, store_path)
 
@@ -315,7 +315,6 @@ def dedup_incremental_minhash_verified(
 
     Scale shape: unchanged from the production row — per-batch cost ∝
     batch size + touched buckets, history text never re-read."""
-    import tempfile
 
     from guidewire_spark.operators.llm import (
         _MHV_AB,
@@ -323,7 +322,7 @@ def dedup_incremental_minhash_verified(
         minhash_signatures_verified,
     )
 
-    store_path = tempfile.mkdtemp(prefix="gw_incdedupv_") + "/lsh_store"
+    store_path = scratch_dir("gw_incdedupv_") + "/lsh_store"
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return _minhash_store_run(
         spark,
@@ -364,12 +363,11 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     is transitive for free, the incremental verdicts provably equal
     the one-shot GROUP BY — which is exactly what the oracle computes
     with a single window over arrival order."""
-    import tempfile
 
     from guidewire_spark.sources.snapshot import read_delta
     from guidewire_spark.sources.writer import write_delta
 
-    store_path = tempfile.mkdtemp(prefix="gw_incexact_") + "/digests"
+    store_path = scratch_dir("gw_incexact_") + "/digests"
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.sha2("text", 256).alias("h")
     )
@@ -434,14 +432,13 @@ def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-batch cost ∝ batch + touched buckets; the vector store
     joins filter map-side on broadcast candidate ids; vectors shuffle
     only for verified candidates, never all-pairs."""
-    import tempfile
 
     from guidewire_spark.functions import vectors as V
     from guidewire_spark.operators.llm import _hyperplane_bucket_udf
     from guidewire_spark.sources.snapshot import read_delta
     from guidewire_spark.sources.writer import write_delta
 
-    store_path = tempfile.mkdtemp(prefix="gw_incemb_") + "/buckets"
+    store_path = scratch_dir("gw_incemb_") + "/buckets"
     band_buckets = _hyperplane_bucket_udf(n_bands=32, bits=12, dim=64)
 
     base = load_table(spark, sf_dir, "embeddings").select(
@@ -692,12 +689,11 @@ def dedup_incremental_embedding_verified(
 
     Scale shape: unchanged — per-batch cost ∝ batch + touched buckets,
     the Arrow matmul stays one batch-sized matrix multiply."""
-    import tempfile
 
     from guidewire_spark.functions import vectors as V
     from guidewire_spark.operators.llm import _int_hyperplane_bucket_udf
 
-    store_path = tempfile.mkdtemp(prefix="gw_incembv_") + "/buckets"
+    store_path = scratch_dir("gw_incembv_") + "/buckets"
     band_buckets = _int_hyperplane_bucket_udf(n_bands=8, bits=8, dim=64)
 
     base = load_table(spark, sf_dir, "embeddings").select(
@@ -784,7 +780,6 @@ def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     store grows by distinct NEW shingles only and history text is
     never re-read.  At 100 TB the store key would be an xxhash64 of
     the shingle; the string key is kept so the oracle can verify."""
-    import tempfile
 
     from guidewire_spark.operators.llm import (
         SUBSTRING_K,
@@ -795,7 +790,7 @@ def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.writer import write_delta
 
     k = SUBSTRING_K
-    store_path = tempfile.mkdtemp(prefix="gw_incsub_") + "/shingles"
+    store_path = scratch_dir("gw_incsub_") + "/shingles"
     d = load_table(spark, sf_dir, "documents")
     out = None
     for chunk in range(3):

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 
@@ -618,7 +619,6 @@ def join_dynamic_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop); correctness is prune-independent — stats pruning is sound
     and the equi-join re-applies the exact key match — so the oracle
     is the plain two-table join."""
-    import tempfile
 
     from guidewire_spark.sources.snapshot import (
         load_snapshot,
@@ -626,7 +626,7 @@ def join_dynamic_file_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from guidewire_spark.sources.writer import optimize_table, write_delta
 
-    fact = tempfile.mkdtemp(prefix="gw_dfp_") + "/li"
+    fact = scratch_dir("gw_dfp_") + "/li"
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_suppkey",
@@ -700,7 +700,6 @@ def join_bloom_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll-up for those keys.  Correctness is prune-independent —
     blooms have no false negatives and the equi-join re-matches
     exactly — so the oracle is the plain filtered join."""
-    import tempfile
 
     from guidewire_spark.sources.bloom import (
         bloom_kept_files,
@@ -709,7 +708,7 @@ def join_bloom_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import load_snapshot
     from guidewire_spark.sources.writer import _read_with_partitions, write_delta
 
-    fact = tempfile.mkdtemp(prefix="gw_bdfp_") + "/orders"
+    fact = scratch_dir("gw_bdfp_") + "/orders"
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
     )

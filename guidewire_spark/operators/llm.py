@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from guidewire_spark.functions import text as T
 from guidewire_spark.functions import vectors as V
 from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 
@@ -1542,7 +1543,6 @@ def similarity_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     corrupted in storage breaks the hash.  The production n_probe<8
     search over the same stored index inherits the verified plumbing.
     """
-    import tempfile
 
     from guidewire_spark.sources.deltalog import list_versions
     from guidewire_spark.sources.snapshot import read_delta
@@ -1573,7 +1573,7 @@ def similarity_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         cache_key=corpus_fingerprint(sf_dir, "embeddings")
         + ("ivfinc_first_batch_mod3",),
     )
-    index = tempfile.mkdtemp(prefix="gw_ivfinc_") + "/index"
+    index = scratch_dir("gw_ivfinc_") + "/index"
     for b in range(3):
         batch = e.where(F.col("vec_id") % 3 == b)
         write_delta(

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from guidewire_spark.functions import text as T
 from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 
@@ -1708,12 +1709,11 @@ def delta_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift (the metadata sibling of delta_version_diff's data-level
     reconciliation).  Pure log replay on both sides: no data files
     open; output is schema-cardinality rows."""
-    import tempfile
 
     from guidewire_spark.sources.snapshot import load_snapshot
     from guidewire_spark.sources.writer import write_delta
 
-    table = tempfile.mkdtemp(prefix="gw_drift_") + "/nation_delta"
+    table = scratch_dir("gw_drift_") + "/nation_delta"
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     write_delta(n, table, mode="append")
     evolved = n.limit(5).withColumn(

@@ -16,7 +16,6 @@ bridge.
 
 from __future__ import annotations
 
-import tempfile
 
 import pandas as pd
 
@@ -24,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 
@@ -412,7 +412,7 @@ def delta_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.writer import merge_into, write_delta
     from guidewire_spark.sources.snapshot import read_delta
 
-    table = tempfile.mkdtemp(prefix="gw_scd2_") + "/customer_scd2"
+    table = scratch_dir("gw_scd2_") + "/customer_scd2"
     c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 3 == 0)
     base = c.select(
         F.concat(F.col("c_custkey").cast("string"), F.lit("@2024-01-01")).alias(

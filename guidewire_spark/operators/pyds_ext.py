@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 
@@ -266,7 +267,6 @@ def pyds_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the sink as CSV, reads the files back, and must
     round-trip exactly (the oracle recomputes from source) — proving
     executor-side writes, message collection, and commit all fire."""
-    import tempfile
 
     from pyspark.sql.datasource import (
         DataSource,
@@ -274,7 +274,7 @@ def pyds_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         WriterCommitMessage,
     )
 
-    out_dir = tempfile.mkdtemp(prefix="gw_pyds_sink_")
+    out_dir = scratch_dir("gw_pyds_sink_")
 
     class CsvWriter(DataSourceWriter):
         def __init__(self, options):
@@ -353,12 +353,11 @@ def pyds_cda_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partition-count proof in tests/test_streaming.py)."""
     import os
     import shutil
-    import tempfile
 
     from guidewire_spark.streaming.cda_source import register_cda_batch_source
 
     register_cda_batch_source(spark)
-    root = tempfile.mkdtemp(prefix="gw_cdapush_")
+    root = scratch_dir("gw_cdapush_")
     fp = f"{root}/part_cda/fp001"
     os.makedirs(fp)
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")

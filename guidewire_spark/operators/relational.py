@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 
@@ -275,10 +276,9 @@ def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + CSV scan (header, explicit schema): write nation to a
     temp CSV directory, read it back. Covers the csv source/sink row of
     SURVEY §2.4 with a deterministic oracle (content is unchanged)."""
-    import tempfile
 
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    out = tempfile.mkdtemp(prefix="gw_csv_") + "/nation_csv"
+    out = scratch_dir("gw_csv_") + "/nation_csv"
     n.write.mode("overwrite").option("header", True).csv(out)
     return spark.read.option("header", True).schema(
         "n_nationkey int, n_name string, n_regionkey int"
@@ -293,10 +293,9 @@ def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + scan (the manifest format of the connector)."""
-    import tempfile
 
     r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    out = tempfile.mkdtemp(prefix="gw_json_") + "/region_json"
+    out = scratch_dir("gw_json_") + "/region_json"
     r.write.mode("overwrite").json(out)
     return spark.read.schema("r_regionkey int, r_name string").json(out)
 
@@ -309,10 +308,9 @@ def json_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet sink (overwrite mode) + re-scan."""
-    import tempfile
 
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
-    out = tempfile.mkdtemp(prefix="gw_pq_") + "/supplier_pq"
+    out = scratch_dir("gw_pq_") + "/supplier_pq"
     s.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
 
@@ -332,9 +330,8 @@ def scan_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic log/corpus-ingest entry point; at 100 TB the source
     splits by file block exactly like any other FileFormat."""
     import os as _os
-    import tempfile
 
-    root = tempfile.mkdtemp(prefix="gw_text_")
+    root = scratch_dir("gw_text_")
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 9 == 0)
@@ -372,9 +369,8 @@ def scan_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits by FILE, content bytes stream straight to the Arrow/UDF
     stage, nothing parses on the scan path."""
     import os as _os
-    import tempfile
 
-    root = tempfile.mkdtemp(prefix="gw_binf_")
+    root = scratch_dir("gw_binf_")
     docs = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 101 == 0)

@@ -8,13 +8,13 @@ support — replayed micro-batches commit nothing twice.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from guidewire_spark.operators.twophase import two_phase_ordered
 from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 
@@ -74,7 +74,7 @@ def json_corrupt_records_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         # truncated JSON: opening brace, no close — unparseable
         F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string")),
     ).otherwise(F.to_json(F.struct("doc_id", "n_chars")))
-    root = tempfile.mkdtemp(prefix="gw_json_")
+    root = scratch_dir("gw_json_")
     d.select(line.alias("value")).write.text(f"{root}/src")
     parsed = (
         spark.read.schema("doc_id long, n_chars long, _corrupt_record string")
@@ -238,7 +238,7 @@ def stream_idempotent_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFram
     from guidewire_spark.sources.snapshot import read_delta
     from guidewire_spark.sources.writer import write_delta
 
-    root = tempfile.mkdtemp(prefix="gw_sidem_")
+    root = scratch_dir("gw_sidem_")
     e = (
         load_table(spark, sf_dir, "events")
         .where(F.col("event_id") % 25 == 0)
@@ -307,7 +307,7 @@ def delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import read_delta
     from guidewire_spark.sources.writer import replace_where, write_delta
 
-    table = tempfile.mkdtemp(prefix="gw_rw_") + "/docs"
+    table = scratch_dir("gw_rw_") + "/docs"
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )

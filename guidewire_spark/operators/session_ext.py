@@ -7,13 +7,13 @@ CDC events into per-key effects).
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from guidewire_spark.functions import text as T
 from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 
@@ -203,7 +203,7 @@ def delta_cdf_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import read_delta_changes
     from guidewire_spark.sources.writer import merge_into, write_delta
 
-    table = tempfile.mkdtemp(prefix="gw_ncdf_") + "/supplier_delta"
+    table = scratch_dir("gw_ncdf_") + "/supplier_delta"
     s = load_table(spark, sf_dir, "supplier").where(
         F.col("s_suppkey") <= 100
     ).select("s_suppkey", F.round("s_acctbal", 2).alias("bal"))

@@ -8,12 +8,12 @@ connector ops-health query: manifest claims vs filesystem truth).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from guidewire_spark.plans.catalog import load_table, register_views
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 
@@ -180,7 +180,7 @@ def corpus_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import read_delta
     from guidewire_spark.sources.writer import write_delta
 
-    table = tempfile.mkdtemp(prefix="gw_ingest_") + "/corpus"
+    table = scratch_dir("gw_ingest_") + "/corpus"
     d = load_table(spark, sf_dir, "documents")
     existing = d.where(F.col("doc_id") % 3 != 0).select(
         "doc_id", "source", F.md5("text").alias("digest")
@@ -221,7 +221,7 @@ def cda_manifest_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.fs import list_parquet_files, list_timestamp_dirs
     from guidewire_spark.sources.manifest import read_manifest
 
-    root = tempfile.mkdtemp(prefix="gw_audit_")
+    root = scratch_dir("gw_audit_")
     e = load_table(spark, sf_dir, "events").limit(200)
     entries = {}
     # table 1: truthful

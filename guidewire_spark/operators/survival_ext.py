@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from guidewire_spark.functions import text as T
 from guidewire_spark.operators.twophase import two_phase_ordered
 from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 
@@ -269,12 +270,11 @@ def delta_stats_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sound: files without stats are kept), which the plain-filter
     oracle enforces; the skipping RATIO is asserted in
     tests/test_stats_skipping.py."""
-    import tempfile
 
     from guidewire_spark.sources.snapshot import load_snapshot, read_files_with_schema
     from guidewire_spark.sources.writer import optimize_table, write_delta
 
-    table = tempfile.mkdtemp(prefix="gw_skip_") + "/li"
+    table = scratch_dir("gw_skip_") + "/li"
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     )
@@ -309,12 +309,11 @@ def delta_stats_columns_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     config-independent by returning a full-table aggregate the oracle
     computes from the raw source."""
     import json as _json
-    import tempfile
 
     from guidewire_spark.sources.snapshot import load_snapshot, read_delta
     from guidewire_spark.sources.writer import set_table_properties, write_delta
 
-    table = tempfile.mkdtemp(prefix="gw_scols_") + "/li"
+    table = scratch_dir("gw_scols_") + "/li"
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_quantity"
     )

@@ -13,12 +13,12 @@ anywhere a decision is made.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from guidewire_spark.plans.catalog import load_table
+from guidewire_spark.plans.scratch import scratch_dir
 from guidewire_spark.registry import query
 
 
@@ -53,7 +53,7 @@ def delta_idempotent_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import read_delta
     from guidewire_spark.sources.writer import write_delta
 
-    table = tempfile.mkdtemp(prefix="gw_txn_") + "/region_idem"
+    table = scratch_dir("gw_txn_") + "/region_idem"
     r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     base = r.withColumn("batch", F.lit("base"))
     b1 = r.where(F.col("r_regionkey") < 3).withColumn("batch", F.lit("b1"))
@@ -335,7 +335,7 @@ def warehouse_result_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guidewire_spark.sources.snapshot import read_delta
     from guidewire_spark.sources.writer import write_delta
 
-    root = tempfile.mkdtemp(prefix="gw_rescache_")
+    root = scratch_dir("gw_rescache_")
     table, cache = root + "/cust", root + "/cache"
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
