@@ -70,19 +70,38 @@ def hilbert_index_py(x: int, y: int, bits: int = 4) -> int:
 def hilbert_value(df: DataFrame, cols: list[str], bits: int = 4) -> Column:
     """Hilbert position over quantile-bucketed ``cols`` (exactly 2).
 
-    Bucketing mirrors ``zorder.zvalue``: per-column quantile
-    boundaries from one approxQuantile sample job each — O(sample),
-    not O(data) — so skewed columns still fill all 2^bits buckets.
+    Bucketing mirrors ``zorder.zvalue``: ONE multi-column
+    approxQuantile sample job for both columns — O(sample), not
+    O(data) — so skewed columns still fill all 2^bits buckets.
+
+    The curve position itself is a LITERAL LOOKUP, not the unrolled
+    xy2d expression: each xy2d level re-references x and y ~3×, so
+    composing :func:`hilbert_index` over the 2^bits-branch bucket
+    CASE chains multiplied the Catalyst tree by hundreds (measured
+    round-12 on delta_liquid_clustering: ~18 s of DRIVER time —
+    analysis + codegen of the blown-up tree, paid twice because
+    repartitionByRange evaluates the key in its sampling pass too).
+    With bits=4 the whole curve is 256 cells, so the bucket indices
+    are computed ONCE each and ``element_at`` over a 4^bits-literal
+    array (values from the reference twin ``hilbert_index_py``)
+    yields an identical position with a tree of ~2·2^bits nodes.
     """
     if len(cols) != 2:
         raise ValueError("hilbert clustering takes exactly 2 columns")
+    if bits > 6:
+        raise ValueError("lookup-table hilbert_value supports bits <= 6")
     n_buckets = (1 << bits) - 1
-    indices = []
-    for c in cols:
-        qs = [i / (n_buckets + 1) for i in range(1, n_buckets + 1)]
-        boundaries = df.approxQuantile(c, qs, 0.01)
-        indices.append(bucket_index(F.col(c), boundaries).cast("long"))
-    return hilbert_index(indices[0], indices[1], bits)
+    qs = [i / (n_buckets + 1) for i in range(1, n_buckets + 1)]
+    b1, b2 = df.approxQuantile(cols, qs, 0.01)
+    bx = bucket_index(F.col(cols[0]), b1).cast("long")
+    by = bucket_index(F.col(cols[1]), b2).cast("long")
+    n = 1 << bits
+    curve = [
+        F.lit(hilbert_index_py(x, y, bits)).cast("long")
+        for x in range(n)
+        for y in range(n)
+    ]
+    return F.element_at(F.array(*curve), (bx * n + by + 1).cast("int"))
 
 
 def cluster_by_hilbert(

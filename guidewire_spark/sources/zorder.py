@@ -50,11 +50,16 @@ def zvalue(df: DataFrame, cols: list[str], bits: int = 4) -> Column:
     is the only non-metadata cost, and it is O(sample), not O(data).
     """
     n_buckets = (1 << bits) - 1  # boundaries count => 2^bits buckets
-    indices = []
-    for c in cols:
-        qs = [i / (n_buckets + 1) for i in range(1, n_buckets + 1)]
-        boundaries = df.approxQuantile(c, qs, 0.01)
-        indices.append(bucket_index(F.col(c), boundaries))
+    qs = [i / (n_buckets + 1) for i in range(1, n_buckets + 1)]
+    # ONE multi-column approxQuantile job: the per-column summaries
+    # are built in the same single pass the per-column form uses, so
+    # the boundaries are identical — this just stops paying one scan
+    # of the optimize scope per clustered column (round-12).
+    all_bounds = df.approxQuantile(cols, qs, 0.01)
+    indices = [
+        bucket_index(F.col(c), boundaries)
+        for c, boundaries in zip(cols, all_bounds)
+    ]
     return interleave_bits(indices, bits)
 
 
