@@ -75,7 +75,15 @@ def dedup_batch_against_store(
     # write — without the checkpoint each consumer re-runs the
     # CPU-heavy mapInPandas shingling stage (the anti-pattern
     # dedup_minhash_lsh's own docstring warns about).
-    sigs = signature_fn(batch).localCheckpoint(eager=True)
+    # Guarded fan-out BEFORE the signature stage (round-12): the
+    # arrival batch is a filtered single-file scan at the test SFs —
+    # one partition — so the CPU-heavy mapInPandas shingling of every
+    # chunk ran in ONE task; at real scale the batch scan already
+    # carries ≥ cores partitions and this is a no-op.  Signatures are
+    # pure per-document functions, so the layout cannot change them.
+    from guidewire_spark.plans.catalog import fan_out
+
+    sigs = signature_fn(fan_out(batch)).localCheckpoint(eager=True)
     bands = band_fn(sigs)
 
     # --- within-batch self-dedup: earlier (lower) doc_id wins -------

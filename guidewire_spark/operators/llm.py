@@ -2480,7 +2480,26 @@ def _pq_topk(
         from guidewire_spark.plans.artifact_cache import get_or_train
 
         def train() -> list:
-            assigned = encode(subs, cb)
+            # Train from the RAW scan's subvectors, not the fanned-out
+            # frame: the refinement's F.avg sums doubles in partition
+            # order, and the guarded fan_out's round-robin layout is
+            # exactly what must never leak into a trained artifact —
+            # mirror _ivfpq_topk's raw training path so the refined
+            # codebook is byte-identical across core counts and cache
+            # states (round-12, per ADVICE).  The fanned `subs` is
+            # still what the warm-path encode below consumes.
+            subs_raw = e.select(
+                "vec_id",
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.slice(enc_col, m * dim_sub + 1, dim_sub)
+                            for m in range(m_sub)
+                        ]
+                    )
+                ).alias("m", "sub"),
+            )
+            assigned = encode(subs_raw, cb)
             refined_df = (
                 assigned.select(
                     "m", "code", F.posexplode("sub").alias("dim", "val")

@@ -71,13 +71,17 @@ def fan_out(d: DataFrame) -> DataFrame:
     core.  At real scale the scan already carries ≥ cores partitions
     and this is a no-op — no gratuitous full shuffle of raw text.
 
-    Frames NOT backed by a file scan (unions, ``createDataFrame``,
-    post-shuffle results) report ``inputFiles() == []``; for those the
-    guard falls back to the frame's actual partition count, so a frame
-    that already fans wide (e.g. the output of a 32-partition shuffle)
-    is NOT silently re-shuffled just because it lost its scan lineage."""
+    The guard reads the frame's ACTUAL partition count
+    (``rdd.getNumPartitions()`` — a driver-side plan materialization,
+    no job), not the input-file count: Spark packs small files into
+    fewer splits (maxPartitionBytes/openCostInBytes), so a 40-file
+    scan can open as 20 tasks — round-12 measured the file-count
+    guard leaving the tokenize stage at 20/32 width on a multi-file
+    10× fixture (46 s of CPU over 20 tasks).  Partition count also
+    covers non-scan frames (unions, post-shuffle results) uniformly:
+    a frame that already fans wide is never re-shuffled."""
     parallelism = d.sparkSession.sparkContext.defaultParallelism
-    width = len(d.inputFiles()) or d.rdd.getNumPartitions()
+    width = d.rdd.getNumPartitions()
     if width < parallelism:
         d = d.repartition(parallelism)
     return d

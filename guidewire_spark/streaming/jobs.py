@@ -228,6 +228,62 @@ def sized_state_partitions(
     return max(1, -(-total // target_bytes))
 
 
+def stage_event_sides(
+    spark: SparkSession,
+    e: DataFrame,
+    root: str,
+    sentinel: bool = False,
+) -> None:
+    """Stage the purchase/view source directories for a stream-stream
+    join in ONE scan + ONE write (round-12): the per-side loop paid a
+    full filtered scan and a write job per side; a single
+    ``partitionBy`` write over a derived directory column produces the
+    identical two directories (the partition column stays out of the
+    data files, so the staged schema is unchanged) and the tree is
+    moved into place.
+
+    ``sentinel`` additionally rides one far-future sentinel row per
+    side INSIDE the data (the outer/semi variants' deterministic
+    flush — see stream_stream_left_outer_join's docstring for why the
+    sentinel must not be filtered inside the streaming query).  The
+    max-ts lookup is the one unavoidable pre-write job: the sentinel
+    timestamp must be known before the sources are staged."""
+    import datetime
+    import shutil
+
+    from guidewire_spark.plans.catalog import local_df
+
+    sides = e.where(F.col("event_type").isin("purchase", "view")).withColumn(
+        "pdir",
+        F.when(F.col("event_type") == "purchase", F.lit("p_src")).otherwise(
+            F.lit("v_src")
+        ),
+    )
+    if sentinel:
+        max_ts = e.agg(F.max("ts")).collect()[0][0]
+        far = max_ts + datetime.timedelta(hours=96)
+        sides = sides.unionByName(
+            local_df(
+                spark,
+                [
+                    (-1, far, -1, "sentinel", "p_src"),
+                    (-2, far, -2, "sentinel", "v_src"),
+                ],
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, pdir string",
+            )
+        )
+    stage = f"{root}/stage"
+    sides.write.partitionBy("pdir").parquet(stage)
+    for sub in ("p_src", "v_src"):
+        src, dst = f"{stage}/pdir={sub}", f"{root}/{sub}"
+        if _os.path.isdir(src):
+            _os.rename(src, dst)
+        else:  # an empty side still needs a (empty) source directory
+            _os.makedirs(dst, exist_ok=True)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 class _state_sizing:
     """Set ``spark.sql.shuffle.partitions`` for the duration of one
     streaming drain and restore it after: the stream's state
@@ -396,7 +452,6 @@ def stream_merge_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival order (each key is updated by exactly one streamed row, so
     the merge sequence commutes).
     """
-    import tempfile
 
     from guidewire_spark.plans.catalog import load_table
     from guidewire_spark.sources.snapshot import read_delta
@@ -468,7 +523,6 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape that runs indefinitely at 100 TB/day where a stream-stream
     join would accumulate state.
     """
-    import tempfile
 
     from guidewire_spark.plans.catalog import load_table
 
@@ -526,7 +580,6 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set equals the batch interval join exactly (ts_interval_join
     is the single-shuffle batch twin of this query).
     """
-    import tempfile
 
     from guidewire_spark.plans.catalog import load_table
 
@@ -536,8 +589,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id") % 3 == 0)
         .select("event_id", "ts", "user_id", "event_type")
     )
-    for etype, sub in (("purchase", "p_src"), ("view", "v_src")):
-        e.where(F.col("event_type") == etype).write.parquet(f"{root}/{sub}")
+    stage_event_sides(spark, e, root)
 
     schema = "event_id long, ts timestamp, user_id long, event_type string"
     p = (
@@ -599,7 +651,6 @@ def stream_complete_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tool; the memory sink here is the dashboard stand-in. After
     draining all input the last emission must equal the batch
     aggregate (the oracle)."""
-    import tempfile
     import uuid
 
     from guidewire_spark.plans.catalog import load_table
@@ -647,7 +698,6 @@ def stream_available_now_backfill(spark: SparkSession, sf_dir: str) -> DataFrame
     streaming query that then runs continuously, with exactly-once
     checkpointing across the restart boundary. The drained output must
     equal the batch projection (the oracle)."""
-    import tempfile
 
     from guidewire_spark.plans.catalog import load_table
 
@@ -702,7 +752,6 @@ def stream_update_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, valid because streaming counts/sums over appends grow
     monotonically; after draining all input that state must equal the
     batch aggregate (the oracle)."""
-    import tempfile
     import uuid
 
     from guidewire_spark.plans.catalog import load_table
@@ -766,7 +815,6 @@ def stream_fanout_two_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotence here simplified to overwrite-by-batch semantics).
     After draining, BOTH sinks must equal the batch projection — the
     oracle checks the union labeled per sink."""
-    import tempfile
 
     from guidewire_spark.plans.catalog import load_table
     from guidewire_spark.sources.snapshot import read_delta
@@ -858,7 +906,6 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     traffic advances the watermark continuously. State is bounded at
     ~49 h of both streams, same as the inner variant
     (stream_stream_interval_join)."""
-    import tempfile
 
     from guidewire_spark.plans.catalog import load_table
 
@@ -868,14 +915,7 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("user_id") % 4 == 1)
         .select("event_id", "ts", "user_id", "event_type")
     )
-    max_ts = e.agg(F.max("ts")).collect()[0][0]
-    for etype, sub, sid in (("purchase", "p_src", -1), ("view", "v_src", -2)):
-        side = e.where(F.col("event_type") == etype)
-        sentinel = spark.createDataFrame(
-            [(sid, max_ts, sid, "sentinel")],
-            "event_id long, ts timestamp, user_id long, event_type string",
-        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 96 HOURS"))
-        side.unionByName(sentinel).write.parquet(f"{root}/{sub}")
+    stage_event_sides(spark, e, root, sentinel=True)
 
     schema = "event_id long, ts timestamp, user_id long, event_type string"
     p = (
@@ -950,7 +990,6 @@ def stream_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     the source data and are filtered only in the batch read of the
     sink — any sentinel-excluding predicate inside the streaming query
     would push below the watermark operator and starve the flush."""
-    import tempfile
 
     from guidewire_spark.plans.catalog import load_table
 
@@ -960,14 +999,7 @@ def stream_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
         .where(F.col("user_id") % 4 == 2)
         .select("event_id", "ts", "user_id", "event_type")
     )
-    max_ts = e.agg(F.max("ts")).collect()[0][0]
-    for etype, sub, sid in (("purchase", "p_src", -1), ("view", "v_src", -2)):
-        side = e.where(F.col("event_type") == etype)
-        sentinel = spark.createDataFrame(
-            [(sid, max_ts, sid, "sentinel")],
-            "event_id long, ts timestamp, user_id long, event_type string",
-        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 96 HOURS"))
-        side.unionByName(sentinel).write.parquet(f"{root}/{sub}")
+    stage_event_sides(spark, e, root, sentinel=True)
 
     schema = "event_id long, ts timestamp, user_id long, event_type string"
     p = (
@@ -1292,7 +1324,6 @@ def stream_cdf_rowid_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup logic is unchanged)."""
     import os
     import shutil
-    import tempfile
 
     from guidewire_spark.plans.catalog import load_table
     from guidewire_spark.sources.snapshot import (
@@ -1440,7 +1471,6 @@ def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, now under Structured Streaming's checkpointed exactly-once
     delivery instead of a driver loop."""
     import os as _os
-    import tempfile
 
     from guidewire_spark.operators.llm import (
         SUBSTRING_K,
@@ -1568,7 +1598,6 @@ def stream_cda_pyds_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output would hold duplicates and fail the oracle's row count."""
     import os
     import shutil
-    import tempfile
 
     from guidewire_spark.plans.catalog import load_table
     from guidewire_spark.streaming.cda_source import (
@@ -1656,7 +1685,6 @@ def stream_cda_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicating), and the result reads back through the gw_cda batch
     source — stream in, reference-contract folders out, round-trip
     exact."""
-    import tempfile
 
     from guidewire_spark.plans.catalog import load_table
     from guidewire_spark.streaming.cda_source import (
@@ -1722,7 +1750,6 @@ def stream_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of batch order.  This is the consumer loop the
     reference's CDA feed exists to drive (README.md:39-43), deletes
     included."""
-    import tempfile
 
     from guidewire_spark.plans.catalog import load_table
     from guidewire_spark.sources.snapshot import read_delta
@@ -1808,7 +1835,6 @@ def stream_stream_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~49 h state and sentinel-flush design as the outer variant
     (stream_stream_left_outer_join's docstring carries the full
     watermark-pushdown caveat)."""
-    import tempfile
 
     from guidewire_spark.plans.catalog import load_table
 
@@ -1818,14 +1844,7 @@ def stream_stream_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id") % 4 == 2)
         .select("event_id", "ts", "user_id", "event_type")
     )
-    max_ts = e.agg(F.max("ts")).collect()[0][0]
-    for etype, sub, sid in (("purchase", "p_src", -1), ("view", "v_src", -2)):
-        side = e.where(F.col("event_type") == etype)
-        sentinel = spark.createDataFrame(
-            [(sid, max_ts, sid, "sentinel")],
-            "event_id long, ts timestamp, user_id long, event_type string",
-        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 96 HOURS"))
-        side.unionByName(sentinel).write.parquet(f"{root}/{sub}")
+    stage_event_sides(spark, e, root, sentinel=True)
 
     schema = "event_id long, ts timestamp, user_id long, event_type string"
     p = (
@@ -1961,7 +1980,6 @@ def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the three extra batch scans disappear."""
     import os
     import shutil
-    import tempfile
 
     from guidewire_spark.plans.catalog import load_table, local_df
 
@@ -2133,7 +2151,6 @@ def stream_auto_compact_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 24/7 ingest pipeline from degrading into millions of slivers:
     each micro-batch pays an append plus, occasionally, a bin-pack of
     the recent tail — never a full-table rewrite."""
-    import tempfile
 
     from guidewire_spark.plans.catalog import load_table
     from guidewire_spark.sources.snapshot import load_snapshot, read_delta

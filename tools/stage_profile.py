@@ -21,7 +21,7 @@ from guidewire_spark.registry import all_queries
 from bench import HEADLINE
 
 names = sys.argv[1:] or HEADLINE
-sf_dir = "/root/testdata/sf0.1"
+sf_dir = __import__("os").environ.get("PROFILE_SF_DIR", "/root/testdata/sf0.1")
 spark = get_spark(
     app_name="stage-profile", extra_conf={"spark.ui.enabled": "true"}
 )
