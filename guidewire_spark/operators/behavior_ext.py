@@ -136,11 +136,14 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopwords.  All rules are row-local JVM expressions over one
     whitespace tokenization — single scan, zero shuffle, fully
     pushdown-friendly."""
-    # round-11 second pass: guarded fan_out — the single-file sf
-    # scan ran the tokenize in ONE task; no-op at real scale
-    from guidewire_spark.plans.catalog import fan_out
-
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # round-12: the r11 fan_out was REMOVED here after an interleaved
+    # A/B (×4 at sf0.1, ×3 at the 10× fixture) measured the
+    # round-robin exchange of raw text costing 1.3-2× the row-local
+    # projection it parallelizes (0.43→0.31 s sf0.1, 0.65→0.34 s at
+    # 10×) — this query is a pure projection+filter over one
+    # tokenization, so scan parallelism is already the right width at
+    # every scale (ADVICE r11).
+    d = load_table(spark, sf_dir, "documents")
     ws = T.words(F.col("text"))
     n_words = F.size(ws)
     sum_word_len = F.aggregate(

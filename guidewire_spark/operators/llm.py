@@ -1823,11 +1823,12 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language identification (argmax with fixed
     precedence en>es>fr>de>zh on ties, mirrored exactly in the oracle)."""
-    # round-11 second pass: guarded fan_out — the single-file sf
-    # scan ran the tokenize in ONE task; no-op at real scale
-    from guidewire_spark.plans.catalog import fan_out
-
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # round-12: r11's fan_out REMOVED — interleaved A/B (sf0.1 and the
+    # 10x fixture) measured the round-robin exchange of raw text
+    # costing 1.3-2x the row-local projection it parallelizes; this is
+    # a cheap per-row pass, so scan parallelism already suffices at
+    # every scale (ADVICE r11).
+    d = load_table(spark, sf_dir, "documents")
     ws = T.words(F.lower(F.col("text")))
     hits = {lang: T.stopword_hits(ws, lang) for lang in ["en", "es", "fr", "de", "zh"]}
     best = F.greatest(*hits.values())

@@ -1357,11 +1357,12 @@ def feature_hashing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine hash, so the feature space is portable and the oracle is
     exact.  One corpus pass (tokenize → JVM hash fold → count);
     output is (docs × occupied buckets), never vocabulary-sized."""
-    # round-11 second pass: guarded fan_out — the single-file sf
-    # scan ran the tokenize in ONE task; no-op at real scale
-    from guidewire_spark.plans.catalog import fan_out
-
-    d = fan_out(load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100))
+    # round-12: r11's fan_out REMOVED — interleaved A/B (sf0.1 and the
+    # 10x fixture) measured the round-robin exchange of raw text
+    # costing 1.3-2x the row-local projection it parallelizes; this is
+    # a cheap per-row pass, so scan parallelism already suffices at
+    # every scale (ADVICE r11).
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     toks = d.select(
         "doc_id",
         F.explode(T.words(F.lower(F.col("text")))).alias("w"),

@@ -481,11 +481,12 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of repeated 3-word shingles per document — high values
     mark boilerplate/spam for the quality filter. Array-local (no
     explode, no shuffle): shingle list, distinct count, ratio."""
-    # round-11 second pass: guarded fan_out — the single-file sf
-    # scan ran the tokenize in ONE task; no-op at real scale
-    from guidewire_spark.plans.catalog import fan_out
-
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # round-12: r11's fan_out REMOVED — interleaved A/B (sf0.1 and the
+    # 10x fixture) measured the round-robin exchange of raw text
+    # costing 1.3-2x the row-local projection it parallelizes; this is
+    # a cheap per-row pass, so scan parallelism already suffices at
+    # every scale (ADVICE r11).
+    d = load_table(spark, sf_dir, "documents")
     sh = T.word_shingles(F.col("text"), 3)
     n = F.size(sh)
     nd = F.size(F.array_distinct(sh))
@@ -1384,11 +1385,12 @@ def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     A re-exported shard whose manifest row differs is corrupt; the
     checksum catches silent row loss that counts alone miss when adds
     and drops cancel."""
-    # round-11 second pass: guarded fan_out — the single-file sf
-    # scan ran the tokenize in ONE task; no-op at real scale
-    from guidewire_spark.plans.catalog import fan_out
-
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # round-12: r11's fan_out REMOVED — interleaved A/B (sf0.1 and the
+    # 10x fixture) measured the round-robin exchange of raw text
+    # costing 1.3-2x the row-local projection it parallelizes; this is
+    # a cheap per-row pass, so scan parallelism already suffices at
+    # every scale (ADVICE r11).
+    d = load_table(spark, sf_dir, "documents")
     checksum = F.sum(
         (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647)
     ) % F.lit(2147483647)
