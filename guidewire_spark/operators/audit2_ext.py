@@ -57,7 +57,14 @@ def text_unicode_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Latin-extended, Cyrillic, CJK — via ascii()/unicode(), which
     both engines define as the first codepoint.  Corpus-sized pass
     partial-aggregates to (lang × script) cells immediately."""
-    d = load_table(spark, sf_dir, "documents")
+    # Guarded fan-out (round-12): the per-CHARACTER explode is the
+    # corpus's heaviest row expansion (~4M rows from 5k docs at
+    # sf0.1) and ran as ONE task on the single-file scan
+    # (stage-profiled 2.1 s single-task = the whole query); no-op at
+    # real scale.  The (lang × script) aggregate is layout-free.
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     chars = d.select(
         "lang",
         F.explode(

@@ -225,14 +225,13 @@ def _grid_accuracy_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("norm_exact"), F.lit(1.0))
         ).alias("rel_err")
     )
+    # one percentile buffer for both gates (round-12, same bit-equal
+    # array-form rewrite as agg_tukey_fences)
+    _qq = F.percentile("rel_err", F.array(F.lit(0.5), F.lit(0.95)))
     return rel.agg(
         F.count("*").alias("n_docs"),
-        (F.percentile("rel_err", F.lit(0.5)) < F.lit(0.02)).alias(
-            "median_rel_err_lt_2pct"
-        ),
-        (F.percentile("rel_err", F.lit(0.95)) < F.lit(0.10)).alias(
-            "p95_rel_err_lt_10pct"
-        ),
+        (_qq[0] < F.lit(0.02)).alias("median_rel_err_lt_2pct"),
+        (_qq[1] < F.lit(0.10)).alias("p95_rel_err_lt_10pct"),
     )
 
 

@@ -299,10 +299,10 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (F.sum(cents).cast("double") / 100.0 / F.count("*")).alias("mean_est"),
     )
-    ci = means.agg(
-        F.percentile("m", F.lit(0.025)).alias("lo"),
-        F.percentile("m", F.lit(0.975)).alias("hi"),
-    )
+    # one percentile buffer for both CI cut points (round-12, same
+    # bit-equal array-form rewrite as agg_tukey_fences)
+    _ci = F.percentile("m", F.array(F.lit(0.025), F.lit(0.975)))
+    ci = means.agg(_ci[0].alias("lo"), _ci[1].alias("hi"))
     return pt.crossJoin(F.broadcast(ci)).select(
         "n",
         _r(F.col("mean_est"), 4).alias("mean_est"),
