@@ -139,7 +139,12 @@ def tokenizer_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the coverage set when the cumulative mass BEFORE it is still
     short of the ceil(0.9995·total) target — integer threshold, no
     float compare."""
-    d = load_table(spark, sf_dir, "documents")
+    # guarded fan-out (round-12): per-character explode in ONE task on
+    # single-file scans — same fix and evidence class as
+    # text_unicode_script_profile (2.5→0.9 s); no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     chars = d.select(
         F.explode(F.expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))")).alias("ch")
     )

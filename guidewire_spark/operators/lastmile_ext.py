@@ -114,7 +114,12 @@ def text_script_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     every zh doc is Latin text, so the zh row flags 100% — the audit
     working as intended (asserted in tests).  One corpus-sized char
     pass partial-aggregated to per-doc counts, then a lang rollup."""
-    d = load_table(spark, sf_dir, "documents")
+    # guarded fan-out (round-12): per-character explode in ONE task on
+    # single-file scans — same fix and evidence class as
+    # text_unicode_script_profile (2.5→0.9 s); no-op at real scale
+    from guidewire_spark.plans.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     chars = d.select(
         "doc_id",
         "lang",
